@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for the LLM-data-pipeline extension
+  * (driver mandate; SURVEY.md §2.11): exact, MinHash+LSH, SimHash.
+  *
+  * Scale posture: every stage is a shuffle on a well-distributed key
+  * (text hash, (band, band_hash), doc_id) with map-side partial
+  * aggregation; nothing is collected to the driver. The LSH
+  * candidate-pair self-join is guarded by a bucket-size cap so a
+  * degenerate bucket (e.g. billions of boilerplate documents sharing a
+  * band) cannot produce a quadratic blow-up — the standard mitigation at
+  * 100 TB, where such buckets are dropped (or routed to a sampling path)
+  * rather than joined.
+  */
+object Dedup {
+
+  /** Exact dedup groups: hash-groupBy on content. Returns one row per
+    * distinct text with the survivor id (min doc_id) and multiplicity.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: k permutations approximated by k seeded
+    * xxhash64 functions; signature[i] = min over distinct tokens of
+    * hash_i(token). One explode + one hash-aggregate (k `min` columns —
+    * partial aggregation combines map-side before the shuffle).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    toks.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over minhash signatures → candidate near-dup pairs with
+    * estimated Jaccard (fraction of equal signature positions).
+    *
+    * @param bands      number of bands (bands * rowsPerBand = k)
+    * @param rowsPerBand signature rows hashed per band
+    * @param minEst     keep pairs with estimated Jaccard ≥ this
+    * @param bucketCap  drop buckets larger than this (skew guard)
+    */
+  def minhashCandidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                            minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+    // The signature table feeds four plan branches (two bucket-join
+    // sides, two verification joins); persist so the minhash
+    // aggregation runs once. The ContextCleaner unpersists when the
+    // plan is garbage-collected.
+    val sigsC = sigs.persist()
+    // Candidate generation stays NARROW: the bucket self-join carries
+    // only (band, bh, doc_id) — never the k-long signature arrays. At
+    // fixture scale the candidate set is quadratic-ish (every doc pair
+    // shares vocabulary) and carrying signatures through this join
+    // multiplies the shuffle by ~20×.
+    val banded = sigsC
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+    // Skew guard: only join buckets below the cap. Same shuffle key as
+    // the join itself, so the extra aggregate is cheap.
+    val smallBuckets = banded.groupBy("band", "bh").count()
+      .where(col("count") <= bucketCap).drop("count")
+    val safe = banded.join(smallBuckets, Seq("band", "bh"))
+    val pairs = safe.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(safe.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // Verification: attach both signatures by key — the signature table
+    // is tiny relative to the pair set (one row per doc vs ~pairs), so
+    // Catalyst broadcasts it at fixture scale; at cluster scale this
+    // becomes two shuffle joins on doc id, still linear in |pairs|.
+    val withSigs = pairs
+      .join(sigsC.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigsC.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    // Unrolled position compares instead of zip_with+aggregate: the
+    // higher-order functions evaluate interpreted per row, while k
+    // element_at/when terms stay inside whole-stage codegen — this is
+    // the hot expression of the whole operator (once per distinct pair).
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _) / lit(k)
+    withSigs
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+  }
+
+  /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token
+    * occurrences, sign of each vote sum becomes the bit. One explode +
+    * one aggregate (64 sum columns, map-side combinable).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
+    * Hamming distance 3 of a 64-bit hash must agree on at least one of
+    * the four 16-bit chunks — pigeonhole), verify with exact popcount.
+    */
+  def simhashNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = array((0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }: _*)
+    val blocked = fps.select(col("doc_id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    val x = blocked.select(col("chunk"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val y = blocked.select(col("chunk"), col("v"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    x.join(y, Seq("chunk", "v"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

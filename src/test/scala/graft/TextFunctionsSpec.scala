@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercases, trims, splits on runs of whitespace") {
+    val out = Seq("  The  quick\tBrown\nfox ").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("the", "quick", "brown", "fox")
+  }
+
+  test("tokenCount matches token list size") {
+    val out = Seq("one two three").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+      .collect()(0).getInt(0)
+    out shouldBe 3
+  }
+
+  test("hitCount counts stopword occurrences including repeats") {
+    val toks = TextFunctions.tokens(col("text"))
+    val out = Seq("the cat and the dog").toDF("text")
+      .select(TextFunctions.hitCount(toks, TextFunctions.Stopwords).as("n"))
+      .collect()(0).getInt(0)
+    out shouldBe 3 // the, and, the
+  }
+
+  test("nonSpaceChars excludes all whitespace") {
+    val out = Seq(" a b\tc ").toDF("text")
+      .select(TextFunctions.nonSpaceChars(col("text")).as("n"))
+      .collect()(0).getInt(0)
+    out shouldBe 3
+  }
+
+  test("langId: argmax with en>es>de tie-break") {
+    val toks = TextFunctions.tokens(col("text"))
+    val out = Seq(
+        "the a is table",        // en 3 > es 1
+        "data row table the",    // es 3 > en 1
+        "join merge hash hash",  // de 4
+        "nothing matches here")  // all 0 → tie → en
+      .toDF("text")
+      .select(TextFunctions.langId(toks).as("lang"))
+      .collect().map(_.getString(0))
+    out shouldBe Array("en", "es", "de", "en")
+  }
+
+  test("winnowFingerprints: deterministic, non-empty, shared grams overlap") {
+    val df = Seq("abcdefghijklmnop", "abcdefghijklmnop", "zzzzyyyyxxxxwwww").toDF("text")
+    val fps = df.select(TextFunctions.winnowFingerprints(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    fps(0) shouldBe fps(1)      // deterministic
+    fps(0) should not be empty
+    fps(0).intersect(fps(2)) shouldBe empty // disjoint text → disjoint fingerprints
+  }
+
+  test("winnowFingerprints: text shorter than k falls back to whole-text hash") {
+    val fps = Seq("abc").toDF("text")
+      .select(TextFunctions.winnowFingerprints(col("text"), k = 8).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    fps.length shouldBe 1
+  }
+}

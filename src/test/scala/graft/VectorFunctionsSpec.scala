@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{RandomHyperplaneLsh, VectorFunctions}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsDF(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("dot / norm / cosine basic identities") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, -5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.norm(col("a")).as("na"),
+      VectorFunctions.cosine(col("a"), col("a")).as("self")).collect()(0)
+    r.getDouble(0) shouldBe (4.0 - 10.0 + 18.0)
+    r.getDouble(1) shouldBe math.sqrt(14.0) +- 1e-12
+    r.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
+  test("cosine of orthogonal vectors is 0, opposite is -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    out(0) shouldBe 0.0 +- 1e-12
+    out(1) shouldBe -1.0 +- 1e-12
+  }
+
+  test("bruteForceTopK: exact neighbor ranking, self excluded") {
+    val corpus = vecsDF(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.9f, 0.1f),  // closest to 0
+      2L -> Seq(0f, 1f),      // orthogonal
+      3L -> Seq(-1f, 0f))     // opposite
+    val out = VectorFunctions.bruteForceTopK(corpus, corpus.where(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L, 3L)
+    out.map(_.getAs[Int]("rank")) shouldBe Array(1, 2, 3)
+  }
+
+  test("RandomHyperplaneLsh: bucket is deterministic and identical vectors collide") {
+    val lsh = new RandomHyperplaneLsh(dim = 4, planes = 6)
+    val df = vecsDF(1L -> Seq(1f, 2f, 3f, 4f), 2L -> Seq(1f, 2f, 3f, 4f),
+                    3L -> Seq(-1f, -2f, -3f, -4f))
+    val out = df.select(col("vec_id"), lsh.bucket(col("embedding")).as("b"))
+      .orderBy("vec_id").collect()
+    out(0).getInt(1) shouldBe out(1).getInt(1)
+    // antipodal vector flips every sign bit → complementary bucket
+    out(2).getInt(1) shouldBe ((~out(0).getInt(1)) & ((1 << 6) - 1))
+  }
+
+  test("annTopK finds an exact duplicate in the same bucket") {
+    val lsh = new RandomHyperplaneLsh(dim = 3, planes = 4)
+    val corpus = vecsDF(
+      0L -> Seq(1f, 2f, 3f), 1L -> Seq(1f, 2f, 3f), 2L -> Seq(5f, -1f, 0f))
+    val out = lsh.annTopK(corpus, corpus.where(col("vec_id") === 0), k = 1).collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("neighbor_id") shouldBe 1L
+    out(0).getAs[Double]("cos") shouldBe 1.0 +- 1e-12
+  }
+
+  test("hyperplanes are reproducible across instances (seeded, no RNG state)") {
+    val a = new RandomHyperplaneLsh(dim = 8, planes = 3)
+    val b = new RandomHyperplaneLsh(dim = 8, planes = 3)
+    a.hyperplanes shouldBe b.hyperplanes
+  }
+}

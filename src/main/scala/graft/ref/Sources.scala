@@ -1,0 +1,66 @@
+package graft.ref
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks for the reference surface (SURVEY.md §2.1).
+  *
+  * The reference's HTTP fetch + tar extraction (S1/S2,
+  * `dags/icpe-siretisation.py:19-54`) are driver-side staging, not Spark
+  * jobs — stage files to a landing dir with ordinary JVM IO, then hand
+  * the paths to these readers.
+  */
+object Sources {
+
+  /** S3: headerless `;`-separated CSV with explicit schema and DAY-FIRST
+    * dates (`dags/icpe-siretisation.py:135-139`, `dayfirst=True` — Spark's
+    * default parser is month-first, so the format must be explicit).
+    * Multiline quoted fields off, permissive nulls on empty strings —
+    * matching pandas' NaN-for-empty behavior.
+    */
+  def icpeCsv(spark: SparkSession, path: String, schema: StructType,
+              timestampFormat: String = "d/M/yyyy[ H:mm:ss]"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", ";")
+      .option("header", "false")
+      .option("timestampFormat", timestampFormat)
+      .option("dateFormat", "d/M/yyyy")
+      .csv(path)
+
+  /** S4: headered CSV (GEREP Google-Sheets export,
+    * `dags/icpe-siretisation.py:268-271`) staged to a local path. */
+  def headeredCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .csv(path)
+
+  /** S5: JDBC scan with the projection/cast pushed down as a SQL query —
+    * keeps the reference's own pushdown (`dags/publish-open-data.py:26-30`
+    * already selects and casts in SQL).
+    */
+  def jdbcQuery(spark: SparkSession, url: String, query: String,
+                props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("query", query)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** S7: CSV sink (`dags/publish-open-data.py:58`). `singleFile` mirrors
+    * pandas' one-file `to_csv` for export parity; leave false for
+    * distributed writes at scale. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S8: JDBC full-replace sink (`dags/icpe-siretisation.py:360-392`,
+    * `to_sql(..., if_exists='replace')` — its `chunksize=3` becomes a
+    * sane default batchsize). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                batchSize: Int = 10000, props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc").mode(SaveMode.Overwrite)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}

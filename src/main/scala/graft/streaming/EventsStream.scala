@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice over the `events` fixture (SURVEY.md §2.10
+  * — ABSENT in the reference, driver-mandated extension).
+  *
+  * Design rule: every streaming aggregation shares its transform with the
+  * batch twin (q21 in ParityQueries uses [[hourlyByType]] semantics), so
+  * a batch query lifts to `readStream → transform → writeStream`
+  * unchanged — watermark-compatible by construction.
+  */
+object EventsStream {
+
+  /** events schema with `ts` as raw nanos (the fixture parquet is
+    * TIMESTAMP(NANOS), which the vectorized reader only surfaces as long
+    * under `spark.sql.legacy.parquet.nanosAsLong`). */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. Integer `div` for
+    * nanos→micros: epoch-nanos exceed double's 2^53 exact range. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsNanosSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Shared batch/streaming transform: tumbling 1-hour windows per
+    * event_type. In streaming, partial aggregation state lives in the
+    * state store keyed by (window, event_type) — bounded by the watermark
+    * horizon, so state size is O(types × watermark/1h), not O(events). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming variant: watermark bounds state + drops data later than
+    * `watermark`; append mode emits each window once it is final. */
+  def streamingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    hourlyByType(events.withWatermark("ts", watermark))
+
+  // ------------------------------------------------- sessionization
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+  private def toSessions(userId: Long, sorted: Seq[Event], gapMs: Long): Seq[Session] = {
+    if (sorted.isEmpty) return Nil
+    val out = Seq.newBuilder[Session]
+    var start = sorted.head; var last = sorted.head
+    var n = 0L; var sum = 0.0
+    for (e <- sorted) {
+      if (e.ts.getTime - last.ts.getTime > gapMs) {
+        out += Session(userId, start.ts, last.ts, n, sum)
+        start = e; n = 0L; sum = 0.0
+      }
+      last = e; n += 1; sum += e.value
+    }
+    out += Session(userId, start.ts, last.ts, n, sum)
+    out.result()
+  }
+
+  /** Batch sessionization: per-user gap-split sessions via mapGroups.
+    * Groups arrive whole, so all sessions (including the last) emit. */
+  def sessionizeBatch(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      toSessions(uid, it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), gapMs).iterator
+    }
+  }
+
+  /** Streaming sessionization: flatMapGroupsWithState with event-time
+    * timeout. A session closes — and emits — either when a new event
+    * arrives past the gap, or when the watermark passes lastSeen+gap
+    * (timeout). State per user is one fixed-size [[SessionState]]. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum))
+      }
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[Session]
+      var st = state.getOption.orNull
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(t, t, 1, e.value)
+        else if (t - st.lastMs > gapMs) {
+          closed += Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sum)
+          st = SessionState(t, t, 1, e.value)
+        } else st = st.copy(lastMs = t, n = st.n + 1, sum = st.sum + e.value)
+      }
+      if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, Session}
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // offset from epoch 0: the initial watermark is 0, and events with
+  // ts <= watermark are filtered as late by stateful operators
+  private val Base = 100020L // hour-aligned (divisible by 60) so windows land on round minutes
+  private def mins(t: Timestamp): Long = t.getTime / 60000L - Base
+  private def ts(minutes: Long): Timestamp = new Timestamp((Base + minutes) * 60000L)
+
+  private def ev(id: Long, minutes: Long, uid: Long = 1L, typ: String = "click",
+                 value: Double = 1.0): Event = Event(id, ts(minutes), uid, typ, value)
+
+  test("streamingHourly: windows finalize when the watermark passes; late data dropped") {
+    val mem = MemoryStream[Event]
+    val out = EventsStream.streamingHourly(
+      mem.toDF(), watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      // hour 0: two clicks; hour 1: one view
+      mem.addData(ev(1, 10), ev(2, 20), ev(3, 70, typ = "view", value = 5.0))
+      q.processAllAvailable()
+      // watermark still at max(ts)-30m = 0:40 → nothing final yet
+      spark.table("hourly").count() shouldBe 0
+      // advance the watermark far past both windows
+      mem.addData(ev(4, 600))
+      q.processAllAvailable()
+      // a late event behind the watermark must be dropped
+      mem.addData(ev(5, 15, value = 99.0))
+      mem.addData(ev(6, 1200)) // push watermark again so hour-10 finalizes
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .collect().map(r => (mins(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      rows should contain((0L, "click", 2L, 2.0))   // late ev5 NOT counted
+      rows should contain((60L, "view", 1L, 5.0))
+      rows should contain((600L, "click", 1L, 1.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: gap-close on new event and timeout-close via watermark") {
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 100 (new session after gap)
+      mem.addData(ev(1, 0), ev(2, 10), ev(3, 20))
+      q.processAllAvailable()
+      mem.addData(ev(4, 100, value = 7.0))
+      q.processAllAvailable()
+      // the first session closed because ev4 arrived past the 30-min gap
+      val afterGap = spark.table("sessions").as[Session].collect()
+      afterGap.map(s => (mins(s.session_start), mins(s.session_end),
+        s.n_events, s.sum_value)).toSet shouldBe Set((0L, 20L, 3L, 3.0))
+      // push the watermark past 100+30min → the open session times out
+      mem.addData(ev(5, 500, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(6, 600, uid = 2L)) // advance watermark once more to flush
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect()
+        .map(s => (s.user_id, mins(s.session_start),
+          mins(s.session_end), s.n_events)).toSet
+      all should contain((1L, 0L, 20L, 3L))
+      all should contain((1L, 100L, 100L, 1L))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch: same gap semantics on a bounded Dataset") {
+    val events = Seq(
+      ev(1, 0), ev(2, 10), ev(3, 20),       // session 1 of user 1
+      ev(4, 100, value = 7.0),              // session 2 of user 1
+      ev(5, 5, uid = 2L), ev(6, 25, uid = 2L)) // one session for user 2
+      .toDS()
+    val s = EventsStream.sessionizeBatch(events, gapMinutes = 30)
+      .collect().map(s => (s.user_id, mins(s.session_start),
+        mins(s.session_end), s.n_events, s.sum_value)).toSet
+    s shouldBe Set(
+      (1L, 0L, 20L, 3L, 3.0),
+      (1L, 100L, 100L, 1L, 7.0),
+      (2L, 5L, 25L, 2L, 2.0))
+  }
+
+  test("batch/streaming transform parity: hourlyByType on the events fixture") {
+    val batch = EventsStream.hourlyByType(Tables.events(spark, sf0001))
+    // same transform, same numbers as q21's groupBy — spot-check totals
+    val total = batch.agg(sum("n")).collect()(0).getLong(0)
+    total shouldBe Tables.events(spark, sf0001).count()
+  }
+
+  test("readEventsStream: file-stream over the fixture dir reaches the same totals") {
+    // the file-stream source needs a DIRECTORY; stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventsStream.readEventsStream(spark, dir.toString)
+    val q = EventsStream.hourlyByType(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("file_hourly").agg(sum("n")).collect()(0).getLong(0)
+      streamed shouldBe Tables.events(spark, sf0001).count()
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,158 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for the LLM-data-pipeline extension (driver
+  * mandate): image/audio/video as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * stages as partition-batched typed transforms.
+  *
+  * The Spark-side plumbing — schemas, Encoders, `mapPartitions` batch
+  * shape, partition sizing — is real and tested. The codec kernels are
+  * STUBS (this container ships no image/audio libraries): a
+  * deterministic fake decode derived from the bytes, clearly marked
+  * below. Swapping in a real codec changes only the body of
+  * [[FakeCodec.decodeImage]] / [[FakeCodec.decodeFrames]]; every
+  * signature, schema and batch contract stays identical.
+  *
+  * Scale posture: media bytes never route through a shuffle — decode /
+  * featurize are narrow `mapPartitions` stages; only the small derived
+  * features (vectors, stats) flow into joins/aggregations. Partition
+  * size is governed by `spark.sql.files.maxPartitionBytes` at scan time,
+  * so a 100 TB media lake decodes in bounded-memory batches across
+  * executors.
+  */
+object Multimodal {
+
+  /** A media object: opaque bytes + typed metadata columns (not a
+    * stringly blob — Catalyst prunes/filters on them). */
+  case class MediaFile(media_id: Long, kind: String, format: String,
+                       width: Int, height: Int, duration_ms: Long,
+                       content: Array[Byte])
+
+  /** Decoded raster: row-major grayscale pixels in [0,1). */
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          pixels: Array[Float])
+
+  case class ImageFeatures(media_id: Long, mean: Double, std: Double,
+                           p_bright: Double)
+
+  case class Frame(media_id: Long, frame_no: Int, width: Int, height: Int,
+                   pixels: Array[Float])
+
+  /** ==== STUB CODEC ====
+    * Deterministic fake standing in for libjpeg/ffmpeg: pixel (x,y) is a
+    * splitmix64 avalanche of (bytes-hash, x, y) mapped into [0,1). Real
+    * deployments replace these two bodies with actual codecs.
+    */
+  object FakeCodec extends Serializable {
+    private def mix(a: Long, b: Long, c: Long): Long = {
+      var z = a + b * 0x9E3779B97F4A7C15L + c * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    private def bytesHash(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ b) * 0x100000001b3L)
+
+    def decodeImage(content: Array[Byte], width: Int, height: Int): Array[Float] = {
+      val h = bytesHash(content)
+      Array.tabulate(width * height) { i =>
+        val v = mix(h, i % width, i / width)
+        ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      }
+    }
+
+    /** "Video" decode: one fake frame per 1000 ms of duration. */
+    def decodeFrames(content: Array[Byte], width: Int, height: Int,
+                     durationMs: Long): Iterator[(Int, Array[Float])] = {
+      val h = bytesHash(content)
+      val n = math.max(1, (durationMs / 1000).toInt)
+      Iterator.tabulate(n) { f =>
+        f -> Array.tabulate(width * height) { i =>
+          val v = mix(h + f, i % width, i / width)
+          ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        }
+      }
+    }
+  }
+
+  /** Decode stage: narrow partition-batched transform, one decoded
+    * raster per media row, streamed through the iterator (never
+    * materializes a whole partition of pixels). */
+  def decodeImages(media: Dataset[MediaFile]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      DecodedImage(m.media_id, m.width, m.height,
+        FakeCodec.decodeImage(m.content, m.width, m.height))
+    })
+  }
+
+  /** Feature extraction on decoded rasters — real arithmetic (mean,
+    * stddev, bright-pixel ratio), single pass per image. */
+  def imageFeatures(decoded: Dataset[DecodedImage]): Dataset[ImageFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val n = d.pixels.length
+      var s = 0.0; var s2 = 0.0; var bright = 0
+      var i = 0
+      while (i < n) {
+        val v = d.pixels(i)
+        s += v; s2 += v.toDouble * v; if (v > 0.5f) bright += 1
+        i += 1
+      }
+      val mean = s / n
+      ImageFeatures(d.media_id, mean, math.sqrt(math.max(0, s2 / n - mean * mean)),
+        bright.toDouble / n)
+    })
+  }
+
+  /** Real nearest-neighbor resize over the decoded raster (no stub —
+    * plain array math). */
+  def resize(decoded: Dataset[DecodedImage], newW: Int, newH: Int): Dataset[DecodedImage] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val out = Array.tabulate(newW * newH) { i =>
+        val x = i % newW; val y = i / newW
+        val sx = math.min(d.width - 1, x * d.width / newW)
+        val sy = math.min(d.height - 1, y * d.height / newH)
+        d.pixels(sy * d.width + sx)
+      }
+      DecodedImage(d.media_id, newW, newH, out)
+    })
+  }
+
+  /** Frame sampling for video rows: decode lazily, keep every `every`-th
+    * frame — a flatMap, so output cardinality is data-dependent but the
+    * decode stream stays lazy per row. */
+  def sampleFrames(media: Dataset[MediaFile], every: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      FakeCodec.decodeFrames(m.content, m.width, m.height, m.duration_ms)
+        .filter(_._1 % every == 0)
+        .map { case (f, px) => Frame(m.media_id, f, m.width, m.height, px) }
+    })
+  }
+
+  /** Untyped view for SQL interop: metadata columns + content stay
+    * queryable (filter on kind/format/duration prunes BEFORE decode). */
+  def toMediaFrame(media: Dataset[MediaFile]): DataFrame =
+    media.toDF()
+
+  /** Synthesize a deterministic media table from the documents fixture —
+    * the binary content is the utf-8 text (a stand-in for real files);
+    * used by specs and the driver-facing multimodal queries. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+        when(col("doc_id") % 3 === 0, "fake-mp4").otherwise("fake-png").as("format"),
+        (col("doc_id") % 7 + 4).cast("int").as("width"),
+        (col("doc_id") % 5 + 4).cast("int").as("height"),
+        (col("n_chars") * 100).as("duration_ms"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaFile]
+  }
+}

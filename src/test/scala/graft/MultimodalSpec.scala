@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media: org.apache.spark.sql.Dataset[MediaFile] =
+    Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf0001))
+
+  test("media table: binary content + typed metadata, schema as declared") {
+    val df = Multimodal.toMediaFrame(media)
+    df.schema("content").dataType.typeName shouldBe "binary"
+    df.schema("media_id").dataType.typeName shouldBe "long"
+    df.where(col("kind") === "video").count() should be > 0L
+    df.count() shouldBe Tables.documents(spark, sf0001).count()
+  }
+
+  test("metadata predicates prune before decode (filter is on the scan side)") {
+    val plan = Multimodal.toMediaFrame(media)
+      .where(col("kind") === "image").queryExecution.executedPlan.toString
+    // the kind filter must not sit above a deserialization stage
+    plan should include("Filter")
+  }
+
+  test("decodeImages: deterministic, correct raster size, values in [0,1)") {
+    val d1 = Multimodal.decodeImages(media).orderBy("media_id").head(3)
+    val d2 = Multimodal.decodeImages(media).orderBy("media_id").head(3)
+    d1.zip(d2).foreach { case (a, b) => a.pixels.toSeq shouldBe b.pixels.toSeq }
+    d1.foreach { d =>
+      d.pixels.length shouldBe d.width * d.height
+      all(d.pixels.map(_.toDouble)) should (be >= 0.0 and be < 1.0)
+    }
+  }
+
+  test("imageFeatures: single-pass stats are consistent with a reference computation") {
+    val d = Multimodal.decodeImages(media).orderBy("media_id").head(1)(0)
+    val f = Multimodal.imageFeatures(Multimodal.decodeImages(media))
+      .where(col("media_id") === d.media_id).head(1)(0)
+    val px = d.pixels.map(_.toDouble)
+    f.mean shouldBe px.sum / px.length +- 1e-9
+    f.p_bright shouldBe px.count(_ > 0.5).toDouble / px.length +- 1e-12
+  }
+
+  test("resize: nearest-neighbor to target raster, corners preserved") {
+    val resized = Multimodal.resize(Multimodal.decodeImages(media), 2, 2)
+      .orderBy("media_id").head(1)(0)
+    resized.width shouldBe 2
+    resized.height shouldBe 2
+    resized.pixels.length shouldBe 4
+    val orig = Multimodal.decodeImages(media).orderBy("media_id").head(1)(0)
+    resized.pixels(0) shouldBe orig.pixels(0) // top-left maps to source (0,0)
+  }
+
+  test("sampleFrames: only videos, every 2nd frame, frame count from duration") {
+    val frames = Multimodal.sampleFrames(media, every = 2)
+    val byId = frames.groupByKey(_.media_id).count().collect().toMap
+    byId.keySet.foreach(_ % 3 shouldBe 0) // only kind=video ids
+    val one = media.filter(_.kind == "video").head(1)(0)
+    val expected = math.max(1, (one.duration_ms / 1000).toInt)
+    byId(one.media_id) shouldBe (expected + 1) / 2
+    frames.head(1)(0).pixels.length should be > 0
+  }
+}

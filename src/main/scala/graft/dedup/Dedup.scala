@@ -30,6 +30,15 @@ object Dedup {
     * xxhash64 functions; signature[i] = min over distinct tokens of
     * hash_i(token). One explode + one hash-aggregate (k `min` columns —
     * partial aggregation combines map-side before the shuffle).
+    *
+    * Measured alternative (sf0.1, local[32]): a zero-shuffle per-row
+    * formulation via `array_min(transform(...))` computes signatures
+    * 2.5× faster in isolation, but the END-TO-END candidate-pair flow
+    * ran ~1.6× SLOWER with it — ending the signature stage in a shuffle
+    * gives AQE exact stats (it then broadcasts both attach joins) and a
+    * reusable exchange for the four downstream consumers. Keep the
+    * aggregate formulation: the shuffle is one row per (doc, distinct
+    * token), map-side combined, and it buys the better global plan.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold order. */
+  /** Σ aᵢ·bᵢ in double, sequential fold order. Generic over float and
+    * double arrays (used for hyperplane projections); the hot
+    * embedding-pair path goes through [[cosine]] instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
@@ -22,7 +24,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over two `array<float>` columns via the fused codegen
+    * [[CosineSimilarity]] expression — one array pass per pair instead
+    * of three interpreted ones; bit-identical arithmetic. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      CosineSimilarity(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * The query set is broadcast (it is small by construction); the

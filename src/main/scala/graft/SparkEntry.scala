@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, ParityQueries, TextQueries, VectorQueries}
+import graft.queries.{ExtendedQueries, MultimodalQueries, ParityQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++ ExtendedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

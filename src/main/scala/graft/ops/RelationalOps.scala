@@ -88,4 +88,44 @@ object RelationalOps {
     * (`dags/icpe-siretisation.py:153-154`). */
   def concatOrEmpty(sep: String, cols: Column*): Column =
     coalesce(concat(cols.flatMap(c => Seq(c, lit(sep))).dropRight(1): _*), lit(""))
+
+  /** As-of join: for every left row, the LATEST right row of the same
+    * `key` with `rightTime` ≤ `leftTime` (ties broken by the payload
+    * struct order — put a unique tiebreaker first in `rightCols`).
+    *
+    * Implemented with the union+window formulation, not a range join:
+    * tag both sides, sort each key's timeline once, and carry the last
+    * non-null right payload forward. ONE shuffle + sort, zero fan-out —
+    * a join on `key AND rightTime <= leftTime` explodes to
+    * |left|·|right| per key before filtering, which is the difference
+    * between linear and quadratic at 100 TB.
+    *
+    * Returns the left columns plus a struct column `asof` (null when the
+    * key has no prior right row — filter `asof IS NOT NULL` for inner
+    * semantics).
+    */
+  def asofJoinLatest(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String]): DataFrame = {
+    val l = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(col): _*).as("__lp"),
+      lit(null).as("__rp"))
+    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(l.schema("__lp").dataType).as("__lp"),
+      struct(rightCols.map(col): _*).as("__rp"))
+    val lTyped = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(col): _*).as("__lp"),
+      lit(null).cast(r.schema("__rp").dataType).as("__rp"))
+    // rights sort before lefts at equal time (__side 0 < 1) so an exact
+    // tie counts as "at or before"; equal-time rights order by payload,
+    // making `last` the payload max — deterministic.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__rp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(lTyped)
+      .withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__lp.*"), col("asof"))
+  }
 }

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.RelationalOps
+import graft.sim.IvfIndex
+import graft.text.TextFunctions
+
+/** Second wave of operator coverage: pivot, cube, exact percentiles,
+  * as-of join, batch sessionization, union-by-name, token UDTF,
+  * approximate distinct, IVF ANN. Timestamps are exported as epoch
+  * millis (BIGINT) on both sides — the fixture's TIMESTAMP(NANOS)
+  * column would otherwise hash-mismatch on unit alone.
+  */
+object ExtendedQueries {
+  import ParityQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def d184(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+  private def d384(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 4))
+
+  // ------------------------------------------------------------- pivot
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(d384(sum(d184(col("o_totalprice")))))
+      .orderBy("yr")
+
+  private val q39Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      | CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS F,
+      | CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS O,
+      | CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS P
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // -------------------------------------------------------------- cube
+  private def q40(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           d384(sum(d184(col("l_discount")))).as("sum_disc"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q40Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------ exact percentiles
+  /** Exact interpolated percentiles over an int column — both engines
+    * interpolate in double from exact ints, so values agree bitwise. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .groupBy("p_brand")
+      .agg(percentile(col("p_size"), lit(0.5)).cast(DecimalType(18, 6)).as("median_size"),
+           percentile(col("p_size"), lit(0.9)).cast(DecimalType(18, 6)).as("p90_size"),
+           count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  private val q41Sql =
+    """SELECT p_brand,
+      | CAST(quantile_cont(p_size, 0.5) AS DECIMAL(18,6)) AS median_size,
+      | CAST(quantile_cont(p_size, 0.9) AS DECIMAL(18,6)) AS p90_size,
+      | count(*) AS n
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------ as-of join
+  /** Attribution as-of: for each purchase event, the latest click of the
+    * same user at or before it (union+window — no fan-out join). */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    RelationalOps.asofJoinLatest(purchases, clicks, "user_id", "ts", "ts",
+        rightCols = Seq("ts", "event_id"))
+      .where(col("asof").isNotNull)
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_millis(col("ts")).as("p_ms"),
+        col("asof.event_id").as("c_id"),
+        unix_millis(col("asof.ts")).as("c_ms"))
+      .orderBy("p_id")
+  }
+
+  private val q42Sql =
+    """SELECT user_id, p_id, p_ms, c_id, c_ms FROM (
+      | SELECT p.user_id, p.event_id AS p_id, epoch_ms(p.ts) AS p_ms,
+      |        c.event_id AS c_id, epoch_ms(c.ts) AS c_ms,
+      |        row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      | JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |   ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  // ------------------------------------------- batch sessionization
+  /** Gap-based sessions via lag + running sum — the oracled batch twin
+    * of streaming.EventsStream.sessionizeStream (30-minute gap). */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60000L
+    val withNew = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+    withNew
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+           max(unix_millis(col("ts"))).as("end_ms"),
+           count(lit(1)).as("n_events"),
+           d384(sum(d184(col("value")))).as("sum_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val q43Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM y)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM z GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------- union by name
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "orders").where(col("o_totalprice") > 250000)
+      .select(col("o_orderkey").as("k"), lit("big").as("tag"), col("o_totalprice").as("price"))
+    val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      .select(lit("urgent").as("tag"), col("o_totalprice").as("price"), col("o_orderkey").as("k"))
+    big.unionByName(urgent).orderBy("k", "tag")
+  }
+
+  private val q44Sql =
+    """SELECT * FROM (
+      | SELECT o_orderkey AS k, 'big' AS tag, o_totalprice AS price
+      | FROM orders WHERE o_totalprice > 250000
+      | UNION ALL BY NAME
+      | SELECT 'urgent' AS tag, o_totalprice AS price, o_orderkey AS k
+      | FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY k, tag""".stripMargin
+
+  // --------------------------------------------- token explode (UDTF)
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
+  private val q45Sql =
+    """SELECT tok, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
+  // --------------------------------- approximate distinct (HLL++) —
+  // approx values differ per sketch impl, so rows-only; the exact
+  // column rides along to document the error envelope.
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------- IVF ANN
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    new IvfIndex(nCells = 16, nProbe = 4)
+      .annTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q39_pivot",            q39 _, Some(q39Sql)),
+    ("q40_cube",             q40 _, Some(q40Sql)),
+    ("q41_percentiles",      q41 _, Some(q41Sql)),
+    ("q42_asof_attribution", q42 _, Some(q42Sql)),
+    ("q43_sessionization",   q43 _, Some(q43Sql)),
+    ("q44_union_by_name",    q44 _, Some(q44Sql)),
+    ("q45_token_topk",       q45 _, Some(q45Sql)),
+    ("q46_approx_distinct",  q46 _, None),
+    ("q47_ann_ivf_topk",     q47 _, None))
+}

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.text.TextFunctions
 
@@ -104,22 +105,115 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token
-    * occurrences, sign of each vote sum becomes the bit. One explode +
-    * one aggregate (64 sum columns, map-side combinable).
+    * occurrences, sign of each vote sum becomes the bit. Computed per
+    * row by the native [[SimHash64]] expression — zero shuffle (the
+    * earlier explode + 64-sum-columns formulation shuffled one row per
+    * token; fingerprinting is a pure per-document function and belongs
+    * in the narrow stage).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftSqlShim.column(SimHash64(
+        org.apache.spark.sql.GraftSqlShim.expression(
+          TextFunctions.tokens(col("text"))))).as("simhash"))
+
+  /** Resolve near-dup candidate pairs into duplicate CLUSTERS and pick
+    * one survivor per cluster (the min doc_id) — the step that turns
+    * "candidate pairs" into an actual deduplicated corpus.
+    *
+    * Connected components by iterative min-label propagation: each
+    * round, every node takes the min label among itself and its
+    * neighbors; converges in O(component diameter) rounds. Each round is
+    * one join + one aggregate (shuffle on doc id); `localCheckpoint`
+    * cuts the growing lineage so round N doesn't replay rounds 1..N-1.
+    * Returns (doc_id, cluster) for every doc that appears in a pair.
+    */
+  /** Driver-side exact union-find for pair sets that fit comfortably in
+    * driver memory — collecting 5M pairs is ~80 MB and resolves in
+    * milliseconds, versus seconds of scheduling latency PER ROUND for
+    * the distributed loop. The same scale-awareness AQE applies to
+    * joins (broadcast under threshold, shuffle above) applied to
+    * connected components.
+    */
+  private def unionFindDriver(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
     }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fp.as("simhash"))
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val out = parent.keys.toSeq.map(v => v -> find(v))
+    out.toDF("doc_id", "cluster")
   }
+
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
+                      driverMaxPairs: Long = 5000000L): DataFrame = {
+    // the pair set feeds THREE plan branches below (two edge directions
+    // + the node list) — persist it or the whole candidate-generation
+    // subtree executes three times
+    val p = pairs.persist()
+    if (p.count() <= driverMaxPairs) {
+      val out = unionFindDriver(p)
+      p.unpersist()
+      return out
+    }
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    // bidirectional edges + a self-loop per node: one join+aggregate
+    // then computes min(own, neighbors) in a single pass
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .persist()
+    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+    // labels only ever decrease, so the label sum is strictly monotone
+    // until the fixpoint — an O(1)-row convergence probe with no
+    // compare join
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // 1-hop neighbor min…
+      val nm = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("cluster").as("cluster"))
+      // …then path compression (pointer jumping): label(v) ←
+      // label(label(v)). Without it convergence is O(diameter) rounds —
+      // measured 20+ on chain-shaped near-dup components; with it the
+      // effective distance halves per round → O(log diameter).
+      // eager checkpoint: lazy (materialize-on-probe) measured SLOWER —
+      // the checkpoint recomputes the frame after the probe's job
+      labels = nm
+        .join(nm.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"), coalesce(col("cc"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("cluster")).cast(DecimalType(38, 0)).as("s"))
+        .collect()(0).getDecimal(0)
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    p.unpersist()
+    labels
+  }
+
+  /** The deduplicated corpus: keep every doc that is its cluster's
+    * survivor (min id) plus every doc not implicated in any pair. */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, Seq("doc_id"), "left")
+      .where(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
 
   /** Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
     * Hamming distance 3 of a 64-bit hash must agree on at least one of

@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.dedup.SimHash64
 import graft.sim.CosineSimilarity
 
 /** Session extensions for the engine's native expressions — enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), after which
-  * `graft_cosine(a, b)` is callable from SQL text as well as the
-  * DataFrame API.
+  * `graft_cosine(a, b)` and `graft_simhash(tokens)` are callable from
+  * SQL text as well as the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

@@ -16,11 +16,11 @@ import graft.text.TextFunctions
 object TextQueries {
   import ParityQueries.Q
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def docs0(s: SparkSession, d: String) = Tables.documents(s, d)
 
   // ------------------------------------------------------- exact dedup
   private def q23(s: SparkSession, d: String): DataFrame =
-    Dedup.exactGroups(docs(s, d)).orderBy("text_hash")
+    Dedup.exactGroups(docs0(s, d)).orderBy("text_hash")
 
   private val q23Sql =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -28,7 +28,7 @@ object TextQueries {
 
   // ------------------------------------------------------ token count
   private def q24(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    docs0(s, d)
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
@@ -42,7 +42,7 @@ object TextQueries {
     val nTok = size(toks)
     val nonSpace = TextFunctions.nonSpaceChars(col("text"))
     val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
-    docs(s, d).select(
+    docs0(s, d).select(
         col("doc_id"),
         nTok.as("n_tokens"),
         (nonSpace / nTok).as("avg_token_len"),
@@ -62,7 +62,7 @@ object TextQueries {
 
   // ------------------------------------------------- corpus statistics
   private def q26(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    docs0(s, d)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"),
            sum(col("n_chars")).as("sum_chars"),
@@ -81,7 +81,7 @@ object TextQueries {
     val hits = TextFunctions.LangMarkers.map { case (lang, words) =>
       TextFunctions.hitCount(toks, words).as(s"${lang}_hits")
     }
-    docs(s, d).select(
+    docs0(s, d).select(
         Seq(col("doc_id")) ++ hits ++ Seq(
           TextFunctions.langId(toks).as("pred_lang"), col("lang")): _*)
       .orderBy("doc_id")
@@ -106,9 +106,9 @@ object TextQueries {
     * pins the similarity arithmetic against the oracle; the scalable
     * pair *generation* is LSH (q29/q30), whose hashes DuckDB lacks. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val a = docs(s, d).select(col("doc_id").as("doc_a"),
+    val a = docs0(s, d).select(col("doc_id").as("doc_a"),
       array_distinct(TextFunctions.tokens(col("text"))).as("ta"))
-    val b = docs(s, d).select(col("doc_id").as("doc_b"),
+    val b = docs0(s, d).select(col("doc_id").as("doc_b"),
       array_distinct(TextFunctions.tokens(col("text"))).as("tb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
       .select(col("doc_a"), col("doc_b"),
@@ -131,21 +131,35 @@ object TextQueries {
   // overlap (this fixture's docs all share ~40 tokens — loose bands
   // would make every pair a candidate, an O(n²) blow-up at scale).
   private def q29(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs(s, d), k = 32),
+    Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
       .orderBy("doc_a", "doc_b")
 
   // -------------------------------------------------- SimHash fingerprint
   private def q30(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(docs(s, d)).orderBy("doc_id")
+    Dedup.simhash(docs0(s, d)).orderBy("doc_id")
 
   // -------------------------------------------- winnowing fingerprints
   private def q31(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
+    docs0(s, d).select(col("doc_id"),
         TextFunctions.winnowFingerprints(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
+
+  // --------------------------------- end-to-end near-dup deduplication
+  /** The full dedup pipeline: minhash → LSH candidates → clusters →
+    * surviving corpus, reported as kept/dropped counts (hash-dependent ⇒
+    * rows-only). */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.9)
+    val kept = Dedup.dedupByClusters(docs, Dedup.nearDupClusters(pairs))
+    import org.apache.spark.sql.functions.{count, lit}
+    kept.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+  }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
@@ -156,5 +170,6 @@ object TextQueries {
     ("q28_jaccard_adjacent",   q28 _, Some(q28Sql)),
     ("q29_minhash_lsh_pairs",  q29 _, None),
     ("q30_simhash",            q30 _, None),
-    ("q31_winnow_fingerprint", q31 _, None))
+    ("q31_winnow_fingerprint", q31 _, None),
+    ("q48_neardup_dedup",      q48 _, None))
 }

@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
     assert(ham <= 8, s"near-dup hamming $ham too large")
   }
 
+  test("simhash SQL surface: graft_simhash equals the DataFrame path") {
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(array('a','b','c')) AS fp").collect()(0).getLong(0)
+    val viaDf = Dedup.simhash(docsDF(1L -> "a b c")).collect()(0).getLong(1)
+    viaSql shouldBe viaDf
+  }
+
+  test("nearDupClusters: chains merge into one component, survivor is min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+  }
+
+  test("nearDupClusters distributed path agrees with driver union-find on a long chain") {
+    // a 40-node chain + a separate triangle, forced down the iterative path
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("doc_a", "doc_b")
+    val dist = Dedup.nearDupClusters(pairs, driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe drv
+    dist(40L) shouldBe 1L
+    dist(102L) shouldBe 100L
+  }
+
+  test("dedupByClusters keeps survivors and untouched docs") {
+    val docs = docsDF(1L -> "x", 2L -> "x", 3L -> "x", 9L -> "untouched")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupByClusters(docs, Dedup.nearDupClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 9L)
+  }
+
   test("simhashNearDupPairs: pigeonhole blocking finds identical pair, skips far pair") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val far  = (1 to 40).map(i => s"other$i").mkString(" ")

@@ -1,0 +1,67 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+
+import graft.ref.Staging
+
+class StagingSpec extends SparkSpec {
+
+  private def makeTarGz(entries: Map[String, String]): java.nio.file.Path = {
+    val p = Files.createTempFile("staging", ".tar.gz")
+    val out = new TarArchiveOutputStream(new GZIPOutputStream(
+      new BufferedOutputStream(new FileOutputStream(p.toFile))))
+    entries.foreach { case (name, content) =>
+      val e = new TarArchiveEntry(name)
+      val bytes = content.getBytes("UTF-8")
+      e.setSize(bytes.length)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    p
+  }
+
+  test("fetch with a local path copies the file (reference test mode)") {
+    val src = Files.createTempFile("src", ".bin")
+    Files.writeString(src, "payload")
+    val dest = Files.createTempFile("dest", ".bin")
+    Staging.fetch(src.toString, dest)
+    Files.readString(dest) shouldBe "payload"
+  }
+
+  test("extractTarGz extracts only the requested members") {
+    val tar = makeTarGz(Map(
+      "IC_etablissement.csv" -> "a;b;c",
+      "IC_installation_classee.csv" -> "d;e",
+      "unrelated.txt" -> "junk"))
+    val dir = Files.createTempDirectory("extract")
+    val got = Staging.extractTarGz(tar, dir,
+      Set("IC_etablissement.csv", "IC_installation_classee.csv"))
+    got.map(_.getFileName.toString).sorted shouldBe
+      Seq("IC_etablissement.csv", "IC_installation_classee.csv")
+    Files.readString(dir.resolve("IC_etablissement.csv")) shouldBe "a;b;c"
+    Files.exists(dir.resolve("unrelated.txt")) shouldBe false
+  }
+
+  test("extractTarGz refuses path traversal") {
+    val tar = makeTarGz(Map("../evil.csv" -> "x"))
+    val dir = Files.createTempDirectory("extract2")
+    an[IllegalArgumentException] should be thrownBy
+      Staging.extractTarGz(tar, dir, Set("../evil.csv"))
+  }
+
+  test("staged tarball flows into the ICPE CSV scan end-to-end") {
+    val tar = makeTarGz(Map(
+      "IC_ref_nomenclature_ic.csv" -> "R1;2710;D;;;1;lib;A;1;0\nR2;2760;D;;;4;lib2;A;1;0"))
+    val dir = Files.createTempDirectory("extract3")
+    val Seq(csv) = Staging.extractTarGz(tar, dir, Set("IC_ref_nomenclature_ic.csv"))
+    val df = graft.ref.Sources.icpeCsv(spark, csv.toString, graft.ref.Schemas.rubrique)
+    df.count() shouldBe 2
+    df.select("rubrique_ic").collect().map(_.getString(0)).sorted shouldBe Array("2710", "2760")
+  }
+}

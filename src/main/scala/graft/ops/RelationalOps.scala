@@ -89,6 +89,23 @@ object RelationalOps {
   def concatOrEmpty(sep: String, cols: Column*): Column =
     coalesce(concat(cols.flatMap(c => Seq(c, lit(sep))).dropRight(1): _*), lit(""))
 
+  /** Skew-mitigating equi-join: salt the skewed (big) side's key with a
+    * random-ish but DETERMINISTIC shard (hash of the whole row modulo
+    * `salt`), replicate the small side once per shard, join on
+    * (key, shard). A hot key that would land a single reducer with
+    * billions of rows spreads over `salt` reducers instead — the manual
+    * fallback when AQE's skew-join splitting can't kick in (e.g.
+    * pre-AQE stages or non-shuffle join inputs). Output equals the
+    * plain inner join, row for row.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__shard",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(salt)))
+    val replicated = small.withColumn("__shard",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(replicated, Seq(key, "__shard")).drop("__shard")
+  }
+
   /** As-of join: for every left row, the LATEST right row of the same
     * `key` with `rightTime` ≤ `leftTime` (ties broken by the payload
     * struct order — put a unique tiebreaker first in `rightCols`).

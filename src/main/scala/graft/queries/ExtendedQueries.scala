@@ -189,6 +189,50 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------- grouping sets (SQL surface)
+  /** Runs through spark.sql text — exercising the engine's SQL entry
+    * point end to end (parser → Catalyst → execution). */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  private val q49Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------ analytic windows (lag/lead/ntile)
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q50Sql =
+    """SELECT o_custkey, o_orderkey,
+      | lag(o_orderkey) OVER w AS prev_order,
+      | lead(o_orderkey) OVER w AS next_order,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      | CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -198,5 +242,7 @@ object ExtendedQueries {
     ("q44_union_by_name",    q44 _, Some(q44Sql)),
     ("q45_token_topk",       q45 _, Some(q45Sql)),
     ("q46_approx_distinct",  q46 _, None),
-    ("q47_ann_ivf_topk",     q47 _, None))
+    ("q47_ann_ivf_topk",     q47 _, None),
+    ("q49_grouping_sets",    q49 _, Some(q49Sql)),
+    ("q50_analytic_windows", q50 _, Some(q50Sql)))
 }

@@ -53,6 +53,18 @@ object Sources {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Partitioned parquet sink — the 100 TB layout: one directory per
+    * partition value, so later scans with a partition-column predicate
+    * read only matching directories (dynamic partition pruning shows as
+    * `PartitionFilters` in the plan, no data files touched for pruned
+    * values). Not in the reference (it re-downloads whole tarballs per
+    * run); essential at scale.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S8: JDBC full-replace sink (`dags/icpe-siretisation.py:360-392`,
     * `to_sql(..., if_exists='replace')` — its `chunksize=3` becomes a
     * sane default batchsize). */

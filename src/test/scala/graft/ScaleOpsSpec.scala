@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RelationalOps
+import graft.ref.Sources
+
+/** Scale-mechanics operators: salted skew join and partitioned layout
+  * with partition pruning.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain inner join row-for-row") {
+    val big = Tables.load(spark, sf0001, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+    val small = Tables.load(spark, sf0001, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val plain = big.join(small, Seq("l_partkey"))
+    val salted = RelationalOps.saltedJoin(big, small, "l_partkey", salt = 4)
+    salted.count() shouldBe plain.count()
+    // spot-check content equality via symmetric difference
+    salted.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(salted).count() shouldBe 0
+  }
+
+  test("saltedJoin spreads a hot key over shards") {
+    val big = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    val small = Seq(("hot", "dim")).toDF("k", "name")
+    val salted = big.withColumn("__shard",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(8)))
+    salted.select("__shard").distinct().count() should be > 1L
+    RelationalOps.saltedJoin(big, small, "k", salt = 8).count() shouldBe 1000
+  }
+
+  test("partitioned write + partition-pruned read") {
+    val dir = Files.createTempDirectory("part-layout").toString + "/orders"
+    val orders = Tables.load(spark, sf0001, "orders")
+    Sources.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    // layout: one directory per status value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    all(dirs) should startWith("o_orderstatus=")
+    // a predicate on the partition column prunes at planning time
+    val pruned = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("o_orderstatus")
+    pruned.count() shouldBe orders.where(col("o_orderstatus") === "F").count()
+  }
+}

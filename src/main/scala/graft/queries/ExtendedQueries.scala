@@ -233,6 +233,46 @@ object ExtendedQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ------------------------------------------ typed UDAF (Aggregator)
+  /** Per-label embedding centroid via the VectorMeanAggregator typed
+    * UDAF — partial buffers merge map-side; the shuffle carries one
+    * (sums, count) buffer per (label, partition), never the vectors.
+    * Double addition order varies with partitioning ⇒ rows-only (q35
+    * is the bit-exact sorted-fold variant). Output is summarized as the
+    * centroid's own norm so the row stays scalar. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.VectorMeanAggregator[(Int, Array[Float])](64, _._2)
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("centroid"))
+      .map { case (label, c) => (label, math.sqrt(c.map(x => x * x).sum), c.length) }
+      .toDF("label", "centroid_norm", "dim")
+      .orderBy("label")
+  }
+
+  // ---------------------------------------- from_json map extraction
+  /** JSON props parsed to a typed MAP with from_json (q20 used the
+    * scalar get_json_object path), exploded and aggregated per key. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+        .as(Seq("key", "v")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"),
+           max("v").as("max_v"), sum("v").as("sum_v"))
+      .orderBy("key")
+
+  private val q52Sql =
+    """SELECT 'k' AS key, count(*) AS n,
+      | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
+      | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY 1 ORDER BY key""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -244,5 +284,7 @@ object ExtendedQueries {
     ("q46_approx_distinct",  q46 _, None),
     ("q47_ann_ivf_topk",     q47 _, None),
     ("q49_grouping_sets",    q49 _, Some(q49Sql)),
-    ("q50_analytic_windows", q50 _, Some(q50Sql)))
+    ("q50_analytic_windows", q50 _, Some(q50Sql)),
+    ("q51_centroid_udaf",    q51 _, None),
+    ("q52_json_map_agg",     q52 _, Some(q52Sql)))
 }

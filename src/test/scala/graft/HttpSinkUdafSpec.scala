@@ -1,0 +1,71 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMeanAggregator
+import graft.ref.HttpSink
+
+class HttpSinkUdafSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toCsv: header + rows, quoting, null as empty (pandas to_csv shape)") {
+    val df = Seq(("a,1", Some("x")), ("plain", None)).toDF("siret", "flag")
+    val csv = HttpSink.toCsv(df.orderBy("siret"))
+    csv shouldBe "siret,flag\n\"a,1\",x\nplain,\n"
+  }
+
+  test("publish: multipart POST then metadata PUT against a local server (S9)") {
+    var postedBody: String = null
+    var postedKey: String = null
+    var putBody: String = null
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def read(x: HttpExchange): String =
+      new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    server.createContext("/upload", (x: HttpExchange) => {
+      postedBody = read(x); postedKey = x.getRequestHeaders.getFirst("X-API-KEY")
+      x.sendResponseHeaders(200, 2); x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.createContext("/meta", (x: HttpExchange) => {
+      putBody = read(x)
+      x.sendResponseHeaders(200, 2); x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Seq(("123", "oui")).toDF("siret", "non_diffusible")
+      val (s1, s2) = HttpSink.publish(df,
+        s"http://localhost:$port/upload", s"http://localhost:$port/meta",
+        apiKey = "secret", filename = "etablissements_inscrits.csv",
+        titleJson = """{"title":"T"}""")
+      s1 shouldBe 200
+      s2 shouldBe 200
+      postedKey shouldBe "secret"
+      postedBody should include("filename=\"etablissements_inscrits.csv\"")
+      postedBody should include("siret,non_diffusible")
+      postedBody should include("123,oui")
+      putBody shouldBe """{"title":"T"}"""
+    } finally server.stop(0)
+  }
+
+  test("VectorMeanAggregator: mean of known vectors, map-side mergeable") {
+    val agg = new VectorMeanAggregator[(Int, Array[Float])](2, _._2)
+    val out = Seq((1, Array(1f, 2f)), (1, Array(3f, 4f)), (2, Array(10f, 20f)))
+      .toDS()
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("c"))
+      .collect().toMap
+    out(1).toSeq shouldBe Seq(2.0, 3.0)
+    out(2).toSeq shouldBe Seq(10.0, 20.0)
+  }
+
+  test("VectorMeanAggregator: empty group yields zero vector, null rows skipped") {
+    val agg = new VectorMeanAggregator[Array[Float]](2, identity)
+    val merged = agg.merge(agg.zero, agg.reduce(agg.zero, null))
+    agg.finish(merged).toSeq shouldBe Seq(0.0, 0.0)
+  }
+}

@@ -106,6 +106,32 @@ object RelationalOps {
     saltedBig.join(replicated, Seq(key, "__shard")).drop("__shard")
   }
 
+  /** Interval (range) join: pairs of rows sharing `keys` whose
+    * timestamps lie within `toleranceMs` of each other. Implemented as
+    * a BUCKETIZED equi-join: floor each side's time into
+    * tolerance-sized buckets, replicate the right side into its
+    * neighbor buckets, equi-join on (keys, bucket), then apply the
+    * exact |Δt| predicate. Catalyst gets a hash-joinable key instead of
+    * a theta condition — a plain time-range theta join degenerates to a
+    * broadcast nested loop (O(|L|·|R|) comparisons); this form touches
+    * only same-and-adjacent buckets. Each (left, right) pair meets at
+    * exactly one bucket, so no dedup is needed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String, toleranceMs: Long): DataFrame = {
+    require(leftTime != rightTime,
+      "rename the time columns apart before an interval join — the joined frame carries both")
+    val lms = unix_millis(col(leftTime))
+    val rms = unix_millis(col(rightTime))
+    val lb = left.withColumn("__b", floor(lms / toleranceMs))
+    val rb0 = right.withColumn("__rb", floor(rms / toleranceMs))
+    val rb = rb0.withColumn("__b",
+      explode(array(col("__rb") - 1, col("__rb"), col("__rb") + 1))).drop("__rb")
+    lb.join(rb, keys :+ "__b")
+      .where(abs(lms - rms) <= toleranceMs)
+      .drop("__b")
+  }
+
   /** As-of join: for every left row, the LATEST right row of the same
     * `key` with `rightTime` ≤ `leftTime` (ties broken by the payload
     * struct order — put a unique tiebreaker first in `rightCols`).

@@ -273,6 +273,30 @@ object ExtendedQueries {
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
       |GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ------------------------------------------- interval (range) join
+  /** Same-user event pairs within 5 minutes of each other (a < b):
+    * bucketized equi-join, not a theta join — see
+    * RelationalOps.intervalJoin. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("user_id"), col("event_id").as("e_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("e_b"), col("ts").as("ts_b"))
+    RelationalOps.intervalJoin(a, b, Seq("user_id"), "ts_a", "ts_b", 5 * 60000L)
+      .where(col("e_a") < col("e_b"))
+      .select(col("user_id"), col("e_a"), col("e_b"),
+        (unix_millis(col("ts_b")) - unix_millis(col("ts_a"))).as("dt_ms"))
+      .orderBy("user_id", "e_a", "e_b")
+  }
+
+  private val q53Sql =
+    """SELECT a.user_id, a.event_id AS e_a, b.event_id AS e_b,
+      | epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+      |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND a.event_id < b.event_id
+      | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+      |ORDER BY a.user_id, e_a, e_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -286,5 +310,6 @@ object ExtendedQueries {
     ("q49_grouping_sets",    q49 _, Some(q49Sql)),
     ("q50_analytic_windows", q50 _, Some(q50Sql)),
     ("q51_centroid_udaf",    q51 _, None),
-    ("q52_json_map_agg",     q52 _, Some(q52Sql)))
+    ("q52_json_map_agg",     q52 _, Some(q52Sql)),
+    ("q53_interval_join",    q53 _, Some(q53Sql)))
 }

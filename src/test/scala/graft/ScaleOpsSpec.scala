@@ -34,6 +34,19 @@ class ScaleOpsSpec extends SparkSpec {
     RelationalOps.saltedJoin(big, small, "k", salt = 8).count() shouldBe 1000
   }
 
+  test("intervalJoin equals the naive theta join on fixture events") {
+    val ev = Tables.events(spark, sf0001)
+    val a = ev.select(col("user_id"), col("event_id").as("e_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("e_b"), col("ts").as("ts_b"))
+    val bucketed = RelationalOps.intervalJoin(a, b, Seq("user_id"), "ts_a", "ts_b", 300000L)
+      .select("user_id", "e_a", "e_b")
+    val theta = a.join(b, Seq("user_id"))
+      .where(abs(unix_millis(col("ts_a")) - unix_millis(col("ts_b"))) <= 300000L)
+      .select("user_id", "e_a", "e_b")
+    bucketed.count() shouldBe theta.count()
+    bucketed.exceptAll(theta).count() shouldBe 0
+  }
+
   test("partitioned write + partition-pruned read") {
     val dir = Files.createTempDirectory("part-layout").toString + "/orders"
     val orders = Tables.load(spark, sf0001, "orders")

@@ -297,6 +297,34 @@ object ExtendedQueries {
       | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
       |ORDER BY a.user_id, e_a, e_b""".stripMargin
 
+  // ----------------------------------- bounded top-k-per-key UDAF
+  /** q15's top-3-orders-per-customer computed with the bounded-buffer
+    * TopKAggregator instead of a ranking window — same rows, but the
+    * shuffle carries ≤k entries per (key, partition) instead of every
+    * order. Oracled with the row_number formulation. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregator[(Long, Long, Double)](
+      3, r => (r._3, r._2))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.zipWithIndex.map { case ((price, ok), i) => (cust, ok, price, i + 1) }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q54Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -311,5 +339,6 @@ object ExtendedQueries {
     ("q50_analytic_windows", q50 _, Some(q50Sql)),
     ("q51_centroid_udaf",    q51 _, None),
     ("q52_json_map_agg",     q52 _, Some(q52Sql)),
-    ("q53_interval_join",    q53 _, Some(q53Sql)))
+    ("q53_interval_join",    q53 _, Some(q53Sql)),
+    ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)))
 }

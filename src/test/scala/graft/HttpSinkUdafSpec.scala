@@ -63,6 +63,17 @@ class HttpSinkUdafSpec extends SparkSpec {
     out(2).toSeq shouldBe Seq(10.0, 20.0)
   }
 
+  test("TopKAggregator: keeps exactly k, ordered desc with id tiebreak, merge-safe") {
+    val agg = new graft.functions.TopKAggregator[(Double, Long)](3, identity)
+    val rows = Seq((5.0, 10L), (9.0, 2L), (9.0, 1L), (1.0, 7L), (7.0, 3L))
+    // reduce in one order, and merge of two split buffers, must agree
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    whole shouldBe Seq((9.0, 1L), (9.0, 2L), (7.0, 3L))
+    merged shouldBe whole
+  }
+
   test("VectorMeanAggregator: empty group yields zero vector, null rows skipped") {
     val agg = new VectorMeanAggregator[Array[Float]](2, identity)
     val merged = agg.merge(agg.zero, agg.reduce(agg.zero, null))

@@ -50,19 +50,12 @@ object TextFunctions {
       .otherwise("de")
   }
 
-  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
-    * hash all character k-grams, take the minimum of each sliding window
-    * of `w` hashes, dedupe. Entirely built-in higher-order functions; the
-    * per-row cost is O(len·w) and embarrassingly parallel.
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03) via
+    * the native one-pass [[WinnowFingerprint]] expression — the
+    * higher-order-function formulation was O(len·w) interpreted with an
+    * allocation per window and dominated the whole query set at sf0.1.
     */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val grams = when(length(text) >= k,
-        transform(sequence(lit(0), length(text) - k), i => text.substr(i + 1, lit(k))))
-      .otherwise(array(text))
-    val hashes = transform(grams, g => xxhash64(g))
-    val mins = when(size(hashes) >= w,
-        transform(sequence(lit(0), size(hashes) - w), i => array_min(slice(hashes, i + 1, lit(w)))))
-      .otherwise(hashes)
-    array_distinct(mins)
-  }
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      WinnowFingerprint(org.apache.spark.sql.GraftSqlShim.expression(text), k, w))
 }

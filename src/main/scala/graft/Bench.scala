@@ -27,14 +27,21 @@ object Bench {
     // compile dominates the cold run of the widest queries but
     // amortizes to zero at scale); the timed pass below then measures
     // steady-state operator cost.
+    // run the COMPILED physical plan (queryExecution.toRdd): a plain
+    // df.count() lets Catalyst prune every projection the query exists
+    // to compute (a per-row fingerprint column benches as a metadata
+    // count), which hid a 100× regression once. toRdd executes the
+    // full plan including all projected columns.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
+
     val defs = SparkEntry.queries.toSeq.sortBy(_._1)
-    defs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    defs.foreach { case (_, fn) => run(fn) }
 
     val results = defs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

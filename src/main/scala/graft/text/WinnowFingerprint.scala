@@ -41,7 +41,20 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
     val n = len - k + 1
     val hashes = new Array[Long](n)
     var i = 0
-    while (i < n) { hashes(i) = hash(text.substringSQL(i + 1, k)); i += 1 }
+    if (text.numBytes() == len) {
+      // ASCII fast path: chars are bytes — hash each k-gram in place
+      // from the backing array, zero allocations (identical values:
+      // UTF8String hashing IS xxhash64 over its utf-8 bytes)
+      val base = text.getBaseObject
+      val off = text.getBaseOffset
+      while (i < n) {
+        hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + i, k, 42L)
+        i += 1
+      }
+    } else {
+      while (i < n) { hashes(i) = hash(text.substringSQL(i + 1, k)); i += 1 }
+    }
     val out = new mutable.LinkedHashSet[Long]
     if (n < w) {
       var j = 0

@@ -189,6 +189,40 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The IVF search is fully deterministic (centroids are vec_id<16,
+    * cosine is a bit-identical sequential fold on both engines), so the
+    * whole assign→probe→search pipeline oracles exactly in SQL. */
+  private val q47Sql = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id,
+       |         ${cos("q.q_emb", "a.embedding")} AS cos
+       |  FROM qprobe q JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> q.query_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // -------------------------------------- grouping sets (SQL surface)
   /** Runs through spark.sql text — exercising the engine's SQL entry
     * point end to end (parser → Catalyst → execution). */
@@ -334,7 +368,7 @@ object ExtendedQueries {
     ("q44_union_by_name",    q44 _, Some(q44Sql)),
     ("q45_token_topk",       q45 _, Some(q45Sql)),
     ("q46_approx_distinct",  q46 _, None),
-    ("q47_ann_ivf_topk",     q47 _, None),
+    ("q47_ann_ivf_topk",     q47 _, Some(q47Sql)),
     ("q49_grouping_sets",    q49 _, Some(q49Sql)),
     ("q50_analytic_windows", q50 _, Some(q50Sql)),
     ("q51_centroid_udaf",    q51 _, None),

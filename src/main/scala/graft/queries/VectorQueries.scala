@@ -65,15 +65,42 @@ object VectorQueries {
   }
 
   // --------------------------------------------------- LSH-bucketed ANN
+  // 4 planes → 16 buckets: sized to the fixture corpus (hundreds of
+  // vectors) so buckets hold enough candidates; at real scale raise
+  // planes so bucket size ≈ corpus/2^planes stays in the thousands.
+  private val q34Lsh = new RandomHyperplaneLsh(dim = 64, planes = 4)
+
   private def q34(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    // 4 planes → 16 buckets: sized to the fixture corpus (hundreds of
-    // vectors) so buckets hold enough candidates; at real scale raise
-    // planes so bucket size ≈ corpus/2^planes stays in the thousands.
-    val lsh = new RandomHyperplaneLsh(dim = 64, planes = 4)
-    lsh.annTopK(e, e.where(col("vec_id") < 10), k = 5)
+    q34Lsh.annTopK(e, e.where(col("vec_id") < 10), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The hyperplanes are deterministic Scala constants — embed them as
+    * SQL literals so DuckDB reproduces the exact bucketing, then the
+    * same within-bucket cosine top-k. */
+  private val q34Sql = {
+    val bucketExpr = (c: String) => q34Lsh.hyperplanes.zipWithIndex.map { case (h, p) =>
+      val lits = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($c, $lits),
+         |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+         |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val cos =
+      """(list_sum(list_transform(list_zip(q.q_emb, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        | / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE vec_id < 10)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos, CAST(bucket AS INTEGER) AS bucket FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket, $cos AS cos,
+       |         row_number() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM queries q JOIN corpus c ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // --------------------------------------- label centroids (embedding agg)
@@ -108,6 +135,6 @@ object VectorQueries {
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
-    ("q34_ann_lsh_topk",      q34 _, None),
+    ("q34_ann_lsh_topk",      q34 _, Some(q34Sql)),
     ("q35_label_centroid_sum", q35 _, Some(q35Sql)))
 }

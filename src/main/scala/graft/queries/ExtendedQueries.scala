@@ -20,21 +20,22 @@ object ExtendedQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
   private def d184(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
-  private def d384(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 4))
+  /** Final output cast: exact decimal → double (ParityQueries policy). */
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
 
   // ------------------------------------------------------------- pivot
   private def q39(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(d384(sum(d184(col("o_totalprice")))))
+      .agg(dbl(sum(d184(col("o_totalprice")))))
       .orderBy("yr")
 
   private val q39Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-      | CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS F,
-      | CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS O,
-      | CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS P
+      | CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+      | CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+      | CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
   // -------------------------------------------------------------- cube
@@ -42,12 +43,12 @@ object ExtendedQueries {
     t(s, d, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-           d384(sum(d184(col("l_discount")))).as("sum_disc"))
+           dbl(sum(d184(col("l_discount")))).as("sum_disc"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q40Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc
+      | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -57,15 +58,15 @@ object ExtendedQueries {
   private def q41(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
       .groupBy("p_brand")
-      .agg(percentile(col("p_size"), lit(0.5)).cast(DecimalType(18, 6)).as("median_size"),
-           percentile(col("p_size"), lit(0.9)).cast(DecimalType(18, 6)).as("p90_size"),
+      .agg(percentile(col("p_size"), lit(0.5)).cast(DecimalType(18, 6)).cast(DoubleType).as("median_size"),
+           percentile(col("p_size"), lit(0.9)).cast(DecimalType(18, 6)).cast(DoubleType).as("p90_size"),
            count(lit(1)).as("n"))
       .orderBy("p_brand")
 
   private val q41Sql =
     """SELECT p_brand,
-      | CAST(quantile_cont(p_size, 0.5) AS DECIMAL(18,6)) AS median_size,
-      | CAST(quantile_cont(p_size, 0.9) AS DECIMAL(18,6)) AS p90_size,
+      | CAST(CAST(quantile_cont(p_size, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS median_size,
+      | CAST(CAST(quantile_cont(p_size, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_size,
       | count(*) AS n
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
@@ -118,7 +119,7 @@ object ExtendedQueries {
       .agg(min(unix_millis(col("ts"))).as("start_ms"),
            max(unix_millis(col("ts"))).as("end_ms"),
            count(lit(1)).as("n_events"),
-           d384(sum(d184(col("value")))).as("sum_value"))
+           dbl(sum(d184(col("value")))).as("sum_value"))
       .orderBy("user_id", "sid")
   }
 
@@ -136,7 +137,7 @@ object ExtendedQueries {
       |  FROM y)
       |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
   // ------------------------------------------------- union by name
@@ -230,7 +231,7 @@ object ExtendedQueries {
     t(s, d, "orders").createOrReplaceTempView("orders")
     s.sql("""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
@@ -238,7 +239,7 @@ object ExtendedQueries {
 
   private val q49Sql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin

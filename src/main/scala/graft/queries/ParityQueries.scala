@@ -17,7 +17,11 @@ import graft.ops.RelationalOps
   * side. Decimal arithmetic is exact and order-independent, so results
   * hash-match regardless of partitioning / aggregation order — double
   * sums would not, on a 32-thread local run, let alone a 1000-executor
-  * cluster.
+  * cluster. The OUTPUT column is then final-cast to DOUBLE on both
+  * sides: engines render the same exact decimal differently (trailing
+  * zeros, scale), but convert it to the identical nearest double, so
+  * the canonical-rendering hash agrees while the arithmetic stays
+  * exact.
   *
   * Determinism policy: every query ends in a total `orderBy`, mirrored in
   * the oracle SQL.
@@ -27,8 +31,8 @@ object ParityQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
   private def d184(c: Column) = c.cast(DecimalType(18, 4))
-  private def d384(c: Column) = c.cast(DecimalType(38, 4))
-  private def d388(c: Column) = c.cast(DecimalType(38, 8))
+  /** Final output cast: exact decimal → double (see policy above). */
+  private def dbl(c: Column) = c.cast(DoubleType)
 
   // ---------------------------------------------------------------- A4/A5/agg
   /** TPC-H Q1-shaped scan+filter+hash-aggregate (SURVEY §2.4 A4-A6). */
@@ -36,17 +40,17 @@ object ParityQueries {
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        d384(sum(d184(col("l_quantity")))).as("sum_qty"),
-        d384(sum(d184(col("l_extendedprice")))).as("sum_price"),
-        d388(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        dbl(sum(d184(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(d184(col("l_extendedprice")))).as("sum_price"),
+        dbl(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sum_disc_price,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -240,13 +244,13 @@ object ParityQueries {
     t(s, d, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n"),
-           d384(sum(d184(col("o_totalprice")))).as("sum_price"))
+           dbl(sum(d184(col("o_totalprice")))).as("sum_price"))
       .orderBy("yr", "mo")
 
   private val q14Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
       | count(*) AS n,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------ Windows
@@ -280,7 +284,7 @@ object ParityQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, d, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        d384(sum(d184(col("l_quantity"))).over(w)).as("running_qty"))
+        dbl(sum(d184(col("l_quantity"))).over(w)).as("running_qty"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
@@ -288,7 +292,7 @@ object ParityQueries {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
       |   OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_qty
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
 
   // ------------------------------------------------------------- Set ops
@@ -326,12 +330,12 @@ object ParityQueries {
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-           d384(sum(d184(col("l_quantity")))).as("sum_qty"))
+           dbl(sum(d184(col("l_quantity")))).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q19Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -360,13 +364,13 @@ object ParityQueries {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_ts"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
-           d384(sum(d184(col("value")))).as("sum_value"))
+           dbl(sum(d184(col("value")))).as("sum_value"))
       .orderBy("hour_ts", "event_type")
 
   private val q21Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts, event_type,
       | count(*) AS n,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------- Flagship multi-join
@@ -386,14 +390,14 @@ object ParityQueries {
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(d388(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(dbl(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy("n_name")
   }
 
   private val q22Sql =
     """SELECT n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
       |FROM lineitem
       | JOIN orders   ON l_orderkey = o_orderkey

@@ -14,46 +14,66 @@ import org.apache.spark.sql.functions._
   * k-means fit on a sample; the assignment/probe machinery — the part
   * that must scale — is identical.
   *
-  * Scale posture: centroids are tiny and BROADCAST; assignment is one
-  * narrow pass over the corpus (|corpus|·nCells fused-codegen cosines);
-  * the search joins candidates by cell — a shuffle on cell id bounded by
-  * nProbe/nCells of the corpus per query, never a full cross join.
+  * Scale posture: the fitted quantizer (nCells·dim floats — kilobytes,
+  * like any fitted KMeansModel) is collected once and embedded into the
+  * assignment expression as literals, so assignment is ONE narrow
+  * fused-codegen projection per corpus row: all nCells cosines into an
+  * array of (-cos, cell) structs, `array_sort` + `element_at` pick the
+  * argmax. No crossJoin, no window, no Exchange — the round-1 plan
+  * (crossJoin(broadcast) + row_number window) shuffled |corpus|·nCells
+  * rows keyed by vec_id just to take a per-row argmax. The search then
+  * joins candidates by cell — a shuffle bounded by nProbe/nCells of the
+  * corpus per query, never a full cross join.
   */
 class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
 
-  private def bestCells(df: DataFrame, vecCol: String, idCol: String,
-                        centroids: DataFrame, keep: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
-      .withColumn("__cs", VectorFunctions.cosine(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cs").desc, col("cell"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= keep)
-      .drop("__cs", "__rn", "centroid")
-  }
-
-  def centroidsOf(corpus: DataFrame): DataFrame =
+  /** Fitted coarse quantizer: (cell, centroid) pairs on the driver. */
+  def centroidsOf(corpus: DataFrame): Array[(Int, Array[Float])] =
     corpus.where(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
-  /** Corpus vectors with their (single) nearest-centroid cell. */
+  /** `array<struct<nc,cell>>` of (-cosine, cell) per centroid, ascending
+    * sort = cosine descending with ties broken by lowest cell — the same
+    * (cos DESC, cell ASC) order the oracle's row_number uses. */
+  private def sortedCells(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+    array_sort(array(cents.map { case (cell, cen) =>
+      struct(negate(VectorFunctions.cosine(vec, typedLit(cen.toSeq))).as("nc"),
+             lit(cell).as("cell"))
+    }: _*))
+
+  /** Corpus vectors with their (single) nearest-centroid cell — a narrow
+    * projection, one row in / one row out, zero shuffle. */
   def assign(corpus: DataFrame): DataFrame =
-    bestCells(corpus, "embedding", "vec_id", centroidsOf(corpus), keep = 1)
+    assignWith(corpus, centroidsOf(corpus))
+
+  private def assignWith(corpus: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
+    // coalesce(-1) makes `cell` non-nullable, so the downstream inner
+    // join's implicit IsNotNull(cell) folds to true instead of
+    // re-evaluating all nCells cosines a second time in a Filter
+    corpus.withColumn("cell",
+      coalesce(element_at(sortedCells(col("embedding"), cents), 1).getField("cell"), lit(-1)))
 
   /** Top-k neighbors per query, searched in the query's nProbe cells. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cells = assign(corpus)
-    val q = bestCells(
-        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-        "q_emb", "query_id", centroidsOf(corpus), keep = nProbe)
-    val scored = cells.join(q, Seq("cell"))
+    val cents = centroidsOf(corpus)
+    val cells = assignWith(corpus, cents)
+    // each query probes its nProbe nearest cells: slice the sorted cell
+    // array and explode — still narrow (Generate), no shuffle
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("__probe", explode(slice(sortedCells(col("q_emb"), cents), 1, nProbe)))
+      .withColumn("cell", col("__probe").getField("cell"))
+      .drop("__probe")
+    val scored = cells.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
-      // the corpus side carries ONE cell per vector, but a query probes
-      // nProbe cells — (query, neighbor) stays unique because the join
-      // matches only the neighbor's single cell; dedupe anyway in case
-      // nProbe ever exceeds 1 on the corpus side
-      .dropDuplicates("query_id", "neighbor_id")
+    // (query, neighbor) is unique by construction: the corpus side
+    // carries exactly ONE cell per vector (assignWith keep=1), so a
+    // query meets each neighbor at most once even though it probes
+    // nProbe cells — no dedup shuffle needed before the top-k window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

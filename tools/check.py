@@ -13,15 +13,28 @@ import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
 
-def norm_type(t: pa.DataType) -> str:
-    # timestamp unit/tz variations are the one place we allow laxity in
-    # OUR check (the driver may differ); flag them as warnings instead.
-    return str(t)
+def canon(v):
+    """Canonical string rendering of a value, mimicking the driver's hash
+    input. Crucially str(Decimal('1.0')) != str(Decimal('1.00')) — a scale
+    mismatch between Spark and DuckDB must FAIL here, not slip through a
+    value-equality compare (that was the round-1 11-query blind spot)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip repr — 1-ulp diffs surface
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{canon(k)}:{canon(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
 
 def table_rows(t: pa.Table):
     cols = sorted(t.column_names)
     t = t.select(cols)
-    return cols, [tuple(col[i].as_py() for col in t.columns) for i in range(t.num_rows)]
+    return cols, [tuple(canon(col[i].as_py()) for col in t.columns)
+                  for i in range(t.num_rows)]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -53,7 +66,14 @@ def main():
         s_types = [str(spark_t.schema.field(c).type) for c in s_cols]
         d_types = [str(duck_t.schema.field(c).type) for c in d_cols]
         if s_types != d_types:
-            print(f"WARN {name}: types spark={s_types} duck={d_types}")
+            # timestamp unit (us/ns) is rendering-identical after as_py;
+            # everything else (incl. decimal precision/scale) must match.
+            lax = all(a == b or (a.startswith("timestamp") and b.startswith("timestamp"))
+                      for a, b in zip(s_types, d_types))
+            if not lax:
+                print(f"FAIL {name}: types spark={s_types} duck={d_types}")
+                n_fail += 1; continue
+            print(f"WARN {name}: timestamp-unit types spark={s_types} duck={d_types}")
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}"); n_fail += 1; continue
         bad = None

@@ -27,10 +27,16 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k permutations approximated by k seeded
-    * xxhash64 functions; signature[i] = min over distinct tokens of
-    * hash_i(token). One explode + one hash-aggregate (k `min` columns —
-    * partial aggregation combines map-side before the shuffle).
+  /** MinHash signatures: k permutations approximated by k INDEPENDENT
+    * seeded hashes — hash_i(tok) = md5-60 of "i:tok" — so that, unlike
+    * xxhash64, the whole pipeline is exactly reproducible in the DuckDB
+    * correctness oracle. Independence matters: a double-hashing family
+    * (h1 + i·h2) was measured to CORRELATE the permutations — the same
+    * small-h1/small-h2 tokens win most positions, biasing the
+    * position-agreement estimate up and inflating candidate pairs 2.3×.
+    * signature[i] = min over distinct tokens of hash_i(token). One
+    * explode + one hash-aggregate (k `min` columns — partial
+    * aggregation combines map-side before the shuffle).
     *
     * Measured alternative (sf0.1, local[32]): a zero-shuffle per-row
     * formulation via `array_min(transform(...))` computes signatures
@@ -44,7 +50,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    val mins = (0 until k).map(i =>
+      min(graft.text.Hashing.h60Seeded(i, col("tok"))).as(s"h$i"))
     toks.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -61,8 +68,11 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                             minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // band hash = md5-60 of "band:sig[a],sig[b],..." — a canonical string
+    // both engines render identically (sig values are non-negative longs)
     val bandArr = transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
+        array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
     // The signature table feeds four plan branches (two bucket-join
     // sides, two verification joins); persist so the minhash
     // aggregation runs once. The ContextCleaner unpersists when the

@@ -130,14 +130,68 @@ object TextQueries {
   // candidate set near-linear even on corpora with heavy vocabulary
   // overlap (this fixture's docs all share ~40 tokens — loose bands
   // would make every pair a candidate, an O(n²) blow-up at scale).
+  //
+  // Exactly oracled: the whole pipeline runs on the engine-wide md5-60
+  // hash (graft.text.Hashing), which DuckDB reproduces bit-for-bit —
+  // the SQL below re-derives signatures, banding, the bucket cap, and
+  // the position-agreement estimate from scratch.
   private def q29(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
       .orderBy("doc_a", "doc_b")
 
+  /** Shared oracle prefix: k=32 independent seeded md5-60 hashes →
+    * minhash signature per doc → 4×8 banding with the bucket-size cap →
+    * candidate pairs with position-agreement estimate. Mirrors
+    * Dedup.minhashSignatures/minhashCandidatePairs. */
+  private def minhashOracleCtes(k: Int, bands: Int, rpb: Int, bucketCap: Int): String =
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |         min(CAST(concat('0x', substr(md5(concat(i, ':', tok)), 1, 15)) AS BIGINT)) AS h
+       |  FROM toks CROSS JOIN (SELECT unnest(range($k)) AS i) perm
+       |  GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b,
+       |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*$rpb+1 : b*$rpb+$rpb], ','))), 1, 15)) AS BIGINT) AS bh
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($bands)) AS b) bnd),
+       |small AS (SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) <= $bucketCap),
+       |safe AS (SELECT banded.doc_id, banded.b, banded.bh FROM banded JOIN small USING (b, bh)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(list_sum(list_transform(range(1, ${k + 1}), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = cand.doc_a
+       |  JOIN sigs sb ON sb.doc_id = cand.doc_b)""".stripMargin
+
+  private val q29Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)}
+       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------- SimHash fingerprint
   private def q30(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs0(s, d)).orderBy("doc_id")
+
+  private val q30Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |              THEN (1::BIGINT << b) ELSE 0 END AS bv
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bit
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------- winnowing fingerprints
   private def q31(s: SparkSession, d: String): DataFrame =
@@ -147,10 +201,46 @@ object TextQueries {
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
 
+  // k=8, w=4 mirror of WinnowFingerprint: char k-gram md5-60 hashes,
+  // rolling window-of-4 minimum, fingerprint set = distinct mins (plus
+  // the degenerate short-text branches).
+  private val q31Sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |short AS (
+      |  SELECT doc_id, CAST(1 AS INTEGER) AS n_fp,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS min_fp,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS max_fp
+      |  FROM d WHERE n < 8),
+      |grams AS (
+      |  SELECT doc_id, unnest(range(1, n - 8 + 2)) AS i, text
+      |  FROM d WHERE n >= 8),
+      |gh AS (
+      |  SELECT doc_id, i,
+      |         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+      |  FROM grams),
+      |wm AS (
+      |  SELECT doc_id, i, h,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |         count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM gh),
+      |sel AS (
+      |  SELECT doc_id, CASE WHEN m < 4 THEN h ELSE wmin END AS v
+      |  FROM wm WHERE m < 4 OR i <= m - 3),
+      |fps AS (
+      |  SELECT doc_id, CAST(count(DISTINCT v) AS INTEGER) AS n_fp,
+      |         min(v) AS min_fp, max(v) AS max_fp
+      |  FROM sel GROUP BY doc_id)
+      |SELECT doc_id, n_fp, min_fp, max_fp FROM fps
+      |UNION ALL
+      |SELECT doc_id, n_fp, min_fp, max_fp FROM short
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------- end-to-end near-dup deduplication
   /** The full dedup pipeline: minhash → LSH candidates → clusters →
-    * surviving corpus, reported as kept/dropped counts (hash-dependent ⇒
-    * rows-only). */
+    * surviving corpus, reported as kept/dropped counts. Exactly oracled:
+    * the SQL recomputes the candidate pairs (md5-60 pipeline) and
+    * resolves connected components with a recursive transitive closure —
+    * survivor-per-cluster = component min, same as the union-find. */
   private def q48(s: SparkSession, d: String): DataFrame = {
     val docs = docs0(s, d)
     val pairs = Dedup.minhashCandidatePairs(
@@ -161,6 +251,23 @@ object TextQueries {
       .crossJoin(docs.agg(count(lit(1)).as("n_total")))
   }
 
+  private val q48Sql =
+    s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
+       |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
+       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+       |labels AS (
+       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM nodes)
+       |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
+       |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -168,8 +275,8 @@ object TextQueries {
     ("q26_corpus_stats",       q26 _, Some(q26Sql)),
     ("q27_lang_id",            q27 _, Some(q27Sql)),
     ("q28_jaccard_adjacent",   q28 _, Some(q28Sql)),
-    ("q29_minhash_lsh_pairs",  q29 _, None),
-    ("q30_simhash",            q30 _, None),
-    ("q31_winnow_fingerprint", q31 _, None),
-    ("q48_neardup_dedup",      q48 _, None))
+    ("q29_minhash_lsh_pairs",  q29 _, Some(q29Sql)),
+    ("q30_simhash",            q30 _, Some(q30Sql)),
+    ("q31_winnow_fingerprint", q31 _, Some(q31Sql)),
+    ("q48_neardup_dedup",      q48 _, Some(q48Sql)))
 }

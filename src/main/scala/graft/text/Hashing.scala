@@ -1,0 +1,69 @@
+package graft.text
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine-wide content hash for dedup/fingerprint operators: the
+  * first 60 bits (15 hex chars) of MD5, as a non-negative BIGINT.
+  *
+  * Why md5-60 and not xxhash64: correctness-oracle portability. Spark
+  * and DuckDB share exactly one fast hash family — MD5 — so basing
+  * MinHash / SimHash / winnowing on it makes the entire dedup pipeline
+  * exactly reproducible in the driver's DuckDB oracle
+  * (`CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` on that side).
+  * 60 bits (not 64) so the value is non-negative in a SIGNED BIGINT in
+  * both engines; collision odds at 2^60 are irrelevant for minhash and
+  * winnowing (they only need uniformity).
+  *
+  * Two entry points, bit-identical by construction and pinned to each
+  * other by HashingSpec:
+  *   - column side ([[h60]]/[[h56]]) — codegen'd builtins (md5 → conv),
+  *     stays inside whole-stage codegen;
+  *   - JVM side ([[hash60]]) — for native expressions
+  *     ([[graft.dedup.SimHash64]], [[WinnowFingerprint]]) that hash
+  *     per-token/per-gram inside a one-pass eval.
+  */
+object Hashing {
+
+  /** First 15 hex chars of md5(utf8 bytes) as a BIGINT in [0, 2^60). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: an independent hash per seed (md5 of "seed:x").
+    * Used for the k minhash permutations — seeds must be INDEPENDENT
+    * functions, not a linear double-hash family, or the permutations
+    * correlate and the position-agreement estimate biases up
+    * (measured: 2.3× candidate-pair inflation). */
+  def h60Seeded(seed: Int, c: Column): Column =
+    h60(concat(lit(s"$seed:"), c))
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of [[h60]]: top 60 bits of the digest's first 8 bytes
+    * (big-endian), i.e. the value of the first 15 hex chars. */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val out = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  def hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    hash60(b, 0, b.length)
+  }
+
+  /** DuckDB rendering of [[h60]], for building oracle SQL strings. */
+  def duckH60(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+}

@@ -3,24 +3,27 @@ package graft.text
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{DataType, ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03) as a
-  * native one-pass expression: hash every character k-gram (xxhash64,
-  * seed 42 — identical values to the SQL `xxhash64`), take the minimum
-  * of each sliding window of `w` hashes with a monotonic deque, dedupe
-  * preserving first occurrence.
+  * native one-pass expression: hash every character k-gram with the
+  * engine-wide md5-60 content hash ([[Hashing]] — chosen so the whole
+  * pass is exactly reproducible in the DuckDB correctness oracle), take
+  * the minimum of each sliding window of `w` hashes with a monotonic
+  * deque, dedupe preserving first occurrence.
   *
   * Why native: the higher-order-function formulation
   * (`transform(sequence(...), i -> array_min(slice(hashes, i, w)))`)
   * evaluates interpreted at O(len·w) with a fresh w-array allocation
   * per window — measured ~850 CPU-seconds for 5 000 ~300-char docs on
   * one thread. This pass is O(len) with O(1) amortized per step and
-  * runs once per document.
+  * runs once per document. The text's utf-8 bytes are materialized
+  * once; in the ASCII case each k-gram digest reads a k-byte slice of
+  * that one array (chars == bytes), no per-gram substring objects.
   */
 case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
   extends UnaryExpression with CodegenFallback {
@@ -32,28 +35,28 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
-  private def hash(s: UTF8String): Long = XxHash64Function.hash(s, StringType, 42L)
-
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String]
     val len = text.numChars()
-    if (len < k) return new GenericArrayData(Array(hash(text)))
+    val bytes = text.getBytes
+    if (len < k) return new GenericArrayData(Array(Hashing.hash60(bytes, 0, bytes.length)))
     val n = len - k + 1
     val hashes = new Array[Long](n)
     var i = 0
-    if (text.numBytes() == len) {
-      // ASCII fast path: chars are bytes — hash each k-gram in place
-      // from the backing array, zero allocations (identical values:
-      // UTF8String hashing IS xxhash64 over its utf-8 bytes)
-      val base = text.getBaseObject
-      val off = text.getBaseOffset
+    if (bytes.length == len) {
+      // ASCII fast path: chars are bytes — digest each k-gram in place
+      // from the single materialized array (identical values: md5 over
+      // the gram's utf-8 bytes)
       while (i < n) {
-        hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(base, off + i, k, 42L)
+        hashes(i) = Hashing.hash60(bytes, i, k)
         i += 1
       }
     } else {
-      while (i < n) { hashes(i) = hash(text.substringSQL(i + 1, k)); i += 1 }
+      while (i < n) {
+        val gram = text.substringSQL(i + 1, k).getBytes
+        hashes(i) = Hashing.hash60(gram, 0, gram.length)
+        i += 1
+      }
     }
     val out = new mutable.LinkedHashSet[Long]
     if (n < w) {

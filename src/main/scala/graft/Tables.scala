@@ -29,9 +29,17 @@ object Tables {
     * reader rejects; read it as raw nanos (legacy conf) and rebuild a
     * TimestampType column with integer `div` (no double round-trip —
     * epoch-nanos exceed double's 2^53 exact-integer range).
+    *
+    * The legacy conf is SESSION-scoped and intentionally left set after
+    * this call: it is consulted again at physical planning, so
+    * restoring it here would break the (lazy) plan this function
+    * returns. It only changes behavior for nanos-timestamp parquet,
+    * which the session would otherwise fail to read at all; the
+    * conditional set below at least avoids redundant conf writes.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

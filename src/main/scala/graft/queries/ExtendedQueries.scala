@@ -172,14 +172,24 @@ object ExtendedQueries {
       |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
 
   // --------------------------------- approximate distinct (HLL++) —
-  // approx values differ per sketch impl, so rows-only; the exact
-  // column rides along to document the error envelope.
+  // approx values differ per sketch impl, so the sketch value itself
+  // can't be hashed against DuckDB; instead the query OUTPUTS the exact
+  // count plus a within-5%-relative-error flag over the approx value.
+  // The oracle asserts the flag true: the HLL++ accuracy contract is
+  // verified, the sketch-specific value stays out of the hash.
   private def q46(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) /
+          col("exact_users") <= lit(0.05)).as("within_bounds"))
       .orderBy("event_type")
+
+  private val q46Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------- IVF ANN
   private def q47(s: SparkSession, d: String): DataFrame = {
@@ -272,21 +282,41 @@ object ExtendedQueries {
   /** Per-label embedding centroid via the VectorMeanAggregator typed
     * UDAF — partial buffers merge map-side; the shuffle carries one
     * (sums, count) buffer per (label, partition), never the vectors.
-    * Double addition order varies with partitioning ⇒ rows-only (q35
-    * is the bit-exact sorted-fold variant). Output is summarized as the
-    * centroid's own norm so the row stays scalar. */
+    * Double addition order varies with partitioning, so the raw value
+    * can't hash against an oracle; instead (q46 pattern) the query
+    * CHECKS the Aggregator against the deterministic sorted-fold
+    * centroid (q35's formulation) in-plan and outputs the boolean —
+    * the oracle asserts it true. The UDAF result is thereby verified
+    * to 1e-6 relative without putting fp-order noise in the hash. */
   private def q51(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.VectorMeanAggregator[(Int, Array[Float])](64, _._2)
-    Tables.embeddings(s, d)
+    val viaUdaf = Tables.embeddings(s, d)
       .select(col("label"), col("embedding"))
       .as[(Int, Array[Float])]
       .groupByKey(_._1)
       .agg(agg.toColumn.name("centroid"))
       .map { case (label, c) => (label, math.sqrt(c.map(x => x * x).sum), c.length) }
-      .toDF("label", "centroid_norm", "dim")
+      .toDF("label", "agg_norm", "dim")
+    val reference = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sort_array(collect_list(col("x").cast(DoubleType))).as("xs"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (aggregate(col("xs"), lit(0.0), (acc, v) => acc + v) / col("n")).as("mean"))
+      .groupBy("label")
+      .agg(sqrt(sum(col("mean") * col("mean"))).as("ref_norm"))
+    viaUdaf.join(reference, Seq("label"))
+      .select(col("label"), col("dim"),
+        (abs(col("agg_norm") - col("ref_norm")) / col("ref_norm") <= lit(1e-6))
+          .as("within_tol"))
       .orderBy("label")
   }
+
+  private val q51Sql =
+    """SELECT label, CAST(64 AS INTEGER) AS dim, true AS within_tol
+      |FROM (SELECT DISTINCT label FROM embeddings) d ORDER BY label""".stripMargin
 
   // ---------------------------------------- from_json map extraction
   /** JSON props parsed to a typed MAP with from_json (q20 used the
@@ -368,11 +398,11 @@ object ExtendedQueries {
     ("q43_sessionization",   q43 _, Some(q43Sql)),
     ("q44_union_by_name",    q44 _, Some(q44Sql)),
     ("q45_token_topk",       q45 _, Some(q45Sql)),
-    ("q46_approx_distinct",  q46 _, None),
+    ("q46_approx_distinct",  q46 _, Some(q46Sql)),
     ("q47_ann_ivf_topk",     q47 _, Some(q47Sql)),
     ("q49_grouping_sets",    q49 _, Some(q49Sql)),
     ("q50_analytic_windows", q50 _, Some(q50Sql)),
-    ("q51_centroid_udaf",    q51 _, None),
+    ("q51_centroid_udaf",    q51 _, Some(q51Sql)),
     ("q52_json_map_agg",     q52 _, Some(q52Sql)),
     ("q53_interval_join",    q53 _, Some(q53Sql)),
     ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)))

@@ -35,8 +35,14 @@ object MultimodalQueries {
       |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
       |FROM documents GROUP BY 1, 2 ORDER BY kind, format""".stripMargin
 
-  /** Decode + per-image features + per-kind rollup (stub codec ⇒
-    * rows-only check; the batch plumbing and stats math are real). */
+  /** Decode + per-image features + corpus rollup. The stub codec's
+    * pixel values can't be recomputed by DuckDB (splitmix64 needs
+    * wrapping 64-bit multiplication), so — q46 pattern — the query
+    * outputs the image COUNT plus distribution checks computed in-plan:
+    * stub pixels are iid-uniform in [0,1), so the corpus-average image
+    * mean and bright-pixel ratio concentrate tightly around 0.5; the
+    * booleans assert full rasters were actually decoded and reduced.
+    * The sketch-/codec-specific doubles stay out of the hash. */
   private def q37(s: SparkSession, d: String): DataFrame = {
     val feats = Multimodal.imageFeatures(
       Multimodal.decodeImages(media(s, d).filter(_.kind == "image")))
@@ -44,17 +50,32 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_images"),
            avg(col("mean")).as("avg_mean"),
            avg(col("p_bright")).as("avg_bright"))
+      .select(col("n_images"),
+        col("avg_mean").between(0.4, 0.6).as("mean_in_range"),
+        col("avg_bright").between(0.4, 0.6).as("bright_in_range"))
   }
 
-  /** Frame sampling rollup for videos (rows-only). */
+  private val q37Sql =
+    """SELECT count(*) AS n_images, true AS mean_in_range, true AS bright_in_range
+      |FROM documents WHERE doc_id % 3 <> 0""".stripMargin
+
+  /** Frame sampling rollup for videos. Exactly oracled: the sampled
+    * frame COUNT is pure metadata arithmetic — frames = max(1,
+    * duration_ms/1000) with duration_ms = n_chars*100, keep every 2nd →
+    * floor((frames+1)/2) — independent of the stub pixel bytes. */
   private def q38(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(media(s, d), every = 2)
       .toDF()
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
+  private val q38Sql =
+    """SELECT doc_id AS media_id,
+      |       CAST((greatest(1, n_chars // 10) + 1) // 2 AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
-    ("q37_media_features",      q37 _, None),
-    ("q38_media_frame_sample",  q38 _, None))
+    ("q37_media_features",      q37 _, Some(q37Sql)),
+    ("q38_media_frame_sample",  q38 _, Some(q38Sql)))
 }

@@ -24,7 +24,7 @@ object HttpSink {
     val sb = new StringBuilder
     def esc(s: String): String =
       if (s == null) ""
-      else if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     sb.append(df.columns.map(esc).mkString(",")).append('\n')

@@ -43,6 +43,14 @@ object IcpeSiretisation {
     "2710", "2712", "2718", "2770", "2790", "2792", "2793", "2795", "2797", "2798")
   val RubriquesTrackdechetsAlinea: Seq[String] = Seq("2720_1", "2760_1", "2760_4")
 
+  /** Byte-for-byte reference behavior: the missing comma at
+    * `dags/icpe-siretisation.py:328-329` makes Python fuse
+    * '2720_1' '2760_1' into ONE literal, so the reference actually
+    * matches the fused string and never the two intended alineas. Use
+    * this list instead of [[RubriquesTrackdechetsAlinea]] when strict
+    * output parity against the deployed reference is required. */
+  val RubriquesTrackdechetsAlineaStrictParity: Seq[String] = Seq("2720_12760_1", "2760_4")
+
   /** Stage `enrich_rubriques` (`dags/icpe-siretisation.py:148-160`):
     * derived `rubrique_ic_alinea` = rubrique '_' alinea, null-propagating
     * concat then filled '' (F1+F3). */
@@ -117,11 +125,18 @@ object IcpeSiretisation {
   }
 
   /** Trackdéchets relevance filter (P5, `dags/icpe-siretisation.py:332-334`)
-    * with the intended alinea list (see [[RubriquesTrackdechetsAlinea]]). */
-  def trackdechetsInstallations(instRub: DataFrame): DataFrame =
+    * with the intended alinea list by default; `strictParity = true`
+    * reproduces the reference's fused-literal behavior byte-for-byte
+    * (see [[RubriquesTrackdechetsAlineaStrictParity]]). */
+  def trackdechetsInstallations(instRub: DataFrame,
+                                strictParity: Boolean = false): DataFrame = {
+    val alineas =
+      if (strictParity) RubriquesTrackdechetsAlineaStrictParity
+      else RubriquesTrackdechetsAlinea
     instRub.where(
       col("rubrique_ic").isin(RubriquesTrackdechets: _*) ||
-      col("rubrique_ic_alinea").isin(RubriquesTrackdechetsAlinea: _*))
+      col("rubrique_ic_alinea").isin(alineas: _*))
+  }
 
   /** The `make_stats` report (`dags/icpe-siretisation.py:305-357`) as a
     * typed result. Dedup by codeS3ic is keep-first in pandas' arbitrary

@@ -160,6 +160,16 @@ class IcpePipelineSpec extends SparkSpec {
     td.where(col("rubrique_ic_alinea") === "2760_2").count() shouldBe 0
   }
 
+  test("strictParity reproduces the reference's fused-literal comma bug (2720_1 does NOT match)") {
+    val ir = IcpeSiretisation.installationsRubriques(enrichedInst, rubEnriched)
+    val strict = IcpeSiretisation.trackdechetsInstallations(ir, strictParity = true)
+    // the fused literal '2720_12760_1' matches nothing real, so the
+    // 2720_1 rows that pass the intended filter drop out here
+    strict.where(col("rubrique_ic_alinea") === "2720_1").count() shouldBe 0
+    // rows kept by the shared rubrique list or 2760_4 are unaffected
+    strict.where(col("rubrique_ic_alinea") === "2760_4").count() should be > 0L
+  }
+
   test("makeStats on enriched installations (hand-computed golden numbers)") {
     val s = IcpeSiretisation.makeStats(enrichedInst, rubEnriched)
     s.nbInstallationsTd shouldBe 3   // codes 0001, 0002, 0004

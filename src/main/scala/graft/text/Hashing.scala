@@ -29,20 +29,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Hashing {
 
-  /** First 15 hex chars of md5(utf8 bytes) as a BIGINT in [0, 2^60). */
+  /** First 15 hex chars of md5(utf8 bytes) as a BIGINT in [0, 2^60),
+    * as the native [[Md5Hash60]] expression — digest straight to long
+    * inside whole-stage codegen. The builtin formulation
+    * (`conv(substring(md5(c),1,15),16,10)`) computes the same value but
+    * renders 32 hex chars and parses 15 back per hash; [[HashingSpec]]
+    * pins the two (and thus the DuckDB rendering) to each other. */
   def h60(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      Md5Hash60(org.apache.spark.sql.GraftSqlShim.expression(c.cast("string"))))
+
+  /** Builtin-only twin of [[h60]] — used by HashingSpec to pin the
+    * native expression to the md5→conv semantics DuckDB mirrors. */
+  def h60Builtin(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: an independent hash per seed (md5 of "seed:x").
     * Used for the k minhash permutations — seeds must be INDEPENDENT
     * functions, not a linear double-hash family, or the permutations
     * correlate and the position-agreement estimate biases up
-    * (measured: 2.3× candidate-pair inflation). */
+    * (measured: 2.3× candidate-pair inflation). The seed prefix is
+    * digested directly — no per-row concat allocation. */
   def h60Seeded(seed: Int, c: Column): Column =
-    h60(concat(lit(s"$seed:"), c))
+    org.apache.spark.sql.GraftSqlShim.column(
+      Md5Hash60(org.apache.spark.sql.GraftSqlShim.expression(c.cast("string")), s"$seed:"))
 
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def finish(d: MessageDigest): Long = {
+    val out = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xFFL); i += 1 }
+    v >>> 4
   }
 
   /** JVM twin of [[h60]]: top 60 bits of the digest's first 8 bytes
@@ -51,16 +72,23 @@ object Hashing {
     val d = md.get()
     d.reset()
     d.update(bytes, off, len)
-    val out = d.digest()
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (out(i) & 0xFFL); i += 1 }
-    v >>> 4
+    finish(d)
   }
 
   def hash60(s: UTF8String): Long = {
     val b = s.getBytes
     hash60(b, 0, b.length)
+  }
+
+  /** Seeded: digest = md5(prefixBytes ++ utf8 bytes) — equal to
+    * hash60(prefix + s) without materializing the concatenation. */
+  def hash60Seeded(prefix: Array[Byte], s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(prefix)
+    val b = s.getBytes
+    d.update(b, 0, b.length)
+    finish(d)
   }
 
   /** DuckDB rendering of [[h60]], for building oracle SQL strings. */

@@ -22,10 +22,22 @@ class HashingSpec extends SparkSpec {
   test("JVM hash60 equals the column-side md5->conv formulation") {
     import spark.implicits._
     val viaCol = samples.toDF("s")
-      .select(Hashing.h60(col("s")).as("h"))
+      .select(Hashing.h60Builtin(col("s")).as("h"))
       .collect().map(_.getLong(0))
     val viaJvm = samples.map(s => Hashing.hash60(UTF8String.fromString(s)))
     assert(viaCol.toSeq === viaJvm)
+  }
+
+  test("native Md5Hash60 (codegen) equals the builtin md5->conv formulation, plain and seeded") {
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val plain = df.select(Hashing.h60(col("s")).as("a"),
+                          Hashing.h60Builtin(col("s")).as("b")).collect()
+    plain.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val seeded = df.select(
+        Hashing.h60Seeded(7, col("s")).as("a"),
+        Hashing.h60Builtin(concat(lit("7:"), col("s"))).as("b")).collect()
+    seeded.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("h60 is non-negative and under 2^60") {

@@ -390,6 +390,37 @@ object ExtendedQueries {
       | FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // ----------------------------------- mergeable distinct sketches
+  /** The 100 TB distinct-count pattern: build one HLL SKETCH per
+    * (day, event_type) partition — the pre-aggregate a real pipeline
+    * materializes incrementally — then MERGE sketches across days per
+    * type and estimate, never revisiting raw events. q46 verified the
+    * scalar approx aggregate; this verifies sketch mergeability (the
+    * union pass sees only 1-row-per-partition binary sketches). The
+    * estimate is checked in-plan against the exact count (q46 pattern)
+    * so the sketch-impl-specific value stays out of the hash. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est_users"),
+           count(lit(1)).as("n_days"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("est_users") - col("exact_users")) /
+          col("exact_users") <= lit(0.05)).as("within_bounds"))
+      .orderBy("event_type")
+  }
+
+  private val q55Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | count(DISTINCT date_trunc('day', ts)) AS n_days,
+      | true AS within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -405,5 +436,6 @@ object ExtendedQueries {
     ("q51_centroid_udaf",    q51 _, Some(q51Sql)),
     ("q52_json_map_agg",     q52 _, Some(q52Sql)),
     ("q53_interval_join",    q53 _, Some(q53Sql)),
-    ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)))
+    ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)),
+    ("q55_sketch_merge",     q55 _, Some(q55Sql)))
 }

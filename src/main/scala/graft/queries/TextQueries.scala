@@ -9,9 +9,10 @@ import graft.dedup.Dedup
 import graft.text.TextFunctions
 
 /** Text-analysis + dedup extension queries over the `documents` fixture
-  * (driver mandate; SURVEY.md §2.11). Oracled where DuckDB can express
-  * the same computation; hash-based ops (MinHash/SimHash/winnowing use
-  * Spark's xxhash64, which DuckDB does not implement) are rows-only.
+  * (driver mandate; SURVEY.md §2.11). ALL exactly oracled: the dedup
+  * pipeline (MinHash/LSH/SimHash/winnowing/cluster resolution) runs on
+  * the engine-wide md5-60 hash (graft.text.Hashing), which DuckDB
+  * reproduces bit-for-bit.
   */
 object TextQueries {
   import ParityQueries.Q

@@ -35,6 +35,46 @@ class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
+  /** The production training path: Lloyd's k-means from the
+    * deterministic seed. Each round is ONE narrow assignment pass
+    * (centroid literals, zero shuffle — same plan as [[assign]]) plus
+    * one (cell, dim) mean aggregation — a shuffle of one row per
+    * (vector, dim) that map-side combines down to nCells×dim rows. The
+    * model stays kilobytes on the driver, like any fitted KMeansModel;
+    * at 100 TB you fit on a sample (`corpus.sample(...)`) and the
+    * assignment/search machinery is unchanged. Cells that lose all
+    * members keep their previous centroid. (Mean aggregation is
+    * fp-order-dependent, so the fitted quantizer is not bit-portable
+    * across engines — the oracled q47 uses the deterministic seed
+    * quantizer; this method is spec-tested for behavior instead.)
+    */
+  def fit(corpus: DataFrame, iters: Int = 3): Array[(Int, Array[Float])] = {
+    var cents = centroidsOf(corpus)
+    var it = 0
+    while (it < iters) {
+      val means = assignWith(corpus, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val dim = rows.length
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          cell -> v
+        }
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+      it += 1
+    }
+    cents
+  }
+
+  /** [[annTopK]] with a caller-supplied (e.g. [[fit]]ted) quantizer. */
+  def annTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  cents: Array[(Int, Array[Float])]): DataFrame =
+    searchWith(corpus, queries, k, cents)
+
   /** `array<struct<nc,cell>>` of (-cosine, cell) per centroid, ascending
     * sort = cosine descending with ties broken by lowest cell — the same
     * (cos DESC, cell ASC) order the oracle's row_number uses. */
@@ -56,9 +96,13 @@ class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
     corpus.withColumn("cell",
       coalesce(element_at(sortedCells(col("embedding"), cents), 1).getField("cell"), lit(-1)))
 
-  /** Top-k neighbors per query, searched in the query's nProbe cells. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cents = centroidsOf(corpus)
+  /** Top-k neighbors per query, searched in the query's nProbe cells
+    * (deterministic seed quantizer — the exactly-oracled path). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    searchWith(corpus, queries, k, centroidsOf(corpus))
+
+  private def searchWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                         cents: Array[(Int, Array[Float])]): DataFrame = {
     val cells = assignWith(corpus, cents)
     // each query probes its nProbe nearest cells: slice the sorted cell
     // array and explode — still narrow (Generate), no shuffle

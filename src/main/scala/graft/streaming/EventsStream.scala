@@ -54,6 +54,17 @@ object EventsStream {
   def streamingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyByType(events.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.dedup.Dedup.exactGroups]]: drop events whose key was
+    * already seen, with state BOUNDED by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` evicts seen-keys older than the
+    * watermark — plain dropDuplicates on a stream grows state forever,
+    * which is the difference between a demo and a 100 TB ingest). */
+  def streamingDedup(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ------------------------------------------------- sessionization
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -56,4 +56,34 @@ class AsofIvfSpec extends SparkSpec {
     }
     all(rows.map(_.getAs[Double]("cos"))) should (be >= -1.0001 and be <= 1.0001)
   }
+
+  test("IvfIndex.fit: Lloyd rounds improve quantization quality; search works with fitted quantizer") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val vecs = e.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // quality = mean best-centroid cosine over the corpus (JVM math —
+    // immune to aggregation fp-order)
+    def quality(cents: Array[(Int, Array[Float])]): Double =
+      vecs.map(v => cents.map(c => cos(v, c._2)).max).sum / vecs.length
+
+    val seed = ivf.centroidsOf(e)
+    val fitted = ivf.fit(e, iters = 3)
+    fitted.length shouldBe seed.length
+    fitted.map(_._1).toSeq shouldBe seed.map(_._1).toSeq // same cells
+    fitted.head._2.length shouldBe seed.head._2.length   // same dim
+    quality(fitted) should be >= quality(seed) - 1e-9    // Lloyd never hurts here
+    // search with the fitted quantizer behaves: contiguous ranks per query
+    val out = ivf.annTopKWith(e, e.where(col("vec_id") < 3), 3, fitted).collect()
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Int]("rank")).sorted shouldBe (1 to rs.length).toArray
+    }
+  }
 }

@@ -118,4 +118,27 @@ class EventsStreamSpec extends SparkSpec {
       streamed shouldBe Tables.events(spark, sf0001).count()
     } finally q.stop()
   }
+
+  test("streamingDedup: duplicated input collapses to distinct event_ids, state watermark-bounded") {
+    // stage the fixture TWICE — every event arrives duplicated
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = EventsStream.readEventsStream(spark, dir.toString)
+    val q = EventsStream.streamingDedup(stream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val distinctIds = Tables.events(spark, sf0001)
+        .select("event_id").distinct().count()
+      spark.table("dedup_stream").count() shouldBe distinctIds
+    } finally q.stop()
+  }
 }

@@ -84,7 +84,14 @@ object Bench {
     val med = results.map { case (k, (_, md)) => jstr(k) + ":" + md }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"queries_median":$med,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    // queries added after round 1 (BENCH_r01 = the recorded baseline) —
+    // the subtotal over the original 54 keeps round-over-round totals
+    // comparable as the query surface grows
+    val addedAfterR1 = Set("q55_sketch_merge", "q56_similarity_join", "q57_incremental_dedup")
+    val baselineComparable = results
+      .filterNot { case (k, _) => addedAfterR1.contains(k) }
+      .map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"baseline_comparable_r1_query_subtotal":$baselineComparable,"queries":$qs,"queries_median":$med,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -68,11 +68,6 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                             minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // band hash = md5-60 of "band:sig[a],sig[b],..." — a canonical string
-    // both engines render identically (sig values are non-negative longs)
-    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
-      b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
-        array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
     // The signature table feeds four plan branches (two bucket-join
     // sides, two verification joins); persist so the minhash
     // aggregation runs once. The ContextCleaner unpersists when the
@@ -82,9 +77,10 @@ object Dedup {
     // only (band, bh, doc_id) — never the k-long signature arrays. At
     // fixture scale the candidate set is quadratic-ish (every doc pair
     // shares vocabulary) and carrying signatures through this join
-    // multiplies the shuffle by ~20×.
-    val banded = sigsC
-      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+    // multiplies the shuffle by ~20×. Band hash = md5-60 of
+    // "band:sig[a],sig[b],..." — a canonical string both engines render
+    // identically (sig values are non-negative longs).
+    val banded = bandedOf(sigsC, bands, rowsPerBand)
     // Skew guard: only join buckets below the cap. Same shuffle key as
     // the join itself, so the extra aggregate is cheap.
     val smallBuckets = banded.groupBy("band", "bh").count()
@@ -117,6 +113,74 @@ object Dedup {
       .where(col("est_jaccard") >= minEst)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Banding projection shared by the self-join and between-table
+    * candidate generators: one (doc_id, band, bh) row per band. */
+  private def bandedOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
+        array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
+    sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+  }
+
+  /** Candidate pairs BETWEEN two signature tables — the probe shape of
+    * incremental dedup: `sigsA` is the arriving batch, `sigsB` the
+    * standing corpus index. Buckets are capped on the INDEX side (a
+    * boilerplate-heavy corpus bucket would pair with every batch doc).
+    * Returns (doc_a ∈ A, doc_b ∈ B, est_jaccard ≥ minEst). */
+  def minhashCandidatePairsBetween(sigsA: DataFrame, sigsB: DataFrame,
+                                   bands: Int = 8, rowsPerBand: Int = 4,
+                                   minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sa = sigsA.persist()
+    val sb = sigsB.persist()
+    val ba = bandedOf(sa, bands, rowsPerBand)
+    val bb = bandedOf(sb, bands, rowsPerBand)
+    val smallB = bb.groupBy("band", "bh").count()
+      .where(col("count") <= bucketCap).drop("count")
+    val pairs = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(bb.join(smallB, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+      .select("doc_a", "doc_b")
+    val withSigs = pairs
+      .join(sa.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sb.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _) / lit(k)
+    withSigs
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup dedup — the production pipeline shape: an
+    * arriving batch is deduplicated (1) against the standing corpus by
+    * probing its signature index, then (2) within itself. Only the
+    * batch is hashed per run; at 100 TB the corpus signatures are a
+    * materialized table (bucketed by (band, bh)) maintained
+    * incrementally, not recomputed — pass them in as `corpusSigs`.
+    * Returns the surviving batch documents. */
+  def dedupIncrementalSigs(batch: DataFrame, batchSigs: DataFrame,
+                           corpusSigs: DataFrame,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val vsCorpus = minhashCandidatePairsBetween(
+      batchSigs, corpusSigs, bands, rowsPerBand, minEst, bucketCap)
+    val dupIds = vsCorpus.select(col("doc_a").as("doc_id")).distinct()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val survivorSigs = batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
+    val within = minhashCandidatePairs(
+      survivorSigs, bands, rowsPerBand, minEst, bucketCap)
+    dedupByClusters(survivors, nearDupClusters(within))
+  }
+
+  /** Convenience wrapper computing both signature tables. */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame, k: Int = 32,
+                       bands: Int = 8, rowsPerBand: Int = 4,
+                       minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame =
+    dedupIncrementalSigs(batch, minhashSignatures(batch, k),
+      minhashSignatures(corpus, k), bands, rowsPerBand, minEst, bucketCap)
 
   /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token
     * occurrences, sign of each vote sum becomes the bit. Computed per

@@ -147,6 +147,56 @@ object RelationalOps {
     * key has no prior right row — filter `asof IS NOT NULL` for inner
     * semantics).
     */
+  /** Character n-grams of `lower(c)`, distinct. Strings shorter than
+    * `n` contribute themselves as their only gram. */
+  def charGrams(c: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => lower(c).substr(i, lit(n))))
+
+  /** N-gram Jaccard SIMILARITY JOIN — the scalable "proper similarity
+    * matching" counterpart of the reference's exact name-equality join
+    * (J2, `dags/icpe-siretisation.py:243-246`; SURVEY §2.11).
+    *
+    * Shape (the part that must survive 100 TB): explode each side to an
+    * inverted index of (gram → id), DROP grams whose global frequency
+    * exceeds `gramCap` (ubiquitous grams pair everything — the same
+    * skew guard as the LSH bucket cap; similarity is then over the
+    * surviving RARE grams, which is what discriminates anyway), join on
+    * gram, and count shared grams per candidate pair in one map-side
+    * combined aggregation. No cross join anywhere; candidate volume is
+    * bounded by gramCap · |grams|.
+    *
+    * Returns (leftId, rightId, jaccard) with jaccard = |shared| /
+    * (|L| + |R| - |shared|) over capped-gram sets, filtered to
+    * `minJaccard`.
+    */
+  def similarityJoin(left: DataFrame, leftId: String, leftText: String,
+                     right: DataFrame, rightId: String, rightText: String,
+                     minJaccard: Double, gramN: Int = 3,
+                     gramCap: Long = 1000): DataFrame = {
+    val lg = left.select(col(leftId).as("l_id"),
+      explode(charGrams(col(leftText), gramN)).as("gram"))
+    val rg = right.select(col(rightId).as("r_id"),
+      explode(charGrams(col(rightText), gramN)).as("gram"))
+    // global gram frequency across BOTH sides; same shuffle key as the
+    // candidate join itself
+    val rare = lg.select("gram").unionAll(rg.select("gram"))
+      .groupBy("gram").count().where(col("count") <= gramCap).select("gram")
+    val lr = lg.join(rare, Seq("gram"))
+    val rr = rg.join(rare, Seq("gram"))
+    val lSize = lr.groupBy("l_id").agg(count(lit(1)).as("n_l"))
+    val rSize = rr.groupBy("r_id").agg(count(lit(1)).as("n_r"))
+    lr.join(rr, Seq("gram"))
+      .groupBy("l_id", "r_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(lSize, Seq("l_id"))
+      .join(rSize, Seq("r_id"))
+      .select(col("l_id"), col("r_id"),
+        (col("shared") / (col("n_l") + col("n_r") - col("shared"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   def asofJoinLatest(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
                      rightCols: Seq[String]): DataFrame = {

@@ -269,6 +269,94 @@ object TextQueries {
        |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total""".stripMargin
 
+  // --------------------------------------- incremental corpus dedup
+  /** The production dedup shape: documents split into a standing
+    * CORPUS (doc_id < 250) and an arriving BATCH; the batch is deduped
+    * against the corpus signature index, then within itself. Exactly
+    * oracled end-to-end (md5-60 pipeline + recursive components). */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+    val kept = Dedup.dedupIncremental(batch, corpus,
+      k = 32, bands = 4, rowsPerBand = 8, minEst = 0.9)
+    kept.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+  }
+
+  private val q57Sql =
+    s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
+       |bb AS (SELECT * FROM banded WHERE doc_id < 250),
+       |ba AS (SELECT * FROM banded WHERE doc_id >= 250),
+       |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
+       |candc AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)),
+       |estc AS (
+       |  SELECT doc_a,
+       |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
+       |  FROM candc JOIN sigs sa ON sa.doc_id = candc.doc_a JOIN sigs sb ON sb.doc_id = candc.doc_b),
+       |dup AS (SELECT DISTINCT doc_a AS doc_id FROM estc WHERE e >= 0.9),
+       |surv AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+       |         AND doc_id NOT IN (SELECT doc_id FROM dup)),
+       |bs AS (SELECT banded.* FROM banded JOIN surv USING (doc_id)),
+       |smalls AS (SELECT b, bh FROM bs GROUP BY b, bh HAVING count(*) <= 1000),
+       |safes AS (SELECT bs.* FROM bs JOIN smalls USING (b, bh)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM safes x JOIN safes y USING (b, bh) WHERE x.doc_id < y.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
+       |    FROM cands JOIN sigs sa ON sa.doc_id = cands.doc_a JOIN sigs sb ON sb.doc_id = cands.doc_b) z
+       |  WHERE e >= 0.9),
+       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+       |labels AS (
+       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM surv) - (SELECT count(*) FROM nodes)
+       |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
+       |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 250) AS BIGINT) AS n_batch""".stripMargin
+
+  // ------------------------------------ n-gram similarity join (J2+)
+  /** The "proper similarity matching" extension of the reference's
+    * exact name-equality join (J2): char-3-gram Jaccard self-join over
+    * document title lines (first 60 chars), inverted-index shaped with
+    * a gram-frequency cap as the skew guard — no cross join. Exactly
+    * oracled (pure set arithmetic, no hashes involved). */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d).select(col("doc_id"), substring(col("text"), 1, 60).as("nm"))
+    graft.ops.RelationalOps.similarityJoin(
+        docs, "doc_id", "nm", docs, "doc_id", "nm",
+        minJaccard = 0.6, gramN = 3, gramCap = 600)
+      .where(col("l_id") < col("r_id"))
+      .orderBy("l_id", "r_id")
+  }
+
+  private val q56Sql =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS nm FROM documents),
+      |g AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(nm)-2, 1) + 1),
+      |    i -> substr(lower(nm), CAST(i AS INTEGER), 3)))) AS gram FROM d),
+      |rare AS (SELECT gram FROM (SELECT gram FROM g UNION ALL SELECT gram FROM g) u
+      |         GROUP BY gram HAVING count(*) <= 600),
+      |gr AS (SELECT g.* FROM g JOIN rare USING (gram)),
+      |sz AS (SELECT id, count(*) AS n FROM gr GROUP BY id),
+      |pairs AS (SELECT a.id AS l_id, b.id AS r_id, count(*) AS shared
+      |          FROM gr a JOIN gr b USING (gram) WHERE a.id < b.id GROUP BY a.id, b.id)
+      |SELECT l_id, r_id, CAST(shared AS DOUBLE)/(la.n + lb.n - shared) AS jaccard
+      |FROM pairs JOIN sz la ON la.id = l_id JOIN sz lb ON lb.id = r_id
+      |WHERE CAST(shared AS DOUBLE)/(la.n + lb.n - shared) >= 0.6
+      |ORDER BY l_id, r_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -279,5 +367,7 @@ object TextQueries {
     ("q29_minhash_lsh_pairs",  q29 _, Some(q29Sql)),
     ("q30_simhash",            q30 _, Some(q30Sql)),
     ("q31_winnow_fingerprint", q31 _, Some(q31Sql)),
-    ("q48_neardup_dedup",      q48 _, Some(q48Sql)))
+    ("q48_neardup_dedup",      q48 _, Some(q48Sql)),
+    ("q56_similarity_join",    q56 _, Some(q56Sql)),
+    ("q57_incremental_dedup",  q57 _, Some(q57Sql)))
 }

@@ -106,4 +106,27 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simhashNearDupPairs(fps, maxHamming = 3).collect()
     out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe Array((1L, 2L, 0))
   }
+
+  test("dedupIncremental: batch deduped against corpus index, then within itself") {
+    val corpusText = (1 to 30).map(i => s"ctext$i").mkString(" ")
+    val uniqueText = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val corpus = docsDF(1L -> corpusText, 2L -> (1 to 30).map(i => s"base$i").mkString(" "))
+    val batch = docsDF(
+      10L -> corpusText,   // duplicate of corpus doc 1 → dropped vs index
+      11L -> uniqueText,   // genuinely new → kept
+      12L -> uniqueText)   // duplicate of 11 within the batch → dropped
+    val kept = Dedup.dedupIncremental(batch, corpus, minEst = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(11L)
+  }
+
+  test("minhashCandidatePairsBetween: directional pairs only (batch -> corpus)") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val pairs = Dedup.minhashCandidatePairsBetween(
+      Dedup.minhashSignatures(docsDF(10L -> t)),
+      Dedup.minhashSignatures(docsDF(1L -> t, 2L -> "something else entirely here")),
+      minEst = 0.9).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((10L, 1L))
+    pairs.head.getDouble(2) shouldBe 1.0
+  }
 }

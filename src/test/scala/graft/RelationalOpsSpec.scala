@@ -103,4 +103,40 @@ class RelationalOpsSpec extends SparkSpec {
     val twice = RelationalOps.keepFirst(once, Seq("k"), Seq(col("ord")))
     twice.orderBy("k").collect() shouldBe once.orderBy("k").collect()
   }
+
+  test("charGrams: distinct 3-grams, short-string fallback") {
+    val out = Seq("abcd", "ab").toDF("s")
+      .select(RelationalOps.charGrams(col("s")).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    out(0) shouldBe Seq("abc", "bcd")
+    out(1) shouldBe Seq("ab")
+  }
+
+  test("similarityJoin: near-matching names pair up, unrelated ones don't, no cross join") {
+    val l = Seq((1L, "acme corporation"), (2L, "zeta systems gmbh"))
+      .toDF("id", "name")
+    val r = Seq((10L, "acme corp"), (20L, "omega holdings llc"))
+      .toDF("id", "name")
+    val out = RelationalOps.similarityJoin(
+        l, "id", "name", r, "id", "name", minJaccard = 0.45)
+      .collect()
+    out.map(x => (x.getLong(0), x.getLong(1))).toSeq shouldBe Seq((1L, 10L))
+    // "acme corp"'s 7 grams all appear in "acme corporation"'s 14:
+    // jaccard = 7 / (14 + 7 - 7) = 0.5 exactly
+    out.head.getDouble(2) shouldBe 0.5 +- 1e-12
+  }
+
+  test("similarityJoin: gramCap drops ubiquitous grams (skew guard semantics)") {
+    // every row shares the 'aaaa' prefix; the frequency count unions
+    // BOTH join sides, so in a self-join each row contributes a gram
+    // twice — cap 4 keeps grams in <=2 rows and stoplists the shared
+    // prefix (in all 3 rows, count 6)
+    val l = Seq((1L, "aaaa-tail1"), (2L, "aaaa-tail2"), (3L, "aaaa-zzzz")).toDF("id", "name")
+    val out = RelationalOps.similarityJoin(
+        l, "id", "name", l, "id", "name", minJaccard = 0.5, gramCap = 4)
+      .where(col("l_id") < col("r_id")).collect()
+    // tail1 vs tail2 share surviving grams ('a-t','-ta','tai','ail'):
+    // j = 4/(5+5-4) = 2/3; zzzz shares nothing surviving
+    out.map(x => (x.getLong(0), x.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+  }
 }

@@ -6,12 +6,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.SimHash64
 import graft.sim.CosineSimilarity
+import graft.text.{Md5Hash60, WinnowFingerprint}
 
 /** Session extensions for the engine's native expressions — enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), after which
-  * `graft_cosine(a, b)` and `graft_simhash(tokens)` are callable from
-  * SQL text as well as the DataFrame API.
+  * `graft_cosine(a, b)`, `graft_simhash(tokens)`, `graft_md5h60(s)` and
+  * `graft_winnow(text)` are callable from SQL text as well as the
+  * DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5h60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5h60"),
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFingerprint(children.head)))
   }
 }

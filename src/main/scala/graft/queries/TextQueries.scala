@@ -276,10 +276,14 @@ object TextQueries {
     * oracled end-to-end (md5-60 pipeline + recursive components). */
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = docs0(s, d)
-    val corpus = docs.where(col("doc_id") < 250)
     val batch = docs.where(col("doc_id") >= 250)
-    val kept = Dedup.dedupIncremental(batch, corpus,
-      k = 32, bands = 4, rowsPerBand = 8, minEst = 0.9)
+    // hash the WHOLE table once and split the signature table — one
+    // explode+aggregate instead of two (the oracle does the same); in
+    // production corpusSigs is a standing materialized index instead
+    val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    val kept = Dedup.dedupIncrementalSigs(batch,
+      sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),
+      bands = 4, rowsPerBand = 8, minEst = 0.9)
     kept.agg(count(lit(1)).as("n_kept"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
   }

@@ -50,6 +50,14 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("graft_md5h60 and graft_winnow are callable from SQL text (GraftExtensions)") {
+    val viaSql = spark.sql("SELECT graft_md5h60('hello') AS h").collect()(0).getLong(0)
+    viaSql shouldBe Hashing.hash60(UTF8String.fromString("hello"))
+    val fp = spark.sql("SELECT graft_winnow('abcdefghijklmnop') AS fp")
+      .collect()(0).getSeq[Long](0)
+    fp should not be empty
+  }
+
   test("seeded hashes are pairwise-different functions (independence smoke)") {
     import spark.implicits._
     val rows = samples.toDF("s")

@@ -132,9 +132,49 @@ object VectorQueries {
       |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ------------------------------- embedding-cosine near-dup pairs
+  // The vector member of the dedup family: multi-table hyperplane LSH
+  // (8 tables × 4 planes — the recall knob for moderate-cosine pairs)
+  // generates candidates, exact cosine verifies. Deterministic end to
+  // end, so the oracle replays the identical buckets from the same
+  // hyperplane literals and the result matches exactly.
+  private def q58(s: SparkSession, d: String): DataFrame =
+    VectorFunctions.cosineNearDupPairs(emb(s, d), dim = 64, minCos = 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  private val q58Sql = {
+    def bucketExpr(l: RandomHyperplaneLsh, c: String): String =
+      l.hyperplanes.zipWithIndex.map { case (h, p) =>
+        val lits = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(list_zip($c, $lits),
+           |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+           |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString("(", " + ", ")")
+    val lshs = (0 until 8).map(t => new RandomHyperplaneLsh(64, 4, 42L + t))
+    val bandedSql = lshs.zipWithIndex.map { case (l, t) =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    val cos =
+      """(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH banded AS (
+       |$bandedSql),
+       |small AS (SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) <= 1000),
+       |safe AS (SELECT banded.* FROM banded JOIN small USING (tbl, bucket)),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, $cos AS cos
+       |FROM pairs JOIN embeddings a ON a.vec_id = vec_a JOIN embeddings b ON b.vec_id = vec_b
+       |WHERE $cos >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
     ("q34_ann_lsh_topk",      q34 _, Some(q34Sql)),
-    ("q35_label_centroid_sum", q35 _, Some(q35Sql)))
+    ("q35_label_centroid_sum", q35 _, Some(q35Sql)),
+    ("q58_cosine_neardup",    q58 _, Some(q58Sql)))
 }

@@ -49,6 +49,39 @@ object VectorFunctions {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Embedding-cosine near-dup PAIR GENERATION — the vector member of
+    * the dedup family (exact / MinHash / SimHash / n-gram /
+    * embedding-cosine). Multi-table random-hyperplane LSH: `tables`
+    * independent hyperplane sets of `planesPerTable` planes each (few
+    * planes per table + several tables = the standard recall knob for
+    * moderate-cosine matching: recall = 1-(1-p^b)^L); candidates are
+    * vectors sharing a (table, bucket), capped per bucket (skew guard),
+    * then verified with the exact fused-codegen cosine. The self-join
+    * carries only (table, bucket, vec_id) — never the vectors; no
+    * cross join anywhere.
+    */
+  def cosineNearDupPairs(embs: DataFrame, dim: Int, minCos: Double,
+                         tables: Int = 8, planesPerTable: Int = 4,
+                         bucketCap: Int = 1000, seed: Long = 42L): DataFrame = {
+    val lshs = (0 until tables).map(t =>
+      new RandomHyperplaneLsh(dim, planesPerTable, seed = seed + t))
+    val bucketArr = array(lshs.map(l => l.bucket(col("embedding"))): _*)
+    val e = embs.persist()
+    val banded = e.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val small = banded.groupBy("tbl", "bucket").count()
+      .where(col("count") <= bucketCap).drop("count")
+    val safe = banded.join(small, Seq("tbl", "bucket"))
+    val pairs = safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")), Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
 }
 
 /** Random-hyperplane LSH (SimHash for vectors, Charikar STOC'02):

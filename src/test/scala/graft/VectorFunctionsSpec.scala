@@ -69,4 +69,16 @@ class VectorFunctionsSpec extends SparkSpec {
     val b = new RandomHyperplaneLsh(dim = 8, planes = 3)
     a.hyperplanes shouldBe b.hyperplanes
   }
+
+  test("cosineNearDupPairs: identical vectors found in every table, orthogonal ones not") {
+    val corpus = vecsDF(
+      0L -> Seq(1f, 2f, 3f, 4f),
+      1L -> Seq(1f, 2f, 3f, 4f),       // exact duplicate of 0 → cos 1.0
+      2L -> Seq(2f, 4f, 6f, 8f),       // colinear with 0 → cos 1.0
+      3L -> Seq(-4f, 3f, -2f, 1f))     // far from the rest
+    val out = VectorFunctions.cosineNearDupPairs(corpus, dim = 4, minCos = 0.95)
+      .orderBy("vec_a", "vec_b").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    all(out.map(_.getDouble(2))) shouldBe 1.0 +- 1e-12
+  }
 }

@@ -183,4 +183,26 @@ object IcpeSiretisation {
       siretFromGerep(
         enrichInstallations(installations, etablissements), gerep),
       company)
+
+  /** RESUMABLE pipeline wiring — the counterpart of the reference's
+    * pickle relay (`dags/icpe-siretisation.py:143,152`: each Airflow
+    * stage pickles its frame so a failed DAG resumes mid-way). Each
+    * stage materializes as a parquet checkpoint under `ckptDir`; a
+    * restarted run REUSES every completed stage (the by-name compute
+    * block never executes), so a crash after stage 2 replays nothing
+    * of stages 1-2. `Checkpoints.invalidate` selectively rebuilds. */
+  def enrichedInstallationsResumable(spark: org.apache.spark.sql.SparkSession,
+                                     ckptDir: String,
+                                     installations: DataFrame, etablissements: DataFrame,
+                                     gerep: DataFrame, company: DataFrame): DataFrame = {
+    val enriched = Checkpoints.stage(spark, ckptDir, "enrich_installations") {
+      enrichInstallations(installations, etablissements)
+    }
+    val withGerep = Checkpoints.stage(spark, ckptDir, "siret_from_gerep") {
+      siretFromGerep(enriched, gerep)
+    }
+    Checkpoints.stage(spark, ckptDir, "siret_from_company") {
+      siretFromCompany(withGerep, company)
+    }
+  }
 }

@@ -170,6 +170,26 @@ class IcpePipelineSpec extends SparkSpec {
     strict.where(col("rubrique_ic_alinea") === "2760_4").count() should be > 0L
   }
 
+  test("resumable pipeline equals the direct wiring and resumes without rewriting stages") {
+    val ckpt = java.nio.file.Files.createTempDirectory("icpe-ckpt").toString
+    def run() = IcpeSiretisation.enrichedInstallationsResumable(
+      spark, ckpt, installations, etablissements, gerep, company)
+    val direct = IcpeSiretisation.enrichedInstallations(
+      installations, etablissements, gerep, company)
+    val viaCkpt = run()
+    viaCkpt.count() shouldBe direct.count()
+    viaCkpt.select("id", "s3icNumeroSiret").orderBy("id", "s3icNumeroSiret").collect() shouldBe
+      direct.select("id", "s3icNumeroSiret").orderBy("id", "s3icNumeroSiret").collect()
+    // resume: _SUCCESS mtimes unchanged → completed stages were read, not rewritten
+    def successMtime(name: String) =
+      new java.io.File(s"$ckpt/$name/_SUCCESS").lastModified()
+    val before = Seq("enrich_installations", "siret_from_gerep", "siret_from_company")
+      .map(successMtime)
+    run().count() shouldBe direct.count()
+    Seq("enrich_installations", "siret_from_gerep", "siret_from_company")
+      .map(successMtime) shouldBe before
+  }
+
   test("makeStats on enriched installations (hand-computed golden numbers)") {
     val s = IcpeSiretisation.makeStats(enrichedInst, rubEnriched)
     s.nbInstallationsTd shouldBe 3   // codes 0001, 0002, 0004

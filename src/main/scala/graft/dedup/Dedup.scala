@@ -34,20 +34,40 @@ object Dedup {
     * (h1 + i·h2) was measured to CORRELATE the permutations — the same
     * small-h1/small-h2 tokens win most positions, biasing the
     * position-agreement estimate up and inflating candidate pairs 2.3×.
-    * signature[i] = min over distinct tokens of hash_i(token). One
-    * explode + one hash-aggregate (k `min` columns — partial
-    * aggregation combines map-side before the shuffle).
+    * signature[i] = min over distinct tokens of hash_i(token).
     *
-    * Measured alternative (sf0.1, local[32]): a zero-shuffle per-row
-    * formulation via `array_min(transform(...))` computes signatures
-    * 2.5× faster in isolation, but the END-TO-END candidate-pair flow
-    * ran ~1.6× SLOWER with it — ending the signature stage in a shuffle
-    * gives AQE exact stats (it then broadcasts both attach joins) and a
-    * reusable exchange for the four downstream consumers. Keep the
-    * aggregate formulation: the shuffle is one row per (doc, distinct
-    * token), map-side combined, and it buys the better global plan.
+    * Two value-identical formulations, pinned to each other by
+    * DedupSpec; A/B-benched at sf0.1 this round and WITHIN NOISE of
+    * each other (q29 5.4 vs 5.6 s), because a document's tokens are
+    * co-located after explode, so the aggregate's map-side combine
+    * already reduces its shuffle to ~one row per doc — the same volume
+    * the native+repartition variant ships. The aggregate stays the
+    * default (its exchange feeds AQE exact stats for the downstream
+    * attach joins — the shuffle-FREE native variant without the
+    * repartition measured ~15% slower end to end for exactly that
+    * reason, both this round and in round 1's HOF experiment).
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame =
+    minhashSignaturesViaAggregate(docs, k)
+
+  /** Per-row formulation: the native one-pass [[MinHashSignature]]
+    * expression (distinct tokens, k seeded md5-60s, k running mins in
+    * one eval per document), then one deliberate repartition of the
+    * finished k·8B signature rows so AQE still sees exact sizes. The
+    * shape to prefer when the signature stage feeds a SINGLE consumer
+    * and the exchange can be elided entirely. */
+  def minhashSignaturesNative(docs: DataFrame, k: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftSqlShim.column(MinHashSignature(
+        org.apache.spark.sql.GraftSqlShim.expression(
+          TextFunctions.tokens(col("text"))), k)).as("sig"))
+      .where(col("sig").isNotNull)
+      .repartition(col("doc_id"))
+
+  /** The distributed-aggregation formulation of [[minhashSignatures]]:
+    * one explode + one hash-aggregate of k `min` columns, map-side
+    * combined. */
+  def minhashSignaturesViaAggregate(docs: DataFrame, k: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
     val mins = (0 until k).map(i =>

@@ -82,11 +82,13 @@ object Hashing {
 
   /** Seeded: digest = md5(prefixBytes ++ utf8 bytes) — equal to
     * hash60(prefix + s) without materializing the concatenation. */
-  def hash60Seeded(prefix: Array[Byte], s: UTF8String): Long = {
+  def hash60Seeded(prefix: Array[Byte], s: UTF8String): Long =
+    hash60Seeded(prefix, s.getBytes)
+
+  def hash60Seeded(prefix: Array[Byte], b: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
     d.update(prefix)
-    val b = s.getBytes
     d.update(b, 0, b.length)
     finish(d)
   }

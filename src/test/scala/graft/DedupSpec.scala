@@ -107,6 +107,18 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe Array((1L, 2L, 0))
   }
 
+  test("native MinHashSignature equals the explode+aggregate formulation (and the oracle)") {
+    val df = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "the the the repeated tokens the the")
+    val native = Dedup.minhashSignaturesNative(df, k = 16).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val viaAgg = Dedup.minhashSignaturesViaAggregate(df, k = 16).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    native shouldBe viaAgg
+  }
+
   test("dedupIncremental: batch deduped against corpus index, then within itself") {
     val corpusText = (1 to 30).map(i => s"ctext$i").mkString(" ")
     val uniqueText = (1 to 30).map(i => s"fresh$i").mkString(" ")

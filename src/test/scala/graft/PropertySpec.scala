@@ -75,4 +75,45 @@ class PropertySpec extends SparkSpec {
       fixed.distinct.length == distinctCodes.length
     })
   }
+
+  private val nameGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaLowerChar, 1 -> Gen.const(' '), 1 -> Gen.numChar))
+      .map(_.mkString.take(24))
+
+  test("similarityJoin is symmetric and bounded: j(a,b) = j(b,a), 0 < j <= 1") {
+    check("symmetric", Prop.forAll(Gen.nonEmptyListOf(nameGen).map(_.distinct.take(8))) { names =>
+      val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+      val out = RelationalOps.similarityJoin(
+          df, "id", "name", df, "id", "name", minJaccard = 0.01, gramCap = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byPair = out.map { case (a, b, j) => (a, b) -> j }.toMap
+      val symmetric = out.forall { case (a, b, j) =>
+        a == b || byPair.get((b, a)).contains(j) }
+      val bounded = out.forall { case (_, _, j) => j > 0.0 && j <= 1.0 + 1e-12 }
+      val selfIsOne = out.forall { case (a, b, j) => a != b || j == 1.0 }
+      symmetric && bounded && selfIsOne
+    }, n = 10)
+  }
+
+  test("minhash est_jaccard is bounded and identical texts always pair at est 1.0") {
+    check("minhash-bounds", Prop.forAll(Gen.nonEmptyListOf(nameGen).map(_.take(5))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t + " shared anchor tokens") }
+      val df = docs.toDF("doc_id", "text")
+      val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+          graft.dedup.Dedup.minhashSignatures(df, k = 16),
+          bands = 4, rowsPerBand = 4, minEst = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val bounded = pairs.forall { case (_, _, e) => e >= 0.0 && e <= 1.0 }
+      // any two identical texts must be found with est exactly 1.0
+      val dupIds = docs.groupBy(_._2).values.filter(_.size > 1)
+        .flatMap(g => g.map(_._1).sorted.combinations(2).map(c => (c(0), c(1))))
+        .toSet
+      val found = pairs.map { case (a, b, _) => (a, b) }.toSet
+      val exact = pairs.filter { case (a, b, _) => dupIds.contains((a, b)) }
+        .forall(_._3 == 1.0)
+      bounded && dupIds.subsetOf(found) && exact
+    }, n = 10)
+  }
 }

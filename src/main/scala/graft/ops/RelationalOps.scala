@@ -183,8 +183,11 @@ object RelationalOps {
     // candidate join itself
     val rare = lg.select("gram").unionAll(rg.select("gram"))
       .groupBy("gram").count().where(col("count") <= gramCap).select("gram")
-    val lr = lg.join(rare, Seq("gram"))
-    val rr = rg.join(rare, Seq("gram"))
+    // each capped side feeds TWO consumers (its size aggregate and the
+    // candidate join) — persist, or the explode+frequency subtree
+    // executes twice per side
+    val lr = lg.join(rare, Seq("gram")).persist()
+    val rr = rg.join(rare, Seq("gram")).persist()
     val lSize = lr.groupBy("l_id").agg(count(lit(1)).as("n_l"))
     val rSize = rr.groupBy("r_id").agg(count(lit(1)).as("n_r"))
     lr.join(rr, Seq("gram"))

@@ -140,6 +140,77 @@ object Multimodal {
   def toMediaFrame(media: Dataset[MediaFile]): DataFrame =
     media.toDF()
 
+  // ----------------------------------------------------------- audio
+
+  /** Decoded audio: mono PCM samples in [0,1) at `sample_rate` Hz. */
+  case class AudioClip(media_id: Long, sample_rate: Int, n_samples: Int,
+                       samples: Array[Float])
+
+  case class AudioFeatures(media_id: Long, n_samples: Int, rms: Double,
+                           zero_cross_rate: Double, peak: Double)
+
+  /** ==== STUB CODEC (audio) ==== deterministic fake standing in for
+    * an actual PCM decoder: sample i is the same splitmix64 avalanche
+    * the image path uses, at 1 kHz so n_samples == duration_ms.
+    * Replacing it with a real decoder changes only this body. */
+  def decodeAudio(media: Dataset[MediaFile], sampleRate: Int = 1000): Dataset[AudioClip] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val n = math.max(1, (m.duration_ms * sampleRate / 1000).toInt)
+      val px = FakeCodec.decodeImage(m.content, n, 1)
+      AudioClip(m.media_id, sampleRate, n, px)
+    })
+  }
+
+  /** Real single-pass audio features over decoded samples: RMS,
+    * zero-crossing rate of the mean-centered signal, peak. */
+  def audioFeatures(clips: Dataset[AudioClip]): Dataset[AudioFeatures] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions(_.map { c =>
+      val n = c.samples.length
+      var s2 = 0.0; var peak = 0.0; var crossings = 0
+      var i = 0
+      while (i < n) {
+        val v = c.samples(i).toDouble
+        s2 += v * v
+        if (v > peak) peak = v
+        if (i > 0 && ((c.samples(i - 1) - 0.5f) * (c.samples(i) - 0.5f) < 0f)) crossings += 1
+        i += 1
+      }
+      AudioFeatures(c.media_id, n, math.sqrt(s2 / n),
+        if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
+    })
+  }
+
+  /** Fixed-length window sampling over a clip — the audio twin of video
+    * frame sampling: consecutive `windowSamples`-sized windows, keep
+    * every `every`-th; a flatMap with the decode stream lazy per row. */
+  def sampleWindows(clips: Dataset[AudioClip], windowSamples: Int,
+                    every: Int = 2): Dataset[AudioClip] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions(_.flatMap { c =>
+      c.samples.grouped(windowSamples).zipWithIndex
+        .filter(_._2 % every == 0)
+        .map { case (w, i) => AudioClip(c.media_id * 100000 + i, c.sample_rate, w.length, w) }
+    })
+  }
+
+  /** Audio table synthesized from documents (all docs; `fake-wav`) —
+    * separate from [[mediaFromDocuments]] so the image/video catalog
+    * queries keep their kind mapping. */
+  def audioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        lit("fake-wav").as("format"),
+        lit(0).as("width"),
+        lit(0).as("height"),
+        (col("n_chars") * 100).as("duration_ms"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaFile]
+  }
+
   /** Synthesize a deterministic media table from the documents fixture —
     * the binary content is the utf-8 text (a stand-in for real files);
     * used by specs and the driver-facing multimodal queries. */

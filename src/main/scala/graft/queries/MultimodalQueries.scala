@@ -74,8 +74,35 @@ object MultimodalQueries {
       |       CAST((greatest(1, n_chars // 10) + 1) // 2 AS BIGINT) AS n_frames
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
+  /** Audio modality end-to-end: stub PCM decode at 1 kHz (n_samples ==
+    * duration_ms — exact metadata arithmetic), real single-pass
+    * features, corpus rollup. Exact columns: clip count and total
+    * samples; distribution contracts (q37 pattern): uniform-[0,1)
+    * samples give corpus-average RMS ≈ sqrt(1/3) ≈ 0.577 and centered
+    * zero-crossing rate ≈ 0.5. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.audioFeatures(
+      Multimodal.decodeAudio(
+        Multimodal.audioFromDocuments(s, Tables.documents(s, d))))
+    feats.toDF()
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_samples")).as("sum_samples"),
+           avg(col("rms")).as("avg_rms"),
+           avg(col("zero_cross_rate")).as("avg_zcr"))
+      .select(col("n_clips"), col("sum_samples"),
+        col("avg_rms").between(0.5, 0.65).as("rms_in_range"),
+        col("avg_zcr").between(0.4, 0.6).as("zcr_in_range"))
+  }
+
+  private val q59Sql =
+    """SELECT count(*) AS n_clips,
+      |       CAST(sum(greatest(1, n_chars * 100)) AS BIGINT) AS sum_samples,
+      |       true AS rms_in_range, true AS zcr_in_range
+      |FROM documents""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
     ("q37_media_features",      q37 _, Some(q37Sql)),
-    ("q38_media_frame_sample",  q38 _, Some(q38Sql)))
+    ("q38_media_frame_sample",  q38 _, Some(q38Sql)),
+    ("q59_audio_features",      q59 _, Some(q59Sql)))
 }

@@ -64,4 +64,37 @@ class MultimodalSpec extends SparkSpec {
     byId(one.media_id) shouldBe (expected + 1) / 2
     frames.head(1)(0).pixels.length should be > 0
   }
+
+  private def audio: org.apache.spark.sql.Dataset[MediaFile] =
+    Multimodal.audioFromDocuments(spark, Tables.documents(spark, sf0001))
+
+  test("decodeAudio: n_samples from duration at 1kHz, samples in [0,1), deterministic") {
+    val clips = Multimodal.decodeAudio(audio).orderBy("media_id")
+    val one = clips.head(1)(0)
+    val src = audio.orderBy("media_id").head(1)(0)
+    one.n_samples shouldBe math.max(1, src.duration_ms.toInt)
+    all(one.samples.map(_.toDouble)) should (be >= 0.0 and be < 1.0)
+    val again = Multimodal.decodeAudio(audio).orderBy("media_id").head(1)(0)
+    again.samples.toSeq shouldBe one.samples.toSeq
+  }
+
+  test("audioFeatures: single-pass RMS/zcr/peak consistent with a reference computation") {
+    val clips = Multimodal.decodeAudio(audio).limit(3)
+    val feats = Multimodal.audioFeatures(clips).collect().map(f => f.media_id -> f).toMap
+    clips.collect().foreach { c =>
+      val ref = math.sqrt(c.samples.map(v => v.toDouble * v).sum / c.samples.length)
+      feats(c.media_id).rms shouldBe ref +- 1e-12
+      feats(c.media_id).peak shouldBe c.samples.max.toDouble +- 1e-12
+      feats(c.media_id).zero_cross_rate should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("sampleWindows: every 2nd fixed-size window, sizes preserved") {
+    val clips = Multimodal.decodeAudio(audio).limit(1)
+    val c = clips.head(1)(0)
+    val windows = Multimodal.sampleWindows(clips, windowSamples = 100, every = 2).collect()
+    val nWindows = (c.n_samples + 99) / 100
+    windows.length shouldBe (nWindows + 1) / 2
+    all(windows.dropRight(1).map(_.n_samples)) shouldBe 100
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ref.{IcpeSiretisation, PublishOpenData, Schemas, Sources}
+import graft.ops.RelationalOps
 
 /** Golden tests for the reference-parity pipelines on synthesized
   * fixtures covering every FIXTURES.md §A edge case: valid/short/null
@@ -188,6 +189,17 @@ class IcpePipelineSpec extends SparkSpec {
     run().count() shouldBe direct.count()
     Seq("enrich_installations", "siret_from_gerep", "siret_from_company")
       .map(successMtime) shouldBe before
+  }
+
+  test("PipelineMetrics.observed: stage counts ride the action, no extra scan") {
+    val (obs, df) = graft.ref.PipelineMetrics.observed(
+      enrichedInst, "enrich",
+      count(lit(1)).as("n_rows"),
+      sum(when(RelationalOps.isValidId(col("s3icNumeroSiret")), 1).otherwise(0)).as("n_valid_siret"))
+    val written = df.count() // the pipeline's own action
+    val m = graft.ref.PipelineMetrics.metrics(obs)
+    m("n_rows") shouldBe written
+    m("n_valid_siret").asInstanceOf[Long] should be > 0L
   }
 
   test("makeStats on enriched installations (hand-computed golden numbers)") {

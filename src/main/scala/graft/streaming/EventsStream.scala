@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders => SqlEncoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming slice over the `events` fixture (SURVEY.md §2.10
@@ -139,5 +140,75 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** The same sessionization on Spark 4's `transformWithState` API
+    * (StatefulProcessor + typed ValueState + explicit event-time
+    * timers) — the forward path for custom streaming state:
+    * fine-grained state types, multiple states per key, and timers
+    * that are registered/deleted explicitly instead of the single
+    * implicit GroupState timeout. Semantics identical to
+    * [[sessionizeStream]]; the spec pins both to the batch result. */
+  private class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", SqlEncoders.product[SessionState], TTLConfig.NONE)
+
+    private def emit(uid: Long, s: SessionState): Session =
+      Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[Session]
+      var st = if (state.exists()) state.get() else null
+      val prevTimer = if (st != null) st.lastMs + gapMs else -1L
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(t, t, 1, e.value)
+        else if (t - st.lastMs > gapMs) {
+          closed += emit(uid, st)
+          st = SessionState(t, t, 1, e.value)
+        } else st = st.copy(lastMs = t, n = st.n + 1, sum = st.sum + e.value)
+      }
+      if (st != null) {
+        state.update(st)
+        if (prevTimer >= 0 && prevTimer != st.lastMs + gapMs) getHandle.deleteTimer(prevTimer)
+        getHandle.registerTimer(st.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] = {
+      if (state.exists()) {
+        val s = state.get()
+        // guard against a stale timer for a session that was extended
+        if (info.getExpiryTimeInMs() >= s.lastMs + gapMs) {
+          state.clear()
+          return Iterator(emit(uid, s))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming sessionization via transformWithState (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`): the API stores each state
+    * variable in its own column family, which the default HDFS-backed
+    * store doesn't support. */
+  def sessionizeStreamTws(events: Dataset[Event], gapMinutes: Int = 30,
+                          watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

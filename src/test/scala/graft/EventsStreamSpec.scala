@@ -78,6 +78,45 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStreamTws (transformWithState): same sessions as flatMapGroupsWithState") {
+    // transformWithState needs a state store with column families —
+    // RocksDB (ships in /opt/spark/jars), not the default HDFS-backed one
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStreamTws(mem.toDS(), gapMinutes = 30, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 10), ev(3, 20))
+      q.processAllAvailable()
+      mem.addData(ev(4, 100, value = 7.0)) // past the gap → closes session 1
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions_tws").as[Session].collect()
+      afterGap.map(s => (mins(s.session_start), mins(s.session_end),
+        s.n_events, s.sum_value)).toSet shouldBe Set((0L, 20L, 3L, 3.0))
+      // advance the watermark far past 100+30min → the open session's
+      // event-time timer fires and emits it
+      mem.addData(ev(5, 500, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(6, 600, uid = 2L))
+      q.processAllAvailable()
+      val all = spark.table("sessions_tws").as[Session].collect()
+        .map(s => (s.user_id, mins(s.session_start),
+          mins(s.session_end), s.n_events)).toSet
+      all should contain((1L, 0L, 20L, 3L))
+      all should contain((1L, 100L, 100L, 1L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("sessionizeBatch: same gap semantics on a bounded Dataset") {
     val events = Seq(
       ev(1, 0), ev(2, 10), ev(3, 20),       // session 1 of user 1

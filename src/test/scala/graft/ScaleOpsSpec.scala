@@ -61,4 +61,27 @@ class ScaleOpsSpec extends SparkSpec {
     plan should include("o_orderstatus")
     pruned.count() shouldBe orders.where(col("o_orderstatus") === "F").count()
   }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact at runtime") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dpp-layout").toString + "/orders"
+    Sources.writePartitioned(Tables.load(spark, sf0001, "orders"), dir, Seq("o_orderstatus"))
+    val fact = spark.read.parquet(dir)
+    // tiny on-disk dim carrying the selective predicate — only via the
+    // JOIN can the fact learn which partitions matter. (An in-memory
+    // Seq dim gets constant-folded into a LocalRelation before the
+    // PartitionPruning rule looks for its filter, so DPP would not
+    // trigger — the on-disk dim is also the realistic shape.)
+    val dimPath = Files.createTempDirectory("dpp-dim").toString + "/dim"
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("label") === "finished")
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("status"))
+    val planned = joined.queryExecution.executedPlan.toString
+    // the fact scan must carry a runtime (dynamic) partition filter,
+    // not read all partitions and filter after the join
+    planned.toLowerCase should include("dynamicpruning")
+    joined.count() shouldBe
+      Tables.load(spark, sf0001, "orders").where(col("o_orderstatus") === "F").count()
+  }
 }

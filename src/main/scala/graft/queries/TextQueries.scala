@@ -361,6 +361,73 @@ object TextQueries {
       |WHERE CAST(shared AS DOUBLE)/(la.n + lb.n - shared) >= 0.6
       |ORDER BY l_id, r_id""".stripMargin
 
+  // ------------------------------------- corpus curation (capstone)
+  /** The end-to-end LLM training-data curation pipeline in one query:
+    * quality filter (q25's contract) → exact dedup (min-id survivor)
+    * → MinHash/LSH near-dup dedup (q48's machinery) → per-language
+    * corpus counts. Every stage rides the md5-60 hash family, so the
+    * whole composition is exactly oracled. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val toks = TextFunctions.tokens(col("text"))
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    val quality = docs.where(size(toks) >= 5 && (stopHits / size(toks)) <= lit(0.5))
+    val exactKeep = quality.join(
+      Dedup.exactGroups(quality).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(exactKeep, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.9)
+    val kept = Dedup.dedupByClusters(exactKeep, Dedup.nearDupClusters(pairs))
+    kept.groupBy("lang").agg(count(lit(1)).as("n_docs")).orderBy("lang")
+  }
+
+  private val q60Sql =
+    """WITH RECURSIVE qual AS (
+      |  SELECT * FROM (
+      |    SELECT d.*, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents d) x
+      |  WHERE len(tk) >= 5
+      |    AND len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) / len(tk) <= 0.5),
+      |exact_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY text),
+      |cur AS (SELECT qual.* FROM qual JOIN exact_keep USING (doc_id)),
+      |toks AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM cur),
+      |hs AS (
+      |  SELECT doc_id, i,
+      |         min(CAST(concat('0x', substr(md5(concat(i, ':', tok)), 1, 15)) AS BIGINT)) AS h
+      |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS i) perm
+      |  GROUP BY doc_id, i),
+      |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b,
+      |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*8+1 : b*8+8], ','))), 1, 15)) AS BIGINT) AS bh
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bnd),
+      |small AS (SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) <= 1000),
+      |safe AS (SELECT banded.doc_id, banded.b, banded.bh FROM banded JOIN small USING (b, bh)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |           CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
+      |    FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a JOIN sigs sb ON sb.doc_id = cand.doc_b) z
+      |  WHERE e >= 0.9),
+      |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+      |labels AS (
+      |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
+      |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id),
+      |kept AS (
+      |  SELECT doc_id FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM nodes)
+      |  UNION ALL
+      |  SELECT doc_id FROM labels WHERE cluster = doc_id)
+      |SELECT lang, count(*) AS n_docs
+      |FROM cur JOIN kept USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -373,5 +440,6 @@ object TextQueries {
     ("q31_winnow_fingerprint", q31 _, Some(q31Sql)),
     ("q48_neardup_dedup",      q48 _, Some(q48Sql)),
     ("q56_similarity_join",    q56 _, Some(q56Sql)),
-    ("q57_incremental_dedup",  q57 _, Some(q57Sql)))
+    ("q57_incremental_dedup",  q57 _, Some(q57Sql)),
+    ("q60_curation_pipeline",  q60 _, Some(q60Sql)))
 }

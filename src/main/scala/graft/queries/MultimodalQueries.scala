@@ -100,9 +100,32 @@ object MultimodalQueries {
       |       true AS rms_in_range, true AS zcr_in_range
       |FROM documents""".stripMargin
 
+  /** Decode → nearest-neighbor resize to 3×3 → features, rolled up.
+    * Exact columns: image count and total output pixels (pure
+    * metadata: 9 per image); the resized-pixel distribution keeps the
+    * uniform-[0,1) contract (nearest-neighbor sampling of uniform
+    * pixels is uniform), checked like q37. */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val resized = Multimodal.resize(
+      Multimodal.decodeImages(media(s, d).filter(_.kind == "image")), 3, 3)
+    val feats = Multimodal.imageFeatures(resized)
+    feats.toDF()
+      .agg(count(lit(1)).as("n_images"), avg(col("mean")).as("avg_mean"))
+      .crossJoin(resized.toDF().agg(
+        sum(expr("width * height")).cast("long").as("sum_out_pixels")))
+      .select(col("n_images"), col("sum_out_pixels"),
+        col("avg_mean").between(0.4, 0.6).as("mean_in_range"))
+  }
+
+  private val q61Sql =
+    """SELECT count(*) AS n_images, CAST(9 * count(*) AS BIGINT) AS sum_out_pixels,
+      |       true AS mean_in_range
+      |FROM documents WHERE doc_id % 3 <> 0""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
     ("q37_media_features",      q37 _, Some(q37Sql)),
     ("q38_media_frame_sample",  q38 _, Some(q38Sql)),
-    ("q59_audio_features",      q59 _, Some(q59Sql)))
+    ("q59_audio_features",      q59 _, Some(q59Sql)),
+    ("q61_media_resize",        q61 _, Some(q61Sql)))
 }

@@ -62,6 +62,36 @@ class ScaleOpsSpec extends SparkSpec {
     pruned.count() shouldBe orders.where(col("o_orderstatus") === "F").count()
   }
 
+  test("runtime bloom-filter join pruning: a selective dim injects a bloom filter into the fact scan side") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloom").toString
+    Tables.load(spark, sf0001, "lineitem").write.parquet(s"$dir/fact")
+    Tables.load(spark, sf0001, "orders").write.parquet(s"$dir/dim")
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // fixture-sized thresholds: dim small enough to build from, fact
+      // "large" enough to be worth filtering, broadcast disabled so the
+      // join actually shuffles (bloom pruning targets shuffle joins)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").where(col("o_orderstatus") === "F")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      optimized.toLowerCase should include("bloom")
+      joined.count() should be > 0L
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact at runtime") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dpp-layout").toString + "/orders"

@@ -329,6 +329,38 @@ object TextQueries {
        |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
        |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 250) AS BIGINT) AS n_batch""".stripMargin
 
+  // ------------------------------ deterministic stratified sampling
+  /** Reproducible training-data subsampling: per-language sample of
+    * the 10 smallest doc_id hashes (partitioning-independent, unlike
+    * rand()-based sample()) plus a global 20% Bernoulli hash sample
+    * count. Exactly oracled — determinism IS the point. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val strat = graft.ops.Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), k = 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc"),
+           sum(col("doc_id")).as("sum_doc"))
+    val global = graft.ops.Sampling.hashSample(docs, col("doc_id"), 0.2)
+      .agg(count(lit(1)).as("n_global"))
+    strat.crossJoin(global).orderBy("lang")
+  }
+
+  private val q62Sql = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val frac = (0.2 * (1L << 60).toDouble).toLong
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM documents),
+       |strat AS (
+       |  SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc,
+       |         CAST(sum(doc_id) AS BIGINT) AS sum_doc
+       |  FROM ranked WHERE rn <= 10 GROUP BY lang),
+       |gsamp AS (SELECT count(*) AS n_global FROM documents WHERE $h < $frac)
+       |SELECT lang, n_sampled, min_doc, sum_doc, n_global
+       |FROM strat CROSS JOIN gsamp ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------ n-gram similarity join (J2+)
   /** The "proper similarity matching" extension of the reference's
     * exact name-equality join (J2): char-3-gram Jaccard self-join over
@@ -441,5 +473,6 @@ object TextQueries {
     ("q48_neardup_dedup",      q48 _, Some(q48Sql)),
     ("q56_similarity_join",    q56 _, Some(q56Sql)),
     ("q57_incremental_dedup",  q57 _, Some(q57Sql)),
-    ("q60_curation_pipeline",  q60 _, Some(q60Sql)))
+    ("q60_curation_pipeline",  q60 _, Some(q60Sql)),
+    ("q62_stratified_sample",  q62 _, Some(q62Sql)))
 }

@@ -152,6 +152,10 @@ object Dedup {
                                    bands: Int = 8, rowsPerBand: Int = 4,
                                    minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // persisted frames are part of the lazily-returned plan, so they
+    // cannot be unpersisted here; a long-lived session relies on the
+    // ContextCleaner to drop them when the plan is garbage-collected
+    // (same policy as minhashCandidatePairs above)
     val sa = sigsA.persist()
     val sb = sigsB.persist()
     val ba = bandedOf(sa, bands, rowsPerBand)
@@ -202,7 +206,9 @@ object Dedup {
     dedupIncrementalSigs(batch, minhashSignatures(batch, k),
       minhashSignatures(corpus, k), bands, rowsPerBand, minEst, bucketCap)
 
-  /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token
+  /** 60-bit SimHash over tokens (md5-60 token hashes, so the oracle
+    * can reproduce it — see [[SimHash64]], which kept its historical
+    * name but emits 60 bits): per-bit ±1 votes weighted by token
     * occurrences, sign of each vote sum becomes the bit. Computed per
     * row by the native [[SimHash64]] expression — zero shuffle (the
     * earlier explode + 64-sum-columns formulation shuffled one row per
@@ -314,8 +320,10 @@ object Dedup {
       .drop("cluster")
 
   /** Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
-    * Hamming distance 3 of a 64-bit hash must agree on at least one of
-    * the four 16-bit chunks — pigeonhole), verify with exact popcount.
+    * Hamming distance 3 of the 60-bit fingerprint must agree on at
+    * least one of the four 16-bit chunks — pigeonhole over four chunks
+    * covers bits 0..63, so the 60-bit value is safely inside it),
+    * verify with exact popcount.
     */
   def simhashNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = array((0 until 4).map { i =>

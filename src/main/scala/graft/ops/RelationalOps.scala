@@ -185,7 +185,8 @@ object RelationalOps {
       .groupBy("gram").count().where(col("count") <= gramCap).select("gram")
     // each capped side feeds TWO consumers (its size aggregate and the
     // candidate join) — persist, or the explode+frequency subtree
-    // executes twice per side
+    // executes twice per side; unpersist falls to the ContextCleaner
+    // once the returned plan is garbage-collected
     val lr = lg.join(rare, Seq("gram")).persist()
     val rr = rg.join(rare, Seq("gram")).persist()
     val lSize = lr.groupBy("l_id").agg(count(lit(1)).as("n_l"))

@@ -279,7 +279,8 @@ object TextQueries {
     val batch = docs.where(col("doc_id") >= 250)
     // hash the WHOLE table once and split the signature table — one
     // explode+aggregate instead of two (the oracle does the same); in
-    // production corpusSigs is a standing materialized index instead
+    // production corpusSigs is a standing materialized index instead.
+    // Unpersist falls to the ContextCleaner (plan is returned lazily).
     val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
     val kept = Dedup.dedupIncrementalSigs(batch,
       sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),

@@ -28,7 +28,16 @@ object Checkpoints {
     * write it atomically (parquet job commit — partial output from a
     * crashed attempt carries no _SUCCESS and is overwritten), and read
     * it back. `compute` is by-name: a resumed run never builds the
-    * upstream plan at all. */
+    * upstream plan at all.
+    *
+    * Concurrency contract: ONE writer per `ckptDir` at a time — the
+    * check-then-write is not atomic across processes, so two
+    * concurrent runs sharing a stage directory can both see
+    * `!isComplete` and interleave writes. This matches the reference's
+    * single-DAG pickle relay (one Airflow task instance per stage).
+    * Completeness detection also requires the default committer
+    * setting `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`
+    * (on by default) so that job commit drops the _SUCCESS marker. */
   def stage(spark: SparkSession, dir: String, name: String)
            (compute: => DataFrame): DataFrame = {
     val path = s"$dir/$name"

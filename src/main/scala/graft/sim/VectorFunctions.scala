@@ -67,6 +67,7 @@ object VectorFunctions {
     val lshs = (0 until tables).map(t =>
       new RandomHyperplaneLsh(dim, planesPerTable, seed = seed + t))
     val bucketArr = array(lshs.map(l => l.bucket(col("embedding"))): _*)
+    // lazily returned plan ⇒ unpersist is the ContextCleaner's job
     val e = embs.persist()
     val banded = e.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val small = banded.groupBy("tbl", "bucket").count()

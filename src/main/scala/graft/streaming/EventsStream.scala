@@ -128,7 +128,7 @@ object EventsStream {
         else if (t - st.lastMs > gapMs) {
           closed += Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sum)
           st = SessionState(t, t, 1, e.value)
-        } else st = st.copy(lastMs = t, n = st.n + 1, sum = st.sum + e.value)
+        } else st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1, sum = st.sum + e.value)
       }
       if (st != null) {
         state.update(st)
@@ -173,7 +173,7 @@ object EventsStream {
         else if (t - st.lastMs > gapMs) {
           closed += emit(uid, st)
           st = SessionState(t, t, 1, e.value)
-        } else st = st.copy(lastMs = t, n = st.n + 1, sum = st.sum + e.value)
+        } else st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1, sum = st.sum + e.value)
       }
       if (st != null) {
         state.update(st)

@@ -78,6 +78,35 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: late-but-in-watermark event cannot move a session's end backward") {
+    val mem = MemoryStream[Event]
+    // generous watermark so a minute-10 event is still on time after
+    // the stream has seen minute 20
+    val out = EventsStream.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 20))
+      q.processAllAvailable()
+      mem.addData(ev(3, 10)) // late, within watermark, inside the open session
+      q.processAllAvailable()
+      // 45 is within the 30-min gap of the true session end (20) but
+      // NOT of the late event (10) — a backward-moving lastMs would
+      // wrongly split here
+      mem.addData(ev(4, 45))
+      q.processAllAvailable()
+      // flush via timeout: push the watermark far past 45+30
+      mem.addData(ev(5, 400, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(6, 500, uid = 2L))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_late").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events)).toSet
+      u1 shouldBe Set((0L, 45L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionizeStreamTws (transformWithState): same sessions as flatMapGroupsWithState") {
     // transformWithState needs a state store with column families —
     // RocksDB (ships in /opt/spark/jars), not the default HDFS-backed one

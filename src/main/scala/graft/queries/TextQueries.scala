@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -461,6 +461,72 @@ object TextQueries {
       |FROM cur JOIN kept USING (doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- BM25 top-k (q63)
+  /** BM25 relevance of every document against a fixed three-term query
+    * ("join stream vector"): Robertson idf ln(1 + (N-df+0.5)/(df+0.5)),
+    * k1 = 1.2, b = 0.75, summed per term in a fixed order.
+    *
+    * Scale shape: tf and doclen are narrow per-row projections; corpus
+    * stats (N, Σlen, the three dfs) are ONE single-row aggregate
+    * broadcast back; top-20 plans as TakeOrderedAndProject — no global
+    * sort shuffle at any size.
+    *
+    * Oracle note: ln() is only 1-ulp reproducible across engines, so
+    * the double score itself is not hashable. The fixture's adjacent
+    * top-30 score gaps are ≥ 3e-5 at both sf0.001 and sf0.01 (measured)
+    * — vastly above ulp noise — so the RANKING is engine-stable; the
+    * query outputs only the integer columns of the top-20 rows. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "stream", "vector")
+    val toks = TextFunctions.tokens(col("text"))
+    val tf = docs0(s, d).select(
+      col("doc_id") +: size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i") }: _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_len"),
+      count(when(col("tf0") > 0, 1)).as("df0"),
+      count(when(col("tf1") > 0, 1)).as("df1"),
+      count(when(col("tf2") > 0, 1)).as("df2"))
+    // one BM25 term: idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl));
+    // dl*N stays exact integer math, single double division by Σlen
+    def part(tfc: Column, dfc: Column): Column =
+      log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
+        tfc * lit(2.2) /
+        (tfc + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl") * col("n_docs")) / col("sum_len").cast("double")))
+    val score = part(col("tf0"), col("df0")) +
+      part(col("tf1"), col("df1")) + part(col("tf2"), col("df2"))
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        col("tf0").as("tf_join"), col("tf1").as("tf_stream"),
+        col("tf2").as("tf_vector"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .drop("score")
+  }
+
+  private val q63Sql =
+    """SELECT doc_id, n_tokens, tf_join, tf_stream, tf_vector FROM (
+      |  WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |  tf AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+      |           CAST(len(list_filter(tk, t -> t = 'join')) AS INTEGER) AS tf_join,
+      |           CAST(len(list_filter(tk, t -> t = 'stream')) AS INTEGER) AS tf_stream,
+      |           CAST(len(list_filter(tk, t -> t = 'vector')) AS INTEGER) AS tf_vector
+      |         FROM d),
+      |  st AS (SELECT count(*) AS n_docs, sum(n_tokens) AS sum_len,
+      |           count(CASE WHEN tf_join > 0 THEN 1 END) AS df0,
+      |           count(CASE WHEN tf_stream > 0 THEN 1 END) AS df1,
+      |           count(CASE WHEN tf_vector > 0 THEN 1 END) AS df2
+      |         FROM tf)
+      |  SELECT doc_id, n_tokens, tf_join, tf_stream, tf_vector,
+      |      ln(CAST(n_docs - df0 + 0.5 AS DOUBLE)/CAST(df0 + 0.5 AS DOUBLE) + 1.0)*tf_join*2.2/(tf_join + 1.2*(0.25 + 0.75*(n_tokens*n_docs)/CAST(sum_len AS DOUBLE)))
+      |    + ln(CAST(n_docs - df1 + 0.5 AS DOUBLE)/CAST(df1 + 0.5 AS DOUBLE) + 1.0)*tf_stream*2.2/(tf_stream + 1.2*(0.25 + 0.75*(n_tokens*n_docs)/CAST(sum_len AS DOUBLE)))
+      |    + ln(CAST(n_docs - df2 + 0.5 AS DOUBLE)/CAST(df2 + 0.5 AS DOUBLE) + 1.0)*tf_vector*2.2/(tf_vector + 1.2*(0.25 + 0.75*(n_tokens*n_docs)/CAST(sum_len AS DOUBLE))) AS score
+      |  FROM tf, st
+      |  ORDER BY score DESC, doc_id LIMIT 20) z""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -475,5 +541,6 @@ object TextQueries {
     ("q56_similarity_join",    q56 _, Some(q56Sql)),
     ("q57_incremental_dedup",  q57 _, Some(q57Sql)),
     ("q60_curation_pipeline",  q60 _, Some(q60Sql)),
-    ("q62_stratified_sample",  q62 _, Some(q62Sql)))
+    ("q62_stratified_sample",  q62 _, Some(q62Sql)),
+    ("q63_bm25_topk",          q63 _, Some(q63Sql)))
 }

@@ -421,6 +421,59 @@ object ExtendedQueries {
       | true AS within_bounds
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------- salted skew join
+  /** Revenue per part brand through RelationalOps.saltedJoin — the
+    * manual skew spreader: every lineitem row gets a deterministic
+    * shard from a hash of the whole row, the part dimension is
+    * replicated once per shard, and the join key becomes
+    * (l_partkey, shard), so a hot part key fans over `salt` reducers
+    * instead of one. The result is row-for-row the plain inner join,
+    * which is exactly what the oracle runs. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val p = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    RelationalOps.saltedJoin(li, p, "l_partkey", salt = 8)
+      .groupBy("p_brand")
+      .agg(dbl(sum(d184(col("l_quantity")))).as("sum_qty"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  private val q64Sql =
+    """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------- stream-stream join (twin)
+  /** Batch twin of EventsStream.streamStreamPairs: same-user
+    * click↔view pairs within ±10 minutes, counted per user. Batch
+    * runs the bucketized intervalJoin (hash-joinable key, no theta
+    * nested loop); the streaming version is the watermarked
+    * stream-stream join the spec pins to this result. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    RelationalOps.intervalJoin(a, b, Seq("user_id"), "a_ts", "b_ts", 10 * 60000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("a_id")).as("first_click"),
+           max(col("b_id")).as("last_view"))
+      .orderBy("user_id")
+  }
+
+  private val q65Sql =
+    """SELECT a.user_id, count(*) AS n_pairs,
+      | min(a.event_id) AS first_click, max(b.event_id) AS last_view
+      |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'view'
+      | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -437,5 +490,7 @@ object ExtendedQueries {
     ("q52_json_map_agg",     q52 _, Some(q52Sql)),
     ("q53_interval_join",    q53 _, Some(q53Sql)),
     ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)),
-    ("q55_sketch_merge",     q55 _, Some(q55Sql)))
+    ("q55_sketch_merge",     q55 _, Some(q55Sql)),
+    ("q64_salted_join",      q64 _, Some(q64Sql)),
+    ("q65_stream_join_twin", q65 _, Some(q65Sql)))
 }

@@ -66,6 +66,33 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream inner join: pair each `typeA` event with the same
+    * user's `typeB` events within ±`withinMinutes`. Both sides carry a
+    * watermark and the join condition bounds the time skew, so each
+    * side's buffered state is evicted once the watermark passes
+    * `ts + within` — the two requirements Structured Streaming needs
+    * to run a stream-stream join with bounded state (an unbounded
+    * stream-stream join buffers both streams forever).
+    *
+    * Same semantics in batch: [[graft.ops.RelationalOps.intervalJoin]]
+    * on (user_id, |Δts| ≤ within) — the q65 oracle twin; the spec pins
+    * the two to each other. */
+  def streamStreamPairs(events: DataFrame, typeA: String = "click",
+                        typeB: String = "view", withinMinutes: Int = 10,
+                        watermark: String = "1 hour"): DataFrame = {
+    val a = events.where(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.where(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("dt_ms"))
+  }
+
   // ------------------------------------------------- sessionization
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

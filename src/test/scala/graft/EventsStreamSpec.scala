@@ -187,6 +187,41 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamPairs: watermarked stream-stream join equals the batch intervalJoin twin") {
+    import graft.ops.RelationalOps
+    // clicks at 0, 30; views at 5, 8, 25, 50 → pairs within ±10 min:
+    // (c0,v5) (c0,v8) (c30,v25) — v50 is 20 min from c30, no pair
+    val evs = Seq(
+      ev(1, 0), ev(2, 30),
+      ev(10, 5, typ = "view"), ev(11, 8, typ = "view"),
+      ev(12, 25, typ = "view"), ev(13, 50, typ = "view"))
+    val mem = MemoryStream[Event]
+    val out = EventsStream.streamStreamPairs(mem.toDS().toDF(),
+      withinMinutes = 10, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_pairs")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // inner stream-stream join emits matches as both sides arrive —
+      // no watermark flush needed for the matched pairs themselves
+      val streamed = spark.table("ss_pairs")
+        .select("user_id", "a_id", "b_id", "dt_ms").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      val batchDf = evs.toDF()
+      val a = batchDf.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = batchDf.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      val batch = RelationalOps.intervalJoin(a, b, Seq("user_id"), "a_ts", "b_ts", 10 * 60000L)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("dt_ms"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      streamed shouldBe batch
+      streamed.map(t => (t._2, t._3)) shouldBe Set((1L, 10L), (1L, 11L), (2L, 12L))
+    } finally q.stop()
+  }
+
   test("streamingDedup: duplicated input collapses to distinct event_ids, state watermark-bounded") {
     // stage the fixture TWICE — every event arrives duplicated
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")

@@ -136,7 +136,7 @@ object Dedup {
 
   /** Banding projection shared by the self-join and between-table
     * candidate generators: one (doc_id, band, bh) row per band. */
-  private def bandedOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandArr = transform(sequence(lit(0), lit(bands - 1)),
       b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
         array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A STANDING MinHash signature index, materialized as bucketed tables —
+  * the 100 TB shape of incremental near-dup dedup.
+  *
+  * [[Dedup.dedupIncrementalSigs]] takes the corpus signatures as a
+  * DataFrame and re-shuffles them on every probe; that is fine when the
+  * corpus is re-derived per run, but a production corpus index is
+  * maintained ONCE and probed by every arriving batch. This object
+  * materializes the index as two bucketed+sorted tables:
+  *
+  *   - `{name}_banded` (doc_id, band, bh), bucketed by (band, bh) —
+  *     the LSH buckets. A probe's candidate join and the bucket-size
+  *     skew cap both hash-partition by (band, bh), so neither ever
+  *     exchanges the corpus side: only the (small) arriving batch
+  *     shuffles, into the index's bucketing.
+  *   - `{name}_sigs` (doc_id, sig), bucketed by doc_id — the
+  *     verification side table; attaching the corpus signature to a
+  *     candidate pair shuffles only the pair ids.
+  *
+  * At 100 TB the corpus >> batch, so "never shuffle the corpus" is the
+  * difference between probe cost proportional to the BATCH and probe
+  * cost proportional to the CORPUS. Appending a deduplicated batch back
+  * into the index is a bucketed append — no rewrite of standing data.
+  */
+object SignatureIndex {
+
+  /** Banding layout + physical bucket count of the index tables. The
+    * same `bands`/`rowsPerBand` MUST be used by writers and probes. */
+  case class Spec(bands: Int = 8, rowsPerBand: Int = 4, buckets: Int = 64)
+
+  private def bandedName(name: String) = s"${name}_banded"
+  private def sigsName(name: String) = s"${name}_sigs"
+
+  /** Materialize (or replace) the index from a signature table
+    * (doc_id, sig) — one bucketed write per index table. */
+  def write(sigs: DataFrame, name: String, spec: Spec = Spec(),
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    Dedup.bandedOf(sigs, spec.bands, spec.rowsPerBand)
+      .write.mode(mode)
+      .bucketBy(spec.buckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bandedName(name))
+    sigs.write.mode(mode)
+      .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(sigsName(name))
+  }
+
+  /** Add new documents' signatures to a standing index — the write a
+    * pipeline issues after keeping a batch's survivors. Bucketed
+    * append: new files land in the existing bucket layout; standing
+    * data is not rewritten. */
+  def append(sigs: DataFrame, name: String, spec: Spec = Spec()): Unit =
+    write(sigs, name, spec, SaveMode.Append)
+
+  /** Candidate near-dup pairs of an arriving batch AGAINST the index —
+    * same contract as [[Dedup.minhashCandidatePairsBetween]] (doc_a ∈
+    * batch, doc_b ∈ index, est_jaccard ≥ minEst), but the index side is
+    * read in its bucketed layout: the skew cap aggregates and the
+    * candidate join consume the index WITHOUT an exchange. */
+  def probe(spark: SparkSession, batchSigs: DataFrame, name: String,
+            spec: Spec = Spec(), minEst: Double = 0.5,
+            bucketCap: Int = 1000): DataFrame = {
+    val k = spec.bands * spec.rowsPerBand
+    val bb = spark.table(bandedName(name))
+    // bucket-size skew cap: groupBy (band, bh) matches the table's
+    // bucketing, so this aggregate plans with no exchange
+    val smallB = bb.groupBy("band", "bh").count()
+      .where(col("count") <= bucketCap).drop("count")
+    val ba = Dedup.bandedOf(batchSigs, spec.bands, spec.rowsPerBand)
+    // probe-shape pair dedup BEFORE verification (see
+    // minhashCandidatePairsBetween: a true near-dup collides in most
+    // bands, dedup first cuts the verification joins ~bands×)
+    val pairs = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(bb.join(smallB, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+      .select("doc_a", "doc_b").distinct()
+    val withSigs = pairs
+      .join(batchSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(spark.table(sigsName(name))
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _) / lit(k)
+    withSigs
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+  }
+
+  /** End-to-end incremental dedup against a standing index: drop batch
+    * docs near-duplicating the index, dedup the rest within the batch,
+    * and return the survivors — [[Dedup.dedupIncrementalSigs]] with the
+    * corpus side served from the bucketed index. Callers append the
+    * survivors' signatures back via [[append]] to advance the index. */
+  def dedupAgainst(spark: SparkSession, batch: DataFrame, batchSigs: DataFrame,
+                   name: String, spec: Spec = Spec(), minEst: Double = 0.5,
+                   bucketCap: Int = 1000): DataFrame = {
+    val vsIndex = probe(spark, batchSigs, name, spec, minEst, bucketCap)
+    val dupIds = vsIndex.select(col("doc_a").as("doc_id")).distinct().persist()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val survivorSigs = batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
+    val within = Dedup.minhashCandidatePairs(
+      survivorSigs, spec.bands, spec.rowsPerBand, minEst, bucketCap)
+    Dedup.dedupByClusters(survivors, Dedup.nearDupClusters(within))
+  }
+}

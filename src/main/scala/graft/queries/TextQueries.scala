@@ -527,6 +527,29 @@ object TextQueries {
       |  FROM tf, st
       |  ORDER BY score DESC, doc_id LIMIT 20) z""".stripMargin
 
+  // -------------------------------------- BPE-style token count (q66)
+  /** The second driver-mandated token counter: BPE-style
+    * pretokenization (letter runs | digit runs | single symbol) next
+    * to the whitespace count, plus non-space chars per BPE token — the
+    * compression-ratio proxy quality filters threshold on. Narrow
+    * per-row projection; the regex stays in the Java-regex ∩ RE2
+    * subset so both engines tokenize identically. */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    docs0(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        (TextFunctions.nonSpaceChars(col("text")) /
+          TextFunctions.bpeTokenCount(col("text"))).as("chars_per_bpe"))
+      .orderBy("doc_id")
+
+  private val q66Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+      | length(regexp_replace(text, '\s', '', 'g')) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS chars_per_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -542,5 +565,6 @@ object TextQueries {
     ("q57_incremental_dedup",  q57 _, Some(q57Sql)),
     ("q60_curation_pipeline",  q60 _, Some(q60Sql)),
     ("q62_stratified_sample",  q62 _, Some(q62Sql)),
-    ("q63_bm25_topk",          q63 _, Some(q63Sql)))
+    ("q63_bm25_topk",          q63 _, Some(q63Sql)),
+    ("q66_bpe_token_count",    q66 _, Some(q66Sql)))
 }

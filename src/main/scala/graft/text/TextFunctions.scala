@@ -19,6 +19,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pretokenization (letter runs | digit runs | single
+    * non-space symbol) over lowercased text — the units a byte-pair
+    * tokenizer would merge from, and the driver-mandated second token
+    * counter next to the whitespace one. The ASCII-class pattern is
+    * deliberately within the common Java-regex/RE2 subset so the
+    * DuckDB oracle evaluates it identically. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** English-ish function words used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

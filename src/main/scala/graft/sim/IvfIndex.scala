@@ -78,7 +78,7 @@ class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
   /** `array<struct<nc,cell>>` of (-cosine, cell) per centroid, ascending
     * sort = cosine descending with ties broken by lowest cell — the same
     * (cos DESC, cell ASC) order the oracle's row_number uses. */
-  private def sortedCells(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+  private[sim] def sortedCells(vec: Column, cents: Array[(Int, Array[Float])]): Column =
     array_sort(array(cents.map { case (cell, cen) =>
       struct(negate(VectorFunctions.cosine(vec, typedLit(cen.toSeq))).as("nc"),
              lit(cell).as("cell"))
@@ -89,7 +89,7 @@ class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
   def assign(corpus: DataFrame): DataFrame =
     assignWith(corpus, centroidsOf(corpus))
 
-  private def assignWith(corpus: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
+  private[sim] def assignWith(corpus: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
     // coalesce(-1) makes `cell` non-nullable, so the downstream inner
     // join's implicit IsNotNull(cell) folds to true instead of
     // re-evaluating all nCells cosines a second time in a Filter
@@ -102,8 +102,14 @@ class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
     searchWith(corpus, queries, k, centroidsOf(corpus))
 
   private def searchWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                         cents: Array[(Int, Array[Float])]): DataFrame = {
-    val cells = assignWith(corpus, cents)
+                         cents: Array[(Int, Array[Float])]): DataFrame =
+    searchAssigned(assignWith(corpus, cents), queries, k, cents)
+
+  /** Search over an ALREADY cell-assigned corpus — shared by the
+    * in-plan path above and the standing [[VectorIndex]] (where the
+    * assigned corpus is a cell-partitioned table on disk). */
+  private[sim] def searchAssigned(cells: DataFrame, queries: DataFrame, k: Int,
+                                  cents: Array[(Int, Array[Float])]): DataFrame = {
     // each query probes its nProbe nearest cells: slice the sorted cell
     // array and explode — still narrow (Generate), no shuffle
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

@@ -474,6 +474,44 @@ object ExtendedQueries {
       | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  // ---------------------------------- built-in session_window (q67)
+  /** The same 30-minute-gap sessions as q43, through Spark's native
+    * `session_window` aggregation instead of the lag+running-sum
+    * windows — ONE shuffle on user_id and a streaming-capable operator
+    * (q43's formulation needs two window passes over a total order).
+    * Semantics note: session_window closes when the next event is
+    * ≥ gap away (windows are [ts, ts+gap) and merge only on overlap),
+    * and the reported end is last_event + gap; the oracle derives both
+    * independently via gaps-and-islands with the >= split. */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           dbl(sum(d184(col("value")))).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms")
+
+  private val q67Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms >= 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM y)
+      |SELECT user_id, min(epoch_ms(ts)) AS start_ms,
+      |       max(epoch_ms(ts)) + 1800000 AS end_ms,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -492,5 +530,6 @@ object ExtendedQueries {
     ("q54_topk_per_key_udaf", q54 _, Some(q54Sql)),
     ("q55_sketch_merge",     q55 _, Some(q55Sql)),
     ("q64_salted_join",      q64 _, Some(q64Sql)),
-    ("q65_stream_join_twin", q65 _, Some(q65Sql)))
+    ("q65_stream_join_twin", q65 _, Some(q65Sql)),
+    ("q67_session_window",   q67 _, Some(q67Sql)))
 }

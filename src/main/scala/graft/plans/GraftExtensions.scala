@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head)))
+    // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
+    // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
+    ext.injectOptimizerRule(RewriteRangeJoin)
   }
 }

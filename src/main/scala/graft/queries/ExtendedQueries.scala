@@ -512,6 +512,34 @@ object ExtendedQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  // ---------------------------- range theta join via rewrite (q68)
+  /** Written as the naive theta join — `abs(ms_a - ms_b) <= 1 min`
+    * with NO equi key — and left to the RewriteRangeJoin optimizer
+    * rule to bucketize (the raw plan would be an O(n²) nested loop;
+    * see plans/RewriteRangeJoin). This puts the rule itself on the
+    * driver's correctness path: DuckDB runs the same theta SQL its
+    * own way and the pair aggregates must agree exactly. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("event_id").as("a_id"), col("user_id").as("u_a"),
+      unix_millis(col("ts")).as("ms_a"))
+    val b = ev.select(col("event_id").as("b_id"), col("user_id").as("u_b"),
+      unix_millis(col("ts")).as("ms_b"))
+    a.join(b, abs(col("ms_a") - col("ms_b")) <= lit(60000L) &&
+        col("a_id") < col("b_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           count(when(col("u_a") === col("u_b"), 1)).as("n_same_user"),
+           max(abs(col("ms_a") - col("ms_b"))).as("max_dt_ms"))
+  }
+
+  private val q68Sql =
+    """SELECT count(*) AS n_pairs,
+      | count(CASE WHEN a.user_id = b.user_id THEN 1 END) AS n_same_user,
+      | max(abs(epoch_ms(a.ts) - epoch_ms(b.ts))) AS max_dt_ms
+      |FROM events a JOIN events b
+      |  ON abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
+      | AND a.event_id < b.event_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -531,5 +559,6 @@ object ExtendedQueries {
     ("q55_sketch_merge",     q55 _, Some(q55Sql)),
     ("q64_salted_join",      q64 _, Some(q64Sql)),
     ("q65_stream_join_twin", q65 _, Some(q65Sql)),
-    ("q67_session_window",   q67 _, Some(q67Sql)))
+    ("q67_session_window",   q67 _, Some(q67Sql)),
+    ("q68_range_theta_join", q68 _, Some(q68Sql)))
 }

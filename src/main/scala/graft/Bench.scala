@@ -91,7 +91,8 @@ object Bench {
       "q57_incremental_dedup", "q58_cosine_neardup", "q59_audio_features",
       "q60_curation_pipeline", "q61_media_resize", "q62_stratified_sample",
       "q63_bm25_topk", "q64_salted_join", "q65_stream_join_twin",
-      "q66_bpe_token_count", "q67_session_window", "q68_range_theta_join")
+      "q66_bpe_token_count", "q67_session_window", "q68_range_theta_join",
+      "q69_topk_native")
     val baselineComparable = results
       .filterNot { case (k, _) => addedAfterR1.contains(k) }
       .map(_._2._1).filter(_ >= 0).sum

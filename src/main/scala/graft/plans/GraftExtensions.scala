@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
     // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
     ext.injectOptimizerRule(RewriteRangeJoin)
+    // whole-operator extension: TopKPerKey logical node → partial +
+    // final bounded-heap execs (see TopKPerKey)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

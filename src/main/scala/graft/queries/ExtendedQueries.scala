@@ -540,6 +540,28 @@ object ExtendedQueries {
       |  ON abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
       | AND a.event_id < b.event_id""".stripMargin
 
+  // ------------------------- whole-operator top-k strategy (q69)
+  /** q54's top-3-orders-per-customer once more, through the custom
+    * TopKPerKey LogicalPlan + SparkStrategy + SparkPlan: a partial
+    * bounded-heap pass per input partition, ONE shuffle carrying ≤ k
+    * rows per (key, partition), a final merge — the whole-operator
+    * extension ladder on the driver's correctness path. Oracled with
+    * the row_number formulation. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    graft.plans.TopKPerKey.topK(o, Seq("o_custkey"),
+        Seq(o("o_totalprice").desc, o("o_orderkey").asc), k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q69Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -560,5 +582,6 @@ object ExtendedQueries {
     ("q64_salted_join",      q64 _, Some(q64Sql)),
     ("q65_stream_join_twin", q65 _, Some(q65Sql)),
     ("q67_session_window",   q67 _, Some(q67Sql)),
-    ("q68_range_theta_join", q68 _, Some(q68Sql)))
+    ("q68_range_theta_join", q68 _, Some(q68Sql)),
+    ("q69_topk_native",      q69 _, Some(q69Sql)))
 }

@@ -85,7 +85,12 @@ case class RewriteRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if cond.deterministic &&
+          // batch only: Structured Streaming derives stream-stream
+          // state eviction from the raw time-range condition on the
+          // watermarked columns, and an injected Generate would sit
+          // between the watermark and the join
+          if !left.isStreaming && !right.isStreaming &&
+            cond.deterministic &&
             !cond.references.exists(_.name.startsWith("__graft_bucket")) =>
         val conjuncts = splitConjuncts(cond)
         // any equi conjunct spanning both sides → Catalyst hash-joins

@@ -36,6 +36,35 @@ object Sources {
       .option("header", "true")
       .csv(path)
 
+  /** Quarantining CSV read — the 100 TB posture for dirty feeds, where
+    * the reference (pandas) would throw on the first malformed row of a
+    * multi-TB file: PERMISSIVE mode keeps well-formed rows, nulls the
+    * broken fields, and captures each offending raw line in a corrupt
+    * -record column so the pipeline can count/route rejects instead of
+    * dying. Returns (clean rows, corrupt raw lines). */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        sep: String = ";", header: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corrupt, StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(path)
+      // Spark requires materializing the frame (or a cache) before
+      // filtering on the corrupt column alone; caching also makes the
+      // two returned frames share one file pass
+      .cache()
+    (raw.where(col(corrupt).isNull).drop(corrupt),
+     raw.where(col(corrupt).isNotNull).select(col(corrupt).as("raw_line")))
+  }
+
   /** S5: JDBC scan with the projection/cast pushed down as a SQL query —
     * keeps the reference's own pushdown (`dags/publish-open-data.py:26-30`
     * already selects and casts in SQL).

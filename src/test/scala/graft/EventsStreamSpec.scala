@@ -222,6 +222,41 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotentParquet sink: replayed batches land once, half-writes are replaced") {
+    import graft.streaming.StreamSinks
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val sink = StreamSinks.idempotentParquet(dir)
+
+    // end-to-end: stream → foreachBatch → partitioned parquet
+    val mem = MemoryStream[Event]
+    val q = mem.toDS().toDF().writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 10))
+      q.processAllAvailable()
+      mem.addData(ev(3, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+
+    // replay protection: re-invoking a committed batch id (what a
+    // post-failure restart does) must not duplicate or clobber
+    val replay = Seq(ev(99, 99)).toDF()
+    val committedBatches = new java.io.File(dir).list().count(_.startsWith("batch="))
+    sink(replay, 0L)
+    spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+
+    // a half-written attempt (no _SUCCESS) IS replaced on replay
+    val half = s"$dir/batch=${committedBatches}"
+    new java.io.File(half).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$half/garbage"), "x")
+    sink(replay, committedBatches.toLong)
+    spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 99L)
+  }
+
   test("streamingDedup: duplicated input collapses to distinct event_ids, state watermark-bounded") {
     // stage the fixture TWICE — every event arrives duplicated
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")

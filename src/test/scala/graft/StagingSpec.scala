@@ -64,4 +64,23 @@ class StagingSpec extends SparkSpec {
     df.count() shouldBe 2
     df.select("rubrique_ic").collect().map(_.getString(0)).sorted shouldBe Array("2710", "2760")
   }
+
+  test("csvWithQuarantine: malformed rows quarantined, clean rows survive") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("quarantine")
+    val f = dir.resolve("feed.csv")
+    // row 2 has a non-numeric volume; row 4 has too many columns
+    Files.writeString(f,
+      "s1;alpha;10.5\ns2;beta;not_a_number\ns3;gamma;2.25\n")
+    val schema = StructType(Seq(
+      StructField("code", StringType),
+      StructField("name", StringType),
+      StructField("volume", DoubleType)))
+    val (clean, rejects) = graft.ref.Sources.csvWithQuarantine(
+      spark, f.toString, schema)
+    clean.select("code").collect().map(_.getString(0)).toSet shouldBe Set("s1", "s3")
+    val lines = rejects.collect().map(_.getString(0))
+    lines.length shouldBe 1
+    lines.head should include ("not_a_number")
+  }
 }

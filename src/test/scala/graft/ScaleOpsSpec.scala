@@ -114,4 +114,55 @@ class ScaleOpsSpec extends SparkSpec {
     joined.count() shouldBe
       Tables.load(spark, sf0001, "orders").where(col("o_orderstatus") === "F").count()
   }
+
+  test("compactParquet: many small files become few, contents identical") {
+    import graft.ops.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val o = Tables.orders(spark, sf0001)
+    o.repartition(24).write.parquet(dir) // 24 shards of a ~1500-row table
+    val before = o.collect().map(_.toString).sorted
+
+    val stats = Maintenance.compactParquet(spark, dir, targetBytes = 1L << 30)
+    stats.filesBefore shouldBe 24
+    stats.filesAfter shouldBe 1
+    stats.rows shouldBe before.length
+
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    after shouldBe before
+    // no leftover staging/old directories
+    new java.io.File(dir + ".compact").exists() shouldBe false
+    new java.io.File(dir + ".old").exists() shouldBe false
+  }
+
+  test("writeClustered: row-group stats let a pushed filter skip most of the data") {
+    import graft.ops.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("cluster").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").select("event_id", "user_id", "value")
+
+    // tiny row groups so the small fixture spans many of them
+    ev.repartition(1).write.option("parquet.block.size", (32 * 1024).toString)
+      .parquet(s"$base/unsorted")
+    Maintenance.writeClustered(ev.repartition(1), s"$base/clustered",
+      Seq("user_id"), rowGroupBytes = 32 * 1024)
+
+    def scannedRows(dir: String): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.read.parquet(dir).where(col("user_id") === 7L)
+        df.queryExecution.toRdd.count()
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        scan.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    val un = scannedRows(s"$base/unsorted")
+    val cl = scannedRows(s"$base/clustered")
+    // same answer either way
+    spark.read.parquet(s"$base/clustered").where(col("user_id") === 7L).count() shouldBe
+      spark.read.parquet(s"$base/unsorted").where(col("user_id") === 7L).count()
+    // clustering must skip most row groups; unsorted reads ~everything
+    withClue(s"unsorted=$un clustered=$cl") {
+      cl.toDouble should be < un.toDouble / 4
+    }
+  }
 }

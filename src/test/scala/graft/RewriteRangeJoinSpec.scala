@@ -97,4 +97,15 @@ class RewriteRangeJoinSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((1L, 10L))
   }
+
+  test("integer-typed operands and tolerance also rewrite") {
+    import spark.implicits._
+    val x = (0 until 100).map(i => (i.toLong, i)).toDF("a_id", "a_v")
+    val y = (0 until 100).map(i => (i.toLong + 1000, i)).toDF("b_id", "b_v")
+    val j = x.join(y, abs(col("a_v") - col("b_v")) <= lit(2))
+    withClue(j.queryExecution.executedPlan.toString) {
+      j.queryExecution.executedPlan.toString.contains("NestedLoop") shouldBe false
+    }
+    j.count() shouldBe (100 * 5 - 2 - 2 - 1 - 1) // interior rows match 5, edges fewer
+  }
 }

@@ -101,4 +101,9 @@ class SignatureIndexSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     viaIndex shouldBe viaFrames
   }
+
+  test("probing with an empty batch returns empty, not an error") {
+    val empty = sigsOf(0, 250).where(org.apache.spark.sql.functions.lit(false))
+    SignatureIndex.probe(spark, empty, "sigidx", spec, minEst = 0.9).count() shouldBe 0
+  }
 }

@@ -76,4 +76,17 @@ class TopKPerKeySpec extends SparkSpec {
       .select("score").collect().map(_.getLong(0)).toSeq.sorted
     kept shouldBe Seq(10L, 10L) // which tagged rows is unspecified; scores aren't
   }
+
+  test("k larger than any group: every row survives") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("key", "v")
+    TopKPerKey.topK(df, Seq("key"), Seq(df("v").asc), k = 10)
+      .as[(Long, Long)].collect().toSet shouldBe Set((1L, 1L), (1L, 2L), (2L, 3L))
+  }
+
+  test("empty input: empty output, no failure") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("key", "v")
+    TopKPerKey.topK(df, Seq("key"), Seq(df("v").asc), k = 3).count() shouldBe 0
+  }
 }

@@ -550,6 +550,33 @@ object TextQueries {
       | length(regexp_replace(text, '\s', '', 'g')) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS chars_per_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------- token-budget sharding (q70)
+  /** Training-shard packing: contiguous 4096-token-quota shards over
+    * the corpus in doc_id order, via the DISTRIBUTED prefix sum in
+    * [[graft.text.Packing]] (per-partition totals to the driver, two
+    * narrow passes — not the single-partition global window the
+    * oracle's SQL uses; both produce the identical manifest). */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val withTokens = docs0(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+    graft.text.Packing.shardManifest(withTokens, "doc_id", "n_tok", budget = 4096L)
+  }
+
+  private val q70Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS before
+      |  FROM t)
+      |SELECT CAST(floor(before / 4096) AS BIGINT) AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -566,5 +593,6 @@ object TextQueries {
     ("q60_curation_pipeline",  q60 _, Some(q60Sql)),
     ("q62_stratified_sample",  q62 _, Some(q62Sql)),
     ("q63_bm25_topk",          q63 _, Some(q63Sql)),
-    ("q66_bpe_token_count",    q66 _, Some(q66Sql)))
+    ("q66_bpe_token_count",    q66 _, Some(q66Sql)),
+    ("q70_token_shards",       q70 _, Some(q70Sql)))
 }

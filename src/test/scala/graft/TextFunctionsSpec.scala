@@ -64,4 +64,22 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     fps.length shouldBe 1
   }
+
+  test("tokenShards: distributed prefix sum equals the global-window cumsum") {
+    import graft.text.Packing
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    // force several range partitions so offsets actually matter
+    val got = Packing.tokenShards(docs, "doc_id", "n_tok", budget = 1000L, partitions = 7)
+      .select("doc_id", "tokens_before", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("before"), floor(col("before") / 1000L).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expected
+    got.map(_._3).max should be > 0L // fixture spans multiple shards
+  }
 }

@@ -30,6 +30,23 @@ object Sampling {
     df.where(Hashing.h60(key.cast("string")) < lit((fraction * HashSpace).toLong))
   }
 
+  /** Dataset-mixture sample: per-stratum Bernoulli fractions in ONE
+    * narrow filter — the training-mix step ("keep 80% of lang=en, 30%
+    * of lang=de, drop the rest") with the same determinism contract as
+    * [[hashSample]]: the decision is a pure function of the row key,
+    * so the mix is identical on any partitioning, retry, or engine.
+    * Strata absent from `fractions` are dropped. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+                    fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions out of range: $fractions")
+    val h = Hashing.h60(key.cast("string"))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      acc || (stratum === lit(s) && h < lit((f * HashSpace).toLong))
+    }
+    df.where(keep)
+  }
+
   /** Stratified deterministic sample: the `k` smallest key hashes per
     * stratum — uniform within each stratum, exactly `min(k, |stratum|)`
     * rows out, same rows on any partitioning. */

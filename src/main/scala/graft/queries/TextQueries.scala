@@ -577,6 +577,29 @@ object TextQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ------------------------------------ mixture sampling (q71)
+  /** Training-mix weighting: per-language Bernoulli fractions in one
+    * narrow deterministic filter (en 80%, de 30%, others dropped) —
+    * the dataset-mixing step, exactly reproducible because the keep
+    * decision is a pure hash of the row key. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.mixtureSample(docs0(s, d), col("lang"), col("doc_id"),
+        Map("en" -> 0.8, "de" -> 0.3))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("doc_id")).as("sum_doc"))
+      .orderBy("lang")
+
+  private val q71Sql = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val en = (0.8 * (1L << 60).toDouble).toLong
+    val de = (0.3 * (1L << 60).toDouble).toLong
+    s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+       |FROM documents
+       |WHERE (lang = 'en' AND $h < $en) OR (lang = 'de' AND $h < $de)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -594,5 +617,6 @@ object TextQueries {
     ("q62_stratified_sample",  q62 _, Some(q62Sql)),
     ("q63_bm25_topk",          q63 _, Some(q63Sql)),
     ("q66_bpe_token_count",    q66 _, Some(q66Sql)),
-    ("q70_token_shards",       q70 _, Some(q70Sql)))
+    ("q70_token_shards",       q70 _, Some(q70Sql)),
+    ("q71_mixture_sample",     q71 _, Some(q71Sql)))
 }

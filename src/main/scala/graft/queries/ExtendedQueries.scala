@@ -174,7 +174,7 @@ object ExtendedQueries {
   // --------------------------------- approximate distinct (HLL++) —
   // approx values differ per sketch impl, so the sketch value itself
   // can't be hashed against DuckDB; instead the query OUTPUTS the exact
-  // count plus a within-5%-relative-error flag over the approx value.
+  // count plus a within-3-sigma (15% = 3x the 5% rsd) relative-error flag over the approx value.
   // The oracle asserts the flag true: the HLL++ accuracy contract is
   // verified, the sketch-specific value stays out of the hash.
   private def q46(s: SparkSession, d: String): DataFrame =
@@ -184,7 +184,7 @@ object ExtendedQueries {
            countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) /
-          col("exact_users") <= lit(0.05)).as("within_bounds"))
+          col("exact_users") <= lit(0.15)).as("within_bounds"))
       .orderBy("event_type")
 
   private val q46Sql =
@@ -411,7 +411,7 @@ object ExtendedQueries {
     merged.join(exact, Seq("event_type"))
       .select(col("event_type"), col("exact_users"), col("n_days"),
         (abs(col("est_users") - col("exact_users")) /
-          col("exact_users") <= lit(0.05)).as("within_bounds"))
+          col("exact_users") <= lit(0.15)).as("within_bounds"))
       .orderBy("event_type")
   }
 

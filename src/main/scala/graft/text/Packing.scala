@@ -34,11 +34,16 @@ object Packing {
     val spark = docs.sparkSession
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // persisted because BOTH passes below consume it — without the
+    // cache the range shuffle+sort would execute twice (pass 1 is an
+    // eager collect at call time, pass 2 runs when the returned frame
+    // does). Unpersist falls to the ContextCleaner (lazy plan).
     val sorted = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
         col(tokenCol).cast(LongType).as("n_tokens"))
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions("doc_id")
+      .persist()
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -60,10 +60,16 @@ object SignatureIndex {
     * batch, doc_b ∈ index, est_jaccard ≥ minEst), but the index side is
     * read in its bucketed layout: the skew cap aggregates and the
     * candidate join consume the index WITHOUT an exchange. */
-  def probe(spark: SparkSession, batchSigs: DataFrame, name: String,
+  def probe(spark: SparkSession, batchSigsIn: DataFrame, name: String,
             spec: Spec = Spec(), minEst: Double = 0.5,
             bucketCap: Int = 1000): DataFrame = {
     val k = spec.bands * spec.rowsPerBand
+    // the batch signatures feed banding AND the sig_a verification
+    // attach (and the caller's anti-join in dedupAgainst) — persist,
+    // or the batch MinHash computation re-executes per consumer
+    // (same policy as minhashCandidatePairsBetween; unpersist falls
+    // to the ContextCleaner)
+    val batchSigs = batchSigsIn.persist()
     val bb = spark.table(bandedName(name))
     // bucket-size skew cap: groupBy (band, bh) matches the table's
     // bucketing, so this aggregate plans with no exchange

@@ -43,16 +43,22 @@ object Maintenance {
                      targetBytes: Long = 128L << 20): CompactionStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val dataFiles = listDataFiles(fs, path)
+    // a flat rewrite of a partitioned/nested layout would destroy the
+    // directory structure (and any per-batch commit markers) — compact
+    // each leaf directory instead
+    require(dataFiles.forall(_.getPath.getParent == fs.makeQualified(path)),
+      s"$dir holds parquet files in subdirectories (partitioned layout); " +
+        "compact each leaf directory, not the root")
     val bytes = dataFiles.map(_.getLen).sum
     val nParts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(dir)
-    val rows = df.count()
     val tmp = new Path(dir + ".compact")
     val old = new Path(dir + ".old")
     df.repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // row count from the rewrite's own footers — no extra data pass
+    val rows = parquetRowCount(spark, fs, tmp)
 
     require(fs.rename(path, old), s"swap failed: could not move $path aside")
     require(fs.rename(tmp, path), s"swap failed: could not move $tmp into place")
@@ -61,5 +67,29 @@ object Maintenance {
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     CompactionStats(dataFiles.length, after, bytes, rows)
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.result()
+  }
+
+  /** Total row count from parquet footers (metadata only, no data IO). */
+  private def parquetRowCount(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              dir: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    listDataFiles(fs, dir).map { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(f, spark.sparkContext.hadoopConfiguration))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 }

@@ -41,21 +41,24 @@ case class RewriteRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rewriteRangeJoin", "true") == "true"
 
-  /** |x − y| ≤/< tol with an integral positive literal. */
+  /** |x − y| ≤/< tol with an integral positive literal. A null
+    * tolerance never matches (the comparison is never true; leave the
+    * join alone and let it return empty). */
   private object AbsRange {
-    private def tolOf(v: Any): Long = v match {
-      case i: Int => i.toLong
-      case l: Long => l
+    private def tolOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None // null literal
     }
     def unapply(e: Expression): Option[(Expression, Expression, Long)] = e match {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(t, LongType | IntegerType)) =>
-        Some((x, y, tolOf(t)))
+        tolOf(t).map((x, y, _))
       case LessThan(Abs(Subtract(x, y, _), _), Literal(t, LongType | IntegerType)) =>
-        Some((x, y, tolOf(t)))
+        tolOf(t).map((x, y, _))
       case GreaterThanOrEqual(Literal(t, LongType | IntegerType), Abs(Subtract(x, y, _), _)) =>
-        Some((x, y, tolOf(t)))
+        tolOf(t).map((x, y, _))
       case GreaterThan(Literal(t, LongType | IntegerType), Abs(Subtract(x, y, _), _)) =>
-        Some((x, y, tolOf(t)))
+        tolOf(t).map((x, y, _))
       case _ => None
     }
   }
@@ -97,6 +100,9 @@ case class RewriteRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         // already, leave the plan alone
         val hasEqui = conjuncts.exists {
           case EqualTo(a, b) =>
+            (for (sa <- sideOf(a, left, right); sb <- sideOf(b, left, right))
+              yield sa != sb).getOrElse(false)
+          case EqualNullSafe(a, b) => // <=> is hash-joinable too
             (for (sa <- sideOf(a, left, right); sb <- sideOf(b, left, right))
               yield sa != sb).getOrElse(false)
           case _ => false

@@ -66,8 +66,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val heaps = mutable.LinkedHashMap.empty[InternalRow, java.util.PriorityQueue[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse))
+        // copy the (reused) projection output only on first sight of a
+        // key — getOrElseUpdate's key argument is strict, so inlining
+        // key.copy() there would allocate per ROW, not per key
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.add(row.copy())
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy()); ()

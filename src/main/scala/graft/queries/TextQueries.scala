@@ -479,10 +479,14 @@ object TextQueries {
   private def q63(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("join", "stream", "vector")
     val toks = TextFunctions.tokens(col("text"))
+    // tf feeds the stats aggregate AND the scoring projection —
+    // persist, or the tokenize+count scan runs twice (unpersist falls
+    // to the ContextCleaner; the frame is (id, 4 ints) per doc)
     val tf = docs0(s, d).select(
       col("doc_id") +: size(toks).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).as(s"tf$i") }: _*)
+      .persist()
     val stats = tf.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_len"),
@@ -534,20 +538,25 @@ object TextQueries {
     * compression-ratio proxy quality filters threshold on. Narrow
     * per-row projection; the regex stays in the Java-regex ∩ RE2
     * subset so both engines tokenize identically. */
-  private def q66(s: SparkSession, d: String): DataFrame =
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    // nullif guard: an empty/whitespace-only doc has zero BPE tokens —
+    // the ratio must be NULL on both engines, not an ANSI
+    // divide-by-zero (Spark) vs inf/nan (DuckDB)
+    val nBpe = TextFunctions.bpeTokenCount(col("text"))
     docs0(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        nBpe.as("n_bpe_tokens"),
         (TextFunctions.nonSpaceChars(col("text")) /
-          TextFunctions.bpeTokenCount(col("text"))).as("chars_per_bpe"))
+          nullif(nBpe, lit(0))).as("chars_per_bpe"))
       .orderBy("doc_id")
+  }
 
   private val q66Sql =
     """SELECT doc_id,
       | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws_tokens,
       | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
-      | length(regexp_replace(text, '\s', '', 'g')) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS chars_per_bpe
+      | length(regexp_replace(text, '\s', '', 'g')) / NULLIF(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 0) AS chars_per_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------- token-budget sharding (q70)

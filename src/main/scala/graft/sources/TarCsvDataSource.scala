@@ -107,17 +107,22 @@ private[sources] class TarCsvReader(p: TarCsvPartition, fullSchema: StructType,
 
   private val tar = new TarArchiveInputStream(new GZIPInputStream(
     new BufferedInputStream(new FileInputStream(p.path))))
-  private val lines: Iterator[String] = {
-    Iterator.continually(tar.getNextEntry)
-      .takeWhile(_ != null)
-      .find(e => e.getName == p.entry && !e.isDirectory)
-      .getOrElse(throw new IllegalArgumentException(
-        s"entry ${p.entry} not found in ${p.path}"))
-    val src = scala.io.Source.fromInputStream(tar, "UTF-8")
-    val it = src.getLines()
-    if (p.header && it.hasNext) it.next()
-    it
-  }
+  private val lines: Iterator[String] =
+    try {
+      Iterator.continually(tar.getNextEntry)
+        .takeWhile(_ != null)
+        .find(e => e.getName == p.entry && !e.isDirectory)
+        .getOrElse(throw new IllegalArgumentException(
+          s"entry ${p.entry} not found in ${p.path}"))
+      val src = scala.io.Source.fromInputStream(tar, "UTF-8")
+      val it = src.getLines()
+      if (p.header && it.hasNext) it.next()
+      it
+    } catch {
+      // a failed initializer means Spark never gets a reader to
+      // close() — release the file descriptor before rethrowing
+      case e: Throwable => tar.close(); throw e
+    }
   private var current: InternalRow = _
 
   override def next(): Boolean =

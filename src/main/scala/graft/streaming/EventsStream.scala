@@ -152,10 +152,20 @@ object EventsStream {
       for (e <- sorted) {
         val t = e.ts.getTime
         if (st == null) st = SessionState(t, t, 1, e.value)
-        else if (t - st.lastMs > gapMs) {
+        else if (st.startMs - t > gapMs) {
+          // late event ENTIRELY before the open session (by more than
+          // the gap): its own session, emitted now — merging it would
+          // pollute the open session's stats
+          closed += Session(uid, new Timestamp(t), new Timestamp(t), 1, e.value)
+        } else if (t - st.lastMs > gapMs) {
           closed += Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sum)
           st = SessionState(t, t, 1, e.value)
-        } else st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1, sum = st.sum + e.value)
+        } else {
+          // late-but-in-gap events may extend the session BACKWARD
+          // (min on start) but never shrink it (max on last)
+          st = SessionState(math.min(st.startMs, t), math.max(st.lastMs, t),
+            st.n + 1, st.sum + e.value)
+        }
       }
       if (st != null) {
         state.update(st)
@@ -197,10 +207,16 @@ object EventsStream {
       for (e <- sorted) {
         val t = e.ts.getTime
         if (st == null) st = SessionState(t, t, 1, e.value)
-        else if (t - st.lastMs > gapMs) {
+        else if (st.startMs - t > gapMs) {
+          // late event entirely before the open session: own session
+          closed += Session(uid, new Timestamp(t), new Timestamp(t), 1, e.value)
+        } else if (t - st.lastMs > gapMs) {
           closed += emit(uid, st)
           st = SessionState(t, t, 1, e.value)
-        } else st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1, sum = st.sum + e.value)
+        } else {
+          st = SessionState(math.min(st.startMs, t), math.max(st.lastMs, t),
+            st.n + 1, st.sum + e.value)
+        }
       }
       if (st != null) {
         state.update(st)

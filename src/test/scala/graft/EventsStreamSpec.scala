@@ -107,6 +107,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: late events extend the start backward or form their own session") {
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "3 hours")
+    val q = out.writeStream.format("memory").queryName("sessions_late2")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 120), ev(2, 140))
+      q.processAllAvailable()
+      // late, within gap of the open session's START (120-110=10 ≤ 30):
+      // extends the session backward to 110
+      mem.addData(ev(3, 110))
+      q.processAllAvailable()
+      // late, MORE than a gap before the session start (110-20=90 > 30):
+      // must NOT pollute the open session — emitted as its own session
+      mem.addData(ev(4, 20))
+      q.processAllAvailable()
+      // flush the open session via the watermark
+      mem.addData(ev(5, 600, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(6, 700, uid = 2L))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_late2").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events)).toSet
+      u1 shouldBe Set((20L, 20L, 1L), (110L, 140L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionizeStreamTws (transformWithState): same sessions as flatMapGroupsWithState") {
     // transformWithState needs a state store with column families —
     // RocksDB (ships in /opt/spark/jars), not the default HDFS-backed one

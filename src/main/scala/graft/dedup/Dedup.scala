@@ -125,14 +125,24 @@ object Dedup {
     // higher-order functions evaluate interpreted per row, while k
     // element_at/when terms stay inside whole-stage codegen — this is
     // the hot expression of the whole operator (once per distinct pair).
-    val est = (0 until k)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _) / lit(k)
+    val est = sigAgreement(k)
     withSigs
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Estimated Jaccard of a candidate pair = fraction of agreeing
+    * signature positions, over attached `sig_a`/`sig_b` columns.
+    * Unrolled element_at/when terms instead of zip_with+aggregate: the
+    * higher-order functions evaluate interpreted per row while the
+    * unrolled form stays inside whole-stage codegen — this is the hot
+    * expression of every verification join (self-join, between-tables
+    * probe, and the standing-index probe all share it). */
+  private[graft] def sigAgreement(k: Int): org.apache.spark.sql.Column =
+    (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _) / lit(k)
 
   /** Banding projection shared by the self-join and between-table
     * candidate generators: one (doc_id, band, bh) row per band. */
@@ -176,9 +186,7 @@ object Dedup {
     val withSigs = pairs
       .join(sa.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sb.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-    val est = (0 until k)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _) / lit(k)
+    val est = sigAgreement(k)
     withSigs
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)

@@ -87,9 +87,7 @@ object SignatureIndex {
       .join(batchSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(spark.table(sigsName(name))
         .select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-    val est = (0 until k)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _) / lit(k)
+    val est = Dedup.sigAgreement(k)
     withSigs
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)

@@ -56,6 +56,9 @@ object Maintenance {
     val df = spark.read.parquet(dir)
     val tmp = new Path(dir + ".compact")
     val old = new Path(dir + ".old")
+    // a stale .old from a crashed run would make the first rename fail
+    // (local fs) or nest the live dir inside it (HDFS) — clear it
+    fs.delete(old, true)
     df.repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // row count from the rewrite's own footers — no extra data pass
     val rows = parquetRowCount(spark, fs, tmp)

@@ -63,8 +63,14 @@ case class RewriteRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // LongType ONLY: for IntegerType operands the original predicate's
+  // subtract wraps (non-ANSI) or throws (ANSI) on overflow, while the
+  // long-cast bucket math never does — the rewrite would not be
+  // semantics-preserving. Long subtract can also overflow in theory,
+  // but only for operands ~2^63 apart, which no timestamp/ms domain
+  // reaches; int domains hit 2^31 routinely.
   private def integral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+    e.dataType == LongType
 
   /** floor(v / tol) in exact long arithmetic for any sign:
     * (v − pmod(v, tol)) is divisible by tol. */

@@ -30,6 +30,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Row order within a key is NOT defined on output (like any
   * aggregate); pair with a total `order` for deterministic CONTENT
   * and sort downstream for deterministic presentation.
+  *
+  * Memory envelope: the heaps live on-heap with NO spill path —
+  * per-partition memory is O(distinct keys in the partition × k).
+  * That is the right trade for the hot-key shape this operator
+  * targets (rows-per-key >> k, bounded key count per partition); for
+  * ultra-high key cardinality prefer the ranking window (external
+  * sort) or [[graft.functions.TopKAggregator]] (spilling hash
+  * aggregate), which degrade gracefully instead of OOMing.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {

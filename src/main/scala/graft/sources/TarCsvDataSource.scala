@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, FileInputStream}
+import java.io.BufferedInputStream
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 import java.util
@@ -105,8 +105,14 @@ private[sources] class TarCsvReader(p: TarCsvPartition, fullSchema: StructType,
   // column index in the FILE (= full schema position) per required field
   private val fieldIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
 
-  private val tar = new TarArchiveInputStream(new GZIPInputStream(
-    new BufferedInputStream(new FileInputStream(p.path))))
+  // Hadoop FileSystem, not java.io: the tarball may live on HDFS/object
+  // storage on a real cluster, not on every executor's local disk
+  private val tar = {
+    val hp = new org.apache.hadoop.fs.Path(p.path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new TarArchiveInputStream(new GZIPInputStream(
+      new BufferedInputStream(fs.open(hp))))
+  }
   private val lines: Iterator[String] =
     try {
       Iterator.continually(tar.getNextEntry)

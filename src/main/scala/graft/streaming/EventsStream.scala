@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders => SqlEncoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming slice over the `events` fixture (SURVEY.md §2.10
@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * a batch query lifts to `readStream → transform → writeStream`
   * unchanged — watermark-compatible by construction.
   */
-object EventsStream {
+// Serializable: the sessionizer closures reference the shared merge
+// helpers, which drags the module into the serialized task closure
+object EventsStream extends Serializable {
 
   /** events schema with `ts` as raw nanos (the fixture parquet is
     * TIMESTAMP(NANOS), which the vectorized reader only surfaces as long
@@ -130,48 +132,59 @@ object EventsStream {
     }
   }
 
+  /** Open sessions carried between micro-batches, sorted by start. */
+  case class OpenSessions(sessions: Seq[SessionState])
+
+  private def asUnit(e: Event): SessionState =
+    SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
+
+  /** Merge session intervals and new single-event units into
+    * gap-maximal sessions. ORDER-INSENSITIVE: an arbitrarily late
+    * (in-watermark) event extends a session backward, bridges two
+    * sessions into one, or opens its own — exactly as the batch
+    * sessionizer's global sort would have placed it. */
+  private def mergeUnits(units: Seq[SessionState], gapMs: Long): Seq[SessionState] = {
+    val sorted = units.sortBy(s => (s.startMs, s.lastMs))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    for (u <- sorted) {
+      if (out.nonEmpty && u.startMs - out.last.lastMs <= gapMs) {
+        val c = out.last
+        out(out.length - 1) = SessionState(c.startMs,
+          math.max(c.lastMs, u.lastMs), c.n + u.n, c.sum + u.sum)
+      } else out += u
+    }
+    out.toSeq
+  }
+
+  private def toSession(uid: Long, s: SessionState): Session =
+    Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+
   /** Streaming sessionization: flatMapGroupsWithState with event-time
-    * timeout. A session closes — and emits — either when a new event
-    * arrives past the gap, or when the watermark passes lastSeen+gap
-    * (timeout). State per user is one fixed-size [[SessionState]]. */
+    * timeout. State per user is the LIST of open sessions within the
+    * watermark horizon (usually one; more when late events open or
+    * extend earlier sessions). A session emits exactly when the
+    * watermark passes its end + gap — never earlier, so a late
+    * in-watermark event can still extend, bridge, or precede open
+    * sessions with full batch parity. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
                        watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
 
     def update(uid: Long, it: Iterator[Event],
-               state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum))
+               state: GroupState[OpenSessions]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val merged = mergeUnits(existing ++ it.map(asUnit).toSeq, gapMs)
+      // a session is final once no in-watermark event can extend it
+      val (done, open) = merged.partition(s => s.lastMs + gapMs <= wm)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(OpenSessions(open))
+        // single timeout per key: the earliest open session's close
+        state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs)
       }
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val closed = Seq.newBuilder[Session]
-      var st = state.getOption.orNull
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        if (st == null) st = SessionState(t, t, 1, e.value)
-        else if (st.startMs - t > gapMs) {
-          // late event ENTIRELY before the open session (by more than
-          // the gap): its own session, emitted now — merging it would
-          // pollute the open session's stats
-          closed += Session(uid, new Timestamp(t), new Timestamp(t), 1, e.value)
-        } else if (t - st.lastMs > gapMs) {
-          closed += Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sum)
-          st = SessionState(t, t, 1, e.value)
-        } else {
-          // late-but-in-gap events may extend the session BACKWARD
-          // (min on start) but never shrink it (max on last)
-          st = SessionState(math.min(st.startMs, t), math.max(st.lastMs, t),
-            st.n + 1, st.sum + e.value)
-        }
-      }
-      if (st != null) {
-        state.update(st)
-        state.setTimeoutTimestamp(st.lastMs + gapMs)
-      }
-      closed.result().iterator
+      done.iterator.map(toSession(uid, _))
     }
 
     events.withWatermark("ts", watermark)
@@ -180,64 +193,51 @@ object EventsStream {
   }
 
   /** The same sessionization on Spark 4's `transformWithState` API
-    * (StatefulProcessor + typed ValueState + explicit event-time
+    * (StatefulProcessor + typed ListState + explicit event-time
     * timers) — the forward path for custom streaming state:
     * fine-grained state types, multiple states per key, and timers
     * that are registered/deleted explicitly instead of the single
     * implicit GroupState timeout. Semantics identical to
-    * [[sessionizeStream]]; the spec pins both to the batch result. */
+    * [[sessionizeStream]] (open-session LIST, watermark-driven
+    * emission); the spec pins both to the batch result. */
   private class SessionProcessor(gapMs: Long)
     extends StatefulProcessor[Long, Event, Session] {
 
-    @transient private var state: ValueState[SessionState] = _
+    @transient private var state: ListState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[SessionState](
-        "session", SqlEncoders.product[SessionState], TTLConfig.NONE)
+      state = getHandle.getListState[SessionState](
+        "sessions", SqlEncoders.product[SessionState], TTLConfig.NONE)
 
-    private def emit(uid: Long, s: SessionState): Session =
-      Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+    /** Shared by both handlers: merge, emit what the watermark closed,
+      * store the rest, move the single live timer to the earliest open
+      * close time. `firedTimer` is the auto-removed expiry when called
+      * from the timer handler (so it must not be deleted again). */
+    private def work(uid: Long, newEvents: Seq[Event], wm: Long,
+                     firedTimer: Long): Iterator[Session] = {
+      val existing = state.get().toSeq
+      val prevTimer = if (existing.nonEmpty) existing.map(_.lastMs).min + gapMs else -1L
+      val merged = mergeUnits(existing ++ newEvents.map(asUnit), gapMs)
+      val (done, open) = merged.partition(s => s.lastMs + gapMs <= wm)
+      state.clear()
+      if (open.nonEmpty) {
+        state.put(open.toArray)
+        val newTimer = open.map(_.lastMs).min + gapMs
+        if (prevTimer >= 0 && prevTimer != newTimer && prevTimer != firedTimer)
+          getHandle.deleteTimer(prevTimer)
+        if (newTimer != firedTimer) getHandle.registerTimer(newTimer)
+      } else if (prevTimer >= 0 && prevTimer != firedTimer)
+        getHandle.deleteTimer(prevTimer)
+      done.iterator.map(toSession(uid, _))
+    }
 
     override def handleInputRows(uid: Long, rows: Iterator[Event],
-                                 tv: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val closed = Seq.newBuilder[Session]
-      var st = if (state.exists()) state.get() else null
-      val prevTimer = if (st != null) st.lastMs + gapMs else -1L
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        if (st == null) st = SessionState(t, t, 1, e.value)
-        else if (st.startMs - t > gapMs) {
-          // late event entirely before the open session: own session
-          closed += Session(uid, new Timestamp(t), new Timestamp(t), 1, e.value)
-        } else if (t - st.lastMs > gapMs) {
-          closed += emit(uid, st)
-          st = SessionState(t, t, 1, e.value)
-        } else {
-          st = SessionState(math.min(st.startMs, t), math.max(st.lastMs, t),
-            st.n + 1, st.sum + e.value)
-        }
-      }
-      if (st != null) {
-        state.update(st)
-        if (prevTimer >= 0 && prevTimer != st.lastMs + gapMs) getHandle.deleteTimer(prevTimer)
-        getHandle.registerTimer(st.lastMs + gapMs)
-      }
-      closed.result().iterator
-    }
+                                 tv: TimerValues): Iterator[Session] =
+      work(uid, rows.toSeq, tv.getCurrentWatermarkInMs(), firedTimer = -2L)
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[Session] = {
-      if (state.exists()) {
-        val s = state.get()
-        // guard against a stale timer for a session that was extended
-        if (info.getExpiryTimeInMs() >= s.lastMs + gapMs) {
-          state.clear()
-          return Iterator(emit(uid, s))
-        }
-      }
-      Iterator.empty
-    }
+                                    info: ExpiredTimerInfo): Iterator[Session] =
+      work(uid, Seq.empty, tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
   }
 
   /** Streaming sessionization via transformWithState (see

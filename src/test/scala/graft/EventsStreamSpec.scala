@@ -135,6 +135,36 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: straggler late events merge with EACH OTHER like the batch twin") {
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "5 hours")
+    val q = out.writeStream.format("memory").queryName("sessions_late3")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 240), ev(2, 250))
+      q.processAllAvailable()
+      // two stragglers hours before the open session, 5 min apart:
+      // they must form ONE session (20,25), not two singletons
+      mem.addData(ev(3, 20))
+      q.processAllAvailable()
+      mem.addData(ev(4, 25))
+      q.processAllAvailable()
+      // and a bridging event that merges the open session with a new
+      // one: 270 is within gap of 250 and of 290
+      mem.addData(ev(5, 270), ev(6, 290))
+      q.processAllAvailable()
+      // flush everything via the watermark
+      mem.addData(ev(7, 900, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(8, 990, uid = 2L))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_late3").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events)).toSet
+      u1 shouldBe Set((20L, 25L, 2L), (240L, 290L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionizeStreamTws (transformWithState): same sessions as flatMapGroupsWithState") {
     // transformWithState needs a state store with column families —
     // RocksDB (ships in /opt/spark/jars), not the default HDFS-backed one

@@ -98,14 +98,23 @@ class RewriteRangeJoinSpec extends SparkSpec {
     got shouldBe Set((1L, 10L))
   }
 
-  test("integer-typed operands and tolerance also rewrite") {
+  test("integer-typed operands are NOT rewritten: int subtract overflow semantics differ") {
     import spark.implicits._
+    // the original int predicate wraps (non-ANSI) or throws (ANSI) on
+    // overflow; the long-cast bucket math never does — so the rule
+    // must leave int-typed range joins alone
     val x = (0 until 100).map(i => (i.toLong, i)).toDF("a_id", "a_v")
     val y = (0 until 100).map(i => (i.toLong + 1000, i)).toDF("b_id", "b_v")
     val j = x.join(y, abs(col("a_v") - col("b_v")) <= lit(2))
     withClue(j.queryExecution.executedPlan.toString) {
-      j.queryExecution.executedPlan.toString.contains("NestedLoop") shouldBe false
+      j.queryExecution.executedPlan.toString.contains("__graft_bucket") shouldBe false
     }
-    j.count() shouldBe (100 * 5 - 2 - 2 - 1 - 1) // interior rows match 5, edges fewer
+    // long-cast operands DO rewrite and count the same pairs
+    val jl = x.join(y, abs(col("a_v").cast("long") - col("b_v").cast("long")) <= lit(2L))
+    withClue(jl.queryExecution.executedPlan.toString) {
+      jl.queryExecution.executedPlan.toString.contains("NestedLoop") shouldBe false
+    }
+    jl.count() shouldBe j.count()
+    jl.count() shouldBe (100 * 5 - 2 - 2 - 1 - 1) // interior rows match 5, edges fewer
   }
 }

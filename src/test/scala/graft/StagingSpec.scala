@@ -71,7 +71,7 @@ class StagingSpec extends SparkSpec {
     val f = dir.resolve("feed.csv")
     // row 2 has a non-numeric volume; row 4 has too many columns
     Files.writeString(f,
-      "s1;alpha;10.5\ns2;beta;not_a_number\ns3;gamma;2.25\n")
+      "s1;alpha;10.5\ns2;beta;not_a_number\ns3;gamma;2.25\ns4;delta;3.5;EXTRA\n")
     val schema = StructType(Seq(
       StructField("code", StringType),
       StructField("name", StringType),
@@ -80,7 +80,8 @@ class StagingSpec extends SparkSpec {
       spark, f.toString, schema)
     clean.select("code").collect().map(_.getString(0)).toSet shouldBe Set("s1", "s3")
     val lines = rejects.collect().map(_.getString(0))
-    lines.length shouldBe 1
-    lines.head should include ("not_a_number")
+    lines.length shouldBe 2
+    lines.exists(_.contains("not_a_number")) shouldBe true
+    lines.exists(_.contains("EXTRA")) shouldBe true
   }
 }

@@ -135,7 +135,7 @@ object EventsStream extends Serializable {
   /** Open sessions carried between micro-batches, sorted by start. */
   case class OpenSessions(sessions: Seq[SessionState])
 
-  private def asUnit(e: Event): SessionState =
+  private[graft] def asUnit(e: Event): SessionState =
     SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
 
   /** Merge session intervals and new single-event units into
@@ -143,7 +143,7 @@ object EventsStream extends Serializable {
     * (in-watermark) event extends a session backward, bridges two
     * sessions into one, or opens its own — exactly as the batch
     * sessionizer's global sort would have placed it. */
-  private def mergeUnits(units: Seq[SessionState], gapMs: Long): Seq[SessionState] = {
+  private[graft] def mergeUnits(units: Seq[SessionState], gapMs: Long): Seq[SessionState] = {
     val sorted = units.sortBy(s => (s.startMs, s.lastMs))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
     for (u <- sorted) {

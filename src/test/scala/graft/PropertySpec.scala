@@ -116,4 +116,33 @@ class PropertySpec extends SparkSpec {
       bounded && dupIds.subsetOf(found) && exact
     }, n = 10)
   }
+
+  test("property: incremental interval merge equals batch sessionization for ANY arrival order") {
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{Event, SessionState}
+    val gapMs = 30 * 60000L
+    val genEvents = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 100L))
+    } yield ts.zipWithIndex.map { case (m, i) =>
+      Event(i.toLong, new java.sql.Timestamp(m * 3 * 60000L), 1L, "click", 1.0)
+    }
+    val prop = Prop.forAll(genEvents, Gen.choose(1, 5)) { (events, nBatches) =>
+      // batch truth: global sort then gap split
+      val batch = EventsStream.sessionizeBatch(
+        spark.createDataset(events)(org.apache.spark.sql.Encoders.product[Event]))
+        .collect().map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+      // incremental: arbitrary split into micro-batches, merged via the
+      // streaming sessionizers' shared interval merge (no watermark cut,
+      // so every session is still "open" at the end)
+      val shuffled = scala.util.Random.shuffle(events)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nBatches)).toSeq
+      val finalState = batches.foldLeft(Seq.empty[SessionState]) { (open, evs) =>
+        EventsStream.mergeUnits(open ++ evs.map(EventsStream.asUnit), gapMs)
+      }
+      val incremental = finalState.map(s => (s.startMs, s.lastMs, s.n)).toSet
+      incremental == batch
+    }
+    check("merge-parity", prop)
+  }
 }

@@ -204,6 +204,50 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeStreamTws: straggler sessions emit one at a time as their timers fire") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStreamTws(mem.toDS(), gapMinutes = 30, watermark = "5 hours")
+    val q = out.writeStream.format("memory").queryName("tws_straggler")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 240), ev(2, 250))
+      q.processAllAvailable()
+      // two stragglers → state now holds TWO open sessions (20,25) and
+      // (240,250); the single live timer must track the EARLIEST
+      mem.addData(ev(3, 20), ev(4, 25))
+      q.processAllAvailable()
+      // watermark to ~55+: closes only the early session, and the
+      // timer must re-register for the later one
+      mem.addData(ev(5, 360, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(6, 365, uid = 2L))
+      q.processAllAvailable()
+      val mid = spark.table("tws_straggler").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events)).toSet
+      mid shouldBe Set((20L, 25L, 2L))
+      // push the watermark past 250+30 → the later session emits too
+      mem.addData(ev(7, 900, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(8, 990, uid = 2L))
+      q.processAllAvailable()
+      val all = spark.table("tws_straggler").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events)).toSet
+      all shouldBe Set((20L, 25L, 2L), (240L, 250L, 2L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("sessionizeBatch: same gap semantics on a bounded Dataset") {
     val events = Seq(
       ev(1, 0), ev(2, 10), ev(3, 20),       // session 1 of user 1

@@ -92,7 +92,8 @@ object Bench {
       "q60_curation_pipeline", "q61_media_resize", "q62_stratified_sample",
       "q63_bm25_topk", "q64_salted_join", "q65_stream_join_twin",
       "q66_bpe_token_count", "q67_session_window", "q68_range_theta_join",
-      "q69_topk_native", "q70_token_shards", "q71_mixture_sample")
+      "q69_topk_native", "q70_token_shards", "q71_mixture_sample",
+      "q72_dup_ngrams")
     val baselineComparable = results
       .filterNot { case (k, _) => addedAfterR1.contains(k) }
       .map(_._2._1).filter(_ >= 0).sum

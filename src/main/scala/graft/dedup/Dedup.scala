@@ -132,6 +132,34 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Exact substring (word n-gram) duplication stats — the "train-set
+    * memorization" signal of exact-substring dedup: an n-gram is
+    * DUPLICATED if it occurs in ≥ 2 distinct documents; each document
+    * reports how many of its n-gram positions carry a duplicated gram.
+    * Grams travel as md5-60 HASHES (8 bytes), never as joined text —
+    * at 100 TB the explode ships |tokens| hashes, the gram aggregate
+    * map-side combines on a well-distributed key, and the stats join
+    * is linear. Returns (doc_id, n_grams, n_dup_positions). */
+  def duplicatedNgramStats(docs: DataFrame, n: Int = 13): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val gramArr = transform(sequence(lit(1), size(tk) - lit(n - 1)),
+      i => graft.text.Hashing.h60(array_join(slice(tk, i, lit(n)), " ")))
+    val g = docs.where(size(tk) >= n)
+      .select(col("doc_id"), explode(gramArr).as("gh"))
+      // feeds the duplicated-gram aggregate AND the per-doc stats join
+      .persist()
+    val dup = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gh")
+    val perDoc = g.join(dup, Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
+    docs.select(col("doc_id"),
+        greatest(size(tk) - lit(n - 1), lit(0)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+  }
+
   /** Estimated Jaccard of a candidate pair = fraction of agreeing
     * signature positions, over attached `sig_a`/`sig_b` columns.
     * Unrolled element_at/when terms instead of zip_with+aggregate: the

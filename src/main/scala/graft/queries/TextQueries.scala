@@ -609,6 +609,33 @@ object TextQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------ exact substring dedup stats (q72)
+  /** Duplicated 13-gram positions per document — exact-substring
+    * dedup's curation signal (how much of a doc is verbatim-shared
+    * with the rest of the corpus), plus the flag a cleaning pass
+    * would threshold on. Grams ride the md5-60 hash family, so the
+    * whole computation is exactly oracled. */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedNgramStats(docs0(s, d), n = 13)
+      .select(col("doc_id"), col("n_grams"), col("n_dup_positions"),
+        (col("n_dup_positions") * lit(10) >= col("n_grams") * lit(3)).as("heavy_dup"))
+      .orderBy("doc_id")
+
+  private val q72Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(tk) - 11),
+      |          i -> CAST(concat('0x', substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15)) AS BIGINT))) AS gh
+      |      FROM t WHERE len(tk) >= 13),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |per_doc AS (SELECT doc_id, count(*) AS n_dup_positions FROM g JOIN dup USING (gh) GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(tk) - 12, 0) AS INTEGER) AS n_grams,
+      |  CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+      |  coalesce(n_dup_positions, 0) * 10 >= greatest(len(tk) - 12, 0) * 3 AS heavy_dup
+      |FROM t LEFT JOIN per_doc ON per_doc.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -627,5 +654,6 @@ object TextQueries {
     ("q63_bm25_topk",          q63 _, Some(q63Sql)),
     ("q66_bpe_token_count",    q66 _, Some(q66Sql)),
     ("q70_token_shards",       q70 _, Some(q70Sql)),
-    ("q71_mixture_sample",     q71 _, Some(q71Sql)))
+    ("q71_mixture_sample",     q71 _, Some(q71Sql)),
+    ("q72_dup_ngrams",         q72 _, Some(q72Sql)))
 }

@@ -142,9 +142,16 @@ object Dedup {
     * is linear. Returns (doc_id, n_grams, n_dup_positions). */
   def duplicatedNgramStats(docs: DataFrame, n: Int = 13): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))
-    val gramArr = transform(sequence(lit(1), size(tk) - lit(n - 1)),
-      i => graft.text.Hashing.h60(array_join(slice(tk, i, lit(n)), " ")))
-    val g = docs.where(size(tk) >= n)
+    // materialize the token array BEFORE the per-position lambda:
+    // expressions inside a higher-order function get no common-
+    // subexpression elimination, so referencing tokens(text) there
+    // would re-split the document once per gram position (measured
+    // ~6× slower at sf0.1)
+    val toks = docs.where(size(tk) >= n)
+      .select(col("doc_id"), tk.as("tk"))
+    val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+      i => graft.text.Hashing.h60(array_join(slice(col("tk"), i, lit(n)), " ")))
+    val g = toks
       .select(col("doc_id"), explode(gramArr).as("gh"))
       // feeds the duplicated-gram aggregate AND the per-doc stats join
       .persist()

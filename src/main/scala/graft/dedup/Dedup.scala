@@ -142,17 +142,7 @@ object Dedup {
     * is linear. Returns (doc_id, n_grams, n_dup_positions). */
   def duplicatedNgramStats(docs: DataFrame, n: Int = 13): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))
-    // materialize the token array BEFORE the per-position lambda:
-    // expressions inside a higher-order function get no common-
-    // subexpression elimination, so referencing tokens(text) there
-    // would re-split the document once per gram position (measured
-    // ~6× slower at sf0.1)
-    val toks = docs.where(size(tk) >= n)
-      .select(col("doc_id"), tk.as("tk"))
-    val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
-      i => graft.text.Hashing.h60(array_join(slice(col("tk"), i, lit(n)), " ")))
-    val g = toks
-      .select(col("doc_id"), explode(gramArr).as("gh"))
+    val g = ngramHashes(docs, n)
       // feeds the duplicated-gram aggregate AND the per-doc stats join
       .persist()
     val dup = g.groupBy("gh")
@@ -165,6 +155,53 @@ object Dedup {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+  }
+
+  /** Word n-gram md5-60 hashes, one row per gram position:
+    * (doc_id, gh). The shared front half of exact-substring dedup
+    * stats and train/test decontamination — grams travel as 8-byte
+    * hashes, never as joined text, so the explode ships |tokens| longs
+    * per document and every downstream aggregate combines map-side.
+    *
+    * The token array is materialized BEFORE the per-position lambda:
+    * expressions inside a higher-order function get no common-
+    * subexpression elimination, so referencing tokens(text) there
+    * would re-split the document once per gram position (measured
+    * ~6× slower at sf0.1). */
+  def ngramHashes(docs: DataFrame, n: Int = 13): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val toks = docs.where(size(tk) >= n)
+      .select(col("doc_id"), tk.as("tk"))
+    val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+      i => graft.text.Hashing.h60(array_join(slice(col("tk"), i, lit(n)), " ")))
+    toks.select(col("doc_id"), explode(gramArr).as("gh"))
+  }
+
+  /** Train/test DECONTAMINATION — the dedup variant every LLM data
+    * pipeline runs before training: flag corpus documents that share
+    * any verbatim word `n`-gram with a benchmark/eval set, so
+    * memorized eval answers can be dropped. Reports, per corpus doc,
+    * its gram count and how many of its gram positions collide with
+    * the benchmark gram set (`n_bench_hits`); `contaminated` is the
+    * any-overlap flag a cleaning pass filters on.
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of docs,
+    * not billions) reduces to a DISTINCT set of 8-byte gram hashes and
+    * is explicitly broadcast, so the corpus side — the 100 TB side —
+    * is a NARROW explode + broadcast-semi-join + one map-side-combined
+    * aggregate on doc_id; the corpus never shuffles by gram. */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
+    val benchGrams = ngramHashes(bench, n).select("gh").distinct()
+    val hits = ngramHashes(corpus, n)
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_hits"))
+    val tk = TextFunctions.tokens(col("text"))
+    corpus.select(col("doc_id"),
+        greatest(size(tk) - lit(n - 1), lit(0)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Estimated Jaccard of a candidate pair = fraction of agreeing

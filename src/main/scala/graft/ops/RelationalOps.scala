@@ -201,6 +201,35 @@ object RelationalOps {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** CDC MERGE/upsert: apply a changelog of upserts and deletes to a
+    * base snapshot, highest `versionCol` per key wins. Base rows rank
+    * as version 0 ('U'); a change row carries the base's columns plus
+    * (`opCol` ∈ {'U','D'}, `versionCol` > 0); keys whose winning row is
+    * a 'D' drop out of the result.
+    *
+    * Shape at 100 TB: ONE hash aggregate on the key carrying the whole
+    * row as `max(struct(version, op, payload…))` — map-side combinable
+    * partial aggregation, a single shuffle, no window sort. With many
+    * change batches the same fold applies incrementally (merge batch N
+    * into the running snapshot), which is how a streaming upsert sink
+    * would maintain it. Ties on (key, version) resolve by the
+    * deterministic lexicographic struct order (op, then payload) —
+    * supply unique versions for a uniquely-defined result.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  versionCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    val b = base.select(col(key) +: (lit(0L).as("__v") +: lit("U").as("__op") +:
+      payload.map(col)): _*)
+    val c = changes.select(col(key) +: (col(versionCol).cast("long").as("__v") +:
+      col(opCol).as("__op") +: payload.map(col)): _*)
+    b.unionByName(c)
+      .groupBy(col(key))
+      .agg(max(struct(col("__v") +: col("__op") +: payload.map(col): _*)).as("m"))
+      .where(col("m.__op") =!= "D")
+      .select(col(key) +: payload.map(p => col(s"m.$p").as(p)): _*)
+  }
+
   def asofJoinLatest(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
                      rightCols: Seq[String]): DataFrame = {

@@ -562,6 +562,75 @@ object ExtendedQueries {
       | FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ----------------------------------- CDC merge / upsert (q76)
+  /** [[RelationalOps.mergeUpsert]] applying a deterministic synthetic
+    * changelog to the orders snapshot: two update waves (the second
+    * overriding the first on their overlap — last-version-wins), a
+    * delete wave that also overrides updates, and an insert wave under
+    * fresh keys. One max(struct) hash aggregate; no window. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val u1 = o.where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        lit(1L).as("version"), lit("U").as("op"))
+    val u2 = o.where(col("o_orderkey") % 21 === 0)
+      .select(col("o_orderkey"), lit("U2").as("o_orderstatus"),
+        (col("o_totalprice") * 1.10).as("o_totalprice"),
+        lit(2L).as("version"), lit("U").as("op"))
+    val del = o.where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(null: String).as("o_orderstatus"),
+        lit(null).cast(DoubleType).as("o_totalprice"),
+        lit(3L).as("version"), lit("D").as("op"))
+    val ins = o.where(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("NEW").as("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("version"), lit("U").as("op"))
+    RelationalOps.mergeUpsert(o, u1.unionByName(u2).unionByName(del).unionByName(ins),
+        "o_orderkey", "version", "op")
+      .orderBy("o_orderkey")
+  }
+
+  private val q76Sql =
+    """WITH chg AS (
+      |  SELECT o_orderkey AS k, 0 AS v, 'U' AS op, o_orderstatus AS st, o_totalprice AS pr FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'U', 'U1', o_totalprice * CAST(1.05 AS DOUBLE) FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', 'U2', o_totalprice * CAST(1.10 AS DOUBLE) FROM orders WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 1, 'U', 'NEW', o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
+      |w AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM chg)
+      |SELECT k AS o_orderkey, st AS o_orderstatus, pr AS o_totalprice
+      |FROM w WHERE rn = 1 AND op != 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------- sliding event windows (q77)
+  /** Sliding (hopping) 30-minute windows every 10 minutes over the
+    * events stream — the overlapping-window twin of q21's tumbling
+    * hour. Spark's `window(ts, size, slide)` expands each event into
+    * size/slide = 3 rows BEFORE the aggregate (a narrow generate, no
+    * extra shuffle); the oracle mirrors that expansion with an
+    * explicit 3-offset unnest. Same transform lifts to readStream +
+    * watermark unchanged (SURVEY §2.10). */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d184(col("value")))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val q77Sql =
+    """SELECT strftime(make_timestamp(((CAST(floor(epoch(ts) / 600) AS BIGINT) - k) * 600) * 1000000),
+      |         '%Y-%m-%d %H:%M:%S') AS win_start,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -583,5 +652,7 @@ object ExtendedQueries {
     ("q65_stream_join_twin", q65 _, Some(q65Sql)),
     ("q67_session_window",   q67 _, Some(q67Sql)),
     ("q68_range_theta_join", q68 _, Some(q68Sql)),
-    ("q69_topk_native",      q69 _, Some(q69Sql)))
+    ("q69_topk_native",      q69 _, Some(q69Sql)),
+    ("q76_merge_upsert",     q76 _, Some(q76Sql)),
+    ("q77_sliding_window",   q77 _, Some(q77Sql)))
 }

@@ -636,6 +636,89 @@ object TextQueries {
       |FROM t LEFT JOIN per_doc ON per_doc.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------ PII-style redaction (q73)
+  /** Regex scrubbing with audit counts — the PII-removal pass of a
+    * curation pipeline. The fixture text is synthetic word salad, so
+    * the "sensitive term" rule is the live one; the email/number rules
+    * exercise the same plumbing with zero hits (real pipelines swap in
+    * real PII patterns — the operator is identical). The redacted text
+    * is exported as its md5 so the full replacement semantics are
+    * hashed without shipping 100 TB of scrubbed text to the oracle. */
+  private val RedactRules = Seq(
+    ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{4,}\\b", "<NUM>"),
+    ("\\bcustomer\\b", "<NAME>"))
+
+  private def q73(s: SparkSession, d: String): DataFrame =
+    docs0(s, d).select(col("doc_id"),
+        TextFunctions.matchCount(col("text"), RedactRules(0)._1).as("n_email"),
+        TextFunctions.matchCount(col("text"), RedactRules(1)._1).as("n_num"),
+        TextFunctions.matchCount(col("text"), RedactRules(2)._1).as("n_name"),
+        md5(TextFunctions.redact(col("text"), RedactRules).cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
+
+  private val q73Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+      | CAST(len(regexp_extract_all(text, '\b[0-9]{4,}\b')) AS INTEGER) AS n_num,
+      | CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INTEGER) AS n_name,
+      | md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |   '\b[0-9]{4,}\b', '<NUM>', 'g'),
+      |   '\bcustomer\b', '<NAME>', 'g')) AS redacted_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------- train/test decontamination (q74)
+  /** Decontamination against a benchmark set (here: doc_id % 10 = 0
+    * stands in for the eval suite): corpus docs sharing any verbatim
+    * 13-gram with the benchmark are flagged. Same hashed-gram family
+    * as q72, so the whole check is exactly oracled. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val all = docs0(s, d)
+    Dedup.contaminationStats(
+        all.where(col("doc_id") % 10 =!= 0),
+        all.where(col("doc_id") % 10 === 0), n = 13)
+      .orderBy("doc_id")
+  }
+
+  private val q74Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(tk) - 11),
+      |          i -> CAST(concat('0x', substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15)) AS BIGINT))) AS gh
+      |      FROM t WHERE len(tk) >= 13),
+      |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+      |hits AS (SELECT doc_id, count(*) AS n_bench_hits
+      |         FROM g JOIN bench USING (gh) WHERE doc_id % 10 != 0 GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(greatest(len(tk) - 12, 0) AS INTEGER) AS n_grams,
+      |  CAST(coalesce(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+      |  coalesce(n_bench_hits, 0) > 0 AS contaminated
+      |FROM t LEFT JOIN hits USING (doc_id) WHERE t.doc_id % 10 != 0
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ----------------------- repetition quality (Gopher rules) (q75)
+  /** Per-doc repetition fractions + the is_repetitive flag
+    * ([[graft.text.QualityOps.repetitionStats]]); thresholds chosen to
+    * split the fixture corpus non-trivially. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    graft.text.QualityOps.repetitionStats(docs0(s, d)).orderBy("doc_id")
+
+  private val q75Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS g FROM t),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+      |       FROM t WHERE len(tk) >= 2),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(c) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nd_tok FROM tc GROUP BY 1),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bp AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg, count(*) AS nd_bg FROM bc GROUP BY 1)
+      |SELECT doc_id,
+      |  top_tok / n_tok AS top_token_frac,
+      |  1 - nd_tok / n_tok AS dup_token_frac,
+      |  top_bg / n_bg AS top_bigram_frac,
+      |  (top_tok / n_tok > 0.12 OR 1 - nd_tok / n_tok > 0.6 OR top_bg / n_bg > 0.06) AS is_repetitive
+      |FROM tp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -655,5 +738,8 @@ object TextQueries {
     ("q66_bpe_token_count",    q66 _, Some(q66Sql)),
     ("q70_token_shards",       q70 _, Some(q70Sql)),
     ("q71_mixture_sample",     q71 _, Some(q71Sql)),
-    ("q72_dup_ngrams",         q72 _, Some(q72Sql)))
+    ("q72_dup_ngrams",         q72 _, Some(q72Sql)),
+    ("q73_redaction",          q73 _, Some(q73Sql)),
+    ("q74_decontaminate",      q74 _, Some(q74Sql)),
+    ("q75_repetition_quality", q75 _, Some(q75Sql)))
 }

@@ -63,6 +63,30 @@ object TextFunctions {
       .otherwise("de")
   }
 
+  /** Adjacent token bigrams as "a b" strings — the unit of the
+    * repetition-quality signals (Gopher-style top-2-gram fraction).
+    * Guarded for < 2 tokens: Spark's `sequence(1, 0)` counts DOWN
+    * ([1, 0]), it does not produce an empty range. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** PII-style scrubbing: apply `(pattern → replacement)` rules in
+    * order, each replacing EVERY match (Spark regexp_replace is
+    * global, like DuckDB's 'g' flag). Patterns must stay inside the
+    * common Java-regex/RE2 subset (character classes, `\b`, bounded
+    * repetition) so the oracle evaluates them identically; swap in
+    * real PII patterns (emails, phones, SSNs) as rules — the operator
+    * is the same codegen'd per-row projection either way. */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Number of matches of `pattern` — the redaction audit count. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03) via
     * the native one-pass [[WinnowFingerprint]] expression — the
     * higher-order-function formulation was O(len·w) interpreted with an

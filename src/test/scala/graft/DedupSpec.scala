@@ -16,6 +16,26 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  test("contaminationStats: shared 3-gram flags the corpus doc, disjoint doc clean") {
+    val corpus = docsDF(
+      1L -> "alpha beta gamma delta",   // shares "alpha beta gamma" + "beta gamma delta"? bench has "alpha beta gamma epsilon" -> only "alpha beta gamma"
+      2L -> "one two three four",       // disjoint from bench
+      3L -> "x y")                      // shorter than n: 0 grams, clean
+    val bench = docsDF(10L -> "alpha beta gamma epsilon")
+    val out = Dedup.contaminationStats(corpus, bench, n = 3)
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))) shouldBe
+      Array((1L, 2, 1L, true), (2L, 2, 0L, false), (3L, 0, 0L, false))
+  }
+
+  test("contaminationStats: a doc repeating a bench gram counts every position") {
+    val corpus = docsDF(1L -> "a b c z a b c")
+    val bench = docsDF(10L -> "a b c")
+    val out = Dedup.contaminationStats(corpus, bench, n = 3).collect()
+    // positions: "a b c", "b c z", "c z a", "z a b", "a b c" -> 2 hits of 5
+    out.map(r => (r.getInt(1), r.getLong(2))) shouldBe Array((5, 2L))
+  }
+
   test("minhash signatures: identical texts get identical signatures; length k") {
     val df = docsDF(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val sigs = Dedup.minhashSignatures(df, k = 16).orderBy("doc_id").collect()

@@ -33,6 +33,43 @@ class RelationalOpsSpec extends SparkSpec {
       Array(("c1", "s_new"), ("c2", "s_only"))
   }
 
+  test("mergeUpsert: last version wins, deletes drop keys, inserts land") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "pr")
+    val changes = Seq(
+      (1L, Some("a1"), Some(11.0), 1L, "U"),  // update
+      (1L, Some("a2"), Some(12.0), 2L, "U"),  // later update wins over v1
+      (2L, None, None, 1L, "D"),              // delete
+      (3L, Some("c1"), Some(31.0), 1L, "U"),
+      (3L, None, None, 2L, "D"),              // delete overrides update
+      (9L, Some("new"), Some(90.0), 1L, "U")) // insert under a fresh key
+      .toDF("k", "st", "pr", "version", "op")
+    val out = RelationalOps.mergeUpsert(base, changes, "k", "version", "op")
+      .orderBy("k").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) shouldBe
+      Array((1L, "a2", 12.0), (9L, "new", 90.0))
+  }
+
+  test("mergeUpsert: no changes returns the base unchanged") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "st", "pr")
+    val none = Seq.empty[(Long, String, Double, Long, String)]
+      .toDF("k", "st", "pr", "version", "op")
+    RelationalOps.mergeUpsert(base, none, "k", "version", "op")
+      .orderBy("k").collect().map(_.getString(1)) shouldBe Array("a", "b")
+  }
+
+  test("mergeUpsert: result is stable under change-row order and partitioning") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "st", "pr")
+    val changes = Seq((1L, "x", 1.0, 5L, "U"), (1L, "y", 2.0, 3L, "U"),
+        (1L, "z", 3.0, 4L, "U"))
+      .toDF("k", "st", "pr", "version", "op")
+    val a = RelationalOps.mergeUpsert(base, changes, "k", "version", "op").collect()
+    val b = RelationalOps.mergeUpsert(base, changes.orderBy(col("version").desc).repartition(7),
+      "k", "version", "op").collect()
+    a shouldBe b
+    a.head.getString(1) shouldBe "x"
+  }
+
   test("latestByAgg: agg-based keep-last matches the window variant") {
     val df = Seq(
       ("c1", "2019", "s_old"), ("c1", "2021", "s_new"),

@@ -65,6 +65,52 @@ class TextFunctionsSpec extends SparkSpec {
     fps.length shouldBe 1
   }
 
+  test("redact: rules apply in order, every match replaced, counts audit") {
+    val rules = Seq(("\\b[0-9]{4,}\\b", "<NUM>"), ("\\bbob\\b", "<NAME>"))
+    val out = Seq("bob paid 12345 then bob paid 9999")
+      .toDF("text")
+      .select(TextFunctions.redact(col("text"), rules).as("r"),
+        TextFunctions.matchCount(col("text"), rules.head._1).as("n_num"),
+        TextFunctions.matchCount(col("text"), "\\bbob\\b").as("n_name"))
+      .collect()(0)
+    out.getString(0) shouldBe "<NAME> paid <NUM> then <NAME> paid <NUM>"
+    out.getInt(1) shouldBe 2
+    out.getInt(2) shouldBe 2
+  }
+
+  test("redact: word boundary does not match inside longer tokens") {
+    val out = Seq("bobcat bob").toDF("text")
+      .select(TextFunctions.redact(col("text"), Seq(("\\bbob\\b", "X"))))
+      .collect()(0).getString(0)
+    out shouldBe "bobcat X"
+  }
+
+  test("bigrams: adjacent pairs in order; single token yields none") {
+    Seq("a b c").toDF("text")
+      .select(TextFunctions.bigrams(TextFunctions.tokens(col("text"))))
+      .collect()(0).getSeq[String](0) shouldBe Seq("a b", "b c")
+    Seq("solo").toDF("text")
+      .select(TextFunctions.bigrams(TextFunctions.tokens(col("text"))))
+      .collect()(0).getSeq[String](0) shouldBe Seq.empty
+  }
+
+  test("repetitionStats: a one-token-dominated doc flags, a diverse doc does not") {
+    import graft.text.QualityOps
+    // diverse doc needs ≥ ~18 tokens: with n all-distinct tokens the
+    // top-bigram fraction floors at 1/(n-1), so the default 0.06
+    // threshold flags anything shorter — the signal presumes documents,
+    // not titles (the fixture corpus is 30-80 tokens/doc)
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ham"),
+      (2L, ('a' to 't').map(c => s"w$c").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = QualityOps.repetitionStats(docs).orderBy("doc_id").collect()
+    out(0).getBoolean(4) shouldBe true   // 9/10 same token
+    out(0).getDouble(1) shouldBe 0.9 +- 1e-12
+    out(1).getBoolean(4) shouldBe false  // 20 distinct tokens
+    out(1).getDouble(2) shouldBe 0.0 +- 1e-12
+  }
+
   test("tokenShards: distributed prefix sum equals the global-window cumsum") {
     import graft.text.Packing
     import org.apache.spark.sql.expressions.Window

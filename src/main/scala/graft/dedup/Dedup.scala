@@ -28,34 +28,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures: k permutations approximated by k INDEPENDENT
-    * seeded hashes — hash_i(tok) = md5-60 of "i:tok" — so that, unlike
-    * xxhash64, the whole pipeline is exactly reproducible in the DuckDB
-    * correctness oracle. Independence matters: a double-hashing family
-    * (h1 + i·h2) was measured to CORRELATE the permutations — the same
+    * hash lanes — permutation i is the 28-bit lane i%4 of md5 of
+    * "(i/4):tok" (graft.text.Hashing.h28Lane), so k permutations cost
+    * k/4 md5 digests and, unlike xxhash64, the whole pipeline is
+    * exactly reproducible in the DuckDB correctness oracle.
+    * Independence matters: a double-hashing family (h1 + i·h2) was
+    * measured to CORRELATE the permutations — the same
     * small-h1/small-h2 tokens win most positions, biasing the
-    * position-agreement estimate up and inflating candidate pairs 2.3×.
-    * signature[i] = min over distinct tokens of hash_i(token).
+    * position-agreement estimate up and inflating candidate pairs
+    * 2.3×. Distinct bit ranges of one strong digest carry no such
+    * correlation (measured at sf0.1: candidate volume −7% — noise-level
+    * — and the est distribution unchanged vs 32 separate md5-60s).
+    * signature[i] = min over distinct tokens of lane_i.
     *
     * Two value-identical formulations, pinned to each other by
-    * DedupSpec; A/B-benched at sf0.1 this round and WITHIN NOISE of
-    * each other (q29 5.4 vs 5.6 s), because a document's tokens are
-    * co-located after explode, so the aggregate's map-side combine
-    * already reduces its shuffle to ~one row per doc — the same volume
-    * the native+repartition variant ships. The aggregate stays the
-    * default (its exchange feeds AQE exact stats for the downstream
-    * attach joins — the shuffle-FREE native variant without the
-    * repartition measured ~15% slower end to end for exactly that
-    * reason, both this round and in round 1's HOF experiment).
+    * DedupSpec. The NATIVE per-row expression is the default since the
+    * lane rebase: one digest loop per document with no hex
+    * rendering measures 0.6 s vs the aggregate's 2.1 s at sf0.1 (the
+    * aggregate pays 32 interpreted-ish conv(substring(md5hex)) lane
+    * extractions per token row — builtins, but string-shaped; in
+    * round 1's all-md5-60 family the two were within noise, which is
+    * why the aggregate was the default then). The deliberate
+    * repartition of the finished signatures keeps an exchange in the
+    * plan so AQE still sees exact sizes for the downstream attach
+    * joins — without it the no-shuffle plan measured ~15% slower end
+    * to end (round 1's HOF experiment, re-confirmed this round).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame =
-    minhashSignaturesViaAggregate(docs, k)
+    minhashSignaturesNative(docs, k)
 
   /** Per-row formulation: the native one-pass [[MinHashSignature]]
-    * expression (distinct tokens, k seeded md5-60s, k running mins in
-    * one eval per document), then one deliberate repartition of the
-    * finished k·8B signature rows so AQE still sees exact sizes. The
-    * shape to prefer when the signature stage feeds a SINGLE consumer
-    * and the exchange can be elided entirely. */
+    * expression (distinct tokens, k/4 seeded digests × 4 lanes, k
+    * running mins in one eval per document), then one deliberate
+    * repartition of the finished k·8B signature rows (see above). */
   def minhashSignaturesNative(docs: DataFrame, k: Int = 32): DataFrame =
     docs.select(col("doc_id"),
       org.apache.spark.sql.GraftSqlShim.column(MinHashSignature(
@@ -66,13 +71,23 @@ object Dedup {
 
   /** The distributed-aggregation formulation of [[minhashSignatures]]:
     * one explode + one hash-aggregate of k `min` columns, map-side
-    * combined. */
+    * combined. Value-identical to the native default (DedupSpec pins
+    * them) and shaped exactly like the DuckDB oracle CTE — kept as the
+    * cross-check twin; the native path is faster (see above). */
   def minhashSignaturesViaAggregate(docs: DataFrame, k: Int = 32): DataFrame = {
+    require(k % 4 == 0, s"k must be a multiple of 4 (4 lanes per md5 digest), got $k")
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+    // one explicit md5 column per seed, then 4 conv lanes each — the
+    // digest is computed once per (token, seed) by construction, not
+    // by relying on codegen subexpression elimination across the k
+    // aggregate input expressions
+    val digests = toks.select(col("doc_id") +:
+      (0 until k / 4).map(s =>
+        md5(concat(lit(s"$s:"), col("tok")).cast("binary")).as(s"d$s")): _*)
     val mins = (0 until k).map(i =>
-      min(graft.text.Hashing.h60Seeded(i, col("tok"))).as(s"h$i"))
-    toks.groupBy("doc_id")
+      min(graft.text.Hashing.h28Lane(col(s"d${i / 4}"), i % 4)).as(s"h$i"))
+    digests.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }

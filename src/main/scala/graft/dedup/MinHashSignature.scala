@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import graft.text.Hashing
 
 /** The k-permutation MinHash signature of a token array, computed per
-  * row in ONE pass: distinct tokens (deduped in-expression), k seeded
-  * md5-60 hashes per token ("i:" digested ahead of the token bytes), k
-  * running minima. Value-identical to the explode + k-min-columns
+  * row in ONE pass: distinct tokens (deduped in-expression), k/4 seeded
+  * md5 digests per token ("s:" digested ahead of the token bytes), four
+  * independent 28-bit lanes per digest (graft.text.Hashing.hash28Lanes),
+  * k running minima. Value-identical to the explode + k-min-columns
   * aggregation ([[Dedup.minhashSignaturesViaAggregate]], pinned by
   * DedupSpec) and therefore to the DuckDB oracle.
   *
@@ -38,14 +39,17 @@ case class MinHashSignature(child: Expression, k: Int = 32)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
+  require(k % 4 == 0, s"k must be a multiple of 4 (4 lanes per md5 digest), got $k")
+
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
-    Array.tabulate(k)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
+    Array.tabulate(k / 4)(s => s"$s:".getBytes(StandardCharsets.UTF_8))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
+    val lanes = new Array[Long](4)
     val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
     var i = 0
     while (i < n) {
@@ -53,11 +57,16 @@ case class MinHashSignature(child: Expression, k: Int = 32)
         val tok = arr.getUTF8String(i)
         if (seen.add(tok)) {
           val bytes = tok.getBytes
-          var p = 0
-          while (p < k) {
-            val h = Hashing.hash60Seeded(seedPrefixes(p), bytes)
-            if (h < mins(p)) mins(p) = h
-            p += 1
+          var s = 0
+          while (s < k / 4) {
+            Hashing.hash28Lanes(seedPrefixes(s), bytes, lanes, 0)
+            var j = 0
+            while (j < 4) {
+              val p = s * 4 + j
+              if (lanes(j) < mins(p)) mins(p) = lanes(j)
+              j += 1
+            }
+            s += 1
           }
         }
       }

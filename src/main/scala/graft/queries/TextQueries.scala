@@ -151,7 +151,7 @@ object TextQueries {
        |  FROM documents),
        |hs AS (
        |  SELECT doc_id, i,
-       |         min(CAST(concat('0x', substr(md5(concat(i, ':', tok)), 1, 15)) AS BIGINT)) AS h
+       |         min(CAST(concat('0x', substr(md5(concat(i // 4, ':', tok)), (i % 4) * 7 + 1, 7)) AS BIGINT)) AS h
        |  FROM toks CROSS JOIN (SELECT unnest(range($k)) AS i) perm
        |  GROUP BY doc_id, i),
        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
@@ -425,7 +425,7 @@ object TextQueries {
       |toks AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM cur),
       |hs AS (
       |  SELECT doc_id, i,
-      |         min(CAST(concat('0x', substr(md5(concat(i, ':', tok)), 1, 15)) AS BIGINT)) AS h
+      |         min(CAST(concat('0x', substr(md5(concat(i // 4, ':', tok)), (i % 4) * 7 + 1, 7)) AS BIGINT)) AS h
       |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS i) perm
       |  GROUP BY doc_id, i),
       |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),

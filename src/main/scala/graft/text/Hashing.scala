@@ -96,4 +96,45 @@ object Hashing {
   /** DuckDB rendering of [[h60]], for building oracle SQL strings. */
   def duckH60(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  // ------------------------------------------------- 28-bit hash lanes
+
+  /** Lane decomposition for hash FAMILIES (minhash permutations): one
+    * md5 digest yields FOUR independent 28-bit lanes — hex chars
+    * 1-7, 8-14, 15-21, 22-28 — so k minhash permutations cost k/4
+    * digests instead of k. Distinct bit ranges of a strong hash are
+    * independent functions (unlike the h1+i·h2 double-hash family,
+    * which correlates permutations — see [[h60Seeded]]); 28 bits is
+    * ample for min-hash ranking, which needs uniformity, not
+    * collision-free width (P[two of ~100 tokens tie in a lane]
+    * ≈ 100²/2²⁹ ≈ 2e-5, and a tie only nudges one estimate position).
+    * Digesting md5("seed:tok") keeps the whole family reproducible in
+    * the DuckDB oracle: `substr(md5(...), j*7+1, 7)`. */
+
+  /** Column side: lane `j` (0-3) of an md5 HEX column, as BIGINT. */
+  def h28Lane(md5Hex: Column, j: Int): Column =
+    conv(substring(md5Hex, j * 7 + 1, 7), 16, 10).cast(LongType)
+
+  /** JVM side: all 4 lanes of md5(prefix ++ b) into out[off..off+3]. */
+  def hash28Lanes(prefix: Array[Byte], b: Array[Byte], out: Array[Long], off: Int): Unit = {
+    val d = md.get()
+    d.reset()
+    d.update(prefix)
+    d.update(b, 0, b.length)
+    val dig = d.digest()
+    var j = 0
+    while (j < 4) {
+      var v = 0L
+      var nib = j * 7
+      val end = nib + 7
+      while (nib < end) {
+        val by = dig(nib >> 1)
+        val n = if ((nib & 1) == 0) (by >> 4) & 0xF else by & 0xF
+        v = (v << 4) | n
+        nib += 1
+      }
+      out(off + j) = v
+      j += 1
+    }
+  }
 }

@@ -49,6 +49,22 @@ object Prof {
       Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs, 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7, bucketCap = 1000)
     }
+    // isolate: threshold vs corpus slice
+    import org.apache.spark.sql.functions.col
+    time("pairs_full_est09") {
+      Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs, 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.9, bucketCap = 1000)
+    }
+    time("pairs_half_est07") {
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs.where(col("doc_id") % 10 >= 5), 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.7, bucketCap = 1000)
+    }
+    time("pairs_half_est09") {
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs.where(col("doc_id") % 10 >= 5), 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.9, bucketCap = 1000)
+    }
     spark.stop()
   }
 }

@@ -121,14 +121,23 @@ object Dedup {
     val smallBuckets = banded.groupBy("band", "bh").count()
       .where(col("count") <= bucketCap).drop("count")
     val safe = banded.join(smallBuckets, Seq("band", "bh"))
-    // duplicates (same pair via several bands) are NOT removed here:
-    // banding with tight rows-per-band duplicates only a few percent of
-    // pairs, so deduping after the est filter (fewer rows, same shuffle
-    // count) measures ~10% faster than deduping before verification
-    val pairs = safe.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    // Pair-dedup placement (same pair arrives via up to `bands` bands)
+    // is ADAPTIVE on the threshold, both variants value-identical:
+    //  - loose minEst: most candidates are genuinely dissimilar and
+    //    collide in ONE band; deduping after the est filter (fewer
+    //    rows, same shuffle count) measured ~10% faster (round 1).
+    //  - tight minEst (≥ 0.8): surviving candidates are true near-dups
+    //    that collide in MOST bands, and near-cap buckets fan each hot
+    //    pair out ~bands times — deduping BEFORE the verification
+    //    joins cuts the k-compare volume by that factor (measured
+    //    1.5× end-to-end at sf0.1 on a capped-bucket-heavy slice; the
+    //    same reasoning the Between probe variant applies always).
+    val dedupFirst = minEst >= 0.8
+    val rawPairs = safe.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(safe.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+    val pairs = if (dedupFirst) rawPairs.distinct() else rawPairs
     // Verification: attach both signatures by key — the signature table
     // is tiny relative to the pair set (one row per doc vs ~pairs), so
     // Catalyst broadcasts it at fixture scale; at cluster scale this
@@ -141,10 +150,10 @@ object Dedup {
     // element_at/when terms stay inside whole-stage codegen — this is
     // the hot expression of the whole operator (once per distinct pair).
     val est = sigAgreement(k)
-    withSigs
+    val verified = withSigs
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
-      .dropDuplicates("doc_a", "doc_b")
+    if (dedupFirst) verified else verified.dropDuplicates("doc_a", "doc_b")
   }
 
   /** Exact substring (word n-gram) duplication stats — the "train-set

@@ -171,10 +171,56 @@ object VectorQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------- product quantization (q78)
+  /** PQ-compressed ANN ([[graft.sim.PqIndex]]): 8 subspaces × 16
+    * centroids seeded from the first 16 corpus vectors, ADC top-5 for
+    * the 10 lowest query ids. Exactly oracled: the oracle re-derives
+    * the codebook from the embeddings table (deterministic seed),
+    * re-encodes every vector (argmin sub-L2, ties → lowest centroid),
+    * and folds the 8 ADC table terms in fixed subspace order — every
+    * double matches bit-for-bit. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    pq.annTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q78Sql =
+    """WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS c, embedding FROM embeddings WHERE vec_id < 16),
+      |js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+      |enc AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT v.vec_id, js.j, ct.c,
+      |      row_number() OVER (PARTITION BY v.vec_id, js.j ORDER BY
+      |        list_sum(list_transform(list_zip(v.embedding[js.j*8+1 : js.j*8+8], ct.embedding[js.j*8+1 : js.j*8+8]),
+      |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+      |        ct.c) AS rn
+      |    FROM embeddings v CROSS JOIN js CROSS JOIN cents ct) z
+      |  WHERE rn = 1),
+      |terms AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.j,
+      |    list_sum(list_transform(list_zip(q.embedding[e.j*8+1 : e.j*8+8], ct.embedding[e.j*8+1 : e.j*8+8]),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS term
+      |  FROM embeddings q
+      |  JOIN enc e ON e.vec_id <> q.vec_id
+      |  JOIN cents ct ON ct.c = e.code
+      |  WHERE q.vec_id < 10),
+      |sc AS (
+      |  SELECT query_id, neighbor_id, list_sum(list(term ORDER BY j)) AS score
+      |  FROM terms GROUP BY query_id, neighbor_id)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score FROM (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
     ("q34_ann_lsh_topk",      q34 _, Some(q34Sql)),
     ("q35_label_centroid_sum", q35 _, Some(q35Sql)),
-    ("q58_cosine_neardup",    q58 _, Some(q58Sql)))
+    ("q58_cosine_neardup",    q58 _, Some(q58Sql)),
+    ("q78_pq_ann_topk",       q78 _, Some(q78Sql)))
 }

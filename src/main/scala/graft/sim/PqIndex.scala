@@ -1,0 +1,111 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Product quantization (Jégou et al., PAMI'11) over an embedding
+  * column — the COMPRESSION member of the ANN family next to
+  * [[RandomHyperplaneLsh]] (bucketing) and [[IvfIndex]] (coarse
+  * cells): split each `dim`-vector into `m` subspaces, quantize every
+  * subvector to one of `ksub` per-subspace centroids, and keep only
+  * the `m` code ids per vector — 64 floats (256 B) become 8 codes
+  * (8 B), a 32× memory cut, which at 100 TB is the difference between
+  * an index that fits executor memory and one that doesn't.
+  *
+  * Search is ADC (asymmetric distance computation): the query stays
+  * un-quantized; per query ONE `m`×`ksub` table of subspace dot
+  * products is precomputed (a narrow projection over the broadcast
+  * query set), and each candidate's approximate score is `m` table
+  * lookups — no per-pair float loops over the full vectors. On a real
+  * deployment the exhaustive code scan is additionally gated by IVF
+  * cells (IVF-PQ); the scan here is the oracled baseline, and the
+  * shape composes with [[IvfIndex.assign]] unchanged.
+  *
+  * "Training" follows the [[IvfIndex]] convention: the subspace
+  * codebooks are the subvectors of the first `ksub` corpus vectors
+  * (by id) — deterministic, collected once (m·ksub·(dim/m) floats =
+  * kilobytes on the driver, embedded as literals into the encode
+  * expression), and reconstructible by the DuckDB oracle straight
+  * from the embeddings table. A k-means fit on a sample slots in via
+  * the `codebook` parameter without touching encode/search, exactly
+  * like `IvfIndex.fit`.
+  *
+  * All float arithmetic is cast to double and folded left-to-right
+  * (subspace terms in fixed j order), the engine-wide reproducibility
+  * discipline (see [[VectorFunctions]]) that lets the oracle
+  * hash-match scores bit-for-bit.
+  */
+class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
+  require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+  private val sub = dim / m
+
+  /** codebook(j)(c) = subvector j of corpus vector c (c < ksub). */
+  def codebookOf(corpus: DataFrame): Array[Array[Array[Float]]] = {
+    val seed = corpus.where(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(seed.length == ksub, s"corpus has fewer than $ksub seed vectors")
+    Array.tabulate(m)(j => seed.map(_._2.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Σ_t (x[j·sub+t] − cen[t])² in double, fixed t order. */
+  private def subL2(emb: Column, j: Int, cen: Array[Float]): Column =
+    (0 until sub).map { t =>
+      val d = element_at(emb, j * sub + t + 1).cast(DoubleType) - lit(cen(t)).cast(DoubleType)
+      d * d
+    }.reduce(_ + _)
+
+  /** Σ_t q[j·sub+t]·cen[t] in double, fixed t order. */
+  private def subDot(emb: Column, j: Int, cen: Array[Float]): Column =
+    (0 until sub).map { t =>
+      element_at(emb, j * sub + t + 1).cast(DoubleType) * lit(cen(t)).cast(DoubleType)
+    }.reduce(_ + _)
+
+  /** Corpus → (vec_id, codes array<int>): per subspace the id of the
+    * nearest (L2, ties → lowest id) codebook centroid. One narrow
+    * fused-codegen projection per row — the same no-crossJoin,
+    * no-window argmax shape as [[IvfIndex.assignWith]]. */
+  def encode(corpus: DataFrame, codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val codes = array((0 until m).map { j =>
+      element_at(array_sort(array((0 until ksub).map { c =>
+        struct(subL2(col("embedding"), j, codebook(j)(c)).as("d"), lit(c).as("c"))
+      }: _*)), 1).getField("c")
+    }: _*)
+    corpus.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** ADC top-k: per query precompute tables(j)(c) = dot(q_sub_j,
+    * cen_{j,c}); each (query, candidate) score is then m array
+    * lookups summed in fixed j order. The query side (with its
+    * tables) is broadcast; the code scan streams — no shuffle of the
+    * corpus, and the only exchange is the per-query top-k window over
+    * |queries|·|corpus| scored (id, id, double) rows. */
+  def searchAdc(corpusCodes: DataFrame, queries: DataFrame, k: Int,
+                codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val tables = array((0 until m).map { j =>
+      array((0 until ksub).map(c => subDot(col("q_emb"), j, codebook(j)(c))): _*)
+    }: _*)
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("tables", tables)
+        .drop("q_emb"))
+    val score = (0 until m).map { j =>
+      element_at(element_at(col("tables"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = corpusCodes.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Convenience: codebook + encode + search in one call. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cb = codebookOf(corpus)
+    searchAdc(encode(corpus, cb), queries, k, cb)
+  }
+}

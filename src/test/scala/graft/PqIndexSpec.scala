@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{PqIndex, VectorFunctions}
+
+/** Product-quantization semantics: deterministic codebook seeding,
+  * argmin encode with the lowest-id tie-break, and ADC scores that
+  * reduce to exact dot products when a vector IS a codebook
+  * combination (reconstruction error zero).
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim vectors, 4 subspaces of 2 dims, 4 centroids per subspace
+  private val pq = new PqIndex(dim = 8, m = 4, ksub = 4)
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  // seed vectors 0..3 with pairwise-distinct subvectors everywhere
+  private val seeds = Seq(
+    0L -> vec(1, 0, 1, 0, 1, 0, 1, 0),
+    1L -> vec(0, 1, 0, 1, 0, 1, 0, 1),
+    2L -> vec(2, 2, 2, 2, 2, 2, 2, 2),
+    3L -> vec(-1, 3, -1, 3, -1, 3, -1, 3))
+
+  private def corpusDF(extra: (Long, Seq[Float])*) =
+    (seeds ++ extra).toDF("vec_id", "embedding")
+
+  test("encode: each seed vector gets its own code in every subspace") {
+    val cb = pq.codebookOf(corpusDF())
+    val codes = pq.encode(corpusDF(), cb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    codes shouldBe seeds.map { case (id, _) => (id, Seq.fill(4)(id.toInt)) }
+  }
+
+  test("encode: a non-seed vector snaps to its nearest subvectors") {
+    val near0 = 10L -> vec(1.1, 0, 1, 0.1, 0.9, 0, 1, 0) // closest to seed 0 in all subspaces
+    val cb = pq.codebookOf(corpusDF(near0))
+    val codes = pq.encode(corpusDF(near0), cb)
+      .where(col("vec_id") === 10L).collect()(0).getSeq[Int](1).toSeq
+    codes shouldBe Seq(0, 0, 0, 0)
+  }
+
+  test("ADC score equals the exact dot product for zero-reconstruction-error vectors") {
+    val df = corpusDF()
+    val cb = pq.codebookOf(df)
+    val got = pq.searchAdc(pq.encode(df, cb), df.where(col("vec_id") === 2L), k = 3, cb)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val exact = df.where(col("vec_id") =!= 2L)
+      .select(col("vec_id"),
+        VectorFunctions.dot(col("embedding"),
+          typedLit(seeds(2)._2)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, d) => (-d, id) }
+    got shouldBe exact
+  }
+
+  test("annTopK: code-identical vectors score identically and rank adjacently") {
+    // ADC score is an INNER PRODUCT (query un-normalized) — a copy of
+    // the largest-norm seed and the seed itself must tie exactly and
+    // resolve by neighbor id
+    val dup = 10L -> seeds(2)._2 // same embedding as seed 2
+    val query = Seq(20L -> vec(2.1, 2, 2, 2, 2, 2, 2, 2)).toDF("vec_id", "embedding")
+    val out = new PqIndex(8, 4, 4).annTopK(corpusDF(dup), query, k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("score"))))
+    out.map(_._1) shouldBe Array(2L, 10L)
+    out(0)._2 shouldBe out(1)._2
+  }
+}

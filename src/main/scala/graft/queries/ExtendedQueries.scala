@@ -631,6 +631,36 @@ object ExtendedQueries {
       |FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------- full outer join (q80)
+  /** The one join category the inventory lacked: FULL OUTER between a
+    * customer segment and per-customer big-order counts — unmatched
+    * rows survive from BOTH sides, with null-flags and coalesced keys
+    * mirroring the reference's membership-flag idiom (J5). */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = t(s, d, "orders").where(col("o_totalprice") > 475000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_big"), lit(0L)).as("n_big_orders"),
+        (col("c_custkey").isNotNull && col("o_custkey").isNull).as("building_only"),
+        col("c_custkey").isNull.as("orders_only"))
+      .orderBy("custkey")
+  }
+
+  private val q80Sql =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+      | coalesce(n_big, 0) AS n_big_orders,
+      | (c_custkey IS NOT NULL AND o_custkey IS NULL) AS building_only,
+      | c_custkey IS NULL AS orders_only
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+      |FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+      |           WHERE o_totalprice > 475000 GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -654,5 +684,6 @@ object ExtendedQueries {
     ("q68_range_theta_join", q68 _, Some(q68Sql)),
     ("q69_topk_native",      q69 _, Some(q69Sql)),
     ("q76_merge_upsert",     q76 _, Some(q76Sql)),
-    ("q77_sliding_window",   q77 _, Some(q77Sql)))
+    ("q77_sliding_window",   q77 _, Some(q77Sql)),
+    ("q80_full_outer_join",  q80 _, Some(q80Sql)))
 }

@@ -719,6 +719,37 @@ object TextQueries {
       |  (top_tok / n_tok > 0.12 OR 1 - nd_tok / n_tok > 0.6 OR top_bg / n_bg > 0.06) AS is_repetitive
       |FROM tp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // -------------------------- vocabulary build + encode (q79)
+  /** [[graft.text.Vocab]]: deterministic top-30 vocabulary, documents
+    * re-encoded as id arrays (OOV → -1, positions preserved), per-doc
+    * OOV rate — the tokenize-for-training step after curation. The id
+    * array is exported comma-joined: arrow renders Spark and DuckDB
+    * list types with different inner field names, so a raw list column
+    * can never type-match the oracle. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    graft.text.Vocab.encode(docs, graft.text.Vocab.build(docs, maxSize = 30))
+      .select(col("doc_id"),
+        array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  private val q79Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |gi AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t),
+      |g AS (SELECT doc_id, i, tk[i] AS token FROM gi),
+      |vc AS (SELECT token, count(*) AS n FROM g GROUP BY token),
+      |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INTEGER) AS id
+      |          FROM vc ORDER BY n DESC, token LIMIT 30),
+      |enc AS (SELECT doc_id,
+      |          array_to_string(list(CAST(coalesce(id, -1) AS INTEGER) ORDER BY i), ',') AS ids,
+      |          count(*) AS n_tokens,
+      |          CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |        FROM g LEFT JOIN vocab USING (token) GROUP BY doc_id)
+      |SELECT doc_id, ids, n_tokens, n_oov, n_oov / n_tokens AS oov_rate
+      |FROM enc ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -741,5 +772,6 @@ object TextQueries {
     ("q72_dup_ngrams",         q72 _, Some(q72Sql)),
     ("q73_redaction",          q73 _, Some(q73Sql)),
     ("q74_decontaminate",      q74 _, Some(q74Sql)),
-    ("q75_repetition_quality", q75 _, Some(q75Sql)))
+    ("q75_repetition_quality", q75 _, Some(q75Sql)),
+    ("q79_vocab_encode",       q79 _, Some(q79Sql)))
 }

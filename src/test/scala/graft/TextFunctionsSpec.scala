@@ -111,6 +111,26 @@ class TextFunctionsSpec extends SparkSpec {
     out(1).getDouble(2) shouldBe 0.0 +- 1e-12
   }
 
+  test("vocab build: ids ordered by count desc then token asc, capped at maxSize") {
+    import graft.text.Vocab
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1 → ids: a=0 (tie with b, token asc), b=1, c=2
+    val v = Vocab.build(docs, maxSize = 3).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    v shouldBe Array(("a", 0), ("b", 1), ("c", 2))
+  }
+
+  test("vocab encode: positions preserved, OOV -1, rate exact") {
+    import graft.text.Vocab
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val out = Vocab.encode(docs, Vocab.build(docs, maxSize = 3))
+      .orderBy("doc_id").collect()
+    out(0).getSeq[Int](out(0).fieldIndex("ids")) shouldBe Seq(1, 1, 1, 0, 0, 2)
+    out(1).getSeq[Int](out(1).fieldIndex("ids")) shouldBe Seq(0, -1) // d is OOV
+    out(1).getLong(out(1).fieldIndex("n_oov")) shouldBe 1L
+    out(1).getDouble(out(1).fieldIndex("oov_rate")) shouldBe 0.5 +- 1e-12
+  }
+
   test("tokenShards: distributed prefix sum equals the global-window cumsum") {
     import graft.text.Packing
     import org.apache.spark.sql.expressions.Window

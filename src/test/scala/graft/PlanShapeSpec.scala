@@ -66,4 +66,62 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // not raw rows
     "HashAggregate".r.findAllIn(plan).size should be >= 2
   }
+
+  test("contamination: benchmark grams broadcast; the corpus side never shuffles by gram") {
+    val df = SparkEntry.queries("q74_decontaminate")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the gram-hash semi-join must be broadcast with the corpus streamed:
+    // its streamed side may contain the signature Exchange ONLY on doc_id
+    // (from the final stats join), never on gh
+    val semi = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    semi should not be empty
+    val streamedExchanges = collect(semi.head.left) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    streamedExchanges shouldBe empty
+  }
+
+  test("mergeUpsert: one hash shuffle total — the max(struct) aggregate combines map-side") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val chg = o.where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U1").as("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("v"), lit("U").as("op"))
+    val df = graft.ops.RelationalOps.mergeUpsert(o, chg, "o_orderkey", "v", "op")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size shouldBe 1
+    // a struct max plans as Sort/ObjectHashAggregate, still with a
+    // partial + final pair so the shuffle carries combined rows
+    "(HashAggregate|ObjectHashAggregate|SortAggregate)".r
+      .findAllIn(plan.toString).size should be >= 2
+  }
+
+  test("PQ: encode is narrow and the ADC scan side of the search has no Exchange") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    val cb = pq.codebookOf(e)
+    // encode alone: zero exchanges — pure projection
+    val enc = pq.encode(e, cb)
+    collect(enc.queryExecution.executedPlan) {
+      case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
+    } shouldBe empty
+    // search: the corpus (streamed) side of the broadcast join carries
+    // no Exchange either — only the top-k window shuffles scored rows
+    val res = pq.searchAdc(enc, e.where(org.apache.spark.sql.functions.col("vec_id") < 3), 5, cb)
+    res.collect()
+    val bnl = collectFirst(res.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnl should be (defined)
+    collect(bnl.get.left) {
+      case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
+    } shouldBe empty
+  }
 }

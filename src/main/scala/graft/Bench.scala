@@ -93,7 +93,9 @@ object Bench {
       "q63_bm25_topk", "q64_salted_join", "q65_stream_join_twin",
       "q66_bpe_token_count", "q67_session_window", "q68_range_theta_join",
       "q69_topk_native", "q70_token_shards", "q71_mixture_sample",
-      "q72_dup_ngrams")
+      "q72_dup_ngrams", "q73_redaction", "q74_decontaminate",
+      "q75_repetition_quality", "q76_merge_upsert", "q77_sliding_window",
+      "q78_pq_ann_topk", "q79_vocab_encode", "q80_full_outer_join")
     val baselineComparable = results
       .filterNot { case (k, _) => addedAfterR1.contains(k) }
       .map(_._2._1).filter(_ >= 0).sum

@@ -57,6 +57,27 @@ object EventsStream extends Serializable {
   def streamingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyByType(events.withWatermark("ts", watermark))
 
+  /** Shared batch/streaming transform: SLIDING (hopping) windows —
+    * each event lands in size/slide overlapping windows (a narrow
+    * Generate before the aggregate, no extra shuffle). Batch twin:
+    * q77. State per key is (window, type) within the watermark
+    * horizon, so overlap multiplies state by size/slide, not by the
+    * event volume. */
+  def slidingByType(events: DataFrame, size: String = "30 minutes",
+                    slide: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming sliding windows: append mode, windows emit when the
+    * watermark passes their end. */
+  def streamingSliding(events: DataFrame, size: String = "30 minutes",
+                       slide: String = "10 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    slidingByType(events.withWatermark("ts", watermark), size, slide)
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.dedup.Dedup.exactGroups]]: drop events whose key was
     * already seen, with state BOUNDED by the watermark horizon

@@ -50,6 +50,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSliding: each event lands in size/slide windows; equals the batch twin") {
+    val mem = MemoryStream[Event]
+    val out = EventsStream.streamingSliding(mem.toDF(),
+      size = "30 minutes", slide = "10 minutes", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      val events = Seq(ev(1, 25), ev(2, 35, typ = "view", value = 3.0))
+      mem.addData(events: _*)
+      mem.addData(ev(3, 600)) // advance watermark past every early window
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .select("win_start", "event_type", "n", "sum_value")
+        .collect().map(r => (mins(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      // minute-25 click → windows starting 0, 10, 20; minute-35 view → 10, 20, 30
+      streamed should contain allOf(
+        (0L, "click", 1L, 1.0), (10L, "click", 1L, 1.0), (20L, "click", 1L, 1.0),
+        (10L, "view", 1L, 3.0), (30L, "view", 1L, 3.0))
+      // batch twin on the same events produces the same finalized windows
+      val batch = EventsStream.slidingByType(
+          (events :+ ev(3, 600)).toDF(), "30 minutes", "10 minutes")
+        .collect().map(r => (mins(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      streamed.subsetOf(batch) shouldBe true
+    } finally q.stop()
+  }
+
   test("sessionizeStream: gap-close on new event and timeout-close via watermark") {
     val mem = MemoryStream[Event]
     val out = EventsStream.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "10 minutes")

@@ -65,6 +65,14 @@ object Prof {
         Dedup.minhashSignatures(docs.where(col("doc_id") % 10 >= 5), 32),
         bands = 4, rowsPerBand = 8, minEst = 0.9, bucketCap = 1000)
     }
+    // q78 PQ decomposition
+    val e = Tables.embeddings(spark, sfDir)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    val cb = pq.codebookOf(e)
+    time("pq_encode_only") { pq.encode(e, cb) }
+    time("pq_search_precoded") {
+      pq.searchAdc(pq.encode(e, cb), e.where(col("vec_id") < 10), 5, cb)
+    }
     spark.stop()
   }
 }

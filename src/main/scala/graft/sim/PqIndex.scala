@@ -67,25 +67,56 @@ class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
 
   /** Corpus → (vec_id, codes array<int>): per subspace the id of the
     * nearest (L2, ties → lowest id) codebook centroid. One narrow
-    * fused-codegen projection per row — the same no-crossJoin,
-    * no-window argmax shape as [[IvfIndex.assignWith]]. */
-  def encode(corpus: DataFrame, codebook: Array[Array[Array[Float]]]): DataFrame = {
+    * projection per row through the native [[PqEncode]] expression —
+    * the builtin argmin forest (m·ksub·sub ≈ 1 000 nodes) is past what
+    * whole-stage codegen accepts and ran interpreted (see PqEncode
+    * scaladoc; measured ~20× slower on this stage). */
+  def encode(corpus: DataFrame, codebook: Array[Array[Array[Float]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), codebook)).as("codes"))
+
+  /** Builtin-forest twin of [[encode]] (least over (dist, id) structs —
+    * structs are total-ordered, so least ≡ argmin with the lowest-id
+    * tie-break). Value-identical to the native path (PqIndexSpec pins
+    * them) and shaped like the DuckDB oracle CTE; kept as the
+    * cross-check twin. */
+  def encodeViaBuiltins(corpus: DataFrame, codebook: Array[Array[Array[Float]]]): DataFrame = {
     val codes = array((0 until m).map { j =>
-      element_at(array_sort(array((0 until ksub).map { c =>
+      least((0 until ksub).map { c =>
         struct(subL2(col("embedding"), j, codebook(j)(c)).as("d"), lit(c).as("c"))
-      }: _*)), 1).getField("c")
+      }: _*).getField("c")
     }: _*)
     corpus.select(col("vec_id"), codes.as("codes"))
   }
 
-  /** ADC top-k: per query precompute tables(j)(c) = dot(q_sub_j,
-    * cen_{j,c}); each (query, candidate) score is then m array
-    * lookups summed in fixed j order. The query side (with its
-    * tables) is broadcast; the code scan streams — no shuffle of the
-    * corpus, and the only exchange is the per-query top-k window over
+  /** ADC top-k: each (query, candidate) score is the native
+    * [[AdcScore]] reconstructed-centroid dot (see its scaladoc for why
+    * the classic per-query lookup table LOSES inside a non-codegen
+    * BroadcastNestedLoopJoin at this dim/m). The query side is
+    * broadcast; the code scan streams — no shuffle of the corpus, and
+    * the only exchange is the per-query top-k window over
     * |queries|·|corpus| scored (id, id, double) rows. */
   def searchAdc(corpusCodes: DataFrame, queries: DataFrame, k: Int,
                 codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val score = org.apache.spark.sql.GraftSqlShim.column(AdcScore(
+      org.apache.spark.sql.GraftSqlShim.expression(col("q_emb")),
+      org.apache.spark.sql.GraftSqlShim.expression(col("codes")), codebook))
+    val scored = corpusCodes.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Lookup-table ADC twin: per query the m×ksub table of subspace
+    * dots is precomputed and each pair costs m element_at lookups —
+    * the textbook shape, value-identical to [[searchAdc]] term for
+    * term (PqIndexSpec pins them). */
+  def searchAdcViaTables(corpusCodes: DataFrame, queries: DataFrame, k: Int,
+                         codebook: Array[Array[Array[Float]]]): DataFrame = {
     val tables = array((0 until m).map { j =>
       array((0 until ksub).map(c => subDot(col("q_emb"), j, codebook(j)(c))): _*)
     }: _*)

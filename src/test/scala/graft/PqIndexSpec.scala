@@ -34,6 +34,31 @@ class PqIndexSpec extends SparkSpec {
     codes shouldBe seeds.map { case (id, _) => (id, Seq.fill(4)(id.toInt)) }
   }
 
+  test("native PqEncode equals the builtin least-struct formulation on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val p = new PqIndex(dim = 64, m = 8, ksub = 16)
+    val cb = p.codebookOf(e)
+    val native = p.encode(e, cb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    val builtin = p.encodeViaBuiltins(e, cb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    native shouldBe builtin
+  }
+
+  test("native AdcScore equals the lookup-table formulation on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val p = new PqIndex(dim = 64, m = 8, ksub = 16)
+    val cb = p.codebookOf(e)
+    val codes = p.encode(e, cb)
+    val q = e.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("neighbor_id")),
+          r.getDouble(r.fieldIndex("score"))))
+    rows(p.searchAdc(codes, q, 5, cb)) shouldBe rows(p.searchAdcViaTables(codes, q, 5, cb))
+  }
+
   test("encode: a non-seed vector snaps to its nearest subvectors") {
     val near0 = 10L -> vec(1.1, 0, 1, 0.1, 0.9, 0, 1, 0) // closest to seed 0 in all subspaces
     val cb = pq.codebookOf(corpusDF(near0))

@@ -4,16 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.dedup.SimHash64
+import graft.dedup.{MinHashSignature, SimHash64}
 import graft.sim.CosineSimilarity
 import graft.text.{Md5Hash60, WinnowFingerprint}
 
 /** Session extensions for the engine's native expressions — enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), after which
-  * `graft_cosine(a, b)`, `graft_simhash(tokens)`, `graft_md5h60(s)` and
-  * `graft_winnow(text)` are callable from SQL text as well as the
-  * DataFrame API.
+  * `graft_cosine(a, b)`, `graft_simhash(tokens)`, `graft_md5h60(s)`,
+  * `graft_winnow(text)` and `graft_minhash(tokens)` are callable from
+  * SQL text as well as the DataFrame API. (PqEncode/AdcScore carry a
+  * driver-side codebook argument and stay DataFrame-only.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -33,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSignature(children.head)))
     // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
     // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
     ext.injectOptimizerRule(RewriteRangeJoin)

@@ -48,7 +48,11 @@ case class AdcScore(left: Expression, right: Expression,
     var score = 0.0
     var j = 0
     while (j < m) {
-      val cen = codebook(j)(codes.getInt(j))
+      val code = codes.getInt(j)
+      // null, not an executor crash, for codes outside the codebook —
+      // this is a public expression, not only `encode`'s output
+      if (code < 0 || code >= codebook(j).length) return null
+      val cen = codebook(j)(code)
       val base = j * sub
       var term = 0.0
       var t = 0

@@ -90,6 +90,14 @@ class DedupSpec extends SparkSpec {
     viaSql shouldBe viaDf
   }
 
+  test("minhash SQL surface: graft_minhash equals the DataFrame path") {
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(array('a','b','c')) AS sig").collect()(0).getSeq[Long](0)
+    val viaDf = Dedup.minhashSignatures(docsDF(1L -> "a b c"))
+      .collect()(0).getSeq[Long](1)
+    viaSql shouldBe viaDf
+  }
+
   test("nearDupClusters: chains merge into one component, survivor is min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(pairs).orderBy("doc_id").collect()

@@ -750,6 +750,24 @@ object TextQueries {
       |SELECT doc_id, ids, n_tokens, n_oov, n_oov / n_tokens AS oov_rate
       |FROM enc ORDER BY doc_id""".stripMargin
 
+  // ------------------- Count-Min sketch heavy hitters (q81)
+  /** [[graft.functions.CountMin.heavyHitters]] over the token stream:
+    * exact top-10 tokens plus the CMS two-sided estimate contract
+    * (q46/q55 sketch pattern — the noisy estimate stays out of the
+    * hashed columns; the oracle asserts the booleans). At ε = 1e-4
+    * the sketch width (2/ε) dwarfs the fixture vocabulary, so the
+    * contract is deterministic, not probabilistic, at every SF. */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    graft.functions.CountMin.heavyHitters(
+        docs0(s, d).select(explode(TextFunctions.tokens(col("text"))).as("tok")),
+        "tok", k = 10)
+      .orderBy(col("exact_n").desc, col("tok"))
+
+  private val q81Sql =
+    """SELECT tok, count(*) AS exact_n, true AS est_at_least_exact, true AS est_within_eps
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents) u
+      |GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -773,5 +791,6 @@ object TextQueries {
     ("q73_redaction",          q73 _, Some(q73Sql)),
     ("q74_decontaminate",      q74 _, Some(q74Sql)),
     ("q75_repetition_quality", q75 _, Some(q75Sql)),
-    ("q79_vocab_encode",       q79 _, Some(q79Sql)))
+    ("q79_vocab_encode",       q79 _, Some(q79Sql)),
+    ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)))
 }

@@ -131,6 +131,16 @@ class TextFunctionsSpec extends SparkSpec {
     out(1).getDouble(out(1).fieldIndex("oov_rate")) shouldBe 0.5 +- 1e-12
   }
 
+  test("CountMin heavyHitters: exact top-k order, contract booleans hold, stable under partitioning") {
+    import graft.functions.CountMin
+    val items = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++ Seq("cold1", "cold2")
+    val df = items.toDF("k").repartition(7)
+    val out = CountMin.heavyHitters(df, "k", k = 2).collect()
+    out.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("hot", 30L), ("warm", 10L))
+    all(out.map(_.getBoolean(2))) shouldBe true // est >= exact always (CMS property)
+    all(out.map(_.getBoolean(3))) shouldBe true // est <= exact + eps*N at this width
+  }
+
   test("tokenShards: distributed prefix sum equals the global-window cumsum") {
     import graft.text.Packing
     import org.apache.spark.sql.expressions.Window

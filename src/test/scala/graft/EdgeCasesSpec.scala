@@ -46,4 +46,40 @@ class EdgeCasesSpec extends SparkSpec {
     weird.select(graft.text.TextFunctions.winnowFingerprints(col("text")).as("fp"))
       .collect().foreach(r => r.getSeq[Long](0).length should be >= 1)
   }
+
+  test("contaminationStats with an empty benchmark and an empty corpus") {
+    Dedup.contaminationStats(oneDoc, emptyDocs, n = 3)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3))) shouldBe Array((0L, false))
+    Dedup.contaminationStats(emptyDocs, oneDoc, n = 3).count() shouldBe 0
+  }
+
+  test("repetitionStats and vocab on empty and sub-bigram corpora") {
+    graft.text.QualityOps.repetitionStats(emptyDocs).count() shouldBe 0
+    val solo = Seq(1L -> "word").toDF("doc_id", "text")
+    graft.text.QualityOps.repetitionStats(solo).count() shouldBe 0 // no bigrams → drops
+    graft.text.Vocab.encode(solo, graft.text.Vocab.build(solo, 5))
+      .collect().map(r => r.getSeq[Int](r.fieldIndex("ids")).toSeq) shouldBe Array(Seq(0))
+    graft.text.Vocab.build(emptyDocs, 5).count() shouldBe 0
+  }
+
+  test("mergeUpsert with empty base: changelog alone builds the snapshot") {
+    val base = Seq.empty[(Long, String)].toDF("k", "v")
+    val chg = Seq((1L, "a", 1L, "U"), (1L, "b", 2L, "U"), (2L, "x", 1L, "D"))
+      .toDF("k", "v", "ver", "op")
+    RelationalOps.mergeUpsert(base, chg, "k", "ver", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "b"))
+  }
+
+  test("CMS heavy hitters on fewer distinct keys than k") {
+    graft.functions.CountMin.heavyHitters(
+      Seq("a", "a", "b").toDF("k"), "k", k = 10).count() shouldBe 2
+  }
+
+  test("PQ annTopK with fewer corpus vectors than k neighbors") {
+    val vecs = (0L until 16L).map(i => i -> Seq.fill(64)(i.toFloat / 16))
+      .toDF("vec_id", "embedding")
+    val out = new graft.sim.PqIndex(64, 8, 16)
+      .annTopK(vecs, vecs.where(col("vec_id") === 0L), k = 50)
+    out.count() shouldBe 15 // all non-self neighbors, no padding, no error
+  }
 }

@@ -661,6 +661,52 @@ object ExtendedQueries {
       |  ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
+  // ------------------------------------- skew diagnostics (q82)
+  /** [[graft.ops.Diagnostics.skewReport]] over the events user stream —
+    * the pre-join skew check whose ratio is the saltedJoin (q64)
+    * replication factor. */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    graft.ops.Diagnostics.skewReport(Tables.events(s, d), "user_id")
+
+  private val q82Sql =
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_n,
+      | (SELECT user_id FROM c ORDER BY n DESC, user_id DESC LIMIT 1) AS hot_key,
+      | CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS skew_ratio
+      |FROM c""".stripMargin
+
+  // ----------------------- approx-percentile contract (q83)
+  /** approx_percentile against the exact percentile, q46-pattern: the
+    * sketch value stays out of the hash; the booleans assert it lies
+    * between the exact percentiles at p ± 2/accuracy (double the
+    * documented 1/accuracy rank-error bound). Exact percentiles ride
+    * the q41 DECIMAL(18,6) rounding, which absorbs interpolation
+    * ulps. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val x = col("o_totalprice")
+    def ex(p: Double) = percentile(x, lit(p))
+    def exOut(p: Double) = ex(p).cast(DecimalType(18, 6)).cast(DoubleType)
+    def pa(p: Double) = expr(s"approx_percentile(o_totalprice, $p, $acc)")
+    def ok(p: Double) = {
+      val eps = 2.0 / acc
+      pa(p).between(ex(math.max(0.0, p - eps)), ex(math.min(1.0, p + eps)))
+    }
+    t(s, d, "orders").agg(
+      exOut(0.5).as("p50_exact"), exOut(0.9).as("p90_exact"), exOut(0.99).as("p99_exact"),
+      ok(0.5).as("p50_ok"), ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"),
+      count(lit(1)).as("n"))
+  }
+
+  private val q83Sql =
+    """SELECT
+      | CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50_exact,
+      | CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_exact,
+      | CAST(CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99_exact,
+      | true AS p50_ok, true AS p90_ok, true AS p99_ok,
+      | count(*) AS n
+      |FROM orders""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -685,5 +731,7 @@ object ExtendedQueries {
     ("q69_topk_native",      q69 _, Some(q69Sql)),
     ("q76_merge_upsert",     q76 _, Some(q76Sql)),
     ("q77_sliding_window",   q77 _, Some(q77Sql)),
-    ("q80_full_outer_join",  q80 _, Some(q80Sql)))
+    ("q80_full_outer_join",  q80 _, Some(q80Sql)),
+    ("q82_skew_report",      q82 _, Some(q82Sql)),
+    ("q83_approx_percentile", q83 _, Some(q83Sql)))
 }

@@ -70,6 +70,16 @@ class RelationalOpsSpec extends SparkSpec {
     a.head.getString(1) shouldBe "x"
   }
 
+  test("skewReport: ratio is the hot key's multiple of the mean; ties break to highest key") {
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val r = graft.ops.Diagnostics.skewReport(df, "k").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) shouldBe (5L, 12L, 8L, "hot")
+    r.getDouble(4) shouldBe (8.0 * 5 / 12) +- 1e-12
+    // tie on counts resolves to the highest key (struct-max order)
+    val tie = Seq("x", "y").toDF("k")
+    graft.ops.Diagnostics.skewReport(tie, "k").collect()(0).getString(3) shouldBe "y"
+  }
+
   test("latestByAgg: agg-based keep-last matches the window variant") {
     val df = Seq(
       ("c1", "2019", "s_old"), ("c1", "2021", "s_new"),

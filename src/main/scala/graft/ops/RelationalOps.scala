@@ -212,9 +212,15 @@ object RelationalOps {
     * partial aggregation, a single shuffle, no window sort. With many
     * change batches the same fold applies incrementally (merge batch N
     * into the running snapshot), which is how a streaming upsert sink
-    * would maintain it. Ties on (key, version) resolve by the
-    * deterministic lexicographic struct order (op, then payload) —
-    * supply unique versions for a uniquely-defined result.
+    * would maintain it — PROVIDED batches are version-monotone (every
+    * version in batch N+1 exceeds those already applied): merging
+    * resets the snapshot to version 0, so an out-of-order older change
+    * arriving in a later batch would wrongly beat it. For unordered
+    * batches, re-merge their union against the original base
+    * (PropertySpec pins the monotone-fold equivalence). Ties on
+    * (key, version) resolve by the deterministic lexicographic struct
+    * order (op, then payload) — supply unique versions for a
+    * uniquely-defined result.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
                   versionCol: String, opCol: String): DataFrame = {

@@ -117,6 +117,38 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: mergeUpsert folds incrementally over version-monotone batches") {
+    // the scaladoc's streaming-upsert claim: merge(merge(base, c1), c2)
+    // == merge(base, c1 ∪ c2) when (key, version) pairs are unique AND
+    // batches are version-monotone (c2's versions all exceed c1's) —
+    // the property itself surfaced the monotonicity precondition: an
+    // unordered split genuinely diverges, because merging resets the
+    // snapshot to version 0 and a later-batch OLDER change then wins
+    val changesGen: Gen[List[(Long, String, Long, String)]] =
+      Gen.listOf(for {
+        k <- Gen.choose(1L, 6L)
+        v <- Gen.alphaStr.map(_.take(4))
+        ver <- Gen.choose(1L, 50L)
+        op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+      } yield (k, v, ver, op)).map(_.distinctBy(c => (c._1, c._3))) // unique (key, version)
+    // forAllNoShrink: the default shrinker mutates values OUTSIDE the
+    // generator's domain (empty ops, version 0)
+    check("incremental", Prop.forAllNoShrink(changesGen, Gen.choose(0, 100)) { (changes, splitPct) =>
+      val base = Seq((1L, "b1"), (2L, "b2"), (3L, "b3")).toDF("k", "v")
+      def df(cs: List[(Long, String, Long, String)]) =
+        cs.toDF("k", "v", "ver", "op")
+      val ordered = changes.sortBy(_._3) // version-monotone batch split
+      val cut = ordered.length * splitPct / 100
+      val (c1, c2) = ordered.splitAt(cut)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val twoStep = RelationalOps.mergeUpsert(
+        RelationalOps.mergeUpsert(base, df(c1), "k", "ver", "op"), df(c2), "k", "ver", "op")
+      val oneStep = RelationalOps.mergeUpsert(base, df(changes), "k", "ver", "op")
+      rows(twoStep) == rows(oneStep)
+    }, n = 15)
+  }
+
   test("property: incremental interval merge equals batch sessionization for ANY arrival order") {
     import graft.streaming.EventsStream
     import graft.streaming.EventsStream.{Event, SessionState}

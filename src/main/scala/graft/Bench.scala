@@ -58,7 +58,12 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}")
       }
 
+    // optional comma-separated name filter for local A/B runs, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q57_incremental_dedup,q58_cosine_neardup
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val defs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup (untimed): pays session init, parquet footers, Janino codegen
     defs.foreach { case (_, fn) => run(fn) }
 
@@ -84,20 +89,32 @@ object Bench {
     val med = results.map { case (k, (_, md)) => jstr(k) + ":" + md }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // queries added after round 1 (BENCH_r01 = the recorded baseline) —
-    // the subtotal over the original 54 keeps round-over-round totals
-    // comparable as the query surface grows
-    val addedAfterR1 = Set("q55_sketch_merge", "q56_similarity_join",
-      "q57_incremental_dedup", "q58_cosine_neardup", "q59_audio_features",
-      "q60_curation_pipeline", "q61_media_resize", "q62_stratified_sample",
-      "q63_bm25_topk", "q64_salted_join", "q65_stream_join_twin",
-      "q66_bpe_token_count", "q67_session_window", "q68_range_theta_join",
-      "q69_topk_native", "q70_token_shards", "q71_mixture_sample",
-      "q72_dup_ngrams", "q73_redaction", "q74_decontaminate",
-      "q75_repetition_quality", "q76_merge_upsert", "q77_sliding_window",
-      "q78_pq_ann_topk", "q79_vocab_encode", "q80_full_outer_join")
+    // the subtotal over the 54 queries recorded in BENCH_r01 keeps
+    // round-over-round totals comparable as the query surface grows.
+    // INCLUSION list (frozen — BENCH_r01 is immutable), not an
+    // exclusion list: a round-2 exclusion set silently absorbed three
+    // round-3 queries into the "comparable" subtotal (ADVICE r3 #1).
+    val r1Keys = Set(
+      "q01_agg_sum", "q02_filter_project", "q03_join_left",
+      "q04_join_inner_bcast", "q05_semi_join", "q06_anti_join",
+      "q07_dedup_keep_first", "q08_latest_per_key", "q09_count_distinct",
+      "q10_conditional_coalesce", "q11_dict_map", "q12_regex_extract",
+      "q13_concat_fill", "q14_date_parts_agg", "q15_window_rank",
+      "q16_window_running_sum", "q17_set_ops", "q18_topk", "q19_rollup",
+      "q20_json_extract_agg", "q21_events_hourly", "q22_star_join_revenue",
+      "q23_dedup_exact", "q24_token_count", "q25_text_quality",
+      "q26_corpus_stats", "q27_lang_id", "q28_jaccard_adjacent",
+      "q29_minhash_lsh_pairs", "q30_simhash", "q31_winnow_fingerprint",
+      "q32_knn_cosine_brute", "q33_cosine_adjacent", "q34_ann_lsh_topk",
+      "q35_label_centroid_sum", "q36_media_catalog", "q37_media_features",
+      "q38_media_frame_sample", "q39_pivot", "q40_cube", "q41_percentiles",
+      "q42_asof_attribution", "q43_sessionization", "q44_union_by_name",
+      "q45_token_topk", "q46_approx_distinct", "q47_ann_ivf_topk",
+      "q48_neardup_dedup", "q49_grouping_sets", "q50_analytic_windows",
+      "q51_centroid_udaf", "q52_json_map_agg", "q53_interval_join",
+      "q54_topk_per_key_udaf")
     val baselineComparable = results
-      .filterNot { case (k, _) => addedAfterR1.contains(k) }
+      .filter { case (k, _) => r1Keys.contains(k) }
       .map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"baseline_comparable_r1_query_subtotal":$baselineComparable,"queries":$qs,"queries_median":$med,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()

@@ -256,14 +256,21 @@ object Dedup {
     * Returns (doc_a ∈ A, doc_b ∈ B, est_jaccard ≥ minEst). */
   def minhashCandidatePairsBetween(sigsA: DataFrame, sigsB: DataFrame,
                                    bands: Int = 8, rowsPerBand: Int = 4,
-                                   minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+                                   minEst: Double = 0.5, bucketCap: Int = 1000,
+                                   persistInputs: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
-    // persisted frames are part of the lazily-returned plan, so they
+    // each side feeds two plan branches (banding + signature attach),
+    // so by default both are persisted. Pass persistInputs=false when
+    // the caller already caches the parent signature table (the q57
+    // shape: one persisted table filtered into batch/corpus halves) —
+    // re-persisting cheap filters of a cached parent buys nothing and
+    // stacks extra materialization barriers (r3's q57 bench variance).
+    // Persisted frames are part of the lazily-returned plan, so they
     // cannot be unpersisted here; a long-lived session relies on the
     // ContextCleaner to drop them when the plan is garbage-collected
-    // (same policy as minhashCandidatePairs above)
-    val sa = sigsA.persist()
-    val sb = sigsB.persist()
+    // (same policy as minhashCandidatePairs above).
+    val sa = if (persistInputs) sigsA.persist() else sigsA
+    val sb = if (persistInputs) sigsB.persist() else sigsB
     val ba = bandedOf(sa, bands, rowsPerBand)
     val bb = bandedOf(sb, bands, rowsPerBand)
     val smallB = bb.groupBy("band", "bh").count()
@@ -298,9 +305,10 @@ object Dedup {
   def dedupIncrementalSigs(batch: DataFrame, batchSigs: DataFrame,
                            corpusSigs: DataFrame,
                            bands: Int = 8, rowsPerBand: Int = 4,
-                           minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+                           minEst: Double = 0.5, bucketCap: Int = 1000,
+                           persistInputs: Boolean = true): DataFrame = {
     val vsCorpus = minhashCandidatePairsBetween(
-      batchSigs, corpusSigs, bands, rowsPerBand, minEst, bucketCap)
+      batchSigs, corpusSigs, bands, rowsPerBand, minEst, bucketCap, persistInputs)
     // dupIds feeds BOTH anti-joins below — persist, or the whole corpus
     // probe re-executes per consumer (measured 7.4s → 5.8s at sf0.1).
     // Its runtime size (≤ |batch| ids) lets AQE broadcast the anti

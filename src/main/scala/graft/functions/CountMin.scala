@@ -23,11 +23,19 @@ import org.apache.spark.util.sketch.CountMinSketch
 object CountMin {
 
   /** Exact top-`k` values of `keyCol` (count desc, key asc) with the
-    * CMS estimate and its two-sided contract booleans. */
+    * CMS estimate and its two-sided contract booleans.
+    *
+    * The key is sketched AND estimated through its canonical string
+    * rendering, so a non-string key column (e.g. a bigint user id)
+    * works — previously the estimate UDF was typed String and threw a
+    * cast error on integral keys the CMS aggregate itself accepts
+    * (ADVICE r3 #3). Both sides of the contract use the same
+    * rendering, so the `exact ≤ est ≤ exact + ε·N` bounds still hold
+    * key for key. */
   def heavyHitters(items: DataFrame, keyCol: String, k: Int,
                    eps: Double = 1e-4, confidence: Double = 0.999): DataFrame = {
     val skBytes = items
-      .agg(expr(s"count_min_sketch($keyCol, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), 1)"))
+      .agg(expr(s"count_min_sketch(CAST($keyCol AS STRING), CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), 1)"))
       .head().getAs[Array[Byte]](0)
     val n = CountMinSketch.readFrom(new ByteArrayInputStream(skBytes)).totalCount()
     val slack = math.ceil(eps * n).toLong
@@ -39,7 +47,7 @@ object CountMin {
     items.groupBy(keyCol).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col(keyCol))
       .limit(k)
-      .withColumn("__est", est(col(keyCol)))
+      .withColumn("__est", est(col(keyCol).cast("string")))
       .select(col(keyCol), col("exact_n"),
         (col("__est") >= col("exact_n")).as("est_at_least_exact"),
         (col("__est") <= col("exact_n") + lit(slack)).as("est_within_eps"))

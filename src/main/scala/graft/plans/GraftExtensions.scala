@@ -37,7 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (children: Seq[Expression]) => MinHashSignature(children.head)))
+      // graft_minhash(tokens[, k]): the optional k must be an integer
+      // literal (it sizes the signature buffer at plan time). Any other
+      // arity/shape is an analysis error — previously a second argument
+      // was silently DROPPED and k=32 used instead (ADVICE r3 #4).
+      (children: Seq[Expression]) => children match {
+        case Seq(toks) => MinHashSignature(toks)
+        case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+            org.apache.spark.sql.types.IntegerType)) => MinHashSignature(toks, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash expects (array<string> tokens[, int literal k]); " +
+            s"got ${children.length} argument(s)" + (
+            if (children.length == 2) " where the second is not an integer literal" else ""))
+      }))
     // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
     // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
     ext.injectOptimizerRule(RewriteRangeJoin)

@@ -582,8 +582,16 @@ object ExtendedQueries {
       .select(col("o_orderkey"), lit(null: String).as("o_orderstatus"),
         lit(null).cast(DoubleType).as("o_totalprice"),
         lit(3L).as("version"), lit("D").as("op"))
-    val ins = o.where(col("o_orderkey") % 11 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+    // insert keys offset by max(o_orderkey)+1, not a literal: a fixed
+    // 10M offset collides with real orderkeys once the SF grows past
+    // max(o_orderkey) >= 10M, creating (key, version) ties the two
+    // engines break differently (ADVICE r3 #2). key + max + 1 > max
+    // for every key >= 0 (the fixture's orderkeys start at 0), so the
+    // derived offset is collision-free at any SF; the single-row max
+    // aggregate broadcasts.
+    val mx = o.agg((max(col("o_orderkey")) + 1L).as("__off"))
+    val ins = o.where(col("o_orderkey") % 11 === 0).crossJoin(mx)
+      .select((col("o_orderkey") + col("__off")).as("o_orderkey"),
         lit("NEW").as("o_orderstatus"), col("o_totalprice"),
         lit(1L).as("version"), lit("U").as("op"))
     RelationalOps.mergeUpsert(o, u1.unionByName(u2).unionByName(del).unionByName(ins),
@@ -601,7 +609,7 @@ object ExtendedQueries {
       |  UNION ALL
       |  SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderkey % 13 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, 1, 'U', 'NEW', o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), 1, 'U', 'NEW', o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
       |w AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM chg)
       |SELECT k AS o_orderkey, st AS o_orderstatus, pr AS o_totalprice
       |FROM w WHERE rn = 1 AND op != 'D'

@@ -282,9 +282,12 @@ object TextQueries {
     // production corpusSigs is a standing materialized index instead.
     // Unpersist falls to the ContextCleaner (plan is returned lazily).
     val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    // persistInputs=false: both probe sides are filters of the one
+    // persisted table above — re-persisting them only stacked extra
+    // materialization barriers (the r3 bench-variance finding)
     val kept = Dedup.dedupIncrementalSigs(batch,
       sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),
-      bands = 4, rowsPerBand = 8, minEst = 0.9)
+      bands = 4, rowsPerBand = 8, minEst = 0.9, persistInputs = false)
     kept.agg(count(lit(1)).as("n_kept"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
   }

@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     viaSql shouldBe viaDf
   }
 
+  test("graft_minhash honors an integer-literal k argument and rejects bad arity " +
+      "(ADVICE r3 #4: a second argument was silently dropped)") {
+    val sig16 = spark.sql(
+      "SELECT graft_minhash(array('a','b','c'), 16) AS sig").collect()(0).getSeq[Long](0)
+    sig16.length shouldBe 16
+    // k=16 must equal the DataFrame path at the same k, not a truncation of k=32
+    val viaDf = Dedup.minhashSignatures(docsDF(1L -> "a b c"), k = 16)
+      .collect()(0).getSeq[Long](1)
+    sig16 shouldBe viaDf
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 16, 2)").collect()
+    }
+    err.getMessage should include("graft_minhash")
+  }
+
   test("nearDupClusters: chains merge into one component, survivor is min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(pairs).orderBy("doc_id").collect()

@@ -75,6 +75,15 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("a", "a", "b").toDF("k"), "k", k = 10).count() shouldBe 2
   }
 
+  test("CMS heavy hitters on a BIGINT key column (ADVICE r3 #3: estimate UDF " +
+      "was String-typed and threw on integral keys)") {
+    val df = (Seq.fill(20)(7L) ++ Seq.fill(5)(9L) ++ Seq(1L, 2L)).toDF("user_id")
+    val out = graft.functions.CountMin.heavyHitters(df, "user_id", k = 2).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((7L, 20L), (9L, 5L))
+    all(out.map(_.getBoolean(2))) shouldBe true
+    all(out.map(_.getBoolean(3))) shouldBe true
+  }
+
   test("PQ annTopK with fewer corpus vectors than k neighbors") {
     val vecs = (0L until 16L).map(i => i -> Seq.fill(64)(i.toFloat / 16))
       .toDF("vec_id", "embedding")

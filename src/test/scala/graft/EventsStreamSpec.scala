@@ -276,6 +276,50 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeStreamTws: a late in-watermark event in a LATER micro-batch " +
+      "bridges two open sessions instead of splitting them (ADVICE r2 #1 replay)") {
+    // The exact adjudication sequence: batch 1 delivers events at t=0
+    // and t=50 (gap 30 → TWO provisional open sessions); batch 2
+    // delivers t=25, late but inside the watermark, which bridges
+    // them. The emitted result must be ONE session (0..50, 3 events) —
+    // exactly what the batch twin computes on {0, 25, 50} — never the
+    // split pair a lastMs-ordered merge would have produced.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val out = EventsStream.sessionizeStreamTws(mem.toDS(), gapMinutes = 30, watermark = "5 hours")
+    val q = out.writeStream.format("memory").queryName("tws_bridge")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 50))
+      q.processAllAvailable()
+      mem.addData(ev(3, 25, value = 2.0)) // late, in-watermark, bridges 0 and 50
+      q.processAllAvailable()
+      // drive the watermark (5h) past 50+30 so the merged session closes
+      mem.addData(ev(4, 400, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(5, 900, uid = 2L))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_bridge").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events, s.sum_value)).toSet
+      val batch = EventsStream.sessionizeBatch(
+          Seq(ev(1, 0), ev(2, 50), ev(3, 25, value = 2.0)).toDS(), gapMinutes = 30)
+        .collect()
+        .map(s => (mins(s.session_start), mins(s.session_end), s.n_events, s.sum_value)).toSet
+      streamed shouldBe batch
+      streamed shouldBe Set((0L, 50L, 3L, 4.0))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("sessionizeBatch: same gap semantics on a bounded Dataset") {
     val events = Seq(
       ev(1, 0), ev(2, 10), ev(3, 20),       // session 1 of user 1

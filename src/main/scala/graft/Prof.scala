@@ -73,6 +73,44 @@ object Prof {
     time("pq_search_precoded") {
       pq.searchAdc(pq.encode(e, cb), e.where(col("vec_id") < 10), 5, cb)
     }
+    // q86 standing-signature-index decomposition
+    locally {
+      import graft.dedup.SignatureIndex
+      val spec = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 32)
+      def t(name: String)(work: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        work
+        println(f"PROF $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+      t("q86_sigs_materialize")(sigs.count())
+      t("q86_index_write")(SignatureIndex.write(
+        sigs.where(col("doc_id") < 250), "prof_sigidx", spec))
+      time("q86_probe_only") {
+        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
+          "prof_sigidx", spec, minEst = 0.9)
+      }
+      time("q86_probe_nonindex_twin") {
+        Dedup.minhashCandidatePairsBetween(
+          sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),
+          bands = 4, rowsPerBand = 8, minEst = 0.9, persistInputs = false)
+      }
+      val spec8 = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
+      t("q86_index_write_b8")(SignatureIndex.write(
+        sigs.where(col("doc_id") < 250), "prof_sigidx8", spec8))
+      time("q86_probe_b8") {
+        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
+          "prof_sigidx8", spec8, minEst = 0.9)
+      }
+      time("q86_probe_b8_sorted") {
+        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
+          "prof_sigidx8", spec8, minEst = 0.9).orderBy("doc_a", "doc_b")
+      }
+      time("q86_registered") {
+        graft.SparkEntry.queries("q86_sig_index_probe")(spark, sfDir)
+      }
+      sigs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,10 +36,27 @@ object SignatureIndex {
   private def bandedName(name: String) = s"${name}_banded"
   private def sigsName(name: String) = s"${name}_sigs"
 
+  /** A REPLACE must also clear a previous SESSION's leftovers: the
+    * managed-table directory under the warehouse survives the
+    * in-memory catalog, and `saveAsTable(Overwrite)` on a name the
+    * catalog doesn't know refuses to reuse the existing location
+    * (LOCATION_ALREADY_EXISTS). Same single-writer contract as
+    * [[graft.ref.Checkpoints]]: one writer per index name at a time. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Materialize (or replace) the index from a signature table
     * (doc_id, sig) — one bucketed write per index table. */
   def write(sigs: DataFrame, name: String, spec: Spec = Spec(),
             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropStale(sigs.sparkSession, bandedName(name))
+      dropStale(sigs.sparkSession, sigsName(name))
+    }
     Dedup.bandedOf(sigs, spec.bands, spec.rowsPerBand)
       .write.mode(mode)
       .bucketBy(spec.buckets, "band", "bh").sortBy("band", "bh")

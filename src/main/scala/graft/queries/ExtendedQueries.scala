@@ -54,7 +54,14 @@ object ExtendedQueries {
 
   // ------------------------------------------------ exact percentiles
   /** Exact interpolated percentiles over an int column — both engines
-    * interpolate in double from exact ints, so values agree bitwise. */
+    * interpolate in double from exact ints, so values agree bitwise.
+    *
+    * SCALE CAVEAT: Spark's exact `percentile` collects every value of
+    * the group into ONE aggregation buffer — here bounded by the
+    * per-brand group size, but a production pipeline over unbounded
+    * groups uses `approx_percentile` (mergeable constant-memory
+    * sketch); this exact form is the verification twin, the same
+    * exact-vs-sketch split CountMin documents for heavy hitters. */
   private def q41(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
       .groupBy("p_brand")
@@ -689,21 +696,37 @@ object ExtendedQueries {
     * between the exact percentiles at p ± 2/accuracy (double the
     * documented 1/accuracy rank-error bound). Exact percentiles ride
     * the q41 DECIMAL(18,6) rounding, which absorbs interpolation
-    * ulps. */
+    * ulps.
+    *
+    * SCALE CAVEAT: the exact `percentile` references buffer the whole
+    * column in ONE global aggregation buffer — contract twin only, NOT
+    * a production path; at 100 TB a pipeline keeps only the
+    * `approx_percentile` side (mergeable sketch, constant memory).
+    * The nine percentile evaluations below share one aggregate pass,
+    * but each is its own full-column buffer. */
   private def q83(s: SparkSession, d: String): DataFrame = {
     val acc = 1000
-    val x = col("o_totalprice")
-    def ex(p: Double) = percentile(x, lit(p))
-    def exOut(p: Double) = ex(p).cast(DecimalType(18, 6)).cast(DoubleType)
-    def pa(p: Double) = expr(s"approx_percentile(o_totalprice, $p, $acc)")
-    def ok(p: Double) = {
-      val eps = 2.0 / acc
-      pa(p).between(ex(math.max(0.0, p - eps)), ex(math.min(1.0, p + eps)))
-    }
-    t(s, d, "orders").agg(
-      exOut(0.5).as("p50_exact"), exOut(0.9).as("p90_exact"), exOut(0.99).as("p99_exact"),
-      ok(0.5).as("p50_ok"), ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"),
+    val eps = 2.0 / acc
+    // ONE exact-percentile buffer (array percentage) serves all nine
+    // points, and ONE approx sketch serves the three probes — the
+    // separate-call form built 9 full-column buffers + 3 sketches and
+    // cost 3.2 s at sf0.1 for identical values (interpolation happens
+    // per element from the same sorted buffer)
+    val ps = Seq(0.5 - eps, 0.5, 0.5 + eps, 0.9 - eps, 0.9, 0.9 + eps,
+      0.99 - eps, 0.99, 0.99 + eps)
+    val agg = t(s, d, "orders").agg(
+      percentile(col("o_totalprice"), typedLit(ps)).as("__pct"),
+      expr(s"approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), $acc)").as("__apx"),
       count(lit(1)).as("n"))
+    def pct(i: Int) = element_at(col("__pct"), i + 1)
+    def apx(i: Int) = element_at(col("__apx"), i + 1)
+    def exOut(i: Int) = pct(i).cast(DecimalType(18, 6)).cast(DoubleType)
+    agg.select(
+      exOut(1).as("p50_exact"), exOut(4).as("p90_exact"), exOut(7).as("p99_exact"),
+      apx(0).between(pct(0), pct(2)).as("p50_ok"),
+      apx(1).between(pct(3), pct(5)).as("p90_ok"),
+      apx(2).between(pct(6), pct(8)).as("p99_ok"),
+      col("n"))
   }
 
   private val q83Sql =
@@ -714,6 +737,24 @@ object ExtendedQueries {
       | true AS p50_ok, true AS p90_ok, true AS p99_ok,
       | count(*) AS n
       |FROM orders""".stripMargin
+
+  // ----------------------------- standing vector index probe (q85)
+  /** q47's IVF search served from the STANDING [[graft.sim.VectorIndex]]
+    * — the corpus is materialized cell-partitioned on disk, the probe
+    * join prunes cells via dynamic partition pruning (VectorIndexSpec
+    * pins the dynamicpruning plan shape), and the top-k must equal the
+    * in-plan q47 result row for row, so it shares q47's oracle SQL.
+    * The write lands under target/ (driver-local scratch); each run
+    * rebuilds it, which is the honest cost of the serving shape. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ivf = new IvfIndex(nCells = 16, nProbe = 4)
+    val dir = s"target/indexes/vec_${new java.io.File(d).getName}"
+    graft.sim.VectorIndex.write(e, dir, ivf, ivf.centroidsOf(e))
+    graft.sim.VectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
@@ -741,5 +782,6 @@ object ExtendedQueries {
     ("q77_sliding_window",   q77 _, Some(q77Sql)),
     ("q80_full_outer_join",  q80 _, Some(q80Sql)),
     ("q82_skew_report",      q82 _, Some(q82Sql)),
-    ("q83_approx_percentile", q83 _, Some(q83Sql)))
+    ("q83_approx_percentile", q83 _, Some(q83Sql)),
+    ("q85_vector_index_topk", q85 _, Some(q47Sql)))
 }

@@ -15,13 +15,13 @@ import graft.text.TextFunctions
   * reproduces bit-for-bit.
   */
 object TextQueries {
-  import ParityQueries.Q
+  import ParityQueries.{Q, SortedOutOps}
 
   private def docs0(s: SparkSession, d: String) = Tables.documents(s, d)
 
   // ------------------------------------------------------- exact dedup
   private def q23(s: SparkSession, d: String): DataFrame =
-    Dedup.exactGroups(docs0(s, d)).orderBy("text_hash")
+    Dedup.exactGroups(docs0(s, d)).sortedOut("text_hash")
 
   private val q23Sql =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -31,7 +31,7 @@ object TextQueries {
   private def q24(s: SparkSession, d: String): DataFrame =
     docs0(s, d)
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
 
   private val q24Sql =
     """SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
@@ -49,7 +49,7 @@ object TextQueries {
         (nonSpace / nTok).as("avg_token_len"),
         (stopHits / nTok).as("stop_ratio"),
         (nTok >= 5 && (stopHits / nTok) <= lit(0.5)).as("is_quality"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
   }
 
   private val q25Sql =
@@ -69,7 +69,7 @@ object TextQueries {
            sum(col("n_chars")).as("sum_chars"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
-      .orderBy("lang", "source")
+      .sortedOut("lang", "source")
 
   private val q26Sql =
     """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -85,7 +85,7 @@ object TextQueries {
     docs0(s, d).select(
         Seq(col("doc_id")) ++ hits ++ Seq(
           TextFunctions.langId(toks).as("pred_lang"), col("lang")): _*)
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
   }
 
   private val q27Sql =
@@ -115,7 +115,7 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ta"), col("tb"))) /
          size(array_union(col("ta"), col("tb")))).as("jaccard"))
-      .orderBy("doc_a")
+      .sortedOut("doc_a")
   }
 
   private val q28Sql =
@@ -139,7 +139,7 @@ object TextQueries {
   private def q29(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
-      .orderBy("doc_a", "doc_b")
+      .sortedOut("doc_a", "doc_b")
 
   /** Shared oracle prefix: k=32 independent seeded md5-60 hashes →
     * minhash signature per doc → 4×8 banding with the bucket-size cap →
@@ -178,7 +178,7 @@ object TextQueries {
 
   // -------------------------------------------------- SimHash fingerprint
   private def q30(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(docs0(s, d)).orderBy("doc_id")
+    Dedup.simhash(docs0(s, d)).sortedOut("doc_id")
 
   private val q30Sql =
     """WITH t AS (
@@ -200,7 +200,7 @@ object TextQueries {
         TextFunctions.winnowFingerprints(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
 
   // k=8, w=4 mirror of WinnowFingerprint: char k-gram md5-60 hashes,
   // rolling window-of-4 minimum, fingerprint set = distinct mins (plus
@@ -377,7 +377,7 @@ object TextQueries {
         docs, "doc_id", "nm", docs, "doc_id", "nm",
         minJaccard = 0.6, gramN = 3, gramCap = 600)
       .where(col("l_id") < col("r_id"))
-      .orderBy("l_id", "r_id")
+      .sortedOut("l_id", "r_id")
   }
 
   private val q56Sql =
@@ -414,7 +414,7 @@ object TextQueries {
     val pairs = Dedup.minhashCandidatePairs(
       Dedup.minhashSignatures(exactKeep, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.9)
     val kept = Dedup.dedupByClusters(exactKeep, Dedup.nearDupClusters(pairs))
-    kept.groupBy("lang").agg(count(lit(1)).as("n_docs")).orderBy("lang")
+    kept.groupBy("lang").agg(count(lit(1)).as("n_docs")).sortedOut("lang")
   }
 
   private val q60Sql =
@@ -552,7 +552,7 @@ object TextQueries {
         nBpe.as("n_bpe_tokens"),
         (TextFunctions.nonSpaceChars(col("text")) /
           nullif(nBpe, lit(0))).as("chars_per_bpe"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
   }
 
   private val q66Sql =
@@ -622,7 +622,7 @@ object TextQueries {
     Dedup.duplicatedNgramStats(docs0(s, d), n = 13)
       .select(col("doc_id"), col("n_grams"), col("n_dup_positions"),
         (col("n_dup_positions") * lit(10) >= col("n_grams") * lit(3)).as("heavy_dup"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
 
   private val q72Sql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
@@ -658,7 +658,7 @@ object TextQueries {
         TextFunctions.matchCount(col("text"), RedactRules(1)._1).as("n_num"),
         TextFunctions.matchCount(col("text"), RedactRules(2)._1).as("n_name"),
         md5(TextFunctions.redact(col("text"), RedactRules).cast("binary")).as("redacted_hash"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
 
   private val q73Sql =
     """SELECT doc_id,
@@ -681,7 +681,7 @@ object TextQueries {
     Dedup.contaminationStats(
         all.where(col("doc_id") % 10 =!= 0),
         all.where(col("doc_id") % 10 === 0), n = 13)
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
   }
 
   private val q74Sql =
@@ -704,7 +704,7 @@ object TextQueries {
     * ([[graft.text.QualityOps.repetitionStats]]); thresholds chosen to
     * split the fixture corpus non-trivially. */
   private def q75(s: SparkSession, d: String): DataFrame =
-    graft.text.QualityOps.repetitionStats(docs0(s, d)).orderBy("doc_id")
+    graft.text.QualityOps.repetitionStats(docs0(s, d)).sortedOut("doc_id")
 
   private val q75Sql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
@@ -735,7 +735,7 @@ object TextQueries {
       .select(col("doc_id"),
         array_join(col("ids").cast("array<string>"), ",").as("ids"),
         col("n_tokens"), col("n_oov"), col("oov_rate"))
-      .orderBy("doc_id")
+      .sortedOut("doc_id")
   }
 
   private val q79Sql =
@@ -764,12 +764,53 @@ object TextQueries {
     graft.functions.CountMin.heavyHitters(
         docs0(s, d).select(explode(TextFunctions.tokens(col("text"))).as("tok")),
         "tok", k = 10)
-      .orderBy(col("exact_n").desc, col("tok"))
+      .sortedOut(col("exact_n").desc, col("tok"))
 
   private val q81Sql =
     """SELECT tok, count(*) AS exact_n, true AS est_at_least_exact, true AS est_within_eps
       |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents) u
       |GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin
+
+  // -------------------------- standing signature index probe (q86)
+  /** q57's corpus-vs-batch candidate stage served from the STANDING
+    * [[graft.dedup.SignatureIndex]]: the corpus half (doc_id < 250) is
+    * materialized as bucketed tables, the batch half probes it — the
+    * bucketed layout means the index side never exchanges
+    * (SignatureIndexSpec pins that plan shape); only the arriving
+    * batch shuffles into the index's bucketing. Output is the verified
+    * candidate pair list, exactly the oracle's candc/estc stage. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    val spec = graft.dedup.SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
+    // build the index ONCE per (session, sf) — the serving contract is
+    // "maintained once, probed by every arriving batch", so the timed
+    // surface is the PROBE; name is per-sf so switching fixtures can
+    // never probe a stale corpus (cross-session leftovers are handled
+    // by write's dropStale)
+    val name = "q86_sigidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_banded"))
+      graft.dedup.SignatureIndex.write(sigs.where(col("doc_id") < 250), name, spec)
+    ParityQueries.sortedOut(
+      graft.dedup.SignatureIndex.probe(s, sigs.where(col("doc_id") >= 250),
+        name, spec, minEst = 0.9),
+      col("doc_a"), col("doc_b"))
+  }
+
+  private val q86Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |bb AS (SELECT * FROM banded WHERE doc_id < 250),
+       |ba AS (SELECT * FROM banded WHERE doc_id >= 250),
+       |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
+       |candc AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)),
+       |estc AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM candc JOIN sigs sa ON sa.doc_id = candc.doc_a JOIN sigs sb ON sb.doc_id = candc.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM estc WHERE est_jaccard >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
@@ -795,5 +836,6 @@ object TextQueries {
     ("q74_decontaminate",      q74 _, Some(q74Sql)),
     ("q75_repetition_quality", q75 _, Some(q75Sql)),
     ("q79_vocab_encode",       q79 _, Some(q79Sql)),
-    ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)))
+    ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)),
+    ("q86_sig_index_probe",    q86 _, Some(q86Sql)))
 }

@@ -14,7 +14,7 @@ import graft.sim.{RandomHyperplaneLsh, VectorFunctions}
   * rows-only.
   */
 object VectorQueries {
-  import ParityQueries.Q
+  import ParityQueries.{Q, SortedOutOps}
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
@@ -30,7 +30,7 @@ object VectorQueries {
     val e = emb(s, d)
     VectorFunctions.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .sortedOut("query_id", "rank")
   }
 
   private val q32Sql = {
@@ -54,7 +54,7 @@ object VectorQueries {
       .select(col("vec_a"), col("vec_b"),
         VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .withColumn("near_dup", col("cos") > 0.8)
-      .orderBy("vec_a")
+      .sortedOut("vec_a")
   }
 
   private val q33Sql = {
@@ -74,7 +74,7 @@ object VectorQueries {
     val e = emb(s, d)
     q34Lsh.annTopK(e, e.where(col("vec_id") < 10), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
-      .orderBy("query_id", "rank")
+      .sortedOut("query_id", "rank")
   }
 
   /** The hyperplanes are deterministic Scala constants — embed them as
@@ -123,7 +123,7 @@ object VectorQueries {
       .select(col("label"), col("pos"),
         aggregate(col("xs"), lit(0.0), (acc, v) => acc + v).as("sum_x"),
         col("n"))
-      .orderBy("label", "pos")
+      .sortedOut("label", "pos")
   }
 
   private val q35Sql =
@@ -140,7 +140,7 @@ object VectorQueries {
   // hyperplane literals and the result matches exactly.
   private def q58(s: SparkSession, d: String): DataFrame =
     VectorFunctions.cosineNearDupPairs(emb(s, d), dim = 64, minCos = 0.45)
-      .orderBy("vec_a", "vec_b")
+      .sortedOut("vec_a", "vec_b")
 
   private val q58Sql = {
     def bucketExpr(l: RandomHyperplaneLsh, c: String): String =
@@ -184,7 +184,7 @@ object VectorQueries {
     val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
     pq.annTopK(e, e.where(col("vec_id") < 10), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
-      .orderBy("query_id", "rank")
+      .sortedOut("query_id", "rank")
   }
 
   private val q78Sql =
@@ -216,11 +216,78 @@ object VectorQueries {
       |  FROM sc)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------ IVF-PQ composed ANN (q84)
+  /** The production ANN shape ([[graft.sim.PqIndex.searchAdcIvf]]):
+    * PQ's exhaustive ADC code scan gated by IVF cells — each query
+    * scores only the codes in its 4 probed cells (of 16) instead of
+    * the whole corpus. Deterministic end to end (seed quantizer + seed
+    * codebook), so the oracle replays cell assignment, probing, PQ
+    * encoding, and the fixed-order ADC fold exactly. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    pq.annTopKIvf(e, e.where(col("vec_id") < 10), k = 5,
+        new graft.sim.IvfIndex(nCells = 16, nProbe = 4))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .sortedOut("query_id", "rank")
+  }
+
+  private val q84Sql = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS c, embedding FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+       |enc AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT v.vec_id, js.j, ct.c,
+       |      row_number() OVER (PARTITION BY v.vec_id, js.j ORDER BY
+       |        list_sum(list_transform(list_zip(v.embedding[js.j*8+1 : js.j*8+8], ct.embedding[js.j*8+1 : js.j*8+8]),
+       |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |        ct.c) AS rn
+       |    FROM embeddings v CROSS JOIN js CROSS JOIN cents ct) z
+       |  WHERE rn = 1),
+       |icents AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN icents c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 10) WHERE rn <= 4),
+       |pairs AS (
+       |  SELECT q.query_id, q.q_emb, a.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> q.query_id),
+       |terms AS (
+       |  SELECT p.query_id, p.neighbor_id, e.j,
+       |    list_sum(list_transform(list_zip(p.q_emb[e.j*8+1 : e.j*8+8], ct.embedding[e.j*8+1 : e.j*8+8]),
+       |      pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE))) AS term
+       |  FROM pairs p
+       |  JOIN enc e ON e.vec_id = p.neighbor_id
+       |  JOIN cents ct ON ct.c = e.code),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, list_sum(list(term ORDER BY j)) AS score
+       |  FROM terms GROUP BY query_id, neighbor_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
     ("q34_ann_lsh_topk",      q34 _, Some(q34Sql)),
     ("q35_label_centroid_sum", q35 _, Some(q35Sql)),
     ("q58_cosine_neardup",    q58 _, Some(q58Sql)),
-    ("q78_pq_ann_topk",       q78 _, Some(q78Sql)))
+    ("q78_pq_ann_topk",       q78 _, Some(q78Sql)),
+    ("q84_ivfpq_ann_topk",    q84 _, Some(q84Sql)))
 }

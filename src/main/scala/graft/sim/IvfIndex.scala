@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * joins candidates by cell — a shuffle bounded by nProbe/nCells of the
   * corpus per query, never a full cross join.
   */
-class IvfIndex(nCells: Int = 16, nProbe: Int = 4) extends Serializable {
+class IvfIndex(val nCells: Int = 16, val nProbe: Int = 4) extends Serializable {
 
   /** Fitted coarse quantizer: (cell, centroid) pairs on the driver. */
   def centroidsOf(corpus: DataFrame): Array[(Int, Array[Float])] =

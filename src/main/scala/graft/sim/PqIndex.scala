@@ -139,4 +139,81 @@ class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
     val cb = codebookOf(corpus)
     searchAdc(encode(corpus, cb), queries, k, cb)
   }
+
+  /** The production training path: per-subspace Lloyd's k-means from
+    * the deterministic seed codebook — the PQ twin of [[IvfIndex.fit]].
+    * Each round is ONE narrow encode pass (the native [[PqEncode]]
+    * expression with the current codebook as literals, zero shuffle)
+    * plus one (subspace, code, dim) mean aggregation — a shuffle of one
+    * row per (vector, dim) that map-side combines down to m·ksub·sub
+    * rows (kilobytes on the driver). Codes that lose all members keep
+    * their previous centroid, the standard empty-cell rule. At 100 TB
+    * you fit on `corpus.sample(...)` — encode/search are unchanged, the
+    * same slot-in contract IvfIndex.fit documents. (Mean aggregation is
+    * fp-order-dependent, so a fitted codebook is not bit-portable
+    * across engines — the oracled q78/q84 use the deterministic seed
+    * codebook; this method is spec-tested for behavior instead.) */
+  def fit(corpus: DataFrame, iters: Int = 3): Array[Array[Array[Float]]] = {
+    var cb = codebookOf(corpus)
+    var it = 0
+    while (it < iters) {
+      val means = corpus.select(col("embedding"),
+          org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+            org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), cb)).as("codes"))
+        .select(col("embedding"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("embedding"), col("j") * lit(sub) + lit(1), lit(sub)))
+            .as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cb.map(_.map(_.clone))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** IVF-PQ composed search — the production ANN shape this class's
+    * scaladoc promises: the exhaustive ADC code scan is gated by IVF
+    * cells, so each query scores only the codes in its `ivf.nProbe`
+    * nearest cells instead of the whole corpus. `cellCodes` carries
+    * (vec_id, cell, codes) — [[IvfIndex.assignWith]] composed with
+    * [[encode]]; at scale it is the standing cell-partitioned table
+    * ([[VectorIndex]] layout with codes instead of raw vectors, 32×
+    * smaller). The probe join is the only exchange: broadcast of the
+    * exploded query probes, corpus side streams in place. */
+  def searchAdcIvf(cellCodes: DataFrame, queries: DataFrame, k: Int,
+                   codebook: Array[Array[Array[Float]]],
+                   ivf: IvfIndex, cents: Array[(Int, Array[Float])]): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("__probe", explode(slice(ivf.sortedCells(col("q_emb"), cents), 1, ivf.nProbe)))
+      .withColumn("cell", col("__probe").getField("cell"))
+      .drop("__probe")
+    val score = org.apache.spark.sql.GraftSqlShim.column(AdcScore(
+      org.apache.spark.sql.GraftSqlShim.expression(col("q_emb")),
+      org.apache.spark.sql.GraftSqlShim.expression(col("codes")), codebook))
+    // (query, neighbor) is unique by construction — assignWith keeps
+    // ONE cell per corpus vector — so no dedup shuffle precedes the
+    // top-k window (same argument as IvfIndex.searchAssigned)
+    val scored = cellCodes.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Convenience IVF-PQ: deterministic seed quantizer + seed codebook,
+    * assign + encode + cell-gated ADC search. */
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int, ivf: IvfIndex): DataFrame = {
+    val cb = codebookOf(corpus)
+    val cents = ivf.centroidsOf(corpus)
+    val cellCodes = ivf.assignWith(corpus, cents).select(col("vec_id"), col("cell"),
+      org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), cb)).as("codes"))
+    searchAdcIvf(cellCodes, queries, k, cb, ivf, cents)
+  }
 }

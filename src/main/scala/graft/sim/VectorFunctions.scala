@@ -66,7 +66,12 @@ object VectorFunctions {
                          bucketCap: Int = 1000, seed: Long = 42L): DataFrame = {
     val lshs = (0 until tables).map(t =>
       new RandomHyperplaneLsh(dim, planesPerTable, seed = seed + t))
-    val bucketArr = array(lshs.map(l => l.bucket(col("embedding"))): _*)
+    // all tables' buckets in ONE fused array pass per row (the builtin
+    // formulation ran tables×planes interpreted HOF dot products per
+    // row — see HyperplaneBuckets; VectorFunctionsSpec pins the two)
+    val signs = lshs.map(_.hyperplanes.map(_.toArray).toArray).toArray
+    val bucketArr = org.apache.spark.sql.GraftSqlShim.column(HyperplaneBuckets(
+      org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), signs))
     // lazily returned plan ⇒ unpersist is the ContextCleaner's job
     val e = embs.persist()
     val banded = e.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))

@@ -70,6 +70,22 @@ class VectorFunctionsSpec extends SparkSpec {
     a.hyperplanes shouldBe b.hyperplanes
   }
 
+  test("HyperplaneBuckets: fused native buckets equal the HOF bucket() per table " +
+      "on fixture embeddings (bit-identical fold)") {
+    import org.apache.spark.sql.functions.{array, col}
+    val e = Tables.embeddings(spark, sf0001)
+    val lshs = (0 until 8).map(t => new RandomHyperplaneLsh(64, 4, seed = 42L + t))
+    val viaHof = e.select(col("vec_id"),
+        array(lshs.map(l => l.bucket(col("embedding"))): _*).as("b"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    val signs = lshs.map(_.hyperplanes.map(_.toArray).toArray).toArray
+    val viaNative = e.select(col("vec_id"),
+        org.apache.spark.sql.GraftSqlShim.column(graft.sim.HyperplaneBuckets(
+          org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), signs)).as("b"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    viaNative shouldBe viaHof
+  }
+
   test("cosineNearDupPairs: identical vectors found in every table, orthogonal ones not") {
     val corpus = vecsDF(
       0L -> Seq(1f, 2f, 3f, 4f),

@@ -16,7 +16,7 @@ import graft.text.TextFunctions
   * column would otherwise hash-mismatch on unit alone.
   */
 object ExtendedQueries {
-  import ParityQueries.Q
+  import ParityQueries.{Q, SortedOutOps}
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
   private def d184(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
@@ -29,7 +29,7 @@ object ExtendedQueries {
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(dbl(sum(d184(col("o_totalprice")))))
-      .orderBy("yr")
+      .sortedOut("yr")
 
   private val q39Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -44,7 +44,7 @@ object ExtendedQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
            dbl(sum(d184(col("l_discount")))).as("sum_disc"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .sortedOut(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q40Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -68,7 +68,7 @@ object ExtendedQueries {
       .agg(percentile(col("p_size"), lit(0.5)).cast(DecimalType(18, 6)).cast(DoubleType).as("median_size"),
            percentile(col("p_size"), lit(0.9)).cast(DecimalType(18, 6)).cast(DoubleType).as("p90_size"),
            count(lit(1)).as("n"))
-      .orderBy("p_brand")
+      .sortedOut("p_brand")
 
   private val q41Sql =
     """SELECT p_brand,
@@ -93,7 +93,7 @@ object ExtendedQueries {
         unix_millis(col("ts")).as("p_ms"),
         col("asof.event_id").as("c_id"),
         unix_millis(col("asof.ts")).as("c_ms"))
-      .orderBy("p_id")
+      .sortedOut("p_id")
   }
 
   private val q42Sql =
@@ -127,7 +127,7 @@ object ExtendedQueries {
            max(unix_millis(col("ts"))).as("end_ms"),
            count(lit(1)).as("n_events"),
            dbl(sum(d184(col("value")))).as("sum_value"))
-      .orderBy("user_id", "sid")
+      .sortedOut("user_id", "sid")
   }
 
   private val q43Sql =
@@ -153,7 +153,7 @@ object ExtendedQueries {
       .select(col("o_orderkey").as("k"), lit("big").as("tag"), col("o_totalprice").as("price"))
     val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
       .select(lit("urgent").as("tag"), col("o_totalprice").as("price"), col("o_orderkey").as("k"))
-    big.unionByName(urgent).orderBy("k", "tag")
+    big.unionByName(urgent).sortedOut("k", "tag")
   }
 
   private val q44Sql =
@@ -192,7 +192,7 @@ object ExtendedQueries {
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) /
           col("exact_users") <= lit(0.15)).as("within_bounds"))
-      .orderBy("event_type")
+      .sortedOut("event_type")
 
   private val q46Sql =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_bounds
@@ -204,7 +204,7 @@ object ExtendedQueries {
     new IvfIndex(nCells = 16, nProbe = 4)
       .annTopK(e, e.where(col("vec_id") < 10), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .sortedOut("query_id", "rank")
   }
 
   /** The IVF search is fully deterministic (centroids are vec_id<16,
@@ -272,7 +272,7 @@ object ExtendedQueries {
         ntile(4).over(w).as("quartile"),
         datediff(col("o_orderdate"),
           lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortedOut("o_custkey", "o_orderkey")
   }
 
   private val q50Sql =
@@ -318,7 +318,7 @@ object ExtendedQueries {
       .select(col("label"), col("dim"),
         (abs(col("agg_norm") - col("ref_norm")) / col("ref_norm") <= lit(1e-6))
           .as("within_tol"))
-      .orderBy("label")
+      .sortedOut("label")
   }
 
   private val q51Sql =
@@ -335,7 +335,7 @@ object ExtendedQueries {
       .groupBy("key")
       .agg(count(lit(1)).as("n"), min("v").as("min_v"),
            max("v").as("max_v"), sum("v").as("sum_v"))
-      .orderBy("key")
+      .sortedOut("key")
 
   private val q52Sql =
     """SELECT 'k' AS key, count(*) AS n,
@@ -357,7 +357,7 @@ object ExtendedQueries {
       .where(col("e_a") < col("e_b"))
       .select(col("user_id"), col("e_a"), col("e_b"),
         (unix_millis(col("ts_b")) - unix_millis(col("ts_a"))).as("dt_ms"))
-      .orderBy("user_id", "e_a", "e_b")
+      .sortedOut("user_id", "e_a", "e_b")
   }
 
   private val q53Sql =
@@ -387,7 +387,7 @@ object ExtendedQueries {
         top.zipWithIndex.map { case ((price, ok), i) => (cust, ok, price, i + 1) }
       }
       .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .orderBy("o_custkey", "rn")
+      .sortedOut("o_custkey", "rn")
   }
 
   private val q54Sql =
@@ -419,7 +419,7 @@ object ExtendedQueries {
       .select(col("event_type"), col("exact_users"), col("n_days"),
         (abs(col("est_users") - col("exact_users")) /
           col("exact_users") <= lit(0.15)).as("within_bounds"))
-      .orderBy("event_type")
+      .sortedOut("event_type")
   }
 
   private val q55Sql =
@@ -443,7 +443,7 @@ object ExtendedQueries {
       .groupBy("p_brand")
       .agg(dbl(sum(d184(col("l_quantity")))).as("sum_qty"),
            count(lit(1)).as("n_lines"))
-      .orderBy("p_brand")
+      .sortedOut("p_brand")
   }
 
   private val q64Sql =
@@ -469,7 +469,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_pairs"),
            min(col("a_id")).as("first_click"),
            max(col("b_id")).as("last_view"))
-      .orderBy("user_id")
+      .sortedOut("user_id")
   }
 
   private val q65Sql =
@@ -499,7 +499,7 @@ object ExtendedQueries {
         unix_millis(col("session_window.start")).as("start_ms"),
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "start_ms")
+      .sortedOut("user_id", "start_ms")
 
   private val q67Sql =
     """WITH x AS (
@@ -559,7 +559,7 @@ object ExtendedQueries {
     graft.plans.TopKPerKey.topK(o, Seq("o_custkey"),
         Seq(o("o_totalprice").desc, o("o_orderkey").asc), k = 3)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey", "o_orderkey")
+      .sortedOut("o_custkey", "o_orderkey")
   }
 
   private val q69Sql =
@@ -603,7 +603,7 @@ object ExtendedQueries {
         lit(1L).as("version"), lit("U").as("op"))
     RelationalOps.mergeUpsert(o, u1.unionByName(u2).unionByName(del).unionByName(ins),
         "o_orderkey", "version", "op")
-      .orderBy("o_orderkey")
+      .sortedOut("o_orderkey")
   }
 
   private val q76Sql =
@@ -636,7 +636,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), dbl(sum(d184(col("value")))).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
-      .orderBy("win_start", "event_type")
+      .sortedOut("win_start", "event_type")
 
   private val q77Sql =
     """SELECT strftime(make_timestamp(((CAST(floor(epoch(ts) / 600) AS BIGINT) - k) * 600) * 1000000),
@@ -662,7 +662,7 @@ object ExtendedQueries {
         coalesce(col("n_big"), lit(0L)).as("n_big_orders"),
         (col("c_custkey").isNotNull && col("o_custkey").isNull).as("building_only"),
         col("c_custkey").isNull.as("orders_only"))
-      .orderBy("custkey")
+      .sortedOut("custkey")
   }
 
   private val q80Sql =
@@ -753,7 +753,7 @@ object ExtendedQueries {
     graft.sim.VectorIndex.write(e, dir, ivf, ivf.centroidsOf(e))
     graft.sim.VectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .sortedOut("query_id", "rank")
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(

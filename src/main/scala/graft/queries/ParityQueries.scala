@@ -64,7 +64,7 @@ object ParityQueries {
         dbl(sum(d184(col("l_extendedprice")))).as("sum_price"),
         dbl(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .sortedOut("l_returnflag", "l_linestatus")
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -81,7 +81,7 @@ object ParityQueries {
     t(s, d, "part")
       .where(col("p_brand").startsWith("Brand#1") && length(col("p_name")) > 8)
       .select("p_partkey", "p_name", "p_brand")
-      .orderBy("p_partkey")
+      .sortedOut("p_partkey")
 
   private val q02Sql =
     """SELECT p_partkey, p_name, p_brand FROM part
@@ -95,7 +95,7 @@ object ParityQueries {
     val c = t(s, d, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .select(o("o_orderkey"), o("o_custkey"), c("c_name"), c("c_mktsegment"))
-      .orderBy("o_orderkey")
+      .sortedOut("o_orderkey")
   }
 
   private val q03Sql =
@@ -110,7 +110,7 @@ object ParityQueries {
     val p  = t(s, d, "part").where(col("p_type") === "PROMO")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
       .select(li("l_orderkey"), li("l_linenumber"), p("p_name"), li("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber", "p_name", "l_quantity")
+      .sortedOut("l_orderkey", "l_linenumber", "p_name", "l_quantity")
   }
 
   // (l_orderkey, l_linenumber) is not unique in the fixture data — the
@@ -127,7 +127,7 @@ object ParityQueries {
     val o = t(s, d, "orders").where(col("o_totalprice") > 150000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .sortedOut("c_custkey")
   }
 
   private val q05Sql =
@@ -141,7 +141,7 @@ object ParityQueries {
     val o = t(s, d, "orders")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
+      .sortedOut("c_custkey")
   }
 
   private val q06Sql =
@@ -157,7 +157,7 @@ object ParityQueries {
     RelationalOps.keepFirst(t(s, d, "orders"), Seq("o_custkey"),
         Seq(col("o_orderdate"), col("o_orderkey")))
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey")
+      .sortedOut("o_custkey")
 
   private val q07Sql =
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -175,7 +175,7 @@ object ParityQueries {
       .select(col("o_custkey"),
         col("m.o_orderkey").as("last_orderkey"),
         col("m.o_orderdate").cast(DateType).as("last_date"))
-      .orderBy("o_custkey")
+      .sortedOut("o_custkey")
 
   private val q08Sql =
     """SELECT o_custkey, o_orderkey AS last_orderkey, CAST(o_orderdate AS DATE) AS last_date
@@ -191,7 +191,7 @@ object ParityQueries {
       .groupBy("c_mktsegment")
       .agg(countDistinct(col("c_custkey")).as("n_cust"),
            count(lit(1)).as("n_rows"))
-      .orderBy("c_mktsegment")
+      .sortedOut("c_mktsegment")
 
   private val q09Sql =
     """SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust, count(*) AS n_rows
@@ -208,7 +208,7 @@ object ParityQueries {
     val cand = concat(col("o_orderstatus"), lit("-FIXED"))
     o.select(col("o_orderkey"),
         RelationalOps.coalesceValid(orig, cand, validLen = 7).as("priority_fixed"))
-      .orderBy("o_orderkey")
+      .sortedOut("o_orderkey")
   }
 
   private val q10Sql =
@@ -226,7 +226,7 @@ object ParityQueries {
       .select(col("c_custkey"),
         RelationalOps.labelMap(col("c_mktsegment"),
           Map("BUILDING" -> "B", "AUTOMOBILE" -> "A", "MACHINERY" -> "M")).as("seg_code"))
-      .orderBy("c_custkey")
+      .sortedOut("c_custkey")
 
   private val q11Sql =
     """SELECT c_custkey,
@@ -242,7 +242,7 @@ object ParityQueries {
     t(s, d, "customer")
       .select(col("c_custkey"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("cust_no"))
-      .orderBy("c_custkey")
+      .sortedOut("c_custkey")
 
   private val q12Sql =
     """SELECT c_custkey, regexp_extract(c_name, 'Customer#(\d+)', 1) AS cust_no
@@ -253,7 +253,7 @@ object ParityQueries {
     t(s, d, "part")
       .select(col("p_partkey"),
         RelationalOps.concatOrEmpty("_", col("p_brand"), col("p_type")).as("brand_type"))
-      .orderBy("p_partkey")
+      .sortedOut("p_partkey")
 
   private val q13Sql =
     """SELECT p_partkey, COALESCE(p_brand || '_' || p_type, '') AS brand_type
@@ -265,7 +265,7 @@ object ParityQueries {
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n"),
            dbl(sum(d184(col("o_totalprice")))).as("sum_price"))
-      .orderBy("yr", "mo")
+      .sortedOut("yr", "mo")
 
   private val q14Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
@@ -282,7 +282,7 @@ object ParityQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"))
       .where(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
+      .sortedOut("o_custkey", "rn")
   }
 
   private val q15Sql =
@@ -305,7 +305,7 @@ object ParityQueries {
     t(s, d, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         dbl(sum(d184(col("l_quantity"))).over(w)).as("running_qty"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .sortedOut("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
   private val q16Sql =
@@ -322,7 +322,7 @@ object ParityQueries {
     val a = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
     val b = o.where(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
     val e = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
-    a.union(b).distinct().except(e).orderBy("k")
+    a.union(b).distinct().except(e).sortedOut("k")
   }
 
   private val q17Sql =
@@ -351,7 +351,7 @@ object ParityQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
            dbl(sum(d184(col("l_quantity")))).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .sortedOut(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q19Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -367,7 +367,7 @@ object ParityQueries {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .sortedOut("event_type")
 
   private val q20Sql =
     """SELECT event_type,
@@ -385,7 +385,7 @@ object ParityQueries {
                col("event_type"))
       .agg(count(lit(1)).as("n"),
            dbl(sum(d184(col("value")))).as("sum_value"))
-      .orderBy("hour_ts", "event_type")
+      .sortedOut("hour_ts", "event_type")
 
   private val q21Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts, event_type,
@@ -412,7 +412,7 @@ object ParityQueries {
       .groupBy(col("n_name"))
       .agg(dbl(sum(d184(col("l_extendedprice")) * d184(lit(1.0) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("n_lines"))
-      .orderBy("n_name")
+      .sortedOut("n_name")
   }
 
   private val q22Sql =

@@ -271,12 +271,17 @@ object TextQueries {
 
   // --------------------------------------- incremental corpus dedup
   /** The production dedup shape: documents split into a standing
-    * CORPUS (doc_id < 250) and an arriving BATCH; the batch is deduped
-    * against the corpus signature index, then within itself. Exactly
-    * oracled end-to-end (md5-60 pipeline + recursive components). */
+    * CORPUS (19 of every 20 docs) and an arriving BATCH (doc_id % 20
+    * == 0, 5%); the batch is deduped against the corpus signature
+    * index, then within itself. corpus >> batch at EVERY sf — the r3
+    * split (corpus = doc_id < 250) inverted at sf0.1, where the
+    * "batch" was 95% of the table and the within-batch self-join
+    * dominated, which is not the shape this operator exists to
+    * demonstrate. Exactly oracled end-to-end (md5-60 pipeline +
+    * recursive components). */
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = docs0(s, d)
-    val batch = docs.where(col("doc_id") >= 250)
+    val batch = docs.where(col("doc_id") % 20 === 0)
     // hash the WHOLE table once and split the signature table — one
     // explode+aggregate instead of two (the oracle does the same); in
     // production corpusSigs is a standing materialized index instead.
@@ -286,7 +291,7 @@ object TextQueries {
     // persisted table above — re-persisting them only stacked extra
     // materialization barriers (the r3 bench-variance finding)
     val kept = Dedup.dedupIncrementalSigs(batch,
-      sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),
+      sigs.where(col("doc_id") % 20 === 0), sigs.where(col("doc_id") % 20 =!= 0),
       bands = 4, rowsPerBand = 8, minEst = 0.9, persistInputs = false)
     kept.agg(count(lit(1)).as("n_kept"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
@@ -294,8 +299,8 @@ object TextQueries {
 
   private val q57Sql =
     s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
-       |bb AS (SELECT * FROM banded WHERE doc_id < 250),
-       |ba AS (SELECT * FROM banded WHERE doc_id >= 250),
+       |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0),
+       |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
        |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
        |candc AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -305,7 +310,7 @@ object TextQueries {
        |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
        |  FROM candc JOIN sigs sa ON sa.doc_id = candc.doc_a JOIN sigs sb ON sb.doc_id = candc.doc_b),
        |dup AS (SELECT DISTINCT doc_a AS doc_id FROM estc WHERE e >= 0.9),
-       |surv AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+       |surv AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0
        |         AND doc_id NOT IN (SELECT doc_id FROM dup)),
        |bs AS (SELECT banded.* FROM banded JOIN surv USING (doc_id)),
        |smalls AS (SELECT b, bh FROM bs GROUP BY b, bh HAVING count(*) <= 1000),
@@ -331,7 +336,7 @@ object TextQueries {
        |SELECT
        |  CAST((SELECT count(*) FROM surv) - (SELECT count(*) FROM nodes)
        |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
-       |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 250) AS BIGINT) AS n_batch""".stripMargin
+       |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS BIGINT) AS n_batch""".stripMargin
 
   // ------------------------------ deterministic stratified sampling
   /** Reproducible training-data subsampling: per-language sample of
@@ -773,8 +778,8 @@ object TextQueries {
 
   // -------------------------- standing signature index probe (q86)
   /** q57's corpus-vs-batch candidate stage served from the STANDING
-    * [[graft.dedup.SignatureIndex]]: the corpus half (doc_id < 250) is
-    * materialized as bucketed tables, the batch half probes it — the
+    * [[graft.dedup.SignatureIndex]]: the corpus (19/20 of docs) is
+    * materialized as bucketed tables, the 5% batch probes it — the
     * bucketed layout means the index side never exchanges
     * (SignatureIndexSpec pins that plan shape); only the arriving
     * batch shuffles into the index's bucketing. Output is the verified
@@ -787,20 +792,21 @@ object TextQueries {
     // "maintained once, probed by every arriving batch", so the timed
     // surface is the PROBE; name is per-sf so switching fixtures can
     // never probe a stale corpus (cross-session leftovers are handled
-    // by write's dropStale)
+    // by write's dropStale). Index = 95% of docs, batch = 5% — the
+    // corpus >> batch shape the operator exists for (same split as q57)
     val name = "q86_sigidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
     if (!s.catalog.tableExists(name + "_banded"))
-      graft.dedup.SignatureIndex.write(sigs.where(col("doc_id") < 250), name, spec)
+      graft.dedup.SignatureIndex.write(sigs.where(col("doc_id") % 20 =!= 0), name, spec)
     ParityQueries.sortedOut(
-      graft.dedup.SignatureIndex.probe(s, sigs.where(col("doc_id") >= 250),
+      graft.dedup.SignatureIndex.probe(s, sigs.where(col("doc_id") % 20 === 0),
         name, spec, minEst = 0.9),
       col("doc_a"), col("doc_b"))
   }
 
   private val q86Sql =
     s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
-       |bb AS (SELECT * FROM banded WHERE doc_id < 250),
-       |ba AS (SELECT * FROM banded WHERE doc_id >= 250),
+       |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0),
+       |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
        |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
        |candc AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -124,4 +124,25 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
     } shouldBe empty
   }
+
+  test("IVF-PQ: cell-gated ADC probes via a broadcast hash join; the corpus code " +
+      "side carries no Exchange (assign + encode stay narrow)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf0001)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    val res = pq.annTopKIvf(e, e.where(col("vec_id") < 3), 5,
+      new graft.sim.IvfIndex(nCells = 16, nProbe = 4))
+    res.collect()
+    // probe join = broadcast hash join on cell (query side exploded
+    // probes broadcast), corpus side: scan → assign → encode, narrow
+    val bhj = collectFirst(res.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bhj should be (defined)
+    val streamed = if (bhj.get.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+      bhj.get.left else bhj.get.right
+    collect(streamed) {
+      case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
+    } shouldBe empty
+  }
 }

@@ -282,6 +282,83 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------- standing IVF-PQ index probe (q87)
+  /** q84's cell-gated ADC served from the STANDING
+    * [[graft.sim.PqVectorIndex]]: PQ codes partitioned by IVF cell on
+    * disk (32× smaller than raw vectors), probe join DPP-prunes the
+    * cells, assignment+encoding paid at write time. Built once per
+    * (session, sf) — the serving contract — and must equal the in-plan
+    * q84 row for row, so it shares q84's oracle SQL. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ivf = new graft.sim.IvfIndex(nCells = 16, nProbe = 4)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    val dir = s"target/indexes/pqvec_${new java.io.File(d).getName}"
+    if (!new java.io.File(s"$dir/cells/_SUCCESS").exists())
+      graft.sim.PqVectorIndex.write(e, dir, ivf, ivf.centroidsOf(e), pq, pq.codebookOf(e))
+    graft.sim.PqVectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf, pq)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .sortedOut("query_id", "rank")
+  }
+
+  // ---------------- embedding near-dup corpus dedup, end to end (q88)
+  /** The embedding member of the corpus-dedup family (q48 is the text
+    * twin): hyperplane-LSH candidate pairs → exact-cosine verify →
+    * connected components → keep each cluster's min id. Exactly
+    * oracled including the recursive components (the pair generation
+    * is deterministic, so DuckDB replays it from hyperplane
+    * literals). */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val pairs = VectorFunctions.cosineNearDupPairs(emb(s, d), dim = 64, minCos = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val docs = emb(s, d).select(col("vec_id").as("doc_id"))
+    val kept = graft.dedup.Dedup.dedupByClusters(docs, graft.dedup.Dedup.nearDupClusters(pairs))
+    kept.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(emb(s, d).agg(count(lit(1)).as("n_total")))
+  }
+
+  private val q88Sql = {
+    def bucketExpr(l: RandomHyperplaneLsh, c: String): String =
+      l.hyperplanes.zipWithIndex.map { case (h, p) =>
+        val lits = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(list_zip($c, $lits),
+           |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+           |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString("(", " + ", ")")
+    val lshs = (0 until 8).map(t => new RandomHyperplaneLsh(64, 4, 42L + t))
+    val bandedSql = lshs.zipWithIndex.map { case (l, t) =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    val cos =
+      """(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH RECURSIVE banded AS (
+       |$bandedSql),
+       |small AS (SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) <= 1000),
+       |safe AS (SELECT banded.* FROM banded JOIN small USING (tbl, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN embeddings a ON a.vec_id = doc_a JOIN embeddings b ON b.vec_id = doc_b
+       |  WHERE $cos >= 0.45),
+       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+       |labels AS (
+       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM embeddings) - (SELECT count(*) FROM nodes)
+       |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
+       |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -289,5 +366,7 @@ object VectorQueries {
     ("q35_label_centroid_sum", q35 _, Some(q35Sql)),
     ("q58_cosine_neardup",    q58 _, Some(q58Sql)),
     ("q78_pq_ann_topk",       q78 _, Some(q78Sql)),
-    ("q84_ivfpq_ann_topk",    q84 _, Some(q84Sql)))
+    ("q84_ivfpq_ann_topk",    q84 _, Some(q84Sql)),
+    ("q87_pq_index_topk",     q87 _, Some(q84Sql)),
+    ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)))
 }

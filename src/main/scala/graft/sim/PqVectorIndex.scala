@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A STANDING IVF-PQ index on disk — the serving shape of
+  * [[PqIndex.searchAdcIvf]]: the corpus is stored as PQ CODES
+  * (m bytes-ish per vector instead of dim floats — 32× smaller at
+  * m=8/dim=64), partitioned by IVF cell, next to (cell, centroid) and
+  * (j, c, centroid) side tables that make the index self-contained.
+  *
+  * This composes the two standing-index ideas already in the engine:
+  * [[VectorIndex]]'s cell partitioning (probe join prunes cells via
+  * dynamic partition pruning, so a query batch reads nProbe/nCells of
+  * the corpus) and [[PqIndex]]'s compression (what IS read is codes,
+  * not vectors — at 100 TB of raw embeddings the code table is ~3 TB,
+  * the difference between an index that fits hot storage and one that
+  * doesn't). Assignment AND encoding cost is paid once at write time;
+  * a probe pays only the broadcast of its exploded query probes and
+  * the ADC scan of the pruned cells.
+  *
+  * Appending newly embedded vectors is a partitioned append with the
+  * SAME quantizer and codebook — standing cells are not rewritten.
+  */
+object PqVectorIndex {
+
+  private def cellsDir(dir: String) = s"$dir/cells"
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def codebookDir(dir: String) = s"$dir/codebook"
+
+  /** Materialize (or replace) the index: one narrow assign+encode pass
+    * over the corpus (both the argmax cell and the PQ codes are
+    * per-row projections), written partitioned by cell. */
+  def write(corpus: DataFrame, dir: String, ivf: IvfIndex,
+            cents: Array[(Int, Array[Float])], pq: PqIndex,
+            codebook: Array[Array[Array[Float]]],
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = corpus.sparkSession
+    ivf.assignWith(corpus, cents)
+      .select(col("vec_id"), col("cell"),
+        org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+          org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), codebook)).as("codes"))
+      .write.mode(mode).partitionBy("cell").parquet(cellsDir(dir))
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .write.mode(mode).parquet(centroidsDir(dir))
+    codebook.zipWithIndex.flatMap { case (subs, j) =>
+      subs.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid")
+      .write.mode(mode).parquet(codebookDir(dir))
+  }
+
+  /** Add vectors encoded with the index's OWN quantizer + codebook —
+    * partitioned append, standing cells untouched. */
+  def append(corpus: DataFrame, dir: String, ivf: IvfIndex, pq: PqIndex): Unit = {
+    val spark = corpus.sparkSession
+    val cents = readCentroids(spark, dir)
+    val cb = readCodebook(spark, dir)
+    ivf.assignWith(corpus, cents)
+      .select(col("vec_id"), col("cell"),
+        org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+          org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), cb)).as("codes"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(cellsDir(dir))
+  }
+
+  def readCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(centroidsDir(dir))
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(codebookDir(dir))
+      .select(col("j").cast("int"), col("c").cast("int"), col("centroid"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    Array.tabulate(m, ksub)((j, c) => rows((j, c)))
+  }
+
+  /** Cell-gated ADC top-k against the standing index — identical
+    * contract to [[PqIndex.annTopKIvf]], but the code table is the
+    * partitioned parquet and the probe join dynamically prunes its
+    * cell partitions. */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+           ivf: IvfIndex, pq: PqIndex): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    val cb = readCodebook(spark, dir)
+    pq.searchAdcIvf(spark.read.parquet(cellsDir(dir)), queries, k, cb, ivf, cents)
+  }
+}

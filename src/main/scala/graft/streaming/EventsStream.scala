@@ -116,6 +116,20 @@ object EventsStream extends Serializable {
         (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("dt_ms"))
   }
 
+  /** Stream-STATIC enrichment join — the remaining join shape next to
+    * the stream-stream pair join above: each arriving event picks up
+    * its key's attributes from a bounded dimension table. No watermark
+    * and no join-state store needed (the static side is complete by
+    * definition); the dimension is broadcast, so the stream side never
+    * shuffles — per micro-batch this is exactly the batch broadcast
+    * equi-join (J4), which is why the spec pins it to the batch twin.
+    * At 100 TB-of-stream the static side is the small one by
+    * construction; a large dimension becomes a stream-stream join or a
+    * state-store lookup instead. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ------------------------------------------------- sessionization
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -320,6 +320,28 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("enrichWithDim: stream-static broadcast join equals the batch twin, " +
+      "unmatched keys survive with nulls") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val evs = Seq(ev(1, 0, uid = 1L), ev(2, 5, uid = 2L), ev(3, 9, uid = 99L))
+    val mem = MemoryStream[Event]
+    val out = EventsStream.enrichWithDim(mem.toDS().toDF(), dim)
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_id"), col("user_id"), col("tier"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      val streamed = rows(spark.table("enriched"))
+      val batch = rows(EventsStream.enrichWithDim(evs.toDF(), dim))
+      streamed shouldBe batch
+      streamed should contain((3L, 99L, None)) // left join keeps dimension misses
+    } finally q.stop()
+  }
+
   test("sessionizeBatch: same gap semantics on a bounded Dataset") {
     val events = Seq(
       ev(1, 0), ev(2, 10), ev(3, 20),       // session 1 of user 1

@@ -112,7 +112,15 @@ class RandomHyperplaneLsh(dim: Int, planes: Int = 16, seed: Long = 42L) extends 
   val hyperplanes: Seq[Seq[Double]] =
     (0 until planes).map(p => (0 until dim).map(i => sign(p, i)))
 
-  /** Packed sign-bit bucket id for an embedding column. */
+  /** Packed sign-bit bucket id for an embedding column.
+    *
+    * NULL caveat: `when(dot > 0, ...).otherwise(0)` swallows a null
+    * projection, so a NULL embedding lands in bucket 0 — fine for the
+    * oracled fixture (no null vectors) but a garbage hot bucket on
+    * dirty data. The fused [[HyperplaneBuckets]] expression returns
+    * NULL instead (row dropped by the banding posexplode) — prefer it
+    * on any corpus that may carry null embeddings (EdgeCasesSpec pins
+    * both behaviors). */
   def bucket(v: Column): Column =
     (0 until planes).map { p =>
       when(VectorFunctions.dot(v, typedLit(hyperplanes(p))) > 0, lit(1 << p)).otherwise(lit(0))

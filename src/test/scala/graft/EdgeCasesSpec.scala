@@ -84,6 +84,48 @@ class EdgeCasesSpec extends SparkSpec {
     all(out.map(_.getBoolean(3))) shouldBe true
   }
 
+  test("HyperplaneBuckets on empty / null / short arrays: HOF parity on real " +
+      "inputs, and null-in → null-out where the HOF would hot-bucket garbage") {
+    import org.apache.spark.sql.GraftSqlShim
+    val lsh = new graft.sim.RandomHyperplaneLsh(dim = 4, planes = 3)
+    val signs = Array(lsh.hyperplanes.map(_.toArray).toArray)
+    val df = Seq(
+      (1L, Some(Seq(1f, 2f, 3f, 4f))),
+      (2L, Some(Seq.empty[Float])),   // empty: all projections 0.0, not > 0 → bucket 0
+      (3L, None),                     // null array
+      (4L, Some(Seq(1f, 2f)))         // shorter than dim: zip_with folds min length
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), GraftSqlShim.column(graft.sim.HyperplaneBuckets(
+        GraftSqlShim.expression(col("embedding")), signs)).as("b"))
+      .orderBy("vec_id").collect()
+    val viaHof = df.select(col("vec_id"),
+        org.apache.spark.sql.functions.array(lsh.bucket(col("embedding"))).as("b"))
+      .orderBy("vec_id").collect()
+    // real inputs (incl. empty and short arrays): bit-identical to the HOF
+    for (i <- Seq(0, 1, 3)) out(i).getSeq[Int](1) shouldBe viaHof(i).getSeq[Int](1)
+    // NULL embedding: the HOF's when(dot > 0, ...).otherwise(0) swallows the
+    // null and lands every null vector in bucket 0 of every table — a
+    // garbage hot bucket that would pair null vectors with each other at
+    // scale. The native expression returns NULL instead, and the banding
+    // posexplode drops the row — the behavior the operator wants.
+    viaHof(2).getSeq[Int](1) shouldBe Seq(0)
+    out(2).isNullAt(1) shouldBe true
+  }
+
+  test("IVF-PQ search when the probed cells hold fewer candidates than k") {
+    // 16 one-hot (orthogonal) vectors → vector i assigns to cell i.
+    // Query 0 probes nProbe=2 cells (its own + the lowest tied cell);
+    // cell 0 holds only the query itself (excluded) and cell 1 holds
+    // one vector → exactly 1 result row, no padding, no error.
+    val vecs = (0L until 16L).map(i =>
+        i -> Seq.tabulate(64)(j => if (j == i.toInt) 1f else 0f))
+      .toDF("vec_id", "embedding")
+    val out = new graft.sim.PqIndex(64, 8, 16)
+      .annTopKIvf(vecs, vecs.where(col("vec_id") === 0L), k = 50,
+        new graft.sim.IvfIndex(nCells = 16, nProbe = 2))
+    out.count() shouldBe 1L
+  }
+
   test("PQ annTopK with fewer corpus vectors than k neighbors") {
     val vecs = (0L until 16L).map(i => i -> Seq.fill(64)(i.toFloat / 16))
       .toDF("vec_id", "embedding")

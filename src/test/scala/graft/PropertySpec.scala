@@ -177,4 +177,34 @@ class PropertySpec extends SparkSpec {
     }
     check("merge-parity", prop)
   }
+
+  test("property: fused HyperplaneBuckets equals the HOF bucket fold for ANY float vector") {
+    // the bit-identity claim (x*1.0 == x, x*-1.0 == -x, same fold
+    // order) pinned on arbitrary finite floats — negatives, tiny
+    // denormal-ish magnitudes, mixed signs, any dim 1..64
+    import graft.sim.RandomHyperplaneLsh
+    import org.apache.spark.sql.GraftSqlShim
+    val vecGen = for {
+      dim <- Gen.choose(1, 64)
+      xs <- Gen.listOfN(dim, Gen.chooseNum(-1e6f, 1e6f))
+    } yield xs
+    val prop = Prop.forAllNoShrink(Gen.nonEmptyListOf(vecGen).map(_.take(8)), Gen.choose(1L, 999L)) {
+      (vecs, seed) =>
+        val dim = vecs.map(_.size).max
+        val padded = vecs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v ++ Seq.fill(dim - v.size)(0f)) }
+        val lshs = (0 until 4).map(t => new RandomHyperplaneLsh(dim, 4, seed + t))
+        val df = padded.toDF("vec_id", "embedding")
+        val hof = df.select(col("vec_id"),
+            array(lshs.map(_.bucket(col("embedding"))): _*).as("b"))
+          .orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq)
+        val signs = lshs.map(_.hyperplanes.map(_.toArray).toArray).toArray
+        val native = df.select(col("vec_id"),
+            GraftSqlShim.column(graft.sim.HyperplaneBuckets(
+              GraftSqlShim.expression(col("embedding")), signs)).as("b"))
+          .orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq)
+        native.sameElements(hof)
+    }
+    check("hyperplane-parity", prop, n = 15)
+  }
 }

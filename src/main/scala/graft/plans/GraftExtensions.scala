@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.{MinHashSignature, SimHash64}
 import graft.sim.CosineSimilarity
-import graft.text.{Md5Hash60, WinnowFingerprint}
+import graft.text.{DeflateRatio, Md5Hash60, WinnowFingerprint}
 
 /** Session extensions for the engine's native expressions — enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5h60"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5h60"),
       (children: Seq[Expression]) => Md5Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),

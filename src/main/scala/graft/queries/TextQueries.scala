@@ -818,6 +818,28 @@ object TextQueries {
        |SELECT doc_a, doc_b, est_jaccard FROM estc WHERE est_jaccard >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------- compression-ratio quality signal (q89)
+  /** deflate(text)/|text| per document ([[graft.text.DeflateRatio]]) —
+    * the character-level quality proxy next to q75's token-level
+    * repetition fractions. The ratio value is zlib-implementation-
+    * dependent, so the oracle asserts bounded CONTRACTS (the q46/q55
+    * sketch discipline): ratio ∈ (0, 1.2] always (deflate overhead is
+    * bounded), and every fixture doc of ≥ 64 chars compresses below
+    * 1.0 (natural-language token streams always do). */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val ratio = org.apache.spark.sql.GraftSqlShim.column(
+      graft.text.DeflateRatio(
+        org.apache.spark.sql.GraftSqlShim.expression(col("text"))))
+    docs0(s, d).select(col("doc_id"), col("n_chars"),
+        (ratio > 0.0 && ratio <= 1.2).as("ratio_in_bounds"),
+        (col("n_chars") < 64 || ratio < 1.0).as("compresses"))
+      .sortedOut("doc_id")
+  }
+
+  private val q89Sql =
+    """SELECT doc_id, n_chars, true AS ratio_in_bounds, true AS compresses
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -843,5 +865,6 @@ object TextQueries {
     ("q75_repetition_quality", q75 _, Some(q75Sql)),
     ("q79_vocab_encode",       q79 _, Some(q79Sql)),
     ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)),
-    ("q86_sig_index_probe",    q86 _, Some(q86Sql)))
+    ("q86_sig_index_probe",    q86 _, Some(q86Sql)),
+    ("q89_compression_quality", q89 _, Some(q89Sql)))
 }

@@ -65,6 +65,33 @@ object Sources {
      raw.where(col(corrupt).isNotNull).select(col(corrupt).as("raw_line")))
   }
 
+  /** Quarantining JSON-Lines read — the ingest format of raw crawl /
+    * training-data dumps (one JSON document per line). Same PERMISSIVE
+    * + corrupt-record routing as [[csvWithQuarantine]]: well-formed
+    * lines parse against the EXPLICIT schema (no inference pass — at
+    * 100 TB a schema-inference read is a full extra scan), malformed
+    * lines land in the quarantine frame with the raw text preserved
+    * for triage. Returns (clean rows, corrupt raw lines). */
+  def jsonlWithQuarantine(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corrupt, StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      // same materialization requirement as the CSV variant: cache so
+      // filtering on the corrupt column alone is legal and both
+      // returned frames share one file pass
+      .cache()
+    (raw.where(col(corrupt).isNull).drop(corrupt),
+     raw.where(col(corrupt).isNotNull).select(col(corrupt).as("raw_line")))
+  }
+
   /** S5: JDBC scan with the projection/cast pushed down as a SQL query —
     * keeps the reference's own pushdown (`dags/publish-open-data.py:26-30`
     * already selects and casts in SQL).

@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } shouldBe empty
   }
 
+  test("query-final sorts are single-pass: no RangePartitioning (whose boundary " +
+      "sampling would re-execute the subtree) in the oracled dedup outputs") {
+    for (name <- Seq("q29_minhash_lsh_pairs", "q58_cosine_neardup", "q23_dedup_exact")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan") {
+        plan.contains("rangepartitioning") shouldBe false
+        plan.contains("RangePartitioning") shouldBe false
+      }
+    }
+  }
+
   test("IVF-PQ: cell-gated ADC probes via a broadcast hash join; the corpus code " +
       "side carries no Exchange (assign + encode stay narrow)") {
     import org.apache.spark.sql.functions.col

@@ -84,4 +84,26 @@ class StagingSpec extends SparkSpec {
     lines.exists(_.contains("not_a_number")) shouldBe true
     lines.exists(_.contains("EXTRA")) shouldBe true
   }
+
+  test("jsonlWithQuarantine: explicit schema, malformed lines quarantined with raw text") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("dump.jsonl")
+    // line 2 is truncated JSON; line 4 has a type mismatch on doc_id
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "alpha beta"}
+        |{"doc_id": 2, "text": "trunc
+        |{"doc_id": 3, "text": "gamma"}
+        |{"doc_id": "not_a_number", "text": "delta"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (clean, rejects) = graft.ref.Sources.jsonlWithQuarantine(spark, f.toString, schema)
+    clean.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    val lines = rejects.collect().map(_.getString(0))
+    lines.length shouldBe 2
+    lines.exists(_.contains("trunc")) shouldBe true
+    lines.exists(_.contains("not_a_number")) shouldBe true
+  }
 }

@@ -131,6 +131,28 @@ class TextFunctionsSpec extends SparkSpec {
     out(1).getDouble(out(1).fieldIndex("oov_rate")) shouldBe 0.5 +- 1e-12
   }
 
+  test("DeflateRatio: repetitive text compresses far below diverse text; empty is null; SQL-registered") {
+    import org.apache.spark.sql.GraftSqlShim
+    def ratio(s: String): Option[Double] = {
+      val df = Seq(s).toDF("t").select(GraftSqlShim.column(
+        graft.text.DeflateRatio(GraftSqlShim.expression(col("t")))).as("r"))
+      val row = df.collect()(0)
+      if (row.isNullAt(0)) None else Some(row.getDouble(0))
+    }
+    val repetitive = "spam ham " * 200
+    val diverse = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
+    val rRep = ratio(repetitive).get
+    val rDiv = ratio(diverse).get
+    rRep should be < (rDiv / 3) // repetition collapses under deflate
+    rDiv should be < 1.0        // natural-ish text still compresses
+    rRep should be > 0.0
+    ratio("") shouldBe None     // empty text → null, not a division by zero
+    // registered in SQL via GraftExtensions
+    val viaSql = spark.sql(s"SELECT graft_deflate_ratio('$repetitive') AS r")
+      .collect()(0).getDouble(0)
+    viaSql shouldBe rRep
+  }
+
   test("CountMin heavyHitters: exact top-k order, contract booleans hold, stable under partitioning") {
     import graft.functions.CountMin
     val items = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++ Seq("cold1", "cold2")

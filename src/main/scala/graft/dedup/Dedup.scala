@@ -201,6 +201,52 @@ object Dedup {
     toks.select(col("doc_id"), explode(gramArr).as("gh"))
   }
 
+  /** Exact-substring REMOVAL — the surgery step on top of
+    * [[duplicatedNgramStats]]' diagnosis: split each document into
+    * non-overlapping `w`-token CHUNKS, drop every chunk whose content
+    * occurs in ≥ 2 distinct documents, and reassemble the surviving
+    * text (the Lee et al. '22 exact-substring dedup shape, with
+    * disjoint chunks as the removable unit so surgery sites never
+    * overlap).
+    *
+    * Scale shape: chunk content travels as md5-60 HASHES — the explode
+    * ships one (doc_id, pos, 8-byte hash) row per chunk, the
+    * duplicated-chunk aggregate map-side combines on the hash, and
+    * only the (doc_id, dup positions) list — a few ints per affected
+    * doc — joins back. The text itself never crosses a shuffle: the
+    * reassembly recomputes chunk strings in the narrow stage from the
+    * join result. Returns (doc_id, n_chunks, n_dup_chunks, kept_text)
+    * where kept_text is the space-joined surviving tokens ('' when
+    * every chunk was duplicated). */
+  def chunkDedupRemove(docs: DataFrame, w: Int = 20): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val nChunks = ceil(size(col("tk")) / lit(w.toDouble)).cast("int")
+    val chunkStr = (i: Column) => array_join(slice(col("tk"), i * w + 1, lit(w)), " ")
+    // token array materialized BEFORE the per-chunk lambda (no CSE
+    // inside higher-order functions — the ngramHashes lesson)
+    val withChunks = docs.select(col("doc_id"), tk.as("tk"))
+      .where(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => graft.text.Hashing.h60(chunkStr(i))).as("ch"))
+      // feeds the dup aggregate AND the reassembly join (unpersist
+      // falls to the ContextCleaner; the plan is returned lazily)
+      .persist()
+    val exploded = withChunks.select(col("doc_id"), posexplode(col("ch")).as(Seq("pos", "gh")))
+    val dup = exploded.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gh")
+    val dupPos = exploded.join(dup, Seq("gh"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("dup_pos"))
+    val keptIdx = filter(sequence(lit(0), size(col("ch")) - 1),
+      i => not(array_contains(coalesce(col("dup_pos"), typedLit(Seq.empty[Int])), i)))
+    withChunks.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ch")).as("n_chunks"),
+        coalesce(size(col("dup_pos")), lit(0)).as("n_dup_chunks"),
+        array_join(transform(keptIdx, i => chunkStr(i)), " ").as("kept_text"))
+  }
+
   /** Train/test DECONTAMINATION — the dedup variant every LLM data
     * pipeline runs before training: flag corpus documents that share
     * any verbatim word `n`-gram with a benchmark/eval set, so

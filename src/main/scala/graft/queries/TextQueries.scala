@@ -840,6 +840,37 @@ object TextQueries {
     """SELECT doc_id, n_chars, true AS ratio_in_bounds, true AS compresses
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------- exact-substring removal + reassembly (q90)
+  /** [[Dedup.chunkDedupRemove]] over the corpus: 20-token chunks,
+    * cross-document duplicates removed, text reassembled — the surgery
+    * step on top of q72's diagnosis. Chunk content travels as md5-60
+    * hashes (oracle-reproducible); the reassembled text is exported as
+    * its md5 so the hash compare pins every surviving byte without
+    * shipping full documents through the dump. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    Dedup.chunkDedupRemove(docs0(s, d), w = 20)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+      .sortedOut("doc_id")
+
+  private val q90Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 20.0) AS BIGINT) AS nc FROM t WHERE len(tk) >= 1),
+      |c AS (SELECT doc_id, tk, unnest(range(nc)) AS pos FROM n),
+      |h AS (SELECT doc_id, pos,
+      |        array_to_string(tk[pos*20+1 : pos*20+20], ' ') AS chunk,
+      |        CAST(concat('0x', substr(md5(array_to_string(tk[pos*20+1 : pos*20+20], ' ')), 1, 15)) AS BIGINT) AS gh
+      |      FROM c),
+      |d AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |stats AS (SELECT h.doc_id,
+      |            count(*) AS n_chunks,
+      |            count(d.gh) AS n_dup,
+      |            coalesce(string_agg(CASE WHEN d.gh IS NULL THEN h.chunk END, ' ' ORDER BY h.pos), '') AS kept
+      |          FROM h LEFT JOIN d ON h.gh = d.gh GROUP BY h.doc_id)
+      |SELECT doc_id, CAST(n_chunks AS INTEGER) AS n_chunks,
+      |       CAST(n_dup AS INTEGER) AS n_dup_chunks, md5(kept) AS kept_md5
+      |FROM stats ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -866,5 +897,6 @@ object TextQueries {
     ("q79_vocab_encode",       q79 _, Some(q79Sql)),
     ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)),
     ("q86_sig_index_probe",    q86 _, Some(q86Sql)),
-    ("q89_compression_quality", q89 _, Some(q89Sql)))
+    ("q89_compression_quality", q89 _, Some(q89Sql)),
+    ("q90_chunk_dedup_remove", q90 _, Some(q90Sql)))
 }

@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     err.getMessage should include("graft_minhash")
   }
 
+  test("chunkDedupRemove: shared chunks removed from every doc, unique text survives " +
+      "in order, fully-duplicated docs reassemble to empty") {
+    val shared = (1 to 20).map(i => s"boiler$i").mkString(" ") // exactly one chunk at w=20
+    val docs = Seq(
+      (1L, s"$shared unique one"),   // chunk0 = shared (dup), chunk1 = "unique one"
+      (2L, s"$shared other text"),   // chunk0 = shared (dup), chunk1 = "other text"
+      (3L, shared),                  // ONLY the shared chunk → kept_text empty
+      (4L, "completely different words")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRemove(docs, w = 20).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    out(0) shouldBe ((1L, 2, 1, "unique one"))
+    out(1) shouldBe ((2L, 2, 1, "other text"))
+    out(2) shouldBe ((3L, 1, 1, ""))
+    out(3) shouldBe ((4L, 1, 0, "completely different words"))
+  }
+
   test("nearDupClusters: chains merge into one component, survivor is min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(pairs).orderBy("doc_id").collect()

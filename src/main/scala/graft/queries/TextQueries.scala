@@ -823,16 +823,20 @@ object TextQueries {
     * the character-level quality proxy next to q75's token-level
     * repetition fractions. The ratio value is zlib-implementation-
     * dependent, so the oracle asserts bounded CONTRACTS (the q46/q55
-    * sketch discipline): ratio ∈ (0, 1.2] always (deflate overhead is
-    * bounded), and every fixture doc of ≥ 64 chars compresses below
-    * 1.0 (natural-language token streams always do). */
+    * sketch discipline): ratio ∈ (0, 1.5] always (deflate's worst case
+    * is the ~11-byte header + 5 bytes/16 KiB block over incompressible
+    * input, and the fixture's shortest docs are ~44 chars → ≤ ~1.3),
+    * and every doc of ≥ 256 chars compresses below 1.0 (word streams
+    * over a small vocabulary always do; the sf0.1 sweep showed a
+    * 65-char doc CAN sit at ratio ≥ 1.0, which is why the exemption
+    * threshold is 256, not 64). */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val ratio = org.apache.spark.sql.GraftSqlShim.column(
       graft.text.DeflateRatio(
         org.apache.spark.sql.GraftSqlShim.expression(col("text"))))
     docs0(s, d).select(col("doc_id"), col("n_chars"),
-        (ratio > 0.0 && ratio <= 1.2).as("ratio_in_bounds"),
-        (col("n_chars") < 64 || ratio < 1.0).as("compresses"))
+        (ratio > 0.0 && ratio <= 1.5).as("ratio_in_bounds"),
+        (col("n_chars") < 256 || ratio < 1.0).as("compresses"))
       .sortedOut("doc_id")
   }
 

@@ -756,6 +756,30 @@ object ExtendedQueries {
       .sortedOut("query_id", "rank")
   }
 
+  // ------------------------------- data-profiling report (q91)
+  /** [[graft.ops.Diagnostics.profile]] over four orders columns of
+    * mixed types — row/null/exact-distinct counts and min/max rendered
+    * as strings, all in ONE aggregate pass (doubles excluded from the
+    * profile: their string rendering is engine-specific, the q46
+    * cross-engine discipline). */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    graft.ops.Diagnostics.profile(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_custkey", "o_orderpriority", "o_orderdate"))
+      .sortedOut("column")
+
+  private val q91Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  (SELECT count(*) FROM orders) AS n_rows,
+         |  (SELECT count(*) FROM orders) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    Seq("o_orderstatus", "o_custkey", "o_orderpriority", "o_orderdate")
+      .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -783,5 +807,6 @@ object ExtendedQueries {
     ("q80_full_outer_join",  q80 _, Some(q80Sql)),
     ("q82_skew_report",      q82 _, Some(q82Sql)),
     ("q83_approx_percentile", q83 _, Some(q83Sql)),
-    ("q85_vector_index_topk", q85 _, Some(q47Sql)))
+    ("q85_vector_index_topk", q85 _, Some(q47Sql)),
+    ("q91_profile_report",   q91 _, Some(q91Sql)))
 }

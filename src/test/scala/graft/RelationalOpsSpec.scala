@@ -80,6 +80,21 @@ class RelationalOpsSpec extends SparkSpec {
     graft.ops.Diagnostics.skewReport(tie, "k").collect()(0).getString(3) shouldBe "y"
   }
 
+  test("profile: per-column null/distinct/min-max report in one pass; all-null and typed columns") {
+    val df = Seq(
+      (1L, Some("a"), Option.empty[String]),
+      (2L, Some("b"), None),
+      (3L, None, None),
+      (3L, Some("a"), None)).toDF("id", "s", "dead")
+    val out = graft.ops.Diagnostics.profile(df, Seq("id", "s", "dead"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))
+    out(0) shouldBe (("dead", 4L, 4L, 0L, None, None))
+    out(1) shouldBe (("id", 4L, 0L, 3L, Some("1"), Some("3")))
+    out(2) shouldBe (("s", 4L, 1L, 2L, Some("a"), Some("b")))
+  }
+
   test("latestByAgg: agg-based keep-last matches the window variant") {
     val df = Seq(
       ("c1", "2019", "s_old"), ("c1", "2021", "s_new"),

@@ -86,27 +86,32 @@ object Prof {
       t("q86_sigs_materialize")(sigs.count())
       t("q86_index_write")(SignatureIndex.write(
         sigs.where(col("doc_id") < 250), "prof_sigidx", spec))
-      time("q86_probe_only") {
-        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
-          "prof_sigidx", spec, minEst = 0.9)
-      }
-      time("q86_probe_nonindex_twin") {
-        Dedup.minhashCandidatePairsBetween(
-          sigs.where(col("doc_id") >= 250), sigs.where(col("doc_id") < 250),
-          bands = 4, rowsPerBand = 8, minEst = 0.9, persistInputs = false)
+      // NOTE: Prof.time() clears ALL caches before each run — it would
+      // wipe the sigs persist this block pre-paid and charge the
+      // signature hash to every probe measurement (review finding).
+      // Probe timings here use a cache-preserving min-of-3 instead.
+      def tMin(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          mk.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val best = (1 to 3).map(_ => once()).min
+        println(f"PROF $name%-40s $best%8.3f s")
       }
       val spec8 = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
       t("q86_index_write_b8")(SignatureIndex.write(
         sigs.where(col("doc_id") < 250), "prof_sigidx8", spec8))
-      time("q86_probe_b8") {
+      tMin("q86_probe_b8") {
         SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
           "prof_sigidx8", spec8, minEst = 0.9)
       }
-      time("q86_probe_b8_sorted") {
+      tMin("q86_probe_b8_sorted") {
         SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
           "prof_sigidx8", spec8, minEst = 0.9).orderBy("doc_a", "doc_b")
       }
-      time("q86_registered") {
+      tMin("q86_registered") {
         graft.SparkEntry.queries("q86_sig_index_probe")(spark, sfDir)
       }
       sigs.unpersist()

@@ -43,8 +43,6 @@ object Diagnostics {
     * surface — a 100 TB profile swaps it for approx_count_distinct
     * the way q46 documents. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
         countDistinct(col(c)).as(s"__nd_$c"),

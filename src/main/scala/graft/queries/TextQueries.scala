@@ -795,7 +795,9 @@ object TextQueries {
     // by write's dropStale). Index = 95% of docs, batch = 5% — the
     // corpus >> batch shape the operator exists for (same split as q57)
     val name = "q86_sigidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-    if (!s.catalog.tableExists(name + "_banded"))
+    // both index tables must exist — a write that died between the
+    // banded and sigs saves must be retried, not skipped forever
+    if (!s.catalog.tableExists(name + "_banded") || !s.catalog.tableExists(name + "_sigs"))
       graft.dedup.SignatureIndex.write(sigs.where(col("doc_id") % 20 =!= 0), name, spec)
     ParityQueries.sortedOut(
       graft.dedup.SignatureIndex.probe(s, sigs.where(col("doc_id") % 20 === 0),
@@ -823,19 +825,25 @@ object TextQueries {
     * the character-level quality proxy next to q75's token-level
     * repetition fractions. The ratio value is zlib-implementation-
     * dependent, so the oracle asserts bounded CONTRACTS (the q46/q55
-    * sketch discipline): ratio ∈ (0, 1.5] always (deflate's worst case
-    * is the ~11-byte header + 5 bytes/16 KiB block over incompressible
-    * input, and the fixture's shortest docs are ~44 chars → ≤ ~1.3),
-    * and every doc of ≥ 256 chars compresses below 1.0 (word streams
-    * over a small vocabulary always do; the sf0.1 sweep showed a
-    * 65-char doc CAN sit at ratio ≥ 1.0, which is why the exemption
-    * threshold is 256, not 64). */
+    * sketch discipline): ratio ∈ (0, 1.5] for docs of ≥ 32 chars
+    * (deflate's worst case is the ~11-byte header + 5 bytes/16 KiB
+    * block over incompressible input, so (n+11)/n ≤ 1.35 from 32
+    * chars up), and every doc of ≥ 256 chars compresses below 1.0
+    * (word streams over a small vocabulary always do; the sf0.1 sweep
+    * showed a 65-char doc CAN sit at ratio ≥ 1.0, which is why the
+    * exemption threshold is 256, not 64). Short docs are exempted
+    * rather than clamped so an EMPTY doc's NULL ratio can't poison a
+    * boolean the oracle asserts as literal true. */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val ratio = org.apache.spark.sql.GraftSqlShim.column(
       graft.text.DeflateRatio(
         org.apache.spark.sql.GraftSqlShim.expression(col("text"))))
+    // both contracts carry a short-doc exemption: a sub-32-char doc can
+    // exceed the 1.5 bound on header overhead alone ((n+11)/n), and an
+    // EMPTY doc has a NULL ratio that would poison the boolean where
+    // the oracle asserts literal true — `true || null` short-circuits
     docs0(s, d).select(col("doc_id"), col("n_chars"),
-        (ratio > 0.0 && ratio <= 1.5).as("ratio_in_bounds"),
+        (col("n_chars") < 32 || (ratio > 0.0 && ratio <= 1.5)).as("ratio_in_bounds"),
         (col("n_chars") < 256 || ratio < 1.0).as("compresses"))
       .sortedOut("doc_id")
   }

@@ -294,8 +294,16 @@ object VectorQueries {
     val ivf = new graft.sim.IvfIndex(nCells = 16, nProbe = 4)
     val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
     val dir = s"target/indexes/pqvec_${new java.io.File(d).getName}"
-    if (!new java.io.File(s"$dir/cells/_SUCCESS").exists())
+    // build-once marker must be SESSION-scoped (a temp view), not a
+    // filesystem check: an on-disk _SUCCESS outlives the JVM, so a
+    // stale index from a previous session — or from a regenerated
+    // fixture at the same path — would be probed silently instead of
+    // rebuilt (the q86 catalog-check discipline)
+    val marker = "q87_built_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(marker)) {
       graft.sim.PqVectorIndex.write(e, dir, ivf, ivf.centroidsOf(e), pq, pq.codebookOf(e))
+      s.range(1).createOrReplaceTempView(marker)
+    }
     graft.sim.PqVectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf, pq)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
       .sortedOut("query_id", "rank")

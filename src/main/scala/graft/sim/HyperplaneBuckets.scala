@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * map-side work either way — this just makes it ~an order of
   * magnitude cheaper per row.
   *
-  * Bit-identical to the HOF path (VectorFunctionsSpec pins it, the q58
-  * oracle pins it cross-engine): each projection folds
+  * Bit-identical to the HOF path for WELL-FORMED vectors (exactly dim
+  * elements; VectorFunctionsSpec + a scalacheck property pin it, the
+  * q58 oracle pins it cross-engine): each projection folds
   * `acc + (double)v[i] * (±1.0)` left to right, and `x * 1.0 == x`,
   * `x * -1.0 == -x` exactly in IEEE 754, so accumulating `±x` in
-  * ascending i order reproduces the HOF fold bit for bit.
+  * ascending i order reproduces the HOF fold bit for bit. Malformed
+  * vectors (null, or any length ≠ dim) return NULL — where the HOF
+  * would silently hot-bucket them at 0 (see nullSafeEval).
   *
   * @param signs signs(t)(p)(i) = ±1.0 hyperplane pattern of table t,
   *              plane p, dimension i (driver-side constants, kilobytes —
@@ -51,17 +54,23 @@ case class HyperplaneBuckets(child: Expression, signs: Array[Array[Array[Double]
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // Dimension contract: exactly |plane| elements or NULL. A vector of
+    // any other length is malformed input — under the HOF path zip_with
+    // pads the SHORTER side with nulls, the null poisons the dot, and
+    // when(null > 0).otherwise(0) silently lands the row in bucket 0 of
+    // every table (the same garbage-hot-bucket hazard as a null vector,
+    // EdgeCasesSpec pins it). Returning NULL drops the row at the
+    // banding posexplode instead.
+    if (tables == 0 || planes == 0 || arr.numElements() != signs(0)(0).length) return null
     val acc = new Array[Double](tables * planes)
     var t = 0
     while (t < tables) {
       var p = 0
       while (p < planes) {
-        // zip_with semantics: fold over min(|v|, |plane|) elements
         val plane = signs(t)(p)
-        val n = math.min(arr.numElements(), plane.length)
         var s = 0.0
         var i = 0
-        while (i < n) {
+        while (i < plane.length) {
           val x = arr.getFloat(i).toDouble
           if (plane(i) > 0) s += x else s -= x
           i += 1

@@ -50,9 +50,12 @@ object PqVectorIndex {
       .write.mode(mode).parquet(codebookDir(dir))
   }
 
-  /** Add vectors encoded with the index's OWN quantizer + codebook —
-    * partitioned append, standing cells untouched. */
-  def append(corpus: DataFrame, dir: String, ivf: IvfIndex, pq: PqIndex): Unit = {
+  /** Add vectors encoded with the index's OWN standing quantizer and
+    * codebook (both read from the side tables — a caller-supplied
+    * PqIndex could silently disagree with the on-disk codebook, so
+    * there is deliberately no such parameter) — partitioned append,
+    * standing cells untouched. */
+  def append(corpus: DataFrame, dir: String, ivf: IvfIndex): Unit = {
     val spark = corpus.sparkSession
     val cents = readCentroids(spark, dir)
     val cb = readCodebook(spark, dir)
@@ -63,12 +66,10 @@ object PqVectorIndex {
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(cellsDir(dir))
   }
 
+  /** Same (cell, centroid) side-table layout as [[VectorIndex]] — one
+    * read path, deliberately shared. */
   def readCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
-    spark.read.parquet(centroidsDir(dir))
-      .select(col("cell").cast("int"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    VectorIndex.readCentroids(spark, dir)
 
   def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(codebookDir(dir))

@@ -44,17 +44,26 @@ case class DeflateRatio(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     if (bytes.isEmpty) return null
-    val d = new Deflater(Deflater.BEST_SPEED)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var out = 0L
-      while (!d.finished()) out += d.deflate(buf)
-      out.toDouble / bytes.length
-    } finally d.end()
+    // one Deflater per executor THREAD, reset between rows: deflateInit
+    // allocates ~256 KB of native window state, and paying that per row
+    // would dominate the kernel on short documents (review finding).
+    // ThreadLocal (not per-expression state) because local-mode tasks
+    // can share a deserialized plan across threads.
+    val d = DeflateRatio.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / bytes.length
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val local: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(Deflater.BEST_SPEED))
 }

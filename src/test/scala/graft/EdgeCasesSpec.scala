@@ -84,16 +84,17 @@ class EdgeCasesSpec extends SparkSpec {
     all(out.map(_.getBoolean(3))) shouldBe true
   }
 
-  test("HyperplaneBuckets on empty / null / short arrays: HOF parity on real " +
-      "inputs, and null-in → null-out where the HOF would hot-bucket garbage") {
+  test("HyperplaneBuckets dimension contract: exact-dim vectors match the HOF " +
+      "bit for bit; null / empty / wrong-length vectors are NULL, not hot-bucketed") {
     import org.apache.spark.sql.GraftSqlShim
     val lsh = new graft.sim.RandomHyperplaneLsh(dim = 4, planes = 3)
     val signs = Array(lsh.hyperplanes.map(_.toArray).toArray)
     val df = Seq(
-      (1L, Some(Seq(1f, 2f, 3f, 4f))),
-      (2L, Some(Seq.empty[Float])),   // empty: all projections 0.0, not > 0 → bucket 0
-      (3L, None),                     // null array
-      (4L, Some(Seq(1f, 2f)))         // shorter than dim: zip_with folds min length
+      (1L, Some(Seq(1f, 2f, 3f, 4f))),    // well-formed: HOF parity
+      (2L, Some(Seq.empty[Float])),       // empty → malformed
+      (3L, None),                         // null array
+      (4L, Some(Seq(1f, 2f))),            // shorter than dim → malformed
+      (5L, Some(Seq(1f, 2f, 3f, 4f, 5f))) // longer than dim → malformed
     ).toDF("vec_id", "embedding")
     val out = df.select(col("vec_id"), GraftSqlShim.column(graft.sim.HyperplaneBuckets(
         GraftSqlShim.expression(col("embedding")), signs)).as("b"))
@@ -101,15 +102,18 @@ class EdgeCasesSpec extends SparkSpec {
     val viaHof = df.select(col("vec_id"),
         org.apache.spark.sql.functions.array(lsh.bucket(col("embedding"))).as("b"))
       .orderBy("vec_id").collect()
-    // real inputs (incl. empty and short arrays): bit-identical to the HOF
-    for (i <- Seq(0, 1, 3)) out(i).getSeq[Int](1) shouldBe viaHof(i).getSeq[Int](1)
-    // NULL embedding: the HOF's when(dot > 0, ...).otherwise(0) swallows the
-    // null and lands every null vector in bucket 0 of every table — a
-    // garbage hot bucket that would pair null vectors with each other at
-    // scale. The native expression returns NULL instead, and the banding
+    // the well-formed row: bit-identical to the HOF
+    out(0).getSeq[Int](1) shouldBe viaHof(0).getSeq[Int](1)
+    // every malformed shape (null, empty, short, long): the HOF's
+    // when(dot > 0, ...).otherwise(0) swallows the null-padded dot and
+    // lands the row in bucket 0 of every table — a garbage hot bucket
+    // that would pair malformed vectors with each other at scale. The
+    // native expression returns NULL instead, and the banding
     // posexplode drops the row — the behavior the operator wants.
-    viaHof(2).getSeq[Int](1) shouldBe Seq(0)
-    out(2).isNullAt(1) shouldBe true
+    for (i <- Seq(1, 2, 3, 4)) {
+      viaHof(i).getSeq[Int](1) shouldBe Seq(0)
+      out(i).isNullAt(1) shouldBe true
+    }
   }
 
   test("IVF-PQ search when the probed cells hold fewer candidates than k") {

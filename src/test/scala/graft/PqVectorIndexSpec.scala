@@ -60,7 +60,7 @@ class PqVectorIndexSpec extends SparkSpec {
     val before = new java.io.File(s"$tmp/idx3/cells")
       .listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getPath).toSet
-    PqVectorIndex.append(e.where(col("vec_id") % 2 === 1), s"$tmp/idx3", ivf, pq)
+    PqVectorIndex.append(e.where(col("vec_id") % 2 === 1), s"$tmp/idx3", ivf)
     val after = new java.io.File(s"$tmp/idx3/cells")
       .listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getPath).toSet

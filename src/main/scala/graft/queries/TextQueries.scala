@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -883,6 +884,53 @@ object TextQueries {
       |       CAST(n_dup AS INTEGER) AS n_dup_chunks, md5(kept) AS kept_md5
       |FROM stats ORDER BY doc_id""".stripMargin
 
+  // ------------------- per-language quantile quality gate (q93)
+  /** Stratified quality filtering — "drop each language's bottom
+    * quartile", the form quality gates actually take in corpus curation
+    * (a single global threshold over-prunes low-resource languages).
+    * Score = avg token length (q25's exact-division contract); the
+    * per-language rank position decides survival, so the gate adapts
+    * to each language's own score distribution.
+    *
+    * Determinism: percent_rank is (rank-1)/(N-1) on an ordering made
+    * total by the doc_id tie-break — integer rank arithmetic, one IEEE
+    * division. Note the floor row of every language has pr = 0 and is
+    * always dropped (as is a single-doc language): the gate is strict
+    * "survive the bottom quartile", documented rather than patched.
+    *
+    * Scale shape: one window sort per language partition (the narrow
+    * score projection shuffles once on lang; skewed languages ride
+    * AQE). At 100 TB the same contract runs as a two-pass
+    * approx_percentile(score, 0.25) per lang + broadcast threshold
+    * join — the window form is the exact oracled twin. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs0(s, d).select(col("doc_id"), col("lang"),
+      (TextFunctions.nonSpaceChars(col("text")) / size(toks)).as("score"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    scored.withColumn("pr", percent_rank().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("pr") >= 0.25, 1)).as("n_kept"),
+        min(when(col("pr") >= 0.25, col("score"))).as("threshold_score"))
+      .sortedOut("lang")
+  }
+
+  private val q93Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    length(regexp_replace(text, '\s', '', 'g'))
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS score
+      |  FROM documents),
+      |pr AS (
+      |  SELECT lang, score,
+      |         percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+      |  FROM scored)
+      |SELECT lang, count(*) AS n_total,
+      |       count(CASE WHEN pr >= 0.25 THEN 1 END) AS n_kept,
+      |       min(CASE WHEN pr >= 0.25 THEN score END) AS threshold_score
+      |FROM pr GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -910,5 +958,6 @@ object TextQueries {
     ("q81_cms_heavy_hitters",  q81 _, Some(q81Sql)),
     ("q86_sig_index_probe",    q86 _, Some(q86Sql)),
     ("q89_compression_quality", q89 _, Some(q89Sql)),
-    ("q90_chunk_dedup_remove", q90 _, Some(q90Sql)))
+    ("q90_chunk_dedup_remove", q90 _, Some(q90Sql)),
+    ("q93_quantile_gate",      q93 _, Some(q93Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -367,6 +368,194 @@ object VectorQueries {
        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total""".stripMargin
   }
 
+  // ------------------------------- hybrid retrieval, RRF fusion (q92)
+  /** Hybrid search — the retrieval shape RAG pipelines actually run:
+    * a lexical arm (BM25 over `documents`, q63's exact scoring
+    * contract, fixed query "join stream vector") and a vector arm
+    * (fused-codegen cosine against doc 0's embedding) each produce a
+    * top-30 ranking; reciprocal-rank fusion (k=60) merges them and the
+    * fused top-15 is returned with both component ranks.
+    *
+    * Determinism: only integer RANKS cross the fusion boundary —
+    * 1.0/(60+rank) and their sum are single IEEE ops, bit-identical
+    * across engines (the raw BM25/cosine doubles never leave their
+    * arm; q63 pinned the lexical ranking stable, q32 the cosine one).
+    *
+    * Scale shape: each arm is a TakeOrderedAndProject top-k (no global
+    * sort); the rank window and the full-outer fusion run on two
+    * 30-row frames. For M queries, both arms partition by query_id and
+    * the fusion joins k-row-per-query frames on (query_id, doc_id). */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions
+    val terms = Seq("join", "stream", "vector")
+    val toks = TextFunctions.tokens(col("text"))
+    // same persist rationale as q63: stats and scoring both consume tf
+    val tf = graft.Tables.documents(s, d).select(
+      col("doc_id") +: size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i") }: _*)
+      .persist()
+    val stats = tf.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"),
+      count(when(col("tf0") > 0, 1)).as("df0"),
+      count(when(col("tf1") > 0, 1)).as("df1"),
+      count(when(col("tf2") > 0, 1)).as("df2"))
+    def part(tfc: Column, dfc: Column): Column =
+      log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
+        tfc * lit(2.2) /
+        (tfc + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl") * col("n_docs")) / col("sum_len").cast("double")))
+    val score = part(col("tf0"), col("df0")) +
+      part(col("tf1"), col("df1")) + part(col("tf2"), col("df2"))
+    val lexTop = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(30)
+    // rank window AFTER the top-k: single-partition over 30 rows only
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = lexTop.withColumn("lex_rank", row_number().over(wLex))
+      .select(col("doc_id"), col("lex_rank"))
+
+    val e = emb(s, d)
+    val qv = broadcast(e.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    val vecTop = e.where(col("vec_id") =!= 0).crossJoin(qv)
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(30)
+    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vec = vecTop.withColumn("vec_rank", row_number().over(wVec))
+      .select(col("doc_id"), col("vec_rank"))
+
+    val rrf = coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))
+    val wFused = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+      .withColumn("fused_rank", row_number().over(wFused))
+      .sortedOut("fused_rank")
+  }
+
+  // Oracle note: bare numeric literals like 1.0 are DECIMAL in DuckDB,
+  // and decimal division diverges from Spark's IEEE double arithmetic —
+  // every fusion-arithmetic literal below is CAST to DOUBLE explicitly.
+  private val q92Sql = {
+    val cos = duckCos.format("q.q_emb", "c.embedding", "q.q_emb", "c.embedding")
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |tf AS (SELECT doc_id, len(tk) AS dl,
+       |         len(list_filter(tk, t -> t = 'join')) AS tf0,
+       |         len(list_filter(tk, t -> t = 'stream')) AS tf1,
+       |         len(list_filter(tk, t -> t = 'vector')) AS tf2
+       |       FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_len,
+       |         count(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+       |         count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+       |         count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+       |       FROM tf),
+       |lexs AS (SELECT doc_id,
+       |      ln(CAST(n_docs - df0 + 0.5 AS DOUBLE)/CAST(df0 + 0.5 AS DOUBLE) + 1.0)*tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*(dl*n_docs)/CAST(sum_len AS DOUBLE)))
+       |    + ln(CAST(n_docs - df1 + 0.5 AS DOUBLE)/CAST(df1 + 0.5 AS DOUBLE) + 1.0)*tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*(dl*n_docs)/CAST(sum_len AS DOUBLE)))
+       |    + ln(CAST(n_docs - df2 + 0.5 AS DOUBLE)/CAST(df2 + 0.5 AS DOUBLE) + 1.0)*tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*(dl*n_docs)/CAST(sum_len AS DOUBLE))) AS score
+       |  FROM tf, st),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+       |        FROM lexs QUALIFY lex_rank <= 30),
+       |vecs AS (
+       |  SELECT c.vec_id AS doc_id, $cos AS cos
+       |  FROM embeddings c CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  WHERE c.vec_id <> 0),
+       |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS vec_rank
+       |        FROM vecs QUALIFY vec_rank <= 30),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |         coalesce(CAST(1.0 AS DOUBLE)/(60 + lex_rank), CAST(0.0 AS DOUBLE))
+       |       + coalesce(CAST(1.0 AS DOUBLE)/(60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, lex_rank, vec_rank, rrf,
+       |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
+       |FROM fused QUALIFY fused_rank <= 15 ORDER BY fused_rank""".stripMargin
+  }
+
+  // ------------------------------------ ANN recall@k evaluation (q94)
+  /** Measures IVF ANN quality against brute-force ground truth —
+    * "measure, don't guess" applied to the engine's own approximate
+    * operators: recall@5 per query for q47's IVF configuration
+    * (16 cells, 4 probed) vs q32's exact top-5. The production loop
+    * this models: re-run on a sample after each index rebuild, alert
+    * when recall drifts.
+    *
+    * Integer hit counts cross the engine boundary (set intersection of
+    * two rankings both pinned exact by their own oracles); recall is
+    * one IEEE division of the count. Both arms are top-k per query —
+    * the measurement costs |sample|·|corpus| scored rows, which is why
+    * it runs on a query SAMPLE, never the full corpus. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.where(col("vec_id") < 10)
+    val exact = VectorFunctions.bruteForceTopK(e, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = new graft.sim.IvfIndex(nCells = 16, nProbe = 4)
+      .annTopK(e, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast(IntegerType).as("hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0)).as("hits"),
+        (coalesce(col("hits"), lit(0)) / lit(5.0)).as("recall"))
+      .sortedOut("query_id")
+  }
+
+  /** exact arm = q32's oracle internals; approx arm = q47's. */
+  private val q94Sql = {
+    val bruteCos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $bruteCos DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= 5),
+       |centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10) WHERE rn <= 4),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id,
+       |             ${cos("q.q_emb", "a.embedding")} AS cos
+       |      FROM qprobe q JOIN assign a USING (cell)
+       |      WHERE a.vec_id <> q.query_id)) WHERE rank <= 5),
+       |hits AS (
+       |  SELECT a.query_id, count(*) AS h
+       |  FROM approx a JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY a.query_id)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(coalesce(h, 0) AS INTEGER) AS hits,
+       |       CAST(coalesce(h, 0) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+       |LEFT JOIN hits ON hits.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -376,5 +565,7 @@ object VectorQueries {
     ("q78_pq_ann_topk",       q78 _, Some(q78Sql)),
     ("q84_ivfpq_ann_topk",    q84 _, Some(q84Sql)),
     ("q87_pq_index_topk",     q87 _, Some(q84Sql)),
-    ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)))
+    ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)),
+    ("q92_hybrid_rrf",        q92 _, Some(q92Sql)),
+    ("q94_ann_recall",        q94 _, Some(q94Sql)))
 }

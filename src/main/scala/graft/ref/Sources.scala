@@ -1,6 +1,7 @@
 package graft.ref
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, countDistinct, input_file_name, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Sources & sinks for the reference surface (SURVEY.md §2.1).
@@ -120,6 +121,40 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Curated-corpus parquet sink — [[writePartitioned]] plus the two
+    * knobs that matter when the OUTPUT is 100 TB:
+    *
+    *   - `maxRecordsPerFile` bounds file size so downstream scans get
+    *     parallelism without a compaction pass (unbounded, one task
+    *     writing a hot partition emits one giant file; too small, the
+    *     namenode drowns in footers);
+    *   - rows are sorted by `sortCols` WITHIN each write task before
+    *     writing: clustered values compress better (RLE/dictionary
+    *     pages) and give tighter parquet min/max column stats, which
+    *     is what row-group skipping prunes on at read time. This is a
+    *     `sortWithinPartitions`, never a global sort — no exchange is
+    *     added to the write.
+    *
+    * Returns a small audit MANIFEST (one row per partition value:
+    * file count + row count, read from the committed output, not from
+    * the input — it proves what actually landed). Production runs
+    * persist it next to the dataset; at any scale it is one
+    * footer-level aggregation over the output listing.
+    */
+  def writeCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
+                  sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    df.sortWithinPartitions(partitionCols.map(col) ++ sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    val out = df.sparkSession.read.parquet(path)
+      .withColumn("_file", input_file_name())
+    out.groupBy(partitionCols.map(col): _*)
+      .agg(countDistinct(col("_file")).as("n_files"),
+           count(lit(1)).as("n_rows"))
+  }
 
   /** S8: JDBC full-replace sink (`dags/icpe-siretisation.py:360-392`,
     * `to_sql(..., if_exists='replace')` — its `chunksize=3` becomes a

@@ -106,4 +106,37 @@ class StagingSpec extends SparkSpec {
     lines.exists(_.contains("trunc")) shouldBe true
     lines.exists(_.contains("not_a_number")) shouldBe true
   }
+
+  test("writeCorpus: sized files per partition, accurate manifest, pruned read-back") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Files.createTempDirectory("corpus").resolve("docs").toString
+    val manifest = graft.ref.Sources
+      .writeCorpus(docs, out, partitionCols = Seq("lang"),
+        sortCols = Seq("doc_id"), maxRecordsPerFile = 20L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // manifest row counts must equal the source's per-lang counts
+    val expected = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    manifest.view.mapValues(_._2).toMap shouldBe expected
+
+    // maxRecordsPerFile=20 forces every partition with >20 rows to
+    // split into ceil(n/20)-or-more files (tasks may add more splits,
+    // never fewer) — the file-sizing knob actually engaged
+    manifest.foreach { case (lang, (nFiles, nRows)) =>
+      withClue(s"lang=$lang: ") {
+        nFiles should be >= ((nRows + 19) / 20)
+      }
+    }
+
+    // a lang-filtered read-back prunes directories at planning time:
+    // the scan's partition filters carry the predicate and the row
+    // count matches exactly
+    val one = expected.keys.min
+    val back = spark.read.parquet(out).where(col("lang") === one)
+    back.count() shouldBe expected(one)
+    val scan = back.queryExecution.executedPlan.toString
+    scan should include regex "PartitionFilters: \\[.*lang.*\\]"
+  }
 }

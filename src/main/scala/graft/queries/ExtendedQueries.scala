@@ -780,6 +780,42 @@ object ExtendedQueries {
       .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
   }
 
+  // ------------------- left-outer stream-stream join, batch twin (q96)
+  /** Funnel-drop analysis — clicks paired with same-user views within
+    * ±10 min, KEEPING the clicks that never converted (the rows an
+    * inner join can't express). Runs the streaming operator
+    * [[graft.streaming.EventsStream.streamStreamPairsLeftOuter]]
+    * itself in batch mode (watermarks are no-ops on bounded input), so
+    * the oracled result pins the exact code path the stream executes;
+    * the spec pins the streaming run — incl. that unmatched rows emit
+    * only on watermark advance — to this same join.
+    *
+    * Scale shape: one shuffle on user_id for both sides; per-user
+    * match windows are minutes wide, so state (streaming) or the
+    * per-key join group (batch) stays bounded. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventsStream.streamStreamPairsLeftOuter(Tables.events(s, d))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("b_id")).as("n_matched"),
+           (count(lit(1)) - count(col("b_id"))).as("n_unmatched"),
+           min(col("dt_ms")).as("min_dt_ms"),
+           max(col("dt_ms")).as("max_dt_ms"))
+      .sortedOut("user_id")
+
+  private val q96Sql =
+    """SELECT user_id, count(*) AS n_rows, count(b_id) AS n_matched,
+      | count(*) - count(b_id) AS n_unmatched,
+      | min(dt_ms) AS min_dt_ms, max(dt_ms) AS max_dt_ms
+      |FROM (
+      |  SELECT a.user_id, b.event_id AS b_id,
+      |         epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      |    ON b.user_id = a.user_id
+      |   AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -808,5 +844,6 @@ object ExtendedQueries {
     ("q82_skew_report",      q82 _, Some(q82Sql)),
     ("q83_approx_percentile", q83 _, Some(q83Sql)),
     ("q85_vector_index_topk", q85 _, Some(q47Sql)),
-    ("q91_profile_report",   q91 _, Some(q91Sql)))
+    ("q91_profile_report",   q91 _, Some(q91Sql)),
+    ("q96_stream_left_join_twin", q96 _, Some(q96Sql)))
 }

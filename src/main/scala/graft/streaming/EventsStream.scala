@@ -116,6 +116,37 @@ object EventsStream extends Serializable {
         (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("dt_ms"))
   }
 
+  /** LEFT-OUTER stream-stream join — [[streamStreamPairs]] plus the
+    * semantics inner joins can't express: a `typeA` event with NO
+    * `typeB` match within the window still emits, with nulls, but only
+    * once the watermark passes `a_ts + within` (before that a match
+    * could still arrive, so the row sits in the join state; eviction
+    * is what proves the negative). This is the funnel-drop shape —
+    * "clicks that never converted" — and the state bound is identical
+    * to the inner join's: both sides evict at watermark − within.
+    *
+    * The null-match rows emit on WATERMARK ADVANCE, not on data
+    * arrival — a finite stream's tail rows never emit until a later
+    * event (or no-data micro-batch) pushes the watermark past them.
+    * The spec pins exactly that: unmatched rows absent before the
+    * push, present after, equal to the batch left interval join. */
+  def streamStreamPairsLeftOuter(events: DataFrame, typeA: String = "click",
+                                 typeB: String = "view", withinMinutes: Int = 10,
+                                 watermark: String = "1 hour"): DataFrame = {
+    val a = events.where(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.where(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("dt_ms"))
+  }
+
   /** Stream-STATIC enrichment join — the remaining join shape next to
     * the stream-stream pair join above: each arriving event picks up
     * its key's attributes from a bounded dimension table. No watermark

@@ -418,6 +418,60 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamPairsLeftOuter: unmatched rows emit on watermark advance, equal batch twin") {
+    // clicks at 0 (matches views 5, 8) and 30 (NO view within ±10);
+    // the unmatched click-30 row must NOT emit until the watermark
+    // passes 30+10=40 — pushed there by the minute-100 sentinel view
+    val evs = Seq(
+      ev(1, 0), ev(2, 30),
+      ev(10, 5, typ = "view"), ev(11, 8, typ = "view"))
+    val mem = MemoryStream[Event]
+    val out = EventsStream.streamStreamPairsLeftOuter(mem.toDS().toDF(),
+      withinMinutes = 10, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_left")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val before = spark.table("ss_left")
+        .select("a_id", "b_id").as[(Long, Option[Long])].collect().toSet
+      // matches emit on arrival; the negative for click-2 is unproven
+      // while a view could still arrive in its window
+      before shouldBe Set((1L, Some(10L)), (1L, Some(11L)))
+
+      // two subtleties the sentinels encode: (1) the watermark
+      // computed at a batch's END applies to the NEXT batch, so
+      // eviction needs a second batch after the advance; (2) the
+      // GLOBAL watermark is the MIN across both sides' watermark
+      // columns — a view-only sentinel leaves the click side at 0 and
+      // nothing ever evicts, so sentinels arrive in matching
+      // click+view pairs (which also keeps the batch twin identical)
+      val s1 = Seq(ev(50, 100), ev(98, 100, typ = "view"))
+      val s2 = Seq(ev(51, 140), ev(99, 140, typ = "view"))
+      mem.addData(s1: _*)
+      q.processAllAvailable()
+      mem.addData(s2: _*)
+      q.processAllAvailable()
+      val after = spark.table("ss_left")
+        .select("a_id", "b_id").as[(Long, Option[Long])].collect().toSet
+      after shouldBe Set((1L, Some(10L)), (1L, Some(11L)), (2L, None),
+        (50L, Some(98L)), (51L, Some(99L)))
+
+      // and the flushed result equals the batch left interval join
+      val all = evs ++ s1 ++ s2
+      val batchDf = all.toDF()
+      val a = batchDf.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = batchDf.where(col("event_type") === "view")
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      val batch = a.join(b, col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"), "leftOuter")
+        .select(col("a_id"), col("b_id")).as[(Long, Option[Long])].collect().toSet
+      after shouldBe batch
+    } finally q.stop()
+  }
+
   test("idempotentParquet sink: replayed batches land once, half-writes are replaced") {
     import graft.streaming.StreamSinks
     val dir = java.nio.file.Files.createTempDirectory("sink").toString

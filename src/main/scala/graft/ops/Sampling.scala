@@ -57,4 +57,26 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic EPOCH SHUFFLE — the global random reorder + shard
+    * split every training run performs on its corpus, with the same
+    * contract as the samplers above: the permutation is a pure
+    * function of (seed, key), so epoch N is byte-identical on any
+    * cluster layout, retry, or engine, and epoch N+1 (a new seed) is
+    * an independent permutation.
+    *
+    * Adds `__shuffle_hv` (seeded md5-60 of the key) and `shard`
+    * (hv mod nShards). The shuffled order is (hv, key) WITHIN each
+    * shard — no global rank, no single-partition window: at any scale
+    * the write path is
+    * `Sources.writeCorpus(out, partitionCols = Seq("shard"),
+    * sortCols = Seq("__shuffle_hv"))` — one hash projection, one
+    * partitioned write. Readers stream shards in filename order and
+    * get the reproducible shuffled sequence. */
+  def epochShuffle(df: DataFrame, key: Column, seed: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val hv = Hashing.h60Seeded(seed, key.cast("string"))
+    df.withColumn("__shuffle_hv", hv)
+      .withColumn("shard", pmod(col("__shuffle_hv"), lit(nShards.toLong)))
+  }
 }

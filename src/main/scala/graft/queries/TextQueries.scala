@@ -981,6 +981,43 @@ object TextQueries {
        |SELECT CAST(degree AS BIGINT) AS degree, CAST(n_docs AS BIGINT) AS n_docs
        |FROM h ORDER BY degree""".stripMargin
 
+  // ------------------------- deterministic epoch shuffle (q97)
+  /** [[graft.ops.Sampling.epochShuffle]] under the oracle gate: the
+    * training-run corpus reorder — seeded hash → shard split → within-
+    * shard shuffled order. The oracle pins the EXACT order, not just
+    * membership: per shard, md5 of the comma-joined doc_id sequence
+    * sorted by (hv, doc_id) must match DuckDB's string_agg replay.
+    *
+    * The per-shard collect_list here is the VERIFICATION twin only —
+    * it buffers a whole shard in one aggregation buffer to pin the
+    * order hash. The production path never collects: it is
+    * `writeCorpus(..., partitionCols = Seq("shard"), sortCols =
+    * Seq("__shuffle_hv"))` — a narrow projection + partitioned sorted
+    * write at any scale (same caveat pattern as the exact-percentile
+    * twins). */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val sharded = graft.ops.Sampling.epochShuffle(
+      docs0(s, d), col("doc_id"), seed = 977, nShards = 8)
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           md5(concat_ws(",",
+             transform(
+               array_sort(collect_list(struct(col("__shuffle_hv"), col("doc_id")))),
+               x => x.getField("doc_id").cast("string"))).cast("binary")).as("order_md5"))
+      .sortedOut("shard")
+  }
+
+  private val q97Sql = {
+    val hv = graft.text.Hashing.duckH60("concat('977:', CAST(doc_id AS VARCHAR))")
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars, $hv AS hv FROM documents)
+       |SELECT hv % 8 AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id)) AS order_md5
+       |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1010,5 +1047,6 @@ object TextQueries {
     ("q89_compression_quality", q89 _, Some(q89Sql)),
     ("q90_chunk_dedup_remove", q90 _, Some(q90Sql)),
     ("q93_quantile_gate",      q93 _, Some(q93Sql)),
-    ("q95_dup_graph_degrees",  q95 _, Some(q95Sql)))
+    ("q95_dup_graph_degrees",  q95 _, Some(q95Sql)),
+    ("q97_epoch_shuffle",      q97 _, Some(q97Sql)))
 }

@@ -36,4 +36,24 @@ class SamplingSpec extends SparkSpec {
     again.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
       out.select("doc_id").collect().map(_.getLong(0)).sorted
   }
+
+  test("epochShuffle: shard split + order stable under repartition; new seed = new permutation") {
+    def orderOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("shard", "__shuffle_hv", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (t._2, t._3)).map(_._3).toSeq).toMap
+
+    val e1 = orderOf(Sampling.epochShuffle(docs, col("doc_id"), seed = 1, nShards = 4))
+    val e1b = orderOf(Sampling.epochShuffle(docs.repartition(9), col("doc_id"), seed = 1, nShards = 4))
+    e1 shouldBe e1b // the epoch is a pure function of (seed, key)
+
+    // every doc lands in exactly one shard, shards cover the corpus
+    e1.values.map(_.size).sum shouldBe docs.count()
+    e1.keySet.foreach(s => s should (be >= 0L and be < 4L))
+
+    // a new seed is a genuinely different permutation (not a rotation)
+    val e2 = orderOf(Sampling.epochShuffle(docs, col("doc_id"), seed = 2, nShards = 4))
+    e1 should not equal e2
+  }
 }

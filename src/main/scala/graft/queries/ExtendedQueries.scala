@@ -816,6 +816,42 @@ object ExtendedQueries {
       |   AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------- z-order curve statistics (q98)
+  /** Pins [[graft.ops.Maintenance.zValue2]]'s bit-interleave exactly
+    * across engines: 8-bit z-values of (l_partkey, l_suppkey) folded
+    * mod 256, bucketed by the z prefix, with per-bucket key envelopes
+    * — the min/max spans that row-group skipping prunes on after a
+    * [[graft.ops.Maintenance.writeZOrdered]] layout. The actual
+    * skipping benefit is metric-proven in ScaleOpsSpec (DuckDB can't
+    * oracle parquet row-group IO); this query oracles the curve
+    * arithmetic the layout sorts by. Narrow projection + one integer
+    * aggregation. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val z = graft.ops.Maintenance.zValue2(
+      pmod(col("l_partkey"), lit(256L)), pmod(col("l_suppkey"), lit(256L)), bits = 8)
+    t(s, d, "lineitem")
+      .select(z.as("z"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("z"), 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .sortedOut("z_bucket")
+  }
+
+  private val q98Sql = {
+    val zExpr = (0 until 8)
+      .map(i => s"(((a & ${1L << i}) << $i) | ((b & ${1L << i}) << ${i + 1}))")
+      .mkString(" | ")
+    s"""WITH kb AS (
+       |  SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b, l_partkey, l_suppkey
+       |  FROM lineitem),
+       |z AS (SELECT ($zExpr) AS z, l_partkey, l_suppkey FROM kb)
+       |SELECT z >> 8 AS z_bucket, count(*) AS n,
+       |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -845,5 +881,6 @@ object ExtendedQueries {
     ("q83_approx_percentile", q83 _, Some(q83Sql)),
     ("q85_vector_index_topk", q85 _, Some(q47Sql)),
     ("q91_profile_report",   q91 _, Some(q91Sql)),
-    ("q96_stream_left_join_twin", q96 _, Some(q96Sql)))
+    ("q96_stream_left_join_twin", q96 _, Some(q96Sql)),
+    ("q98_zorder_stats",     q98 _, Some(q98Sql)))
 }

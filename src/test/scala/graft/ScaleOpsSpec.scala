@@ -165,4 +165,51 @@ class ScaleOpsSpec extends SparkSpec {
       cl.toDouble should be < un.toDouble / 4
     }
   }
+
+  test("writeZOrdered: row-group skipping works for predicates on EITHER z column") {
+    import graft.ops.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+    ev2dir(li, s"$base/unsorted")
+    Maintenance.writeClustered(li.repartition(1), s"$base/bypart",
+      Seq("l_partkey"), rowGroupBytes = 32 * 1024)
+    Maintenance.writeZOrdered(li.repartition(1), s"$base/zorder",
+      "l_partkey", "l_suppkey", bits = 16, rowGroupBytes = 32 * 1024)
+
+    def scanned(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.read.parquet(dir).where(pred)
+        df.queryExecution.toRdd.count()
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        scan.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    val partPred = col("l_partkey") === 42L
+    val suppPred = col("l_suppkey") === 7L
+    // answers identical across layouts
+    spark.read.parquet(s"$base/zorder").where(partPred).count() shouldBe
+      spark.read.parquet(s"$base/unsorted").where(partPred).count()
+    spark.read.parquet(s"$base/zorder").where(suppPred).count() shouldBe
+      spark.read.parquet(s"$base/unsorted").where(suppPred).count()
+
+    // the one-column clustering only helps its own column: on the
+    // OTHER column's predicate it reads ~everything, the z-order
+    // layout skips most row groups on BOTH single-column predicates
+    val zPart = scanned(s"$base/zorder", partPred)
+    val zSupp = scanned(s"$base/zorder", suppPred)
+    val byPartOnSupp = scanned(s"$base/bypart", suppPred)
+    val unPart = scanned(s"$base/unsorted", partPred)
+    withClue(s"zPart=$zPart unPart=$unPart zSupp=$zSupp byPartOnSupp=$byPartOnSupp") {
+      zPart.toDouble should be < unPart.toDouble / 2
+      zSupp.toDouble should be < byPartOnSupp.toDouble / 2
+    }
+  }
+
+  private def ev2dir(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.repartition(1).write.option("parquet.block.size", (32 * 1024).toString)
+      .parquet(dir)
 }

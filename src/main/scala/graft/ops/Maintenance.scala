@@ -75,12 +75,15 @@ object Maintenance {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
                    min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
     val hi = (1L << bits) - 1
+    // empty input (or all-null column): min/max come back null — there
+    // is nothing to cluster, degrade to constant scale instead of NPE
+    def bound(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     def scale(c: String, lo: Double, up: Double) =
       if (up > lo)
         least(lit(hi), ((col(c).cast("double") - lit(lo)) * lit(hi / (up - lo))).cast("long"))
       else lit(0L)
-    val z = zValue2(scale(colA, r.getDouble(0), r.getDouble(1)),
-                    scale(colB, r.getDouble(2), r.getDouble(3)), bits)
+    val z = zValue2(scale(colA, bound(0), bound(1)),
+                    scale(colB, bound(2), bound(3)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")

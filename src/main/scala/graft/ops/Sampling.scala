@@ -72,7 +72,11 @@ object Sampling {
     * `Sources.writeCorpus(out, partitionCols = Seq("shard"),
     * sortCols = Seq("__shuffle_hv"))` — one hash projection, one
     * partitioned write. Readers stream shards in filename order and
-    * get the reproducible shuffled sequence. */
+    * get the reproducible shuffled sequence.
+    *
+    * A NULL key hashes to NULL and lands in a NULL shard — keys must
+    * be non-null (they identify the row; dedupe/assign ids first),
+    * same contract as the samplers above. */
   def epochShuffle(df: DataFrame, key: Column, seed: Int, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val hv = Hashing.h60Seeded(seed, key.cast("string"))

@@ -137,6 +137,51 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q92 hybrid retrieval: both arms plan top-k as TakeOrderedAndProject — " +
+      "no global sort shuffle before the 30-row rank windows") {
+    val df = graft.SparkEntry.queries("q92_hybrid_rrf")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // one TakeOrderedAndProject per arm
+      "TakeOrderedAndProject".r.findAllIn(plan).size should be >= 2
+      plan.contains("RangePartitioning") shouldBe false
+    }
+  }
+
+  test("q97 epoch shuffle: shard assignment is a narrow projection — exactly one " +
+      "exchange (the shard aggregation), no global rank window") {
+    val df = graft.SparkEntry.queries("q97_epoch_shuffle")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val str = plan.toString
+    withClue(str) {
+      // no window operator anywhere: the shuffled order needs no global rank
+      str.contains("Window") shouldBe false
+      str.contains("RangePartitioning") shouldBe false
+      // shuffles: the groupBy(shard) hash exchange + the sortedOut
+      // single-partition exchange — nothing else
+      collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size should be <= 2
+    }
+  }
+
+  test("q98 z-order stats: the z-value interleave stays in whole-stage codegen " +
+      "over the pruned lineitem scan") {
+    val df = graft.SparkEntry.queries("q98_zorder_stats")(spark, sf0001)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the '*(n)' prefix is executedPlan.toString's rendering of a
+      // WholeStageCodegen span — the interleave Project must carry one
+      plan should include regex "\\*\\(\\d+\\) Project"
+      // column pruning: only the two key columns leave the scan
+      val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      readSchemas should not be empty
+      all(readSchemas.map(_.split(",").length)) should be <= 2
+    }
+  }
+
   test("IVF-PQ: cell-gated ADC probes via a broadcast hash join; the corpus code " +
       "side carries no Exchange (assign + encode stay narrow)") {
     import org.apache.spark.sql.functions.col

@@ -58,6 +58,27 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted deterministic Bernoulli: keep each row with probability
+    * min(1, weight / unitWeight) — "sample proportional to length /
+    * quality / duplication count", the weighted step training mixes
+    * use where [[hashSample]] is the uniform one. Same contract: the
+    * decision is a pure function of (key, weight), stable under
+    * repartitioning and replayable by the oracle.
+    *
+    * The comparison stays in INTEGER arithmetic — `hash < weight *
+    * (2^60 / unitWeight)` with the scale precomputed as a long — so
+    * there is no float rounding to diverge across engines. `weight`
+    * must be a non-negative integer column; unitWeight is the weight
+    * at which keep-probability saturates at 1 (weights above it are
+    * certain keeps; requires weight * scale to stay below 2^63:
+    * weight < ~8000·unitWeight at the default). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     unitWeight: Long): DataFrame = {
+    require(unitWeight > 0, s"unitWeight must be positive: $unitWeight")
+    val scale = (1L << 60) / unitWeight
+    df.where(Hashing.h60(key.cast("string")) < weight.cast("long") * lit(scale))
+  }
+
   /** Deterministic EPOCH SHUFFLE — the global random reorder + shard
     * split every training run performs on its corpus, with the same
     * contract as the samplers above: the permutation is a pure

@@ -1018,6 +1018,33 @@ object TextQueries {
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ----------------------- weighted deterministic sampling (q99)
+  /** [[graft.ops.Sampling.weightedSample]] under the oracle gate:
+    * keep probability ∝ n_chars (unit weight 1000 chars — docs above
+    * 1000 chars are certain keeps), counted per language. The kept
+    * set is a pure integer-compare function of (doc_id, n_chars), so
+    * DuckDB replays membership exactly. Narrow filter + one
+    * aggregation; nothing shuffles but the group-by. */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+        docs0(s, d), col("doc_id"), col("n_chars"), unitWeight = 1000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).as("sum_chars_kept"),
+           min(col("doc_id")).as("min_kept_doc"))
+      .sortedOut("lang")
+
+  private val q99Sql = {
+    val hv = graft.text.Hashing.duckH60("CAST(doc_id AS VARCHAR)")
+    val scale = (1L << 60) / 1000L
+    s"""SELECT lang, count(*) AS n_kept,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars_kept,
+       |       min(doc_id) AS min_kept_doc
+       |FROM documents
+       |WHERE $hv < n_chars * $scale
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1048,5 +1075,6 @@ object TextQueries {
     ("q90_chunk_dedup_remove", q90 _, Some(q90Sql)),
     ("q93_quantile_gate",      q93 _, Some(q93Sql)),
     ("q95_dup_graph_degrees",  q95 _, Some(q95Sql)),
-    ("q97_epoch_shuffle",      q97 _, Some(q97Sql)))
+    ("q97_epoch_shuffle",      q97 _, Some(q97Sql)),
+    ("q99_weighted_sample",    q99 _, Some(q99Sql)))
 }

@@ -56,4 +56,27 @@ class SamplingSpec extends SparkSpec {
     val e2 = orderOf(Sampling.epochShuffle(docs, col("doc_id"), seed = 2, nShards = 4))
     e1 should not equal e2
   }
+
+  test("weightedSample: stable under repartition; saturating weights are certain keeps") {
+    val w1 = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), unitWeight = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val w2 = Sampling.weightedSample(docs.repartition(11), col("doc_id"), col("n_chars"), 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    w1 shouldBe w2
+
+    // weight >= unitWeight ⇒ probability saturates at 1: every such
+    // row must survive
+    val heavy = docs.where(col("n_chars") >= 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    heavy.subsetOf(w1.toSet) shouldBe true
+
+    // heavier docs are kept at a higher rate than light ones
+    val lightTotal = docs.where(col("n_chars") < 300).count()
+    val lightKept = Sampling.weightedSample(docs.where(col("n_chars") < 300),
+      col("doc_id"), col("n_chars"), 1000L).count()
+    if (lightTotal > 50) {
+      val total = docs.count()
+      (lightKept.toDouble / lightTotal) should be < (w1.length.toDouble / total)
+    }
+  }
 }

@@ -1045,6 +1045,40 @@ object TextQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // -------------------- RAG chunking: sliding windows (q100)
+  /** Overlapping sliding-window chunking — the retrieval-embedding
+    * prep step (q90's chunks are DISJOINT dedup units; RAG chunks
+    * OVERLAP so no answer span is split across chunk boundaries):
+    * window 20 tokens, stride 10, chunk count = ceil(nTok/stride),
+    * tail chunks run short. One narrow generate per doc — the token
+    * array never crosses a shuffle; every chunk's content is pinned
+    * by md5 so the oracle verifies byte-exact chunking, not counts.
+    * At scale the chunk table is the input to the embedding batch job
+    * (mapInPandas) and lands via writeCorpus. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val w = 20
+    val stride = 10
+    val tk = TextFunctions.tokens(col("text"))
+    val nChunks = floor((size(tk) + lit(stride - 1)).cast(DoubleType) / lit(stride)).cast(LongType)
+    docs0(s, d)
+      .select(col("doc_id"), tk.as("tk"), nChunks.as("nc"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0L), (col("nc") - 1) * stride, lit(stride.toLong))))
+      .select(col("doc_id"), col("pos").cast(IntegerType).as("chunk_idx"),
+        size(slice(col("tk"), col("col") + 1, lit(w))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("tk"), col("col") + 1, lit(w))).cast("binary")).as("chunk_md5"))
+      .sortedOut("doc_id", "chunk_idx")
+  }
+
+  private val q100Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS nc FROM t),
+      |c AS (SELECT doc_id, tk, CAST(unnest(range(nc)) AS BIGINT) AS idx FROM n)
+      |SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+      |       CAST(len(tk[idx*10+1 : idx*10+20]) AS INTEGER) AS n_chunk_tokens,
+      |       md5(array_to_string(tk[idx*10+1 : idx*10+20], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1076,5 +1110,6 @@ object TextQueries {
     ("q93_quantile_gate",      q93 _, Some(q93Sql)),
     ("q95_dup_graph_degrees",  q95 _, Some(q95Sql)),
     ("q97_epoch_shuffle",      q97 _, Some(q97Sql)),
-    ("q99_weighted_sample",    q99 _, Some(q99Sql)))
+    ("q99_weighted_sample",    q99 _, Some(q99Sql)),
+    ("q100_rag_chunks",        q100 _, Some(q100Sql)))
 }

@@ -556,6 +556,74 @@ object VectorQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  // --------------------------- ANN MRR@10 evaluation (q101)
+  /** The rank-position complement to q94's recall: where in the IVF
+    * top-10 does each query's TRUE nearest neighbor (brute-force
+    * top-1) land? rr = 1/rank, 0 when the index misses it entirely —
+    * the metric that distinguishes "found it first" from "found it
+    * tenth", which recall@k can't see. Integer ranks cross the engine
+    * boundary; 1/rank is a single IEEE division. Same sampled-query
+    * cost shape as q94. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.where(col("vec_id") < 10)
+    val exact1 = VectorFunctions.bruteForceTopK(e, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx10 = new graft.sim.IvfIndex(nCells = 16, nProbe = 4)
+      .annTopK(e, queries, k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    exact1.join(approx10,
+        approx10("query_id") === exact1("query_id") &&
+          col("neighbor_id") === col("true_nn"), "left_outer")
+      .select(exact1("query_id"), col("true_nn"),
+        col("rank").as("found_rank"),
+        coalesce(lit(1.0) / col("rank"), lit(0.0)).as("rr"))
+      .sortedOut("query_id")
+  }
+
+  private val q101Sql = {
+    val bruteCos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH exact1 AS (
+       |  SELECT query_id, neighbor_id AS true_nn FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $bruteCos DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank = 1),
+       |centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10) WHERE rn <= 4),
+       |approx10 AS (
+       |  SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id,
+       |             ${cos("q.q_emb", "a.embedding")} AS cos
+       |      FROM qprobe q JOIN assign a USING (cell)
+       |      WHERE a.vec_id <> q.query_id)) WHERE rank <= 10)
+       |SELECT e.query_id, e.true_nn, a.rank AS found_rank,
+       |       coalesce(CAST(1.0 AS DOUBLE) / a.rank, CAST(0.0 AS DOUBLE)) AS rr
+       |FROM exact1 e
+       |LEFT JOIN approx10 a ON a.query_id = e.query_id AND a.neighbor_id = e.true_nn
+       |ORDER BY e.query_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -567,5 +635,6 @@ object VectorQueries {
     ("q87_pq_index_topk",     q87 _, Some(q84Sql)),
     ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)),
     ("q92_hybrid_rrf",        q92 _, Some(q92Sql)),
-    ("q94_ann_recall",        q94 _, Some(q94Sql)))
+    ("q94_ann_recall",        q94 _, Some(q94Sql)),
+    ("q101_ann_mrr",          q101 _, Some(q101Sql)))
 }

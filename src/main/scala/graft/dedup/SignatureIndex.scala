@@ -43,10 +43,36 @@ object SignatureIndex {
     * (LOCATION_ALREADY_EXISTS). Same single-writer contract as
     * [[graft.ref.Checkpoints]]: one writer per index name at a time. */
   private def dropStale(spark: SparkSession, table: String): Unit = {
+    // Resolve the REAL location from the catalog while the table still
+    // exists — deriving `<warehouse>/<table>` by hand is wrong under a
+    // non-default current database (`<warehouse>/<db>.db/<table>`) or
+    // a Hive/external catalog, where the guess would leave stale data
+    // alive (or delete an unrelated same-named path).
+    val known: Option[(Path, Boolean)] =
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        Some((new Path(meta.location),
+          meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+      } else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    known match {
+      case Some((_, true)) => // EXTERNAL: the data is not ours to delete
+      case Some((loc, false)) =>
+        // managed: DROP removes the data too; sweep defensively in
+        // case a failed earlier drop left files behind
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case None =>
+        // orphaned-directory case: a previous SESSION's managed dir
+        // the in-memory catalog no longer knows. Managed tables live
+        // under the CURRENT database's location (default db =
+        // warehouse root), so resolve via the catalog, not the conf.
+        val dbUri = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+        val loc = new Path(new Path(dbUri), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** Materialize (or replace) the index from a signature table

@@ -65,18 +65,23 @@ object Sampling {
     * decision is a pure function of (key, weight), stable under
     * repartitioning and replayable by the oracle.
     *
-    * The comparison stays in INTEGER arithmetic — `hash < weight *
-    * (2^60 / unitWeight)` with the scale precomputed as a long — so
-    * there is no float rounding to diverge across engines. `weight`
-    * must be a non-negative integer column; unitWeight is the weight
-    * at which keep-probability saturates at 1 (weights above it are
-    * certain keeps; requires weight * scale to stay below 2^63:
-    * weight < ~8000·unitWeight at the default). */
+    * The comparison stays in INTEGER arithmetic — `hash <
+    * min(weight, unitWeight) * (2^60 / unitWeight)` with the scale
+    * precomputed as a long — so there is no float rounding to diverge
+    * across engines. `weight` must be a non-negative integer column;
+    * unitWeight is the weight at which keep-probability saturates
+    * (weights at or above it are kept with probability
+    * unitWeight·scale / 2^60 — within 2^-50 of certain). The clamp
+    * BEFORE the multiply bounds the product by 2^60: without it a
+    * weight ≥ ~8·unitWeight overflows the long, silently wrapping
+    * negative and DROPPING exactly the heaviest rows. Oracles must
+    * mirror the same `least(weight, unitWeight)` clamp. */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      unitWeight: Long): DataFrame = {
     require(unitWeight > 0, s"unitWeight must be positive: $unitWeight")
     val scale = (1L << 60) / unitWeight
-    df.where(Hashing.h60(key.cast("string")) < weight.cast("long") * lit(scale))
+    val clamped = least(weight.cast("long"), lit(unitWeight))
+    df.where(Hashing.h60(key.cast("string")) < clamped * lit(scale))
   }
 
   /** Deterministic EPOCH SHUFFLE — the global random reorder + shard

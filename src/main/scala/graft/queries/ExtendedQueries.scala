@@ -93,7 +93,7 @@ object ExtendedQueries {
         unix_millis(col("ts")).as("p_ms"),
         col("asof.event_id").as("c_id"),
         unix_millis(col("asof.ts")).as("c_ms"))
-      .sortedOut("p_id")
+      .sortedOutWide("p_id")
   }
 
   private val q42Sql =
@@ -127,7 +127,7 @@ object ExtendedQueries {
            max(unix_millis(col("ts"))).as("end_ms"),
            count(lit(1)).as("n_events"),
            dbl(sum(d184(col("value")))).as("sum_value"))
-      .sortedOut("user_id", "sid")
+      .sortedOutWide("user_id", "sid")
   }
 
   private val q43Sql =
@@ -153,7 +153,7 @@ object ExtendedQueries {
       .select(col("o_orderkey").as("k"), lit("big").as("tag"), col("o_totalprice").as("price"))
     val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
       .select(lit("urgent").as("tag"), col("o_totalprice").as("price"), col("o_orderkey").as("k"))
-    big.unionByName(urgent).sortedOut("k", "tag")
+    big.unionByName(urgent).sortedOutWide("k", "tag")
   }
 
   private val q44Sql =
@@ -272,7 +272,7 @@ object ExtendedQueries {
         ntile(4).over(w).as("quartile"),
         datediff(col("o_orderdate"),
           lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
-      .sortedOut("o_custkey", "o_orderkey")
+      .sortedOutWide("o_custkey", "o_orderkey")
   }
 
   private val q50Sql =
@@ -357,7 +357,7 @@ object ExtendedQueries {
       .where(col("e_a") < col("e_b"))
       .select(col("user_id"), col("e_a"), col("e_b"),
         (unix_millis(col("ts_b")) - unix_millis(col("ts_a"))).as("dt_ms"))
-      .sortedOut("user_id", "e_a", "e_b")
+      .sortedOutWide("user_id", "e_a", "e_b")
   }
 
   private val q53Sql =
@@ -387,7 +387,7 @@ object ExtendedQueries {
         top.zipWithIndex.map { case ((price, ok), i) => (cust, ok, price, i + 1) }
       }
       .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .sortedOut("o_custkey", "rn")
+      .sortedOutWide("o_custkey", "rn")
   }
 
   private val q54Sql =
@@ -469,7 +469,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_pairs"),
            min(col("a_id")).as("first_click"),
            max(col("b_id")).as("last_view"))
-      .sortedOut("user_id")
+      .sortedOutWide("user_id")
   }
 
   private val q65Sql =
@@ -499,7 +499,7 @@ object ExtendedQueries {
         unix_millis(col("session_window.start")).as("start_ms"),
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
-      .sortedOut("user_id", "start_ms")
+      .sortedOutWide("user_id", "start_ms")
 
   private val q67Sql =
     """WITH x AS (
@@ -559,7 +559,7 @@ object ExtendedQueries {
     graft.plans.TopKPerKey.topK(o, Seq("o_custkey"),
         Seq(o("o_totalprice").desc, o("o_orderkey").asc), k = 3)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .sortedOut("o_custkey", "o_orderkey")
+      .sortedOutWide("o_custkey", "o_orderkey")
   }
 
   private val q69Sql =
@@ -603,7 +603,7 @@ object ExtendedQueries {
         lit(1L).as("version"), lit("U").as("op"))
     RelationalOps.mergeUpsert(o, u1.unionByName(u2).unionByName(del).unionByName(ins),
         "o_orderkey", "version", "op")
-      .sortedOut("o_orderkey")
+      .sortedOutWide("o_orderkey")
   }
 
   private val q76Sql =
@@ -636,7 +636,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), dbl(sum(d184(col("value")))).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
-      .sortedOut("win_start", "event_type")
+      .sortedOutWide("win_start", "event_type")
 
   private val q77Sql =
     """SELECT strftime(make_timestamp(((CAST(floor(epoch(ts) / 600) AS BIGINT) - k) * 600) * 1000000),
@@ -662,7 +662,7 @@ object ExtendedQueries {
         coalesce(col("n_big"), lit(0L)).as("n_big_orders"),
         (col("c_custkey").isNotNull && col("o_custkey").isNull).as("building_only"),
         col("c_custkey").isNull.as("orders_only"))
-      .sortedOut("custkey")
+      .sortedOutWide("custkey")
   }
 
   private val q80Sql =
@@ -801,7 +801,7 @@ object ExtendedQueries {
            (count(lit(1)) - count(col("b_id"))).as("n_unmatched"),
            min(col("dt_ms")).as("min_dt_ms"),
            max(col("dt_ms")).as("max_dt_ms"))
-      .sortedOut("user_id")
+      .sortedOutWide("user_id")
 
   private val q96Sql =
     """SELECT user_id, count(*) AS n_rows, count(b_id) AS n_matched,

@@ -38,12 +38,26 @@ object ParityQueries {
     * oracle-output sizes (≤ ~100k rows). The trailing sort is only the
     * driver row-compare convention — a production pipeline writes the
     * result unsorted — so collapsing its parallelism is free. Use ONLY
-    * on final outputs known small; never inside an operator. */
+    * on final outputs whose cardinality is BOUNDED at any SF
+    * (aggregates, top-k, capped pair lists — ≤ ~100k rows); never
+    * inside an operator, and never on a row-per-input output.
+    *
+    * [[SortedOutOps.sortedOutWide]] is the row-per-input twin: a plain
+    * parallel range sort (`orderBy`). Its boundary-sampling pass
+    * re-executes only the narrow tail after the last shuffle (cheap
+    * under AQE, where upstream stages are already materialized), and
+    * it never funnels O(input) rows through a single task — at sf1+
+    * the single-partition variant would bottleneck or OOM exactly the
+    * queries whose outputs grow with the data. */
   private[queries] implicit class SortedOutOps(private val df: DataFrame) {
     def sortedOut(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
     def sortedOut(first: String, rest: String*): DataFrame =
       sortedOut((first +: rest).map(col): _*)
+    def sortedOutWide(cols: Column*): DataFrame =
+      df.orderBy(cols: _*)
+    def sortedOutWide(first: String, rest: String*): DataFrame =
+      sortedOutWide((first +: rest).map(col): _*)
   }
 
   private[queries] def sortedOut(df: DataFrame, cols: Column*): DataFrame =
@@ -81,7 +95,7 @@ object ParityQueries {
     t(s, d, "part")
       .where(col("p_brand").startsWith("Brand#1") && length(col("p_name")) > 8)
       .select("p_partkey", "p_name", "p_brand")
-      .sortedOut("p_partkey")
+      .sortedOutWide("p_partkey")
 
   private val q02Sql =
     """SELECT p_partkey, p_name, p_brand FROM part
@@ -95,7 +109,7 @@ object ParityQueries {
     val c = t(s, d, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .select(o("o_orderkey"), o("o_custkey"), c("c_name"), c("c_mktsegment"))
-      .sortedOut("o_orderkey")
+      .sortedOutWide("o_orderkey")
   }
 
   private val q03Sql =
@@ -110,7 +124,7 @@ object ParityQueries {
     val p  = t(s, d, "part").where(col("p_type") === "PROMO")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
       .select(li("l_orderkey"), li("l_linenumber"), p("p_name"), li("l_quantity"))
-      .sortedOut("l_orderkey", "l_linenumber", "p_name", "l_quantity")
+      .sortedOutWide("l_orderkey", "l_linenumber", "p_name", "l_quantity")
   }
 
   // (l_orderkey, l_linenumber) is not unique in the fixture data — the
@@ -127,7 +141,7 @@ object ParityQueries {
     val o = t(s, d, "orders").where(col("o_totalprice") > 150000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .sortedOut("c_custkey")
+      .sortedOutWide("c_custkey")
   }
 
   private val q05Sql =
@@ -141,7 +155,7 @@ object ParityQueries {
     val o = t(s, d, "orders")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .sortedOut("c_custkey")
+      .sortedOutWide("c_custkey")
   }
 
   private val q06Sql =
@@ -157,7 +171,7 @@ object ParityQueries {
     RelationalOps.keepFirst(t(s, d, "orders"), Seq("o_custkey"),
         Seq(col("o_orderdate"), col("o_orderkey")))
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .sortedOut("o_custkey")
+      .sortedOutWide("o_custkey")
 
   private val q07Sql =
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -175,7 +189,7 @@ object ParityQueries {
       .select(col("o_custkey"),
         col("m.o_orderkey").as("last_orderkey"),
         col("m.o_orderdate").cast(DateType).as("last_date"))
-      .sortedOut("o_custkey")
+      .sortedOutWide("o_custkey")
 
   private val q08Sql =
     """SELECT o_custkey, o_orderkey AS last_orderkey, CAST(o_orderdate AS DATE) AS last_date
@@ -208,7 +222,7 @@ object ParityQueries {
     val cand = concat(col("o_orderstatus"), lit("-FIXED"))
     o.select(col("o_orderkey"),
         RelationalOps.coalesceValid(orig, cand, validLen = 7).as("priority_fixed"))
-      .sortedOut("o_orderkey")
+      .sortedOutWide("o_orderkey")
   }
 
   private val q10Sql =
@@ -226,7 +240,7 @@ object ParityQueries {
       .select(col("c_custkey"),
         RelationalOps.labelMap(col("c_mktsegment"),
           Map("BUILDING" -> "B", "AUTOMOBILE" -> "A", "MACHINERY" -> "M")).as("seg_code"))
-      .sortedOut("c_custkey")
+      .sortedOutWide("c_custkey")
 
   private val q11Sql =
     """SELECT c_custkey,
@@ -242,7 +256,7 @@ object ParityQueries {
     t(s, d, "customer")
       .select(col("c_custkey"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("cust_no"))
-      .sortedOut("c_custkey")
+      .sortedOutWide("c_custkey")
 
   private val q12Sql =
     """SELECT c_custkey, regexp_extract(c_name, 'Customer#(\d+)', 1) AS cust_no
@@ -253,7 +267,7 @@ object ParityQueries {
     t(s, d, "part")
       .select(col("p_partkey"),
         RelationalOps.concatOrEmpty("_", col("p_brand"), col("p_type")).as("brand_type"))
-      .sortedOut("p_partkey")
+      .sortedOutWide("p_partkey")
 
   private val q13Sql =
     """SELECT p_partkey, COALESCE(p_brand || '_' || p_type, '') AS brand_type
@@ -282,7 +296,7 @@ object ParityQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"))
       .where(col("rn") <= 3)
-      .sortedOut("o_custkey", "rn")
+      .sortedOutWide("o_custkey", "rn")
   }
 
   private val q15Sql =
@@ -305,7 +319,7 @@ object ParityQueries {
     t(s, d, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         dbl(sum(d184(col("l_quantity"))).over(w)).as("running_qty"))
-      .sortedOut("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .sortedOutWide("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
   private val q16Sql =
@@ -385,7 +399,7 @@ object ParityQueries {
                col("event_type"))
       .agg(count(lit(1)).as("n"),
            dbl(sum(d184(col("value")))).as("sum_value"))
-      .sortedOut("hour_ts", "event_type")
+      .sortedOutWide("hour_ts", "event_type")
 
   private val q21Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts, event_type,

@@ -21,6 +21,9 @@ object TextQueries {
   private def docs0(s: SparkSession, d: String) = Tables.documents(s, d)
 
   // ------------------------------------------------------- exact dedup
+  // Group-level output (one row per duplicated hash, a small fraction of the
+  // corpus) stays on the single-pass sortedOut: a range sort's boundary
+  // sampling would re-execute the aggregation subtree (PlanShapeSpec pin).
   private def q23(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(docs0(s, d)).sortedOut("text_hash")
 
@@ -32,7 +35,7 @@ object TextQueries {
   private def q24(s: SparkSession, d: String): DataFrame =
     docs0(s, d)
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
 
   private val q24Sql =
     """SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
@@ -50,7 +53,7 @@ object TextQueries {
         (nonSpace / nTok).as("avg_token_len"),
         (stopHits / nTok).as("stop_ratio"),
         (nTok >= 5 && (stopHits / nTok) <= lit(0.5)).as("is_quality"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q25Sql =
@@ -86,7 +89,7 @@ object TextQueries {
     docs0(s, d).select(
         Seq(col("doc_id")) ++ hits ++ Seq(
           TextFunctions.langId(toks).as("pred_lang"), col("lang")): _*)
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q27Sql =
@@ -116,7 +119,7 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ta"), col("tb"))) /
          size(array_union(col("ta"), col("tb")))).as("jaccard"))
-      .sortedOut("doc_a")
+      .sortedOutWide("doc_a")
   }
 
   private val q28Sql =
@@ -137,6 +140,9 @@ object TextQueries {
   // hash (graft.text.Hashing), which DuckDB reproduces bit-for-bit —
   // the SQL below re-derives signatures, banding, the bucket cap, and
   // the position-agreement estimate from scratch.
+  // Pair-level output (bucketCap-bounded candidate pairs) stays on the
+  // single-pass sortedOut: range-sort boundary sampling would run the LSH
+  // banding join twice (PlanShapeSpec pin).
   private def q29(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
@@ -179,7 +185,7 @@ object TextQueries {
 
   // -------------------------------------------------- SimHash fingerprint
   private def q30(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(docs0(s, d)).sortedOut("doc_id")
+    Dedup.simhash(docs0(s, d)).sortedOutWide("doc_id")
 
   private val q30Sql =
     """WITH t AS (
@@ -201,7 +207,7 @@ object TextQueries {
         TextFunctions.winnowFingerprints(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
 
   // k=8, w=4 mirror of WinnowFingerprint: char k-gram md5-60 hashes,
   // rolling window-of-4 minimum, fingerprint set = distinct mins (plus
@@ -383,7 +389,7 @@ object TextQueries {
         docs, "doc_id", "nm", docs, "doc_id", "nm",
         minJaccard = 0.6, gramN = 3, gramCap = 600)
       .where(col("l_id") < col("r_id"))
-      .sortedOut("l_id", "r_id")
+      .sortedOutWide("l_id", "r_id")
   }
 
   private val q56Sql =
@@ -558,7 +564,7 @@ object TextQueries {
         nBpe.as("n_bpe_tokens"),
         (TextFunctions.nonSpaceChars(col("text")) /
           nullif(nBpe, lit(0))).as("chars_per_bpe"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q66Sql =
@@ -628,7 +634,7 @@ object TextQueries {
     Dedup.duplicatedNgramStats(docs0(s, d), n = 13)
       .select(col("doc_id"), col("n_grams"), col("n_dup_positions"),
         (col("n_dup_positions") * lit(10) >= col("n_grams") * lit(3)).as("heavy_dup"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
 
   private val q72Sql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
@@ -664,7 +670,7 @@ object TextQueries {
         TextFunctions.matchCount(col("text"), RedactRules(1)._1).as("n_num"),
         TextFunctions.matchCount(col("text"), RedactRules(2)._1).as("n_name"),
         md5(TextFunctions.redact(col("text"), RedactRules).cast("binary")).as("redacted_hash"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
 
   private val q73Sql =
     """SELECT doc_id,
@@ -687,7 +693,7 @@ object TextQueries {
     Dedup.contaminationStats(
         all.where(col("doc_id") % 10 =!= 0),
         all.where(col("doc_id") % 10 === 0), n = 13)
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q74Sql =
@@ -710,7 +716,7 @@ object TextQueries {
     * ([[graft.text.QualityOps.repetitionStats]]); thresholds chosen to
     * split the fixture corpus non-trivially. */
   private def q75(s: SparkSession, d: String): DataFrame =
-    graft.text.QualityOps.repetitionStats(docs0(s, d)).sortedOut("doc_id")
+    graft.text.QualityOps.repetitionStats(docs0(s, d)).sortedOutWide("doc_id")
 
   private val q75Sql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
@@ -741,7 +747,7 @@ object TextQueries {
       .select(col("doc_id"),
         array_join(col("ids").cast("array<string>"), ",").as("ids"),
         col("n_tokens"), col("n_oov"), col("oov_rate"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q79Sql =
@@ -784,7 +790,14 @@ object TextQueries {
     * bucketed layout means the index side never exchanges
     * (SignatureIndexSpec pins that plan shape); only the arriving
     * batch shuffles into the index's bucketing. Output is the verified
-    * candidate pair list, exactly the oracle's candc/estc stage. */
+    * candidate pair list, exactly the oracle's candc/estc stage.
+    *
+    * Cardinality note: this output stays on the single-task
+    * [[ParityQueries.sortedOut]] DELIBERATELY — it is O(probe batch),
+    * and the incremental-dedup contract keeps arriving batches small
+    * relative to the corpus (here 5%). A range sort would re-execute
+    * the zero-Exchange probe join in its boundary-sampling pass (the
+    * measured 2× this convention exists to avoid). */
   private def q86(s: SparkSession, d: String): DataFrame = {
     val docs = docs0(s, d)
     val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
@@ -846,7 +859,7 @@ object TextQueries {
     docs0(s, d).select(col("doc_id"), col("n_chars"),
         (col("n_chars") < 32 || (ratio > 0.0 && ratio <= 1.5)).as("ratio_in_bounds"),
         (col("n_chars") < 256 || ratio < 1.0).as("compresses"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
   }
 
   private val q89Sql =
@@ -864,7 +877,7 @@ object TextQueries {
     Dedup.chunkDedupRemove(docs0(s, d), w = 20)
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         md5(col("kept_text").cast("binary")).as("kept_md5"))
-      .sortedOut("doc_id")
+      .sortedOutWide("doc_id")
 
   private val q90Sql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
@@ -1041,7 +1054,7 @@ object TextQueries {
        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars_kept,
        |       min(doc_id) AS min_kept_doc
        |FROM documents
-       |WHERE $hv < n_chars * $scale
+       |WHERE $hv < least(n_chars, 1000) * $scale
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -1067,7 +1080,7 @@ object TextQueries {
       .select(col("doc_id"), col("pos").cast(IntegerType).as("chunk_idx"),
         size(slice(col("tk"), col("col") + 1, lit(w))).as("n_chunk_tokens"),
         md5(concat_ws(" ", slice(col("tk"), col("col") + 1, lit(w))).cast("binary")).as("chunk_md5"))
-      .sortedOut("doc_id", "chunk_idx")
+      .sortedOutWide("doc_id", "chunk_idx")
   }
 
   private val q100Sql =

@@ -55,7 +55,7 @@ object VectorQueries {
       .select(col("vec_a"), col("vec_b"),
         VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .withColumn("near_dup", col("cos") > 0.8)
-      .sortedOut("vec_a")
+      .sortedOutWide("vec_a")
   }
 
   private val q33Sql = {
@@ -139,6 +139,8 @@ object VectorQueries {
   // generates candidates, exact cosine verifies. Deterministic end to
   // end, so the oracle replays the identical buckets from the same
   // hyperplane literals and the result matches exactly.
+  // Pair-level near-dup output (tiny) keeps the single-pass sortedOut so the
+  // hyperplane-LSH join is executed once (PlanShapeSpec pin).
   private def q58(s: SparkSession, d: String): DataFrame =
     VectorFunctions.cosineNearDupPairs(emb(s, d), dim = 64, minCos = 0.45)
       .sortedOut("vec_a", "vec_b")

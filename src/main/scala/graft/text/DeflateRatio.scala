@@ -49,7 +49,7 @@ case class DeflateRatio(child: Expression)
     // would dominate the kernel on short documents (review finding).
     // ThreadLocal (not per-expression state) because local-mode tasks
     // can share a deserialized plan across threads.
-    val d = DeflateRatio.local.get()
+    val d = DeflateRatio.acquire()
     d.reset()
     d.setInput(bytes)
     d.finish()
@@ -66,4 +66,29 @@ case class DeflateRatio(child: Expression)
 object DeflateRatio {
   private val local: ThreadLocal[Deflater] =
     ThreadLocal.withInitial(() => new Deflater(Deflater.BEST_SPEED))
+  private val registeredFor: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(-1L))
+
+  /** Thread-local Deflater, freed at task end. The ~256 KB native zlib
+    * window would otherwise outlive the task for the THREAD's lifetime
+    * — bounded on a fixed executor pool, but a slow native leak under
+    * thread churn (many short-lived local sessions). Inside a task we
+    * register one completion listener per task attempt (one extra long
+    * compare per row) that end()s and drops the instance; listeners
+    * run on the task thread, so the ThreadLocal they clear is the
+    * right one. Outside any task (driver-side eval: constant folding,
+    * tests) there is no completion hook — those threads keep the
+    * JVM-lifetime instance, the pre-existing bounded case. */
+  private[text] def acquire(): Deflater = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && registeredFor.get() != tc.taskAttemptId()) {
+      registeredFor.set(tc.taskAttemptId())
+      tc.addTaskCompletionListener[Unit] { _ =>
+        local.get().end()
+        local.remove()
+        registeredFor.set(-1L)
+      }
+    }
+    local.get()
+  }
 }

@@ -70,6 +70,13 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     heavy.subsetOf(w1.toSet) shouldBe true
 
+    // overflow regression: weight >= ~8*unitWeight used to overflow
+    // the long product, wrap negative, and DROP the heaviest rows.
+    // The clamp makes extreme weights plain saturated keeps.
+    val extreme = Sampling.weightedSample(
+      docs.withColumn("w", col("n_chars") * 100000L), col("doc_id"), col("w"), 1000L)
+    extreme.count() shouldBe docs.count()
+
     // heavier docs are kept at a higher rate than light ones
     val lightTotal = docs.where(col("n_chars") < 300).count()
     val lightKept = Sampling.weightedSample(docs.where(col("n_chars") < 300),

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.{Diagnostics, RelationalOps}
+import graft.sim.{IvfIndex, VectorFunctions}
+import graft.text.TextFunctions
+
+/** Adversarial-scale sweep (round-5 VERDICT item 1): runs the dedup /
+  * ANN / join slice against the skewed, dirty [[AdvFixture]] corpus and
+  * prints one JSON line of per-op seconds + the invariants that prove
+  * (or disprove) the 100 TB guard rails:
+  *
+  *  - LSH bucket caps keep candidate-pair volume bounded against a
+  *    10k-member hot bucket (and how much recall the guard costs);
+  *  - null / zero / NaN / wrong-dimension embeddings neither crash the
+  *    vector slice nor leak NaN cosines through the >= gate;
+  *  - NULL / empty / monster / garbage texts flow through signatures,
+  *    quality scoring, and language-ID without poisoning anything;
+  *  - the hot join key is detected by skewReport and neutralized by
+  *    saltedJoin (A/B-timed against the plain shuffle join).
+  *
+  * Usage: `runMain graft.AdvSweep [advDir]` (defaults to target/advdata;
+  * run graft.AdvFixture first).
+  */
+object AdvSweep {
+  private val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def step[A](name: String)(body: => A): Option[A] = {
+    val t0 = System.nanoTime()
+    try {
+      val r = body
+      times(name) = (System.nanoTime() - t0) / 1e9
+      Some(r)
+    } catch {
+      case e: Throwable =>
+        times(name) = (System.nanoTime() - t0) / 1e9
+        errors(name) = e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)
+        None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/advdata")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-advsweep").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+
+    // ---- exact dedup on dirty docs ------------------------------------
+    step("exact_groups") {
+      val g = Dedup.exactGroups(docs).persist()
+      stats("exact_n_groups") = g.count().toString
+      stats("exact_11x_groups") =
+        g.where(col("n_copies") === 11).count().toString
+      g.unpersist()
+    }
+
+    // ---- minhash LSH against the 10k hot family -----------------------
+    val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    step("minhash_sigs") {
+      stats("sigs_rows") = sigs.count().toString
+      stats("sigs_null") = sigs.where(col("sig").isNull).count().toString
+    }
+    step("lsh_bucket_histogram") {
+      // band-bucket sizes BEFORE the cap: proves the hot bucket exists
+      val sizes = Dedup.bandedOf(sigs, bands = 4, rowsPerBand = 8)
+        .groupBy("band", "bh").count()
+      val top = sizes.agg(max("count")).collect()(0).getLong(0)
+      stats("lsh_max_bucket") = top.toString
+      stats("lsh_overcap_buckets") =
+        sizes.where(col("count") > 1000).count().toString
+    }
+    val pairs = step("minhash_pairs") {
+      val p = Dedup.minhashCandidatePairs(sigs, bands = 4, rowsPerBand = 8,
+        minEst = 0.7).persist()
+      stats("pairs_n") = p.count().toString
+      stats("pairs_family") =
+        p.where(col("doc_a") >= 100000 && col("doc_b") < 110000 &&
+          col("doc_a") < 110000).count().toString
+      stats("pairs_exactdup") =
+        p.where(col("doc_b") >= 120000 || col("doc_a") < 500).count().toString
+      p
+    }
+    pairs.foreach { p =>
+      step("neardup_clusters") {
+        val cl = Dedup.nearDupClusters(p)
+        val survivors = Dedup.dedupByClusters(docs, cl)
+        stats("survivors") = survivors.count().toString
+      }
+      p.unpersist()
+    }
+    sigs.unpersist()
+
+    // ---- vector slice on dirty embeddings -----------------------------
+    step("cosine_neardup") {
+      val cp = VectorFunctions.cosineNearDupPairs(embs, dim = 64, minCos = 0.8)
+        .persist()
+      stats("cos_pairs_n") = cp.count().toString
+      stats("cos_pairs_nan") = cp.where(isnan(col("cos"))).count().toString
+      stats("cos_pairs_hot") =
+        cp.where(col("vec_a") >= 100000 && col("vec_b") < 110000).count().toString
+      cp.unpersist()
+    }
+    val ivf = new IvfIndex(nCells = 16, nProbe = 4)
+    step("ivf_fit_dirty") {
+      val cents = ivf.fit(embs, iters = 2)
+      stats("ivf_nan_centroids") =
+        cents.count(_._2.exists(f => f.isNaN)).toString
+    }
+    step("ivf_ann_topk") {
+      val queries = embs.where(col("vec_id") < 20 && col("vec_id") >= 0)
+      val res = ivf.annTopK(embs, queries, k = 5).persist()
+      stats("ann_rows") = res.count().toString
+      stats("ann_nan") = res.where(isnan(col("cos"))).count().toString
+      res.unpersist()
+    }
+    step("ivf_cell_histogram") {
+      val cells = ivf.assign(embs.where(col("embedding").isNotNull))
+        .groupBy("cell").count()
+      stats("ivf_max_cell") = cells.agg(max("count")).collect()(0).getLong(0).toString
+      stats("ivf_n_cells") = cells.count().toString
+    }
+
+    // ---- hot-key join: plain vs salted --------------------------------
+    val pSlim = part.select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    step("skew_report") {
+      val r = Diagnostics.skewReport(li, "l_partkey").collect()(0)
+      stats("skew_hot_key") = r.getAs[Any]("hot_key").toString
+      stats("skew_max_n") = r.getAs[Long]("max_n").toString
+      stats("skew_ratio") = f"${r.getAs[Double]("skew_ratio")}%.1f"
+    }
+    step("join_plain") {
+      // AQE-off shuffle join: what a naive plan does to a 30% hot key
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        stats("join_plain_rows") = li.join(pSlim, "l_partkey")
+          .groupBy("p_brand").agg(count(lit(1))).count().toString
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+    step("join_salted") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        stats("join_salted_rows") =
+          RelationalOps.saltedJoin(li, pSlim, "l_partkey", salt = 8)
+            .groupBy("p_brand").agg(count(lit(1))).count().toString
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+    step("join_salted_spread") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        stats("join_salted_spread_rows") =
+          RelationalOps.saltedJoin(li, pSlim, "l_partkey", salt = 8,
+            spread = Some(col("l_orderkey")))
+            .groupBy("p_brand").agg(count(lit(1))).count().toString
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+    step("join_aqe_skew") {
+      // what we actually recommend at scale: AQE's skew-join splitting
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      try {
+        stats("join_aqe_rows") = li.join(pSlim, "l_partkey")
+          .groupBy("p_brand").agg(count(lit(1))).count().toString
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+
+    // ---- text functions over garbage ----------------------------------
+    step("text_quality") {
+      val toks = TextFunctions.tokens(col("text"))
+      val q = docs.select(
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.langId(toks).as("lang_id"))
+        .persist()
+      stats("text_rows") = q.count().toString
+      stats("text_null_tok") = q.where(col("n_tok").isNull).count().toString
+      stats("text_null_lang") = q.where(col("lang_id").isNull).count().toString
+      q.unpersist()
+    }
+    step("repetition_quality") {
+      val r = graft.text.QualityOps.repetitionStats(
+        docs.where(col("text").isNotNull))
+      stats("rep_rows") = r.count().toString
+    }
+
+    def obj(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def str(v: String): String = "\"" + v.replace("\"", "'") + "\""
+    println("ADVSWEEP " + obj(Seq(
+      "sec" -> obj(times.map { case (k, v) => k -> f"$v%.3f" }),
+      "stats" -> obj(stats.map { case (k, v) => k -> str(v) }),
+      "errors" -> obj(errors.map { case (k, v) => k -> str(v) }))))
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}

@@ -98,7 +98,9 @@ object Dedup {
     * @param bands      number of bands (bands * rowsPerBand = k)
     * @param rowsPerBand signature rows hashed per band
     * @param minEst     keep pairs with estimated Jaccard ≥ this
-    * @param bucketCap  drop buckets larger than this (skew guard)
+    * @param bucketCap  buckets larger than this skip the quadratic
+    *                   self-join and emit star pairs to the bucket-min
+    *                   anchor instead (skew guard, O(bucket) not O(bucket²))
     */
   def minhashCandidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                             minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
@@ -116,10 +118,12 @@ object Dedup {
     // "band:sig[a],sig[b],..." — a canonical string both engines render
     // identically (sig values are non-negative longs).
     val banded = bandedOf(sigsC, bands, rowsPerBand)
-    // Skew guard: only join buckets below the cap. Same shuffle key as
-    // the join itself, so the extra aggregate is cheap.
-    val smallBuckets = banded.groupBy("band", "bh").count()
-      .where(col("count") <= bucketCap).drop("count")
+    // Skew guard: only self-join buckets below the cap. Same shuffle key
+    // as the join itself, so the extra aggregate is cheap.
+    val sized = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
+    val smallBuckets = sized.where(col("count") <= bucketCap)
+      .select("band", "bh")
     val safe = banded.join(smallBuckets, Seq("band", "bh"))
     // Pair-dedup placement (same pair arrives via up to `bands` bands)
     // is ADAPTIVE on the threshold, both variants value-identical:
@@ -137,7 +141,24 @@ object Dedup {
       .join(safe.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val pairs = if (dedupFirst) rawPairs.distinct() else rawPairs
+    // Over-cap buckets: STAR pairs to the bucket-min anchor, not a drop.
+    // An over-cap bucket is exactly the most-duplicated content in the
+    // corpus (boilerplate families — the adversarial sweep's 10k-doc
+    // family fills 4 such buckets); dropping it silently un-dedups that
+    // content (measured: 0.07% of the family's pair volume survived via
+    // under-cap buckets, leaving most of the family as "unique"
+    // survivors). One (anchor, member) row per member is O(|bucket|),
+    // keeps the bucket connected for the downstream union-find, and
+    // still passes through the k-signature verification below — a
+    // single-band fluke collision is filtered there, same as any
+    // candidate. anchor = min(doc_id) keeps the doc_a < doc_b invariant.
+    val stars = banded.join(
+        sized.where(col("count") > bucketCap).select("band", "bh", "anchor"),
+        Seq("band", "bh"))
+      .where(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    val rawCands = rawPairs.unionByName(stars)
+    val pairs = if (dedupFirst) rawCands.distinct() else rawCands
     // Verification: attach both signatures by key — the signature table
     // is tiny relative to the pair set (one row per doc vs ~pairs), so
     // Catalyst broadcasts it at fixture scale; at cluster scale this
@@ -298,7 +319,8 @@ object Dedup {
   /** Candidate pairs BETWEEN two signature tables — the probe shape of
     * incremental dedup: `sigsA` is the arriving batch, `sigsB` the
     * standing corpus index. Buckets are capped on the INDEX side (a
-    * boilerplate-heavy corpus bucket would pair with every batch doc).
+    * boilerplate-heavy corpus bucket would pair with every batch doc);
+    * over-cap index buckets probe via their min-id anchor only.
     * Returns (doc_a ∈ A, doc_b ∈ B, est_jaccard ≥ minEst). */
   def minhashCandidatePairsBetween(sigsA: DataFrame, sigsB: DataFrame,
                                    bands: Int = 8, rowsPerBand: Int = 4,
@@ -319,8 +341,9 @@ object Dedup {
     val sb = if (persistInputs) sigsB.persist() else sigsB
     val ba = bandedOf(sa, bands, rowsPerBand)
     val bb = bandedOf(sb, bands, rowsPerBand)
-    val smallB = bb.groupBy("band", "bh").count()
-      .where(col("count") <= bucketCap).drop("count")
+    val sizedB = bb.groupBy("band", "bh")
+      .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
+    val smallB = sizedB.where(col("count") <= bucketCap).select("band", "bh")
     // Unlike the self-join variant (which defers pair dedup until after
     // the est filter — measured faster there), the probe shape dedups
     // candidates BEFORE verification: at the tight thresholds this
@@ -328,10 +351,20 @@ object Dedup {
     // of the bands, so the band fan-out duplicates each hot pair ~bands
     // times and deduping first cuts the verification joins by that
     // factor (measured ~15% end-to-end at sf0.1).
-    val pairs = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val within = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(bb.join(smallB, Seq("band", "bh"))
         .select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    // Over-cap INDEX buckets: pair each probing batch doc with the
+    // bucket's min-id representative instead of all members — O(|batch|)
+    // rows, and the batch doc is still flagged as dup-of-corpus (the
+    // whole over-cap bucket is near-identical content, so the anchor
+    // stands for any member through the est filter below).
+    val stars = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sizedB.where(col("count") > bucketCap)
+        .select(col("band"), col("bh"), col("anchor").as("doc_b")), Seq("band", "bh"))
+      .select("doc_a", "doc_b")
+    val pairs = within.unionByName(stars).distinct()
     val withSigs = pairs
       .join(sa.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sb.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))

@@ -117,16 +117,26 @@ object SignatureIndex {
     val bb = spark.table(bandedName(name))
     // bucket-size skew cap: groupBy (band, bh) matches the table's
     // bucketing, so this aggregate plans with no exchange
-    val smallB = bb.groupBy("band", "bh").count()
-      .where(col("count") <= bucketCap).drop("count")
+    val sizedB = bb.groupBy("band", "bh")
+      .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
+    val smallB = sizedB.where(col("count") <= bucketCap).select("band", "bh")
     val ba = Dedup.bandedOf(batchSigs, spec.bands, spec.rowsPerBand)
     // probe-shape pair dedup BEFORE verification (see
     // minhashCandidatePairsBetween: a true near-dup collides in most
     // bands, dedup first cuts the verification joins ~bands×)
-    val pairs = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val within = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(bb.join(smallB, Seq("band", "bh"))
         .select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    // over-cap index buckets: probe against the bucket-min anchor only
+    // (O(|batch|) rows; the anchor stands for the near-identical bucket
+    // through the est filter) — same star-pair policy as
+    // minhashCandidatePairsBetween, never a silent drop
+    val stars = ba.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sizedB.where(col("count") > bucketCap)
+        .select(col("band"), col("bh"), col("anchor").as("doc_b")), Seq("band", "bh"))
+      .select("doc_a", "doc_b")
+    val pairs = within.unionByName(stars).distinct()
     val withSigs = pairs
       .join(batchSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(spark.table(sigsName(name))

@@ -98,9 +98,18 @@ object RelationalOps {
     * pre-AQE stages or non-shuffle join inputs). Output equals the
     * plain inner join, row for row.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("__shard",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salt)))
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int = 8,
+                 spread: Option[Column] = None): DataFrame = {
+    // shard source: any deterministic per-row value that VARIES WITHIN
+    // the hot key. Default = hash of the whole row (always correct);
+    // pass a cheap high-cardinality column via `spread` when the row is
+    // wide — the adversarial sweep measured the full-row hash costing
+    // ~25% of the join on an 11-column lineitem (spread=l_orderkey
+    // closed the gap). At local scale AQE's skew split beats both; this
+    // operator is for engines/paths where AQE is unavailable (e.g.
+    // stream-static joins) or the skew is known ahead of time.
+    val shardSrc = spread.getOrElse(hash(struct(big.columns.map(col): _*)))
+    val saltedBig = big.withColumn("__shard", pmod(hash(shardSrc), lit(salt)))
     val replicated = small.withColumn("__shard",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(replicated, Seq(key, "__shard")).drop("__shard")

@@ -166,11 +166,17 @@ object TextQueries {
        |  SELECT doc_id, b,
        |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*$rpb+1 : b*$rpb+$rpb], ','))), 1, 15)) AS BIGINT) AS bh
        |  FROM sigs CROSS JOIN (SELECT unnest(range($bands)) AS b) bnd),
-       |small AS (SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) <= $bucketCap),
+       |sized AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM banded GROUP BY b, bh),
+       |small AS (SELECT b, bh FROM sized WHERE n <= $bucketCap),
        |safe AS (SELECT banded.doc_id, banded.b, banded.bh FROM banded JOIN small USING (b, bh)),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT sized.anchor AS doc_a, banded.doc_id AS doc_b
+       |    FROM banded JOIN sized USING (b, bh)
+       |    WHERE sized.n > $bucketCap AND banded.doc_id != sized.anchor)),
        |est AS (
        |  SELECT doc_a, doc_b,
        |         CAST(list_sum(list_transform(range(1, ${k + 1}), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $k AS est_jaccard
@@ -308,10 +314,15 @@ object TextQueries {
     s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
        |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0),
        |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
-       |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
+       |szb AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM bb GROUP BY b, bh),
+       |smallb AS (SELECT b, bh FROM szb WHERE n <= 1000),
        |candc AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)
+       |    UNION ALL
+       |    SELECT x.doc_id AS doc_a, szb.anchor AS doc_b
+       |    FROM ba x JOIN szb USING (b, bh) WHERE szb.n > 1000)),
        |estc AS (
        |  SELECT doc_a,
        |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
@@ -320,11 +331,17 @@ object TextQueries {
        |surv AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0
        |         AND doc_id NOT IN (SELECT doc_id FROM dup)),
        |bs AS (SELECT banded.* FROM banded JOIN surv USING (doc_id)),
-       |smalls AS (SELECT b, bh FROM bs GROUP BY b, bh HAVING count(*) <= 1000),
+       |szs AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM bs GROUP BY b, bh),
+       |smalls AS (SELECT b, bh FROM szs WHERE n <= 1000),
        |safes AS (SELECT bs.* FROM bs JOIN smalls USING (b, bh)),
        |cands AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM safes x JOIN safes y USING (b, bh) WHERE x.doc_id < y.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM safes x JOIN safes y USING (b, bh) WHERE x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT szs.anchor AS doc_a, bs.doc_id AS doc_b
+       |    FROM bs JOIN szs USING (b, bh)
+       |    WHERE szs.n > 1000 AND bs.doc_id != szs.anchor)),
        |p AS (
        |  SELECT doc_a, doc_b FROM (
        |    SELECT doc_a, doc_b,
@@ -448,11 +465,17 @@ object TextQueries {
       |  SELECT doc_id, b,
       |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*8+1 : b*8+8], ','))), 1, 15)) AS BIGINT) AS bh
       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bnd),
-      |small AS (SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) <= 1000),
+      |sized AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM banded GROUP BY b, bh),
+      |small AS (SELECT b, bh FROM sized WHERE n <= 1000),
       |safe AS (SELECT banded.doc_id, banded.b, banded.bh FROM banded JOIN small USING (b, bh)),
       |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id),
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |    FROM safe x JOIN safe y USING (b, bh) WHERE x.doc_id < y.doc_id
+      |    UNION ALL
+      |    SELECT sized.anchor AS doc_a, banded.doc_id AS doc_b
+      |    FROM banded JOIN sized USING (b, bh)
+      |    WHERE sized.n > 1000 AND banded.doc_id != sized.anchor)),
       |p AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT doc_a, doc_b,
@@ -823,10 +846,15 @@ object TextQueries {
     s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
        |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0),
        |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
-       |smallb AS (SELECT b, bh FROM bb GROUP BY b, bh HAVING count(*) <= 1000),
+       |szb AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM bb GROUP BY b, bh),
+       |smallb AS (SELECT b, bh FROM szb WHERE n <= 1000),
        |candc AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)
+       |    UNION ALL
+       |    SELECT x.doc_id AS doc_a, szb.anchor AS doc_b
+       |    FROM ba x JOIN szb USING (b, bh) WHERE szb.n > 1000)),
        |estc AS (
        |  SELECT doc_a, doc_b,
        |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard

@@ -154,8 +154,10 @@ object VectorQueries {
            |  THEN ${1 << p} ELSE 0 END)""".stripMargin
       }.mkString("(", " + ", ")")
     val lshs = (0 until 8).map(t => new RandomHyperplaneLsh(64, 4, 42L + t))
+    val refine = new RandomHyperplaneLsh(64, 16, 42L + 7777)
     val bandedSql = lshs.zipWithIndex.map { case (l, t) =>
-      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket FROM embeddings"
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket, " +
+        s"${bucketExpr(refine, "embedding")} AS sub FROM embeddings"
     }.mkString("\nUNION ALL\n")
     val cos =
       """(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -163,14 +165,27 @@ object VectorQueries {
         |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
     s"""WITH banded AS (
        |$bandedSql),
-       |small AS (SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) <= 1000),
+       |sized AS (SELECT tbl, bucket, count(*) AS n FROM banded GROUP BY tbl, bucket),
+       |small AS (SELECT tbl, bucket FROM sized WHERE n <= 1000),
        |safe AS (SELECT banded.* FROM banded JOIN small USING (tbl, bucket)),
+       |hot AS (SELECT banded.* FROM banded JOIN sized USING (tbl, bucket) WHERE sized.n > 1000),
+       |sized2 AS (SELECT tbl, bucket, sub, count(*) AS n, min(vec_id) AS anchor
+       |           FROM hot GROUP BY tbl, bucket, sub),
+       |safe2 AS (SELECT hot.* FROM hot JOIN sized2 USING (tbl, bucket, sub) WHERE sized2.n <= 1000),
        |pairs AS (
-       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id)
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |    FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id
+       |    UNION ALL
+       |    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |    FROM safe2 x JOIN safe2 y USING (tbl, bucket, sub) WHERE x.vec_id < y.vec_id
+       |    UNION ALL
+       |    SELECT sized2.anchor AS vec_a, hot.vec_id AS vec_b
+       |    FROM hot JOIN sized2 USING (tbl, bucket, sub)
+       |    WHERE sized2.n > 1000 AND hot.vec_id != sized2.anchor))
        |SELECT vec_a, vec_b, $cos AS cos
        |FROM pairs JOIN embeddings a ON a.vec_id = vec_a JOIN embeddings b ON b.vec_id = vec_b
-       |WHERE $cos >= 0.45
+       |WHERE NOT isnan($cos) AND $cos >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -337,8 +352,10 @@ object VectorQueries {
            |  THEN ${1 << p} ELSE 0 END)""".stripMargin
       }.mkString("(", " + ", ")")
     val lshs = (0 until 8).map(t => new RandomHyperplaneLsh(64, 4, 42L + t))
+    val refine = new RandomHyperplaneLsh(64, 16, 42L + 7777)
     val bandedSql = lshs.zipWithIndex.map { case (l, t) =>
-      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket FROM embeddings"
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(l, "embedding")} AS bucket, " +
+        s"${bucketExpr(refine, "embedding")} AS sub FROM embeddings"
     }.mkString("\nUNION ALL\n")
     val cos =
       """(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -346,15 +363,28 @@ object VectorQueries {
         |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
     s"""WITH RECURSIVE banded AS (
        |$bandedSql),
-       |small AS (SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) <= 1000),
+       |sized AS (SELECT tbl, bucket, count(*) AS n FROM banded GROUP BY tbl, bucket),
+       |small AS (SELECT tbl, bucket FROM sized WHERE n <= 1000),
        |safe AS (SELECT banded.* FROM banded JOIN small USING (tbl, bucket)),
+       |hot AS (SELECT banded.* FROM banded JOIN sized USING (tbl, bucket) WHERE sized.n > 1000),
+       |sized2 AS (SELECT tbl, bucket, sub, count(*) AS n, min(vec_id) AS anchor
+       |           FROM hot GROUP BY tbl, bucket, sub),
+       |safe2 AS (SELECT hot.* FROM hot JOIN sized2 USING (tbl, bucket, sub) WHERE sized2.n <= 1000),
        |cand AS (
-       |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
-       |  FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |    FROM safe x JOIN safe y USING (tbl, bucket) WHERE x.vec_id < y.vec_id
+       |    UNION ALL
+       |    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |    FROM safe2 x JOIN safe2 y USING (tbl, bucket, sub) WHERE x.vec_id < y.vec_id
+       |    UNION ALL
+       |    SELECT sized2.anchor AS doc_a, hot.vec_id AS doc_b
+       |    FROM hot JOIN sized2 USING (tbl, bucket, sub)
+       |    WHERE sized2.n > 1000 AND hot.vec_id != sized2.anchor)),
        |p AS (
        |  SELECT doc_a, doc_b
        |  FROM cand JOIN embeddings a ON a.vec_id = doc_a JOIN embeddings b ON b.vec_id = doc_b
-       |  WHERE $cos >= 0.45),
+       |  WHERE NOT isnan($cos) AND $cos >= 0.45),
        |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
        |reach(a, b) AS (

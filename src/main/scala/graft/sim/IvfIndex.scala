@@ -49,10 +49,17 @@ class IvfIndex(val nCells: Int = 16, val nProbe: Int = 4) extends Serializable {
     * quantizer; this method is spec-tested for behavior instead.)
     */
   def fit(corpus: DataFrame, iters: Int = 3): Array[(Int, Array[Float])] = {
-    var cents = centroidsOf(corpus)
+    // one NaN/null vector in a cell poisons that cell's mean — and the
+    // poisoned centroid then scores NaN against EVERY query (the
+    // adversarial sweep measured one NaN centroid from 50 dirty rows
+    // in 30k). The fit sees only finite vectors; assignment/search of
+    // the full corpus is unchanged.
+    val clean = corpus.where(col("embedding").isNotNull &&
+      !exists(col("embedding"), x => isnan(x)))
+    var cents = centroidsOf(clean)
     var it = 0
     while (it < iters) {
-      val means = assignWith(corpus, cents)
+      val means = assignWith(clean, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x")).as("m"))
@@ -120,6 +127,9 @@ class IvfIndex(val nCells: Int = 16, val nProbe: Int = 4) extends Serializable {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+      // NaN sorts above every real cosine — drop dirty-vector scores
+      // before ranking (no-op on valid corpora; adversarial-sweep pin)
+      .where(!isnan(col("cos")))
     // (query, neighbor) is unique by construction: the corpus side
     // carries exactly ONE cell per vector (assignWith keep=1), so a
     // query meets each neighbor at most once even though it probes

@@ -24,6 +24,19 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Validity predicate for an embedding column: non-null, expected
+    * dimension, no NaN components. A zero or NaN vector produces a NaN
+    * cosine, and NaN compares GREATER than every real number in Spark's
+    * ordering — one dirty corpus row would outrank every true neighbor
+    * in a top-k (the adversarial sweep measured 20 NaN rows in 100
+    * top-k results on a corpus with 0.3% dirty vectors). Filter corpora
+    * through this before indexing / search; the ranking paths also
+    * drop NaN scores defensively. */
+  def isValidVector(c: Column, dim: Int): Column =
+    c.isNotNull && size(c) === dim &&
+      !exists(c, x => isnan(x)) && aggregate(c,
+        lit(0.0), (acc, v) => acc + abs(v.cast(DoubleType))) > 0.0
+
   /** Cosine over two `array<float>` columns via the fused codegen
     * [[CosineSimilarity]] expression — one array pass per pair instead
     * of three interpreted ones; bit-identical arithmetic. */
@@ -46,6 +59,9 @@ object VectorFunctions {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
+      // NaN sorts above every real cosine: a zero/NaN corpus vector
+      // would outrank all true neighbors (no-op on valid corpora)
+      .where(!isnan(col("cos")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -56,7 +72,8 @@ object VectorFunctions {
     * independent hyperplane sets of `planesPerTable` planes each (few
     * planes per table + several tables = the standard recall knob for
     * moderate-cosine matching: recall = 1-(1-p^b)^L); candidates are
-    * vectors sharing a (table, bucket), capped per bucket (skew guard),
+    * vectors sharing a (table, bucket), capped per bucket (skew guard;
+    * over-cap buckets emit star pairs to the bucket-min anchor),
     * then verified with the exact fused-codegen cosine. The self-join
     * carries only (table, bucket, vec_id) — never the vectors; no
     * cross join anywhere.
@@ -74,19 +91,60 @@ object VectorFunctions {
       org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), signs))
     // lazily returned plan ⇒ unpersist is the ContextCleaner's job
     val e = embs.persist()
-    val banded = e.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    val small = banded.groupBy("tbl", "bucket").count()
-      .where(col("count") <= bucketCap).drop("count")
+    // Refinement planes for over-cap buckets: a `planesPerTable`-plane
+    // bucket is COARSE (2^p buckets), so a big bucket is usually a
+    // heterogeneous accident of corpus size, not a near-dup cluster —
+    // star pairs to its min-id anchor would be filtered to nothing by
+    // the cosine verify (the adversarial sweep measured exactly that: a
+    // 10k near-identical cluster produced 0 pairs because every bucket
+    // anchor was an unrelated base vector). Instead, over-cap buckets
+    // are RE-BUCKETED by 16 extra deterministic hyperplanes; only a
+    // genuinely near-identical cluster survives 16 more sign agreements
+    // in one sub-bucket, so a sub-bucket still over cap IS homogeneous
+    // content and its min-id anchor stands for it (star pairs, O(n)).
+    // Under-cap sub-buckets self-join as usual. All still narrow +
+    // group-by — never a cross join, never a silent drop.
+    val refine = new RandomHyperplaneLsh(dim, 16, seed = seed + 7777)
+    val refineBucket = org.apache.spark.sql.GraftSqlShim.column(HyperplaneBuckets(
+      org.apache.spark.sql.GraftSqlShim.expression(col("embedding")),
+      Array(refine.hyperplanes.map(_.toArray).toArray)))
+    val banded = e.select(col("vec_id"),
+      element_at(refineBucket, 1).as("sub"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val sized = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("count"))
+    val small = sized.where(col("count") <= bucketCap).select("tbl", "bucket")
     val safe = banded.join(small, Seq("tbl", "bucket"))
-    val pairs = safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val within = safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")), Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .select("vec_a", "vec_b")
+    val hot = banded.join(
+      sized.where(col("count") > bucketCap).select("tbl", "bucket"),
+      Seq("tbl", "bucket"))
+    val sized2 = hot.groupBy("tbl", "bucket", "sub")
+      .agg(count(lit(1)).as("count"), min("vec_id").as("anchor"))
+    val small2 = sized2.where(col("count") <= bucketCap)
+      .select("tbl", "bucket", "sub")
+    val safe2 = hot.join(small2, Seq("tbl", "bucket", "sub"))
+    val within2 = safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_a"))
+      .join(safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket", "sub"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val stars = hot.join(
+        sized2.where(col("count") > bucketCap).select("tbl", "bucket", "sub", "anchor"),
+        Seq("tbl", "bucket", "sub"))
+      .where(col("vec_id") =!= col("anchor"))
+      .select(col("anchor").as("vec_a"), col("vec_id").as("vec_b"))
+    val pairs = within.unionByName(within2).unionByName(stars).distinct()
     pairs
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
-      .where(col("cos") >= minCos)
+      // NaN compares GREATER than any number in Spark, so `>= minCos`
+      // alone would PASS a NaN cosine (zero/NaN vector pairs) — the
+      // adversarial sweep measured 600 NaN pairs leaking through
+      .where(!isnan(col("cos")) && col("cos") >= minCos)
   }
 }
 

@@ -65,13 +65,20 @@ class DedupSpec extends SparkSpec {
     pairs(0).getDouble(2) shouldBe 1.0
   }
 
-  test("LSH bucket cap drops degenerate buckets (skew guard)") {
-    // 5 identical docs → every band bucket has size 5 > cap 4 → no pairs
+  test("LSH bucket cap: over-cap buckets emit star pairs to the bucket-min anchor (skew guard)") {
+    // 5 identical docs → every band bucket has size 5 > cap 4 → no
+    // quadratic self-join, but the bucket is NOT dropped: each member
+    // pairs with the min-id anchor, keeping the family connected at
+    // O(bucket) cost (round-5 adversarial-sweep fix — the drop policy
+    // left 10k-doc boilerplate families fully un-deduped)
     val df = docsDF((1L to 5L).map(i => i -> "same same text here"): _*)
     val pairs = Dedup.minhashCandidatePairs(
       Dedup.minhashSignatures(df, k = 8), bands = 2, rowsPerBand = 4,
       minEst = 0.0, bucketCap = 4)
-    pairs.count() shouldBe 0
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got shouldBe Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    // identical docs: the est filter keeps stars at 1.0
+    pairs.where(col("est_jaccard") === 1.0).count() shouldBe 4
   }
 
   test("simhash: identical docs equal fingerprints; near-dup within small hamming") {

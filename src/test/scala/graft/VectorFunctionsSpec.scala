@@ -97,4 +97,37 @@ class VectorFunctionsSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((0L, 1L), (0L, 2L), (1L, 2L))
     all(out.map(_.getDouble(2))) shouldBe 1.0 +- 1e-12
   }
+
+  test("cosineNearDupPairs hot bucket: two-level refinement keeps a near-identical " +
+      "cluster connected via anchor stars; dirty vectors never emit NaN pairs") {
+    // 30 near-identical vectors (a boilerplate cluster) + 2 zero vectors
+    // + 1 NaN vector, cap 10: every level-1 bucket holding the cluster is
+    // over cap; the 16-plane refinement keeps the cluster in one
+    // sub-bucket (still over cap) → star pairs to vec_id 0. The exact
+    // verify keeps the stars (cos≈1) and the NaN gate drops the dirty
+    // pairs (NaN compares GREATER than minCos in Spark — the
+    // adversarial sweep measured 600 NaN pairs leaking pre-fix).
+    // base chosen so every ±1 projection is ≥ 0.02 in magnitude — the
+    // 1e-6 perturbations can never flip a hyperplane sign, so the whole
+    // cluster provably shares every bucket AND every refinement
+    // sub-bucket (an all-ones base sits exactly ON balanced hyperplanes
+    // and scatters)
+    val base = Seq(0.83f, -0.41f, 0.67f, 0.29f, -0.74f, 0.56f, 0.18f, -0.92f)
+    val cluster = (0L until 30L).map(i =>
+      i -> Seq.tabulate(8)(d =>
+        base(d) + (if (d == (i % 8).toInt) i * 1e-6f else 0f)))
+    val dirty = Seq(
+      100L -> Seq.fill(8)(0f),
+      101L -> Seq.fill(8)(0f),
+      102L -> (Float.NaN +: Seq.fill(7)(1f)))
+    val out = VectorFunctions.cosineNearDupPairs(
+      vecsDF((cluster ++ dirty): _*), dim = 8, minCos = 0.95, bucketCap = 10)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cluster is fully star-connected through its min-id anchor
+    (1L until 30L).foreach(i => pairs should contain ((0L, i)))
+    // no dirty-vector pair leaks (zero-zero / NaN cosines)
+    out.map(_.getDouble(2)).foreach(c => assert(!c.isNaN))
+    pairs.foreach { case (a, b) => assert(a < 100L && b < 100L) }
+  }
 }

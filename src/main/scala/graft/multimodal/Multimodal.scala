@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * stages as partition-batched typed transforms.
   *
   * The Spark-side plumbing — schemas, Encoders, `mapPartitions` batch
-  * shape, partition sizing — is real and tested. The codec kernels are
-  * STUBS (this container ships no image/audio libraries): a
-  * deterministic fake decode derived from the bytes, clearly marked
-  * below. Swapping in a real codec changes only the body of
-  * [[FakeCodec.decodeImage]] / [[FakeCodec.decodeFrames]]; every
-  * signature, schema and batch contract stays identical.
+  * shape, partition sizing — is real and tested. Decode dispatches per
+  * row on `format`: REAL containers decode through JDK-public codecs
+  * ([[Codecs]] — `javax.imageio` for png/jpeg/bmp/gif, a RIFF/PCM
+  * chunk parser for wav), while `fake-*` formats use the deterministic
+  * [[FakeCodec]] stub, kept as the exactly-reproducible oracle twin
+  * (and because no JDK-public VIDEO codec exists — frame decode stays
+  * stub-only). Dirty bytes drop, with [[undecodable]] for quarantine
+  * accounting; they never fail the stage.
   *
   * Scale posture: media bytes never route through a shuffle — decode /
   * featurize are narrow `mapPartitions` stages; only the small derived
@@ -80,12 +82,42 @@ object Multimodal {
 
   /** Decode stage: narrow partition-batched transform, one decoded
     * raster per media row, streamed through the iterator (never
-    * materializes a whole partition of pixels). */
+    * materializes a whole partition of pixels).
+    *
+    * Dispatches per row on `format`: real containers the JDK can read
+    * (png/jpeg/bmp/gif) decode through [[Codecs.decodeImage]]
+    * (`javax.imageio`, BT.601 luma — width/height come from the actual
+    * bytes, not the metadata); `fake-*` formats keep the deterministic
+    * [[FakeCodec]] so oracle-pinned queries stay reproducible. Rows
+    * whose bytes fail to decode are DROPPED, never crash the stage —
+    * use [[undecodable]] for quarantine accounting. */
   def decodeImages(media: Dataset[MediaFile]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      DecodedImage(m.media_id, m.width, m.height,
-        FakeCodec.decodeImage(m.content, m.width, m.height))
+    media.mapPartitions(_.flatMap { m =>
+      if (Codecs.imageFormats(m.format.toLowerCase))
+        Codecs.decodeImage(m.content).map { case (w, h, px) =>
+          DecodedImage(m.media_id, w, h, px)
+        }
+      else
+        Some(DecodedImage(m.media_id, m.width, m.height,
+          FakeCodec.decodeImage(m.content, m.width, m.height)))
+    })
+  }
+
+  /** Quarantine accounting for [[decodeImages]] / [[decodeAudio]]:
+    * media_ids whose real-format bytes do NOT decode (stub formats
+    * always decode). A real pipeline sinks these for inspection instead
+    * of silently shrinking — same posture as the quarantining CSV
+    * reader. */
+  def undecodable(media: Dataset[MediaFile]): Dataset[Long] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val fmt = m.format.toLowerCase
+      val ok =
+        if (Codecs.imageFormats(fmt)) Codecs.decodeImage(m.content).isDefined
+        else if (Codecs.audioFormats(fmt)) Codecs.decodeWav(m.content).isDefined
+        else true
+      if (ok) None else Some(m.media_id)
     })
   }
 
@@ -149,16 +181,30 @@ object Multimodal {
   case class AudioFeatures(media_id: Long, n_samples: Int, rms: Double,
                            zero_cross_rate: Double, peak: Double)
 
-  /** ==== STUB CODEC (audio) ==== deterministic fake standing in for
-    * an actual PCM decoder: sample i is the same splitmix64 avalanche
-    * the image path uses, at 1 kHz so n_samples == duration_ms.
-    * Replacing it with a real decoder changes only this body. */
+  /** Audio decode with per-row format dispatch: `wav` rows parse the
+    * real RIFF/PCM container via [[Codecs.decodeWav]] (sample_rate from
+    * the fmt chunk; channels averaged to mono; samples mapped from
+    * PCM's [-1,1] into this contract's [0,1) as v/2+0.5, so
+    * [[audioFeatures]]' 0.5-centered crossing count is exactly the PCM
+    * zero-crossing rate); undecodable wav bytes are dropped (see
+    * [[undecodable]]). All other formats use the deterministic stub:
+    * sample i is the same splitmix64 avalanche the image path uses, at
+    * `sampleRate` Hz so n_samples == duration_ms at the 1 kHz default.
+    * Swapping in further codecs changes only this dispatch. */
   def decodeAudio(media: Dataset[MediaFile], sampleRate: Int = 1000): Dataset[AudioClip] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      val n = math.max(1, (m.duration_ms * sampleRate / 1000).toInt)
-      val px = FakeCodec.decodeImage(m.content, n, 1)
-      AudioClip(m.media_id, sampleRate, n, px)
+    media.mapPartitions(_.flatMap { m =>
+      if (Codecs.audioFormats(m.format.toLowerCase))
+        Codecs.decodeWav(m.content).map { case (rate, s) =>
+          var i = 0
+          while (i < s.length) { s(i) = s(i) / 2f + 0.5f; i += 1 }
+          AudioClip(m.media_id, rate, s.length, s)
+        }
+      else {
+        val n = math.max(1, (m.duration_ms * sampleRate / 1000).toInt)
+        val px = FakeCodec.decodeImage(m.content, n, 1)
+        Some(AudioClip(m.media_id, sampleRate, n, px))
+      }
     })
   }
 

@@ -1,0 +1,150 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
+import graft.multimodal.{Codecs, Multimodal}
+import graft.multimodal.Multimodal.{FakeCodec, MediaFile}
+
+/** Real-codec round trips (VERDICT r4 item 3): actual PNG/BMP/JPEG
+  * bytes through `javax.imageio`, actual RIFF/PCM WAV bytes through the
+  * chunk parser — plus the dirty-bytes drop/quarantine contract and the
+  * fake-format stub twin staying intact. */
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** w×h gray gradient encoded with the JDK's own writer. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ((x + y * w) * 255 / (w * h - 1)).min(255)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def grayExpected(w: Int, h: Int): Array[Float] =
+    Array.tabulate(w * h) { i => (((i * 255 / (w * h - 1)).min(255)) / 255.0).toFloat }
+
+  /** Hand-built RIFF/WAVE: PCM fmt chunk, an interleaved LIST chunk the
+    * parser must skip, then data. */
+  private def wavBytes(rate: Int, bits: Int, channels: Int,
+                       frames: Seq[Seq[Int]]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val data = ByteBuffer.allocate(frames.length * channels * bytesPer)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    frames.foreach(_.foreach { v =>
+      bits match {
+        case 8  => data.put((v + 128).toByte) // 8-bit wav is unsigned
+        case 16 => data.putShort(v.toShort)
+        case 24 => data.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        case 32 => data.putInt(v)
+      }
+    })
+    val list = "junkmeta".getBytes("US-ASCII")
+    val body = ByteBuffer.allocate(4 + 8 + 16 + 8 + list.length + 8 + data.capacity())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.put("WAVE".getBytes("US-ASCII"))
+    body.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bytesPer).putShort((channels * bytesPer).toShort)
+      .putShort(bits.toShort)
+    body.put("LIST".getBytes("US-ASCII")).putInt(list.length).put(list)
+    body.put("data".getBytes("US-ASCII")).putInt(data.capacity()).put(data.array())
+    val out = ByteBuffer.allocate(8 + body.capacity()).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.capacity()).put(body.array())
+    out.array()
+  }
+
+  private def mediaOf(rows: (Long, String, Array[Byte])*) =
+    rows.map { case (id, fmt, bytes) =>
+      MediaFile(id, if (Codecs.audioFormats(fmt)) "audio" else "image",
+        fmt, 0, 0, 0L, bytes)
+    }.toDS()
+
+  test("PNG and BMP round-trip: JDK-encoded gradient decodes to exact BT.601 luma") {
+    for (fmt <- Seq("png", "bmp")) {
+      val out = Multimodal.decodeImages(mediaOf((1L, fmt, imageBytes(fmt, 6, 4)))).collect()
+      out.length shouldBe 1
+      out(0).width shouldBe 6
+      out(0).height shouldBe 4
+      // r=g=b so luma == g/255 regardless of the weights
+      out(0).pixels.zip(grayExpected(6, 4)).foreach { case (got, want) =>
+        got shouldBe want +- 1e-6f
+      }
+    }
+  }
+
+  test("JPEG decode: real lossy bytes — correct raster, gradient within codec error") {
+    val out = Multimodal.decodeImages(mediaOf((1L, "jpeg", imageBytes("jpeg", 8, 8)))).collect()
+    out.length shouldBe 1
+    out(0).width shouldBe 8
+    out(0).pixels.length shouldBe 64
+    val err = out(0).pixels.zip(grayExpected(8, 8)).map { case (a, b) => math.abs(a - b) }
+    err.max should be < 0.15f // JPEG quantization, not a decode bug
+    all(out(0).pixels.map(_.toDouble)) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("WAV 16-bit stereo with a LIST chunk: fmt-chunk rate, mono downmix, [0,1) mapping") {
+    val frames = (0 until 64).map { i =>
+      val v = (math.sin(2 * math.Pi * i / 16) * 16384).toInt
+      Seq(v + 100, v - 100) // stereo pair averaging back to v
+    }
+    val clips = Multimodal.decodeAudio(mediaOf((7L, "wav", wavBytes(8000, 16, 2, frames)))).collect()
+    clips.length shouldBe 1
+    clips(0).sample_rate shouldBe 8000
+    clips(0).n_samples shouldBe 64
+    clips(0).samples.zipWithIndex.foreach { case (got, i) =>
+      val pcm = (math.sin(2 * math.Pi * i / 16) * 16384).toInt / 32768.0
+      got shouldBe (pcm / 2 + 0.5).toFloat +- 1e-4f
+    }
+  }
+
+  test("WAV 8-bit mono: unsigned samples decode exactly") {
+    val vals = Seq(-128, -64, 0, 63, 127)
+    val clips = Multimodal.decodeAudio(
+      mediaOf((8L, "wav", wavBytes(44100, 8, 1, vals.map(Seq(_)))))).collect()
+    clips(0).sample_rate shouldBe 44100
+    clips(0).samples.zip(vals).foreach { case (got, v) =>
+      got shouldBe (v / 128.0 / 2 + 0.5).toFloat +- 1e-7f
+    }
+  }
+
+  test("dirty bytes drop, never crash; undecodable() quarantines exactly them") {
+    val png = imageBytes("png", 6, 4)
+    val ds = mediaOf(
+      (1L, "png", png),
+      (2L, "png", png.take(10)),                   // truncated
+      (3L, "png", Array.fill[Byte](32)(0x5a)),     // wrong magic
+      (4L, "wav", wavBytes(8000, 16, 1, Seq(Seq(5)))),
+      (5L, "wav", "RIFFxxxxWAVEfmt broken".getBytes("US-ASCII")),
+      (6L, "fake-png", "anything".getBytes("US-ASCII"))) // stub always decodes
+    Multimodal.decodeImages(ds.filter(_.kind == "image")).collect()
+      .map(_.media_id).sorted shouldBe Array(1L, 6L)
+    Multimodal.decodeAudio(ds.filter(_.kind == "audio")).collect()
+      .map(_.media_id).sorted shouldBe Array(4L)
+    Multimodal.undecodable(ds).collect().sorted shouldBe Array(2L, 3L, 5L)
+  }
+
+  test("fake-* formats keep the deterministic stub twin bit-for-bit") {
+    val content = "oracle twin content".getBytes("UTF-8")
+    val ds = Seq(MediaFile(9L, "image", "fake-png", 5, 3, 0L, content)).toDS()
+    val out = Multimodal.decodeImages(ds).collect()(0)
+    out.pixels.toSeq shouldBe FakeCodec.decodeImage(content, 5, 3).toSeq
+  }
+
+  test("real image features flow through the existing single-pass stats stage") {
+    val feats = Multimodal.imageFeatures(
+      Multimodal.decodeImages(mediaOf((1L, "png", imageBytes("png", 6, 4))))).collect()
+    feats.length shouldBe 1
+    val px = grayExpected(6, 4).map(_.toDouble)
+    feats(0).mean shouldBe px.sum / px.length +- 1e-6
+    feats(0).p_bright shouldBe px.count(_ > 0.5).toDouble / px.length +- 1e-12
+  }
+}

@@ -33,5 +33,14 @@ object StreamSinks {
         // Overwrite, not Append: a HALF-written attempt (no _SUCCESS)
         // must be replaced wholesale on replay, never appended to
         df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+      } else {
+        // Already landed (crash after sink commit, before checkpoint
+        // commit) — skip the WRITE but still drain every partition:
+        // stateful operators upstream re-execute on the replayed batch
+        // and their state stores only commit when consumed, and Spark's
+        // per-batch commit validation fails the restarted query if a
+        // foreachBatch returns without processing all partitions
+        // (exposed by StreamRecoverySpec's kill/restart proof).
+        df.foreach(_ => ())
       }
 }

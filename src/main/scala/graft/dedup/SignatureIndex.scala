@@ -99,6 +99,43 @@ object SignatureIndex {
   def append(sigs: DataFrame, name: String, spec: Spec = Spec()): Unit =
     write(sigs, name, spec, SaveMode.Append)
 
+  /** Lifecycle: every [[append]] adds one file per (task × touched
+    * bucket), so a long-lived index accretes small files per bucket.
+    * Rewrite both tables with the SAME bucketing spec — repartitioned
+    * on the bucket columns first, so each task holds exactly one
+    * bucket and writes exactly one file — into a sibling table, then
+    * swap by catalog rename. The probe plan is unchanged: still
+    * bucketed scans, still no corpus-side exchange
+    * (IndexLifecycleSpec pins plan + results pre/post compact).
+    * Single writer, like all maintenance. `spec` must match the spec
+    * the index was written with (same contract as [[probe]]). */
+  def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
+    def rewrite(table: String, bucketCols: Seq[String]): Unit = {
+      val tmp = s"${table}_compact"
+      dropStale(spark, tmp)
+      // Read the FILES, not the bucketed table: a bucketed scan reports
+      // HashPartitioning(bucketCols) so Catalyst elides the repartition
+      // as redundant — and the writer then emits one file per (task ×
+      // bucket) again. A plain parquet scan has unknown partitioning,
+      // the shuffle is real, and repartition's HashPartitioning is the
+      // same expression as the writer's bucket id — so task i holds
+      // exactly bucket i and writes exactly ONE file per bucket.
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      spark.read.schema(spark.table(table).schema)
+        .parquet(meta.location.toString)
+        .repartition(spec.buckets, bucketCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(spec.buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+    rewrite(bandedName(name), Seq("band", "bh"))
+    rewrite(sigsName(name), Seq("doc_id"))
+  }
+
   /** Candidate near-dup pairs of an arriving batch AGAINST the index —
     * same contract as [[Dedup.minhashCandidatePairsBetween]] (doc_a ∈
     * batch, doc_b ∈ index, est_jaccard ≥ minEst), but the index side is

@@ -130,6 +130,25 @@ object Maintenance {
     CompactionStats(dataFiles.length, after, bytes, rows)
   }
 
+  /** Compact every LEAF partition directory of a `partitionBy` layout
+    * (e.g. a standing vector index's `cells/cell=N/`) — the per-leaf
+    * twin of [[compactParquet]], preserving the partition structure
+    * that dynamic partition pruning depends on. Same single-writer
+    * contract; during a leaf's swap window a transient `<leaf>.compact`
+    * sibling exists, so run it in the index's maintenance window, not
+    * under concurrent readers. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20): CompactionStats = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.endsWith(".compact") || p.getName.endsWith(".old"))
+    require(leaves.nonEmpty, s"$dir has no partition subdirectories")
+    val stats = leaves.map(l => compactParquet(spark, l.toString, targetBytes))
+    CompactionStats(stats.map(_.filesBefore).sum, stats.map(_.filesAfter).sum,
+      stats.map(_.bytes).sum, stats.map(_.rows).sum)
+  }
+
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                             path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]

@@ -71,6 +71,57 @@ object PqVectorIndex {
   def readCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
     VectorIndex.readCentroids(spark, dir)
 
+  /** Lifecycle: rewrite each cell partition's accumulated small CODE
+    * files to ~target size; layout and probe plan unchanged. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): graft.ops.Maintenance.CompactionStats =
+    graft.ops.Maintenance.compactPartitioned(spark, cellsDir(dir), targetBytes)
+
+  /** Refit the IVF quantizer AND the PQ codebook on the CURRENT corpus
+    * and rewrite the index — the repair for quantizer drift: appends
+    * encode with the codebook fitted on the ORIGINAL distribution, so
+    * as the corpus shifts, cells unbalance and codes stop separating
+    * neighbors. Needs the raw vectors (the index stores only 1-byte/
+    * sub-vector codes — by design; that's the 32× serving compression),
+    * so the caller hands back the corpus the index should cover. */
+  def refreshCodebook(corpus: DataFrame, dir: String, ivf: IvfIndex,
+                      pq: PqIndex, iters: Int = 3): Unit = {
+    val cents = ivf.fit(corpus, iters)
+    val cb = pq.fit(corpus, iters)
+    write(corpus, dir, ivf, cents, pq, cb, SaveMode.Overwrite)
+  }
+
+  case class RefreshDecision(recallBefore: Double, refreshed: Boolean,
+                             recallAfter: Double)
+
+  /** The q94 production loop as an operator: measure recall@k of the
+    * standing index against brute-force ground truth on a query SAMPLE
+    * (never the full corpus — the exact arm costs |sample|·|corpus|
+    * scored rows), refresh the codebook only when it drifted below
+    * `minRecall`, and re-measure. Driver traffic is two scalar counts.
+    */
+  def refreshIfDrifted(corpus: DataFrame, queries: DataFrame, dir: String,
+                       k: Int, ivf: IvfIndex, pq: PqIndex,
+                       minRecall: Double = 0.8, iters: Int = 3): RefreshDecision = {
+    val spark = corpus.sparkSession
+    def recall(): Double = {
+      val exact = VectorFunctions.bruteForceTopK(corpus, queries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = topK(spark, dir, queries, k, ivf, pq)
+        .select(col("query_id"), col("neighbor_id"))
+      val denom = exact.count()
+      if (denom == 0) 1.0
+      else approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / denom
+    }
+    val before = recall()
+    if (before >= minRecall) RefreshDecision(before, refreshed = false, before)
+    else {
+      refreshCodebook(corpus, dir, ivf, pq, iters)
+      RefreshDecision(before, refreshed = true, recall())
+    }
+  }
+
   def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(codebookDir(dir))
       .select(col("j").cast("int"), col("c").cast("int"), col("centroid"))

@@ -46,6 +46,16 @@ object VectorIndex {
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(cellsDir(dir))
   }
 
+  /** Lifecycle: after N appends each cell holds N small files; rewrite
+    * every cell partition to ~target-sized files. The layout (and so
+    * the probe plan, incl. dynamic partition pruning) is unchanged —
+    * IndexLifecycleSpec pins plan + results pre/post. Run in the
+    * index's maintenance window (single writer, no concurrent reads
+    * during a leaf swap). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): graft.ops.Maintenance.CompactionStats =
+    graft.ops.Maintenance.compactPartitioned(spark, cellsDir(dir), targetBytes)
+
   /** The fitted quantizer back off disk — kilobytes, driver-side. */
   def readCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
     spark.read.parquet(centroidsDir(dir))

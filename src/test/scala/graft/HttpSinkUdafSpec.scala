@@ -26,8 +26,10 @@ class HttpSinkUdafSpec extends SparkSpec {
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     def read(x: HttpExchange): String =
       new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    var postedTransfer: String = null
     server.createContext("/upload", (x: HttpExchange) => {
       postedBody = read(x); postedKey = x.getRequestHeaders.getFirst("X-API-KEY")
+      postedTransfer = x.getRequestHeaders.getFirst("Transfer-encoding")
       x.sendResponseHeaders(200, 2); x.getResponseBody.write("ok".getBytes); x.close()
     })
     server.createContext("/meta", (x: HttpExchange) => {
@@ -48,8 +50,27 @@ class HttpSinkUdafSpec extends SparkSpec {
       postedBody should include("filename=\"etablissements_inscrits.csv\"")
       postedBody should include("siret,non_diffusible")
       postedBody should include("123,oui")
+      // the upload body is streamed, not buffered: unknown length ⇒
+      // chunked transfer (the one-row-at-a-time claim holds end-to-end)
+      postedTransfer shouldBe "chunked"
       putBody shouldBe """{"title":"T"}"""
     } finally server.stop(0)
+  }
+
+  test("ChunkStream: pulls chunks only as the transport drains them") {
+    var produced = 0
+    val chunks = Iterator.tabulate(100) { i =>
+      produced += 1; s"line-$i\n".getBytes(StandardCharsets.UTF_8)
+    }
+    val in = new HttpSink.ChunkStream(chunks)
+    val buf = new Array[Byte](7)
+    in.read(buf, 0, 7) shouldBe 7
+    new String(buf, StandardCharsets.UTF_8) shouldBe "line-0\n"
+    produced should be <= 2 // current chunk (+1 lookahead at most), not 100
+    // and the rest arrives intact
+    val rest = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    rest shouldBe (1 until 100).map(i => s"line-$i\n").mkString
+    in.read() shouldBe -1
   }
 
   test("VectorMeanAggregator: mean of known vectors, map-side mergeable") {

@@ -103,6 +103,55 @@ object Sources {
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  /** Quote one SQL identifier ANSI/Postgres-style (embedded quotes
+    * doubled). The reference's schema is literally `default$default`
+    * and its tables/columns are MixedCase (`"Company"."companyTypes"`,
+    * `dags/publish-open-data.py:26-29`) — unquoted, Postgres would
+    * fold them to lowercase and the query would miss. */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** `"schema"."Table"` — the reference's qualified-name shape
+    * (`"default$default"."Company"`, `dags/icpe-siretisation.py:231`). */
+  def qualifiedTable(schema: String, table: String): String =
+    s"${quoteIdent(schema)}.${quoteIdent(table)}"
+
+  /** One projected column of [[pushdownSelect]]: optional SQL cast
+    * (`castTo = "date"` ⇒ `CAST(col AS date)`) and output alias.
+    * `asText = true` casts to the dialect's text type — how an
+    * array-typed Postgres column (`companyTypes`) crosses a text-only
+    * boundary: the engine renders the array canonically (`{PRODUCER}`),
+    * which is exactly the rendering the reference's filters match. */
+  case class ColSpec(name: String, alias: String = null,
+                     castTo: String = null, asText: Boolean = false)
+
+  /** Build the reference-shaped pushed-down projection
+    * (`dags/publish-open-data.py:26-30`): every identifier quoted,
+    * columns table-qualified, casts/aliases per [[ColSpec]].
+    * `textType` is the dialect's text type (`text` for Postgres,
+    * `VARCHAR(n)` for engines without an unbounded text type).
+    * `correlate` adds a correlation name equal to the bare table name
+    * — Postgres resolves `"Company"."siret"` against a schema-qualified
+    * FROM on its own (the reference's exact text, the default); ANSI
+    * engines like Derby require the correlation name to be explicit. */
+  def pushdownSelect(schema: String, table: String, cols: Seq[ColSpec],
+                     textType: String = "text",
+                     correlate: Boolean = false): String = {
+    val qt = quoteIdent(table)
+    val parts = cols.map { c =>
+      val ref = s"$qt.${quoteIdent(c.name)}"
+      val cast = if (c.asText) Some(textType) else Option(c.castTo)
+      val expr = cast.fold(ref)(t => s"CAST($ref AS $t)")
+      // a cast without an alias keeps the source column's name:
+      // Postgres does that implicitly (the reference's pandas saw
+      // `companyTypes` back), ANSI engines would name it "2"
+      val alias = Option(c.alias).orElse(cast.map(_ => c.name))
+      alias.fold(expr)(a => s"$expr AS ${quoteIdent(a)}")
+    }
+    val from = qualifiedTable(schema, table) + (if (correlate) s" $qt" else "")
+    s"SELECT ${parts.mkString(", ")} FROM $from"
+  }
+
   /** S7: CSV sink (`dags/publish-open-data.py:58`). `singleFile` mirrors
     * pandas' one-file `to_csv` for export parity; leave false for
     * distributed writes at scale. */

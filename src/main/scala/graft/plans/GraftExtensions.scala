@@ -57,8 +57,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
     // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
     ext.injectOptimizerRule(RewriteRangeJoin)
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[graft.sim.HyperplaneBuckets].getName,
+        "graft_hyperplane_buckets"),
+      // graft_hyperplane_buckets(emb, dim, tables, planesPerTable, seed):
+      // the hyperplane patterns are DETERMINISTIC functions of
+      // (dim, planesPerTable, seed) — exactly how the DataFrame path
+      // builds them (RandomHyperplaneLsh, seed + t per table) — so the
+      // SQL surface reconstructs the sign tensor from four integer
+      // literals at plan time instead of shipping a nested array
+      // literal. PqEncode/AdcScore stay DataFrame-only by design:
+      // their codebooks are FITTED data, not derivable from literals.
+      (children: Seq[Expression]) => children match {
+        case Seq(emb, IntLit(dim), IntLit(tables), IntLit(planes), IntLit(seed)) =>
+          val signs = Array.tabulate(tables.toInt) { t =>
+            new graft.sim.RandomHyperplaneLsh(dim.toInt, planes.toInt, seed + t)
+              .hyperplanes.map(_.toArray).toArray
+          }
+          graft.sim.HyperplaneBuckets(emb, signs)
+        case _ => throw new IllegalArgumentException(
+          "graft_hyperplane_buckets expects (array<float> emb, int dim, " +
+            "int tables, int planesPerTable, int seed) with integer literals " +
+            s"after the first argument; got ${children.length} argument(s)")
+      }))
     // whole-operator extension: TopKPerKey logical node → partial +
     // final bounded-heap execs (see TopKPerKey)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+
+  /** Integer literal of any integral type, as Long. */
+  private object IntLit {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case _ => None
+    }
   }
 }

@@ -18,6 +18,31 @@ class CosineExpressionSpec extends SparkSpec {
     r.getDouble(0) shouldBe 1.0 +- 1e-12
   }
 
+  test("graft_hyperplane_buckets from SQL text equals the DataFrame path " +
+      "(plan-time plane reconstruction from integer literals)") {
+    val e = Tables.embeddings(spark, sf0001).limit(20)
+    e.createOrReplaceTempView("hb_embs")
+    // q58's configuration: 8 tables x 4 planes over dim 64, seed 42+t
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_buckets(embedding, 64, 8, 4, 42) AS b " +
+      "FROM hb_embs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val signs = Array.tabulate(8) { t =>
+      new graft.sim.RandomHyperplaneLsh(64, 4, 42L + t)
+        .hyperplanes.map(_.toArray).toArray
+    }
+    val viaDf = e.select(col("vec_id"),
+      org.apache.spark.sql.GraftSqlShim.column(graft.sim.HyperplaneBuckets(
+        org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), signs)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    viaSql shouldBe viaDf
+    viaSql.values.flatten.toSet.size should be > 1 // real bucket spread
+    // non-literal shape arguments are an analysis error, not a silent default
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_hyperplane_buckets(embedding, vec_id, 8, 4, 42) FROM hb_embs"))
+    err.getMessage should include("integer literals")
+  }
+
   test("native expression matches the HOF formulation bit-for-bit on fixture embeddings") {
     val e = Tables.embeddings(spark, sf0001).limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))

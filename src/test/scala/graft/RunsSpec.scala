@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.functions._
+
+import graft.ref.Runs
+import graft.ref.Runs.{Schedule, TaskDef, TaskState}
+
+/** Operational semantics of [[graft.ref.Runs]] — the reference's
+  * schedule/isolation/retry surface (VERDICT r4 "What's missing" #2).
+  */
+class RunsSpec extends SparkSpec {
+
+  private val t0 = Instant.parse("2022-02-07T00:00:00Z") // reference start_date
+
+  // ------------------------------------------------------ schedule
+
+  test("daily catchup=false: only the latest closed period is due") {
+    val now = Instant.parse("2022-02-10T05:00:00Z")
+    // periods 02-07, 02-08, 02-09 have closed; catchup=false → latest only
+    Schedule.daily.duePeriods(t0, None, now, catchup = false) shouldBe
+      Seq(Instant.parse("2022-02-09T00:00:00Z"))
+  }
+
+  test("daily catchup=true: every missed period, oldest first") {
+    val now = Instant.parse("2022-02-10T05:00:00Z")
+    Schedule.daily.duePeriods(t0, None, now, catchup = true) shouldBe Seq(
+      Instant.parse("2022-02-07T00:00:00Z"),
+      Instant.parse("2022-02-08T00:00:00Z"),
+      Instant.parse("2022-02-09T00:00:00Z"))
+  }
+
+  test("a period is not due until its interval closes") {
+    // at 02-07T23:59 the [02-07, 02-08) interval is still open
+    Schedule.daily.duePeriods(t0, None,
+      Instant.parse("2022-02-07T23:59:00Z"), catchup = false) shouldBe empty
+    // ...and due exactly at close
+    Schedule.daily.duePeriods(t0, None,
+      Instant.parse("2022-02-08T00:00:00Z"), catchup = false) shouldBe
+      Seq(t0)
+  }
+
+  test("already-run periods are not re-issued; nothing new -> empty") {
+    val last = Instant.parse("2022-02-09T00:00:00Z")
+    Schedule.daily.duePeriods(t0, Some(last),
+      Instant.parse("2022-02-10T05:00:00Z"), catchup = true) shouldBe empty
+    Schedule.daily.duePeriods(t0, Some(Instant.parse("2022-02-07T00:00:00Z")),
+      Instant.parse("2022-02-10T05:00:00Z"), catchup = true) shouldBe Seq(
+      Instant.parse("2022-02-08T00:00:00Z"),
+      Instant.parse("2022-02-09T00:00:00Z"))
+  }
+
+  test("manual schedule never self-triggers") {
+    Schedule.Manual.duePeriods(t0, None,
+      Instant.parse("2030-01-01T00:00:00Z"), catchup = true) shouldBe empty
+  }
+
+  // ----------------------------------------------- isolation + resume
+
+  test("runs are dir-isolated per period and deterministic per re-entry") {
+    val base = Files.createTempDirectory("runs")
+    val a = Runs.start(base, "publish", t0)
+    val b = Runs.start(base, "publish", t0.plus(Duration.ofDays(1)))
+    a.dir should not be b.dir
+    // re-entering the same period lands in the SAME dir (resume key)
+    Runs.start(base, "publish", t0).dir shouldBe a.dir
+    // distinct DAGs never share a dir even on the same period
+    Runs.start(base, "icpe", t0).dir should not be a.dir
+  }
+
+  test("a rerun after a mid-DAG crash resumes: done tasks skip, rest run") {
+    val base = Files.createTempDirectory("runs")
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def dag(cFails: Boolean) = Seq(
+      TaskDef("a")(ctx => { ran += "a"; Files.write(ctx.scratch("a.out"), "1".getBytes); () }),
+      TaskDef("b", deps = Seq("a"))(_ => { ran += "b"; () }),
+      TaskDef("c", deps = Seq("b"))(_ => {
+        ran += "c"; if (cFails) sys.error("disk full"); ()
+      }),
+      TaskDef("d", deps = Seq("c"))(_ => { ran += "d"; () }))
+
+    val ctx = Runs.start(base, "etl", t0)
+    val r1 = Runs.execute(ctx, dag(cFails = true), sleep = _ => ())
+    r1.succeeded shouldBe false
+    r1.states("c") shouldBe a[TaskState.Failed]
+    r1.states("d") shouldBe TaskState.UpstreamFailed("c")
+    ran.toList shouldBe List("a", "b", "c")
+
+    ran.clear()
+    val r2 = Runs.execute(Runs.start(base, "etl", t0), dag(cFails = false), sleep = _ => ())
+    r2.succeeded shouldBe true
+    r2.states("a") shouldBe TaskState.Resumed
+    r2.states("b") shouldBe TaskState.Resumed
+    ran.toList shouldBe List("c", "d") // a, b not recomputed
+  }
+
+  test("retries rerun the body with the configured backoff, then succeed") {
+    val base = Files.createTempDirectory("runs")
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val flaky = Seq(TaskDef("upload", retries = 2,
+      retryDelay = Duration.ofSeconds(7))(_ => {
+      calls += 1; if (calls < 3) sys.error(s"HTTP 503 (attempt $calls)"); ()
+    }))
+    val r = Runs.execute(Runs.start(base, "etl", t0), flaky,
+      sleep = d => { sleeps += d.toMillis; () })
+    r.states("upload") shouldBe TaskState.Succeeded
+    calls shouldBe 3
+    sleeps.toList shouldBe List(7000L, 7000L)
+  }
+
+  test("retries exhausted -> Failed carries the last error and count") {
+    val base = Files.createTempDirectory("runs")
+    val r = Runs.execute(Runs.start(base, "etl", t0),
+      Seq(TaskDef("upload", retries = 1)(_ => sys.error("HTTP 500"))),
+      sleep = _ => ())
+    r.states("upload") match {
+      case TaskState.Failed(e, attempts) =>
+        e.getMessage shouldBe "HTTP 500"; attempts shouldBe 2
+      case s => fail(s"expected Failed, got $s")
+    }
+  }
+
+  test("independent branches still run when a sibling fails") {
+    val base = Files.createTempDirectory("runs")
+    val dag = Seq(
+      TaskDef("root")(_ => ()),
+      TaskDef("bad", deps = Seq("root"))(_ => sys.error("boom")),
+      TaskDef("good", deps = Seq("root"))(_ => ()))
+    val r = Runs.execute(Runs.start(base, "etl", t0), dag, sleep = _ => ())
+    r.states("good") shouldBe TaskState.Succeeded
+    r.states("bad") shouldBe a[TaskState.Failed]
+  }
+
+  test("cycles and unknown deps are rejected up front") {
+    val base = Files.createTempDirectory("runs")
+    val ctx = Runs.start(base, "etl", t0)
+    an[IllegalArgumentException] should be thrownBy Runs.execute(ctx, Seq(
+      TaskDef("a", deps = Seq("b"))(_ => ()),
+      TaskDef("b", deps = Seq("a"))(_ => ())))
+    an[IllegalArgumentException] should be thrownBy Runs.execute(ctx, Seq(
+      TaskDef("a", deps = Seq("ghost"))(_ => ())))
+  }
+
+  test("cleanup keeps the newest runs per DAG and spares other DAGs") {
+    val base = Files.createTempDirectory("runs")
+    val dirs = (0 until 4).map(i =>
+      Runs.start(base, "publish", t0.plus(Duration.ofDays(i))).dir)
+    val other = Runs.start(base, "icpe", t0).dir
+    val pruned = Runs.cleanup(base, "publish", keepLast = 2)
+    pruned.toSet shouldBe dirs.take(2).toSet
+    dirs.drop(2).foreach(d => Files.isDirectory(d) shouldBe true)
+    Files.isDirectory(other) shouldBe true
+  }
+
+  // ------------------------------- the reference DAG, end to end
+
+  test("publish_open_data as a Runs DAG: isolated dir, relay files, resume") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("runs")
+
+    // fixture standing in for the two Postgres tables
+    val company = Seq(
+      ("100", "{PRODUCER}", "A", "PENDING"),
+      ("200", "{PRODUCER,TRANSPORTER}", "B", "VERIFIED"),
+      ("300", "{WASTEPROCESSOR}", "C", "PENDING"))
+      .toDF("siret", "companyTypes", "nom", "verificationStatus")
+    val anonymous = Seq("200").toDF("siret")
+
+    var uploads = 0
+    val dag = Seq(
+      // init_dir is Runs.start itself (dags/publish-open-data.py:10-18)
+      TaskDef("query_database")(ctx =>
+        company.write.parquet(ctx.scratch("company").toString)),
+      TaskDef("filter_company_data", deps = Seq("query_database"))(ctx =>
+        graft.ref.PublishOpenData.filterCompanies(
+            spark.read.parquet(ctx.scratch("company").toString))
+          .write.parquet(ctx.scratch("company_filtered").toString)),
+      TaskDef("join_non_diffusible", deps = Seq("filter_company_data"))(ctx =>
+        graft.ref.PublishOpenData.joinNonDiffusible(
+            spark.read.parquet(ctx.scratch("company_filtered").toString), anonymous)
+          .write.parquet(ctx.scratch("etablissements_inscrits").toString)),
+      TaskDef("send_to_datagouvfr", deps = Seq("join_non_diffusible"),
+        retries = 2)(ctx => {
+        uploads += 1
+        if (uploads == 1) sys.error("HTTP 503") // transient edge failure
+        graft.ref.Sources.writeCsv(
+          spark.read.parquet(ctx.scratch("etablissements_inscrits").toString),
+          ctx.scratch("etablissements_inscrits.csv").toString, singleFile = true)
+      }))
+
+    val ctx = Runs.start(base, "publish_open_data_etl", t0)
+    val r = Runs.execute(ctx, dag, sleep = _ => ())
+    r.succeeded shouldBe true
+    uploads shouldBe 2 // first attempt 503'd, retry published
+
+    val out = spark.read.option("header", "true")
+      .csv(ctx.scratch("etablissements_inscrits.csv").toString)
+    out.select("siret").as[String].collect().sorted shouldBe Array("100", "200")
+    out.where(col("siret") === "200").select("non_diffusible")
+      .as[String].head() shouldBe "oui"
+
+    // retrigger of the same logical date = full resume, no re-upload
+    val r2 = Runs.execute(Runs.start(base, "publish_open_data_etl", t0), dag)
+    r2.states.values.toSet shouldBe Set(TaskState.Resumed)
+    uploads shouldBe 2
+  }
+}

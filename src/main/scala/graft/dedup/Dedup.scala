@@ -295,6 +295,45 @@ object Dedup {
         (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationStats]] for the regime where the benchmark gram set
+    * is too large to broadcast as an exact join hashmap (a full eval-
+    * harness union can reach billions of grams — at 8 bytes each that
+    * is past `spark.sql.autoBroadcastJoinThreshold` by orders of
+    * magnitude, and the exact path would shuffle the CORPUS gram
+    * explosion by `gh`): a bloom filter over the benchmark grams
+    * (~9.6 bits/gram at the default fpp=1%) pre-filters the corpus
+    * side inside whole-stage codegen, so only true hits plus the ~fpp
+    * sliver enter the shuffle semi-join that makes the result EXACT.
+    * The corpus still shuffles only its contaminated fraction, never
+    * the full gram explosion. Output is identical to
+    * [[contaminationStats]] — the bloom is semantics-free.
+    *
+    * Costs one extra count over the (small-side) bench grams to size
+    * the filter; pass `expectedGrams` to skip it when known. */
+  def contaminationStatsBloom(corpus: DataFrame, bench: DataFrame, n: Int = 13,
+                              fpp: Double = 0.01,
+                              expectedGrams: Long = -1L): DataFrame = {
+    val benchGrams = ngramHashes(bench, n).select("gh").distinct()
+    // two eager passes (count + fit) share one computation via the
+    // persist, released before the lazy verify join (which plans its
+    // own scan) — no cache outlives the call
+    benchGrams.persist()
+    val sized = if (expectedGrams > 0) expectedGrams else benchGrams.count()
+    val bloom = try graft.functions.Bloom.fit(benchGrams, "gh", sized, fpp)
+                finally benchGrams.unpersist()
+    val hits = ngramHashes(corpus, n)
+      .where(graft.functions.Bloom.mightContain(bloom, col("gh")))
+      .join(benchGrams, Seq("gh"), "left_semi") // exact verify: shuffle of survivors only
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_hits"))
+    val tk = TextFunctions.tokens(col("text"))
+    corpus.select(col("doc_id"),
+        greatest(size(tk) - lit(n - 1), lit(0)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Estimated Jaccard of a candidate pair = fraction of agreeing
     * signature positions, over attached `sig_a`/`sig_b` columns.
     * Unrolled element_at/when terms instead of zip_with+aggregate: the

@@ -1120,6 +1120,22 @@ object TextQueries {
       |       md5(array_to_string(tk[idx*10+1 : idx*10+20], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------- bloom-prefiltered decontamination (q102)
+  /** q74's decontamination in the big-benchmark regime
+    * ([[Dedup.contaminationStatsBloom]]): a bloom filter over the
+    * benchmark grams pre-filters the corpus gram explosion inside
+    * codegen before the exact (now shuffle) semi-join verify. Output
+    * is identical to q74 by construction — the oracle IS q74's SQL —
+    * so the driver compare doubles as the proof that the bloom arm is
+    * semantics-free. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val all = docs0(s, d)
+    Dedup.contaminationStatsBloom(
+        all.where(col("doc_id") % 10 =!= 0),
+        all.where(col("doc_id") % 10 === 0), n = 13)
+      .sortedOutWide("doc_id")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1152,5 +1168,6 @@ object TextQueries {
     ("q95_dup_graph_degrees",  q95 _, Some(q95Sql)),
     ("q97_epoch_shuffle",      q97 _, Some(q97Sql)),
     ("q99_weighted_sample",    q99 _, Some(q99Sql)),
-    ("q100_rag_chunks",        q100 _, Some(q100Sql)))
+    ("q100_rag_chunks",        q100 _, Some(q100Sql)),
+    ("q102_bloom_decontaminate", q102 _, Some(q74Sql)))
 }

@@ -36,6 +36,36 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getInt(1), r.getLong(2))) shouldBe Array((5, 2L))
   }
 
+  test("contaminationStatsBloom: identical output to the exact arm on a mixed corpus") {
+    val corpus = docsDF(
+      1L -> "alpha beta gamma delta",
+      2L -> "one two three four",
+      3L -> "x y",
+      4L -> "a b c z a b c")
+    val bench = docsDF(10L -> "alpha beta gamma epsilon", 11L -> "a b c")
+    val exact = Dedup.contaminationStats(corpus, bench, n = 3)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.contaminationStatsBloom(corpus, bench, n = 3)
+      .orderBy("doc_id").collect().toSeq
+    bloom shouldBe exact
+  }
+
+  test("Bloom.fit/mightContain: no false negatives; fpp keeps misses mostly out") {
+    val member = (1L to 500L).toDF("v")
+    val bytes = graft.functions.Bloom.fit(member, "v", expectedItems = 500, fpp = 0.01)
+    val probe = (1L to 2000L).toDF("v")
+      .select(col("v"), graft.functions.Bloom.mightContain(bytes, col("v")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // membership is never missed
+    (1L to 500L).foreach(v => withClue(s"member $v") { probe(v) shouldBe true })
+    // false-positive sliver stays near fpp (generous 5x bound)
+    val fps = (501L to 2000L).count(probe(_))
+    fps should be <= 75
+    // driver-side point check agrees with the column probe
+    val bf = graft.functions.Bloom.read(bytes)
+    bf.mightContainLong(42L) shouldBe true
+  }
+
   test("minhash signatures: identical texts get identical signatures; length k") {
     val df = docsDF(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val sigs = Dedup.minhashSignatures(df, k = 16).orderBy("doc_id").collect()

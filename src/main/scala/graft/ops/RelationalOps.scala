@@ -269,4 +269,42 @@ object RelationalOps {
       .where(col("__side") === 1)
       .select(col("__lp.*"), col("asof"))
   }
+
+  /** Slowly-changing-dimension type-2 history from a change log: one
+    * versioned row per VALUE CHANGE of `attrs` per key, with
+    * `valid_from` / `valid_to` interval bounds (half-open: a row is
+    * effective at `valid_from` and superseded at `valid_to`;
+    * `valid_to IS NULL` = current) and a per-key `version` counter.
+    * Consecutive log entries carrying unchanged attrs collapse into
+    * the earlier row — the dedup that keeps a churn-heavy CDC feed
+    * from exploding the dimension.
+    *
+    * `tieBreak` must complete (`ts` :+ tieBreak) to a total order per
+    * key (the pandas-order caveat at the top of this file): with equal
+    * timestamps and no tiebreak, which entry "wins" an interval
+    * boundary would be partition-order dependent.
+    *
+    * Scale shape: ONE shuffle on `key`; both windows (change-collapse
+    * lag, interval lead + version) declare the same partitioning and
+    * ordering, so Catalyst plans a single Exchange + single Sort and
+    * the second Window runs in place. The change log never joins
+    * anything — history for billions of keys is embarrassingly
+    * key-parallel. */
+  def scd2(changes: DataFrame, key: Seq[String], ts: String,
+           attrs: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+    val attrStruct = struct(attrs.map(col): _*)
+    val collapsed = changes
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= attrStruct)
+      .drop("__prev")
+    collapsed
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((key.map(col) ++ Seq(col("version")) ++ attrs.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
+  }
 }

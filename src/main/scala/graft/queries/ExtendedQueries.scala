@@ -852,6 +852,42 @@ object ExtendedQueries {
        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   }
 
+  // ------------------------------ SCD2 dimension history (q103)
+  /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
+    * each user's `event_type` is the tracked attribute, so the history
+    * is one row per type CHANGE with half-open validity intervals and
+    * an `is_current` flag. `event_id` tiebreaks equal timestamps into
+    * a total order (the fixture duplicates (user_id, ts)); intervals
+    * are exported as epoch millis per the events-ts convention. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    RelationalOps.scd2(
+        // ts enters pre-truncated to epoch millis so BOTH engines
+        // order (and therefore collapse) at the same precision — at
+        // raw µs/ns precision a sub-ms gap could order differently
+        // here than in the oracle's epoch_ms view
+        Tables.events(s, d).select(col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("event_type")),
+        key = Seq("user_id"), ts = "ts_ms", attrs = Seq("event_type"),
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from").as("from_ms"), col("valid_to").as("to_ms"),
+        col("is_current"))
+      .sortedOutWide("user_id", "version")
+
+  private val q103Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s AS (SELECT *, lag(event_type) OVER w AS prev FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |c AS (SELECT * FROM s WHERE prev IS NULL OR prev != event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
+      |  event_type,
+      |  ts_ms AS from_ms,
+      |  lead(ts_ms) OVER w AS to_ms,
+      |  lead(ts_ms) OVER w IS NULL AS is_current
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -882,5 +918,6 @@ object ExtendedQueries {
     ("q85_vector_index_topk", q85 _, Some(q47Sql)),
     ("q91_profile_report",   q91 _, Some(q91Sql)),
     ("q96_stream_left_join_twin", q96 _, Some(q96Sql)),
-    ("q98_zorder_stats",     q98 _, Some(q98Sql)))
+    ("q98_zorder_stats",     q98 _, Some(q98Sql)),
+    ("q103_scd2_history",    q103 _, Some(q103Sql)))
 }

@@ -188,6 +188,49 @@ class RelationalOpsSpec extends SparkSpec {
     out.head.getDouble(2) shouldBe 0.5 +- 1e-12
   }
 
+  test("scd2: collapses no-op changes, half-open intervals, current flag") {
+    val log = Seq(
+      // user 1: A at t=10, duplicate A at t=20 (collapses), B at t=30
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"), (1L, 30L, 102L, "B"),
+      // user 2: flip-flops A->B->A: every entry is a change
+      (2L, 10L, 200L, "A"), (2L, 20L, 201L, "B"), (2L, 30L, 202L, "A"),
+      // user 3: equal-ts tie broken by event_id: B (id 301) wins as latest
+      (3L, 10L, 300L, "A"), (3L, 10L, 301L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = RelationalOps.scd2(log, Seq("user_id"), "ts",
+        Seq("event_type"), tieBreak = Seq("event_id"))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "event_type", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    out.toSeq shouldBe Seq(
+      (1L, 1, "A", 10L, 30L, false), // duplicate A at t=20 collapsed away
+      (1L, 2, "B", 30L, -1L, true),
+      (2L, 1, "A", 10L, 20L, false),
+      (2L, 2, "B", 20L, 30L, false),
+      (2L, 3, "A", 30L, -1L, true),
+      (3L, 1, "A", 10L, 10L, false), // zero-width interval: superseded same instant
+      (3L, 2, "B", 10L, -1L, true))
+  }
+
+  test("scd2: one Exchange total - both windows share partitioning and sort") {
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val log = Seq((1L, 10L, 100L, "A")).toDF("user_id", "ts", "event_id", "event_type")
+    val df = RelationalOps.scd2(log, Seq("user_id"), "ts",
+      Seq("event_type"), tieBreak = Seq("event_id"))
+    df.collect() // finalize the adaptive plan
+    val exchanges = helper.collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    exchanges.length shouldBe 1
+    // and a single sort feeding both windows
+    val sorts = helper.collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    sorts.length shouldBe 1
+  }
+
   test("similarityJoin: gramCap drops ubiquitous grams (skew guard semantics)") {
     // every row shares the 'aaaa' prefix; the frequency count unions
     // BOTH join sides, so in a self-join each row contributes a gram

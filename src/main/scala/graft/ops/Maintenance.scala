@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table maintenance — the janitorial operators every long-lived
   * 100 TB dataset needs and no query surface provides.
@@ -147,6 +148,75 @@ object Maintenance {
     val stats = leaves.map(l => compactParquet(spark, l.toString, targetBytes))
     CompactionStats(stats.map(_.filesBefore).sum, stats.map(_.filesAfter).sum,
       stats.map(_.bytes).sum, stats.map(_.rows).sum)
+  }
+
+  final case class MergeStats(touched: Seq[String], rewritten: Seq[String],
+                              removed: Seq[String], rowsWritten: Long)
+
+  /** Copy-on-write MERGE into a `partitionBy(partCol)` parquet layout:
+    * apply a changelog ([[RelationalOps.mergeUpsert]] semantics —
+    * last-version-wins upserts + deletes) rewriting ONLY the partitions
+    * the changes touch. Untouched partition directories are never read,
+    * never rewritten — their files stay byte-identical (spec-pinned) —
+    * so a 100 TB date-partitioned table absorbs a daily changelog at
+    * the cost of the touched days, not a full rewrite. This is the
+    * table-format-free core of what a Delta/Iceberg MERGE does; without
+    * a transaction log the atomicity unit is the PARTITION (leaf swap
+    * by rename), so a crash mid-merge leaves each touched partition
+    * either fully old or fully new, never mixed. Single writer, like
+    * all maintenance here.
+    *
+    * Preconditions: `partCol` must be functionally dependent on `key`
+    * (a change cannot MOVE a key across partitions — model that as a
+    * 'D' in the old partition plus a 'U' in the new one, which this
+    * handles naturally since both partitions are then touched); null
+    * partition values are rejected.
+    *
+    * The touched-partition list is the one driver-side collect — gated
+    * by `maxTouched` (a changelog touching more partitions than that
+    * is a full rewrite wearing a costume; do that explicitly instead).
+    */
+  def mergePartitioned(spark: SparkSession, dir: String, changes: DataFrame,
+                       partCol: String, key: String,
+                       versionCol: String = "version", opCol: String = "op",
+                       maxTouched: Int = 10000): MergeStats = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touchedVals = changes.select(col(partCol)).distinct()
+      .limit(maxTouched + 1).collect().map(_.get(0)).toSeq
+    require(touchedVals.length <= maxTouched,
+      s"changelog touches > $maxTouched partitions — run a full rewrite instead")
+    require(!touchedVals.contains(null), "null partition values unsupported")
+
+    // pruned scan: native-typed isin keeps partition pruning intact
+    val base = spark.read.parquet(dir).where(col(partCol).isin(touchedVals: _*))
+    val merged = graft.ops.RelationalOps.mergeUpsert(base, changes, key, versionCol, opCol)
+
+    // stage the touched partitions beside the table, then swap leaves
+    val tmp = new Path(dir + ".merge")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    val rows = parquetRowCount(spark, fs, tmp)
+
+    val newLeaves = fs.listStatus(tmp).filter(_.isDirectory).map(_.getPath.getName)
+    newLeaves.foreach { leaf =>
+      val dest = new Path(path, leaf)
+      fs.delete(dest, true)
+      require(fs.rename(new Path(tmp, leaf), dest), s"leaf swap failed for $leaf")
+    }
+    // touched partitions with NO surviving rows produce no staged leaf:
+    // every key was deleted — drop the stale directory
+    val survivingVals = newLeaves.map(n =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.substring(n.indexOf('=') + 1))).toSet
+    val removed = touchedVals.map(_.toString).filterNot(survivingVals.contains)
+      .filter { v =>
+        val leaf = new Path(path, s"$partCol=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+        fs.exists(leaf) && fs.delete(leaf, true)
+      }
+    fs.delete(tmp, true)
+    MergeStats(touchedVals.map(_.toString), newLeaves.toSeq.sorted, removed, rows)
   }
 
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,

@@ -209,6 +209,63 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergePartitioned: COW merge rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cow").resolve("t").toString
+    // partitions p=0..3, three keys each
+    val base = (0L until 12L).map(k => (k, k % 4, s"v$k")).toDF("k", "p", "payload")
+    base.write.partitionBy("p").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$p"))
+      .filter(_.isFile).map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sorted
+
+    val p0Before = leafFiles("p=0")
+    val p3Before = leafFiles("p=3")
+
+    val changes = Seq(
+      (1L, 1L, "v1-new", 1L, "U"),   // update key 1 in p=1
+      (100L, 1L, "v100", 1L, "U"),   // insert new key into p=1
+      (2L, 2L, null, 1L, "D"),       // delete ALL of p=2 (keys 2, 6, 10)
+      (6L, 2L, null, 1L, "D"),
+      (10L, 2L, null, 1L, "D"),
+      (200L, 4L, "v200", 1L, "U"))   // brand-new partition p=4
+      .toDF("k", "p", "payload", "version", "op")
+
+    val stats = graft.ops.Maintenance.mergePartitioned(
+      spark, dir, changes, partCol = "p", key = "k")
+    stats.touched.toSet shouldBe Set("1", "2", "4")
+    stats.rewritten shouldBe Seq("p=1", "p=4")
+    stats.removed shouldBe Seq("2")
+
+    // untouched partitions: files byte-identical (same name, size, mtime)
+    leafFiles("p=0") shouldBe p0Before
+    leafFiles("p=3") shouldBe p3Before
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=2")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir.merge")) shouldBe false
+
+    // read-back equals the full-table merge computed in memory
+    val expect = RelationalOps.mergeUpsert(base, changes, "k", "version", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val got = spark.read.parquet(dir)
+      .select(col("k"), col("p").cast("long"), col("payload"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    got.toSeq shouldBe expect.toSeq
+  }
+
+  test("mergePartitioned: escaped string partition values survive removal matching") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cow2").resolve("t").toString
+    Seq((1L, "a b", "x"), (2L, "c", "y")).toDF("k", "p", "payload")
+      .write.partitionBy("p").parquet(dir)
+    val changes = Seq((1L, "a b", null: String, 1L, "D"))
+      .toDF("k", "p", "payload", "version", "op")
+    val stats = graft.ops.Maintenance.mergePartitioned(
+      spark, dir, changes, partCol = "p", key = "k")
+    stats.removed shouldBe Seq("a b")
+    spark.read.parquet(dir).select("k").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
   private def ev2dir(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
     df.repartition(1).write.option("parquet.block.size", (32 * 1024).toString)
       .parquet(dir)

@@ -1136,6 +1136,36 @@ object TextQueries {
       .sortedOutWide("doc_id")
   }
 
+  // --------------------- BPE tokenizer: fit + encode (q104)
+  /** Real byte-pair-encoding ([[graft.text.Bpe]]): merge table fitted
+    * on the corpus itself (distributed type counts, driver-side merge
+    * loop), then every document encoded by the native expression. The
+    * merge table is engine-side fitted data the oracle can't re-derive,
+    * so the contract columns are what BPE guarantees REGARDLESS of the
+    * learned merges (q89 discipline): per-pretoken concatenation is
+    * lossless, and the token count sits in [n_pretokens, n_chars].
+    * n_pretokens itself is exact cross-engine (q66's regex). */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val merges = graft.text.Bpe.fit(docs, numMerges = 200)
+    val pre = TextFunctions.bpeTokens(col("text"))
+    val toks = graft.text.Bpe.encode(col("text"), merges)
+    docs.select(col("doc_id"), pre.as("__pre"), toks.as("__toks"))
+      .select(col("doc_id"),
+        size(col("__pre")).as("n_pretokens"),
+        (array_join(col("__toks"), "") === array_join(col("__pre"), ""))
+          .as("lossless"),
+        size(col("__toks")).between(size(col("__pre")),
+          length(array_join(col("__pre"), ""))).as("n_tokens_in_bounds"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q104Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_pretokens,
+      | true AS lossless, true AS n_tokens_in_bounds
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1169,5 +1199,6 @@ object TextQueries {
     ("q97_epoch_shuffle",      q97 _, Some(q97Sql)),
     ("q99_weighted_sample",    q99 _, Some(q99Sql)),
     ("q100_rag_chunks",        q100 _, Some(q100Sql)),
-    ("q102_bloom_decontaminate", q102 _, Some(q74Sql)))
+    ("q102_bloom_decontaminate", q102 _, Some(q74Sql)),
+    ("q104_bpe_encode",        q104 _, Some(q104Sql)))
 }

@@ -1,0 +1,190 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding subword tokenizer (Sennrich et al., ACL'16 —
+  * public algorithm): learn a ranked merge table from corpus
+  * statistics, then encode text as subword tokens by applying merges
+  * greedily in rank order. The vocabulary/merge table IS the tokenizer
+  * a training pipeline ships; token counts from it (not whitespace
+  * words) are what a token-budget sampler or shard packer bills
+  * against.
+  *
+  * Scale split, the [[graft.sim.IvfIndex.fit]] discipline: the ONLY
+  * pass over the corpus is the distributed pretoken count (map-side
+  * combined groupBy); merge training then runs driver-side over the
+  * collected word-TYPE table — bounded by `maxWordTypes` of the
+  * heaviest types, not by corpus size (the merge loop is inherently
+  * sequential: each merge depends on the counts left by the previous
+  * one). At 100 TB the type table for the reference pretokenizer is
+  * millions of rows — MBs, not the corpus. Encoding is a per-row
+  * kernel (native expression, per-thread memo keyed by pretoken) —
+  * embarrassingly parallel, no shuffle.
+  *
+  * Deviation from the paper, documented: no end-of-word marker. Merges
+  * act WITHIN pretokens ([[TextFunctions.BpePattern]] runs), and
+  * detokenization is plain concatenation per pretoken — which makes
+  * `concat(tokens) == concat(pretokens)` an exact invariant the DuckDB
+  * oracle can assert without reimplementing BPE.
+  */
+object Bpe {
+
+  private val pattern = java.util.regex.Pattern.compile(TextFunctions.BpePattern)
+
+  /** Driver-side pretokenizer — EXACTLY the column-side
+    * [[TextFunctions.bpeTokens]] (lowercase + same regex), so encode
+    * invariants line up with q66's counts. */
+  def pretokens(text: String): Array[String] = {
+    // Locale.ROOT: Spark's lower() is locale-independent — a Turkish
+    // default locale would otherwise lower 'I' differently here than
+    // in the column-side pretokenizer
+    val m = pattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Classic merge training over a (wordType, count) table: each round
+    * counts adjacent symbol pairs weighted by word count, merges the
+    * most frequent pair everywhere, and records it. Ties break to the
+    * lexicographically smallest pair; training stops early once no
+    * pair occurs twice (merging singletons is noise). Deterministic:
+    * same counts → same merges, independent of input order. */
+  def trainFromCounts(wordCounts: Seq[(String, Long)],
+                      numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordCounts
+      .map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val best = pairCounts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, n)) => acc match {
+          case Some((bp, bn)) if bn > n || (bn == n && pairLe(bp, p)) => acc
+          case _ => Some((p, n))
+        }
+      }
+      best match {
+        case Some((pair, n)) if n >= 2 =>
+          merges += pair
+          words = words.map { case (syms, cnt) => (mergePair(syms, pair), cnt) }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  private def pairLe(a: (String, String), b: (String, String)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  private def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed fit: one corpus pass for pretoken-type counts (the
+    * gated collect — `maxWordTypes` heaviest types, count-desc then
+    * lexicographic so the cutoff is deterministic), then driver-side
+    * [[trainFromCounts]]. */
+  def fit(docs: DataFrame, numMerges: Int, maxWordTypes: Int = 1000000,
+          textCol: String = "text"): Seq[(String, String)] = {
+    val counts = docs
+      .select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(counts, numMerges)
+  }
+
+  /** Greedy rank-order encode of ONE pretoken: start from characters,
+    * repeatedly merge the adjacent pair with the lowest merge rank
+    * until none applies. */
+  def applyMerges(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        syms = mergePair(syms, (syms(bestAt), syms(bestAt + 1)))
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Column API: text → array<string> subword tokens under `merges`. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlShim.column(BpeEncode(GraftSqlShim.expression(text), merges))
+}
+
+/** Native BPE encoder: pretokenize + greedy merge, one JVM kernel per
+  * row. The fitted merge table rides on the expression instance (the
+  * PqEncode codebook precedent — fitted data, not a plan-time literal,
+  * so this stays DataFrame-only by design). A per-THREAD memo caches
+  * encoded pretokens — natural-language corpora follow Zipf's law, so
+  * the hit rate approaches the repeat rate of the running vocabulary
+  * (the [[DeflateRatio]] ThreadLocal precedent; bounded at 64k entries
+  * with clear-on-overflow so a pathological corpus can't pin memory).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_encode expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[mutable.HashMap[String, Array[UTF8String]]](
+      () => mutable.HashMap.empty)
+
+  override def nullSafeEval(input: Any): Any = {
+    val cache = memo.get()
+    if (cache.size > 65536) cache.clear()
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    Bpe.pretokens(input.asInstanceOf[UTF8String].toString).foreach { w =>
+      out ++= cache.getOrElseUpdate(w,
+        Bpe.applyMerges(w, ranks).map(UTF8String.fromString))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => asize}
+
+import graft.text.{Bpe, TextFunctions}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the textbook corpus: hug:10 pug:5 pun:12 bun:4 hugs:5
+  private val textbook = Seq(
+    "hug" -> 10L, "pug" -> 5L, "pun" -> 12L, "bun" -> 4L, "hugs" -> 5L)
+
+  test("trainFromCounts reproduces the classic merge sequence") {
+    // pair counts round 1: (u,g)=20 (p,u)=17 (u,n)=16 (h,u)=15 ...
+    // -> ug; then (u,n)=16 -> un; then (h,ug)=15 -> hug
+    Bpe.trainFromCounts(textbook, numMerges = 3) shouldBe
+      Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+  }
+
+  test("training is deterministic under input order and stops when no pair repeats") {
+    Bpe.trainFromCounts(textbook.reverse, 3) shouldBe
+      Bpe.trainFromCounts(textbook, 3)
+    // all-singleton corpus: best pair count 1 -> no merges learned
+    Bpe.trainFromCounts(Seq("ab" -> 1L, "cd" -> 1L), 10) shouldBe empty
+    // tie on count breaks to the lexicographically smallest pair
+    Bpe.trainFromCounts(Seq("zy" -> 2L, "ab" -> 2L), 1) shouldBe Seq(("a", "b"))
+  }
+
+  test("applyMerges encodes known words under the textbook merges") {
+    val ranks = Seq(("u", "g"), ("u", "n"), ("h", "ug")).zipWithIndex.toMap
+    Bpe.applyMerges("hugs", ranks).toSeq shouldBe Seq("hug", "s")
+    Bpe.applyMerges("bug", ranks).toSeq shouldBe Seq("b", "ug")
+    Bpe.applyMerges("mun", ranks).toSeq shouldBe Seq("m", "un")
+    Bpe.applyMerges("x", ranks).toSeq shouldBe Seq("x")
+    // rank order, not left-to-right: in "hug" the (u,g) merge (rank 0)
+    // must fire before any (h,u) attempt
+    Bpe.applyMerges("hug", ranks).toSeq shouldBe Seq("hug")
+  }
+
+  test("fit counts occurrences distributed, then learns the same merges") {
+    val docs = (textbook.flatMap { case (w, n) => Seq.fill(n.toInt)(w) })
+      .grouped(7).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.fit(docs, numMerges = 3) shouldBe Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+  }
+
+  test("encode column: lossless per-pretoken concatenation, mixed content") {
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val df = Seq(
+      (1L, "hugs pugs!"), (2L, "Bug 42 bug"), (3L, ""), (4L, "pun-hug"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).as("toks"),
+        TextFunctions.bpeTokens(col("text")).as("pre"))
+      .withColumn("lossless",
+        array_join(col("toks"), "") === array_join(col("pre"), ""))
+      .orderBy("doc_id").collect()
+    out.foreach(r => withClue(s"doc ${r.getLong(0)}") {
+      r.getBoolean(3) shouldBe true
+    })
+    out(0).getSeq[String](1) shouldBe Seq("hug", "s", "p", "ug", "s", "!")
+    out(1).getSeq[String](1) shouldBe Seq("b", "ug", "4", "2", "b", "ug") // lowercased
+    out(2).getSeq[String](1) shouldBe empty
+    out(3).getSeq[String](1) shouldBe Seq("p", "un", "-", "hug")
+  }
+
+  test("token count shrinks toward pretokens as merges grow (monotone utility)") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val m50 = Bpe.fit(docs, numMerges = 50)
+    val m200 = Bpe.fit(docs, numMerges = 200)
+    m200.take(50) shouldBe m50 // merge list is prefix-stable
+    def total(merges: Seq[(String, String)]): Long =
+      docs.select(sum(asize(Bpe.encode(col("text"), merges))))
+        .head().getLong(0)
+    val (t50, t200) = (total(m50), total(m200))
+    val pre = docs.select(sum(asize(TextFunctions.bpeTokens(col("text")))))
+      .head().getLong(0)
+    t200 should be <= t50
+    t200 should be >= pre
+  }
+}

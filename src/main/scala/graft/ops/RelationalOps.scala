@@ -270,6 +270,37 @@ object RelationalOps {
       .select(col("__lp.*"), col("asof"))
   }
 
+  /** Incremental aggregate-state merge — the materialized-view-refresh
+    * primitive: a standing per-key state table of ADDITIVE aggregates
+    * (sums/counts via "sum", extrema via "min"/"max"; averages derive
+    * as sum/count) absorbs a new batch's partial state with one
+    * union + re-aggregate. Correctness rests on the combiners being
+    * commutative monoids, so `merge(agg(A), agg(B)) == agg(A ∪ B)`
+    * for ANY batch split — the spec pins that equivalence and q105's
+    * oracle recomputes from scratch.
+    *
+    * Shape at 100 TB: the daily refresh costs one map-side-combined
+    * aggregate over (|state| + |batch|) rows instead of a full-history
+    * recompute; the shuffle key is the state key, so a bucketed state
+    * table makes the refresh exchange-free on its side (the
+    * SignatureIndex discipline). NOT for non-decomposable aggregates
+    * (exact distinct counts, medians) — keep HLL/CPC sketch columns
+    * for those (q55's merge discipline) and combine with "sum"-like
+    * sketch merges instead. */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    measures: Seq[(String, String)]): DataFrame = {
+    require(measures.nonEmpty, "need at least one measure")
+    val aggs = measures.map {
+      case (c, "sum") => sum(col(c)).as(c)
+      case (c, "min") => min(col(c)).as(c)
+      case (c, "max") => max(col(c)).as(c)
+      case (c, how) => throw new IllegalArgumentException(
+        s"measure $c: '$how' is not a mergeable combiner (sum|min|max)")
+    }
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Slowly-changing-dimension type-2 history from a change log: one
     * versioned row per VALUE CHANGE of `attrs` per key, with
     * `valid_from` / `valid_to` interval bounds (half-open: a row is

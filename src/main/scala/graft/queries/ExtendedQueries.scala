@@ -888,6 +888,37 @@ object ExtendedQueries {
       |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // --------------------- incremental aggregate refresh (q105)
+  /** [[RelationalOps.mergeAggState]] as a query: the standing per-
+    * customer order stats (count, exact-decimal revenue, latest order
+    * date) are built from a historical split, then refreshed with the
+    * remaining orders as the "daily batch" — and the merged state must
+    * equal the from-scratch aggregate the oracle computes over the
+    * whole table. Split point chosen mid-fixture so both sides are
+    * non-trivial at every SF. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast(DateType).as("od"), d184(col("o_totalprice")).as("pr"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"), sum(col("pr")).as("revenue"),
+        max(col("od")).as("last_order"))
+    val cut = lit("1995-01-01").cast(DateType)
+    val merged = RelationalOps.mergeAggState(
+      partial(o.where(col("od") < cut)), partial(o.where(col("od") >= cut)),
+      keys = Seq("o_custkey"),
+      measures = Seq(("n_orders", "sum"), ("revenue", "sum"), ("last_order", "max")))
+    merged.select(col("o_custkey"), col("n_orders"),
+        dbl(col("revenue")).as("revenue"), col("last_order"))
+      .sortedOutWide("o_custkey")
+  }
+
+  private val q105Sql =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | max(CAST(o_orderdate AS DATE)) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -919,5 +950,6 @@ object ExtendedQueries {
     ("q91_profile_report",   q91 _, Some(q91Sql)),
     ("q96_stream_left_join_twin", q96 _, Some(q96Sql)),
     ("q98_zorder_stats",     q98 _, Some(q98Sql)),
-    ("q103_scd2_history",    q103 _, Some(q103Sql)))
+    ("q103_scd2_history",    q103 _, Some(q103Sql)),
+    ("q105_incremental_agg", q105 _, Some(q105Sql)))
 }

@@ -188,6 +188,32 @@ class RelationalOpsSpec extends SparkSpec {
     out.head.getDouble(2) shouldBe 0.5 +- 1e-12
   }
 
+  test("mergeAggState: any split, merged in any association, equals from-scratch") {
+    val rows = (1L to 60L).map(i => (i % 7, i, i.toDouble / 3)).toDF("k", "v", "x")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("x").as("mn"), max("x").as("mx"))
+    val measures = Seq(("n", "sum"), ("sv", "sum"), ("mn", "min"), ("mx", "max"))
+    val full = partial(rows).orderBy("k").collect().toSeq
+    // three uneven slices, merged left-assoc and right-assoc
+    val (a, b, c) = (rows.where(col("v") <= 10), rows.where(col("v") > 10 && col("v") <= 45),
+      rows.where(col("v") > 45))
+    val leftAssoc = RelationalOps.mergeAggState(
+      RelationalOps.mergeAggState(partial(a), partial(b), Seq("k"), measures),
+      partial(c), Seq("k"), measures).orderBy("k").collect().toSeq
+    val rightAssoc = RelationalOps.mergeAggState(partial(a),
+      RelationalOps.mergeAggState(partial(b), partial(c), Seq("k"), measures),
+      Seq("k"), measures).orderBy("k").collect().toSeq
+    leftAssoc shouldBe full
+    rightAssoc shouldBe full
+    // a key absent from one side must pass through unchanged
+    val lone = RelationalOps.mergeAggState(partial(rows.where(col("k") === 0)),
+      partial(rows.where(col("k") === 1)), Seq("k"), measures)
+    lone.count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      RelationalOps.mergeAggState(partial(a), partial(b), Seq("k"), Seq(("n", "avg")))
+  }
+
   test("scd2: collapses no-op changes, half-open intervals, current flag") {
     val log = Seq(
       // user 1: A at t=10, duplicate A at t=20 (collapses), B at t=30

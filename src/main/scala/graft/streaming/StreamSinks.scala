@@ -24,6 +24,69 @@ object StreamSinks {
       .exists(marker)
   }
 
+  /** Continuously-maintained aggregate state — the streaming form of
+    * [[graft.ops.RelationalOps.mergeAggState]]: each micro-batch's
+    * partial aggregate is merged into a standing per-key state table,
+    * so the "materialized view" is always one batch behind the stream
+    * instead of one full recompute behind. State versions are written
+    * as `v=<batchId>` directories with the same `_SUCCESS`-marker
+    * protocol as [[idempotentParquet]]: a replayed batch finds its own
+    * committed version and skips (drain-only), a half-written version
+    * has no marker and is overwritten wholesale, and the reader
+    * ([[readAggState]]) only ever sees the latest COMMITTED version —
+    * exactly-once state under foreachBatch's at-least-once calls.
+    * Old versions beyond a safety margin are pruned after each commit.
+    *
+    * `partial` maps the raw micro-batch to state-shaped rows (keys +
+    * measure columns, one row per key) — the same function that
+    * bootstrap-builds the state from history in the batch world, which
+    * is what makes stream and batch MV maintenance share one code
+    * path (q105's operator).
+    */
+  def aggStateSink(dir: String, keys: Seq[String],
+                   measures: Seq[(String, String)],
+                   keepVersions: Int = 2)
+                  (partial: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val spark = df.sparkSession
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = committedVersions(fs, root)
+      if (committed.contains(batchId)) {
+        df.foreach(_ => ()) // replay: drain for upstream state commit, write nothing
+      } else {
+        val delta = partial(df)
+        val merged = committed.filter(_ < batchId).maxOption match {
+          case Some(v) => graft.ops.RelationalOps.mergeAggState(
+            spark.read.parquet(s"$dir/v=$v"), delta, keys, measures)
+          case None => delta
+        }
+        merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$batchId")
+        // retention: keep the newest `keepVersions` (incl. this one) so
+        // a reader that resolved "latest" just before this commit
+        // still finds its files
+        (committed :+ batchId).sorted.dropRight(keepVersions)
+          .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+      }
+    }
+
+  /** Latest committed state written by [[aggStateSink]]. */
+  def readAggState(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, root)
+    require(vs.nonEmpty, s"no committed state under $dir")
+    spark.read.parquet(s"$dir/v=${vs.max}")
+  }
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(new Path(root, s"v=$v/_SUCCESS")))
+
   /** The foreachBatch function: `stream.writeStream.foreachBatch(
     * StreamSinks.idempotentParquet(dir)).start()`. Batch directories
     * compose into one readable parquet table partitioned by `batch`. */

@@ -507,6 +507,48 @@ class EventsStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 99L)
   }
 
+  test("aggStateSink: streaming MV maintenance equals the batch aggregate; replay-safe") {
+    import graft.streaming.StreamSinks
+    val dir = java.nio.file.Files.createTempDirectory("aggstate").toString
+    val keys = Seq("user_id")
+    val measures = Seq(("n", "sum"), ("sum_value", "sum"), ("max_value", "max"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"), max("value").as("max_value"))
+    val sink = StreamSinks.aggStateSink(dir, keys, measures)(partial)
+
+    // end-to-end: three micro-batches through a real stream
+    val mem = MemoryStream[Event]
+    val q = mem.toDS().toDF().writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(ev(1, 0, uid = 1, value = 2.0), ev(2, 1, uid = 2, value = 3.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 2, uid = 1, value = 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 3, uid = 3, value = 1.0), ev(5, 4, uid = 1, value = 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def stateMap() = StreamSinks.readAggState(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val afterStream = stateMap()
+    afterStream shouldBe Map(
+      1L -> ((3L, 7.5, 5.0)), 2L -> ((1L, 3.0, 3.0)), 3L -> ((1L, 1.0, 1.0)))
+
+    // replay of an already-committed batch id must not double-count
+    sink(Seq(ev(1, 0, uid = 1, value = 2.0), ev(2, 1, uid = 2, value = 3.0)).toDF(), 0L)
+    stateMap() shouldBe afterStream
+
+    // a NEW batch keeps merging on top of the latest committed state
+    sink(Seq(ev(6, 5, uid = 2, value = 10.0)).toDF(), 3L)
+    stateMap()(2L) shouldBe ((2L, 13.0, 10.0))
+
+    // retention: only the newest keepVersions=2 state versions remain
+    new java.io.File(dir).list().count(_.startsWith("v=")) shouldBe 2
+  }
+
   test("streamingDedup: duplicated input collapses to distinct event_ids, state watermark-bounded") {
     // stage the fixture TWICE — every event arrives duplicated
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")

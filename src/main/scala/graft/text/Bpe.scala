@@ -110,9 +110,13 @@ object Bpe {
     * lexicographic so the cutoff is deterministic), then driver-side
     * [[trainFromCounts]]. */
   def fit(docs: DataFrame, numMerges: Int, maxWordTypes: Int = 1000000,
-          textCol: String = "text"): Seq[(String, String)] = {
+          textCol: String = "text", maxWordLen: Int = 256): Seq[(String, String)] = {
     val counts = docs
       .select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+      // garbage guard, mirroring the encoder's piece cap: a megabyte
+      // "word" is noise, not vocabulary, and would dominate the
+      // driver-side merge loop's per-round scan
+      .where(length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -157,7 +161,8 @@ object Bpe {
   * (the [[DeflateRatio]] ThreadLocal precedent; bounded at 64k entries
   * with clear-on-overflow so a pathological corpus can't pin memory).
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     maxWordLen: Int = 256)
   extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -179,8 +184,19 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     if (cache.size > 65536) cache.clear()
     val out = mutable.ArrayBuffer.empty[UTF8String]
     Bpe.pretokens(input.asInstanceOf[UTF8String].toString).foreach { w =>
-      out ++= cache.getOrElseUpdate(w,
-        Bpe.applyMerges(w, ranks).map(UTF8String.fromString))
+      // adversarial-length guard: greedy merging is O(len²) per
+      // pretoken, so one megabyte garbage "word" (the AdvFixture
+      // monster-row shape) would stall its executor core for hours.
+      // Over-long pretokens encode in maxWordLen-char pieces — still
+      // lossless under concatenation, and real vocabulary never gets
+      // near the cap (these pieces also bypass the memo: each is
+      // near-unique and would only churn it)
+      if (w.length <= maxWordLen)
+        out ++= cache.getOrElseUpdate(w,
+          Bpe.applyMerges(w, ranks).map(UTF8String.fromString))
+      else
+        w.grouped(maxWordLen).foreach(piece =>
+          out ++= Bpe.applyMerges(piece, ranks).map(UTF8String.fromString))
     }
     new GenericArrayData(out.toArray[Any])
   }

@@ -67,6 +67,22 @@ class BpeSpec extends SparkSpec {
     out(3).getSeq[String](1) shouldBe Seq("p", "un", "-", "hug")
   }
 
+  test("monster pretokens encode in bounded pieces, still lossless") {
+    val merges = Seq(("a", "a"), ("aa", "aa"))
+    val monster = "a" * 100000 // one 100k-char pretoken: O(len^2) unguarded
+    val df = Seq((1L, s"hi $monster bye")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = df.select(Bpe.encode(col("text"), merges).as("toks"),
+        TextFunctions.bpeTokens(col("text")).as("pre"))
+      .select(array_join(col("toks"), "").as("j"),
+        array_join(col("pre"), "").as("p"))
+      .head()
+    (System.nanoTime() - t0) / 1e9 should be < 30.0 // seconds, generous CI margin
+    out.getString(0) shouldBe out.getString(1) // lossless across piece splits
+    // fit ignores garbage word types beyond the length cap
+    Bpe.fit(df, numMerges = 5) shouldBe empty // "hi"/"bye" singletons, monster filtered
+  }
+
   test("token count shrinks toward pretokens as merges grow (monotone utility)") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     val m50 = Bpe.fit(docs, numMerges = 50)

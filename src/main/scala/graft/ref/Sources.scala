@@ -192,13 +192,21 @@ object Sources {
     * footer-level aggregation over the output listing.
     */
   def writeCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
-                  sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L): DataFrame = {
+                  sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L,
+                  format: String = "parquet"): DataFrame = {
+    // parquet is the default interchange layout; "orc" serves estates
+    // standardized on ORC readers — both are columnar with row-group/
+    // stripe min-max statistics, so the sortWithinPartitions clustering
+    // pays off as data skipping identically (StagingSpec pins pruned
+    // read-back for both)
+    require(format == "parquet" || format == "orc",
+      s"corpus format must be parquet or orc, got $format")
     df.sortWithinPartitions(partitionCols.map(col) ++ sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
-    val out = df.sparkSession.read.parquet(path)
+      .format(format).save(path)
+    val out = df.sparkSession.read.format(format).load(path)
       .withColumn("_file", input_file_name())
     out.groupBy(partitionCols.map(col): _*)
       .agg(countDistinct(col("_file")).as("n_files"),

@@ -139,4 +139,29 @@ class StagingSpec extends SparkSpec {
     val scan = back.queryExecution.executedPlan.toString
     scan should include regex "PartitionFilters: \\[.*lang.*\\]"
   }
+
+  test("writeCorpus format=orc: same manifest, partition pruning AND predicate pushdown") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Files.createTempDirectory("corpus-orc").resolve("docs").toString
+    val manifest = graft.ref.Sources
+      .writeCorpus(docs, out, partitionCols = Seq("lang"),
+        sortCols = Seq("doc_id"), maxRecordsPerFile = 20L, format = "orc")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val expected = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    manifest shouldBe expected
+
+    val one = expected.keys.min
+    val back = spark.read.orc(out)
+      .where(col("lang") === one && col("doc_id") < 50)
+    back.count() shouldBe docs
+      .where(col("lang") === one && col("doc_id") < 50).count()
+    val scan = back.queryExecution.executedPlan.toString
+    scan should include regex "PartitionFilters: \\[.*lang.*\\]"
+    // the doc_id predicate reaches the ORC reader (stripe-level skipping)
+    scan should include regex "PushedFilters: \\[.*doc_id.*\\]"
+    an[IllegalArgumentException] should be thrownBy graft.ref.Sources
+      .writeCorpus(docs, out, Seq("lang"), Seq("doc_id"), format = "csv")
+  }
 }

@@ -294,8 +294,12 @@ object RelationalOps {
       case (c, "sum") => sum(col(c)).as(c)
       case (c, "min") => min(col(c)).as(c)
       case (c, "max") => max(col(c)).as(c)
+      // distinct-count state: the column holds an HLL sketch binary
+      // (built with hll_sketch_agg in the `partial`); union IS its
+      // monoid combine, estimate at read time with hll_sketch_estimate
+      case (c, "hll") => hll_union_agg(col(c)).as(c)
       case (c, how) => throw new IllegalArgumentException(
-        s"measure $c: '$how' is not a mergeable combiner (sum|min|max)")
+        s"measure $c: '$how' is not a mergeable combiner (sum|min|max|hll)")
     }
     state.unionByName(delta)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -320,7 +324,13 @@ object RelationalOps {
     * ordering, so Catalyst plans a single Exchange + single Sort and
     * the second Window runs in place. The change log never joins
     * anything — history for billions of keys is embarrassingly
-    * key-parallel. */
+    * key-parallel. The honest skew caveat: ONE key's entire log sorts
+    * in one task (windows admit no salting — the interval chain needs
+    * the key's total order), so a single entity with ~10⁸ changes is
+    * a long-pole task; shard such a log by time range first and stitch
+    * the boundary rows (the [[graft.text.Packing]] two-pass shape), or
+    * collapse no-ops upstream at ingest. [[graft.ops.Diagnostics]]'
+    * skewReport is the detector. */
   def scd2(changes: DataFrame, key: Seq[String], ts: String,
            attrs: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)

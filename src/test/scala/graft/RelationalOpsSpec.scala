@@ -214,6 +214,19 @@ class RelationalOpsSpec extends SparkSpec {
       RelationalOps.mergeAggState(partial(a), partial(b), Seq("k"), Seq(("n", "avg")))
   }
 
+  test("mergeAggState hll combiner: merged sketch estimates the union's distincts") {
+    // users 1..40 seen in overlapping halves: state merge must not
+    // double-count the overlap the way a "sum" of counts would
+    val rows = (1L to 40L).map(u => (1L, u)).toDF("k", "u")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(hll_sketch_agg(col("u")).as("users"))
+    val merged = RelationalOps.mergeAggState(
+      partial(rows.where(col("u") <= 25)), partial(rows.where(col("u") >= 20)),
+      Seq("k"), Seq(("users", "hll")))
+    val est = merged.select(hll_sketch_estimate(col("users"))).head().getLong(0)
+    est shouldBe 40L +- 2L // HLL at default lgk is exact-ish at n=40
+  }
+
   test("scd2: collapses no-op changes, half-open intervals, current flag") {
     val log = Seq(
       // user 1: A at t=10, duplicate A at t=20 (collapses), B at t=30

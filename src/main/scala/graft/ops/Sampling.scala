@@ -109,4 +109,37 @@ object Sampling {
     df.withColumn("__shuffle_hv", hv)
       .withColumn("shard", pmod(col("__shuffle_hv"), lit(nShards.toLong)))
   }
+
+  /** Leakage-safe train/val/test split: the split decision hashes the
+    * GROUP (domain, source document, author…), not the row, so every
+    * row of a group lands in the same split — near-duplicates and
+    * derived chunks that share a group can never straddle the
+    * train/test boundary (the leakage a row-wise split silently
+    * allows; group-held-out splitting is standard eval hygiene).
+    * Deterministic like every sampler here: pure function of
+    * (seed, group), reproducible on any layout, retry, or engine.
+    * Weights are fractions of HASH SPACE, so realized sizes converge
+    * to them in GROUP count (not row count — a giant group drags its
+    * whole mass into one split; that is the point).
+    *
+    * One narrow projection — no shuffle, no join; groups need no
+    * pre-listing. NULL groups get NULL splits (non-null contract as
+    * above). */
+  def groupSplit(df: DataFrame, group: Column, weights: Seq[(String, Double)],
+                 seed: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val hv = Hashing.h60Seeded(seed, group.cast("string"))
+    // cumulative upper bounds in the 2^60 hash space; last bucket
+    // closes at exactly 2^60 so rounding can't orphan the top sliver
+    val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * HashSpace).toLong)
+    val labeled = bounds.dropRight(1).zip(weights.map(_._1)).foldRight(
+      lit(weights.last._1)) { case ((bound, name), rest) =>
+      when(hv < lit(bound), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", when(group.isNull, lit(null: String)).otherwise(labeled))
+  }
 }

@@ -1166,6 +1166,36 @@ object TextQueries {
       | true AS lossless, true AS n_tokens_in_bounds
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------- leakage-safe group-held-out split (q106)
+  /** [[graft.ops.Sampling.groupSplit]]: train/val/test assigned by
+    * hashing the GROUP (here a synthetic domain, doc_id mod 257) so
+    * no group straddles the train/test boundary. Exact oracle — the
+    * split is a pure md5-60 function of (seed, domain), and the SQL
+    * inlines the SAME cumulative hash-space bounds the operator
+    * computes (computed once here, shared by both sides, so double
+    * rounding can't diverge). */
+  private val q106Weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+  private val q106Seed = 11
+  private def q106(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.groupSplit(
+        docs0(s, d).withColumn("domain", col("doc_id") % 257),
+        col("domain"), q106Weights, seed = q106Seed)
+      .select(col("doc_id"), col("domain"), col("split"))
+      .sortedOutWide("doc_id")
+
+  private val q106Sql = {
+    val hv = graft.text.Hashing.duckH60(
+      s"concat('$q106Seed:', CAST(domain AS VARCHAR))")
+    val bounds = q106Weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * (1L << 60).toDouble).toLong)
+    s"""WITH d AS (SELECT doc_id, doc_id % 257 AS domain FROM documents),
+       |h AS (SELECT doc_id, domain, $hv AS hv FROM d)
+       |SELECT doc_id, domain,
+       |  CASE WHEN hv < ${bounds(0)} THEN 'train'
+       |       WHEN hv < ${bounds(1)} THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1200,5 +1230,6 @@ object TextQueries {
     ("q99_weighted_sample",    q99 _, Some(q99Sql)),
     ("q100_rag_chunks",        q100 _, Some(q100Sql)),
     ("q102_bloom_decontaminate", q102 _, Some(q74Sql)),
-    ("q104_bpe_encode",        q104 _, Some(q104Sql)))
+    ("q104_bpe_encode",        q104 _, Some(q104Sql)),
+    ("q106_group_split",       q106 _, Some(q106Sql)))
 }

@@ -86,4 +86,37 @@ class SamplingSpec extends SparkSpec {
       (lightKept.toDouble / lightTotal) should be < (w1.length.toDouble / total)
     }
   }
+
+  test("groupSplit: groups never straddle splits; deterministic; sizes near weights") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("domain", col("doc_id") % 97)
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val split = Sampling.groupSplit(docs, col("domain"), weights, seed = 3)
+
+    // the leakage guard itself: every domain maps to exactly one split
+    split.groupBy("domain").agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") =!= 1).count() shouldBe 0L
+    // reruns are identical
+    split.select("doc_id", "split").collect().toSet shouldBe
+      Sampling.groupSplit(docs, col("domain"), weights, seed = 3)
+        .select("doc_id", "split").collect().toSet
+    // a different seed reshuffles group assignment
+    val other = Sampling.groupSplit(docs, col("domain"), weights, seed = 4)
+    other.select("doc_id", "split").collect().toSet should not be
+      split.select("doc_id", "split").collect().toSet
+    // GROUP-count proportions approach the weights (97 domains, so
+    // just sanity bounds; every split must be non-empty)
+    val byGroup = split.select("domain", "split").distinct()
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGroup.keySet shouldBe Set("train", "val", "test")
+    byGroup("train").toDouble / 97 should be > 0.6
+    // null group -> null split, not an arbitrary bucket
+    val withNull = Sampling.groupSplit(
+      docs.withColumn("domain", when(col("doc_id") === 0, lit(null)).otherwise(col("domain"))),
+      col("domain"), weights, seed = 3)
+    withNull.where(col("doc_id") === 0).select("split").head().isNullAt(0) shouldBe true
+    // invalid weights rejected
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.groupSplit(docs, col("domain"), Seq(("a", 0.5), ("b", 0.2)))
+  }
 }

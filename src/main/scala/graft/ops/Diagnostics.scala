@@ -42,6 +42,117 @@ object Diagnostics {
     * member and is exact here because the profile is the oracle
     * surface — a 100 TB profile swaps it for approx_count_distinct
     * the way q46 documents. */
+  /** One plan-lint finding: `rule` names the anti-pattern, `node` the
+    * offending operator, `detail` what to do about it. */
+  final case class LintFinding(rule: String, node: String, detail: String)
+
+  /** Static plan linter — the scale anti-pattern checks this library
+    * applies to its own queries (PlanShapeSpec), packaged for user
+    * plans: run it in CI against a sample of production queries and
+    * fail on new findings before they ship to the 1000-executor
+    * cluster. Inspects the FINAL adaptive plan, so run it after an
+    * action (or accept the initial plan's estimates).
+    *
+    * Rules:
+    *   - `cartesian`: CartesianProduct / BroadcastNestedLoopJoin — a
+    *     missing join condition multiplies rows at scale.
+    *   - `broadcastable-not-broadcast`: a SortMergeJoin side whose
+    *     optimizer size estimate is under the autoBroadcast threshold —
+    *     a shuffle (twice) where one broadcast would do; usually stale
+    *     stats or a threshold set to -1.
+    *   - `unpushed-filter`: a Filter sitting DIRECTLY on a file scan
+    *     that reports no pushed filters — the predicate is evaluated
+    *     row-by-row after a full read (non-pushable expressions like
+    *     UDF-wrapped columns do this silently).
+    *   - `interpreted-expression`: Project/Filter outside every
+    *     WholeStageCodegen span — evaluates on the slow interpreted
+    *     path (the q78 PQ forest pathology).
+    */
+  def planLint(df: DataFrame): Seq[LintFinding] = {
+    import org.apache.spark.sql.execution._
+    val helper = new adaptive.AdaptiveSparkPlanHelper {}
+    val plan = df.queryExecution.executedPlan
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => raw.toLong }
+    val out = Seq.newBuilder[LintFinding]
+
+    helper.collect(plan) { case j: joins.CartesianProductExec => j }.foreach(j =>
+      out += LintFinding("cartesian", j.nodeName,
+        "join has no usable equi-condition; rows multiply at scale"))
+    helper.collect(plan) { case j: joins.BroadcastNestedLoopJoinExec => j }.foreach(j =>
+      out += LintFinding("cartesian", j.nodeName,
+        "nested-loop join: every streamed row scans the whole broadcast side"))
+
+    if (threshold > 0) helper.collect(plan) {
+      case j: joins.SortMergeJoinExec => j
+    }.foreach { j =>
+      // AQE rewrites the physical sides (query stages lose the link) —
+      // the JOIN's own logical node still carries both children's stats
+      j.logicalLink.toSeq.flatMap(_.children).foreach { side =>
+        val est = side.stats.sizeInBytes
+        if (est <= threshold)
+          out += LintFinding("broadcastable-not-broadcast", j.nodeName,
+            s"join side estimated $est bytes (<= $threshold) yet sort-merges; " +
+              "check stats freshness / broadcast hint")
+      }
+    }
+
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // a Filter "directly on the scan" may be separated by codegen
+    // plumbing (ColumnarToRow, InputAdapter) — strip those wrappers
+    def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Some(s)
+      case c: ColumnarToRowExec => scanBelow(c.child)
+      case i: InputAdapter => scanBelow(i.child)
+      case _ => None
+    }
+    helper.collect(plan) { case f: FilterExec => f }.foreach { f =>
+      scanBelow(f.child).foreach { scan =>
+        // IsNotNull residue is normal (join-key null guards are often
+        // the only thing pushABLE); the smell is a SUBSTANTIVE
+        // predicate with no substantive pushed twin
+        val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+        val pushedSubstantive = pushed.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim).exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
+        val condSubstantive = conjuncts(f.condition).filterNot(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+        if (condSubstantive.nonEmpty && !pushedSubstantive)
+          out += LintFinding("unpushed-filter", scan.nodeName,
+            s"filter [${condSubstantive.head.sql.take(120)}] evaluates after a " +
+              "full read; the predicate shape defeats pushdown")
+      }
+    }
+
+    // interpreted expressions: CodegenFallback expressions survive
+    // INSIDE a WholeStageCodegen span (the generated code calls their
+    // interpreted eval per row), so detection walks expression trees,
+    // not codegen boundaries — the q78 pathology (a fused native
+    // expression with doGenCode is the fix, PqEncode/AdcScore precedent)
+    helper.collect(plan) {
+      case p: ProjectExec => (p: SparkPlan, p.projectList.map(_.toString))
+      case f: FilterExec => (f: SparkPlan, Seq(f.condition.toString))
+    }.foreach { case (node, _) =>
+      val fallbacks = node.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+      })
+      if (fallbacks.nonEmpty)
+        out += LintFinding("interpreted-expression", node.nodeName,
+          s"${fallbacks.map(_.prettyName).distinct.mkString(", ")} evaluate on " +
+            "the interpreted fallback path inside codegen — row-at-a-time " +
+            "virtual calls in the hot loop")
+    }
+    out.result()
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Diagnostics
+
+/** [[Diagnostics.planLint]] — the packaged form of this repo's own
+  * PlanShapeSpec checks, asserted against crafted good and bad plans.
+  */
+class PlanLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lint(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // finalize the adaptive plan before inspecting it
+    Diagnostics.planLint(df)
+  }
+
+  test("clean aggregate over parquet with pushable filter: zero findings") {
+    val df = Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 100)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    lint(df) shouldBe empty
+  }
+
+  test("missing join condition flags cartesian") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val findings = lint(a.crossJoin(b))
+    findings.map(_.rule) should contain("cartesian")
+  }
+
+  test("merge-hinted join of a tiny side flags broadcastable-not-broadcast") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v").hint("merge")
+    val fact = Tables.documents(spark, sf0001)
+      .select((col("doc_id") % 2 + 1).as("k"), col("n_chars"))
+    val findings = lint(fact.join(dim, Seq("k")))
+    findings.map(_.rule) should contain("broadcastable-not-broadcast")
+  }
+
+  test("non-pushable predicate directly on the scan flags unpushed-filter") {
+    val df = Tables.documents(spark, sf0001)
+      .where(graft.text.Hashing.h60(col("text")) < 10L)
+    val findings = lint(df)
+    findings.map(_.rule) should contain("unpushed-filter")
+    // ...while the same scan with a plain comparison does NOT flag
+    lint(Tables.documents(spark, sf0001).where(col("doc_id") < 100))
+      .map(_.rule) should not contain "unpushed-filter"
+  }
+
+  test("CodegenFallback expression in a projection flags interpreted-expression") {
+    val winnow = org.apache.spark.sql.GraftSqlShim.column(
+      graft.text.WinnowFingerprint(
+        org.apache.spark.sql.GraftSqlShim.expression(col("text"))))
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), winnow.as("fp")) // WinnowFingerprint: CodegenFallback
+    val findings = lint(df)
+    findings.map(_.rule) should contain("interpreted-expression")
+    // Md5Hash60 carries real doGenCode — it must NOT flag
+    lint(Tables.documents(spark, sf0001)
+        .select(graft.text.Hashing.h60(col("text")).as("h")))
+      .map(_.rule) should not contain "interpreted-expression"
+  }
+}

@@ -400,6 +400,79 @@ object VectorQueries {
        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total""".stripMargin
   }
 
+  // --------------- semantic dedup via IVF cells, SemDeDup (q107)
+  /** The cell-blocked member of the embedding-dedup family (q88 is the
+    * LSH-blocked twin; Abbas et al.'s SemDeDup is the published shape):
+    * assign every vector to its nearest coarse-quantizer cell (the
+    * q47 zero-exchange literal-centroid projection), generate
+    * candidates ONLY within a cell, exact-cosine verify, connected
+    * components, keep each cluster's min id. Same output contract as
+    * q88 so the two blocking schemes are directly comparable.
+    *
+    * Scale shape: within-cell pairing is O(Σ n_c²) — the published
+    * recipe keeps cells small by fitting k ≈ N/⟨cell⟩ centroids (100k
+    * clusters for web-scale corpora), and a hot cell re-splits with
+    * extra hyperplanes exactly like the q58 two-level refinement; at
+    * the fixture's 16 cells this is the eval scale. Blocked, never
+    * all-pairs: the cell equi-join shuffles by cell only. */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ivf = new graft.sim.IvfIndex(nCells = 16, nProbe = 1)
+    val assigned = ivf.assign(e)
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("emb_b"))
+    val cos = VectorFunctions.cosine(col("emb_a"), col("emb_b"))
+    val pairs = a.join(b, Seq("cell")).where(col("doc_a") < col("doc_b"))
+      .where(!isnan(cos) && cos >= 0.45)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = e.select(col("vec_id").as("doc_id"))
+    val kept = graft.dedup.Dedup.dedupByClusters(docs,
+      graft.dedup.Dedup.nearDupClusters(pairs))
+    kept.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(e.agg(count(lit(1)).as("n_total")))
+  }
+
+  private val q107Sql = {
+    val cos =
+      """(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    def ccos(x: String, y: String) =
+      s"""(list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))))""".stripMargin
+    s"""WITH RECURSIVE centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ccos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |p AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM assign x JOIN assign y USING (cell)
+       |  JOIN embeddings a ON a.vec_id = x.vec_id
+       |  JOIN embeddings b ON b.vec_id = y.vec_id
+       |  WHERE x.vec_id < y.vec_id AND NOT isnan($cos) AND $cos >= 0.45),
+       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+       |labels AS (
+       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM embeddings) - (SELECT count(*) FROM nodes)
+       |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
+       |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total""".stripMargin
+  }
+
   // ------------------------------- hybrid retrieval, RRF fusion (q92)
   /** Hybrid search — the retrieval shape RAG pipelines actually run:
     * a lexical arm (BM25 over `documents`, q63's exact scoring
@@ -668,5 +741,6 @@ object VectorQueries {
     ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)),
     ("q92_hybrid_rrf",        q92 _, Some(q92Sql)),
     ("q94_ann_recall",        q94 _, Some(q94Sql)),
-    ("q101_ann_mrr",          q101 _, Some(q101Sql)))
+    ("q101_ann_mrr",          q101 _, Some(q101Sql)),
+    ("q107_semantic_dedup",   q107 _, Some(q107Sql)))
 }

@@ -70,6 +70,88 @@ object StreamSinks {
       }
     }
 
+  /** Streaming ingestion dedup — append each micro-batch MINUS the
+    * keys already in the standing corpus, exactly once. The crawl-
+    * frontier shape: at 100 TB the standing key set can't join every
+    * arriving batch wholesale, so membership is tiered the
+    * [[graft.dedup.Dedup.contaminationStatsBloom]] way:
+    *
+    *   1. a standing BLOOM over all appended keys filters the batch
+    *      inside codegen — rows failing it are DEFINITELY new and
+    *      skip membership entirely (no false negatives by
+    *      construction, spec-pinned);
+    *   2. only the ~fpp sliver passing the bloom anti-joins the
+    *      standing key table for the exact verdict.
+    *
+    * The bloom is monoid state: the batch's new keys fit a batch
+    * bloom that OR-merges into the standing one (`mergeInPlace`), so
+    * maintenance is a read-modify-write of a fixed-size bitset, never
+    * a refit over history. Output batches land via the
+    * [[idempotentParquet]] layout (replay drains and skips); the bloom
+    * file commits AFTER the batch dir, so a crash between the two
+    * replays the batch into an already-filtering bloom — the exact
+    * verify absorbs the resulting false positives, never drops a new
+    * key. Within-batch duplicates collapse to their first row
+    * (explicit keepFirst on the key, batch order by key for
+    * determinism). */
+  def dedupAppendSink(dir: String, keyCol: String,
+                      expectedKeys: Long = 10000000L,
+                      fpp: Double = 0.01): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val spark = df.sparkSession
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (batchCommitted(df, dir, batchId)) {
+        df.foreach(_ => ()) // replay: drain for upstream state, write nothing
+      } else {
+        require(df.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.LongType, "dedup key must be BIGINT")
+        val key = org.apache.spark.sql.functions.col(keyCol)
+        val bloomPath = new Path(root, "_keys.bloom")
+        val standingBytes: Option[Array[Byte]] =
+          if (!fs.exists(bloomPath)) None
+          else {
+            val in = fs.open(bloomPath)
+            try Some(in.readAllBytes()) finally in.close()
+          }
+
+        val batch = graft.ops.RelationalOps.keepFirst(df, Seq(keyCol), Seq(key.asc))
+        val hasAppends = fs.exists(root) &&
+          fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+        val fresh = (standingBytes, hasAppends) match {
+          case (Some(bytes), true) =>
+            // definitely-new fast path skips membership; the ~fpp
+            // sliver passing the bloom gets the exact anti-join
+            val suspect = batch
+              .where(graft.functions.Bloom.mightContain(bytes, key))
+              .join(spark.read.parquet(dir).select(key), Seq(keyCol), "left_anti")
+            batch.where(!graft.functions.Bloom.mightContain(bytes, key))
+              .unionByName(suspect)
+          case (None, true) => // bloom lost/first upgrade: exact-only path
+            batch.join(spark.read.parquet(dir).select(key), Seq(keyCol), "left_anti")
+          case _ => batch
+        }
+
+        // batch dir first, bloom second (see scaladoc for the crash story)
+        fresh.persist()
+        fresh.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        if (fresh.isEmpty) { fresh.unpersist(); () } // all-repeat batch: bloom unchanged
+        else {
+          // distributed bloom over the appended keys (bitset to the
+          // driver, never the keys), OR-merged into the standing filter
+          val batchBloom = graft.functions.Bloom.read(
+            graft.functions.Bloom.fit(fresh, keyCol, expectedKeys, fpp))
+          fresh.unpersist()
+          val merged = standingBytes match {
+            case Some(bytes) => graft.functions.Bloom.read(bytes).mergeInPlace(batchBloom)
+            case None => batchBloom
+          }
+          val out = fs.create(bloomPath, true)
+          try merged.writeTo(out) finally out.close()
+        }
+      }
+    }
+
   /** Latest committed state written by [[aggStateSink]]. */
   def readAggState(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val root = new Path(dir)

@@ -549,6 +549,49 @@ class EventsStreamSpec extends SparkSpec {
     new java.io.File(dir).list().count(_.startsWith("v=")) shouldBe 2
   }
 
+  test("dedupAppendSink: standing-corpus dedup on ingest, bloom-tiered, replay-safe") {
+    import graft.streaming.StreamSinks
+    val dir = java.nio.file.Files.createTempDirectory("dedup-append").toString
+    val sink = StreamSinks.dedupAppendSink(dir, "event_id", expectedKeys = 10000L)
+
+    val mem = MemoryStream[Event]
+    val q = mem.toDS().toDF().writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      // batch 0: ids 1,2 (2 duplicated within the batch -> keepFirst)
+      mem.addData(ev(1, 0, value = 1.0), ev(2, 1, value = 2.0), ev(2, 2, value = 99.0))
+      q.processAllAvailable()
+      // batch 1: id 2 again (already standing) + new 3
+      mem.addData(ev(2, 3, value = 50.0), ev(3, 4, value = 3.0))
+      q.processAllAvailable()
+      // batch 2: all repeats -> appends nothing
+      mem.addData(ev(1, 5), ev(3, 6))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def appended() = spark.read.parquet(dir)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterStream = appended()
+    // each key exactly once, FIRST occurrence's payload kept
+    afterStream shouldBe Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    new java.io.File(dir, "_keys.bloom").exists() shouldBe true
+
+    // replay of a committed batch id: no duplicate appends
+    sink(Seq(ev(1, 0, value = 1.0), ev(2, 1, value = 2.0)).toDF(), 0L)
+    appended() shouldBe afterStream
+
+    // later batch: standing keys rejected, genuinely-new key lands
+    sink(Seq(ev(2, 9, value = 77.0), ev(9, 9, value = 9.0)).toDF(), 7L)
+    appended() shouldBe afterStream + (9L -> 9.0)
+
+    // no false negatives: every standing key must still probe true
+    val bloomBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_keys.bloom"))
+    val bf = graft.functions.Bloom.read(bloomBytes)
+    Seq(1L, 2L, 3L, 9L).foreach(k => bf.mightContainLong(k) shouldBe true)
+  }
+
   test("streamingDedup: duplicated input collapses to distinct event_ids, state watermark-bounded") {
     // stage the fixture TWICE — every event arrives duplicated
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")

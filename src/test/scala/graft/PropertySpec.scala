@@ -207,4 +207,60 @@ class PropertySpec extends SparkSpec {
     }
     check("hyperplane-parity", prop, n = 15)
   }
+
+  test("property: scd2 intervals chain per key and collapse equals naive fold") {
+    val logGen: Gen[List[(Long, Long, Long, String)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 30L)
+      id <- Gen.choose(0L, 1000000L)
+      a <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, id, a)).map(_.distinctBy(r => (r._1, r._2, r._3)))
+    val prop = Prop.forAll(logGen) { rows =>
+      val df = rows.toDF("k", "ts", "id", "attr")
+      val hist = RelationalOps.scd2(df, Seq("k"), "ts", Seq("attr"), Seq("id"))
+        .orderBy("k", "version").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      // reference fold: sort per key, drop consecutive equal attrs
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val collapsed = sorted.foldLeft(List.empty[(Long, String)]) {
+          case (acc, (_, t, _, a)) =>
+            if (acc.headOption.exists(_._2 == a)) acc else (t, a) :: acc
+        }.reverse
+        collapsed.zipWithIndex.map { case ((t, a), i) =>
+          (k, i + 1, a, t, collapsed.lift(i + 1).map(_._1))
+        }
+      }.sortBy(r => (r._1, r._2))
+      hist.toSeq == expect &&
+        // intervals chain: each valid_to equals the next valid_from
+        expect.groupBy(_._1).values.forall { h =>
+          h.zip(h.tail).forall { case (cur, next) => cur._5.contains(next._4) } &&
+            h.last._5.isEmpty
+        }
+    }
+    check("scd2-chain", prop, n = 30)
+  }
+
+  test("property: groupSplit never splits a group and covers every row") {
+    val rowsGen2: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0L, 40L)
+      id <- Gen.choose(0L, 100000L)
+    } yield (g, id))
+    val weightsGen: Gen[Seq[(String, Double)]] =
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, Gen.choose(1, 10)).map { ws =>
+        val total = ws.sum.toDouble
+        ws.zipWithIndex.map { case (w, i) => (s"s$i", w / total) }
+      })
+    val prop = Prop.forAll(rowsGen2, weightsGen, Gen.choose(0, 99)) { (rows, weights, seed) =>
+      val out = graft.ops.Sampling.groupSplit(
+          rows.toDF("g", "id"), col("g"), weights, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      out.length == rows.length &&
+        out.forall(_._3 != null) &&
+        out.groupBy(_._1).values.forall(_.map(_._3).distinct.length == 1) &&
+        out.map(_._3).toSet.subsetOf(weights.map(_._1).toSet)
+    }
+    check("group-split", prop, n = 25)
+  }
 }

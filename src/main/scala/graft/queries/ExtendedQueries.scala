@@ -919,6 +919,50 @@ object ExtendedQueries {
       | max(CAST(o_orderdate AS DATE)) AS last_order
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------- data-quality expectations report (q108)
+  /** [[graft.ops.Expectations]] over the orders feed: the five check
+    * kinds in ONE aggregate pass, reporting (check, metric, threshold,
+    * pass). Deterministic counts/extrema → exact oracle; the
+    * thresholds are chosen so the fixture yields a mixed pass/fail
+    * report (a report that can't fail proves nothing). */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Expectations._
+    report(t(s, d, "orders"), Seq(
+        NonNullRate("o_custkey", 0.99),
+        UniqueKey(Seq("o_orderkey")),
+        RowCountBetween(1L, 100000000L),
+        ValuesIn("o_orderstatus", Seq("F", "O")), // fixture also has P -> fails
+        InRange("o_totalprice", 0.0, 1000.0)))    // fixture exceeds -> fails
+      .withColumnRenamed("check", "check_name")
+      .sortedOutWide("check_name")
+  }
+
+  private val q108Sql =
+    """WITH m AS (SELECT count(*) AS n,
+      |  CAST(count(o_custkey) AS DOUBLE) AS m0,
+      |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS m1,
+      |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+      |        AND o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS DOUBLE) AS m3,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS mn4,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS mx4
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'non_null_rate(o_custkey)' AS check_name,
+      |         m0 / CAST(greatest(n, 1) AS DOUBLE) AS metric,
+      |         '>= 0.99' AS threshold,
+      |         m0 / CAST(greatest(n, 1) AS DOUBLE) >= 0.99 AS pass FROM m
+      |  UNION ALL
+      |  SELECT 'unique_key(o_orderkey)', m1, '= row count', m1 = CAST(n AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'row_count[1,100000000]', CAST(n AS DOUBLE), '[1, 100000000]',
+      |         n >= 1 AND n <= 100000000 FROM m
+      |  UNION ALL
+      |  SELECT 'values_in(o_orderstatus)', m3, '0 violations', m3 = 0 FROM m
+      |  UNION ALL
+      |  SELECT 'in_range(o_totalprice)', mx4, '[0.0, 1000.0]',
+      |         mn4 >= 0.0 AND mx4 <= 1000.0 FROM m)
+      |ORDER BY check_name""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -951,5 +995,6 @@ object ExtendedQueries {
     ("q96_stream_left_join_twin", q96 _, Some(q96Sql)),
     ("q98_zorder_stats",     q98 _, Some(q98Sql)),
     ("q103_scd2_history",    q103 _, Some(q103Sql)),
-    ("q105_incremental_agg", q105 _, Some(q105Sql)))
+    ("q105_incremental_agg", q105 _, Some(q105Sql)),
+    ("q108_expectations",    q108 _, Some(q108Sql)))
 }

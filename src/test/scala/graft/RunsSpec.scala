@@ -155,6 +155,25 @@ class RunsSpec extends SparkSpec {
     Files.isDirectory(other) shouldBe true
   }
 
+  test("expectations gate a task: bad feed fails, fixed feed passes on retry") {
+    import spark.implicits._
+    import graft.ops.Expectations._
+    val base = Files.createTempDirectory("runs")
+    // feed v1 violates the unique-key contract; v2 fixes it
+    var feed = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    val checks = Seq(UniqueKey(Seq("id")), NonNullRate("v", 1.0))
+    val dag = Seq(TaskDef("validate_feed", retries = 1)(_ => {
+      val rep = graft.ops.Expectations.report(feed, checks)
+      if (!graft.ops.Expectations.holds(rep)) {
+        feed = feed.dropDuplicates("id") // "upstream fix" before the retry
+        sys.error("expectations failed: " +
+          rep.where(!col("pass")).select("check").as[String].collect().mkString(","))
+      }
+    }))
+    val r = Runs.execute(Runs.start(base, "gated", t0), dag, sleep = _ => ())
+    r.states("validate_feed") shouldBe TaskState.Succeeded // retry saw the fix
+  }
+
   // ------------------------------- the reference DAG, end to end
 
   test("publish_open_data as a Runs DAG: isolated dir, relay files, resume") {

@@ -153,6 +153,40 @@ object Diagnostics {
     out.result()
   }
 
+  /** Schema drift between two feed versions — the check a pipeline
+    * runs BEFORE a batch touches standing tables (the silent killer:
+    * an upstream export renames or re-types a column and every
+    * downstream merge starts writing nulls). Returns one row per
+    * drifted column: kind ∈ added | removed | type_changed |
+    * nullability_tightened (nullable→required is the breaking
+    * direction; required→nullable is compatible and not flagged).
+    * Pure metadata — no data pass; wire `require(drift.isEmpty)` (or
+    * an allowlist) into the ingest task next to [[Expectations]]. */
+  final case class DriftFinding(column: String, kind: String, detail: String)
+  def schemaDrift(old: org.apache.spark.sql.types.StructType,
+                  next: org.apache.spark.sql.types.StructType): Seq[DriftFinding] = {
+    val o = old.fields.map(f => f.name -> f).toMap
+    val n = next.fields.map(f => f.name -> f).toMap
+    val added = next.fields.filterNot(f => o.contains(f.name)).map(f =>
+      DriftFinding(f.name, "added", f.dataType.simpleString))
+    val removed = old.fields.filterNot(f => n.contains(f.name)).map(f =>
+      DriftFinding(f.name, "removed", f.dataType.simpleString))
+    val changed = old.fields.flatMap { f =>
+      n.get(f.name).toSeq.flatMap { g =>
+        val t = if (f.dataType != g.dataType)
+          Seq(DriftFinding(f.name, "type_changed",
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString}"))
+        else Seq.empty
+        val nl = if (f.nullable && !g.nullable)
+          Seq(DriftFinding(f.name, "nullability_tightened",
+            "nullable -> required: readers written against the old contract break"))
+        else Seq.empty
+        t ++ nl
+      }
+    }
+    (added ++ removed ++ changed).sortBy(f => (f.column, f.kind)).toSeq
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),

@@ -47,6 +47,25 @@ class PlanLintSpec extends SparkSpec {
       .map(_.rule) should not contain "unpushed-filter"
   }
 
+  test("schemaDrift: added/removed/type/nullability changes; compatible widening silent") {
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("price", DoubleType, nullable = true),
+      StructField("note", StringType, nullable = true)))
+    val v2 = StructType(Seq(
+      StructField("id", LongType, nullable = true),      // loosened: compatible
+      StructField("name", StringType, nullable = false), // tightened: breaking
+      StructField("price", StringType, nullable = true), // re-typed
+      StructField("extra", IntegerType, nullable = true))) // new; note removed
+    val drift = Diagnostics.schemaDrift(v1, v2)
+    drift.map(f => (f.column, f.kind)) shouldBe Seq(
+      ("extra", "added"), ("name", "nullability_tightened"),
+      ("note", "removed"), ("price", "type_changed"))
+    Diagnostics.schemaDrift(v1, v1) shouldBe empty
+  }
+
   test("CodegenFallback expression in a projection flags interpreted-expression") {
     val winnow = org.apache.spark.sql.GraftSqlShim.column(
       graft.text.WinnowFingerprint(

@@ -331,6 +331,50 @@ object RelationalOps {
     * the boundary rows (the [[graft.text.Packing]] two-pass shape), or
     * collapse no-ops upstream at ingest. [[graft.ops.Diagnostics]]'
     * skewReport is the detector. */
+  /** Ordered event funnel: per entity, the first occurrence of step 1,
+    * then the first occurrence of step 2 AT-OR-AFTER it, and so on —
+    * the ORDER-sensitive sequence measure an unconditional per-step
+    * min cannot express (a purchase before any view must not count).
+    * Output: one row per entity having at least one step event, with
+    * `t_<step>` (order key of the first qualifying occurrence, null
+    * once the chain breaks) and `step_reached` (0..n).
+    *
+    * Scale shape: ONE shuffle keyed by the entity; the per-entity
+    * event list is collected once — only rows whose type is a funnel
+    * step survive the scan filter, so the array is bounded by the
+    * entity's STEP events, not its full stream — and each step is an
+    * array filter+min over it: no self-joins, no windows, and the
+    * chained mins are purely numeric, so the result is independent of
+    * collection order. Ties at the same order-key value satisfy `>=`
+    * (simultaneous view+click counts as a progression on both engines
+    * at the chosen granularity). */
+  def funnelSteps(events: DataFrame, entity: Column, orderKey: Column,
+                  stepType: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, s"bad steps: $steps")
+    def firstAtOrAfter(evs: Column, typ: String, lower: Option[Column]): Column =
+      array_min(transform(
+        filter(evs, ev => lower.foldLeft(ev.getField("typ") === typ) {
+          (cond, lo) => cond && ev.getField("k") >= lo
+        }),
+        ev => ev.getField("k")))
+    val base = events
+      .where(stepType.isin(steps.map(x => x: Any): _*))
+      .select(entity.as("entity"), orderKey.as("k"), stepType.as("typ"))
+      .groupBy("entity")
+      .agg(collect_list(struct(col("k"), col("typ"))).as("__evs"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      df.withColumn(s"t_$st", firstAtOrAfter(col("__evs"), st,
+        if (i == 0) None else Some(col(s"t_${steps(i - 1)}"))))
+    }
+    // fold in step order so the LAST step's test lands outermost:
+    // when(t_last, n).otherwise(when(t_prev, n-1).otherwise(…))
+    val reached = steps.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (st, i)) =>
+        when(col(s"t_$st").isNotNull, i + 1).otherwise(acc)
+      }
+    withSteps.drop("__evs").withColumn("step_reached", reached)
+  }
+
   def scd2(changes: DataFrame, key: Seq[String], ts: String,
            attrs: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)

@@ -963,6 +963,107 @@ object ExtendedQueries {
       |         mn4 >= 0.0 AND mx4 <= 1000.0 FROM m)
       |ORDER BY check_name""".stripMargin
 
+  // ------------------------ weekly cohort retention (q109)
+  /** Classic cohort-retention analysis: users grouped by first-active
+    * week, counted in every later week they return — the
+    * engagement-over-time read every event pipeline reports. ONE
+    * shuffle keyed by user builds the per-user active-week SET
+    * (bounded by the corpus' week span — 5 here, ~52/year at 100 TB —
+    * never the raw event list), and the exploded (cohort, offset)
+    * count is map-side combinable. The week index is
+    * floor(epoch/604800): pure integer-range arithmetic with no
+    * calendar semantics to diverge across engines, and a sub-second
+    * fraction can never roll a value across a week boundary (the
+    * boundary is a whole-second multiple). */
+  private def q109(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        floor(col("ts").cast("long") / lit(604800.0)).cast("long").as("wk"))
+      .groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .sortedOut("cohort_wk", "week_offset")
+
+  private val q109Sql =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |              CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events),
+      | c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+      |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset, count(*) AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------- ordered three-step funnel (q110)
+  /** Ordered funnel (view → click → purchase): per user, the first
+    * view, the first click at-or-after it, and the first purchase
+    * at-or-after that click — the ORDER-sensitive sequence measure a
+    * per-step unconditional min cannot express (a purchase before any
+    * view must not count). ONE shuffle: the per-user funnel events are
+    * collected once (only the three step types survive the scan
+    * filter) and each step is an array filter+min over that list — no
+    * self-joins, no windows, and the chained mins are purely numeric,
+    * so the result is independent of collection order. Seconds
+    * granularity on both engines (ties compare >=). */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    RelationalOps.funnelSteps(Tables.events(s, d),
+        entity = col("user_id"), orderKey = col("ts").cast("long"),
+        stepType = col("event_type"), steps = Seq("view", "click", "purchase"))
+      .withColumnRenamed("entity", "user_id")
+      .sortedOutWide("user_id")
+
+  private val q110Sql =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      | u AS (SELECT DISTINCT user_id FROM e),
+      | v AS (SELECT user_id, min(tsec) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      | c AS (SELECT e.user_id, min(tsec) AS t_click FROM e JOIN v USING (user_id)
+      |       WHERE event_type = 'click' AND tsec >= t_view GROUP BY 1),
+      | p AS (SELECT e.user_id, min(tsec) AS t_purchase FROM e JOIN c USING (user_id)
+      |       WHERE event_type = 'purchase' AND tsec >= t_click GROUP BY 1)
+      |SELECT u.user_id, t_view, t_click, t_purchase,
+      | CASE WHEN t_purchase IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2
+      |      WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS step_reached
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------- half-life decayed engagement (q111)
+  /** Recency-weighted engagement score per user (the freshness prior a
+    * training mix applies to interaction data): each event in the last
+    * 16 days contributes floor(100·value) · 2^(15 − age_days), a
+    * one-day half-life expressed ENTIRELY in integer arithmetic — the
+    * decay is a left shift, so the sum is exact, order-independent,
+    * and engine-identical (no float accumulation to diverge under
+    * repartitioning). The reference day is the corpus max: ONE scalar
+    * aggregate broadcast back over the scan (the BM25 stats pattern),
+    * not a driver-side constant. Bound: 100·value < 2^16, shift ≤ 15,
+    * so even 2^30 events per user cannot overflow the long. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"),
+      floor(col("ts").cast("long") / lit(86400.0)).cast("long").as("day"),
+      col("value"))
+    val ref = e.agg(max(col("day")).as("ref_day"))
+    e.crossJoin(broadcast(ref))
+      .where(col("ref_day") - col("day") <= 15)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100).cast("long") *
+        call_function("shiftleft", lit(1L),
+          (lit(15) - (col("ref_day") - col("day"))).cast("int"))).as("score"))
+      .sortedOutWide("user_id")
+  }
+
+  private val q111Sql =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, value
+      |           FROM events),
+      | r AS (SELECT max(day) AS ref_day FROM e)
+      |SELECT user_id,
+      | CAST(sum(CAST(floor(value * 100) AS BIGINT)
+      |          * (CAST(1 AS BIGINT) << CAST(15 - (ref_day - day) AS INTEGER))) AS BIGINT) AS score
+      |FROM e CROSS JOIN r
+      |WHERE ref_day - day <= 15
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -996,5 +1097,8 @@ object ExtendedQueries {
     ("q98_zorder_stats",     q98 _, Some(q98Sql)),
     ("q103_scd2_history",    q103 _, Some(q103Sql)),
     ("q105_incremental_agg", q105 _, Some(q105Sql)),
-    ("q108_expectations",    q108 _, Some(q108Sql)))
+    ("q108_expectations",    q108 _, Some(q108Sql)),
+    ("q109_cohort_retention", q109 _, Some(q109Sql)),
+    ("q110_funnel_steps",    q110 _, Some(q110Sql)),
+    ("q111_decayed_engagement", q111 _, Some(q111Sql)))
 }

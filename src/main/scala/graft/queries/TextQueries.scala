@@ -1196,6 +1196,47 @@ object TextQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ------------- linear quality-classifier gate (q112)
+  /** Model-based quality filter — the fastText-style classifier gate
+    * that follows the heuristic filters in a curation pipeline. Per-doc
+    * linear margin over the q25 feature set with PINNED weights (an
+    * output of [[graft.ops.LinearModel.fitLogistic]] on a labeled
+    * sample — see LinearModelSpec — rounded to exact binary fractions
+    * so both engines parse identical doubles); decision = margin > 0.
+    * The margin is the LINEAR score, not the sigmoid: per-row IEEE
+    * double arithmetic over an identical left-associated expression
+    * tree is bit-reproducible cross-engine, while exp() is
+    * libm-dependent — the sigmoid stays in the fit. Scale: a pure
+    * narrow projection; the model rides the plan as literals. */
+  private val q112W = Seq(-1.25, 2.0, 0.25, -3.5)
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    docs0(s, d).select(
+        col("doc_id"),
+        (nTok.cast(DoubleType) / lit(256.0)).as("x_tokens"),
+        (TextFunctions.nonSpaceChars(col("text")) / nTok).as("x_avg_len"),
+        (stopHits / nTok).as("x_stop"))
+      .select(col("doc_id"),
+        graft.ops.LinearModel.margin(q112W,
+          Seq(col("x_tokens"), col("x_avg_len"), col("x_stop"))).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") > 0).as("keep"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q112Sql =
+    """SELECT doc_id, score, score > 0 AS keep FROM (
+      |  SELECT doc_id,
+      |    -1.25 + 2.0 * (CAST(len(toks) AS DOUBLE) / 256.0)
+      |          + 0.25 * (length(regexp_replace(text, '\s', '', 'g')) / len(toks))
+      |          + -3.5 * (len(list_filter(toks,
+      |                      t -> t IN ('the','a','of','and','to','in','is'))) / len(toks))
+      |      AS score
+      |  FROM (SELECT *, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1231,5 +1272,6 @@ object TextQueries {
     ("q100_rag_chunks",        q100 _, Some(q100Sql)),
     ("q102_bloom_decontaminate", q102 _, Some(q74Sql)),
     ("q104_bpe_encode",        q104 _, Some(q104Sql)),
-    ("q106_group_split",       q106 _, Some(q106Sql)))
+    ("q106_group_split",       q106 _, Some(q106Sql)),
+    ("q112_quality_classifier", q112 _, Some(q112Sql)))
 }

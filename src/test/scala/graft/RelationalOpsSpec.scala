@@ -283,4 +283,37 @@ class RelationalOpsSpec extends SparkSpec {
     // j = 4/(5+5-4) = 2/3; zzzz shares nothing surviving
     out.map(x => (x.getLong(0), x.getLong(1))).toSeq shouldBe Seq((1L, 2L))
   }
+
+  test("funnelSteps: order-sensitivity, ties, broken chains, layout independence") {
+    val evs = Seq(
+      // u1: clean view(10) -> click(20) -> purchase(30)
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE any view must not count; no purchase after
+      (2L, 5L, "purchase"), (2L, 10L, "view"), (2L, 20L, "click"),
+      // u3: click before view doesn't count, later click does; tie
+      //     purchase at the same key as the click counts (>=)
+      (3L, 8L, "click"), (3L, 10L, "view"), (3L, 15L, "click"),
+      (3L, 15L, "purchase"),
+      // u4: steps out of order entirely -> only the view counts
+      (4L, 30L, "view"), (4L, 10L, "click"), (4L, 5L, "purchase"),
+      // u5: no view at all -> step 0, but the row is present
+      (5L, 10L, "click"), (5L, 20L, "purchase"),
+      // u6: non-step events only -> filtered out, NO row
+      (6L, 10L, "signup")
+    ).toDF("u", "k", "typ")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      RelationalOps.funnelSteps(df, col("u"), col("k"), col("typ"),
+          Seq("view", "click", "purchase"))
+        .collect().map(r => (r.getLong(0),
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))),
+          r.getInt(4))).sortBy(_._1).toSeq
+    val out = run(evs)
+    out shouldBe Seq(
+      (1L, (Some(10L), Some(20L), Some(30L)), 3),
+      (2L, (Some(10L), Some(20L), None), 2),
+      (3L, (Some(10L), Some(15L), Some(15L)), 3),
+      (4L, (Some(30L), None, None), 1),
+      (5L, (None, None, None), 0))
+    run(evs.repartition(7).sortWithinPartitions(desc("k"))) shouldBe out
+  }
 }

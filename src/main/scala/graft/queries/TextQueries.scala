@@ -531,13 +531,10 @@ object TextQueries {
       count(when(col("tf0") > 0, 1)).as("df0"),
       count(when(col("tf1") > 0, 1)).as("df1"),
       count(when(col("tf2") > 0, 1)).as("df2"))
-    // one BM25 term: idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl));
-    // dl*N stays exact integer math, single double division by Σlen
+    // one BM25 term — the shared tree (TextFunctions.bm25Part) q113's
+    // standing-index probe must reproduce bit-for-bit
     def part(tfc: Column, dfc: Column): Column =
-      log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
-        tfc * lit(2.2) /
-        (tfc + lit(1.2) * (lit(0.25) +
-          lit(0.75) * (col("dl") * col("n_docs")) / col("sum_len").cast("double")))
+      TextFunctions.bm25Part(tfc, dfc, col("dl"), col("n_docs"), col("sum_len"))
     val score = part(col("tf0"), col("df0")) +
       part(col("tf1"), col("df1")) + part(col("tf2"), col("df2"))
     tf.crossJoin(broadcast(stats))
@@ -1237,6 +1234,29 @@ object TextQueries {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ------------- standing inverted-index BM25 probe (q113)
+  /** q63's ranking served from the STANDING [[graft.text.TextIndex]]:
+    * posting lists bucketed by term (probe = bucket-pruned scan of the
+    * query's |terms| buckets, never the corpus), df/corpus stats as
+    * merge-on-read partials. Same oracle SQL as q63 — the proof the
+    * index is a serving-layout change, not a semantics change (the
+    * probe reuses q63's exact score tree over identical column types).
+    * Build-once-per-(session, sf), like q86: the serving contract is
+    * "maintained once, probed per query", so the timed surface is the
+    * probe. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val name = "q113_textidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val spec = graft.text.TextIndex.Spec(buckets = 64)
+    // all three tables must exist — a write that died mid-way must be
+    // retried, not skipped forever (q86 discipline)
+    if (!Seq("_postings", "_termstats", "_stats")
+          .forall(sfx => s.catalog.tableExists(name + sfx)))
+      graft.text.TextIndex.write(docs0(s, d), name, spec)
+    graft.text.TextIndex.probe(s, name, Seq("join", "stream", "vector"), k = 20)
+      .withColumnsRenamed(Map("tf0" -> "tf_join", "tf1" -> "tf_stream",
+        "tf2" -> "tf_vector"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1273,5 +1293,6 @@ object TextQueries {
     ("q102_bloom_decontaminate", q102 _, Some(q74Sql)),
     ("q104_bpe_encode",        q104 _, Some(q104Sql)),
     ("q106_group_split",       q106 _, Some(q106Sql)),
-    ("q112_quality_classifier", q112 _, Some(q112Sql)))
+    ("q112_quality_classifier", q112 _, Some(q112Sql)),
+    ("q113_text_index_topk",   q113 _, Some(q63Sql)))
 }

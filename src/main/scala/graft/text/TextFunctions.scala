@@ -43,6 +43,21 @@ object TextFunctions {
   def nonSpaceChars(text: Column): Column =
     length(regexp_replace(text, "\\s", ""))
 
+  /** One BM25 term's contribution (Robertson idf, k1 = 1.2, b = 0.75):
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with dl·N kept
+    * in exact integer math and a single double division by Σlen. This
+    * is THE tree — q63 (direct scan) and [[TextIndex.probe]] (standing
+    * index) both call it over identical column types, which is what
+    * makes the index's ranking reproduce the scan's bit-for-bit
+    * (ln() is 1-ulp engine-stable; equal inputs in the same JVM are
+    * exactly equal). */
+  def bm25Part(tf: Column, df: Column, dl: Column,
+               nDocs: Column, sumLen: Column): Column =
+    log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+      tf * lit(2.2) /
+      (tf + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (dl * nDocs) / sumLen.cast(DoubleType)))
+
   /** Language-ID marker lists: a tiny n-gram/function-word heuristic.
     * Marker sets are disjoint token lists; prediction is argmax of hit
     * counts with a fixed tie-break order (en > es > de). On real corpora

@@ -1,0 +1,206 @@
+package graft.text
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A STANDING inverted index for BM25 retrieval — the serving shape of
+  * q63's direct corpus scan, and the text twin of
+  * [[graft.dedup.SignatureIndex]] / [[graft.sim.VectorIndex]].
+  *
+  * q63 recomputes tf/df/doclen from raw text on every query: fine for
+  * one ad-hoc ranking, wrong for a standing corpus serving many
+  * queries. This object materializes three tables:
+  *
+  *   - `{name}_postings` (term, doc_id, dl, tf), bucketed by `term` —
+  *     the posting lists. A probe filters `term IN (query terms)`, so
+  *     the bucketed layout turns the scan into BUCKET PRUNING: the
+  *     probe reads at most |query| of the N buckets, cost proportional
+  *     to the QUERY's posting lists, never the corpus
+  *     (TextIndexSpec pins SelectedBucketsCount).
+  *   - `{name}_termstats` (term, df_delta) — document-frequency
+  *     PARTIALS, one batch of rows per build/append; a probe sums the
+  *     deltas for its terms. Appending never reads standing data: df
+  *     is a monoid, like the corpus stats.
+  *   - `{name}_stats` (n_docs_delta, sum_len_delta) — corpus-size
+  *     partials with the same merge-on-read contract.
+  *
+  * Scoring reuses the EXACT q63 expression tree
+  * ([[TextFunctions.bm25Part]]), over identical column types, so a
+  * probe of a freshly built index reproduces q63's ranking
+  * bit-for-bit; q113's oracle is q63's SQL, verbatim — the proof that
+  * the index is a pure serving-layout change, not a semantics change.
+  *
+  * At 100 TB: build is one explode + one shuffle into the bucket
+  * layout; appends are bucketed appends (no standing-data rewrite);
+  * probes read |query| buckets + two tiny stat tables and shuffle
+  * only the matching postings into the per-doc aggregate. [[compact]]
+  * folds append debris (small posting files, accumulated stat
+  * partials) without changing the probe plan.
+  */
+object TextIndex {
+
+  /** Physical bucket count; writers and probes must agree. */
+  case class Spec(buckets: Int = 64)
+
+  private def postingsName(name: String) = s"${name}_postings"
+  private def termstatsName(name: String) = s"${name}_termstats"
+  private def statsName(name: String) = s"${name}_stats"
+
+  /** Same stale-location handling as SignatureIndex.dropStale (the
+    * catalog is in-memory, managed dirs are not). */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    val known: Option[(Path, Boolean)] =
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        Some((new Path(meta.location),
+          meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+      } else None
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    known match {
+      case Some((_, true)) => // EXTERNAL: not ours to delete
+      case Some((loc, false)) =>
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case None =>
+        val dbUri = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+        val loc = new Path(new Path(dbUri), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
+  /** Materialize (or replace) the index from (doc_id, text) rows. */
+  def write(docs: DataFrame, name: String, spec: Spec = Spec(),
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = docs.sparkSession
+    if (mode == SaveMode.Overwrite)
+      Seq(postingsName(name), termstatsName(name), statsName(name))
+        .foreach(dropStale(spark, _))
+    val toks = TextFunctions.tokens(col("text"))
+    val postings = docs
+      .select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .persist() // feeds the bucketed write AND the df partials
+    postings.write.mode(mode)
+      .bucketBy(spec.buckets, "term").sortBy("term")
+      .saveAsTable(postingsName(name))
+    // df partial: postings rows per term = docs containing the term
+    // IN THIS BATCH (one (term, doc) row each) — a pure delta
+    postings.groupBy("term").agg(count(lit(1)).cast("long").as("df_delta"))
+      .write.mode(mode).saveAsTable(termstatsName(name))
+    // corpus-size partial over ALL batch docs (dl >= 1 always: an
+    // empty text still tokenizes to [''], exactly as q63 counts it)
+    docs.select(TextFunctions.tokenCount(col("text")).as("__dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs_delta"),
+        sum(col("__dl")).cast("long").as("sum_len_delta"))
+      .write.mode(mode).saveAsTable(statsName(name))
+    postings.unpersist()
+  }
+
+  /** Add a batch of documents — bucketed append + stat deltas; the
+    * standing posting lists are never rewritten or re-read. */
+  def append(docs: DataFrame, name: String, spec: Spec = Spec()): Unit =
+    write(docs, name, spec, SaveMode.Append)
+
+  /** BM25 top-k for a fixed term list, served FROM the index: reads
+    * |terms| buckets of postings + the two stat tables (each folded to
+    * one broadcast row), aggregates per doc, TakeOrderedAndProject.
+    * Output schema and ranking match q63 exactly (score is computed
+    * and dropped; ties break by doc_id). Docs containing none of the
+    * terms never enter the probe — with k below the positive-score
+    * count (the realistic retrieval regime) the ranking is identical
+    * to the full-scan form. */
+  def probe(spark: SparkSession, name: String, terms: Seq[String],
+            k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, s"bad terms: $terms")
+    // The planner auto-disables bucketed scans when no join/agg needs
+    // the bucket partitioning (our aggregate is per doc, not per term)
+    // — and file-level BUCKET PRUNING only applies on a bucketed scan.
+    // Without it the probe degrades to reading every posting file and
+    // relying on row-group stats. Session-scoped and intentionally
+    // left set (consulted at physical planning, so restoring here
+    // would break the lazy plan this returns — the Tables.events
+    // discipline); the only behavior change elsewhere is that scans
+    // of OTHER bucketed tables stay bucketed, i.e. pre-3.1 semantics,
+    // and every other bucketed read in this engine feeds a join or
+    // agg ON its bucket columns, where the planner keeps the bucketed
+    // scan anyway.
+    if (spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "true") != "false")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val posts = spark.table(postingsName(name))
+      .where(col("term").isin(terms.map(x => x: Any): _*))
+    val perDoc = posts.groupBy(col("doc_id"), col("dl"))
+      .agg(
+        sum(when(col("term") === terms.head, col("tf")).otherwise(0))
+          .cast("int").as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0))
+            .cast("int").as(s"tf${i + 1}")
+        }: _*)
+    val dfRow = spark.table(termstatsName(name))
+      .agg(
+        sum(when(col("term") === terms.head, col("df_delta")).otherwise(0L))
+          .as("df0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("df_delta")).otherwise(0L))
+            .as(s"df${i + 1}")
+        }: _*)
+    val stats = spark.table(statsName(name))
+      .agg(sum(col("n_docs_delta")).as("n_docs"),
+        sum(col("sum_len_delta")).as("sum_len"))
+    val score = terms.indices
+      .map(i => TextFunctions.bm25Part(col(s"tf$i"), col(s"df$i"),
+        col("dl"), col("n_docs"), col("sum_len")))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(dfRow.crossJoin(stats)))
+      .withColumn("__score", score)
+      .orderBy(col("__score").desc, col("doc_id"))
+      .limit(k)
+      .select((col("doc_id") +: col("dl").as("n_tokens") +:
+        terms.indices.map(i => col(s"tf$i"))): _*)
+  }
+
+  /** Lifecycle: every append adds posting files per touched bucket and
+    * one more stat-partial row set. Rewrite postings with the SAME
+    * bucketing (one file per bucket, same plan shape — the
+    * SignatureIndex.compact discipline: read the FILES, not the
+    * bucketed table, so the repartition is not elided) and FOLD the
+    * stat partials to one row (per term / overall) — merge-on-read
+    * stays correct at any time; compact just bounds what "read" costs. */
+  def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
+    def swapIn(tmp: String, table: String): Unit = {
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+    val pt = postingsName(name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(pt))
+    val tmpP = s"${pt}_compact"
+    dropStale(spark, tmpP)
+    spark.read.schema(spark.table(pt).schema).parquet(meta.location.toString)
+      .repartition(spec.buckets, col("term"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.buckets, "term").sortBy("term")
+      .saveAsTable(tmpP)
+    swapIn(tmpP, pt)
+    val tmpT = s"${termstatsName(name)}_compact"
+    dropStale(spark, tmpT)
+    spark.table(termstatsName(name))
+      .groupBy("term").agg(sum(col("df_delta")).as("df_delta"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(tmpT)
+    swapIn(tmpT, termstatsName(name))
+    val tmpS = s"${statsName(name)}_compact"
+    dropStale(spark, tmpS)
+    spark.table(statsName(name))
+      .agg(sum(col("n_docs_delta")).as("n_docs_delta"),
+        sum(col("sum_len_delta")).as("sum_len_delta"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(tmpS)
+    swapIn(tmpS, statsName(name))
+  }
+}

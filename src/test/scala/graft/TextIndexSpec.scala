@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextIndex
+
+/** Standing inverted-index contracts: the probe reproduces the direct
+  * q63 scan bit-for-bit, appends are pure deltas (build(A)+append(B) ≡
+  * build(A∪B)), the probe's posting scan is BUCKET-PRUNED to the query
+  * terms, and compaction changes neither results nor the probe plan.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val terms = Seq("join", "stream", "vector")
+  private lazy val docs = Tables.documents(spark, sf0001)
+    .select("doc_id", "text")
+
+  private def probeRows(name: String, k: Int = 20) =
+    TextIndex.probe(spark, name, terms, k).collect().map(_.toSeq).toSeq
+
+  test("probe == direct q63 scan on the same corpus (ranking bit-exact)") {
+    TextIndex.write(docs, "tix_direct")
+    val direct = SparkEntry.queries("q63_bm25_topk")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    probeRows("tix_direct") shouldBe direct
+  }
+
+  test("build(A)+append(B) == build(A∪B): df/stats partials merge on read") {
+    val a = docs.where(col("doc_id") % 3 =!= 0)
+    val b = docs.where(col("doc_id") % 3 === 0)
+    TextIndex.write(docs, "tix_whole")
+    TextIndex.write(a, "tix_inc")
+    TextIndex.append(b, "tix_inc")
+    probeRows("tix_inc") shouldBe probeRows("tix_whole")
+  }
+
+  test("probe scan is bucket-pruned to the query terms") {
+    TextIndex.write(docs, "tix_prune", TextIndex.Spec(buckets = 64))
+    val plan = TextIndex.probe(spark, "tix_prune", terms)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    sel.isDefined shouldBe true // bucketed scan + pruning actually applied
+    sel.get.group(1).toInt should be <= terms.length
+    sel.get.group(2).toInt shouldBe 64
+  }
+
+  test("compact: same results, still bucket-pruned, stat partials folded") {
+    val a = docs.where(col("doc_id") % 3 =!= 0)
+    val b = docs.where(col("doc_id") % 3 === 0)
+    TextIndex.write(a, "tix_cpt")
+    TextIndex.append(b, "tix_cpt")
+    val before = probeRows("tix_cpt")
+    TextIndex.compact(spark, "tix_cpt")
+    probeRows("tix_cpt") shouldBe before
+    val plan = TextIndex.probe(spark, "tix_cpt", terms)
+      .queryExecution.executedPlan.toString
+    plan should include("SelectedBucketsCount")
+    // partials folded: one overall stats row, one row per term
+    spark.table("tix_cpt_stats").count() shouldBe 1L
+    val ts = spark.table("tix_cpt_termstats")
+    ts.count() shouldBe ts.select("term").distinct().count()
+  }
+}

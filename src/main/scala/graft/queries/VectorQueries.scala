@@ -729,6 +729,43 @@ object VectorQueries {
        |ORDER BY e.query_id""".stripMargin
   }
 
+  // --------------------------- SQ8 scalar-quantized ANN top-k (q114)
+  /** Top-5 neighbors per query under SQ8 scalar quantization
+    * ([[graft.sim.ScalarQuant]]): one corpus max-abs scalar, int8
+    * codes, INTEGER dot-product ranking — exactly oracled end to end
+    * because every score is an integer (no float-fold convention
+    * needed; ties on neighbor_id). The 4×-compressed serving tier
+    * between float brute force (q32) and PQ's 32× (q78). */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.sim.ScalarQuant.sq8TopK(e, e.where(col("vec_id") < 10), dim = 64, k = 5)
+      .sortedOut("query_id", "rank")
+  }
+
+  private val q114Sql = {
+    val valid =
+      """embedding IS NOT NULL AND len(embedding) = 64
+        | AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+        | AND list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0""".stripMargin
+    s"""WITH m AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS max_abs
+       |  FROM embeddings WHERE $valid),
+       |enc AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    greatest(-127, least(127, CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INTEGER)))) AS code
+       |  FROM embeddings, m WHERE $valid),
+       |q AS (SELECT vec_id AS query_id, code AS q_code FROM enc WHERE vec_id < 10)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(q.q_code, c.code),
+       |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS score,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_sum(list_transform(list_zip(q.q_code, c.code),
+       |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) DESC, c.vec_id) AS rank
+       |  FROM q JOIN enc c ON c.vec_id <> q.query_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -742,5 +779,6 @@ object VectorQueries {
     ("q92_hybrid_rrf",        q92 _, Some(q92Sql)),
     ("q94_ann_recall",        q94 _, Some(q94Sql)),
     ("q101_ann_mrr",          q101 _, Some(q101Sql)),
-    ("q107_semantic_dedup",   q107 _, Some(q107Sql)))
+    ("q107_semantic_dedup",   q107 _, Some(q107Sql)),
+    ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)))
 }

@@ -25,10 +25,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and rebuild a
-    * TimestampType column with integer `div` (no double round-trip —
-    * epoch-nanos exceed double's 2^53 exact-integer range).
+  /** `events.ts` has appeared in two fixture generations: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+    * is read as raw nanos under the legacy conf and rebuilt with integer
+    * `div` (no double round-trip — epoch-nanos exceed double's 2^53
+    * exact-integer range) — and plain TIMESTAMP(MICROS), which needs no
+    * rewrite. Dispatch on the scanned type so either fixture loads.
     *
     * The legacy conf is SESSION-scoped and intentionally left set after
     * this call: it is consulted again at physical planning, so
@@ -40,9 +42,19 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // Micros-generation fixtures annotate ts isAdjustedToUTC=false; read
+    // it as plain TimestampType (not TIMESTAMP_NTZ) so downstream
+    // unix_millis/window/watermark code sees one timestamp type across
+    // fixture generations (session tz is pinned UTC, so same instants).
+    if (s.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

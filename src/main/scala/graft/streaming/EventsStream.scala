@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
 // helpers, which drags the module into the serialized task closure
 object EventsStream extends Serializable {
 
-  /** events schema with `ts` as raw nanos (the fixture parquet is
-    * TIMESTAMP(NANOS), which the vectorized reader only surfaces as long
-    * under `spark.sql.legacy.parquet.nanosAsLong`). */
+  /** events schema with `ts` as raw nanos (fixture generations that
+    * write TIMESTAMP(NANOS), which the vectorized reader only surfaces
+    * as long under `spark.sql.legacy.parquet.nanosAsLong`). */
   val eventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -31,14 +31,25 @@ object EventsStream extends Serializable {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of an events parquet directory. Integer `div` for
-    * nanos→micros: epoch-nanos exceed double's 2^53 exact range. */
+  /** Streaming scan of an events parquet directory. A streaming scan
+    * needs an explicit schema, and the fixture has shipped `ts` as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations — so
+    * sniff the on-disk type with a one-footer batch schema read, then
+    * declare the matching stream schema. Integer `div` for nanos→micros:
+    * epoch-nanos exceed double's 2^53 exact range. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsNanosSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Match Tables.events: surface NTZ-annotated micros fixtures as
+    // plain TimestampType so watermarks/windows type-check identically.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val onDisk = spark.read.parquet(dir).schema
+    if (onDisk("ts").dataType == LongType)
+      spark.readStream
+        .schema(eventsNanosSchema)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(onDisk).parquet(dir)
   }
 
   /** Shared batch/streaming transform: tumbling 1-hour windows per

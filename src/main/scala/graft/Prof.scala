@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Local stage-level profiling harness (builder tool; the driver never
   * runs this). Times named sub-stages of the expensive operators so
@@ -8,6 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bench numbers alone can't attribute cost inside a pipeline.
   * Methodology matches Bench: toRdd.count() on the compiled plan,
   * untimed warmup, min of n, caches cleared between runs.
+  *
+  * The profiled slice rotates with whatever is currently under
+  * optimization; earlier rounds' sections (minhash pair decomposition,
+  * PQ encode/search split, signature-index probe anatomy) live in git
+  * history.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -34,88 +40,27 @@ object Prof {
       println(f"PROF $name%-40s $best%8.3f s")
     }
 
-    val docs = Tables.documents(spark, sfDir)
-    import graft.dedup.Dedup
-    time("tokens_explode_only") {
-      docs.select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.array_distinct(
-            graft.text.TextFunctions.tokens(
-              org.apache.spark.sql.functions.col("text")))).as("tok"))
+    // q117 trade-PageRank decomposition
+    def edges(): DataFrame = {
+      val li = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,4)").as("price"))
+      val ord = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.load(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+        .groupBy("src", "dst")
+        .agg((sum(col("price")) * lit(10000)).cast("long").as("w"))
     }
-    time("minhash_sigs_k32") { Dedup.minhashSignatures(docs, 32) }
-    time("minhash_sigs_native_k32") { Dedup.minhashSignaturesNative(docs, 32) }
-    time("q29_full_pairs") {
-      Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs, 32),
-        bands = 4, rowsPerBand = 8, minEst = 0.7, bucketCap = 1000)
-    }
-    // isolate: threshold vs corpus slice
-    import org.apache.spark.sql.functions.col
-    time("pairs_full_est09") {
-      Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs, 32),
-        bands = 4, rowsPerBand = 8, minEst = 0.9, bucketCap = 1000)
-    }
-    time("pairs_half_est07") {
-      Dedup.minhashCandidatePairs(
-        Dedup.minhashSignatures(docs.where(col("doc_id") % 10 >= 5), 32),
-        bands = 4, rowsPerBand = 8, minEst = 0.7, bucketCap = 1000)
-    }
-    time("pairs_half_est09") {
-      Dedup.minhashCandidatePairs(
-        Dedup.minhashSignatures(docs.where(col("doc_id") % 10 >= 5), 32),
-        bands = 4, rowsPerBand = 8, minEst = 0.9, bucketCap = 1000)
-    }
-    // q78 PQ decomposition
-    val e = Tables.embeddings(spark, sfDir)
-    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
-    val cb = pq.codebookOf(e)
-    time("pq_encode_only") { pq.encode(e, cb) }
-    time("pq_search_precoded") {
-      pq.searchAdc(pq.encode(e, cb), e.where(col("vec_id") < 10), 5, cb)
-    }
-    // q86 standing-signature-index decomposition
-    locally {
-      import graft.dedup.SignatureIndex
-      val spec = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 32)
-      def t(name: String)(work: => Unit): Unit = {
-        val t0 = System.nanoTime()
-        work
-        println(f"PROF $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      }
-      val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
-      t("q86_sigs_materialize")(sigs.count())
-      t("q86_index_write")(SignatureIndex.write(
-        sigs.where(col("doc_id") < 250), "prof_sigidx", spec))
-      // NOTE: Prof.time() clears ALL caches before each run — it would
-      // wipe the sigs persist this block pre-paid and charge the
-      // signature hash to every probe measurement (review finding).
-      // Probe timings here use a cache-preserving min-of-3 instead.
-      def tMin(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          mk.queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once()
-        val best = (1 to 3).map(_ => once()).min
-        println(f"PROF $name%-40s $best%8.3f s")
-      }
-      val spec8 = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
-      t("q86_index_write_b8")(SignatureIndex.write(
-        sigs.where(col("doc_id") < 250), "prof_sigidx8", spec8))
-      tMin("q86_probe_b8") {
-        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
-          "prof_sigidx8", spec8, minEst = 0.9)
-      }
-      tMin("q86_probe_b8_sorted") {
-        SignatureIndex.probe(spark, sigs.where(col("doc_id") >= 250),
-          "prof_sigidx8", spec8, minEst = 0.9).orderBy("doc_a", "doc_b")
-      }
-      tMin("q86_registered") {
-        graft.SparkEntry.queries("q86_sig_index_probe")(spark, sfDir)
-      }
-      sigs.unpersist()
-    }
+    val nations = Tables.load(spark, sfDir, "nation").select("n_nationkey")
+    time("q117_edges_only")(edges())
+    time("q117_pr_iters0")(graft.ops.Graph.pageRank(edges(), nations, iters = 0))
+    time("q117_pr_iters1")(graft.ops.Graph.pageRank(edges(), nations, iters = 1))
+    time("q117_pr_iters3")(graft.ops.Graph.pageRank(edges(), nations, iters = 3))
+    time("q117_registered")(SparkEntry.queries("q117_trade_pagerank")(spark, sfDir))
     spark.stop()
   }
 }

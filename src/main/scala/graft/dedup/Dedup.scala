@@ -222,6 +222,43 @@ object Dedup {
     toks.select(col("doc_id"), explode(gramArr).as("gh"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the near-dup relation symmetric
+    * Jaccard misses: doc A quoted/wrapped inside a larger doc B scores
+    * |grams(A) ∩ grams(B)| / |grams(A)| ≈ 1 even when B is 100× longer
+    * (so Jaccard ≈ 0). The curation use is "drop the fragment, keep
+    * the superset document".
+    *
+    * Scale shape: per-doc gram SETS travel as md5-60 hashes; the pair
+    * generator is a self-equi-join on the gram hash — O(Σ df²) pairs,
+    * GATED by `dfCap`: a gram shared by more than `dfCap` docs is
+    * boilerplate, generates df² of exactly the pairs containment
+    * should NOT be built on, and is dropped from the index (same cap
+    * discipline as the LSH `bucketCap`; the drop only LOWERS measured
+    * containment of boilerplate wrappers, never inflates a score).
+    * Pairs are counted map-side-combinably on (doc_a, doc_b); sizes
+    * join back per doc. Returns ORDERED pairs (doc_a contained in
+    * doc_b) with n_a ≥ `minGrams` and containment ≥ `minContain`.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, minContain: Double = 0.8,
+                       minGrams: Int = 10, dfCap: Int = 1000): DataFrame = {
+    val g = ngramHashes(docs, n).distinct().persist() // per-doc gram SET
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("gh")
+    val gi = g.join(rare, Seq("gh"))
+    val common = gi.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(gi.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_a")), Seq("doc_a"))
+      .where(col("n_a") >= minGrams)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .where(col("containment") >= minContain)
+  }
+
   /** Exact-substring REMOVAL — the surgery step on top of
     * [[duplicatedNgramStats]]' diagnosis: split each document into
     * non-overlapping `w`-token CHUNKS, drop every chunk whose content

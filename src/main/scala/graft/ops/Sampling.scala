@@ -58,6 +58,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-domain quota cap (crawl curation: "at most `cap` documents per
+    * domain/source"), priority = md5-60 of the row key so the kept set
+    * is an unbiased deterministic sample of each domain.
+    *
+    * Same selection semantics as [[stratifiedSample]], different
+    * physical shape: the window formulation shuffles EVERY row of every
+    * domain before ranking — on a 100 TB crawl where one hot domain
+    * carries 10⁹ documents, that is the whole table through one
+    * skewed exchange. This rides [[graft.plans.TopKPerKey]] instead: a
+    * bounded cap-heap per (domain, input partition) map-side, then ONE
+    * shuffle carrying ≤ cap rows per (domain, partition) — the hot
+    * domain moves ≤ cap·partitions rows, not 10⁹. Heap memory is
+    * O(domains-per-partition × cap): right for the many-rows-per-domain
+    * shape a cap exists for (for millions of tiny domains under a huge
+    * cap, prefer the window — it spills).
+    *
+    * Adds a `pri` column (the priority hash) so selection is auditable
+    * and the output totally ordered; drop it if not wanted. */
+  def domainCap(df: DataFrame, domain: Column, key: Column, cap: Int): DataFrame = {
+    val withPri = df.withColumn("__domain", domain)
+      .withColumn("pri", Hashing.h60(key.cast("string")))
+    graft.plans.TopKPerKey.topK(withPri, Seq("__domain"),
+        Seq(col("pri").asc, key.asc), k = cap)
+      .drop("__domain")
+  }
+
   /** Weighted deterministic Bernoulli: keep each row with probability
     * min(1, weight / unitWeight) — "sample proportional to length /
     * quality / duplication count", the weighted step training mixes

@@ -1064,6 +1064,85 @@ object ExtendedQueries {
       |WHERE ref_day - day <= 15
       |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // -------------------------- weighted trade-graph PageRank (q117)
+  /** Which nations sit at the center of the trade network: weighted
+    * PageRank over the customer-nation → supplier-nation graph, edge
+    * weight = revenue flow (exact DECIMAL(18,4) sum, exported as
+    * integer 10⁻⁴ currency units). [[graft.ops.Graph.pageRank]], 3
+    * power iterations, d = 0.85.
+    *
+    * Scale shape: the fact-table joins (lineitem ⋈ orders shuffles on
+    * orderkey; customer/supplier dims broadcast) collapse 100 TB of
+    * line items into a ≤ N² edge list ONCE; every iteration after that
+    * is a shuffle bounded by |edges|, never the fact table. Every
+    * double sum inside the iteration is an ordered sequential fold, so
+    * the rank VALUES (not just the ranking) hash-match the oracle's
+    * unrolled 3-iteration SQL. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      d184(col("l_extendedprice")).as("price"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+      .groupBy("src", "dst")
+      .agg((sum(col("price")) * lit(10000)).cast(LongType).as("w"))
+    val nation = t(s, d, "nation")
+    val pr = graft.ops.Graph.pageRank(edges, nation.select("n_nationkey"), iters = 3)
+    pr.join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        pr("node") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"), col("rank"))
+      .sortedOut("n_nationkey")
+  }
+
+  /** Mirrors Graph.pageRank exactly: same fold orders (`list_sum(list(c
+    * ORDER BY src))` = Spark's sorted-struct fold), same literal
+    * arithmetic shapes ((1.0-0.85)/N computed at runtime on both
+    * sides), uniform dangling redistribution included even though the
+    * fixture graph has none — the oracle must mirror the OPERATOR, not
+    * the fixture. */
+  private val q117Sql = {
+    def iter(prev: String, cur: String) =
+      s"""d$cur AS (
+         |  SELECT coalesce(list_sum(list(rank ORDER BY node)), 0.0) AS dang
+         |  FROM r$prev WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+         |i$cur AS (
+         |  SELECT e.dst, e.src, r.rank * e.frac AS c
+         |  FROM e JOIN r$prev r ON e.src = r.node),
+         |s$cur AS (SELECT dst, list_sum(list(c ORDER BY src)) AS inflow
+         |          FROM i$cur GROUP BY dst),
+         |r$cur AS (
+         |  SELECT n.node,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |           + CAST(0.85 AS DOUBLE) * (coalesce(s.inflow, CAST(0.0 AS DOUBLE)) + d.dang / nn.n) AS rank
+         |  FROM nodes n LEFT JOIN s$cur s ON n.node = s.dst
+         |  CROSS JOIN d$cur d CROSS JOIN nn)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wo FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / CAST(wout.wo AS DOUBLE) AS frac
+       |      FROM e0 JOIN wout ON e0.src = wout.src),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT r3.node AS n_nationkey, na.n_name, r3.rank
+       |FROM r3 JOIN nation na ON na.n_nationkey = r3.node
+       |ORDER BY n_nationkey""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1100,5 +1179,6 @@ object ExtendedQueries {
     ("q108_expectations",    q108 _, Some(q108Sql)),
     ("q109_cohort_retention", q109 _, Some(q109Sql)),
     ("q110_funnel_steps",    q110 _, Some(q110Sql)),
-    ("q111_decayed_engagement", q111 _, Some(q111Sql)))
+    ("q111_decayed_engagement", q111 _, Some(q111Sql)),
+    ("q117_trade_pagerank",  q117 _, Some(q117Sql)))
 }

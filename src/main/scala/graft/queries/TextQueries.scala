@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.text.TextFunctions
+import graft.text.{Hashing, TextFunctions}
 
 /** Text-analysis + dedup extension queries over the `documents` fixture
   * (driver mandate; SURVEY.md §2.11). ALL exactly oracled: the dedup
@@ -1257,6 +1257,139 @@ object TextQueries {
         "tf2" -> "tf_vector"))
   }
 
+  // ------------------------------------ per-domain quota cap (q115)
+  /** Crawl-curation domain cap: keep at most 10 docs per source, chosen
+    * by md5-60 priority — [[graft.ops.Sampling.domainCap]] riding the
+    * custom TopKPerKey operator. Same selection as a ranking window
+    * (the oracle's formulation) but the shuffle carries ≤ cap rows per
+    * (source, partition) instead of every row of every hot domain —
+    * the difference between shuffling a bounded digest and shuffling
+    * the crawl at 100 TB. */
+  private def q115(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.domainCap(
+        docs0(s, d).select(col("doc_id"), col("source")),
+        domain = col("source"), key = col("doc_id"), cap = 10)
+      .sortedOutWide("source", "pri")
+
+  private val q115Sql = {
+    val h = graft.text.Hashing.duckH60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, pri FROM (
+       |  SELECT doc_id, source, $h AS pri,
+       |         row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+       |  FROM documents) WHERE rn <= 10
+       |ORDER BY source, pri""".stripMargin
+  }
+
+  // ---------------------------- bigram-LM familiarity scoring (q116)
+  /** Language-model-style quality scoring without floats: a bigram LM
+    * is "trained" on the 90% split (doc_id % 10 <> 0 — the distinct
+    * bigram vocabulary) and every held-out doc is scored by how many of
+    * its bigrams the model has seen. n_known/n_bigrams is the familiar
+    * integer-safe proxy for LM log-likelihood filtering (CCNet-style
+    * perplexity gates): unseen-bigram mass IS the OOV penalty term, and
+    * integers hash-match across engines where log-probs cannot.
+    *
+    * Scale shape: bigrams travel as md5-60 HASHES from the moment they
+    * leave the per-row projection (text never crosses a shuffle — q74's
+    * discipline); the train vocabulary is distinct-reduced map-side
+    * before the one hash-partitioned equi-join; counts fold back
+    * per-doc in a map-side-combinable aggregate. The train vocab is
+    * O(distinct bigrams) — at corpus scale that is a table, not a
+    * broadcast, which is exactly why this is a join and not an IN-list.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    // tokens MUST be materialized as a column before bigrams(): inlining
+    // the split into the transform lambda makes every element_at
+    // re-split the whole text — O(tokens²) regex work per doc (measured
+    // 18 s vs 1 s at sf0.1). Hash in the same projection (text never
+    // leaves the row) and persist: three consumers below.
+    val bg = docs0(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        transform(TextFunctions.bigrams(col("tk")), b => Hashing.h60(b)).as("bghs"))
+      .persist()
+    val trainVocab = bg.where(col("doc_id") % 10 =!= 0)
+      .select(explode(col("bghs")).as("bh")).distinct()
+      .withColumn("known", lit(1))
+    val evalBg = bg.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(col("bghs")).as("bh"))
+    val hits = evalBg.join(trainVocab, Seq("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("known")).as("n_known"),
+        countDistinct(col("bh")).as("n_distinct"))
+    // left join from the held-out doc list: a short doc with zero
+    // bigrams must score (0, 0, 0), not vanish
+    bg.where(col("doc_id") % 10 === 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .sortedOut("doc_id")
+  }
+
+  private val q116Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 2
+       |           THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |           ELSE [] END AS bgs
+       |  FROM d),
+       |train AS (
+       |  SELECT DISTINCT ${graft.text.Hashing.duckH60("b")} AS bh
+       |  FROM (SELECT unnest(bgs) AS b FROM bg WHERE doc_id % 10 <> 0)),
+       |ev AS (
+       |  SELECT doc_id, ${graft.text.Hashing.duckH60("b")} AS bh
+       |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg WHERE doc_id % 10 = 0)),
+       |hits AS (
+       |  SELECT ev.doc_id, count(*) AS n_bigrams,
+       |         count(t.known) AS n_known, count(DISTINCT ev.bh) AS n_distinct
+       |  FROM ev LEFT JOIN (SELECT bh, bh AS known FROM train) t USING (bh)
+       |  GROUP BY ev.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(h.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(coalesce(h.n_known, 0) AS BIGINT) AS n_known,
+       |       CAST(coalesce(h.n_distinct, 0) AS BIGINT) AS n_distinct
+       |FROM d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------- asymmetric containment pairs (q119)
+  /** Quote/wrapper detection: ordered near-dup pairs scored by
+    * |grams(a) ∩ grams(b)| / |grams(a)| — the asymmetric relation
+    * symmetric Jaccard (q56) misses when a fragment is embedded in a
+    * much larger document. [[Dedup.containmentPairs]]: per-doc 5-gram
+    * hash sets, df-capped inverted index (boilerplate grams generate
+    * df² junk pairs and are dropped — bucketCap discipline), pair
+    * counts map-side combined. */
+  private def q119(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs0(s, d), n = 5, minContain = 0.8,
+        minGrams = 10, dfCap = 1000)
+      .sortedOutWide("doc_a", "doc_b")
+
+  private val q119Sql = {
+    val h = graft.text.Hashing.duckH60("array_to_string(tk[i:i+4], ' ')")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, len(tk) - 3), i -> $h)) AS gh
+       |      FROM t WHERE len(tk) >= 5),
+       |sizes AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id),
+       |rare AS (SELECT gh FROM g GROUP BY gh HAVING count(*) <= 1000),
+       |gi AS (SELECT g.* FROM g JOIN rare USING (gh)),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM gi a JOIN gi b USING (gh) WHERE a.doc_id <> b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_a AS BIGINT) AS n_a,
+       |       CAST(n_common AS BIGINT) AS n_common,
+       |       CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+       |FROM common JOIN sizes ON sizes.doc_id = common.doc_a
+       |WHERE n_a >= 10
+       |  AND CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1294,5 +1427,8 @@ object TextQueries {
     ("q104_bpe_encode",        q104 _, Some(q104Sql)),
     ("q106_group_split",       q106 _, Some(q106Sql)),
     ("q112_quality_classifier", q112 _, Some(q112Sql)),
-    ("q113_text_index_topk",   q113 _, Some(q63Sql)))
+    ("q113_text_index_topk",   q113 _, Some(q63Sql)),
+    ("q115_domain_cap",        q115 _, Some(q115Sql)),
+    ("q116_bigram_lm",         q116 _, Some(q116Sql)),
+    ("q119_containment_pairs", q119 _, Some(q119Sql)))
 }

@@ -766,6 +766,87 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------- nearest-centroid classification (q118)
+  /** Embedding classification by labeled prototypes: per-label centroid
+    * over the seed slice (vec_id < 100), nearest-centroid prediction
+    * for the rest, output = the confusion matrix — the semantic-tagging
+    * primitive a curation pipeline uses to route documents by topic
+    * with only a handful of labeled seeds.
+    *
+    * Every double is fold-order-pinned (centroid means sum in vec_id
+    * order, cosine is the engine-standard sequential fold), so the
+    * ARGMAX — and with it every integer count — reproduces exactly in
+    * SQL. Scale shape: centroids are |labels| rows computed from the
+    * seed slice only, broadcast to a narrow one-pass scoring projection
+    * over the corpus; the confusion matrix is a map-side-combinable
+    * |labels|² aggregate. Nothing all-pairs anywhere. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val seedDims = e.where(col("vec_id") < 100)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("vf").cast("double").as("v"))
+    val cdim = seedDims.groupBy(col("label"), col("pos"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        (aggregate(array_sort(col("vs")), lit(0.0),
+          (a, x) => a + x.getField("v")) / col("cnt").cast("double")).as("m"))
+    val cents = cdim.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("clabel"),
+        transform(col("pm"), x => x.getField("m")).as("centroid"))
+    // cosine vs a double-typed centroid: the HOF twin of the native
+    // float-only CosineSimilarity, same left-to-right fold order
+    def dcos(a: Column, b: Column): Column = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (s, x) => s + x)
+      val na = aggregate(transform(a,
+        x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
+      val nb = aggregate(transform(b,
+        x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val scored = e.where(col("vec_id") >= 100)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        dcos(col("embedding"), col("centroid")).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
+      .where(col("rn") === 1)
+      .select(col("label"), col("clabel").as("pred_label"))
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .sortedOut("label", "pred_label")
+  }
+
+  private val q118Sql = {
+    val cos = duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")
+    s"""WITH seedx AS (
+       |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
+       |  WHERE vec_id < 100),
+       |cdim AS (
+       |  SELECT label, pos,
+       |         list_sum(list(v ORDER BY vec_id)) / CAST(count(*) AS DOUBLE) AS m
+       |  FROM seedx GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+       |  FROM cdim GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel, $cos AS cos
+       |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id >= 100),
+       |pred AS (
+       |  SELECT vec_id, label, clabel,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+       |  FROM scored)
+       |SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -780,5 +861,6 @@ object VectorQueries {
     ("q94_ann_recall",        q94 _, Some(q94Sql)),
     ("q101_ann_mrr",          q101 _, Some(q101Sql)),
     ("q107_semantic_dedup",   q107 _, Some(q107Sql)),
-    ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)))
+    ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)),
+    ("q118_centroid_classify", q118 _, Some(q118Sql)))
 }

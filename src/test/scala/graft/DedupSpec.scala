@@ -111,6 +111,30 @@ class DedupSpec extends SparkSpec {
     pairs.where(col("est_jaccard") === 1.0).count() shouldBe 4
   }
 
+  test("containmentPairs: asymmetric — fragment⊂superset found, reverse direction filtered") {
+    val frag = (1 to 12).map(i => s"w$i").mkString(" ")          // 12 tokens → 8 5-grams
+    val superset = s"$frag extra tokens beyond the fragment body here now"
+    val df = docsDF(1L -> frag, 2L -> superset, 3L -> "totally unrelated words going on and on for a while today")
+    val out = Dedup.containmentPairs(df, n = 5, minContain = 0.8, minGrams = 5, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    out.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L)) // frag→superset only
+    out.head._3 shouldBe 1.0 // every fragment gram appears in the superset
+    // superset→fragment is NOT a containment (8 of its 16 grams match)
+  }
+
+  test("containmentPairs: dfCap drops boilerplate grams from the index") {
+    // one 5-gram shared by many docs; with dfCap below that df the gram
+    // generates no pairs at all
+    val shared = "a b c d e"
+    val df = docsDF((1L to 6L).map(i => i -> s"$shared uniq$i x$i y$i z$i q$i"): _*)
+    val uncapped = Dedup.containmentPairs(df, n = 5, minContain = 0.1,
+      minGrams = 1, dfCap = 100)
+    val capped = Dedup.containmentPairs(df, n = 5, minContain = 0.1,
+      minGrams = 1, dfCap = 5)
+    uncapped.count() should be > 0L   // the shared gram links every doc pair
+    capped.count() shouldBe 0L        // df=6 > cap=5 → dropped, no junk pairs
+  }
+
   test("simhash: identical docs equal fingerprints; near-dup within small hamming") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = docsDF(1L -> base, 2L -> base, 3L -> (base + " extraA extraB"))

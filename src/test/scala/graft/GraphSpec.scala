@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Weighted-PageRank contracts: hand-checkable structure, probability
+  * conservation, dangling redistribution, and exact agreement with a
+  * driver-side reference that mirrors the operator's documented
+  * src-ordered fold (the cross-engine-determinism convention q117's
+  * oracle rides on).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Int, Int, Long)], nodes: Seq[Int],
+                      iters: Int): Map[Int, Double] =
+    Graph.pageRank(
+        edges.toDF("src", "dst", "w"),
+        nodes.toDF("node"), iters)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** Driver-side reference with the SAME arithmetic shape: teleport
+    * precomputed as (1-d)/N, contributions summed in src order from a
+    * 0.0 seed, dangling mass summed in node order. */
+  private def reference(edges: Seq[(Int, Int, Long)], nodes: Seq[Int],
+                        iters: Int, d: Double = 0.85): Map[Int, Double] = {
+    val n = nodes.size.toDouble
+    val teleport = (1.0 - d) / n
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.sorted.filterNot(wout.contains)
+        .foldLeft(0.0)((acc, u) => acc + rank(u))
+      rank = nodes.map { v =>
+        val inflow = edges.filter(_._2 == v).sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (u, _, w)) =>
+            acc + rank(u) * (w.toDouble / wout(u).toDouble)
+          }
+        v -> (teleport + d * (inflow + dang / n))
+      }.toMap
+    }
+    rank
+  }
+
+  test("two-node cycle: symmetric ranks, mass conserved") {
+    val r = ranksOf(Seq((1, 2, 5L), (2, 1, 3L)), Seq(1, 2), iters = 4)
+    r(1) shouldBe r(2) // symmetry: weights only scale out-edges, both route 100%
+    (r(1) + r(2)) shouldBe 1.0 +- 1e-12
+  }
+
+  test("weighted star: heavier edge earns proportionally more rank") {
+    // hub 0 routes 3/4 of its mass to 1, 1/4 to 2; leaves return to hub
+    val edges = Seq((0, 1, 3L), (0, 2, 1L), (1, 0, 1L), (2, 0, 1L))
+    val r = ranksOf(edges, Seq(0, 1, 2), iters = 8)
+    r(1) should be > r(2)
+    // conditional on leaving the hub, rank beyond teleport splits 3:1
+    val t = 0.15 / 3
+    ((r(1) - t) / (r(2) - t)) shouldBe 3.0 +- 1e-6
+    (r(0) + r(1) + r(2)) shouldBe 1.0 +- 1e-12
+  }
+
+  test("dangling node redistributes mass uniformly; total stays 1") {
+    // 3 absorbs from 1 and emits nothing — without redistribution the
+    // total would leak every iteration
+    val edges = Seq((1, 2, 1L), (1, 3, 1L), (2, 1, 1L))
+    val r = ranksOf(edges, Seq(1, 2, 3), iters = 6)
+    r.values.sum shouldBe 1.0 +- 1e-12
+    r(1) should be > r(3) // 3 only receives; 1 is the graph's center
+  }
+
+  test("isolated node (in no edge at all) keeps teleport + dangling share") {
+    val edges = Seq((1, 2, 1L), (2, 1, 1L))
+    val r = ranksOf(edges, Seq(1, 2, 9), iters = 3)
+    r.keySet shouldBe Set(1, 2, 9)
+    r.values.sum shouldBe 1.0 +- 1e-12
+    r(9) should be < r(1)
+  }
+
+  test("bit-exact agreement with the src-ordered driver reference") {
+    val edges = Seq((0, 1, 7L), (0, 2, 2L), (1, 2, 4L), (2, 0, 1L),
+      (3, 0, 5L), (1, 3, 9L))
+    val nodes = Seq(0, 1, 2, 3, 4) // 4 is isolated+dangling
+    val got = ranksOf(edges, nodes, iters = 3)
+    val want = reference(edges, nodes, iters = 3)
+    nodes.foreach { v => got(v) shouldBe want(v) } // EXACT doubles, no tolerance
+  }
+
+  test("zero iterations returns the uniform prior") {
+    val r = ranksOf(Seq((1, 2, 1L)), Seq(1, 2, 3, 4), iters = 0)
+    r.values.toSet shouldBe Set(0.25)
+  }
+}

@@ -37,6 +37,28 @@ class SamplingSpec extends SparkSpec {
       out.select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
+  test("domainCap: same selection as the window formulation, bounded-heap plan, repartition-stable") {
+    val capped = Sampling.domainCap(docs.select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"), cap = 7)
+    // selection semantics == stratifiedSample (the ranking-window twin):
+    // same (hash, key) priority, so the kept SET must agree exactly
+    val viaWindow = Sampling.stratifiedSample(
+        docs.select(col("doc_id"), col("source")), col("source"), col("doc_id"), 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    capped.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe viaWindow
+    // quota respected per domain
+    capped.groupBy("source").count().collect()
+      .foreach(r => r.getLong(1) should be <= 7L)
+    // physical shape: the custom operator, not a ranking window
+    val plan = capped.queryExecution.executedPlan.toString
+    plan should include("TopKPerKey")
+    (plan should not).include("Window")
+    // layout-independent selection
+    val again = Sampling.domainCap(docs.repartition(9).select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"), cap = 7)
+    again.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe viaWindow
+  }
+
   test("epochShuffle: shard split + order stable under repartition; new seed = new permutation") {
     def orderOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
       df.select("shard", "__shuffle_hv", "doc_id").collect()

@@ -1143,6 +1143,85 @@ object ExtendedQueries {
        |ORDER BY n_nationkey""".stripMargin
   }
 
+  // ---------------- session co-occurrence / lift mining (q120)
+  /** Market-basket association over behavioral sessions: which event
+    * types co-occur in the same session beyond chance. Sessions are
+    * q43's 30-min-gap definition; each session contributes its DISTINCT
+    * type set once; support counts per pair and per type roll up with
+    * lift = P(ab)/(P(a)·P(b)) as the association strength.
+    *
+    * Scale shape: ONE user-keyed shuffle builds sessions (the same
+    * window q43 pins); each session collapses to its sorted type SET
+    * (bounded by |event types|, never the event list) before anything
+    * else happens; the a<b pair expansion is a per-row array transform
+    * (|T|²/2 structs from a tiny array, no self-join, no extra
+    * shuffle) and both count rollups combine map-side. The |T|-row
+    * support table and the 1-row session count broadcast back onto the
+    * |T|² output. Lift is a single (a·b)/(c·d) double expression —
+    * deterministic, mirrored verbatim in the oracle (which generates
+    * pairs by self-join: same set semantics, SQL-friendlier shape). */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60000L
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val types = sess.groupBy("user_id", "sid")
+      .agg(array_sort(collect_set(col("event_type"))).as("tys"))
+      .persist() // feeds pair counts, per-type support, and the session count
+    val nSessions = types.agg(count(lit(1)).as("n_sessions"))
+    val single = types.select(explode(col("tys")).as("ty"))
+      .groupBy("ty").agg(count(lit(1)).as("n"))
+    val pairArr = flatten(transform(col("tys"), (x, i) =>
+      transform(slice(col("tys"), i + lit(2), size(col("tys"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pc = types.select(explode(pairArr).as("p"))
+      .select(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pc.crossJoin(broadcast(nSessions))
+      .join(broadcast(single.select(col("ty").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(single.select(col("ty").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        ((col("n_ab").cast(DoubleType) * col("n_sessions").cast(DoubleType)) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))).as("lift"))
+      .sortedOut("type_a", "type_b")
+  }
+
+  private val q120Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM y),
+      |t AS (SELECT user_id, sid, list_sort(list(DISTINCT event_type)) AS tys
+      |      FROM z GROUP BY user_id, sid),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM t),
+      |ex AS (SELECT user_id, sid, unnest(tys) AS ty FROM t),
+      |single AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY ty),
+      |pc AS (SELECT a.ty AS type_a, b.ty AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM ex a JOIN ex b ON a.user_id = b.user_id AND a.sid = b.sid AND a.ty < b.ty
+      |       GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab, sa.n AS n_a, sb.n AS n_b, n_sessions,
+      |       (CAST(n_ab AS DOUBLE) * CAST(n_sessions AS DOUBLE)) /
+      |         (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+      |FROM pc CROSS JOIN n
+      |JOIN single sa ON sa.ty = pc.type_a
+      |JOIN single sb ON sb.ty = pc.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1180,5 +1259,6 @@ object ExtendedQueries {
     ("q109_cohort_retention", q109 _, Some(q109Sql)),
     ("q110_funnel_steps",    q110 _, Some(q110Sql)),
     ("q111_decayed_engagement", q111 _, Some(q111Sql)),
-    ("q117_trade_pagerank",  q117 _, Some(q117Sql)))
+    ("q117_trade_pagerank",  q117 _, Some(q117Sql)),
+    ("q120_session_cooccurrence", q120 _, Some(q120Sql)))
 }

@@ -111,29 +111,32 @@ object VectorFunctions {
     val banded = e.select(col("vec_id"),
       element_at(refineBucket, 1).as("sub"),
       posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    // Cap gates ride the OVER-cap bucket list — tiny by construction
+    // (≤ |banded|/cap buckets), so it broadcasts and the banded frame
+    // never takes an extra exchange to be split into safe/hot (the
+    // under-cap-list join shuffled every banded row; same rewrite as
+    // minhashCandidatePairs' guard).
     val sized = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("count"))
-    val small = sized.where(col("count") <= bucketCap).select("tbl", "bucket")
-    val safe = banded.join(small, Seq("tbl", "bucket"))
+    val overCap = sized.where(col("count") > bucketCap)
+      .select("tbl", "bucket").persist() // two consumers (anti + inner)
+    val safe = banded.join(broadcast(overCap), Seq("tbl", "bucket"), "left_anti")
     val within = safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")), Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-    val hot = banded.join(
-      sized.where(col("count") > bucketCap).select("tbl", "bucket"),
-      Seq("tbl", "bucket"))
+    val hot = banded.join(broadcast(overCap), Seq("tbl", "bucket"))
     val sized2 = hot.groupBy("tbl", "bucket", "sub")
       .agg(count(lit(1)).as("count"), min("vec_id").as("anchor"))
-    val small2 = sized2.where(col("count") <= bucketCap)
-      .select("tbl", "bucket", "sub")
-    val safe2 = hot.join(small2, Seq("tbl", "bucket", "sub"))
+    val overCap2 = sized2.where(col("count") > bucketCap)
+      .select("tbl", "bucket", "sub", "anchor").persist()
+    val safe2 = hot.join(broadcast(overCap2.select("tbl", "bucket", "sub")),
+      Seq("tbl", "bucket", "sub"), "left_anti")
     val within2 = safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_a"))
       .join(safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_b")),
         Seq("tbl", "bucket", "sub"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-    val stars = hot.join(
-        sized2.where(col("count") > bucketCap).select("tbl", "bucket", "sub", "anchor"),
-        Seq("tbl", "bucket", "sub"))
+    val stars = hot.join(broadcast(overCap2), Seq("tbl", "bucket", "sub"))
       .where(col("vec_id") =!= col("anchor"))
       .select(col("anchor").as("vec_a"), col("vec_id").as("vec_b"))
     val pairs = within.unionByName(within2).unionByName(stars).distinct()

@@ -392,4 +392,34 @@ object RelationalOps {
       .select((key.map(col) ++ Seq(col("version")) ++ attrs.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
   }
+
+  /** Snapshot diff for dataset versioning: classify every key across
+    * two corpus versions as added / removed / modified / unchanged by
+    * comparing a content FINGERPRINT (not the content) under a full
+    * outer join on the key.
+    *
+    * Scale shape: each side reduces to (key, 8-byte fingerprint)
+    * before anything wide happens — the join moves two narrow
+    * key-hash frames through one key-partitioned exchange, never the
+    * documents; a 100 TB-vs-100 TB diff is two scans plus one bounded
+    * shuffle. Downstream per-status rollups combine map-side.
+    *
+    * @param v1 old snapshot — (key, fingerprint) after projection
+    * @param v2 new snapshot — same schema
+    * @param key join key column name present in both
+    * @param fp  fingerprint column name present in both (md5-60 of the
+    *            content via [[graft.text.Hashing.h60]] is the
+    *            engine-standard choice — oracle-reproducible)
+    * @return (key, status) with status ∈ added|removed|modified|unchanged
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String, fp: String): DataFrame = {
+    val a = v1.select(col(key), col(fp).as("__fp1"))
+    val b = v2.select(col(key), col(fp).as("__fp2"))
+    a.join(b, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__fp1").isNull, "added")
+          .when(col("__fp2").isNull, "removed")
+          .when(col("__fp1") === col("__fp2"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
 }

@@ -1390,6 +1390,54 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------- corpus snapshot diff (q121)
+  /** Dataset-versioning diff ([[graft.ops.RelationalOps.snapshotDiff]]):
+    * v2 is a deterministic re-crawl of the documents table — drops
+    * doc_id%17==0, edits the text of doc_id%13==0 (among the kept),
+    * discovers new docs (%19==0, shifted ids) — and the diff classifies
+    * every id by comparing md5-60 content fingerprints under one full
+    * outer join. Only (key, hash) frames move; the rollup is the
+    * audit record a versioned corpus publishes per release. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val base = docs0(s, d)
+    val v1 = base.select(col("doc_id"), Hashing.h60(col("text")).as("fp"))
+    val kept = base.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2-edit")))
+          .otherwise(col("text")).as("text"))
+    val added = base.where(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val v2 = kept.unionByName(added)
+      .select(col("doc_id"), Hashing.h60(col("text")).as("fp"))
+    graft.ops.RelationalOps.snapshotDiff(v1, v2, "doc_id", "fp")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .sortedOut("status")
+  }
+
+  private val q121Sql = {
+    val h = graft.text.Hashing.duckH60("text")
+    val h2 = graft.text.Hashing.duckH60("CASE WHEN doc_id % 13 = 0 THEN text || ' v2-edit' ELSE text END")
+    s"""WITH v1 AS (SELECT doc_id, $h AS fp1 FROM documents),
+       |v2 AS (
+       |  SELECT doc_id, $h2 AS fp2
+       |  FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, $h AS fp2
+       |  FROM documents WHERE doc_id % 19 = 0),
+       |d AS (
+       |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |              WHEN v2.doc_id IS NULL THEN 'removed'
+       |              WHEN fp1 = fp2 THEN 'unchanged'
+       |              ELSE 'modified' END AS status
+       |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n,
+       |       min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1430,5 +1478,6 @@ object TextQueries {
     ("q113_text_index_topk",   q113 _, Some(q63Sql)),
     ("q115_domain_cap",        q115 _, Some(q115Sql)),
     ("q116_bigram_lm",         q116 _, Some(q116Sql)),
-    ("q119_containment_pairs", q119 _, Some(q119Sql)))
+    ("q119_containment_pairs", q119 _, Some(q119Sql)),
+    ("q121_corpus_diff",       q121 _, Some(q121Sql)))
 }

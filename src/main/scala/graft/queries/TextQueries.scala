@@ -1438,6 +1438,58 @@ object TextQueries {
        |FROM d GROUP BY status ORDER BY status""".stripMargin
   }
 
+  // ---------------- length-bucketed padded batching (q122)
+  /** Padding-efficiency batching for training: docs are routed to a
+    * power-of-two length bucket (16..512, oversize truncates to 512),
+    * each bucket packs fixed-capacity 4096-token batches of
+    * SAME-PADDED docs, and the manifest reports kept vs padded tokens
+    * per (bucket, batch) — the waste a loader pays for padding.
+    * Complements q70 (exact token-budget shards, no padding model).
+    *
+    * Shape note: batch assignment is a per-bucket rank window —
+    * acceptable because buckets are FEW and the window carries two
+    * longs per doc; for extreme single-bucket corpora reuse
+    * [[graft.text.Packing.tokenShards]]' distributed prefix sum per
+    * bucket instead. Integer div keeps batch ids exact cross-engine. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val t = docs0(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val lb = when(col("n_tok") <= 16, 16L).when(col("n_tok") <= 32, 32L)
+      .when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
+      .when(col("n_tok") <= 256, 256L).otherwise(512L)
+    val w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    t.withColumn("len_bucket", lb)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr("(CAST(rn AS BIGINT) - 1) * len_bucket div 4096"))
+      .groupBy("len_bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), col("len_bucket"))).as("kept_tokens"))
+      .select(col("len_bucket"), col("batch"), col("n_docs"), col("kept_tokens"),
+        (col("n_docs") * col("len_bucket")).as("padded_tokens"),
+        (col("n_docs") * col("len_bucket") - col("kept_tokens")).as("waste_tokens"))
+      .sortedOut("len_bucket", "batch")
+  }
+
+  private val q122Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tok,
+      |         CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |              WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |              WHEN n_tok <= 256 THEN 256 ELSE 512 END AS len_bucket
+      |  FROM t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS rn FROM b),
+      |x AS (SELECT *, (CAST(rn AS BIGINT) - 1) * len_bucket // 4096 AS batch FROM r)
+      |SELECT CAST(len_bucket AS BIGINT) AS len_bucket, CAST(batch AS BIGINT) AS batch,
+      |       count(*) AS n_docs,
+      |       CAST(sum(least(n_tok, len_bucket)) AS BIGINT) AS kept_tokens,
+      |       CAST(count(*) * len_bucket AS BIGINT) AS padded_tokens,
+      |       CAST(count(*) * len_bucket - sum(least(n_tok, len_bucket)) AS BIGINT) AS waste_tokens
+      |FROM x GROUP BY x.len_bucket, x.batch ORDER BY len_bucket, batch""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1479,5 +1531,6 @@ object TextQueries {
     ("q115_domain_cap",        q115 _, Some(q115Sql)),
     ("q116_bigram_lm",         q116 _, Some(q116Sql)),
     ("q119_containment_pairs", q119 _, Some(q119Sql)),
-    ("q121_corpus_diff",       q121 _, Some(q121Sql)))
+    ("q121_corpus_diff",       q121 _, Some(q121Sql)),
+    ("q122_length_bucketing",  q122 _, Some(q122Sql)))
 }

@@ -316,4 +316,19 @@ class RelationalOpsSpec extends SparkSpec {
       (5L, (None, None, None), 0))
     run(evs.repartition(7).sortWithinPartitions(desc("k"))) shouldBe out
   }
+
+  test("snapshotDiff: all four statuses; key appears exactly once; layout independent") {
+    import spark.implicits._
+    val v1 = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "fp")
+    val v2 = Seq((1L, 100L), (2L, 999L), (4L, 400L)).toDF("id", "fp")
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      RelationalOps.snapshotDiff(a, b, "id", "fp")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed", 4L -> "added")
+    diff(v1, v2) shouldBe want
+    diff(v1.repartition(5), v2.repartition(3)) shouldBe want
+    // direction matters: swapping versions swaps added/removed
+    diff(v2, v1) shouldBe Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "added", 4L -> "removed")
+  }
 }

@@ -263,6 +263,52 @@ object Dedup {
       .where(col("containment") >= minContain)
   }
 
+  /** Content-defined chunking (FastCDC's idea at token granularity):
+    * a chunk boundary falls AFTER token i whenever md5-60(token_i) ≡ 0
+    * (mod `modulus`) — the cut points are a function of the CONTENT,
+    * not the position, so inserting or deleting a token only redraws
+    * the one chunk it touches while every chunk after the edit
+    * re-aligns. Fixed-width chunking ([[chunkDedupRemove]]) loses all
+    * alignment downstream of an edit; this is the standard fix from
+    * dedup storage, applied to corpus near-dup diagnosis.
+    *
+    * Returns (doc_id, chs: array<chunk md5-60 hash>) — one row per
+    * doc, everything computed INSIDE the row (no shuffle; the chunk
+    * assignment is array-world HOFs over the materialized token
+    * array). Expected chunk length = `modulus` tokens. Per-doc cost is
+    * O(tokens · boundaries) lambda steps — fine for documents, not for
+    * book-length rows (split those upstream).
+    */
+  def cdcChunks(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    import graft.text.Hashing.h60
+    def st(cur: Column, done: Column) = struct(cur.as("cur"), done.as("done"))
+    // ONE left fold over the token array: accumulate the open run,
+    // close it (hash the joined run) whenever the token is a cut point.
+    // A boundary token ends the chunk it belongs to; a non-empty
+    // trailing run becomes the final chunk in the finish lambda. The
+    // first formulation grouped positions by boundary-count — correct
+    // but O(tokens²·boundaries) interpreted lambda steps per row
+    // (16.4 s at sf0.1); the fold is O(tokens) and runs in 0.8 s.
+    val folded = aggregate(
+      col("tk"),
+      st(array().cast("array<string>"), array().cast("array<bigint>")),
+      (acc, t) => {
+        val closed = concat(acc.getField("cur"), array(t))
+        when(h60(t) % modulus === 0,
+          st(array().cast("array<string>"),
+            concat(acc.getField("done"), array(h60(array_join(closed, " "))))))
+          .otherwise(st(closed, acc.getField("done")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("done"),
+          array(h60(array_join(acc.getField("cur"), " ")))))
+        .otherwise(acc.getField("done")))
+    docs
+      .where(size(TextFunctions.tokens(col("text"))) >= 1)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), folded.as("chs"))
+  }
+
   /** Exact-substring REMOVAL — the surgery step on top of
     * [[duplicatedNgramStats]]' diagnosis: split each document into
     * non-overlapping `w`-token CHUNKS, drop every chunk whose content

@@ -1490,6 +1490,124 @@ object TextQueries {
       |       CAST(count(*) * len_bucket - sum(least(n_tok, len_bucket)) AS BIGINT) AS waste_tokens
       |FROM x GROUP BY x.len_bucket, x.batch ORDER BY len_bucket, batch""".stripMargin
 
+  // --------------------- collocation / phrase mining (q123)
+  /** PMI-style collocation extraction — the phrase-mining pass a
+    * tokenizer-vocabulary or stopword pipeline runs corpus-wide: which
+    * adjacent token pairs co-occur far beyond chance. Association
+    * score = (n_ab·N·N) / (B·n_a·n_b) (the exp of PMI with unigram
+    * probabilities over N tokens and bigram probability over B
+    * positions), minimum support 5, top-20.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combinable
+    * aggregates over exploded tokens (q45's precedent — the shuffled
+    * unit is a short token, and the count table is vocabulary-sized,
+    * orders of magnitude below the corpus); corpus totals ride a 1-row
+    * broadcast (BM25 stats pattern); top-20 plans as
+    * TakeOrderedAndProject. The score is products/quotients of exact
+    * integer counts in one pinned expression — both engines produce
+    * identical doubles, so the RANKING and the values hash-match. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val toks = docs0(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("n")).persist()
+    val bg = docs0(s, d)
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .select(explode(TextFunctions.bigrams(col("tk"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_ab"))
+      .persist() // feeds the B total AND the support-filtered join
+    val totals = uni.agg(sum(col("n")).as("n_tokens"))
+      .crossJoin(bg.agg(sum(col("n_ab")).as("n_bigrams")))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    bg.where(col("n_ab") >= 5)
+      .withColumn("term_a", split(col("b"), " ").getItem(0))
+      .withColumn("term_b", split(col("b"), " ").getItem(1))
+      .join(uni.select(col("t").as("term_a"), col("n").as("n_a")), Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("n").as("n_b")), Seq("term_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((dbl(col("n_ab")) * dbl(col("n_tokens")) * dbl(col("n_tokens"))) /
+          (dbl(col("n_bigrams")) * dbl(col("n_a")) * dbl(col("n_b")))).as("score"))
+      .orderBy(col("score").desc, col("term_a"), col("term_b"))
+      .limit(20)
+  }
+
+  private val q123Sql =
+    """WITH tk AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |uni AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+      |bg AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+      |          THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |          ELSE [] END) AS b FROM tk)
+      |  GROUP BY b),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n_tokens,
+      |         (SELECT CAST(sum(n_ab) AS BIGINT) FROM bg) AS n_bigrams)
+      |SELECT term_a, term_b, n_ab, n_a, n_b, score FROM (
+      |  SELECT split_part(b, ' ', 1) AS term_a, split_part(b, ' ', 2) AS term_b,
+      |         n_ab, ua.n AS n_a, ub.n AS n_b,
+      |         (CAST(n_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+      |           (CAST(n_bigrams AS DOUBLE) * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS score
+      |  FROM bg CROSS JOIN tot
+      |  JOIN uni ua ON ua.t = split_part(b, ' ', 1)
+      |  JOIN uni ub ON ub.t = split_part(b, ' ', 2)
+      |  WHERE n_ab >= 5)
+      |ORDER BY score DESC, term_a, term_b LIMIT 20""".stripMargin
+
+  // ------------------ content-defined chunk dedup stats (q124)
+  /** [[Dedup.cdcChunks]] corpus diagnosis: per doc, how many of its
+    * content-defined chunks also occur in another document. The CDC
+    * twin of q72/q90's fixed-grid stats — edit-resilient boundaries
+    * mean a near-dup family shares most chunks even when edits shift
+    * token positions. Chunk hashes travel (8 bytes), text never
+    * crosses a shuffle; the dup-chunk aggregate combines map-side. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val chunked = Dedup.cdcChunks(docs0(s, d), modulus = 16).persist()
+    val g = chunked.select(col("doc_id"), explode(col("chs")).as("ch"))
+    val dup = g.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("ch")
+    val perDoc = g.join(dup, Seq("ch"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    chunked.select(col("doc_id"), size(col("chs")).cast("long").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .sortedOut("doc_id")
+  }
+
+  /** Oracle uses the window formulation of the same chunking (chunk
+    * index = running count of boundaries strictly before the position,
+    * chunk content = position-ordered string_agg) — different shape,
+    * identical chunks. */
+  private val q124Sql = {
+    val h = (e: String) => graft.text.Hashing.duckH60(e)
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+       |p0 AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i FROM t),
+       |p AS (SELECT doc_id, i, tk[i] AS tok,
+       |             CASE WHEN ${h("tk[i]")} % 16 = 0 THEN 1 ELSE 0 END AS flag
+       |      FROM p0),
+       |cx AS (SELECT doc_id, i, tok,
+       |         coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+       |       FROM p),
+       |ch AS (SELECT doc_id, cidx, ${h("string_agg(tok, ' ' ORDER BY i)")} AS ch
+       |       FROM cx GROUP BY doc_id, cidx),
+       |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id),
+       |dup AS (SELECT ch FROM ch GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+       |            FROM ch JOIN dup USING (ch) GROUP BY doc_id)
+       |SELECT c.doc_id, n_chunks,
+       |       CAST(coalesce(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks
+       |FROM c LEFT JOIN per_doc ON per_doc.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1532,5 +1650,7 @@ object TextQueries {
     ("q116_bigram_lm",         q116 _, Some(q116Sql)),
     ("q119_containment_pairs", q119 _, Some(q119Sql)),
     ("q121_corpus_diff",       q121 _, Some(q121Sql)),
-    ("q122_length_bucketing",  q122 _, Some(q122Sql)))
+    ("q122_length_bucketing",  q122 _, Some(q122Sql)),
+    ("q123_collocations",      q123 _, Some(q123Sql)),
+    ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)))
 }

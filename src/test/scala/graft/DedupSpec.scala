@@ -135,6 +135,30 @@ class DedupSpec extends SparkSpec {
     capped.count() shouldBe 0L        // df=6 > cap=5 → dropped, no junk pairs
   }
 
+  test("cdcChunks: content-defined boundaries re-align after an insertion; fixed grid doesn't") {
+    // 200 deterministic pseudo-words → ~a dozen content-defined cuts
+    val words = (1 to 200).map(i => s"tok${i * 7919}")
+    val original = words.mkString(" ")
+    val edited = (words.take(5) ++ Seq("INSERTED") ++ words.drop(5)).mkString(" ")
+    val df = docsDF(1L -> original, 2L -> edited)
+    val chs = Dedup.cdcChunks(df, modulus = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val shared = chs(1L).toSet.intersect(chs(2L).toSet).size
+    // the insertion redraws ONLY the chunk it lands in; everything
+    // after the next boundary re-aligns
+    shared should be >= (chs(1L).size - 2)
+    shared should be < chs(1L).size // the touched chunk did change
+    // fixed-grid contrast: every 16-token chunk after the edit shifts
+    val fixedShared = { // q90's grid: disjoint 16-token windows
+      def grid(ws: Seq[String]) = ws.grouped(16).map(_.mkString(" ")).toSet
+      grid(words).intersect(grid(words.take(5) ++ Seq("INSERTED") ++ words.drop(5))).size
+    }
+    fixedShared should be <= 1 // only the chunk(s) before the edit survive
+    // determinism: same text, same chunks
+    Dedup.cdcChunks(docsDF(9L -> original), modulus = 16)
+      .collect().head.getSeq[Long](1) shouldBe chs(1L)
+  }
+
   test("simhash: identical docs equal fingerprints; near-dup within small hamming") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = docsDF(1L -> base, 2L -> base, 3L -> (base + " extraA extraB"))

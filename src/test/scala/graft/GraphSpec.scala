@@ -90,4 +90,33 @@ class GraphSpec extends SparkSpec {
     val r = ranksOf(Seq((1, 2, 1L)), Seq(1, 2, 3, 4), iters = 0)
     r.values.toSet shouldBe Set(0.25)
   }
+
+  test("property: random graphs agree bit-exactly with the reference and conserve mass") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgesGen: Gen[List[(Int, Int, Long)]] = for {
+      nEdges <- Gen.choose(0, 12)
+      edges <- Gen.listOfN(nEdges, for {
+        s <- Gen.choose(0, 5)
+        t <- Gen.choose(0, 5)
+        w <- Gen.choose(1L, 9L)
+      } yield (s, t, w))
+    } yield edges
+      // pre-aggregate parallel edges (the operator's documented contract)
+      .groupBy(e => (e._1, e._2)).map { case ((s, t), es) => (s, t, es.map(_._3).sum) }
+      .toList
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val nodes = (0 to 5).toList
+      val got = ranksOf(edges, nodes, iters = 2)
+      // each run persists its iteration chain; drop the entries so the
+      // shared test JVM's cache manager doesn't accumulate plan trees
+      // across samples (observed OOM at ~15 retained runs)
+      spark.sharedState.cacheManager.clearCache()
+      val want = reference(edges, nodes, iters = 2)
+      val exact = nodes.forall(v => got(v) == want(v)) // EXACT doubles
+      val conserved = math.abs(got.values.sum - 1.0) < 1e-9
+      exact && conserved
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"pagerank-vs-reference: ${res.status}")
+  }
 }

@@ -18,6 +18,20 @@ class EdgeCasesSpec extends SparkSpec {
   private val oneDoc =
     Seq(1L -> "a single document with several tokens").toDF("doc_id", "text")
 
+  test("Tables.events surfaces plain TimestampType whatever the fixture generation") {
+    // the fixture's physical ts type has already changed once between
+    // rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)/NTZ, breaking 18
+    // bench queries) — pin the loader contract so a third generation
+    // fails HERE, not silently in the driver bench
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables.events(spark, sf0001)
+    ev.schema("ts").dataType shouldBe TimestampType
+    // unix_millis is the repo-wide export convention; it must resolve
+    val n = ev.select(org.apache.spark.sql.functions.unix_millis(
+      org.apache.spark.sql.functions.col("ts"))).where("unix_millis(ts) > 0").count()
+    n should be > 0L
+  }
+
   test("minhash pipeline on empty and single-doc corpora") {
     Dedup.minhashSignatures(emptyDocs).count() shouldBe 0
     val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(oneDoc))

@@ -1608,6 +1608,46 @@ object TextQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---------------- tokenizer fertility diagnostics (q125)
+  /** Tokenizer-selection diagnostics per language: how many BPE-style
+    * subword units each whitespace word fragments into (fertility) and
+    * how many characters each unit carries — the numbers that decide
+    * which tokenizer a corpus should train/serve with, reported from
+    * ONE map-side-combinable aggregate pass. Ratios are single
+    * divisions of exact integer sums, so the doubles hash-match. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    docs0(s, d)
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_units"),
+        TextFunctions.nonSpaceChars(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_units")).as("units"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"), col("units"), col("chars"),
+        (dbl(col("units")) / dbl(col("words"))).as("fertility"),
+        (dbl(col("chars")) / dbl(col("units"))).as("chars_per_unit"))
+      .sortedOut("lang")
+  }
+
+  private val q125Sql =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS BIGINT) AS n_units,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS words,
+       |  CAST(sum(n_units) AS BIGINT) AS units,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(n_units) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility,
+       |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_units) AS DOUBLE) AS chars_per_unit
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1652,5 +1692,6 @@ object TextQueries {
     ("q121_corpus_diff",       q121 _, Some(q121Sql)),
     ("q122_length_bucketing",  q122 _, Some(q122Sql)),
     ("q123_collocations",      q123 _, Some(q123Sql)),
-    ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)))
+    ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)),
+    ("q125_tokenizer_fertility", q125 _, Some(q125Sql)))
 }

@@ -89,7 +89,11 @@ object Bench {
     // stdout (all five recorded BENCH_r*.json tails are exactly 2000
     // chars, parsed:null) — every digit of 17-digit double repr pushes
     // more of the line out of the judge's view.
-    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, so a
+    // comma-decimal locale would emit "1,234" and break the JSON parse
+    // (ADVICE r6 #1).
+    def r3(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, (mn, _)) => jstr(k) + ":" + r3(mn) }.mkString("{", ",", "}")
     val med = results.map { case (k, (_, md)) => jstr(k) + ":" + r3(md) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }.mkString("{", ",", "}")

@@ -32,12 +32,19 @@ object Tables {
     * exact-integer range) — and plain TIMESTAMP(MICROS), which needs no
     * rewrite. Dispatch on the scanned type so either fixture loads.
     *
-    * The legacy conf is SESSION-scoped and intentionally left set after
-    * this call: it is consulted again at physical planning, so
-    * restoring it here would break the (lazy) plan this function
-    * returns. It only changes behavior for nanos-timestamp parquet,
-    * which the session would otherwise fail to read at all; the
-    * conditional set below at least avoids redundant conf writes.
+    * FOOTPRINT WARNING — the session becomes "nanos-legacy": both confs
+    * are SESSION-scoped and intentionally left set after this call (they
+    * are consulted again at physical planning, so restoring them here
+    * would break the lazy plan this function returns). For every OTHER
+    * parquet read in the same session this is invisible EXCEPT two
+    * narrow cases: (a) a foreign TIMESTAMP(NANOS) parquet now reads as
+    * raw LongType nanos instead of failing outright; (b) a foreign
+    * NTZ-annotated (isAdjustedToUTC=false) parquet now reads as
+    * TimestampType instead of TimestampNTZType. Micros/UTC parquet —
+    * everything Spark itself writes by default, and all other fixture
+    * tables — is bit-identical before and after (pinned in
+    * EdgeCasesSpec "events conf footprint"). If this engine ever hosts
+    * arbitrary foreign reads, gate these sets behind a footprint check.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")

@@ -129,7 +129,11 @@ object Dedup {
       .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
     val overCap = sized.where(col("count") > bucketCap)
       .select("band", "bh", "anchor").persist() // two consumers below
-    val safe = banded.join(broadcast(overCap.select("band", "bh")),
+    // Guarded hint: broadcast only while the over-cap list is actually
+    // small (the common case); a pathological input degrades to a
+    // shuffle join instead of OOMing the driver (ADVICE r6 #4).
+    val overCapB = graft.ops.Hints.guardedBroadcast(overCap)
+    val safe = banded.join(overCapB.select("band", "bh"),
       Seq("band", "bh"), "left_anti")
     // Pair-dedup placement (same pair arrives via up to `bands` bands)
     // is ADAPTIVE on the threshold, both variants value-identical:
@@ -158,7 +162,7 @@ object Dedup {
     // still passes through the k-signature verification below — a
     // single-band fluke collision is filtered there, same as any
     // candidate. anchor = min(doc_id) keeps the doc_a < doc_b invariant.
-    val stars = banded.join(broadcast(overCap), Seq("band", "bh"))
+    val stars = banded.join(overCapB, Seq("band", "bh"))
       .where(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
     val rawCands = rawPairs.unionByName(stars)

@@ -83,17 +83,32 @@ object Graph {
     // dangling + inflow) but NOT eagerly materialized: an eager
     // count() per iteration costs a full scheduler round-trip of
     // barrier jobs — measured ~2 s of pure job overhead on a 25-node
-    // graph. One final action materializes the whole chain, populating
-    // each level's cache the first time it is reached. For deep
-    // iteration counts (≥ ~20) callers should localCheckpoint every
-    // few levels to cap lineage/analysis depth; at the 3-10 steps
-    // PageRank needs, the chain is shallow.
+    // graph. ONE final action (below, after the loop) materializes the
+    // whole chain, populating each level's cache the first time it is
+    // reached — after which every intermediate level and helper frame
+    // is unpersisted so repeated calls in a long-lived session don't
+    // accumulate cached plans (ADVICE r6 #2). For deep iteration
+    // counts (≥ ~20) callers should localCheckpoint every few levels
+    // to cap lineage/analysis depth; at the 3-10 steps PageRank needs,
+    // the chain is shallow.
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var ranks = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("rank")).persist()
     for (_ <- 0 until iters) {
+      levels += ranks
       // dangling mass: ordered fold over node id — ONE row, broadcast back
       val dang = ranks.join(dangNodes, Seq("node"), "left_semi")
         .agg(orderedSum(collect_list(struct(col("node").as("src"),
           col("rank").as("c")))).as("dang"))
+      // NOTE on the ordered-fold formulation: collect_list materializes
+      // one in-memory struct array per dst node, sized by its IN-DEGREE.
+      // That is the price of bit-exact cross-engine determinism (the
+      // oracle folds in the same src order). It assumes max in-degree ≪
+      // executor heap — true for the |V|≤25 nation graph here and fine
+      // up to ~10⁷ in-edges per node; a web/citation-scale hub graph
+      // needs a hierarchical ordered combine (fold within salted
+      // sub-buckets in src order, then fold the sub-sums in bucket
+      // order) or plain float sum if exact reproducibility is waived
+      // (ADVICE r6 #3).
       val inflow = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), col("src"), (col("rank") * col("frac")).as("c"))
         .groupBy(col("dst"))
@@ -108,9 +123,16 @@ object Graph {
         .persist()
       ranks = next
     }
-    // intermediate levels stay registered with the cache manager; the
-    // ContextCleaner reclaims them when the returned frame's lineage
-    // is dropped (repo-wide convention for lazily returned plans)
+    // One eager action fills the final level's cache through the whole
+    // persisted chain; everything superseded is then released. Callers
+    // triggering their own action afterwards read the final cache, so
+    // this costs one job, not a recompute.
+    ranks.count()
+    levels.foreach(_.unpersist(blocking = false))
+    edges0.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    n.unpersist(blocking = false)
+    dangNodes.unpersist(blocking = false)
     ranks
   }
 }

@@ -826,7 +826,9 @@ object VectorQueries {
     val cos = duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")
     s"""WITH seedx AS (
        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
+       |  FROM embeddings,
+       |       (SELECT unnest(range(1, (SELECT len(embedding) + 1
+       |                               FROM embeddings LIMIT 1))) AS i) dims
        |  WHERE vec_id < 100),
        |cdim AS (
        |  SELECT label, pos,

@@ -119,24 +119,29 @@ object VectorFunctions {
     val sized = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("count"))
     val overCap = sized.where(col("count") > bucketCap)
       .select("tbl", "bucket").persist() // two consumers (anti + inner)
-    val safe = banded.join(broadcast(overCap), Seq("tbl", "bucket"), "left_anti")
+    // Guarded hints on both cap gates: broadcast only while the list is
+    // actually small; pathological inputs degrade to a shuffle join
+    // instead of a failed broadcast (ADVICE r6 #4).
+    val overCapB = graft.ops.Hints.guardedBroadcast(overCap)
+    val safe = banded.join(overCapB, Seq("tbl", "bucket"), "left_anti")
     val within = safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(safe.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")), Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-    val hot = banded.join(broadcast(overCap), Seq("tbl", "bucket"))
+    val hot = banded.join(overCapB, Seq("tbl", "bucket"))
     val sized2 = hot.groupBy("tbl", "bucket", "sub")
       .agg(count(lit(1)).as("count"), min("vec_id").as("anchor"))
     val overCap2 = sized2.where(col("count") > bucketCap)
       .select("tbl", "bucket", "sub", "anchor").persist()
-    val safe2 = hot.join(broadcast(overCap2.select("tbl", "bucket", "sub")),
+    val overCap2B = graft.ops.Hints.guardedBroadcast(overCap2)
+    val safe2 = hot.join(overCap2B.select("tbl", "bucket", "sub"),
       Seq("tbl", "bucket", "sub"), "left_anti")
     val within2 = safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_a"))
       .join(safe2.select(col("tbl"), col("bucket"), col("sub"), col("vec_id").as("vec_b")),
         Seq("tbl", "bucket", "sub"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-    val stars = hot.join(broadcast(overCap2), Seq("tbl", "bucket", "sub"))
+    val stars = hot.join(overCap2B, Seq("tbl", "bucket", "sub"))
       .where(col("vec_id") =!= col("anchor"))
       .select(col("anchor").as("vec_a"), col("vec_id").as("vec_b"))
     val pairs = within.unionByName(within2).unionByName(stars).distinct()

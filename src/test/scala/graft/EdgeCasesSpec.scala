@@ -32,6 +32,30 @@ class EdgeCasesSpec extends SparkSpec {
     n should be > 0L
   }
 
+  test("events conf footprint: loader's legacy confs leave ordinary parquet reads unaffected") {
+    // Tables.events sets nanosAsLong + disables inferTimestampNTZ for
+    // the whole session (documented in its scaladoc). Pin the claimed
+    // bound of that side effect: a normal micros/UTC timestamp parquet
+    // (what Spark itself writes) reads back with identical schema and
+    // values before and after the events read (VERDICT r6 item 8).
+    import org.apache.spark.sql.types.TimestampType
+    val dir = java.nio.file.Files.createTempDirectory("conf-footprint").toString
+    val p = s"$dir/plain.parquet"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-02 11:45:30")))
+      .toDF("id", "t").write.mode("overwrite").parquet(p)
+    def snap() = {
+      val df = spark.read.parquet(p)
+      (df.schema("t").dataType,
+       df.select("id", "t").collect().map(_.toString).sorted.toSeq)
+    }
+    val before = snap()
+    Tables.events(spark, sf0001).count() // triggers the conf sets + a real read
+    val after = snap()
+    before._1 shouldBe TimestampType
+    after shouldBe before
+  }
+
   test("minhash pipeline on empty and single-doc corpora") {
     Dedup.minhashSignatures(emptyDocs).count() shouldBe 0
     val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(oneDoc))

@@ -161,8 +161,8 @@ object TextQueries {
        |         min(CAST(concat('0x', substr(md5(concat(i // 4, ':', tok)), (i % 4) * 7 + 1, 7)) AS BIGINT)) AS h
        |  FROM toks CROSS JOIN (SELECT unnest(range($k)) AS i) perm
        |  GROUP BY doc_id, i),
-       |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
-       |banded AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, b,
        |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*$rpb+1 : b*$rpb+$rpb], ','))), 1, 15)) AS BIGINT) AS bh
        |  FROM sigs CROSS JOIN (SELECT unnest(range($bands)) AS b) bnd),
@@ -188,6 +188,67 @@ object TextQueries {
     s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)}
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected-component labels for the oracle side WITHOUT the
+    * quadratic transitive closure. The previous `reach(a, b)` recursive
+    * CTE materialized all-pairs reachability — O(Σ component²) rows —
+    * and at sf0.1 the boilerplate families pushed DuckDB past ~80 GB of
+    * spill before the engine side had even warmed up (VERDICT r6 item
+    * 2: "the oracle stops scaling before the engine does").
+    *
+    * This replacement is unrolled min-label propagation with pointer
+    * jumping, the same discipline the Spark side's distributed
+    * `nearDupClusters` fallback uses: every CTE stays O(|nodes| +
+    * |edges|) rows. One round = (a) label := min over self + neighbor
+    * labels, (b) label := min(label, label's label) — path halving, so
+    * `rounds` rounds converge for any component diameter ≤ ~2^rounds.
+    * LSH components are overlapping cliques (bucket self-joins) plus
+    * anchor stars, so real diameters are single digits; rounds=5
+    * covers ≥ 32.
+    *
+    * Exactness is still guaranteed, not assumed: a final fixpoint
+    * probe (`conv`) runs one more propagation and NULLs every cluster
+    * label if anything would still change, so a hypothetical
+    * non-converged run fails the driver compare LOUDLY instead of
+    * shipping a plausible-but-wrong component count.
+    *
+    * Expects upstream CTEs `nodes(doc_id)` (every pair endpoint) and
+    * `edges(a, b)` (symmetrized); emits CTEs ending in
+    * `labels(doc_id, cluster)` where cluster = component-min doc_id —
+    * the same survivor rule as the union-find. */
+  private def componentLabelCtes(rounds: Int = 5): String = {
+    val sb = new StringBuilder
+    sb.append("lp0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM nodes)")
+    var prev = "lp0"
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |pr$r AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT e.b AS node, l.lbl FROM $prev l JOIN edges e ON e.a = l.node) u
+         |  GROUP BY node),
+         |lp$r AS MATERIALIZED (
+         |  SELECT a.node, least(a.lbl, b.lbl) AS lbl
+         |  FROM pr$r a JOIN pr$r b ON a.lbl = b.node)""".stripMargin)
+      prev = s"lp$r"
+    }
+    sb.append(s""",
+       |conv AS MATERIALIZED (
+       |  SELECT count(*) AS n_changed FROM (
+       |    SELECT node, min(lbl) AS lbl FROM (
+       |      SELECT node, lbl FROM $prev
+       |      UNION ALL
+       |      SELECT e.b AS node, l.lbl FROM $prev l JOIN edges e ON e.a = l.node) u
+       |    GROUP BY node
+       |    EXCEPT
+       |    SELECT node, lbl FROM $prev) x),
+       |labels AS (
+       |  SELECT node AS doc_id,
+       |         CASE WHEN (SELECT n_changed FROM conv) = 0 THEN lbl END AS cluster
+       |  FROM $prev)""".stripMargin)
+    sb.toString
+  }
 
   // -------------------------------------------------- SimHash fingerprint
   private def q30(s: SparkSession, d: String): DataFrame =
@@ -266,17 +327,11 @@ object TextQueries {
   }
 
   private val q48Sql =
-    s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
        |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
-       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-       |labels AS (
-       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
-       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()}
        |SELECT
        |  CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM nodes)
        |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
@@ -311,7 +366,7 @@ object TextQueries {
   }
 
   private val q57Sql =
-    s"""WITH RECURSIVE ${minhashOracleCtes(32, 4, 8, 1000)},
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
        |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0),
        |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
        |szb AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM bb GROUP BY b, bh),
@@ -348,15 +403,9 @@ object TextQueries {
        |           CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
        |    FROM cands JOIN sigs sa ON sa.doc_id = cands.doc_a JOIN sigs sb ON sb.doc_id = cands.doc_b) z
        |  WHERE e >= 0.9),
-       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-       |labels AS (
-       |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
-       |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id)
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()}
        |SELECT
        |  CAST((SELECT count(*) FROM surv) - (SELECT count(*) FROM nodes)
        |       + (SELECT count(DISTINCT cluster) FROM labels) AS BIGINT) AS n_kept,
@@ -447,9 +496,9 @@ object TextQueries {
   }
 
   private val q60Sql =
-    """WITH RECURSIVE qual AS (
+    s"""WITH qual AS (
       |  SELECT * FROM (
-      |    SELECT d.*, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents d) x
+      |    SELECT d.*, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents d) x
       |  WHERE len(tk) >= 5
       |    AND len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) / len(tk) <= 0.5),
       |exact_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY text),
@@ -460,8 +509,8 @@ object TextQueries {
       |         min(CAST(concat('0x', substr(md5(concat(i // 4, ':', tok)), (i % 4) * 7 + 1, 7)) AS BIGINT)) AS h
       |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS i) perm
       |  GROUP BY doc_id, i),
-      |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
-      |banded AS (
+      |sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+      |banded AS MATERIALIZED (
       |  SELECT doc_id, b,
       |         CAST(concat('0x', substr(md5(concat(b, ':', array_to_string(sig[b*8+1 : b*8+8], ','))), 1, 15)) AS BIGINT) AS bh
       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bnd),
@@ -482,15 +531,9 @@ object TextQueries {
       |           CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS e
       |    FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a JOIN sigs sb ON sb.doc_id = cand.doc_b) z
       |  WHERE e >= 0.9),
-      |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
-      |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-      |labels AS (
-      |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster
-      |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+      |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+      |${componentLabelCtes()},
       |kept AS (
       |  SELECT doc_id FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM nodes)
       |  UNION ALL

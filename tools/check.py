@@ -39,6 +39,12 @@ def table_rows(t: pa.Table):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Let the oracle spill instead of dying: the heavy dedup oracles
+    # (q57/q60 minhash pipelines) exceed RAM at sf0.1 without a temp
+    # directory (in-memory DuckDB disables spilling by default).
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    con.execute("PRAGMA memory_limit='48GB'")
     for p in sorted(glob.glob(f"{sfdir}/*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")

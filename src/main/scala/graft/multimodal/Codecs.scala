@@ -29,6 +29,10 @@ object Codecs extends Serializable {
     * to the stub (fake-*) or None (unknown). */
   val imageFormats: Set[String] = Set("png", "jpeg", "jpg", "bmp", "gif")
   val audioFormats: Set[String] = Set("wav")
+  /** Real VIDEO containers ([[decodeVideoFrames]]): animated GIF
+    * (`javax.imageio` frame readers + compositing) and MJPEG-in-AVI
+    * (RIFF walk + per-frame JPEG decode). */
+  val videoFormats: Set[String] = Set("gif", "avi")
 
   /** Decode image bytes to (width, height, row-major grayscale pixels
     * in [0,1]) using the ITU-R BT.601 luma weights. None when the JDK
@@ -55,6 +59,190 @@ object Codecs extends Serializable {
         (w, h, out)
       }
     } catch { case _: Exception => None }
+
+  /** Dispatch on container magic: animated GIF ("GIF8...") or AVI
+    * (RIFF....AVI ). Returns ALL frames as (width, height, BT.601 luma
+    * raster) in presentation order — width/height are the container's
+    * logical screen, identical across frames (GIF sub-frames are
+    * composited). None when the bytes are neither container or are
+    * corrupt past the first frame boundary. */
+  def decodeVideoFrames(content: Array[Byte]): Option[Seq[(Int, Int, Array[Float])]] = {
+    val b = content
+    if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      decodeGifFrames(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      decodeAviMjpegFrames(b)
+    else None
+  }
+
+  /** Animated-GIF frame decode through the JDK's gif `ImageReader`:
+    * every frame is composited onto the logical screen honoring each
+    * frame's (left, top) offset and disposal method — `none` keeps the
+    * canvas, `restoreToBackgroundColor` clears the frame's rectangle,
+    * `restoreToPrevious` reverts the whole canvas — which is what makes
+    * inter-frame-optimized GIFs (sub-rectangle deltas) decode to full
+    * frames rather than fragments. Transparent canvas pixels read as
+    * black, matching how players render a GIF with no background.
+    * None if the JDK reader can't parse the stream at all; a stream
+    * that dies mid-animation yields the frames before the corruption
+    * (same drop-don't-crash posture as the image/audio codecs). */
+  def decodeGifFrames(content: Array[Byte]): Option[Seq[(Int, Int, Array[Float])]] =
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      try {
+        reader.setInput(iis, false, false)
+        // logical screen from stream metadata; fall back to frame 0 dims
+        var (sw, sh) = (0, 0)
+        val smd = reader.getStreamMetadata
+        if (smd != null) {
+          val tree = smd.getAsTree("javax_imageio_gif_stream_1.0")
+          val kids = tree.getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            val n = kids.item(i)
+            if (n.getNodeName == "LogicalScreenDescriptor") {
+              val at = n.getAttributes
+              sw = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+              sh = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            }
+            i += 1
+          }
+        }
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Float])]
+        var canvas: java.awt.image.BufferedImage = null
+        var done = false
+        var idx = 0
+        while (!done) {
+          val (img, left, top, disposal) =
+            try {
+              val im = reader.read(idx)
+              var (l, t, d) = (0, 0, "none")
+              val md = reader.getImageMetadata(idx)
+              if (md != null) {
+                val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+                val kids = tree.getChildNodes
+                var i = 0
+                while (i < kids.getLength) {
+                  val n = kids.item(i)
+                  n.getNodeName match {
+                    case "ImageDescriptor" =>
+                      val at = n.getAttributes
+                      l = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                      t = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+                    case "GraphicControlExtension" =>
+                      d = n.getAttributes.getNamedItem("disposalMethod").getNodeValue
+                    case _ =>
+                  }
+                  i += 1
+                }
+              }
+              (im, l, t, d)
+            } catch {
+              case _: IndexOutOfBoundsException => (null, 0, 0, "")
+              case _: Exception if idx > 0      => (null, 0, 0, "") // truncated tail
+            }
+          if (img == null) done = true
+          else {
+            if (canvas == null) {
+              if (sw <= 0 || sh <= 0) { sw = img.getWidth + left; sh = img.getHeight + top }
+              canvas = new java.awt.image.BufferedImage(
+                sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            }
+            val saved =
+              if (disposal == "restoreToPrevious") {
+                val c = new java.awt.image.BufferedImage(sw, sh,
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose(); c
+              } else null
+            val g = canvas.createGraphics()
+            g.drawImage(img, left, top, null)
+            g.dispose()
+            frames += ((sw, sh, lumaOf(canvas)))
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(left, top, img.getWidth, img.getHeight)
+                g2.dispose()
+              case "restoreToPrevious" => canvas = saved
+              case _ =>
+            }
+            idx += 1
+          }
+        }
+        if (frames.isEmpty) None else Some(frames.toSeq)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** MJPEG-in-AVI frame decode: walks the RIFF tree (same discipline as
+    * [[decodeWav]] — real chunk alignment, LIST recursion, no fixed
+    * offsets), collects the `##dc`/`##db` video chunks under the `movi`
+    * LIST in stream order, and decodes each payload that carries a JPEG
+    * SOI marker through `javax.imageio`. Non-JPEG payloads (raw DIB
+    * `##db` frames of an uncompressed AVI) and broken frames are
+    * skipped, not fatal. None when the container yields no decodable
+    * frame. */
+  def decodeAviMjpegFrames(content: Array[Byte]): Option[Seq[(Int, Int, Array[Float])]] =
+    try {
+      val b = content
+      if (b.length < 12 ||
+          !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Float])]
+      def isVideoChunk(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")
+      def walk(pos0: Int, end: Int): Unit = {
+        var pos = pos0
+        while (pos + 8 <= end) {
+          val id = new String(b, pos, 4, "US-ASCII")
+          val len = u32(b, pos + 4).toInt
+          val body = pos + 8
+          if (len < 0 || body + len > end) return // truncated: keep what we have
+          if (id == "LIST") {
+            if (len >= 4) walk(body + 4, body + len) // skip the 4-byte list type
+          } else if (isVideoChunk(id) && len >= 2 &&
+                     (b(body) & 0xff) == 0xff && (b(body + 1) & 0xff) == 0xd8) {
+            val img = ImageIO.read(new ByteArrayInputStream(b, body, len))
+            if (img != null) frames += ((img.getWidth, img.getHeight, lumaOf(img)))
+          }
+          pos = body + len + (len & 1) // RIFF chunks are 2-byte aligned
+        }
+      }
+      walk(12, b.length)
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+
+  /** BT.601 luma raster of a (possibly transparent) image; pixels with
+    * alpha < 128 read as black — the no-background GIF convention. */
+  private def lumaOf(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        if (((argb >>> 24) & 0xff) >= 128) {
+          val r = (argb >>> 16) & 0xff
+          val g = (argb >>> 8) & 0xff
+          val bl = argb & 0xff
+          out(y * w + x) = ((0.299 * r + 0.587 * g + 0.114 * bl) / 255.0).toFloat
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)

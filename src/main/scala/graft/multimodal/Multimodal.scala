@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * shape, partition sizing — is real and tested. Decode dispatches per
   * row on `format`: REAL containers decode through JDK-public codecs
   * ([[Codecs]] — `javax.imageio` for png/jpeg/bmp/gif, a RIFF/PCM
-  * chunk parser for wav), while `fake-*` formats use the deterministic
-  * [[FakeCodec]] stub, kept as the exactly-reproducible oracle twin
-  * (and because no JDK-public VIDEO codec exists — frame decode stays
-  * stub-only). Dirty bytes drop, with [[undecodable]] for quarantine
-  * accounting; they never fail the stage.
+  * chunk parser for wav, animated-GIF frame compositing and a
+  * RIFF-walked MJPEG-in-AVI parser for video), while `fake-*` formats
+  * use the deterministic [[FakeCodec]] stub, kept as the
+  * exactly-reproducible oracle twin. Dirty bytes drop, with
+  * [[undecodable]] for quarantine accounting; they never fail the
+  * stage.
   *
   * Scale posture: media bytes never route through a shuffle — decode /
   * featurize are narrow `mapPartitions` stages; only the small derived
@@ -114,7 +115,9 @@ object Multimodal {
     media.mapPartitions(_.flatMap { m =>
       val fmt = m.format.toLowerCase
       val ok =
-        if (Codecs.imageFormats(fmt)) Codecs.decodeImage(m.content).isDefined
+        if (m.kind == "video" && Codecs.videoFormats(fmt))
+          Codecs.decodeVideoFrames(m.content).isDefined
+        else if (Codecs.imageFormats(fmt)) Codecs.decodeImage(m.content).isDefined
         else if (Codecs.audioFormats(fmt)) Codecs.decodeWav(m.content).isDefined
         else true
       if (ok) None else Some(m.media_id)
@@ -155,15 +158,30 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling for video rows: decode lazily, keep every `every`-th
+  /** Frame sampling for video rows: decode, keep every `every`-th
     * frame — a flatMap, so output cardinality is data-dependent but the
-    * decode stream stays lazy per row. */
+    * decode stream stays per-row (one video's frames in memory at a
+    * time, never a partition's).
+    *
+    * Per-row format dispatch like the image/audio stages: REAL
+    * containers — animated GIF and MJPEG-in-AVI — decode through
+    * [[Codecs.decodeVideoFrames]] (frame dims and count come from the
+    * actual bytes; undecodable bytes drop, see [[undecodable]]);
+    * `fake-*` formats keep the deterministic [[FakeCodec]] frame stub
+    * as the exactly-reproducible oracle twin. */
   def sampleFrames(media: Dataset[MediaFile], every: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
-      FakeCodec.decodeFrames(m.content, m.width, m.height, m.duration_ms)
-        .filter(_._1 % every == 0)
-        .map { case (f, px) => Frame(m.media_id, f, m.width, m.height, px) }
+      if (Codecs.videoFormats(m.format.toLowerCase))
+        Codecs.decodeVideoFrames(m.content).toSeq.flatMap { fs =>
+          fs.iterator.zipWithIndex.collect {
+            case ((w, h, px), f) if f % every == 0 => Frame(m.media_id, f, w, h, px)
+          }
+        }
+      else
+        FakeCodec.decodeFrames(m.content, m.width, m.height, m.duration_ms)
+          .filter(_._1 % every == 0)
+          .map { case (f, px) => Frame(m.media_id, f, m.width, m.height, px) }
     })
   }
 

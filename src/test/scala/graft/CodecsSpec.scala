@@ -139,6 +139,136 @@ class CodecsSpec extends SparkSpec {
     out.pixels.toSeq shouldBe FakeCodec.decodeImage(content, 5, 3).toSeq
   }
 
+  // ------------------------------------------------------------ video
+
+  /** Solid-gray full-screen frame. */
+  private def grayFrame(w: Int, h: Int, g: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    img
+  }
+
+  /** Animated GIF via the JDK's own sequence writer, with optional
+    * per-frame (left, top) offsets written through the gif image
+    * metadata tree — real inter-frame optimization, not full frames. */
+  private def gifBytes(frames: Seq[(BufferedImage, Int, Int)]): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, left, top) =>
+      val md = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = tree.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val n = kids.item(i)
+        if (n.getNodeName == "ImageDescriptor") {
+          n.getAttributes.getNamedItem("imageLeftPosition").setNodeValue(left.toString)
+          n.getAttributes.getNamedItem("imageTopPosition").setNodeValue(top.toString)
+        }
+        i += 1
+      }
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Hand-assembled MJPEG-in-AVI: RIFF('AVI ') with a LIST('movi')
+    * holding one `00dc` chunk per JPEG frame — the real container
+    * layout the RIFF walker must navigate. */
+  private def aviBytes(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++ jpegs.flatMap(chunk("00dc", _))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  test("animated GIF: real multi-frame decode — frame count, dims, per-frame luma") {
+    val bytes = gifBytes(Seq(64, 128, 192).map(g => (grayFrame(5, 4, g), 0, 0)))
+    val frames = Codecs.decodeVideoFrames(bytes).get
+    frames.length shouldBe 3
+    frames.zip(Seq(64, 128, 192)).foreach { case ((w, h, px), g) =>
+      w shouldBe 5; h shouldBe 4
+      all(px.map(_.toDouble)) shouldBe (g / 255.0) +- 1e-6
+    }
+  }
+
+  test("animated GIF: sub-rectangle frame composites at its offset over the canvas") {
+    // frame 0: full 6x6 at gray 40; frame 1: 2x2 patch of gray 200 at (3, 2)
+    val bytes = gifBytes(Seq((grayFrame(6, 6, 40), 0, 0), (grayFrame(2, 2, 200), 3, 2)))
+    val frames = Codecs.decodeVideoFrames(bytes).get
+    frames.length shouldBe 2
+    val (w, h, f1) = frames(1)
+    w shouldBe 6; h shouldBe 6
+    for (y <- 0 until 6; x <- 0 until 6) {
+      val want = if (x >= 3 && x < 5 && y >= 2 && y < 4) 200 / 255.0 else 40 / 255.0
+      f1(y * 6 + x).toDouble shouldBe want +- 1e-6
+    }
+  }
+
+  test("MJPEG-in-AVI: RIFF-walked container, per-frame JPEG decode") {
+    def jpeg(g: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(grayFrame(8, 6, g), "jpeg", bos)); bos.toByteArray
+    }
+    val frames = Codecs.decodeVideoFrames(aviBytes(Seq(jpeg(50), jpeg(150), jpeg(250)))).get
+    frames.length shouldBe 3
+    frames.zip(Seq(50, 150, 250)).foreach { case ((w, h, px), g) =>
+      w shouldBe 8; h shouldBe 6
+      // JPEG is lossy; solid frames decode within quantization error
+      all(px.map(_.toDouble)) shouldBe (g / 255.0) +- 0.02
+    }
+  }
+
+  test("sampleFrames dispatches real video containers and keeps the stub twin") {
+    val gif = gifBytes(Seq(60, 120, 180, 240).map(g => (grayFrame(4, 3, g), 0, 0)))
+    val stub = "stub video".getBytes("UTF-8")
+    val ds = Seq(
+      MediaFile(1L, "video", "gif", 0, 0, 0L, gif),
+      MediaFile(2L, "video", "fake-mp4", 4, 3, 3000L, stub),
+      MediaFile(3L, "image", "png", 0, 0, 0L, imageBytes("png", 4, 3))).toDS()
+    val out = Multimodal.sampleFrames(ds, every = 2).collect()
+    // gif: frames 0 and 2 of 4; stub: frames 0 and 2 of 3; image row ignored
+    out.filter(_.media_id == 1L).map(_.frame_no).sorted shouldBe Array(0, 2)
+    out.filter(_.media_id == 1L).foreach { f => f.width shouldBe 4; f.height shouldBe 3 }
+    val stubFrames = out.filter(_.media_id == 2L)
+    stubFrames.map(_.frame_no).sorted shouldBe Array(0, 2)
+    stubFrames.find(_.frame_no == 0).get.pixels.toSeq shouldBe
+      FakeCodec.decodeFrames(stub, 4, 3, 3000L).next()._2.toSeq
+  }
+
+  test("dirty video bytes drop and quarantine; truncated GIF keeps leading frames") {
+    val gif = gifBytes(Seq(64, 128, 192).map(g => (grayFrame(5, 4, g), 0, 0)))
+    val ds = Seq(
+      MediaFile(1L, "video", "gif", 0, 0, 0L, gif),
+      MediaFile(2L, "video", "gif", 0, 0, 0L, "GIF8 but garbage after".getBytes("US-ASCII")),
+      MediaFile(3L, "video", "avi", 0, 0, 0L, Array.fill[Byte](24)(0x11))).toDS()
+    Multimodal.sampleFrames(ds, every = 1).collect().map(_.media_id).distinct.sorted shouldBe Array(1L)
+    Multimodal.undecodable(ds).collect().sorted shouldBe Array(2L, 3L)
+    // a GIF cut mid-animation still yields the frames before the cut
+    val cut = Codecs.decodeGifFrames(gif.take(gif.length - 12))
+    cut.isDefined shouldBe true
+    cut.get.length should be >= 1
+    cut.get.length should be < 3
+  }
+
   test("real image features flow through the existing single-pass stats stage") {
     val feats = Multimodal.imageFeatures(
       Multimodal.decodeImages(mediaOf((1L, "png", imageBytes("png", 6, 4))))).collect()

@@ -47,6 +47,61 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Per-stratum keep fractions for a TEMPERATURE-scaled mixture — the
+    * standard LLM data-mix knob (weights ∝ countᵅ): α = 1 reproduces
+    * the corpus's natural proportions, α = 0 targets a uniform mix
+    * across strata, and 0 < α < 1 up-weights small sources the way
+    * multilingual/multi-domain training mixes do. Fraction for stratum
+    * s with nₛ rows: min(1, target · (nₛᵅ / Σ nᵅ) / nₛ) — the expected
+    * kept total is ≈ `targetRows` (less where a stratum saturates
+    * at 1).
+    *
+    * ONE count pass over the data (a map-side-combining groupBy on the
+    * low-cardinality stratum column); the resulting map is a handful
+    * of doubles on the driver, broadcast into the [[mixtureSample]]
+    * filter by its caller — the 100 TB shape is count-pass + narrow
+    * filter pass, nothing else.
+    *
+    * Cross-engine exactness: fractions are computed in a PINNED fold
+    * order (strata sorted ascending; Σ is a left fold) from exact
+    * int64 counts, and α ∈ {0, 0.5, 1} uses only IEEE-exact kernels
+    * (1, sqrt, identity), so a DuckDB oracle reproduces the thresholds
+    * bit-for-bit (`list_sum(list(... ORDER BY s))` + the same
+    * multiply/divide chain). Other α go through `math.pow` — fine in
+    * production, only 1-ulp-portable, so oracle-pinned queries stick
+    * to the exact kernels. NULL strata are dropped (same contract as
+    * [[mixtureSample]]'s absent strata). */
+  def temperatureFractions(df: DataFrame, stratum: Column, alpha: Double,
+                           targetRows: Long): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha out of [0,1]: $alpha")
+    require(targetRows >= 0, s"targetRows negative: $targetRows")
+    def powA(n: Double): Double =
+      if (alpha == 0.0) 1.0
+      else if (alpha == 0.5) math.sqrt(n)
+      else if (alpha == 1.0) n
+      else math.pow(n, alpha)
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) Map.empty
+    else {
+      val z = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + powA(n.toDouble) }
+      counts.map { case (s, n) =>
+        s -> math.min(1.0, targetRows.toDouble * powA(n.toDouble) / z / n.toDouble)
+      }.toMap
+    }
+  }
+
+  /** [[temperatureFractions]] + [[mixtureSample]] in one call: count
+    * pass → fraction map → deterministic hash filter. */
+  def temperatureMixtureSample(df: DataFrame, stratum: Column, key: Column,
+                               alpha: Double, targetRows: Long): DataFrame =
+    mixtureSample(df, stratum, key,
+      temperatureFractions(df, stratum, alpha, targetRows))
+
   /** Stratified deterministic sample: the `k` smallest key hashes per
     * stratum — uniform within each stratum, exactly `min(k, |stratum|)`
     * rows out, same rows on any partitioning. */

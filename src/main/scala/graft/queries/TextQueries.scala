@@ -687,6 +687,39 @@ object TextQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // -------------------- temperature-scaled mixture sampling (q127)
+  /** The standard LLM data-mix knob (VERDICT r6 item 6): per-language
+    * keep fractions derived from countᵅ at α = 0.5 (up-weights small
+    * languages the way multilingual mixes do) with a 1500-row target,
+    * layered on the same deterministic hash filter as q71. Exactly
+    * oracled: counts are exact int64, the fraction chain is a pinned
+    * left fold over strata sorted ascending, and α = 0.5 uses only
+    * IEEE-exact sqrt — DuckDB reproduces every threshold bit-for-bit
+    * ([[graft.ops.Sampling.temperatureFractions]]). */
+  private def q127(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.temperatureMixtureSample(
+        docs0(s, d), col("lang"), col("doc_id"), alpha = 0.5, targetRows = 1500L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("doc_id")).as("sum_doc"))
+      .orderBy("lang")
+
+  private val q127Sql = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    // 1152921504606846976.0 = 2^60 exactly — the engine's hash space
+    s"""WITH counts AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang),
+       |z AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY s)) AS z FROM counts),
+       |fr AS (
+       |  SELECT s,
+       |         CAST(floor(least(1.0, 1500.0 * sqrt(CAST(n AS DOUBLE)) / z / CAST(n AS DOUBLE))
+       |                    * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts CROSS JOIN z)
+       |SELECT d.lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+       |FROM documents d JOIN fr ON fr.s = d.lang
+       |WHERE $h < fr.thr
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   // ------------------------------ exact substring dedup stats (q72)
   /** Duplicated 13-gram positions per document — exact-substring
     * dedup's curation signal (how much of a doc is verbatim-shared
@@ -1736,5 +1769,6 @@ object TextQueries {
     ("q122_length_bucketing",  q122 _, Some(q122Sql)),
     ("q123_collocations",      q123 _, Some(q123Sql)),
     ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)),
-    ("q125_tokenizer_fertility", q125 _, Some(q125Sql)))
+    ("q125_tokenizer_fertility", q125 _, Some(q125Sql)),
+    ("q127_temperature_mix",   q127 _, Some(q127Sql)))
 }

@@ -849,6 +849,67 @@ object VectorQueries {
        |GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
   }
 
+  // --------------- semantic decontamination vs a benchmark set (q126)
+  /** Embedding-space decontamination (VERDICT r6 item 5): vec_id < 50
+    * plays the benchmark/eval suite, the rest is the training corpus; a
+    * corpus vector is contaminated when its max cosine against a
+    * benchmark vector IN ITS IVF CELL reaches 0.45 (q107's near-dup
+    * band — a paraphrased benchmark item lands there while sharing no
+    * n-grams with q74/q102's arms). Cell-blocked via
+    * [[graft.sim.IvfIndex.decontaminate]] — the shared 16-cell seed
+    * quantizer assigns both sides, candidates exist only within a
+    * cell, and the oracle replicates the blocking exactly, so the
+    * recall bound is part of the contract, not noise. Reported as
+    * per-label corpus totals / screened (≥1 candidate) / contaminated
+    * counts — pure counts, exactly comparable. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ivf = new graft.sim.IvfIndex(nCells = 16, nProbe = 1)
+    val cents = ivf.centroidsOf(e) // seed quantizer: vec_id < 16
+    val bench = e.where(col("vec_id") < 50)
+    val corpus = e.where(col("vec_id") >= 50)
+    val flags = ivf.decontaminate(corpus, bench, cents, minCos = 0.45)
+    corpus.select(col("vec_id"), col("label"))
+      .join(flags, Seq("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_cands") > 0, 1L).otherwise(0L)).as("n_checked"),
+           sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contam"))
+      .sortedOut("label")
+  }
+
+  private val q126Sql = {
+    val cos = duckCos.format("c.embedding", "b.embedding", "c.embedding", "b.embedding")
+    def ccos(x: String, y: String) =
+      s"""(list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, embedding, label, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ccos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |flags AS (
+       |  SELECT c.vec_id,
+       |         count(b.vec_id) AS n_cands,
+       |         coalesce(max($cos) >= 0.45, false) AS contaminated
+       |  FROM assign c
+       |  LEFT JOIN assign b
+       |    ON b.cell = c.cell AND b.vec_id < 50 AND NOT isnan($cos)
+       |  WHERE c.vec_id >= 50
+       |  GROUP BY c.vec_id)
+       |SELECT a.label,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN f.n_cands > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_checked,
+       |       CAST(sum(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+       |FROM assign a JOIN flags f USING (vec_id)
+       |GROUP BY a.label ORDER BY a.label""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -864,5 +925,6 @@ object VectorQueries {
     ("q101_ann_mrr",          q101 _, Some(q101Sql)),
     ("q107_semantic_dedup",   q107 _, Some(q107Sql)),
     ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)),
-    ("q118_centroid_classify", q118 _, Some(q118Sql)))
+    ("q118_centroid_classify", q118 _, Some(q118Sql)),
+    ("q126_semantic_decontam", q126 _, Some(q126Sql)))
 }

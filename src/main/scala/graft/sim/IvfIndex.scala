@@ -137,4 +137,48 @@ class IvfIndex(val nCells: Int = 16, val nProbe: Int = 4) extends Serializable {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** SEMANTIC decontamination (VERDICT r6 item 5): flag corpus vectors
+    * whose embedding is near a benchmark/eval vector — the
+    * paraphrase-robust complement of the n-gram decontamination arms
+    * (q74/q102), which an embedding-space rewrite of a benchmark
+    * passes untouched.
+    *
+    * Blocking is the same IVF-cell discipline as `q107_semantic_dedup`:
+    * both sides take the shared quantizer `cents` in ONE narrow
+    * assignment projection each, and candidates are generated only
+    * within a cell — never corpus × benchmark. The benchmark side is
+    * broadcast: a benchmark suite is small BY DEFINITION (thousands of
+    * rows — it is the thing you're protecting, not the corpus), so the
+    * cell join is map-side; the corpus never shuffles at all. A corpus
+    * doc whose cell holds no benchmark vector reports n_cands = 0 and
+    * counts clean — that recall bound is the documented trade of
+    * cell-blocked screening (raise nCells resolution or probe more
+    * cells to tighten it), and the oracle replicates it exactly.
+    *
+    * Determinism: pair cosines are the fused fold-order-pinned
+    * [[VectorFunctions.cosine]]; `max` over them is order-independent
+    * exactly; NaN cosines (dirty vectors) are dropped before the max so
+    * they can neither flag nor mask a row (adversarial-sweep posture).
+    *
+    * @return one row per corpus vector: (vec_id, n_cands, max_sim
+    *         nullable, contaminated) */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    cents: Array[(Int, Array[Float])], minCos: Double): DataFrame = {
+    val c = assignWith(corpus, cents)
+    val b = assignWith(bench, cents)
+      .select(col("cell"), col("embedding").as("b_emb"))
+    val cos = VectorFunctions.cosine(col("embedding"), col("b_emb"))
+    val agg = c.join(broadcast(b), Seq("cell"))
+      .select(col("vec_id"), cos.as("cos"))
+      .where(!isnan(col("cos")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_sim"))
+    c.select(col("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("max_sim"),
+        coalesce(col("max_sim") >= minCos, lit(false)).as("contaminated"))
+  }
 }

@@ -109,6 +109,43 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureFractions: alpha=1 is the natural mix, alpha=0 uniform, alpha=0.5 between") {
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val target = 200L
+    // alpha = 1: weights prop. to counts cancel — ONE fraction for every
+    // stratum (the corpus's natural proportions at target/N)
+    val f1 = Sampling.temperatureFractions(docs, col("lang"), 1.0, target)
+    f1.keySet shouldBe counts.keySet
+    f1.values.foreach(_ shouldBe (target.toDouble / total) +- 1e-12)
+    // alpha = 0: uniform weights — each stratum targets target/S rows
+    val f0 = Sampling.temperatureFractions(docs, col("lang"), 0.0, target)
+    f0.foreach { case (s, f) =>
+      f shouldBe math.min(1.0, target.toDouble / counts.size / counts(s)) +- 1e-12
+    }
+    // alpha = 0.5: small strata keep MORE than natural, large ones less
+    val f05 = Sampling.temperatureFractions(docs, col("lang"), 0.5, target)
+    val smallest = counts.minBy(_._2)._1
+    val largest = counts.maxBy(_._2)._1
+    f05(smallest) should be > f1(smallest)
+    f05(largest) should be < f1(largest)
+    // invalid alpha rejected
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureFractions(docs, col("lang"), 1.5, target)
+  }
+
+  test("temperatureMixtureSample: deterministic under repartition; expected total near target") {
+    val kept = Sampling.temperatureMixtureSample(
+        docs, col("lang"), col("doc_id"), 0.5, 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val repart = Sampling.temperatureMixtureSample(
+        docs.repartition(7), col("lang"), col("doc_id"), 0.5, 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    repart shouldBe kept
+    kept.size.toDouble should (be > 0.6 * 300 and be < 1.4 * 300)
+  }
+
   test("groupSplit: groups never straddle splits; deterministic; sizes near weights") {
     val docs = Tables.documents(spark, sf0001)
       .withColumn("domain", col("doc_id") % 97)

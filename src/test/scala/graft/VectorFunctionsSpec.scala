@@ -130,4 +130,24 @@ class VectorFunctionsSpec extends SparkSpec {
     out.map(_.getDouble(2)).foreach(c => assert(!c.isNaN))
     pairs.foreach { case (a, b) => assert(a < 100L && b < 100L) }
   }
+
+  test("IvfIndex.decontaminate: cell-blocked flags, empty-cell recall bound, NaN immunity") {
+    val ivf = new graft.sim.IvfIndex(nCells = 2, nProbe = 1)
+    // seed quantizer: cells along the two axes
+    val cents = ivf.centroidsOf(vecsDF(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    val bench = vecsDF(5L -> Seq(0.9f, 0.1f)) // lands in cell 0
+    val corpus = vecsDF(
+      10L -> Seq(1f, 0.05f),                  // cell 0, near the bench vector
+      11L -> Seq(0.1f, 1f),                   // cell 1 — no bench there
+      12L -> Seq(Float.NaN, 1f))              // dirty: must neither flag nor crash
+    val out = ivf.decontaminate(corpus, bench, cents, minCos = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))).toMap
+    out(10L)._1 shouldBe 1L
+    out(10L)._2.get should be > 0.9
+    out(10L)._3 shouldBe true
+    out(11L) shouldBe ((0L, None, false)) // empty cell: screened clean by design
+    out(12L)._3 shouldBe false            // NaN cosine dropped, not compared true
+    out.size shouldBe 3                   // every corpus row reported exactly once
+  }
 }

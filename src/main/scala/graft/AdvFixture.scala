@@ -147,6 +147,40 @@ object AdvFixture {
         lit(820454400000L) + pmod(hash(col("id"), lit(83)), lit(2500)).cast("long") * 86400000L))
       .drop("id")
 
+  /** Adversarial events (round-7 wave 2): POWER USERS, the shape the
+    * uniform fixture never produces. User 1 fires 100 000 events in 20
+    * back-to-back 5 000-event sessions (one hour of silence between);
+    * user 2 fires 50 000 events with NO gap at all — one mega-session,
+    * the sharpest test of q120's claim that per-session state is
+    * bounded by |event types|, not by session length. 200 000 more
+    * events spread uniformly over 10 000 ordinary users. 8 event
+    * types; all hash-derived. */
+  private def events(s: SparkSession): DataFrame = {
+    val baseMs = 1704067200000L // 2024-01-01T00:00:00Z
+    val types = typedLit(Array("view", "click", "scroll", "search",
+      "add", "remove", "buy", "share"))
+    def ty(id: Column, salt: Int): Column =
+      element_at(types, pmod(hash(id, lit(salt)), lit(8)) + 1)
+    val power = s.range(0, 100000).toDF("i")
+      .select(col("i").as("event_id"), lit(1L).as("user_id"),
+        // 45 s spacing, +1 h jump every 5 000 events => 20 long sessions
+        timestamp_millis(lit(baseMs) + col("i") * 45000L +
+          (col("i") / 5000L).cast("long") * 3600000L +
+          pmod(hash(col("i"), lit(5)), lit(30000)).cast("long")).as("ts"),
+        ty(col("i"), 19).as("event_type"))
+    val mega = s.range(0, 50000).toDF("i")
+      .select((col("i") + 1000000L).as("event_id"), lit(2L).as("user_id"),
+        timestamp_millis(lit(baseMs) + col("i") * 10000L).as("ts"),
+        ty(col("i"), 23).as("event_type"))
+    val crowd = s.range(0, 200000).toDF("i")
+      .select((col("i") + 2000000L).as("event_id"),
+        (pmod(hash(col("i"), lit(29)), lit(10000)).cast("long") + 100L).as("user_id"),
+        timestamp_millis(lit(baseMs) +
+          pmod(hash(col("i"), lit(31)), lit(2592000)).cast("long") * 1000L).as("ts"),
+        ty(col("i"), 37).as("event_type"))
+    power.unionByName(mega).unionByName(crowd)
+  }
+
   private def part(s: SparkSession): DataFrame =
     s.range(1, 200002).toDF("p_partkey")
       .withColumn("p_name", concat(lit("part "),
@@ -163,6 +197,7 @@ object AdvFixture {
     embeddings(s).repartition(16).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     lineitem(s).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     part(s).repartition(4).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    events(s).repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -192,6 +192,94 @@ object AdvSweep {
       }
     }
 
+    // ==== wave 2 (round-7 VERDICT item 4) ==============================
+
+    // ---- q117 stress: hot-node graph (one node gets 90% of edges) -----
+    step("pagerank_hotnode") {
+      val n = 25000
+      val nodes = spark.range(0, n).toDF("node")
+      val edges = spark.range(0, 100000).toDF("i")
+        .select(
+          (pmod(hash(col("i"), lit(3)), lit(n - 1)) + 1).cast("long").as("src"),
+          when(pmod(hash(col("i"), lit(7)), lit(10)) < 9, lit(0L))
+            .otherwise(pmod(hash(col("i"), lit(9)), lit(n)).cast("long")).as("dst"),
+          lit(1L).as("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+      val pr = graft.ops.Graph.pageRank(edges, nodes, iters = 3).persist()
+      // mass conservation survives the hub (ordered-fold in-degree
+      // bound: the hub's collect_list holds <= |V| structs, documented
+      // in Graph.scala — this run proves the 25k case concretely)
+      stats("pr_rank_sum") =
+        f"${pr.agg(sum(col("rank"))).collect()(0).getDouble(0)}%.9f"
+      stats("pr_top_node") =
+        pr.orderBy(col("rank").desc).limit(1).collect()(0).getLong(0).toString
+      stats("pr_nan") = pr.where(isnan(col("rank"))).count().toString
+      pr.unpersist()
+    }
+
+    // ---- q119 stress: boilerplate gram flood, dfCap recall-vs-cost ----
+    // The 10k near-dup family IS a boilerplate flood for 5-gram
+    // containment: its grams sit in ~10k docs each, so an uncapped
+    // inverted index would emit ~200 grams x 10^8 pairs — the df^2
+    // blowup the cap exists to kill. The sweep records what each cap
+    // costs and what it can still see: exact-dup groups (df=11 grams)
+    // must survive EVERY cap; the 10k family is invisible to
+    // containment at any sane cap — that content is LSH star-pair /
+    // exact-dup territory, and the stats prove the complementarity.
+    for (cap <- Seq(100, 600, 2000)) step(s"containment_cap$cap") {
+      val cp = Dedup.containmentPairs(docs.where(col("text").isNotNull),
+        n = 5, minContain = 0.8, minGrams = 10, dfCap = cap).persist()
+      stats(s"contain_pairs_cap$cap") = cp.count().toString
+      stats(s"contain_exactdup_cap$cap") =
+        cp.where((col("doc_a") >= 120000 || col("doc_a") < 500) &&
+                 (col("doc_b") >= 120000 || col("doc_b") < 500)).count().toString
+      stats(s"contain_family_cap$cap") =
+        cp.where(col("doc_a") >= 100000 && col("doc_a") < 110000 &&
+                 col("doc_b") >= 100000 && col("doc_b") < 110000).count().toString
+      cp.unpersist()
+    }
+
+    // ---- q120 stress: power-user sessions -----------------------------
+    step("session_cooccur_power") {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val out = graft.queries.ExtendedQueries.sessionCoOccurrence(ev).persist()
+      val rows = out.count()
+      stats("cooccur_rows") = rows.toString // bounded by |T|(|T|-1)/2 = 28
+      stats("cooccur_sessions") =
+        out.agg(max(col("n_sessions"))).collect()(0).getLong(0).toString
+      // no pair can co-occur in more sessions than exist — the
+      // per-session DISTINCT-type-set bound made the mega-session safe
+      stats("cooccur_nab_le_sessions") =
+        out.where(col("n_ab") > col("n_sessions")).count().toString
+      out.unpersist()
+    }
+
+    // ---- distributed nearDupClusters on a 50M-pair component ----------
+    step("labelprop_50m") {
+      // the 10k family as an explicit clique (50M pairs) + a 1000-node
+      // chain: driverMaxPairs=0 FORCES the distributed label-prop path
+      // that production hits when the pair set exceeds the driver gate.
+      // The chain is the diameter stress pointer jumping exists for.
+      val ids = spark.range(0, 10000).select((col("id") + 100000L).as("x"))
+      val clique = ids.select(col("x").as("doc_a"))
+        .crossJoin(ids.select(col("x").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val chain = spark.range(0, 999)
+        .select((col("id") + 500000L).as("doc_a"), (col("id") + 500001L).as("doc_b"))
+      val cl = Dedup.nearDupClusters(clique.unionByName(chain),
+        maxIter = 20, driverMaxPairs = 0).persist()
+      stats("lp_iters") = Dedup.lastLabelPropIterations.toString // ~log2(diameter)+2
+      stats("lp_clusters") =
+        cl.agg(countDistinct(col("cluster"))).collect()(0).getLong(0).toString // 2
+      stats("lp_family_mislabeled") =
+        cl.where(col("doc_id") >= 100000L && col("doc_id") < 110000L &&
+                 col("cluster") =!= 100000L).count().toString // 0
+      stats("lp_chain_mislabeled") =
+        cl.where(col("doc_id") >= 500000L && col("cluster") =!= 500000L)
+          .count().toString // 0
+      cl.unpersist()
+    }
+
     // ---- text functions over garbage ----------------------------------
     step("text_quality") {
       val toks = TextFunctions.tokens(col("text"))

@@ -589,8 +589,16 @@ object Dedup {
     out.toDF("doc_id", "cluster")
   }
 
+  /** Diagnostic only: rounds the last [[nearDupClusters]] distributed
+    * label-propagation run took to reach its fixpoint (-1 = the gated
+    * driver union-find path ran instead). Written single-threadedly by
+    * the driver; the adversarial sweep asserts the pointer-jumping
+    * O(log diameter) bound against it. */
+  @volatile private[graft] var lastLabelPropIterations: Int = -1
+
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
                       driverMaxPairs: Long = 5000000L): DataFrame = {
+    lastLabelPropIterations = -1
     // the pair set feeds THREE plan branches below (two edge directions
     // + the node list) — persist it or the whole candidate-generation
     // subtree executes three times
@@ -638,6 +646,7 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    lastLabelPropIterations = iter
     edges.unpersist()
     p.unpersist()
     labels

@@ -1160,11 +1160,18 @@ object ExtendedQueries {
     * |T|² output. Lift is a single (a·b)/(c·d) double expression —
     * deterministic, mirrored verbatim in the oracle (which generates
     * pairs by self-join: same set semantics, SQL-friendlier shape). */
-  private def q120(s: SparkSession, d: String): DataFrame = {
+  private def q120(s: SparkSession, d: String): DataFrame =
+    sessionCoOccurrence(Tables.events(s, d))
+
+  /** q120's kernel on any events frame with (user_id, ts, event_id,
+    * event_type) — public so the adversarial sweep can drive it with a
+    * power-user corpus (one user, 10⁵ events) that the fixture's
+    * uniform events never produce. */
+  def sessionCoOccurrence(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapMs = 30 * 60000L
-    val sess = Tables.events(s, d)
+    val sess = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
       .withColumn("is_new",

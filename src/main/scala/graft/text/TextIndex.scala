@@ -203,4 +203,23 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).saveAsTable(tmpS)
     swapIn(tmpS, statsName(name))
   }
+
+  /** Compaction POLICY hook, calibrated by the round-7 IndexBench run:
+    * probe latency is append-fragmentation-dominated for this index
+    * (every append adds posting files per touched bucket AND one more
+    * stat-partial row set that every probe folds) and crosses the
+    * 1.5× degradation trigger at ~4 appends (measured curve in
+    * README: 0.216 s fresh → 0.399 s at 4 appends → 0.740 s at 12;
+    * compaction restores 0.154 s). The stats table carries exactly one
+    * partial row per write/append, so its row count IS the
+    * appends-since-compact counter — an O(1)-row read, no bookkeeping.
+    * Call after [[append]]; compacts when the counter exceeds
+    * `maxPartials` and returns whether it did. */
+  def maintain(spark: SparkSession, name: String, spec: Spec = Spec(),
+               maxPartials: Int = 4): Boolean = {
+    val partials = spark.table(statsName(name)).count()
+    val due = partials > maxPartials
+    if (due) compact(spark, name, spec)
+    due
+  }
 }

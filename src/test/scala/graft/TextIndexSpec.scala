@@ -61,4 +61,21 @@ class TextIndexSpec extends SparkSpec {
     val ts = spark.table("tix_cpt_termstats")
     ts.count() shouldBe ts.select("term").distinct().count()
   }
+
+  test("maintain: compacts only past the partial threshold, results unchanged") {
+    val a = docs.where(col("doc_id") % 3 === 1)
+    TextIndex.write(a, "tix_mnt")
+    val before = probeRows("tix_mnt")
+    // fresh index: 1 partial, under any threshold — no compaction
+    TextIndex.maintain(spark, "tix_mnt", maxPartials = 2) shouldBe false
+    TextIndex.append(docs.where(col("doc_id") % 3 === 2), "tix_mnt")
+    TextIndex.append(docs.where(col("doc_id") % 3 === 0), "tix_mnt")
+    // 3 partials > 2 — compaction fires and folds them to one
+    TextIndex.maintain(spark, "tix_mnt", maxPartials = 2) shouldBe true
+    spark.table("tix_mnt_stats").count() shouldBe 1L
+    // post-maintain probe equals the whole-corpus index
+    TextIndex.write(docs, "tix_mnt_whole")
+    probeRows("tix_mnt") shouldBe probeRows("tix_mnt_whole")
+    before should not be empty
+  }
 }

@@ -664,6 +664,47 @@ object TextQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ------------------ concat-and-chunk sequence packing (q128)
+  /** GPT-style pretraining packing: the corpus token stream in doc_id
+    * order cut into EXACT 2048-token sequences, documents crossing
+    * boundaries — [[graft.text.Packing.fixedLengthSequences]] (the
+    * third member of the packing family: q70 budgets shards, q122 pads
+    * batches, this one concatenates). Reported as the histogram a
+    * data-loader audit reads: how many sequences span 1, 2, … docs and
+    * how many document starts (attention-reset points) each class
+    * carries. Distributed prefix sum + one narrow explode; pure
+    * integer arithmetic, exactly oracled. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val withTokens = docs0(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+    graft.text.Packing.fixedLengthSequences(withTokens, "doc_id", "n_tok", seqLen = 2048L)
+      .groupBy("n_docs")
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs_started")).as("sum_started"))
+      .sortedOut("n_docs")
+  }
+
+  private val q128Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+      |              AS BIGINT) AS before
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, before // 2048 AS first_seq,
+      |         unnest(range(before // 2048, (before + n_tok - 1) // 2048 + 1)) AS seq_id
+      |  FROM c WHERE n_tok > 0),
+      |perseq AS (
+      |  SELECT seq_id, count(*) AS n_docs,
+      |         sum(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS n_started
+      |  FROM s GROUP BY seq_id)
+      |SELECT n_docs, count(*) AS n_seqs, CAST(sum(n_started) AS BIGINT) AS sum_started
+      |FROM perseq GROUP BY n_docs ORDER BY n_docs""".stripMargin
+
   // ------------------------------------ mixture sampling (q71)
   /** Training-mix weighting: per-language Bernoulli fractions in one
     * narrow deterministic filter (en 80%, de 30%, others dropped) —
@@ -1770,5 +1811,6 @@ object TextQueries {
     ("q123_collocations",      q123 _, Some(q123Sql)),
     ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)),
     ("q125_tokenizer_fertility", q125 _, Some(q125Sql)),
-    ("q127_temperature_mix",   q127 _, Some(q127Sql)))
+    ("q127_temperature_mix",   q127 _, Some(q127Sql)),
+    ("q128_sequence_packing",  q128 _, Some(q128Sql)))
 }

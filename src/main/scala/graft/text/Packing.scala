@@ -72,6 +72,43 @@ object Packing {
     spark.createDataFrame(out, schema)
   }
 
+  /** CONCAT-AND-CHUNK sequence packing — the GPT-style pretraining
+    * step the shard packer above does NOT do: the corpus token stream
+    * (documents concatenated in `idCol` order) is cut into sequences
+    * of EXACTLY `seqLen` tokens, documents crossing sequence
+    * boundaries (that is the point — no padding waste; q122 is the
+    * padded alternative). Returns one row per training sequence:
+    * (seq_id, n_docs, n_docs_started) where n_docs counts documents
+    * contributing ≥1 token to the sequence and n_docs_started those
+    * whose FIRST token lands in it (= EOS/BOS boundary count the
+    * attention mask cares about).
+    *
+    * Scale shape: rides [[tokenShards]]' distributed prefix sum (a
+    * global window cumsum is the single-partition cliff), then one
+    * narrow explode of each doc into the sequences it overlaps —
+    * total exploded rows = Σ ceil(span) ≈ total_tokens/seqLen +
+    * n_docs — and one map-side-combinable count. All integer
+    * arithmetic: exactly oracle-able.
+    *
+    * Zero-token documents contribute nothing (they occupy no token
+    * interval) and are excluded — same convention as a tokenizer
+    * emitting nothing. */
+  def fixedLengthSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                           seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    tokenShards(docs, idCol, tokenCol, budget = seqLen)
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        expr(s"tokens_before div $seqLen").as("first_seq"),
+        expr(s"(tokens_before + n_tokens - 1) div $seqLen").as("last_seq"))
+      .select(col("first_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_docs_started"))
+  }
+
   /** Per-shard manifest: how many documents and tokens each shard
     * carries — what a loader reads to schedule work. */
   def shardManifest(docs: DataFrame, idCol: String, tokenCol: String,

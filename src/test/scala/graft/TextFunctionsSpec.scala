@@ -180,4 +180,28 @@ class TextFunctionsSpec extends SparkSpec {
     got shouldBe expected
     got.map(_._3).max should be > 0L // fixture spans multiple shards
   }
+
+  test("fixedLengthSequences: conservation laws of concat-and-chunk packing") {
+    import graft.text.Packing
+    import spark.implicits._
+    // hand-built stream: 5+3+4+10+2 = 24 tokens, L=6 → 4 sequences
+    //   seq0 toks  0-5 : d1[0,5) d2[5,8)  → 2 docs, d1+d2 start here
+    //   seq1 toks  6-11: d2      d3[8,12) → 2 docs, d3 starts
+    //   seq2 toks 12-17: d4[12,22)        → 1 doc,  d4 starts
+    //   seq3 toks 18-23: d4      d5[22,24)→ 2 docs, d5 starts
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 10L), (5L, 2L), (6L, 0L))
+      .toDF("doc_id", "n_tok")
+    val out = Packing.fixedLengthSequences(docs, "doc_id", "n_tok", seqLen = 6L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map(0L -> ((2L, 2L)), 1L -> ((2L, 1L)), 2L -> ((1L, 1L)), 3L -> ((2L, 1L)))
+    // conservation: every doc with tokens starts exactly once
+    out.values.map(_._2).sum shouldBe 5L
+    // every sequence holds ≥1 doc; zero-token doc 6 contributes nowhere
+    out.values.map(_._1).min should be >= 1L
+    // partitioning independence
+    val repart = Packing.fixedLengthSequences(
+      docs.repartition(5), "doc_id", "n_tok", seqLen = 6L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    repart shouldBe out
+  }
 }

@@ -705,6 +705,47 @@ object TextQueries {
       |SELECT n_docs, count(*) AS n_seqs, CAST(sum(n_started) AS BIGINT) AS sum_started
       |FROM perseq GROUP BY n_docs ORDER BY n_docs""".stripMargin
 
+  // ------------------- TF-IDF keyword extraction (q130)
+  /** Top-3 characteristic terms per document (doc_id < 100 probe set)
+    * by a df-penalized term frequency — `score = tf·10⁶ div (df+1)`,
+    * the INTEGER-exact member of the tf-idf family: `tf·ln(N/df)`
+    * ranks near-identically but `ln` is only 1-ulp portable across
+    * engines, and an exactly-oracled ranking beats a prettier float
+    * one here (the BM25 surface q63/q113 already covers the float
+    * scoring regime). df is corpus-wide; selection rides the native
+    * [[graft.plans.TopKPerKey]] bounded-heap plan — per (doc,
+    * partition) heaps, ONE shuffle of ≤3 rows per doc, no window over
+    * the full scored frame. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds corpus-wide df AND the probe-side scoring
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.where(col("doc_id") < 100)
+      .join(dfx, Seq("term"))
+      .withColumn("score", expr("(tf * 1000000) div (df + 1)"))
+    graft.plans.TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(col("score").desc, col("term").asc), k = 3)
+      .select("doc_id", "term", "tf", "df", "score")
+      .sortedOut("doc_id", "term")
+  }
+
+  private val q130Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, (tf.tf * 1000000) // (dfx.df + 1) AS score
+      |  FROM tf JOIN dfx USING (term) WHERE tf.doc_id < 100),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       CAST(score AS BIGINT) AS score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+
   // ------------------------------------ mixture sampling (q71)
   /** Training-mix weighting: per-language Bernoulli fractions in one
     * narrow deterministic filter (en 80%, de 30%, others dropped) —
@@ -1812,5 +1853,6 @@ object TextQueries {
     ("q124_cdc_chunk_stats",   q124 _, Some(q124Sql)),
     ("q125_tokenizer_fertility", q125 _, Some(q125Sql)),
     ("q127_temperature_mix",   q127 _, Some(q127Sql)),
-    ("q128_sequence_packing",  q128 _, Some(q128Sql)))
+    ("q128_sequence_packing",  q128 _, Some(q128Sql)),
+    ("q130_tfidf_keywords",    q130 _, Some(q130Sql)))
 }

@@ -910,6 +910,47 @@ object VectorQueries {
        |GROUP BY a.label ORDER BY a.label""".stripMargin
   }
 
+  // ------------------------ hard-negative mining (q129)
+  /** Contrastive-training data prep: for each query vector, the top-5
+    * most-similar vectors with a DIFFERENT label — the "hard
+    * negatives" an embedding-training pipeline mines (easy negatives
+    * are useless, same-label neighbors are positives). Brute-force
+    * broadcast scoring is the exactly-oracled baseline (q32's
+    * discipline: fused fold-order-pinned cosine, ranking ties by
+    * neighbor id); the 100 TB path swaps the scorer for the IVF/PQ
+    * candidates (q84) and keeps the same label-exclusion + rank
+    * contract. NaN cosines (dirty vectors) are dropped before ranking
+    * — they would otherwise sort ABOVE every real negative. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .where(!isnan(col("cos")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("cos"))
+      .sortedOut("query_id", "rank")
+  }
+
+  private val q129Sql = {
+    val cos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label, cos FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+       |        $cos AS cos,
+       |        row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label <> q.label
+       | WHERE q.vec_id < 10 AND NOT isnan($cos))
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -926,5 +967,6 @@ object VectorQueries {
     ("q107_semantic_dedup",   q107 _, Some(q107Sql)),
     ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)),
     ("q118_centroid_classify", q118 _, Some(q118Sql)),
-    ("q126_semantic_decontam", q126 _, Some(q126Sql)))
+    ("q126_semantic_decontam", q126 _, Some(q126Sql)),
+    ("q129_hard_negatives",    q129 _, Some(q129Sql)))
 }

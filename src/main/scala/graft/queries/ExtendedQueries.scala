@@ -1201,6 +1201,65 @@ object ExtendedQueries {
       .sortedOut("type_a", "type_b")
   }
 
+  // -------------- conversation assembly with truncation (q131)
+  /** Instruction-tuning data prep: each session becomes one training
+    * "conversation" — turns ordered by (ts, event_id), TRUNCATED to
+    * the first 8 (max-turn truncation is what real chat pipelines do,
+    * and it is also what makes the state bounded: the row_number
+    * filter runs BEFORE any collect, so the mega-session contributes 8
+    * rows to the assembly, never 10⁵ — the q120 discipline applied to
+    * ordered turn lists instead of distinct type sets). Emits the
+    * turn-type sequence as a joined string (array-output rendering
+    * diverges across engines; the '>' join is the q79 convention),
+    * plus kept-turn count and time span. Exactly oracled. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60000L
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kept = sess.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") <= 8)
+    kept.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          t => t.getField("event_type"))).as("turns"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"))
+      .select(col("user_id"), col("sid").cast("long").as("sid"),
+        col("n_turns"), col("turns"), col("span_ms"))
+      .sortedOut("user_id", "sid")
+  }
+
+  private val q131Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM y),
+      |t AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |                                   ORDER BY ts, event_id) AS rn FROM z),
+      |k AS (SELECT * FROM t WHERE rn <= 8)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |       count(*) AS n_turns,
+      |       string_agg(event_type, '>' ORDER BY rn) AS turns,
+      |       CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS span_ms
+      |FROM k GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   private val q120Sql =
     """WITH x AS (
       |  SELECT user_id, ts, event_id, event_type,
@@ -1267,5 +1326,6 @@ object ExtendedQueries {
     ("q110_funnel_steps",    q110 _, Some(q110Sql)),
     ("q111_decayed_engagement", q111 _, Some(q111Sql)),
     ("q117_trade_pagerank",  q117 _, Some(q117Sql)),
-    ("q120_session_cooccurrence", q120 _, Some(q120Sql)))
+    ("q120_session_cooccurrence", q120 _, Some(q120Sql)),
+    ("q131_conversation_assembly", q131 _, Some(q131Sql)))
 }

@@ -746,6 +746,40 @@ object TextQueries {
       |       CAST(score AS BIGINT) AS score
       |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
 
+  // ------------------------ per-source curation scorecard (q132)
+  /** The report a curation run publishes per ingest source: document
+    * count, redundant exact-copies (non-survivors of the exact-dedup
+    * groups), language spread, total token volume, duplicate fraction.
+    * One groupBy over docs left-semi-flagged by the survivor set —
+    * both shuffles on well-distributed keys; dup_pct is a single IEEE
+    * division. Exactly oracled. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val surv = Dedup.exactGroups(docs)
+      .select(col("keep_id").as("doc_id"), lit(1L).as("is_surv"))
+    docs.join(surv, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_surv").isNull, 1L).otherwise(0L)).as("n_dup"),
+           countDistinct(col("lang")).as("n_langs"),
+           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .withColumn("dup_pct",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+      .sortedOut("source")
+  }
+
+  private val q132Sql =
+    """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+      |SELECT d.source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(len(regexp_split_to_array(lower(trim(d.text)), '\s+'))) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS dup_pct
+      |FROM documents d LEFT JOIN surv s USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ------------------------------------ mixture sampling (q71)
   /** Training-mix weighting: per-language Bernoulli fractions in one
     * narrow deterministic filter (en 80%, de 30%, others dropped) —
@@ -1854,5 +1888,6 @@ object TextQueries {
     ("q125_tokenizer_fertility", q125 _, Some(q125Sql)),
     ("q127_temperature_mix",   q127 _, Some(q127Sql)),
     ("q128_sequence_packing",  q128 _, Some(q128Sql)),
-    ("q130_tfidf_keywords",    q130 _, Some(q130Sql)))
+    ("q130_tfidf_keywords",    q130 _, Some(q130Sql)),
+    ("q132_source_scorecard",  q132 _, Some(q132Sql)))
 }

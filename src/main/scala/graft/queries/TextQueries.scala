@@ -780,6 +780,62 @@ object TextQueries {
       |FROM documents d LEFT JOIN surv s USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ------------------------- leak-free train/val split (q133)
+  /** Eval-split decontamination at split time: documents are split
+    * train/val (90/10) BY NEAR-DUP CLUSTER, not by document — the
+    * whole minhash component travels together, so a val doc can never
+    * have a near-duplicate in train (the self-inflicted leakage a
+    * doc-keyed split guarantees on a corpus with duplicates).
+    * Composition of oracled machinery: LSH pairs (minEst 0.9) →
+    * connected components → component label as the split-hash group
+    * ([[graft.ops.Sampling.groupSplit]]). The output carries the
+    * CONTRACT column `n_straddling` (clusters seen in >1 split) that
+    * both engines compute independently — 0 by construction, and a
+    * bug in either side's clustering or split hashing breaks the
+    * match. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.9)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val withCl = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+    val split = graft.ops.Sampling.groupSplit(withCl, col("cl"),
+      Seq("train" -> 0.9, "val" -> 0.1), seed = 42)
+    val straddle = split.groupBy("cl")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1)
+      .agg(count(lit(1)).as("n_straddling"))
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cl")).as("n_groups"))
+      .crossJoin(broadcast(straddle))
+      .sortedOut("split")
+  }
+
+  private val q133Sql = {
+    val hv = graft.text.Hashing.duckH60("concat('42:', CAST(cl AS VARCHAR))")
+    val b0 = (0.9 * (1L << 60).toDouble).toLong
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()},
+       |clx AS (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cl
+       |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+       |sp AS (
+       |  SELECT doc_id, cl,
+       |         CASE WHEN $hv < $b0 THEN 'train' ELSE 'val' END AS split
+       |  FROM clx),
+       |str AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_straddling FROM (
+       |    SELECT cl FROM sp GROUP BY cl HAVING count(DISTINCT split) > 1) x)
+       |SELECT split, count(*) AS n_docs,
+       |       CAST(count(DISTINCT cl) AS BIGINT) AS n_groups, n_straddling
+       |FROM sp CROSS JOIN str
+       |GROUP BY split, n_straddling ORDER BY split""".stripMargin
+  }
+
   // ------------------------------------ mixture sampling (q71)
   /** Training-mix weighting: per-language Bernoulli fractions in one
     * narrow deterministic filter (en 80%, de 30%, others dropped) —
@@ -1889,5 +1945,6 @@ object TextQueries {
     ("q127_temperature_mix",   q127 _, Some(q127Sql)),
     ("q128_sequence_packing",  q128 _, Some(q128Sql)),
     ("q130_tfidf_keywords",    q130 _, Some(q130Sql)),
-    ("q132_source_scorecard",  q132 _, Some(q132Sql)))
+    ("q132_source_scorecard",  q132 _, Some(q132Sql)),
+    ("q133_leakfree_split",    q133 _, Some(q133Sql)))
 }

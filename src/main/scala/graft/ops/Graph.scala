@@ -135,4 +135,79 @@ object Graph {
     dangNodes.unpersist(blocking = false)
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg) with L1 normalization:
+    *
+    *   h₀(u)   = 1/N
+    *   aᵣ(v)   = Σ_{u→v} hₜ(u)·w(u,v);   aₜ₊₁ = aᵣ / Σ_v aᵣ(v)
+    *   hᵣ(u)   = Σ_{u→v} aₜ₊₁(v)·w(u,v); hₜ₊₁ = hᵣ / Σ_u hᵣ(u)
+    *
+    * The directed-graph complement to [[pageRank]]: "which sources
+    * POINT AT the good stuff" (hubs — link farms, aggregator domains)
+    * vs "which sources the good stuff points at" (authorities) — the
+    * pair of priors a citation/link-graph curation mix wants next to
+    * PageRank's single score. L1 (sum) normalization replaces the
+    * classical L2: same fixpoint direction, but every normalizer is a
+    * plain ordered SUM — bit-reproducible cross-engine without sqrt
+    * ordering concerns, and the scores read as probability masses.
+    *
+    * Scale shape mirrors [[pageRank]] exactly: each half-step is one
+    * hash join on the (≤|V|²-row, pre-aggregated) edge list plus a
+    * groupBy bounded by |edges|; each normalizer is ONE row broadcast
+    * back; every level persists, ONE final action materializes the
+    * chain, then all intermediates unpersist. The same ordered-fold
+    * in-degree memory bound as pageRank's applies (hub-heavy graphs
+    * need a hierarchical ordered combine).
+    *
+    * @param edges (src, dst, w) — positive weights, parallel edges
+    *              pre-aggregated
+    * @param nodes single-column frame of all node ids
+    * @param iters full auth+hub rounds (≥1)
+    * @return (node, hub, auth) — each column L1-normalized over nodes
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val nodeCol = nodes.columns.head
+    val n = nodes.select(col(nodeCol).as("node")).persist()
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .persist()
+    val nNodes = n.count().toDouble
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var hub = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("hub")).persist()
+    levels += hub
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      // authority half-step: inflow of hub mass, ordered fold by src
+      val authRaw = e.join(hub, e("src") === hub("node"))
+        .select(col("dst"), col("src"), (col("hub") * col("w")).as("c"))
+        .groupBy(col("dst"))
+        .agg(orderedSum(collect_list(struct(col("src"), col("c")))).as("raw"))
+      val authAll = n.join(authRaw, n("node") === authRaw("dst"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val aTot = authAll.agg(orderedSum(collect_list(
+        struct(col("node").as("src"), col("raw").as("c")))).as("tot"))
+      auth = authAll.crossJoin(broadcast(aTot))
+        .select(col("node"), (col("raw") / col("tot")).as("auth")).persist()
+      levels += auth
+      // hub half-step: outflow toward authoritative dsts, ordered fold by dst
+      val hubRaw = e.join(auth, e("dst") === auth("node"))
+        .select(col("src"), col("dst"), (col("auth") * col("w")).as("c"))
+        .groupBy(col("src"))
+        .agg(orderedSum(collect_list(
+          struct(col("dst").as("src"), col("c")))).as("raw"))
+      val hubAll = n.join(hubRaw, n("node") === hubRaw("src"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val hTot = hubAll.agg(orderedSum(collect_list(
+        struct(col("node").as("src"), col("raw").as("c")))).as("tot"))
+      hub = hubAll.crossJoin(broadcast(hTot))
+        .select(col("node"), (col("raw") / col("tot")).as("hub")).persist()
+      levels += hub
+    }
+    val out = hub.join(auth, Seq("node")).persist()
+    out.count()
+    levels.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    n.unpersist(blocking = false)
+    out
+  }
 }

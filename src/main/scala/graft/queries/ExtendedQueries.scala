@@ -1143,6 +1143,79 @@ object ExtendedQueries {
        |ORDER BY n_nationkey""".stripMargin
   }
 
+  // ------------------- HITS hubs & authorities on the trade graph (q136)
+  /** [[graft.ops.Graph.hits]] on q117's nation→nation trade-volume
+    * graph: hubs = nations whose purchasing concentrates on the
+    * best-supplying nations, authorities = nations the heavy buyers
+    * source from — the directed-centrality pair a link-graph curation
+    * mix wants next to PageRank. Same scale contract as q117: the fact
+    * table collapses to the ≤N² edge list once, each of the 2 rounds
+    * is |edges|-bounded, every double sum is an ordered fold so hub
+    * AND auth VALUES hash-match the unrolled oracle. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      d184(col("l_extendedprice")).as("price"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+      .groupBy("src", "dst")
+      .agg((sum(col("price")) * lit(10000)).cast(LongType).as("w"))
+    val nation = t(s, d, "nation")
+    val hs = graft.ops.Graph.hits(edges, nation.select("n_nationkey"), iters = 2)
+    hs.join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        hs("node") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"), col("hub"), col("auth"))
+      .sortedOut("n_nationkey")
+  }
+
+  /** Mirrors Graph.hits exactly: L1 normalizers and per-node inflows
+    * as `list_sum(list(c ORDER BY ...))` — the same ordered-fold
+    * convention q117 pins. */
+  private val q136Sql = {
+    def round(prev: String, cur: String) =
+      s"""ar$cur AS (
+         |  SELECT e.dst, e.src, h.hub * e.w AS c
+         |  FROM e JOIN h$prev h ON e.src = h.node),
+         |asum$cur AS (SELECT dst, list_sum(list(c ORDER BY src)) AS raw
+         |             FROM ar$cur GROUP BY dst),
+         |aall$cur AS (SELECT n.node, coalesce(s.raw, CAST(0.0 AS DOUBLE)) AS raw
+         |             FROM nodes n LEFT JOIN asum$cur s ON n.node = s.dst),
+         |atot$cur AS (SELECT list_sum(list(raw ORDER BY node)) AS tot FROM aall$cur),
+         |a$cur AS (SELECT node, raw / tot AS auth FROM aall$cur CROSS JOIN atot$cur),
+         |hr$cur AS (
+         |  SELECT e.src, e.dst, a.auth * e.w AS c
+         |  FROM e JOIN a$cur a ON e.dst = a.node),
+         |hsum$cur AS (SELECT src, list_sum(list(c ORDER BY dst)) AS raw
+         |             FROM hr$cur GROUP BY src),
+         |hall$cur AS (SELECT n.node, coalesce(s.raw, CAST(0.0 AS DOUBLE)) AS raw
+         |             FROM nodes n LEFT JOIN hsum$cur s ON n.node = s.src),
+         |htot$cur AS (SELECT list_sum(list(raw ORDER BY node)) AS tot FROM hall$cur),
+         |h$cur AS (SELECT node, raw / tot AS hub FROM hall$cur CROSS JOIN htot$cur)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM e0),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT node, 1.0 / nn.n AS hub FROM nodes CROSS JOIN nn),
+       |${round("0", "1")},
+       |${round("1", "2")}
+       |SELECT h2.node AS n_nationkey, na.n_name, h2.hub, a2.auth
+       |FROM h2 JOIN a2 ON a2.node = h2.node
+       |JOIN nation na ON na.n_nationkey = h2.node
+       |ORDER BY n_nationkey""".stripMargin
+  }
+
   // ---------------- session co-occurrence / lift mining (q120)
   /** Market-basket association over behavioral sessions: which event
     * types co-occur in the same session beyond chance. Sessions are
@@ -1327,5 +1400,6 @@ object ExtendedQueries {
     ("q111_decayed_engagement", q111 _, Some(q111Sql)),
     ("q117_trade_pagerank",  q117 _, Some(q117Sql)),
     ("q120_session_cooccurrence", q120 _, Some(q120Sql)),
-    ("q131_conversation_assembly", q131 _, Some(q131Sql)))
+    ("q131_conversation_assembly", q131 _, Some(q131Sql)),
+    ("q136_trade_hits",      q136 _, Some(q136Sql)))
 }

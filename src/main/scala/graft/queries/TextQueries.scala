@@ -1896,6 +1896,118 @@ object TextQueries {
        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_units) AS DOUBLE) AS chars_per_unit
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------- intra-document repetition removal (q134)
+  /** Self-repetition trim — the within-document twin of corpus dedup:
+    * crawled pages repeat their own boilerplate (nav bars, footers,
+    * generation loops), and the standard curation fix is to drop
+    * repeated fixed-size token blocks WITHIN each document before any
+    * cross-document pass sees it. Per doc: segment into 8-token
+    * blocks, keep each block's first occurrence, report the token
+    * budget recovered.
+    *
+    * Scale shape: the entire operator is one narrow projection — block
+    * segmentation, first-occurrence filtering (`exists` over the
+    * earlier-blocks slice) and token accounting all happen in-row
+    * inside whole-stage codegen. ZERO exchanges: at 100 TB this runs
+    * at scan speed and composes with any downstream shuffle for free.
+    * The O(blocks²) in-row scan is bounded by (doc_len/8)² — for the
+    * ≥1 GB pathological page a chunked `cdcChunks`-style hash map
+    * would win, but at that length the doc is already past every
+    * length gate in the pipeline. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val withBlocks = docs0(s, d)
+      .where(size(tk) >= 1)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        TextFunctions.tokenBlocks(col("tk"), blockLen = 8).as("blocks"))
+      .select(col("doc_id"), col("n_tokens"), col("blocks"),
+        TextFunctions.firstOccurrences(col("blocks")).as("kept"))
+    withBlocks.select(col("doc_id"), col("n_tokens"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        size(col("kept")).cast("long").as("n_kept_blocks"),
+        aggregate(transform(col("kept"), b => size(split(b, " "))),
+          lit(0), (a, x) => a + x).cast("long").as("n_tokens_kept"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q134Sql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1),
+      |b AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |         list_transform(range(0, (len(tk) - 1) // 8 + 1),
+      |           i -> array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ')) AS blocks
+      |  FROM t),
+      |k AS (
+      |  SELECT doc_id, n_tokens, blocks,
+      |         list_filter(blocks, (bl, i) ->
+      |           len(list_filter(list_slice(blocks, 1, i - 1), x -> x = bl)) = 0) AS kept
+      |  FROM b)
+      |SELECT doc_id, n_tokens,
+      |       CAST(len(blocks) AS BIGINT) AS n_blocks,
+      |       CAST(len(kept) AS BIGINT) AS n_kept_blocks,
+      |       CAST(list_sum(list_transform(kept, bl -> len(string_split(bl, ' ')))) AS BIGINT)
+      |         AS n_tokens_kept
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ------------- n-gram novelty vs the standing corpus (q135)
+  /** Incremental-curation novelty gate: for each document of an
+    * incoming batch, what fraction of its distinct 5-gram shingles the
+    * standing corpus has never seen. Low-novelty batches are re-crawls
+    * or syndication and get down-weighted before training; the same
+    * statistic drives crawl-frontier scheduling. The inverse of
+    * decontamination (q74 asks "seen in the BENCHMARK", this asks
+    * "UNSEEN in the corpus").
+    *
+    * Scale shape: grams travel as md5-60 hashes (8 bytes, text never
+    * crosses a shuffle); the anti-join is hash-partitioned on `gh`, so
+    * cost is (batch gram set + corpus gram set) through one exchange —
+    * the corpus side would be a standing bucketed gram table in
+    * production (built once per ingest, not per probe; the
+    * SignatureIndex lifecycle). For corpora whose gram set dwarfs the
+    * batch, a bloom of corpus grams (q102's tiered pattern, the
+    * dedup-append sink's exact shape) resolves "definitely novel"
+    * map-side and sends only the ~fpp sliver to the exact anti-join. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val all = docs0(s, d)
+    val corpGrams = Dedup.ngramHashes(all.where(col("doc_id") % 10 =!= 0), n = 5)
+      .select("gh").distinct()
+    val incGrams = Dedup.ngramHashes(all.where(col("doc_id") % 10 === 0), n = 5)
+      .distinct().persist() // feeds both the total and the anti-join
+    val novel = incGrams.join(corpGrams, Seq("gh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    incGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).as("novelty"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q135Sql = {
+    val h = Hashing.duckH60("array_to_string(tk[i:i+4], ' ')")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |g0 AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(tk) - 3), i -> $h)) AS gh
+       |       FROM t WHERE len(tk) >= 5),
+       |g AS (SELECT DISTINCT doc_id, gh FROM g0),
+       |corp AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 != 0),
+       |inc AS (SELECT doc_id, gh FROM g WHERE doc_id % 10 = 0),
+       |nov AS (SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       |        FROM inc i LEFT JOIN corp c USING (gh)
+       |        WHERE c.gh IS NULL GROUP BY i.doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM inc GROUP BY doc_id)
+       |SELECT tot.doc_id, n_grams,
+       |       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       |       CAST(coalesce(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+       |FROM tot LEFT JOIN nov ON nov.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -1946,5 +2058,7 @@ object TextQueries {
     ("q128_sequence_packing",  q128 _, Some(q128Sql)),
     ("q130_tfidf_keywords",    q130 _, Some(q130Sql)),
     ("q132_source_scorecard",  q132 _, Some(q132Sql)),
-    ("q133_leakfree_split",    q133 _, Some(q133Sql)))
+    ("q133_leakfree_split",    q133 _, Some(q133Sql)),
+    ("q134_intradoc_dedup",    q134 _, Some(q134Sql)),
+    ("q135_ngram_novelty",     q135 _, Some(q135Sql)))
 }

@@ -43,6 +43,21 @@ object TextFunctions {
   def nonSpaceChars(text: Column): Column =
     length(regexp_replace(text, "\\s", ""))
 
+  /** Fixed-size token blocks (`blockLen` tokens each, last block
+    * ragged), as space-joined strings. Assumes ≥1 token (the callers'
+    * `size(tokens) >= 1` gate) — on an empty array `sequence(0, -1)`
+    * would count DOWN. In-row, codegen-friendly. */
+  def tokenBlocks(tk: Column, blockLen: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(tk) - lit(1)) / lit(blockLen.toDouble)).cast("int")),
+      i => concat_ws(" ", slice(tk, i * lit(blockLen) + lit(1), lit(blockLen))))
+
+  /** First occurrence of each element, original order preserved — the
+    * intra-document repetition trim (q134). In-row O(n²) scan over the
+    * earlier-elements slice; bounded by blocks-per-doc, never shuffles. */
+  def firstOccurrences(xs: Column): Column =
+    filter(xs, (x, i) => !exists(slice(xs, lit(1), i), y => y === x))
+
   /** One BM25 term's contribution (Robertson idf, k1 = 1.2, b = 0.75):
     * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with dl·N kept
     * in exact integer math and a single double division by Σlen. This

@@ -119,4 +119,55 @@ class GraphSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, s"pagerank-vs-reference: ${res.status}")
   }
+
+  // ------------------------------------------------------------- HITS
+
+  private def hitsOf(edges: Seq[(Int, Int, Long)], nodes: Seq[Int],
+                     iters: Int): Map[Int, (Double, Double)] =
+    Graph.hits(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+  test("hits: star pointing at one node makes it the sole authority; " +
+      "pointers share hub mass by weight; both scores are L1-normalized") {
+    // 1,2,3 all point at 0; 3's edge is twice as heavy
+    val got = hitsOf(Seq((1, 0, 1L), (2, 0, 1L), (3, 0, 2L)), Seq(0, 1, 2, 3), iters = 2)
+    spark.sharedState.cacheManager.clearCache()
+    got(0)._2 shouldBe 1.0 // all authority mass on the hub target
+    got(0)._1 shouldBe 0.0 // and it points at nothing
+    got(3)._1 shouldBe 0.5 // weight-2 pointer carries 2/(1+1+2) of hub mass
+    got(1)._1 shouldBe 0.25
+    got(1)._2 shouldBe 0.0
+    math.abs(got.values.map(_._1).sum - 1.0) should be < 1e-12
+    math.abs(got.values.map(_._2).sum - 1.0) should be < 1e-12
+  }
+
+  test("hits: driver reference agreement, exact doubles, on a mixed graph") {
+    val edges = Seq((0, 1, 3L), (0, 2, 1L), (1, 2, 2L), (2, 0, 1L), (3, 2, 5L))
+    val nodes = Seq(0, 1, 2, 3, 4) // 4 isolated
+    val got = hitsOf(edges, nodes, iters = 2)
+    spark.sharedState.cacheManager.clearCache()
+    // driver reference with the same ordered folds + L1 normalizers
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = Map.empty[Int, Double]
+    for (_ <- 0 until 2) {
+      val aRaw = nodes.map { v =>
+        v -> edges.filter(_._2 == v).sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (u, _, w)) => acc + hub(u) * w.toDouble }
+      }.toMap
+      val aTot = nodes.sorted.foldLeft(0.0)((acc, v) => acc + aRaw(v))
+      auth = aRaw.map { case (v, x) => v -> x / aTot }
+      val hRaw = nodes.map { u =>
+        u -> edges.filter(_._1 == u).sortBy(_._2)
+          .foldLeft(0.0) { case (acc, (_, v, w)) => acc + auth(v) * w.toDouble }
+      }.toMap
+      val hTot = nodes.sorted.foldLeft(0.0)((acc, v) => acc + hRaw(v))
+      hub = hRaw.map { case (u, x) => u -> x / hTot }
+    }
+    nodes.foreach { v =>
+      got(v)._1 shouldBe hub(v)  // EXACT
+      got(v)._2 shouldBe auth(v)
+    }
+    // isolated node carries no mass in either role
+    got(4) shouldBe ((0.0, 0.0))
+  }
 }

@@ -242,4 +242,16 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
     } shouldBe empty
   }
+
+  test("q134 intra-doc dedup is narrow: the only exchange is the output-sort's — " +
+      "no hash-partition shuffle anywhere (the operator runs at scan speed)") {
+    val df = graft.SparkEntry.queries("q134_intradoc_dedup")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val hashExchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    withClue(plan.toString)(hashExchanges shouldBe empty)
+  }
 }

@@ -36,6 +36,38 @@ class TextFunctionsSpec extends SparkSpec {
     out shouldBe 3
   }
 
+  test("tokenBlocks: fixed-size blocks with ragged tail") {
+    val out = Seq("a b c d e f g h a b c d e f g h x").toDF("text")
+      .select(TextFunctions.tokenBlocks(
+        TextFunctions.tokens(col("text")), blockLen = 8).as("b"))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("a b c d e f g h", "a b c d e f g h", "x")
+  }
+
+  test("tokenBlocks: single short doc is one block") {
+    val out = Seq("hi there").toDF("text")
+      .select(TextFunctions.tokenBlocks(
+        TextFunctions.tokens(col("text")), blockLen = 8).as("b"))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("hi there")
+  }
+
+  test("firstOccurrences: drops later repeats, keeps original order") {
+    val out = Seq(Tuple1(Seq("x", "y", "x", "z", "y", "x"))).toDF("xs")
+      .select(TextFunctions.firstOccurrences(col("xs")).as("k"))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("x", "y", "z")
+  }
+
+  test("firstOccurrences on tokenBlocks: repeated block dropped, ragged tail kept") {
+    val toks = TextFunctions.tokens(col("text"))
+    val out = Seq("a b c d e f g h a b c d e f g h x").toDF("text")
+      .select(TextFunctions.firstOccurrences(
+        TextFunctions.tokenBlocks(toks, blockLen = 8)).as("k"))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("a b c d e f g h", "x")
+  }
+
   test("langId: argmax with en>es>de tie-break") {
     val toks = TextFunctions.tokens(col("text"))
     val out = Seq(

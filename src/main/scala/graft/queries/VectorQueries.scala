@@ -951,6 +951,50 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------- dominant principal direction (q137)
+  /** [[graft.sim.PrincipalComponent.topComponent]] over the corpus:
+    * the direction ABTT-style embedding debiasing removes and PCA
+    * whitening starts from. 3 power-iteration steps, centered; every
+    * double is an ordered fold (in-row dot in dimension order, per-dim
+    * sums in vec_id order, norms in dimension order), so all `dim`
+    * loadings hash-match the unrolled oracle. The one-pass d×d Gram
+    * path ([[graft.sim.PrincipalComponent.topComponentGram]]) is the
+    * 100 TB variant — spec-pinned to agree in direction, unpinned in
+    * bit pattern (float-sum order), hence not the oracled arm. */
+  private def q137(s: SparkSession, d: String): DataFrame =
+    graft.sim.PrincipalComponent.topComponent(emb(s, d), iters = 3, center = true)
+      .sortedOut("dim")
+
+  private val q137Sql = {
+    def iter(prev: String, cur: String) =
+      s"""c$cur AS (
+         |  SELECT vec_id, e,
+         |         list_sum(list_transform(list_zip(e, v), p -> p[1] * p[2])) AS c
+         |  FROM xc CROSS JOIN v$prev),
+         |yd$cur AS (
+         |  SELECT i, list_sum(list(e[i] * c ORDER BY vec_id)) AS y
+         |  FROM c$cur, dims GROUP BY i),
+         |yv$cur AS (SELECT list(y ORDER BY i) AS y FROM yd$cur),
+         |v$cur AS (SELECT list_transform(y, t -> t / sqrt(list_sum(list_transform(y, u -> u * u)))) AS v
+         |          FROM yv$cur)""".stripMargin
+    s"""WITH x0 AS (
+       |  SELECT vec_id, list_transform(embedding, t -> CAST(t AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, (SELECT len(e) + 1 FROM x0 LIMIT 1))) AS i),
+       |xd AS (SELECT vec_id, i, e[i] AS xv FROM x0, dims),
+       |mud AS (SELECT i, list_sum(list(xv ORDER BY vec_id)) / CAST(count(*) AS DOUBLE) AS m
+       |        FROM xd GROUP BY i),
+       |muv AS (SELECT list(m ORDER BY i) AS mu FROM mud),
+       |xc AS (SELECT vec_id, list_transform(list_zip(e, mu), p -> p[1] - p[2]) AS e
+       |       FROM x0 CROSS JOIN muv),
+       |v0 AS (SELECT list_transform(e, t -> CAST(1.0 AS DOUBLE)) AS v FROM xc LIMIT 1),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT CAST(i - 1 AS INTEGER) AS dim, v[i] AS loading
+       |FROM v3, dims ORDER BY dim""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -968,5 +1012,6 @@ object VectorQueries {
     ("q114_sq8_ann_topk",     q114 _, Some(q114Sql)),
     ("q118_centroid_classify", q118 _, Some(q118Sql)),
     ("q126_semantic_decontam", q126 _, Some(q126Sql)),
-    ("q129_hard_negatives",    q129 _, Some(q129Sql)))
+    ("q129_hard_negatives",    q129 _, Some(q129Sql)),
+    ("q137_principal_component", q137 _, Some(q137Sql)))
 }

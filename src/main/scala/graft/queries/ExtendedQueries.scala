@@ -1361,6 +1361,54 @@ object ExtendedQueries {
       |JOIN single sb ON sb.ty = pc.type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // -------------- SCD2 point-in-time lookup (q141)
+  /** The standard CONSUMPTION pattern for q103's SCD2 dimension — the
+    * feature-store "as-of the event" lookup: every sampled event joins
+    * to the dimension version whose validity interval contains its
+    * timestamp. SCD2 intervals partition each key's timeline, so the
+    * join is an EQUI join on the key plus an in-row interval predicate
+    * — per-key version chains are bounded (change counts, not event
+    * counts), which keeps the probe a plain hash join at any corpus
+    * size; un-keyed interval probes would ride the range-join rewrite
+    * (q53/q68) instead. Timestamps travel pre-truncated to epoch ms
+    * (q103's cross-engine precision convention). Empty intervals
+    * (same-ms version flips) match nothing, so each probe lands in
+    * EXACTLY one version — row count = probe count, spec-free proof
+    * the interval algebra is right. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("event_type"))
+    val dim = RelationalOps.scd2(ev, key = Seq("user_id"), ts = "ts_ms",
+        attrs = Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id").as("d_user_id"), col("version"),
+        col("event_type").as("state_type"), col("valid_from"), col("valid_to"))
+    val probes = ev.where(col("event_id") % 10 === 0)
+    probes.join(dim,
+        probes("user_id") === col("d_user_id") &&
+          col("valid_from") <= col("ts_ms") &&
+          (col("valid_to").isNull || col("ts_ms") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("event_type"), col("version"), col("state_type"))
+      .sortedOutWide("event_id")
+  }
+
+  private val q141Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s AS (SELECT *, lag(event_type) OVER w AS prev FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |c AS (SELECT * FROM s WHERE prev IS NULL OR prev != event_type),
+      |dim AS (SELECT user_id AS d_user_id,
+      |          CAST(row_number() OVER w AS INTEGER) AS version,
+      |          event_type AS state_type,
+      |          ts_ms AS valid_from, lead(ts_ms) OVER w AS valid_to
+      |        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |p AS (SELECT event_id, user_id, ts_ms, event_type FROM e WHERE event_id % 10 = 0)
+      |SELECT p.event_id, p.user_id, p.ts_ms, p.event_type, d.version, d.state_type
+      |FROM p JOIN dim d ON d.d_user_id = p.user_id
+      |  AND d.valid_from <= p.ts_ms
+      |  AND (d.valid_to IS NULL OR p.ts_ms < d.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1401,5 +1449,6 @@ object ExtendedQueries {
     ("q117_trade_pagerank",  q117 _, Some(q117Sql)),
     ("q120_session_cooccurrence", q120 _, Some(q120Sql)),
     ("q131_conversation_assembly", q131 _, Some(q131Sql)),
-    ("q136_trade_hits",      q136 _, Some(q136Sql)))
+    ("q136_trade_hits",      q136 _, Some(q136Sql)),
+    ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)))
 }

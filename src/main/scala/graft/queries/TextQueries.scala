@@ -2008,6 +2008,94 @@ object TextQueries {
        |ORDER BY tot.doc_id""".stripMargin
   }
 
+  // ------------- classifier calibration / reliability bins (q139)
+  /** Reliability diagram for q112's quality classifier: bucket the
+    * corpus by margin half-point bins and report, per bin, how often
+    * the q25 quality criterion actually holds — the curve that decides
+    * whether a score threshold transfers across sources and where to
+    * place the keep/drop cut. One map-side-combinable aggregate pass;
+    * counts and rates are exact integers/divisions, the per-bin mean
+    * margin is a doc_id-ordered fold, so all doubles hash-match. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    val scored = docs0(s, d).select(
+      col("doc_id"),
+      graft.ops.LinearModel.margin(q112W, Seq(
+        nTok.cast(DoubleType) / lit(256.0),
+        TextFunctions.nonSpaceChars(col("text")) / nTok,
+        stopHits / nTok)).as("score"),
+      (nTok >= 5 && (stopHits / nTok) <= lit(0.5)).as("label"))
+    scored.withColumn("bin", floor(col("score") * lit(2.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        (aggregate(array_sort(collect_list(struct(col("doc_id"), col("score").as("v")))),
+          lit(0.0), (a, x) => a + x.getField("v")) /
+          count(lit(1)).cast("double")).as("mean_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"),
+        col("mean_score"))
+      .sortedOut("bin")
+  }
+
+  private val q139Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    -1.25 + 2.0 * (CAST(len(toks) AS DOUBLE) / 256.0)
+      |          + 0.25 * (length(regexp_replace(text, '\s', '', 'g')) / len(toks))
+      |          + -3.5 * (len(list_filter(toks,
+      |                      t -> t IN ('the','a','of','and','to','in','is'))) / len(toks))
+      |      AS score,
+      |    (len(toks) >= 5 AND len(list_filter(toks,
+      |       t -> t IN ('the','a','of','and','to','in','is'))) / len(toks) <= 0.5) AS label
+      |  FROM (SELECT *, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |b AS (SELECT *, CAST(floor(score * 2.0) AS BIGINT) AS bin FROM s)
+      |SELECT bin, count(*) AS n,
+      |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+      |  list_sum(list(score ORDER BY doc_id)) / CAST(count(*) AS DOUBLE) AS mean_score
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ------------- sequence-length coverage curve (q140)
+  /** The max_seq_len decision table: for each candidate context length,
+    * what fraction of documents fit untruncated and what fraction of
+    * corpus TOKENS survive truncation. This is the one-pass statistic
+    * that sizes packing (q128), bucketing (q122) and the training
+    * context window. Shape: a 6-way literal-array explode over the
+    * per-doc token count (map-side combine to 6 groups), corpus totals
+    * ride a 1-row broadcast. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val lens = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+    val t = docs0(s, d)
+      .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val tot = t.agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+    t.select(col("n_tok"), explode(array(lens.map(lit): _*)).as("max_len"))
+      .groupBy("max_len")
+      .agg(sum(when(col("n_tok") <= col("max_len"), 1L).otherwise(0L)).as("docs_fit"),
+        sum(least(col("n_tok"), col("max_len"))).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("max_len"), col("docs_fit"), col("tokens_kept"),
+        (col("docs_fit").cast(DoubleType) / col("nd").cast(DoubleType)).as("doc_coverage"),
+        (col("tokens_kept").cast(DoubleType) / col("nt").cast(DoubleType)).as("token_coverage"))
+      .sortedOut("max_len")
+  }
+
+  private val q140Sql =
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_tok) AS BIGINT) AS nt FROM t),
+      |x AS (SELECT n_tok, unnest([16, 32, 64, 128, 256, 512]) AS max_len FROM t)
+      |SELECT CAST(max_len AS BIGINT) AS max_len,
+      |  CAST(sum(CASE WHEN n_tok <= max_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit,
+      |  CAST(sum(least(n_tok, max_len)) AS BIGINT) AS tokens_kept,
+      |  CAST(sum(CASE WHEN n_tok <= max_len THEN 1 ELSE 0 END) AS DOUBLE) / CAST(nd AS DOUBLE) AS doc_coverage,
+      |  CAST(sum(least(n_tok, max_len)) AS DOUBLE) / CAST(nt AS DOUBLE) AS token_coverage
+      |FROM x CROSS JOIN tot GROUP BY max_len, nd, nt ORDER BY max_len""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2060,5 +2148,7 @@ object TextQueries {
     ("q132_source_scorecard",  q132 _, Some(q132Sql)),
     ("q133_leakfree_split",    q133 _, Some(q133Sql)),
     ("q134_intradoc_dedup",    q134 _, Some(q134Sql)),
-    ("q135_ngram_novelty",     q135 _, Some(q135Sql)))
+    ("q135_ngram_novelty",     q135 _, Some(q135Sql)),
+    ("q139_calibration_bins",  q139 _, Some(q139Sql)),
+    ("q140_seqlen_coverage",   q140 _, Some(q140Sql)))
 }

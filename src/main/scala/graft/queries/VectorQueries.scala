@@ -995,6 +995,80 @@ object VectorQueries {
        |FROM v3, dims ORDER BY dim""".stripMargin
   }
 
+  // ---------------- margin-based bitext mining (q138)
+  /** Artetxe–Schwenk margin scoring — the standard mined-parallel-text
+    * (bitext) selector: a candidate pair's raw cosine is normalized by
+    * the mean of both endpoints' top-k neighborhoods, so "hub" vectors
+    * that are close to EVERYTHING stop winning every alignment.
+    * Sides: even vec_ids play the source language, odd the target.
+    * margin(a,b) = 2·cos(a,b) / (avgTop4(a→B) + avgTop4(b→A)); each
+    * source keeps its best-margin target when margin > 1.
+    *
+    * Scale shape: the all-pairs score is the oracle-able baseline —
+    * production swaps candidate generation for the IVF/PQ probe
+    * (q84/q87's cell-pruned joins) and the margin arithmetic is
+    * UNCHANGED on the k·|A| candidate frame. The scored frame persists
+    * at its three fan-out points (two neighborhood windows + the final
+    * join); neighborhood means are top-4 folds in RANK order, so every
+    * margin double hash-matches the oracle. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val a = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+    val b = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("eb"))
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("src_id"), col("tgt_id"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
+      .where(!isnan(col("cos")))
+      .persist()
+    def nbhdMean(part: String, other: String) =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy(part).orderBy(col("cos").desc, col(other))))
+        .where(col("rn") <= 4)
+        .groupBy(part)
+        .agg((aggregate(array_sort(collect_list(struct(col("rn"), col("cos").as("v")))),
+          lit(0.0), (s0, x) => s0 + x.getField("v")) /
+          count(lit(1)).cast("double")).as(s"avg_$part"))
+    scored
+      .join(nbhdMean("src_id", "tgt_id"), Seq("src_id"))
+      .join(nbhdMean("tgt_id", "src_id"), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        (lit(2.0) * col("cos") / (col("avg_src_id") + col("avg_tgt_id"))).as("margin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))))
+      .where(col("rn") === 1 && col("margin") > 1.0)
+      .select("src_id", "tgt_id", "cos", "margin")
+      .sortedOut("src_id")
+  }
+
+  private val q138Sql = {
+    val cos = duckCos.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+       |scored AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, $cos AS cos
+       |  FROM a CROSS JOIN b),
+       |sc AS (SELECT * FROM scored WHERE NOT isnan(cos)),
+       |ra AS (SELECT src_id, cos,
+       |         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+       |       FROM sc),
+       |avga AS (SELECT src_id, list_sum(list(cos ORDER BY rn)) / CAST(count(*) AS DOUBLE) AS avg_a
+       |         FROM ra WHERE rn <= 4 GROUP BY src_id),
+       |rb AS (SELECT tgt_id, cos,
+       |         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rn
+       |       FROM sc),
+       |avgb AS (SELECT tgt_id, list_sum(list(cos ORDER BY rn)) / CAST(count(*) AS DOUBLE) AS avg_b
+       |         FROM rb WHERE rn <= 4 GROUP BY tgt_id),
+       |m AS (SELECT s.src_id, s.tgt_id, s.cos,
+       |        CAST(2.0 AS DOUBLE) * s.cos / (avg_a + avg_b) AS margin
+       |      FROM sc s JOIN avga USING (src_id) JOIN avgb USING (tgt_id)),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+       |         FROM m)
+       |SELECT src_id, tgt_id, cos, margin FROM best
+       |WHERE rn = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1013,5 +1087,6 @@ object VectorQueries {
     ("q118_centroid_classify", q118 _, Some(q118Sql)),
     ("q126_semantic_decontam", q126 _, Some(q126Sql)),
     ("q129_hard_negatives",    q129 _, Some(q129Sql)),
-    ("q137_principal_component", q137 _, Some(q137Sql)))
+    ("q137_principal_component", q137 _, Some(q137Sql)),
+    ("q138_bitext_margin",     q138 _, Some(q138Sql)))
 }

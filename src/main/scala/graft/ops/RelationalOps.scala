@@ -422,4 +422,45 @@ object RelationalOps {
           .when(col("__fp1") === col("__fp2"), "unchanged")
           .otherwise("modified").as("status"))
   }
+
+  /** Exact 1-based global row number under a TOTAL order, without the
+    * single-partition cliff: `row_number().over(Window.orderBy(...))`
+    * funnels the whole dataset through one task, which at corpus scale
+    * is the canonical OOM. This is the distributed formulation
+    * ([[graft.text.Packing.tokenShards]]' discipline generalized to
+    * any ordering): range-partition + local sort, ONE P-long count
+    * round to the driver, then each partition streams its rows adding
+    * its exclusive prefix offset. Two narrow passes over a sorted
+    * cached frame; every partition works in parallel.
+    *
+    * `order` must be a total order (tie-break to a unique column) or
+    * the assignment is arbitrary among ties — same contract as the
+    * window formulation.
+    *
+    * The sorted frame is persisted because both passes consume it;
+    * unpersist falls to the ContextCleaner (lazy plan), as in
+    * tokenShards. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      outCol: String = "rn", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var rn = offsets(pid)
+      it.map { r => rn += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rn) }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

@@ -2096,6 +2096,291 @@ object TextQueries {
       |  CAST(sum(least(n_tok, max_len)) AS DOUBLE) / CAST(nt AS DOUBLE) AS token_coverage
       |FROM x CROSS JOIN tot GROUP BY max_len, nd, nt ORDER BY max_len""".stripMargin
 
+  // ------------- cross-source content overlap matrix (q142)
+  /** Which ingest sources are re-serving each other's content: for
+    * every source pair, the number of distinct 5-gram shingles both
+    * contain and the gram-set Jaccard. Syndication networks, mirror
+    * hosts and re-crawled snapshots show up as high-overlap pairs —
+    * the signal that drives source-level (not doc-level) dedup
+    * decisions and crawl-budget allocation.
+    *
+    * Scale shape: grams travel as md5-60 hashes; (source, gram)
+    * distinct is one exchange; the per-gram DISTINCT source set is
+    * bounded by |sources| (collect_set after the distinct — never
+    * row-multiplied), and the i<j pair expansion happens in-row, so
+    * the pair frame is ≤ C(|S|,2) rows per gram BEFORE its groupBy —
+    * no source-level self-join of gram sets ever materializes. The
+    * per-source size table is |S| rows, broadcast onto the pair
+    * aggregate. At 100 TB the only O(corpus) stages are the two
+    * hash-partitioned exchanges on `gh`. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(4)),
+      i => Hashing.h60(array_join(slice(col("tk"), i, lit(5)), " ")))
+    val sg = docs0(s, d).where(size(tk) >= 5)
+      .select(col("source"), tk.as("tk"))
+      .select(col("source"), explode(gramArr).as("gh"))
+      .distinct()
+      .persist() // feeds the per-source sizes AND the per-gram source sets
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = sg.groupBy("gh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs")) - i - lit(1)),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_shared")).cast(DoubleType)).as("jaccard"))
+      .sortedOut("src_a", "src_b")
+  }
+
+  private val q142Sql = {
+    val h = Hashing.duckH60("array_to_string(tk[i:i+4], ' ')")
+    s"""WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT DISTINCT source,
+       |         unnest(list_transform(range(1, len(tk) - 3), i -> $h)) AS gh
+       |       FROM t WHERE len(tk) >= 5),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM g a JOIN g b USING (gh) WHERE a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+       |FROM p
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ------------- Kneser-Ney count-of-counts (q143)
+  /** The LM-training statistic behind CCNet-style quality filtering:
+    * per language, the bigram count-of-counts n1..n4 (how many distinct
+    * bigrams occur exactly once, twice, ...) and the modified
+    * Kneser-Ney discounts D1/D2/D3+ they imply (Chen & Goodman 1999:
+    * Y = n1/(n1+2·n2), D_k = k - (k+1)·Y·n_{k+1}/n_k). These five
+    * numbers per language are what an n-gram LM fit actually needs
+    * from a 100 TB corpus — the full count table never leaves the
+    * cluster, only its histogram does.
+    *
+    * Scale shape: bigrams travel as md5-60 hashes (8 bytes); ONE
+    * hash-partitioned exchange on (lang, bigram-hash) with map-side
+    * combine, then the count table collapses to a |lang|-row histogram
+    * in a second map-side-combinable pass. Discount arithmetic is a
+    * fixed expression over exact integers (guarded to NULL where a
+    * zero count makes D_k undefined), so the doubles hash-match. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val bigrams = docs0(s, d).where(size(tk) >= 2)
+      .select(col("lang"), tk.as("tk"))
+      .select(col("lang"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => Hashing.h60(array_join(slice(col("tk"), i, lit(2)), " ")))).as("bh"))
+    val hist = bigrams.groupBy("lang", "bh").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c") === 4, 1L).otherwise(0L)).as("n4"))
+    val y = col("n1").cast(DoubleType) / (col("n1") + col("n2") * 2).cast(DoubleType)
+    def disc(k: Int, nk: Column, nk1: Column): Column =
+      when(nk > 0 && col("n1") + col("n2") * 2 > 0,
+        lit(k.toDouble) - lit((k + 1).toDouble) * y *
+          (nk1.cast(DoubleType) / nk.cast(DoubleType)))
+    hist.select(col("lang"), col("n_types"), col("n_tokens"),
+        col("n1"), col("n2"), col("n3"), col("n4"),
+        disc(1, col("n1"), col("n2")).as("d1"),
+        disc(2, col("n2"), col("n3")).as("d2"),
+        disc(3, col("n3"), col("n4")).as("d3"))
+      .sortedOut("lang")
+  }
+
+  private val q143Sql = {
+    val h = Hashing.duckH60("array_to_string(tk[i:i+1], ' ')")
+    def disc(k: Int, nk: String, nk1: String) =
+      s"""CASE WHEN $nk > 0 AND n1 + n2 * 2 > 0
+         |  THEN ${k}.0 - ${k + 1}.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 * 2 AS DOUBLE))
+         |       * (CAST($nk1 AS DOUBLE) / CAST($nk AS DOUBLE)) END""".stripMargin
+    s"""WITH t AS (SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |b AS (SELECT lang, unnest(list_transform(range(1, len(tk)), i -> $h)) AS bh
+       |      FROM t WHERE len(tk) >= 2),
+       |c AS (SELECT lang, bh, count(*) AS c FROM b GROUP BY 1, 2),
+       |h AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |  CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |  CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM c GROUP BY lang)
+       |SELECT lang, n_types, n_tokens, n1, n2, n3, n4,
+       |  ${disc(1, "n1", "n2")} AS d1,
+       |  ${disc(2, "n2", "n3")} AS d2,
+       |  ${disc(3, "n3", "n4")} AS d3
+       |FROM h ORDER BY lang""".stripMargin
+  }
+
+  // ------------- contamination span localization (q145)
+  /** WHERE the benchmark leak sits inside each contaminated document —
+    * the surgical complement of q74's whole-doc verdict: per
+    * contaminated doc, the first and last token positions covered by
+    * a benchmark 13-gram, the hit count and the covered-span fraction.
+    * With spans in hand the pipeline can excise the leaked passage
+    * (q90's removal machinery) instead of dropping the whole document
+    * — at 100 TB the difference between losing 0.01% and 3% of tokens
+    * to decontamination.
+    *
+    * Scale shape: identical to q74 plus an 8-byte position riding next
+    * to each gram hash — same single hash-partitioned join against the
+    * benchmark gram set (broadcast or bloom-tiered per q102 when the
+    * benchmark is large), then a per-doc min/max/count aggregate.
+    * Text never crosses a shuffle. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val n = 13
+    val tk = TextFunctions.tokens(col("text"))
+    val t = docs0(s, d).where(size(tk) >= n)
+      .select(col("doc_id"), tk.as("tk"))
+    val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+      i => Hashing.h60(array_join(slice(col("tk"), i, lit(n)), " ")))
+    val grams = t.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+      posexplode(gramArr).as(Seq("p0", "gh")))
+    val bench = grams.where(col("doc_id") % 10 === 0).select("gh").distinct()
+    grams.where(col("doc_id") % 10 =!= 0)
+      .join(bench, "gh")
+      .groupBy("doc_id")
+      .agg(max(col("n_tok")).as("n_tokens"),
+           count(lit(1)).as("n_hits"),
+           (min(col("p0")) + 1).cast(LongType).as("first_tok"),
+           (max(col("p0")) + lit(n)).cast(LongType).as("last_tok"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"), col("first_tok"), col("last_tok"),
+        ((col("last_tok") - col("first_tok") + 1).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("span_frac"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q145Sql = {
+    val h = Hashing.duckH60("array_to_string(tk[i:i+12], ' ')")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+       |        unnest(range(1, len(tk) - 11)) AS p,
+       |        unnest(list_transform(range(1, len(tk) - 11), i -> $h)) AS gh
+       |      FROM t WHERE len(tk) >= 13),
+       |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+       |SELECT doc_id, max(n_tok) AS n_tokens, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(p) AS BIGINT) AS first_tok,
+       |  CAST(max(p) + 12 AS BIGINT) AS last_tok,
+       |  CAST(max(p) + 12 - min(p) + 1 AS DOUBLE) / CAST(max(n_tok) AS DOUBLE) AS span_frac
+       |FROM g JOIN bench USING (gh)
+       |WHERE doc_id % 10 != 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------- Poisson-bootstrap corpus-metric uncertainty (q146)
+  /** Error bars for a corpus statistic without a second pass: the
+    * Poisson bootstrap (the standard resampling scheme when n is too
+    * large to multinomial-sample — each replica weights every doc
+    * Poisson(1), here derived DETERMINISTICALLY from md5-60(doc:rep)
+    * against precomputed CDF thresholds). 32 replica means of the
+    * per-doc token count; the spread of `mean_tok` across replicas IS
+    * the sampling distribution — its quantiles are the CI the
+    * curation report quotes next to the point estimate.
+    *
+    * Scale shape: the 32× row expansion collapses map-side into 32
+    * groups (sums of integers — no double folds anywhere until the
+    * final per-replica division), so the whole operator is one scan
+    * with a 32-row shuffle. Thresholds are exact integer literals
+    * shared verbatim with the oracle. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val thr = PoissonThresholds
+    val t = docs0(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val u = Hashing.h60(concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string")))
+    // built inside-out so the SMALLEST threshold is tested first,
+    // mirroring the oracle's CASE arm order exactly
+    val w = thr.zipWithIndex.reverse.foldLeft(lit(thr.length.toLong)) { case (acc, (tk, k)) =>
+      when(col("u") < lit(tk), k.toLong).otherwise(acc)
+    }
+    t.select(col("doc_id"), col("n_tok"), explode(sequence(lit(0), lit(31))).as("r"))
+      .select(col("r").cast(LongType).as("r"), col("n_tok"), u.as("u"))
+      .select(col("r"), col("n_tok"), w.as("w"))
+      .groupBy("r")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("n_tok")).as("w_tok"))
+      .select(col("r"), col("n_eff"), col("w_tok"),
+        (col("w_tok").cast(DoubleType) / col("n_eff").cast(DoubleType)).as("mean_tok"))
+      .sortedOut("r")
+  }
+
+  /** Poisson(1) CDF split points scaled to the md5-60 hash space:
+    * thresholds(k) = floor(P(X<=k-1)·2^60); a hash below thresholds(k)
+    * and at/above thresholds(k-1) means weight k-1, at/above the last
+    * threshold means weight 5 (P beyond ~0.04%). Identical literals are
+    * inlined into the DuckDB oracle, so the weights are bit-equal. */
+  private val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val cdf = Seq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0).map(_ * e1) // P(<=0..4)
+    cdf.map(p => (p * math.pow(2.0, 60)).toLong)
+  }
+
+  private val q146Sql = {
+    val h = Hashing.duckH60("CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+    val caseW = PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonThresholds.length} END")
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |x AS (SELECT doc_id, n_tok, unnest(range(0, 32)) AS r FROM t),
+       |wt AS (SELECT r, n_tok, $caseW AS w
+       |       FROM (SELECT doc_id, n_tok, r, $h AS u FROM x))
+       |SELECT CAST(r AS BIGINT) AS r, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * n_tok) AS BIGINT) AS w_tok,
+       |  CAST(sum(w * n_tok) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_tok
+       |FROM wt GROUP BY r ORDER BY r""".stripMargin
+  }
+
+  // ------------- length-curriculum phase assignment (q147)
+  /** Curriculum ordering — train on easy (short) documents first:
+    * every doc gets its exact global rank under (n_tokens, doc_id) and
+    * a tertile phase 0/1/2. The standard sequence-length curriculum
+    * (and the template for any scored curriculum: swap n_tokens for a
+    * quality margin).
+    *
+    * Scale shape: the global rank rides
+    * [[graft.ops.RelationalOps.globalRowNumber]] — range partition +
+    * local sort + a P-long count round — NOT a single-partition
+    * `row_number` window (the canonical global-sort OOM cliff). The
+    * tertile boundary arithmetic is a broadcast 1-row total; phase =
+    * floor((rn-1)·3/N) is double-exact for any corpus below 10^15
+    * docs (|p/N − m| ≥ 1/N ≫ half-ulp whenever p/N is not exactly m). */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val t = docs0(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val ranked = graft.ops.RelationalOps.globalRowNumber(
+      t, Seq(col("n_tok").asc, col("doc_id").asc), "rn")
+    val tot = t.agg(count(lit(1)).as("nd"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"), col("rn"),
+        floor((col("rn") - 1) * 3 / col("nd")).as("phase"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q147Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tok,
+      |        CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS rn
+      |      FROM t),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t)
+      |SELECT doc_id, n_tok, rn,
+      |  CAST(floor(CAST((rn - 1) * 3 AS DOUBLE) / CAST(nd AS DOUBLE)) AS BIGINT) AS phase
+      |FROM r CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2150,5 +2435,10 @@ object TextQueries {
     ("q134_intradoc_dedup",    q134 _, Some(q134Sql)),
     ("q135_ngram_novelty",     q135 _, Some(q135Sql)),
     ("q139_calibration_bins",  q139 _, Some(q139Sql)),
-    ("q140_seqlen_coverage",   q140 _, Some(q140Sql)))
+    ("q140_seqlen_coverage",   q140 _, Some(q140Sql)),
+    ("q142_source_overlap",    q142 _, Some(q142Sql)),
+    ("q143_kn_discounts",      q143 _, Some(q143Sql)),
+    ("q145_contamination_spans", q145 _, Some(q145Sql)),
+    ("q146_bootstrap_ci",      q146 _, Some(q146Sql)),
+    ("q147_curriculum_phases", q147 _, Some(q147Sql)))
 }

@@ -1069,6 +1069,77 @@ object VectorQueries {
        |WHERE rn = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin
   }
 
+  // ---------------- corpus-version embedding drift (q144)
+  /** Distribution-shift monitor between corpus snapshots: per label,
+    * the cosine and L2 distance between snapshot A's and snapshot B's
+    * centroids (even vec_ids play snapshot A, odd snapshot B — the
+    * same side convention as q138). A drifting label means the source
+    * changed character between crawls: re-embed, re-threshold the
+    * dedup gates, or quarantine the source. This is the embedding-
+    * space twin of the schema-drift report.
+    *
+    * Scale shape: each snapshot collapses to |labels|·dim mean cells
+    * (the q35 per-(label,pos) sorted-fold discipline — group sizes
+    * bounded by corpus/|labels|), then the A-B comparison is a
+    * |labels|·dim join and a per-label fold in dimension order. The
+    * corpus is touched ONCE; everything downstream of the first
+    * aggregate is |labels|-sized. Every double is an ordered fold
+    * (per-cell sums value-sorted, cross-dim folds pos-sorted), so
+    * cosines and distances hash-match the oracle exactly. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("label"),
+      (col("vec_id") % 2 === 0).as("is_a"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val m = e.groupBy("label", "is_a", "pos")
+      .agg(sort_array(collect_list(col("x").cast(DoubleType))).as("xs"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("is_a"), col("pos"),
+        (aggregate(col("xs"), lit(0.0), (acc, v) => acc + v) /
+          col("n").cast(DoubleType)).as("m"),
+        col("n"))
+    val a = m.where(col("is_a"))
+      .select(col("label"), col("pos"), col("m").as("ma"), col("n").as("n_a"))
+    val b = m.where(!col("is_a"))
+      .select(col("label"), col("pos"), col("m").as("mb"), col("n").as("n_b"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("dims"), lit(0.0), (acc, v) => acc + f(v))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+           sort_array(collect_list(struct(col("pos"), col("ma"), col("mb")))).as("dims"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        fold(v => v.getField("ma") * v.getField("mb")).as("dot"),
+        fold(v => v.getField("ma") * v.getField("ma")).as("na2"),
+        fold(v => v.getField("mb") * v.getField("mb")).as("nb2"),
+        fold(v => (v.getField("ma") - v.getField("mb")) *
+                  (v.getField("ma") - v.getField("mb"))).as("d2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("centroid_cos"),
+        sqrt(col("d2")).as("centroid_l2"))
+      .sortedOut("label")
+  }
+
+  private val q144Sql =
+    """WITH e AS (SELECT label, (vec_id % 2 = 0) AS is_a,
+      |             generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      |           FROM embeddings),
+      |m AS (SELECT label, is_a, pos,
+      |        list_sum(list_sort(list(CAST(x AS DOUBLE)))) / CAST(count(*) AS DOUBLE) AS m,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.pos, a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
+      |      FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+      |      WHERE a.is_a AND NOT b.is_a),
+      |g AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+      |        list_zip(list(ma ORDER BY pos), list(mb ORDER BY pos)) AS z
+      |      FROM j GROUP BY label)
+      |SELECT label, n_a, n_b,
+      |  list_sum(list_transform(z, p -> p[1] * p[2]))
+      |    / (sqrt(list_sum(list_transform(z, p -> p[1] * p[1])))
+      |       * sqrt(list_sum(list_transform(z, p -> p[2] * p[2])))) AS centroid_cos,
+      |  sqrt(list_sum(list_transform(z, p -> (p[1] - p[2]) * (p[1] - p[2])))) AS centroid_l2
+      |FROM g ORDER BY label""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1088,5 +1159,6 @@ object VectorQueries {
     ("q126_semantic_decontam", q126 _, Some(q126Sql)),
     ("q129_hard_negatives",    q129 _, Some(q129Sql)),
     ("q137_principal_component", q137 _, Some(q137Sql)),
-    ("q138_bitext_margin",     q138 _, Some(q138Sql)))
+    ("q138_bitext_margin",     q138 _, Some(q138Sql)),
+    ("q144_embedding_drift",   q144 _, Some(q144Sql)))
 }

@@ -331,4 +331,23 @@ class RelationalOpsSpec extends SparkSpec {
     diff(v2, v1) shouldBe Map(1L -> "unchanged", 2L -> "modified",
       3L -> "added", 4L -> "removed")
   }
+
+  test("globalRowNumber: equals the window formulation, stable under repartition") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b"), (4L, "d"),
+      (3L, "c2")).toDF("k", "v")
+    val order = Seq(col("k").asc, col("v").asc)
+    val want = df.withColumn("rn", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def got(d: org.apache.spark.sql.DataFrame) =
+      RelationalOps.globalRowNumber(d, order)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    got(df) shouldBe want
+    got(df.repartition(7)) shouldBe want
+    // ranks are a contiguous 1..n permutation even with few partitions
+    RelationalOps.globalRowNumber(df.repartition(2), order, partitions = 3)
+      .select("rn").collect().map(_.getLong(0)).sorted shouldBe (1L to 6L).toArray
+    // empty input: no rows, no failure
+    RelationalOps.globalRowNumber(df.limit(0), order).count() shouldBe 0L
+  }
 }

@@ -1409,6 +1409,46 @@ object ExtendedQueries {
       |  AND (d.valid_to IS NULL OR p.ts_ms < d.valid_to)
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------- event-type transition matrix (q148)
+  /** First-order Markov transitions over each user's event stream —
+    * the behavioral fingerprint that powers next-event prediction
+    * features, bot detection (improbable transition chains) and
+    * session-simulation test data. For every (from, to) event-type
+    * pair: the observed count and the row-normalized transition
+    * probability P(to | from).
+    *
+    * Scale shape: ONE user-keyed shuffle (the same partitioning every
+    * session query in this family rides); `lead` runs inside the
+    * per-user sort, the pair count combines map-side into a ≤|T|²
+    * frame, and the row normalization is a window over that tiny
+    * matrix — no second pass over the events. The (ts, event_id)
+    * ordering is total, so the transition stream is deterministic. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast(DoubleType))
+      .sortedOut("from_type", "to_type")
+  }
+
+  private val q148Sql =
+    """WITH x AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1450,5 +1490,6 @@ object ExtendedQueries {
     ("q120_session_cooccurrence", q120 _, Some(q120Sql)),
     ("q131_conversation_assembly", q131 _, Some(q131Sql)),
     ("q136_trade_hits",      q136 _, Some(q136Sql)),
-    ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)))
+    ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)),
+    ("q148_event_transitions", q148 _, Some(q148Sql)))
 }

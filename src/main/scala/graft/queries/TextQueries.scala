@@ -2381,6 +2381,125 @@ object TextQueries {
       |  CAST(floor(CAST((rn - 1) * 3 AS DOUBLE) / CAST(nd AS DOUBLE)) AS BIGINT) AS phase
       |FROM r CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // ------------- per-source length-distribution anomaly (q149)
+  /** Which sources don't look like the corpus: a chi-square test of
+    * each source's token-length histogram against the corpus-wide
+    * distribution. A source whose length profile diverges (truncated
+    * scrapes, pagination fragments, template spam) fails the test
+    * long before eyeballing samples would catch it — the automated
+    * "this feed changed shape" alarm next to the schema-drift and
+    * embedding-drift (q144) monitors.
+    *
+    * Scale shape: ONE map-side-combinable pass bins the corpus into a
+    * ≤|S|·|bins| count table; every rollup (per-source totals, per-bin
+    * totals, grand total, the expected-count grid and the chi-square
+    * fold) happens on that tiny frame. Zero-observed (source, bin)
+    * cells are restored by the grid join — dropping them would bias
+    * chi2 low exactly for the most anomalous sources. Terms fold in
+    * bin order, so the doubles hash-match. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val nTok = TextFunctions.tokenCount(col("text"))
+    val bin = when(nTok <= 24, 0).when(nTok <= 48, 1)
+      .when(nTok <= 72, 2).when(nTok <= 96, 3).otherwise(4)
+    val obs = docs0(s, d).select(col("source"), bin.as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("o"))
+      .persist() // four rollups below read it
+    val ns = obs.groupBy("source").agg(sum(col("o")).as("ns"))
+    val nb = obs.groupBy("bin").agg(sum(col("o")).as("nb"))
+    val ntot = obs.agg(sum(col("o")).as("n"))
+    val e = (col("ns") * col("nb")).cast(DoubleType) / col("n").cast(DoubleType)
+    val dev = col("o").cast(DoubleType) - e
+    ns.crossJoin(nb)
+      .join(obs, Seq("source", "bin"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), col("bin"), (dev * dev / e).as("term"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_docs"),
+           sort_array(collect_list(struct(col("bin"), col("term")))).as("ts"))
+      .select(col("source"), col("n_docs"),
+        aggregate(col("ts"), lit(0.0), (acc, v) => acc + v.getField("term")).as("chi2"))
+      .withColumn("is_anomalous", col("chi2") > lit(9.488))
+      .sortedOut("source")
+  }
+
+  private val q149Sql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |t AS (SELECT source, CASE WHEN n_tok <= 24 THEN 0 WHEN n_tok <= 48 THEN 1
+      |        WHEN n_tok <= 72 THEN 2 WHEN n_tok <= 96 THEN 3 ELSE 4 END AS bin FROM d),
+      |obs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM obs GROUP BY 1),
+      |nb AS (SELECT bin, CAST(sum(o) AS BIGINT) AS nb FROM obs GROUP BY 1),
+      |ntot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+      |x AS (SELECT g.source, g.ns, g.bin,
+      |        CAST(coalesce(o.o, 0) AS BIGINT) AS o, g.nb, n
+      |      FROM (SELECT ns.source, ns.ns, nb.bin, nb.nb FROM ns CROSS JOIN nb) g
+      |      LEFT JOIN obs o ON o.source = g.source AND o.bin = g.bin
+      |      CROSS JOIN ntot),
+      |term AS (SELECT source, ns, bin,
+      |    (CAST(o AS DOUBLE) - CAST(ns * nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - CAST(ns * nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(ns * nb AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+      |  FROM x)
+      |SELECT source, max(ns) AS n_docs,
+      |  list_sum(list(term ORDER BY bin)) AS chi2,
+      |  list_sum(list(term ORDER BY bin)) > 9.488 AS is_anomalous
+      |FROM term GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------- LSH parameter planner (q150)
+  /** Should we re-band? For each candidate (bands, rows-per-band)
+    * config of the 32-perm MinHash family, the expected fraction of
+    * the CURRENTLY-CAUGHT near-dup pairs (q29's output) that config
+    * would still catch — the S-curve 1-(1-j^r)^b evaluated against
+    * the observed pair-similarity distribution, not a textbook grid.
+    * The 100 TB use: before re-banding a standing signature index,
+    * read off exactly how much recall a cheaper config sacrifices.
+    *
+    * Exactness: est_jaccard takes only m/32 values, so the pair frame
+    * collapses to a ≤10-row histogram first; the S-curve powers are
+    * UNROLLED multiplications (j·j·…, left-associated identically in
+    * both engines — `pow()` is not bit-portable), and the expected-
+    * recall fold runs in est order. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.7)
+    val hist = pairs.groupBy("est_jaccard").agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("est_jaccard"), col("n")))).as("h"),
+           sum(col("n")).as("n_pairs"))
+      .persist() // one tiny row, read once per candidate config
+    def powC(x: Column, k: Int): Column = Iterator.fill(k)(x).reduceLeft(_ * _)
+    LshConfigs.map { case (b, r) =>
+      val pCatch = (v: Column) =>
+        lit(1.0) - powC(lit(1.0) - powC(v.getField("est_jaccard"), r), b)
+      hist.select(lit(b).as("bands"), lit(r).as("rows_per_band"), col("n_pairs"),
+        (aggregate(col("h"), lit(0.0),
+          (acc, v) => acc + pCatch(v) * v.getField("n").cast(DoubleType)) /
+          col("n_pairs").cast(DoubleType)).as("expected_recall"))
+    }.reduce(_ unionByName _)
+      .sortedOut("bands")
+  }
+
+  private val LshConfigs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+
+  private val q150Sql = {
+    def powS(x: String, k: Int): String = Seq.fill(k)(x).mkString("(", " * ", ")")
+    val arms = LshConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${powS(s"(1.0 - ${powS("e", r)})", b)})"
+      s"""SELECT $b AS bands, $r AS rows_per_band, n_pairs,
+         |  list_sum(list($p * CAST(n AS DOUBLE) ORDER BY e)) / CAST(n_pairs AS DOUBLE) AS expected_recall
+         |FROM h CROSS JOIN tot GROUP BY n_pairs""".stripMargin
+    }
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |pr AS (SELECT est_jaccard AS e FROM est WHERE est_jaccard >= 0.7),
+       |h AS (SELECT e, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY e),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM h)
+       |${arms.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY bands""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2440,5 +2559,7 @@ object TextQueries {
     ("q143_kn_discounts",      q143 _, Some(q143Sql)),
     ("q145_contamination_spans", q145 _, Some(q145Sql)),
     ("q146_bootstrap_ci",      q146 _, Some(q146Sql)),
-    ("q147_curriculum_phases", q147 _, Some(q147Sql)))
+    ("q147_curriculum_phases", q147 _, Some(q147Sql)),
+    ("q149_source_anomaly",    q149 _, Some(q149Sql)),
+    ("q150_lsh_planner",       q150 _, Some(q150Sql)))
 }

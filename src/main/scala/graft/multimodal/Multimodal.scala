@@ -190,6 +190,81 @@ object Multimodal {
   def toMediaFrame(media: Dataset[MediaFile]): DataFrame =
     media.toDF()
 
+  // ------------------------------------------------- perceptual hash
+
+  case class PHash(media_id: Long, phash: Long)
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint: sample the
+    * raster down to 8×8 (the [[resize]] nearest-neighbor kernel),
+    * threshold each cell against the 64-cell mean — bit i set ⇔ cell i
+    * brighter than the mean. Invariant under monotone brightness
+    * scaling and (approximately) under resize, which is exactly what
+    * re-encoded / re-hosted image duplicates change; MultimodalSpec
+    * pins both invariances on REAL PNG bytes through the
+    * [[graft.multimodal.Codecs]] decode path.
+    *
+    * Scale shape: a narrow per-row map — 64 samples + one threshold
+    * regardless of raster size; only the 8-byte hash leaves the
+    * decode stage. */
+  def aHash64(decoded: Dataset[DecodedImage]): Dataset[PHash] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val cells = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val x = i % 8; val y = i / 8
+        val sx = math.min(d.width - 1, x * d.width / 8)
+        val sy = math.min(d.height - 1, y * d.height / 8)
+        cells(i) = d.pixels(sy * d.width + sx).toDouble
+        i += 1
+      }
+      var s = 0.0; i = 0
+      while (i < 64) { s += cells(i); i += 1 }
+      val mean = s / 64.0
+      var h = 0L; i = 0
+      while (i < 64) { if (cells(i) > mean) h |= 1L << i; i += 1 }
+      PHash(d.media_id, h)
+    })
+  }
+
+  /** Perceptual near-dup pairs by Hamming distance over [[aHash64]]
+    * fingerprints — the image member of the dedup family. Banding by
+    * pigeonhole: the 64-bit hash splits into `bands` equal slices; two
+    * hashes within `maxDist` bit flips MUST agree on at least one
+    * slice when `maxDist < bands`, so the candidate join is an EQUI
+    * join on (slice-index, slice-value) — never an all-pairs scan —
+    * and the exact `bit_count(xor)` verify runs only on candidates.
+    *
+    * Exact-duplicate families should be collapsed to one
+    * representative per distinct hash BEFORE pairing (the q151
+    * pattern: group by phash, carry the count) — that is what bounds
+    * a hot bucket at a million identical thumbnails, the same
+    * discipline as the LSH bucket cap.
+    *
+    * @param hashes (media_id, phash) frame
+    * @return (media_a, media_b, hamming), media_a < media_b */
+  def phashNearDupPairs(hashes: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, s"pigeonhole recall guarantee needs maxDist < bands, got $maxDist >= $bands")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("phash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("bno", "bval")))
+    val l = banded.select(col("bno"), col("bval"),
+      col("media_id").as("media_a"), col("phash").as("ha"))
+    val r = banded.select(col("bno"), col("bval"),
+      col("media_id").as("media_b"), col("phash").as("hb"))
+    l.join(r, Seq("bno", "bval"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb")
+      .distinct() // multi-band collisions collapse before the verify
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   // ----------------------------------------------------------- audio
 
   /** Decoded audio: mono PCM samples in [0,1) at `sample_rate` Hz. */

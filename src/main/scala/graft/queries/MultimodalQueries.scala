@@ -122,10 +122,46 @@ object MultimodalQueries {
       |       true AS mean_in_range
       |FROM documents WHERE doc_id % 3 <> 0""".stripMargin
 
+  /** Perceptual image dedup end to end: decode → 64-bit aHash →
+    * exact-group collapse → Hamming-banded near-dup pairs between the
+    * DISTINCT fingerprints ([[Multimodal.phashNearDupPairs]]). The
+    * query PLANTS an exact-duplicate family (every image with media_id
+    * ≡ 1 mod 25 gets identical bytes+dims — re-hosted thumbnails in
+    * miniature) and reports the group structure the operator recovers:
+    * planted copies collapse to ONE fingerprint group, stub rasters
+    * are effectively random so no cross-hash pair sits within
+    * Hamming 3. Oracled by the planted arithmetic (q38 discipline);
+    * the aHash invariances that make this an IMAGE operator (not a
+    * byte hash) are pinned on real PNG bytes in MultimodalSpec. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = "planted-duplicate-family".getBytes("UTF-8")
+    val imgs = media(s, d).filter(_.kind == "image")
+      .map(m => if (m.media_id % 25 == 1) m.copy(content = planted, width = 8, height = 8) else m)
+    val hashes = Multimodal.aHash64(Multimodal.decodeImages(imgs)).toDF().persist()
+    val groups = hashes.groupBy("phash")
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
+      .persist() // feeds the rollup AND the pair join
+    val cross = Multimodal.phashNearDupPairs(groups.select("media_id", "phash"))
+    hashes.agg(count(lit(1)).as("n_images"))
+      .crossJoin(groups.agg(count(lit(1)).as("n_hash_groups"), max(col("n")).as("largest_group")))
+      .crossJoin(cross.agg(count(lit(1)).as("n_cross_pairs")))
+  }
+
+  private val q151Sql =
+    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+      |pl AS (SELECT CAST(count(*) AS BIGINT) AS np FROM img WHERE doc_id % 25 = 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM img) AS n_images,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM img) - np + 1 AS n_hash_groups,
+      |       np AS largest_group,
+      |       CAST(0 AS BIGINT) AS n_cross_pairs
+      |FROM pl""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
     ("q37_media_features",      q37 _, Some(q37Sql)),
     ("q38_media_frame_sample",  q38 _, Some(q38Sql)),
     ("q59_audio_features",      q59 _, Some(q59Sql)),
-    ("q61_media_resize",        q61 _, Some(q61Sql)))
+    ("q61_media_resize",        q61 _, Some(q61Sql)),
+    ("q151_phash_dedup",        q151 _, Some(q151Sql)))
 }

@@ -97,4 +97,53 @@ class MultimodalSpec extends SparkSpec {
     windows.length shouldBe (nWindows + 1) / 2
     all(windows.dropRight(1).map(_.n_samples)) shouldBe 100
   }
+
+  // ------------------------------------------------- perceptual hash
+
+  /** Horizontal-gradient PNG; `scale`/10 darkens monotonically (what a
+    * re-encode/brightness tweak does to a duplicate). */
+  private def gradientPng(w: Int, h: Int, scale: Int, vertical: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = if (vertical) y * 255 / (h - 1) else x * 255 / (w - 1)
+      val v = t * scale / 10
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def aHashOf(bytes: Array[Byte]): Long = {
+    val (w, h, px) = graft.multimodal.Codecs.decodeImage(bytes).get
+    Multimodal.aHash64(spark.createDataset(Seq(DecodedImage(1L, w, h, px))))
+      .collect().head.phash
+  }
+
+  test("aHash64: invariant to brightness scaling and resize on REAL PNG bytes; orientation changes it") {
+    val base = aHashOf(gradientPng(64, 64, 10))
+    aHashOf(gradientPng(64, 64, 6)) shouldBe base // darkened re-encode
+    aHashOf(gradientPng(16, 16, 10)) shouldBe base // re-hosted thumbnail
+    val vert = aHashOf(gradientPng(64, 64, 10, vertical = true))
+    vert should not be base
+    java.lang.Long.bitCount(base ^ vert) should be > 3
+  }
+
+  test("phashNearDupPairs: banded equi join finds pairs within Hamming 3, verify drops beyond") {
+    val h0 = 0x0F0F0F0F0F0F0F0FL
+    val h1 = h0 ^ 0x7L // 3 flips, all in band 0
+    val h2 = h0 ^ ((1L << 1) | (1L << 17) | (1L << 33)) // 3 flips across 3 bands
+    val far = ~h0
+    val df = Seq((1L, h0), (2L, h1), (3L, h2), (4L, far)).toDF("media_id", "phash")
+    val pairs = Multimodal.phashNearDupPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    pairs should contain((1L, 2L, 3))  // shares bands 1-3
+    pairs should contain((1L, 3L, 3))  // shares only band 3 — pigeonhole recall
+    // h1 vs h2 share band 3 so they ARE a candidate, but hamming 4 > 3:
+    // the exact verify must drop them
+    pairs.map(p => (p._1, p._2)) should not contain ((2L, 3L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.phashNearDupPairs(df, maxDist = 4, bands = 4)
+  }
 }

@@ -210,4 +210,61 @@ object Graph {
     n.unpersist(blocking = false)
     out
   }
+
+  /** Exact triangle census + global clustering coefficient — the
+    * cohesion statistic next to the centrality pair (PageRank q117,
+    * HITS q136): how much of the graph's wedge structure closes into
+    * triangles. On a link/citation graph this separates organic
+    * communities (high closure) from spam farms and hub-spoke
+    * syndication shapes (many wedges, few closures).
+    *
+    * Scale shape — the Schank/Wagner degree-ordered orientation:
+    * every undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, which bounds each node's ORIENTED
+    * out-degree by O(√|E|) regardless of how hot a hub is. Wedges are
+    * generated by the self-join on the oriented source (per-pivot work
+    * C(outdeg,2), so a 10⁶-degree hub costs what a √E-degree node
+    * does, not 10¹²), and each triangle is counted exactly once at its
+    * lowest-rank vertex. Everything is counts — no doubles anywhere
+    * until the final clustering division, so the output is exact
+    * cross-engine.
+    *
+    * @param edges (src, dst) — direction, multiplicity and self-loops
+    *              are normalized away
+    * @return 1 row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         clustering = 3T/W; nodes = endpoints of ≥1 edge)
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist() // feeds the degree pass AND the orientation join
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist() // feeds both endpoint joins + the wedge total
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg
+      .select(when(fwd, struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+      .persist() // two wedge sides + the closure probe
+    val w1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("d1"))
+    val w2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("d2"))
+    val wedges = w1.join(w2, "a")
+      .where(col("d1") < col("d2") || (col("d1") === col("d2") && col("b1") < col("b2")))
+    val closed = wedges.join(oriented.select(col("a").as("b1"), col("b").as("b2")),
+      Seq("b1", "b2"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg") * (col("deg") - 1)) / lit(2)).cast("long").as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"))
+          .as("clustering"))
+  }
 }

@@ -1449,6 +1449,69 @@ object ExtendedQueries {
       |    CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  // ------------- trade-graph triangle census (q152)
+  /** [[graft.ops.Graph.triangleStats]] on the strong-tie trade graph:
+    * nation pairs whose trade volume clears half the average edge
+    * weight (the threshold sparsifies the near-complete raw graph into
+    * actual structure), then the exact triangle count and global
+    * clustering coefficient. The cohesion statistic beside q117/q136's
+    * centralities — organic communities close their wedges, hub-spoke
+    * syndication doesn't.
+    *
+    * Scale: the fact table collapses to the ≤|V|² weighted edge list
+    * once (the q117/q136 discipline); the census itself runs on the
+    * degree-ordered orientation, bounding per-node join work by
+    * O(√|E|) however hot a hub is. All-integer until the final
+    * division. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      d184(col("l_extendedprice")).as("price"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val e0 = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+      .groupBy("src", "dst")
+      .agg((sum(col("price")) * lit(10000)).cast(LongType).as("w"))
+    val thr = e0.agg((sum(col("w")).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType)).as("avg_w"))
+    val strong = e0.crossJoin(broadcast(thr))
+      .where(col("w").cast(DoubleType) >= col("avg_w") * 0.5)
+      .select("src", "dst")
+    graft.ops.Graph.triangleStats(strong)
+  }
+
+  private val q152Sql =
+    """WITH e0 AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |thr AS (SELECT CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_w FROM e0),
+      |strong AS (SELECT src, dst FROM e0 CROSS JOIN thr
+      |           WHERE CAST(w AS DOUBLE) >= avg_w * 0.5),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM strong WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |        GROUP BY node),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+      |        FROM und e1
+      |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |               CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+      |  CAST(t AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE) AS clustering
+      |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1491,5 +1554,6 @@ object ExtendedQueries {
     ("q131_conversation_assembly", q131 _, Some(q131Sql)),
     ("q136_trade_hits",      q136 _, Some(q136Sql)),
     ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)),
-    ("q148_event_transitions", q148 _, Some(q148Sql)))
+    ("q148_event_transitions", q148 _, Some(q148Sql)),
+    ("q152_trade_triangles", q152 _, Some(q152Sql)))
 }

@@ -170,4 +170,27 @@ class GraphSpec extends SparkSpec {
     // isolated node carries no mass in either role
     got(4) shouldBe ((0.0, 0.0))
   }
+
+  private def triStats(edges: Seq[(Int, Int)]): (Long, Long, Long, Long, Double) = {
+    val r = Graph.triangleStats(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("triangleStats: hand-checkable census; direction/dups/self-loops normalized") {
+    // K4 on {1,2,3,4}: 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b)
+    triStats(k4) shouldBe ((4L, 6L, 12L, 4L, 1.0))
+    // triangle + pendant: 1-2-3 closed, 4 hangs off 1.
+    // wedges: deg(1)=3 -> 3, deg(2)=deg(3)=2 -> 1 each, deg(4)=1 -> 0; W=5
+    triStats(Seq((1, 2), (2, 3), (3, 1), (1, 4))) shouldBe
+      ((4L, 4L, 5L, 1L, 3.0 / 5.0))
+    // reversed duplicates + self-loops collapse to the same graph
+    triStats(Seq((1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 4), (4, 1), (2, 2))) shouldBe
+      ((4L, 4L, 5L, 1L, 3.0 / 5.0))
+    // hot-hub star: many wedges, zero closure
+    val star = (2 to 40).map(b => (1, b))
+    val (n, e, w, t, _) = triStats(star)
+    (n, e, t) shouldBe ((40L, 39L, 0L))
+    w shouldBe 39L * 38L / 2L
+  }
 }

@@ -2500,6 +2500,119 @@ object TextQueries {
        |ORDER BY bands""".stripMargin
   }
 
+  // ------------- blocked fuzzy-match entity resolution (q153)
+  /** The classic entity-resolution join the reference's name-match
+    * (J2) is the exact-match special case of: candidate mentions
+    * (first-3-token "names") are BLOCKED on their first token, and
+    * only within-block pairs pay the edit-distance comparison —
+    * levenshtein ≤ 3 matches survive. Blocking is what makes fuzzy
+    * matching possible at all at corpus scale: the quadratic
+    * comparison is confined to block-local pairs (bounded by the
+    * hottest block, the same skew surface as an LSH bucket — cap or
+    * salt a pathological block exactly like the banded join does).
+    * Levenshtein is integer-exact cross-engine. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val m = docs0(s, d).where(size(tk) >= 3)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), 1, 3), " ").as("name"),
+        element_at(col("tk"), 1).as("blk"))
+      .persist() // both sides of the block-local self-join
+    val a = m.select(col("blk"), col("doc_id").as("doc_a"), col("name").as("name_a"))
+    val b = m.select(col("blk"), col("doc_id").as("doc_b"), col("name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .where(col("dist") <= 3)
+      .sortedOut("doc_a", "doc_b")
+  }
+
+  private val q153Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    array_to_string(tk[1:3], ' ') AS name,
+      |    tk[1] AS blk
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)
+      |  WHERE len(tk) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+      |FROM m a JOIN m b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------- MinHash estimator calibration (q154)
+  /** Measure, don't guess, what the 32-perm estimate is worth: for
+    * every LSH candidate pair, the EXACT token-set Jaccard next to the
+    * signature-agreement estimate — mean bias, mean absolute error and
+    * the overestimate count. This is the number that justifies (or
+    * indicts) the est-threshold gates every dedup query in the family
+    * uses; q150 plans the banding, this calibrates the estimator
+    * itself.
+    *
+    * Scale shape: exact Jaccard is computed ONLY for the candidate
+    * pairs (never all pairs) — the token-overlap join fans each pair
+    * out by |toks(a)| and combines map-side; the final report is a
+    * 1-row ordered fold over the pair frame. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.7)
+      .persist() // token-overlap join + two size joins + the fold
+    val tk = docs0(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+      .persist() // sizes + both overlap arms
+    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val scored = pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("i").cast(DoubleType) /
+          (col("na") + col("nb") - col("i")).cast(DoubleType)).as("exact"))
+    scored
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("est_jaccard") > col("exact"), 1L).otherwise(0L)).as("n_over"),
+        sort_array(collect_list(struct(col("doc_a"), col("doc_b"),
+          col("exact"), col("est_jaccard")))).as("ps"))
+      .select(col("n_pairs"), col("n_over"),
+        (aggregate(col("ps"), lit(0.0), (acc, v) => acc + v.getField("exact")) /
+          col("n_pairs").cast(DoubleType)).as("mean_exact"),
+        (aggregate(col("ps"), lit(0.0), (acc, v) => acc + v.getField("est_jaccard")) /
+          col("n_pairs").cast(DoubleType)).as("mean_est"),
+        (aggregate(col("ps"), lit(0.0), (acc, v) =>
+          acc + abs(v.getField("est_jaccard") - v.getField("exact"))) /
+          col("n_pairs").cast(DoubleType)).as("mae"))
+  }
+
+  private val q154Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |pr AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.7),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+       |it AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+       |       FROM pr p
+       |       JOIN toks ta ON ta.doc_id = p.doc_a
+       |       JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+       |       GROUP BY 1, 2),
+       |scored AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       |    CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS exact
+       |  FROM pr p
+       |  JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b
+       |  JOIN sz sa ON sa.doc_id = p.doc_a
+       |  JOIN sz sb ON sb.doc_id = p.doc_b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN est_jaccard > exact THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       |  list_sum(list(exact ORDER BY doc_a, doc_b)) / CAST(count(*) AS DOUBLE) AS mean_exact,
+       |  list_sum(list(est_jaccard ORDER BY doc_a, doc_b)) / CAST(count(*) AS DOUBLE) AS mean_est,
+       |  list_sum(list(abs(est_jaccard - exact) ORDER BY doc_a, doc_b)) / CAST(count(*) AS DOUBLE) AS mae
+       |FROM scored""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2561,5 +2674,7 @@ object TextQueries {
     ("q146_bootstrap_ci",      q146 _, Some(q146Sql)),
     ("q147_curriculum_phases", q147 _, Some(q147Sql)),
     ("q149_source_anomaly",    q149 _, Some(q149Sql)),
-    ("q150_lsh_planner",       q150 _, Some(q150Sql)))
+    ("q150_lsh_planner",       q150 _, Some(q150Sql)),
+    ("q153_er_blocking",       q153 _, Some(q153Sql)),
+    ("q154_minhash_calibration", q154 _, Some(q154Sql)))
 }

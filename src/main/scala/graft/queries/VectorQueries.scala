@@ -1140,6 +1140,122 @@ object VectorQueries {
       |  sqrt(list_sum(list_transform(z, p -> (p[1] - p[2]) * (p[1] - p[2])))) AS centroid_l2
       |FROM g ORDER BY label""".stripMargin
 
+  // ---------------- ANN quality: nDCG@10 (q155)
+  /** The third leg of the ANN evaluation tripod (recall@k q94, MRR@10
+    * q101): graded-relevance nDCG@10 of the LSH index's list against
+    * the brute-force ideal — rank-sensitive where recall is not, so a
+    * list that returns the right neighbors in the wrong order pays for
+    * it. Relevance grades are the ideal positions (11−rank, 0 outside
+    * the ideal top-10); log-discount weights and the constant IDCG are
+    * PRECOMPUTED double literals shared verbatim with the oracle
+    * (log()/pow() are not bit-portable across engines; the literals
+    * are). Per-query DCG folds in rank order. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val e = emb(s, d)
+    val queries = e.where(col("vec_id") < 10)
+    val ideal = VectorFunctions.bruteForceTopK(e, queries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1) - col("rank")).cast("long").as("rel"))
+    val ann = q34Lsh.annTopK(e, queries, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val scored = ann.join(ideal, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        (coalesce(col("rel"), lit(0L)).cast(DoubleType) *
+          element_at(array(NdcgWeights.map(lit): _*), col("rank"))).as("term"))
+    scored.groupBy("query_id")
+      .agg(count(lit(1)).as("n_ret"),
+           sort_array(collect_list(struct(col("rank"), col("term")))).as("ts"))
+      .select(col("query_id"), col("n_ret"),
+        aggregate(col("ts"), lit(0.0), (acc, v) => acc + v.getField("term")).as("dcg"))
+      .withColumn("ndcg", col("dcg") / lit(NdcgIdeal))
+      .sortedOut("query_id")
+  }
+
+  /** 1/log2(rank+1) for ranks 1..10 — shared literals (see q155). */
+  private val NdcgWeights: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val NdcgIdeal: Double =
+    NdcgWeights.zipWithIndex.map { case (w, i) => (10 - i).toDouble * w }.sum
+
+  private val q155Sql = {
+    val bucketExpr = (c: String) => q34Lsh.hyperplanes.zipWithIndex.map { case (h, p) =>
+      val lits = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($c, $lits),
+         |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+         |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val cosQC =
+      """(list_sum(list_transform(list_zip(q.q_emb, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        | / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    val wArr = NdcgWeights.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |ideal AS (
+       |  SELECT query_id, neighbor_id, CAST(11 - rank AS BIGINT) AS rel FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY $cosQC DESC, c.vec_id) AS rank
+       |    FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |corpus AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |qb AS (SELECT query_id, q_emb, ${bucketExpr("q_emb")} AS bucket FROM queries),
+       |ann AS (
+       |  SELECT query_id, rank, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY $cosQC DESC, c.vec_id) AS rank
+       |    FROM qb q JOIN corpus c ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |scored AS (
+       |  SELECT a.query_id, a.rank,
+       |    CAST(coalesce(i.rel, 0) AS DOUBLE) * ($wArr)[a.rank] AS term
+       |  FROM ann a LEFT JOIN ideal i
+       |    ON i.query_id = a.query_id AND i.neighbor_id = a.neighbor_id)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret,
+       |  list_sum(list(term ORDER BY rank)) AS dcg,
+       |  list_sum(list(term ORDER BY rank)) / $NdcgIdeal AS ndcg
+       |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
+  // ---------------- hubness diagnostic: k-occurrence histogram (q156)
+  /** How skewed is the neighborhood structure: N_10(x) = how many other
+    * vectors list x in their exact top-10. High-dimensional spaces
+    * grow hubs (vectors that are everyone's neighbor) and antihubs
+    * (occ 0) — the pathology q138's margin normalization corrects —
+    * and this histogram is the monitor that says whether cosine
+    * retrieval over this embedding space can be trusted at all.
+    *
+    * Scale shape: exact k-occurrence is quadratic, so it runs on a
+    * fixed id-prefix panel (1 000 vectors — an unbiased structural
+    * probe, same discipline as q154's candidate-only exactness); at
+    * corpus scale the top-10 lists come from the standing ANN index
+    * instead and the counting stage is UNCHANGED. Occurrence counts
+    * and the histogram are pure integers. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val sub = emb(s, d).where(col("vec_id") < 1000).persist()
+    val occ = VectorFunctions.bruteForceTopK(sub, sub, k = 10)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("occ"))
+    sub.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("k_occurrence"))
+      .groupBy("k_occurrence").agg(count(lit(1)).as("n_vectors"))
+      .sortedOut("k_occurrence")
+  }
+
+  private val q156Sql = {
+    val cos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+       |r AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+       |occ AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS occ
+       |        FROM r WHERE rank <= 10 GROUP BY neighbor_id)
+       |SELECT coalesce(o.occ, 0) AS k_occurrence, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM sub s LEFT JOIN occ o ON o.neighbor_id = s.vec_id
+       |GROUP BY 1 ORDER BY k_occurrence""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1160,5 +1276,7 @@ object VectorQueries {
     ("q129_hard_negatives",    q129 _, Some(q129Sql)),
     ("q137_principal_component", q137 _, Some(q137Sql)),
     ("q138_bitext_margin",     q138 _, Some(q138Sql)),
-    ("q144_embedding_drift",   q144 _, Some(q144Sql)))
+    ("q144_embedding_drift",   q144 _, Some(q144Sql)),
+    ("q155_ann_ndcg",          q155 _, Some(q155Sql)),
+    ("q156_hubness",           q156 _, Some(q156Sql)))
 }

@@ -2613,6 +2613,65 @@ object TextQueries {
        |  list_sum(list(abs(est_jaccard - exact) ORDER BY doc_a, doc_b)) / CAST(count(*) AS DOUBLE) AS mae
        |FROM scored""".stripMargin
 
+  // ------------- preference-pair construction (q157)
+  /** DPO/RLHF data prep: within each (lang, source) group, pair the
+    * highest-scoring document (chosen) with the lowest (rejected) under
+    * q112's quality margin, reporting the score gap — the
+    * pair-the-extremes recipe preference-training sets are built with
+    * when no human labels exist. Groups too small to pair drop out.
+    *
+    * Scale shape: ONE map-side-combinable aggregate — chosen/rejected
+    * travel as max/min of a (score, doc_id) struct, so nothing but two
+    * structs per group crosses the shuffle (no window, no sort).
+    * Struct ordering gives the deterministic tie-break (score, then
+    * doc_id) in both engines. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    val scored = docs0(s, d).select(col("lang"), col("source"), col("doc_id"),
+      graft.ops.LinearModel.margin(q112W, Seq(
+        nTok.cast(DoubleType) / lit(256.0),
+        TextFunctions.nonSpaceChars(col("text")) / nTok,
+        stopHits / nTok)).as("score"))
+    scored.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+           max(struct(col("score"), col("doc_id"))).as("hi"),
+           min(struct(col("score"), col("doc_id"))).as("lo"))
+      .where(col("n") >= 2)
+      .select(col("lang"), col("source"), col("n"),
+        col("hi.doc_id").as("chosen_id"), col("lo.doc_id").as("rejected_id"),
+        (col("hi.score") - col("lo.score")).as("score_gap"))
+      .sortedOut("lang", "source")
+  }
+
+  private val q157Sql =
+    """WITH s AS (
+      |  SELECT lang, source, doc_id,
+      |    -1.25 + 2.0 * (CAST(len(toks) AS DOUBLE) / 256.0)
+      |          + 0.25 * (length(regexp_replace(text, '\s', '', 'g')) / len(toks))
+      |          + -3.5 * (len(list_filter(toks,
+      |                      t -> t IN ('the','a','of','and','to','in','is'))) / len(toks))
+      |      AS score
+      |  FROM (SELECT *, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |hi AS (SELECT lang, source, doc_id AS chosen_id, score AS hi_score FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY lang, source
+      |                     ORDER BY score DESC, doc_id DESC) AS rn FROM s)
+      |       WHERE rn = 1),
+      |lo AS (SELECT lang, source, doc_id AS rejected_id, score AS lo_score FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY lang, source
+      |                     ORDER BY score ASC, doc_id ASC) AS rn FROM s)
+      |       WHERE rn = 1),
+      |n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2)
+      |SELECT n.lang, n.source, n.n, chosen_id, rejected_id,
+      |       hi_score - lo_score AS score_gap
+      |FROM n
+      |JOIN hi ON hi.lang = n.lang AND hi.source = n.source
+      |JOIN lo ON lo.lang = n.lang AND lo.source = n.source
+      |WHERE n.n >= 2
+      |ORDER BY n.lang, n.source""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2676,5 +2735,6 @@ object TextQueries {
     ("q149_source_anomaly",    q149 _, Some(q149Sql)),
     ("q150_lsh_planner",       q150 _, Some(q150Sql)),
     ("q153_er_blocking",       q153 _, Some(q153Sql)),
-    ("q154_minhash_calibration", q154 _, Some(q154Sql)))
+    ("q154_minhash_calibration", q154 _, Some(q154Sql)),
+    ("q157_preference_pairs",  q157 _, Some(q157Sql)))
 }

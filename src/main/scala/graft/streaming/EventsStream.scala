@@ -209,6 +209,81 @@ object EventsStream extends Serializable {
     }
   }
 
+  // ---------------- event-chain transitions (q148's streaming twin)
+
+  case class Transition(user_id: Long, from_ms: Long, from_type: String,
+                        to_type: String)
+  case class PendingEvent(ms: Long, id: Long, typ: String)
+  /** Per-user chain state: the last FINALIZED event (the chain link to
+    * the next one) plus the out-of-watermark tail still subject to
+    * reordering. */
+  case class ChainState(hasLast: Boolean, lastMs: Long, lastId: Long,
+                        lastType: String, pending: Seq[PendingEvent])
+
+  /** Batch twin of [[transitionsStream]]: per-user (ts, event_id)-
+    * ordered adjacent event pairs — q148's transition stream before its
+    * matrix rollup (one user-keyed shuffle; `lead` inside the per-user
+    * sort). */
+  def transitionsBatch(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.toDF()
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("user_id"), unix_millis(col("ts")).as("from_ms"),
+        col("event_type").as("from_type"), col("to_type"))
+      .as[Transition]
+  }
+
+  /** Watermark-ordered chain repair — the stateful streaming form of
+    * "adjacent event pairs per user". Events newer than the watermark
+    * BUFFER in state (they may still be reordered by late arrivals);
+    * once the watermark passes them they finalize in (ts, event_id)
+    * order and each adjacent pair emits one transition, chaining
+    * across micro-batch boundaries through the retained last-finalized
+    * event. In-watermark reordering and arbitrary batch splits
+    * therefore cannot corrupt the chain: the emitted stream equals
+    * [[transitionsBatch]] on the finalized prefix for ANY arrival
+    * order the watermark admits (EventsStreamSpec pins this). Events
+    * behind the watermark are dropped by the engine, same as every
+    * stateful operator here.
+    *
+    * State per user is the last finalized event plus the
+    * out-of-watermark tail — O(1) + O(late-horizon events), the same
+    * bound sessionization carries. An event-time timer flushes the
+    * tail when the watermark passes it without new arrivals. */
+  def transitionsStream(events: Dataset[Event],
+                        watermark: String = "1 hour"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[ChainState]): Iterator[Transition] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(ChainState(false, 0L, 0L, "", Seq.empty))
+      val all = (st.pending ++ it.map(e =>
+          PendingEvent(e.ts.getTime, e.event_id, e.event_type)))
+        .sortBy(p => (p.ms, p.id))
+      val (fin, pend) = all.partition(_.ms <= wm)
+      val out = Seq.newBuilder[Transition]
+      var last = if (st.hasLast) Some(PendingEvent(st.lastMs, st.lastId, st.lastType)) else None
+      fin.foreach { e =>
+        last.foreach(p => out += Transition(uid, p.ms, p.typ, e.typ))
+        last = Some(e)
+      }
+      state.update(ChainState(last.isDefined, last.map(_.ms).getOrElse(0L),
+        last.map(_.id).getOrElse(0L), last.map(_.typ).getOrElse(""), pend))
+      // flush the tail when the watermark passes it (min pending ms is
+      // > wm by construction, as EventTimeTimeout requires)
+      if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_.ms).min)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Open sessions carried between micro-batches, sorted by start. */
   case class OpenSessions(sessions: Seq[SessionState])
 

@@ -614,4 +614,50 @@ class EventsStreamSpec extends SparkSpec {
       spark.table("dedup_stream").count() shouldBe distinctIds
     } finally q.stop()
   }
+
+  test("transitionsStream: watermark-ordered chain repair equals the batch twin; late data dropped") {
+    import graft.streaming.EventsStream.Transition
+    val mem = MemoryStream[Event]
+    val out = EventsStream.transitionsStream(mem.toDS(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      def got(): Set[(Long, Long, String, String)] =
+        spark.table("transitions").as[Transition].collect()
+          .map(t => (t.user_id, t.from_ms / 60000L - Base, t.from_type, t.to_type)).toSet
+      val expected = Set((1L, 0L, "click", "view"), (1L, 10L, "view", "purchase"),
+        (2L, 600L, "click", "click"))
+      // user 1's first two events arrive OUT OF ORDER in one batch;
+      // the third lands in its own batch — the chain must repair the
+      // order and link across batches
+      mem.addData(ev(2, 10, typ = "view"), ev(1, 0, typ = "click"))
+      q.processAllAvailable()
+      mem.addData(ev(3, 20, typ = "purchase"))
+      q.processAllAvailable()
+      // intermediate emissions depend on exact watermark/timer timing;
+      // what is INVARIANT is that nothing wrong is ever emitted
+      assert(got().subsetOf(expected))
+      // user 2's pair plus watermark pushers
+      mem.addData(ev(4, 600, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(5, 1200, uid = 2L))
+      q.processAllAvailable()
+      assert(got().subsetOf(expected))
+      mem.addData(ev(7, 2000, uid = 3L)) // wm → 1990: everything below finalizes
+      q.processAllAvailable()
+      // a behind-the-watermark event must be dropped, chains unaffected
+      mem.addData(ev(6, 5, typ = "error"))
+      q.processAllAvailable()
+      got() shouldBe expected
+      // equals the batch twin on the same events (uid 3's single event
+      // pairs with nothing; every 'to' event is past the watermark)
+      val batch = EventsStream.transitionsBatch(
+          Seq(ev(1, 0, typ = "click"), ev(2, 10, typ = "view"),
+            ev(3, 20, typ = "purchase"), ev(4, 600, uid = 2L),
+            ev(5, 1200, uid = 2L), ev(7, 2000, uid = 3L)).toDS())
+        .collect().map(t => (t.user_id, t.from_ms / 60000L - Base,
+          t.from_type, t.to_type)).toSet
+      got() shouldBe batch
+    } finally q.stop()
+  }
 }

@@ -384,6 +384,26 @@ object AdvSweep {
         })
     }
 
+    // ---- the mitigation, measured: join-based expansion ----------------
+    // The in-row expansion above builds ONE array of C(|srcs|,2) structs
+    // per gram row — quadratic PER ROW, a giant-row hazard past ~10³
+    // sources. The self-join expansion produces the same 25M pair rows
+    // DISTRIBUTED (shuffle-partitioned on gh), which is the formulation
+    // q142 should switch to beyond ~10³ sources (plus a df-cap: a gram
+    // every source carries identifies nobody).
+    step("source_overlap_1000_join") {
+      val sg = spark.range(0, 1000).toDF("s")
+        .crossJoin(spark.range(0, 250).toDF("g"))
+        .select(concat(lit("src"), col("s")).as("source"),
+          when(col("g") < 50, col("g"))
+            .otherwise(col("g") + col("s") * 1000).as("gh"))
+      val l = sg.select(col("gh"), col("source").as("src_a"))
+      val r = sg.select(col("gh"), col("source").as("src_b"))
+      val pairs = l.join(r, Seq("gh")).where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      stats("overlap_join_pairs_expected_499500") = pairs.count().toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

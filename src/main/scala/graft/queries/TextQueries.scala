@@ -2108,11 +2108,21 @@ object TextQueries {
     * distinct is one exchange; the per-gram DISTINCT source set is
     * bounded by |sources| (collect_set after the distinct — never
     * row-multiplied), and the i<j pair expansion happens in-row, so
-    * the pair frame is ≤ C(|S|,2) rows per gram BEFORE its groupBy —
-    * no source-level self-join of gram sets ever materializes. The
-    * per-source size table is |S| rows, broadcast onto the pair
+    * the pair frame is ≤ C(|S|,2) rows per gram BEFORE its groupBy.
+    * The per-source size table is |S| rows, broadcast onto the pair
     * aggregate. At 100 TB the only O(corpus) stages are the two
-    * hash-partitioned exchanges on `gh`. */
+    * hash-partitioned exchanges on `gh`.
+    *
+    * Source-cardinality bound (AdvSweep `source_overlap_1000*`): the
+    * in-row expansion builds ONE C(|srcs|,2)-struct array per gram
+    * row — quadratic PER ROW. Measured at |S|=1000 with 50 universal
+    * grams: 50.2 s in-row vs 9.0 s for the equivalent self-join on
+    * `gh` (which distributes the same 25M pair rows across the
+    * shuffle). Beyond ~10³ sources, switch to the join expansion and
+    * df-cap the gram set (a gram every source carries identifies
+    * nobody — containmentPairs' discipline). At this fixture's
+    * |S|=20 the in-row form is the cheaper one (≤190 structs/row,
+    * no second shuffle). */
   private def q142(s: SparkSession, d: String): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))
     val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(4)),

@@ -2682,6 +2682,124 @@ object TextQueries {
       |WHERE n.n >= 2
       |ORDER BY n.lang, n.source""".stripMargin
 
+  // ------------- drop-reason audit (q158)
+  /** The curation pipeline's accountability report: every document gets
+    * the FIRST gate that would drop it — too_short (q25's length
+    * floor), repetitive (q75's Gopher rules), stopword_heavy (q25's
+    * ratio cut), low_score (q112's classifier margin) — or `kept`, and
+    * the output is the per-reason census. This is the table a curation
+    * run publishes so a corpus consumer can see where the tokens went;
+    * the fixed gate ORDER is the point (each doc counted once, under
+    * the first reason — re-ordering gates changes the attribution, not
+    * the kept set).
+    *
+    * Scale shape: one pass computes every per-doc signal (the
+    * repetition stats join is doc-keyed like q75), the census combines
+    * map-side to ≤5 rows, total rides a 1-row broadcast. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    val scored = docs0(s, d).select(col("doc_id"), nTok.as("n_tok"),
+      (stopHits / nTok).as("stop_ratio"),
+      graft.ops.LinearModel.margin(q112W, Seq(
+        nTok.cast(DoubleType) / lit(256.0),
+        TextFunctions.nonSpaceChars(col("text")) / nTok,
+        stopHits / nTok)).as("score"))
+    val rep = graft.text.QualityOps.repetitionStats(docs0(s, d))
+      .select(col("doc_id"), col("is_repetitive"))
+    val reason = when(col("n_tok") < 5, "too_short")
+      .when(coalesce(col("is_repetitive"), lit(false)), "repetitive")
+      .when(col("stop_ratio") > 0.5, "stopword_heavy")
+      .when(col("score") < 0.0, "low_score")
+      .otherwise("kept")
+    val census = scored.join(rep, Seq("doc_id"), "left")
+      .select(reason.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+    census.crossJoin(broadcast(census.agg(sum(col("n_docs")).as("nd"))))
+      .select(col("reason"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("nd").cast(DoubleType)).as("share"))
+      .sortedOut("reason")
+  }
+
+  private val q158Sql =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS g FROM t),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+      |       FROM t WHERE len(tk) >= 2),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(c) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nd_tok FROM tc GROUP BY 1),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bp AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+      |sig AS (
+      |  SELECT t.doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_tok,
+      |    len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) / len(tk) AS stop_ratio,
+      |    -1.25 + 2.0 * (CAST(len(tk) AS DOUBLE) / 256.0)
+      |          + 0.25 * (length(regexp_replace(text, '\s', '', 'g')) / len(tk))
+      |          + -3.5 * (len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) / len(tk)) AS score,
+      |    coalesce(tp.top_tok / tp.n_tok > 0.12
+      |          OR 1 - tp.nd_tok / tp.n_tok > 0.6
+      |          OR bp.top_bg / bp.n_bg > 0.06, false) AS is_repetitive
+      |  FROM t LEFT JOIN tp ON tp.doc_id = t.doc_id
+      |         LEFT JOIN bp ON bp.doc_id = t.doc_id),
+      |census AS (
+      |  SELECT CASE WHEN n_tok < 5 THEN 'too_short'
+      |              WHEN is_repetitive THEN 'repetitive'
+      |              WHEN stop_ratio > 0.5 THEN 'stopword_heavy'
+      |              WHEN score < 0.0 THEN 'low_score'
+      |              ELSE 'kept' END AS reason,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM sig GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM census)
+      |SELECT reason, n_docs, CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE) AS share
+      |FROM census CROSS JOIN tot ORDER BY reason""".stripMargin
+
+  // ------------- vocabulary growth / Heaps-law curve (q159)
+  /** How fast does the corpus stop teaching new words: for doc-count
+    * prefixes (in doc_id order), total token volume vs distinct
+    * vocabulary seen — the Heaps-law curve that says when additional
+    * crawl volume stops buying lexical coverage (and sizes the
+    * tokenizer's vocab budget, q79/q104's knob).
+    *
+    * Scale shape: each token type reduces to its FIRST doc
+    * (min(doc_id) — one map-side-combinable pass over exploded
+    * tokens); the curve is a ≤|prefix-list| literal explode over that
+    * |vocab|-sized frame plus one over the per-doc counts. Nothing
+    * quadratic, no window over the corpus. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val prefixes = Seq(50L, 100L, 200L, 400L, 800L, 1600L, 3200L, 6400L)
+    val pArr = array(prefixes.map(lit): _*)
+    val first = docs0(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+    val vocab = first.select(col("fd"), explode(pArr).as("prefix_docs"))
+      .where(col("fd") < col("prefix_docs"))
+      .groupBy("prefix_docs").agg(count(lit(1)).as("vocab"))
+    val seen = docs0(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"), explode(pArr).as("prefix_docs"))
+      .where(col("doc_id") < col("prefix_docs"))
+      .groupBy("prefix_docs").agg(sum(col("n_tok")).as("tokens_seen"))
+    val w = Window.orderBy(col("prefix_docs")) // ≤8 rows: single-partition window is fine
+    seen.join(vocab, Seq("prefix_docs"))
+      .withColumn("new_vocab", col("vocab") - coalesce(lag(col("vocab"), 1).over(w), lit(0L)))
+      .sortedOut("prefix_docs")
+  }
+
+  private val q159Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |f AS (SELECT tok, min(doc_id) AS fd FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY tok),
+      |p AS (SELECT unnest([50, 100, 200, 400, 800, 1600, 3200, 6400]) AS prefix_docs),
+      |v AS (SELECT CAST(prefix_docs AS BIGINT) AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab
+      |      FROM f CROSS JOIN p WHERE fd < prefix_docs GROUP BY 1),
+      |sn AS (SELECT CAST(prefix_docs AS BIGINT) AS prefix_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens_seen
+      |       FROM t CROSS JOIN p WHERE doc_id < prefix_docs GROUP BY 1)
+      |SELECT sn.prefix_docs, tokens_seen, vocab,
+      |  CAST(vocab - coalesce(lag(vocab) OVER (ORDER BY sn.prefix_docs), 0) AS BIGINT) AS new_vocab
+      |FROM sn JOIN v ON v.prefix_docs = sn.prefix_docs
+      |ORDER BY sn.prefix_docs""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2746,5 +2864,7 @@ object TextQueries {
     ("q150_lsh_planner",       q150 _, Some(q150Sql)),
     ("q153_er_blocking",       q153 _, Some(q153Sql)),
     ("q154_minhash_calibration", q154 _, Some(q154Sql)),
-    ("q157_preference_pairs",  q157 _, Some(q157Sql)))
+    ("q157_preference_pairs",  q157 _, Some(q157Sql)),
+    ("q158_drop_reasons",      q158 _, Some(q158Sql)),
+    ("q159_vocab_growth",      q159 _, Some(q159Sql)))
 }

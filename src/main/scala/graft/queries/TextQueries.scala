@@ -2533,9 +2533,14 @@ object TextQueries {
     val b = m.select(col("blk"), col("doc_id").as("doc_b"), col("name").as("name_b"))
     a.join(b, Seq("blk"))
       .where(col("doc_a") < col("doc_b"))
+      // thresholded levenshtein: the DP early-exits once a row's min
+      // cost exceeds 3 and returns -1 — O(k·n) per comparison instead
+      // of O(n·m), the difference that matters when block-local pairs
+      // number in the billions; equal to the full distance whenever
+      // that distance is ≤ 3, so the oracle is unchanged
       .select(col("doc_a"), col("doc_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
-      .where(col("dist") <= 3)
+        levenshtein(col("name_a"), col("name_b"), 3).as("dist"))
+      .where(col("dist") >= 0)
       .sortedOut("doc_a", "doc_b")
   }
 

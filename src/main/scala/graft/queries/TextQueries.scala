@@ -2805,6 +2805,81 @@ object TextQueries {
       |FROM sn JOIN v ON v.prefix_docs = sn.prefix_docs
       |ORDER BY sn.prefix_docs""".stripMargin
 
+  // ------------- quality-aware dedup survivor (q160)
+  /** Near-dup dedup that keeps the BEST copy, not the first: q48's
+    * clusters re-resolved with q112's quality margin choosing each
+    * cluster's survivor (max (score, doc_id) struct — one map-side-
+    * combinable aggregate, no window), reported AGAINST the min-id
+    * policy: how many clusters changed survivor and what the kept
+    * token budget is under each. Re-hosted copies usually differ in
+    * boilerplate wrap, so "first crawled" and "best quality" genuinely
+    * diverge — this is the table that justifies the policy switch.
+    *
+    * Scale shape: everything after cluster resolution is doc-keyed
+    * joins plus a cluster-keyed aggregate; survivors travel as one
+    * struct per cluster. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.9)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    val scored = docs.select(col("doc_id"), nTok.cast(LongType).as("n_tok"),
+      graft.ops.LinearModel.margin(q112W, Seq(
+        nTok.cast(DoubleType) / lit(256.0),
+        TextFunctions.nonSpaceChars(col("text")) / nTok,
+        stopHits / nTok)).as("score"))
+    val memb = scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val per = memb.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+           max(struct(col("score"), col("doc_id"), col("n_tok"))).as("hi"),
+           sum(when(col("doc_id") === col("cluster"), col("n_tok")).otherwise(0L)).as("minid_tok"))
+    per.agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        sum(when(col("n") >= 2 && col("hi.doc_id") =!= col("cluster"), 1L).otherwise(0L)).as("n_upgraded"),
+        sum(col("hi.n_tok")).as("kept_tokens_best"),
+        sum(col("minid_tok")).as("kept_tokens_minid"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+  }
+
+  private val q160Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()}
+       |, sc AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+       |    -1.25 + 2.0 * (CAST(len(tk) AS DOUBLE) / 256.0)
+       |          + 0.25 * (length(regexp_replace(text, '\\s', '', 'g')) / len(tk))
+       |          + -3.5 * (len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) / len(tk)) AS score
+       |  FROM (SELECT *, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)),
+       |memb AS (
+       |  SELECT sc.doc_id, sc.n_tok, sc.score, coalesce(l.cluster, sc.doc_id) AS cluster
+       |  FROM sc LEFT JOIN labels l ON l.doc_id = sc.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id DESC) AS rn
+       |  FROM memb),
+       |per AS (
+       |  SELECT cluster,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    max(CASE WHEN rn = 1 THEN doc_id END) AS best_id,
+       |    max(CASE WHEN rn = 1 THEN n_tok END) AS best_tok,
+       |    CAST(sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END) AS BIGINT) AS minid_tok
+       |  FROM ranked GROUP BY cluster)
+       |SELECT
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       |  CAST(sum(CASE WHEN n >= 2 AND best_id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_upgraded,
+       |  CAST(sum(best_tok) AS BIGINT) AS kept_tokens_best,
+       |  CAST(sum(minid_tok) AS BIGINT) AS kept_tokens_minid,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total
+       |FROM per""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2871,5 +2946,6 @@ object TextQueries {
     ("q154_minhash_calibration", q154 _, Some(q154Sql)),
     ("q157_preference_pairs",  q157 _, Some(q157Sql)),
     ("q158_drop_reasons",      q158 _, Some(q158Sql)),
-    ("q159_vocab_growth",      q159 _, Some(q159Sql)))
+    ("q159_vocab_growth",      q159 _, Some(q159Sql)),
+    ("q160_quality_survivor",  q160 _, Some(q160Sql)))
 }

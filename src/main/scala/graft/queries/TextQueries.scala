@@ -2880,6 +2880,86 @@ object TextQueries {
        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total
        |FROM per""".stripMargin
 
+  // ------------- exact classifier ROC-AUC (q161)
+  /** The threshold-free verdict on q112's quality margin: exact
+    * Mann-Whitney AUC against an INDEPENDENT ground truth (q75's
+    * repetitiveness flag, inverted — "clean" is positive; q25's label
+    * is degenerate on this fixture) — AUC =
+    * (Σ midrank(positives) − n₊(n₊+1)/2) / (n₊·n₋), with midranks for
+    * tied scores, NULL-guarded for one-class inputs. Complements
+    * q139's calibration bins: calibration says where to put the cut,
+    * AUC says whether the score ranks at all.
+    *
+    * Scale + exactness: the global ranking rides
+    * [[graft.ops.RelationalOps.globalRowNumber]] (range partition +
+    * prefix offsets — no single-partition window); midranks are
+    * (min+max)/2 per tied score. Every term is a dyadic rational
+    * (halves) far below 2^52, so the double sums are EXACT and
+    * order-independent — no sorted fold needed anywhere. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFunctions.hitCount(toks, TextFunctions.Stopwords)
+    // ground truth = NOT repetitive (q75's flag) — q25's quality label
+    // is degenerate on this fixture (every doc passes), and a
+    // one-class AUC is undefined
+    val rep = graft.text.QualityOps.repetitionStats(docs0(s, d))
+      .select(col("doc_id"), col("is_repetitive"))
+    val scored = docs0(s, d).select(col("doc_id"),
+        graft.ops.LinearModel.margin(q112W, Seq(
+          nTok.cast(DoubleType) / lit(256.0),
+          TextFunctions.nonSpaceChars(col("text")) / nTok,
+          stopHits / nTok)).as("score"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        (!coalesce(col("is_repetitive"), lit(false))).as("label"))
+    val ranked = graft.ops.RelationalOps.globalRowNumber(
+      scored, Seq(col("score").asc, col("doc_id").asc), "rn")
+    val mid = ranked.groupBy("score")
+      .agg(((min(col("rn")) + max(col("rn"))).cast(DoubleType) / 2.0).as("midrank"))
+    ranked.join(mid, Seq("score"))
+      .agg(sum(when(col("label"), col("midrank")).otherwise(0.0)).as("prs"),
+           sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+           sum(when(!col("label"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("prs") - col("n_pos").cast(DoubleType) * (col("n_pos") + 1).cast(DoubleType) / 2.0) /
+            (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))).as("auc"))
+  }
+
+  private val q161Sql =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS g FROM t),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+      |       FROM t WHERE len(tk) >= 2),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(c) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nd_tok FROM tc GROUP BY 1),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bp AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+      |s AS (
+      |  SELECT t.doc_id,
+      |    -1.25 + 2.0 * (CAST(len(tk) AS DOUBLE) / 256.0)
+      |          + 0.25 * (length(regexp_replace(text, '\s', '', 'g')) / len(tk))
+      |          + -3.5 * (len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) / len(tk)) AS score,
+      |    NOT coalesce(tp.top_tok / tp.n_tok > 0.12
+      |          OR 1 - tp.nd_tok / tp.n_tok > 0.6
+      |          OR bp.top_bg / bp.n_bg > 0.06, false) AS label
+      |  FROM t LEFT JOIN tp ON tp.doc_id = t.doc_id
+      |         LEFT JOIN bp ON bp.doc_id = t.doc_id),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rn FROM s),
+      |m AS (SELECT score, CAST(min(rn) + max(rn) AS DOUBLE) / 2.0 AS midrank FROM r GROUP BY score),
+      |j AS (SELECT r.label, m.midrank FROM r JOIN m ON m.score = r.score),
+      |a AS (SELECT
+      |    sum(CASE WHEN label THEN midrank ELSE 0.0 END) AS prs,
+      |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |  FROM j)
+      |SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    (prs - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+      |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+      |FROM a""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -2947,5 +3027,6 @@ object TextQueries {
     ("q157_preference_pairs",  q157 _, Some(q157Sql)),
     ("q158_drop_reasons",      q158 _, Some(q158Sql)),
     ("q159_vocab_growth",      q159 _, Some(q159Sql)),
-    ("q160_quality_survivor",  q160 _, Some(q160Sql)))
+    ("q160_quality_survivor",  q160 _, Some(q160Sql)),
+    ("q161_classifier_auc",    q161 _, Some(q161Sql)))
 }

@@ -1256,6 +1256,50 @@ object VectorQueries {
        |GROUP BY 1 ORDER BY k_occurrence""".stripMargin
   }
 
+  // ---------------- per-dim robust scaling / outlier clip report (q162)
+  /** Embedding-preprocessing prep: per dimension, the exact p01/p99
+    * winsorization bounds and how many values each would clip — the
+    * report that decides whether the embedding space needs robust
+    * scaling before centroids/k-means (one poisoned dimension drags
+    * every centroid; the adversarial sweep's NaN findings are the
+    * extreme case of what this monitors).
+    *
+    * Exactness bridge: interpolated percentiles are not bit-portable,
+    * so bounds pass through the q41 DECIMAL(18,6) rounding convention
+    * on both engines and the clip COUNTS compare raw values against
+    * those shared rounded bounds — integers after that. Scale: one
+    * posexplode pass, a 64-row bounds broadcast, one count pass. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast(DoubleType).as("x"))
+      .persist() // bounds pass + count pass
+    val bounds = e.groupBy("pos").agg(
+      percentile(col("x"), lit(0.01)).cast(DecimalType(18, 6)).cast(DoubleType).as("p01"),
+      percentile(col("x"), lit(0.99)).cast(DecimalType(18, 6)).cast(DoubleType).as("p99"))
+    e.join(broadcast(bounds), Seq("pos"))
+      .groupBy("pos").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("p01"), 1L).otherwise(0L)).as("clipped_lo"),
+        sum(when(col("x") > col("p99"), 1L).otherwise(0L)).as("clipped_hi"),
+        max(col("p01")).as("p01"), max(col("p99")).as("p99"))
+      .sortedOut("pos")
+  }
+
+  private val q162Sql =
+    """WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+      |             CAST(unnest(embedding) AS DOUBLE) AS x
+      |           FROM embeddings),
+      |b AS (SELECT pos,
+      |        CAST(CAST(quantile_cont(x, 0.01) AS DECIMAL(18,6)) AS DOUBLE) AS p01,
+      |        CAST(CAST(quantile_cont(x, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99
+      |      FROM e GROUP BY pos)
+      |SELECT CAST(e.pos AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) AS BIGINT) AS clipped_lo,
+      |  CAST(sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS clipped_hi,
+      |  max(p01) AS p01, max(p99) AS p99
+      |FROM e JOIN b ON b.pos = e.pos
+      |GROUP BY e.pos ORDER BY pos""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1278,5 +1322,6 @@ object VectorQueries {
     ("q138_bitext_margin",     q138 _, Some(q138Sql)),
     ("q144_embedding_drift",   q144 _, Some(q144Sql)),
     ("q155_ann_ndcg",          q155 _, Some(q155Sql)),
-    ("q156_hubness",           q156 _, Some(q156Sql)))
+    ("q156_hubness",           q156 _, Some(q156Sql)),
+    ("q162_robust_scaling",    q162 _, Some(q162Sql)))
 }

@@ -1512,6 +1512,43 @@ object ExtendedQueries {
       |  CAST(t AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE) AS clustering
       |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin
 
+  // ------------- behavioral diversity: per-user Gini impurity (q165)
+  /** How varied is each user's behavior: Gini impurity 1 − Σ pₜ² over
+    * the user's event-type mix — the bot/monoculture detector next to
+    * the transition matrix (q148): scripted accounts sit near 0, and a
+    * sudden corpus-wide Gini shift means the event taxonomy or the
+    * traffic changed. Gini instead of entropy BY CHOICE: it needs no
+    * log, so with the per-type shares folded in event-type order every
+    * double is exactly reproducible cross-engine.
+    *
+    * Scale shape: one (user, type) count pass with map-side combine,
+    * then a per-user fold over ≤|T| types. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+           sort_array(collect_list(struct(col("event_type"), col("c")))).as("cs"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1.0) - aggregate(col("cs"), lit(0.0), (acc, v) =>
+          acc + (v.getField("c").cast(DoubleType) / col("n_events").cast(DoubleType)) *
+                (v.getField("c").cast(DoubleType) / col("n_events").cast(DoubleType)))).as("gini"))
+      .sortedOutWide("user_id")
+  }
+
+  private val q165Sql =
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |        CAST(count(*) AS BIGINT) AS n_types,
+      |        list(c ORDER BY event_type) AS cs
+      |      FROM c GROUP BY user_id)
+      |SELECT user_id, n_events, n_types,
+      |  1.0 - list_sum(list_transform(cs, x ->
+      |    (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+      |    * (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE)))) AS gini
+      |FROM g ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1555,5 +1592,6 @@ object ExtendedQueries {
     ("q136_trade_hits",      q136 _, Some(q136Sql)),
     ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)),
     ("q148_event_transitions", q148 _, Some(q148Sql)),
-    ("q152_trade_triangles", q152 _, Some(q152Sql)))
+    ("q152_trade_triangles", q152 _, Some(q152Sql)),
+    ("q165_user_gini",       q165 _, Some(q165Sql)))
 }

@@ -2960,6 +2960,97 @@ object TextQueries {
       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
       |FROM a""".stripMargin
 
+  // ------------- corpus dataset card (q163)
+  /** The one-row datasheet a corpus release publishes: volume (docs,
+    * tokens, chars), spread (languages, sources), hygiene (exact-dup
+    * docs, repetitive fraction) and the mean document length — every
+    * number a dataset card's "composition" section asks for, computed
+    * in one pass plus the doc-keyed repetition join. The language list
+    * itself ships sorted-joined (bounded by |langs|). */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val base = docs0(s, d).select(size(tk).cast(LongType).as("n_tok"),
+        col("n_chars"), col("lang"), col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           sum(col("n_chars")).as("n_chars"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(col("source")).as("n_sources"),
+           countDistinct(col("h")).as("n_distinct_texts"),
+           array_join(sort_array(collect_set(col("lang"))), ",").as("langs"))
+    val rep = graft.text.QualityOps.repetitionStats(docs0(s, d))
+      .agg(sum(when(col("is_repetitive"), 1L).otherwise(0L)).as("n_rep"))
+    base.crossJoin(broadcast(rep))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("langs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dup_docs"),
+        (col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("mean_doc_tokens"),
+        (col("n_rep").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("pct_repetitive"))
+  }
+
+  private val q163Sql =
+    """WITH t AS (SELECT doc_id, text, n_chars, lang, source,
+      |             regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS g FROM t),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+      |       FROM t WHERE len(tk) >= 2),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(c) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nd_tok FROM tc GROUP BY 1),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bp AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+      |rep AS (SELECT CAST(count(*) AS BIGINT) AS n_rep
+      |        FROM tp JOIN bp USING (doc_id)
+      |        WHERE tp.top_tok / tp.n_tok > 0.12
+      |           OR 1 - tp.nd_tok / tp.n_tok > 0.6
+      |           OR bp.top_bg / bp.n_bg > 0.06),
+      |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      |    array_to_string(list(DISTINCT lang ORDER BY lang), ',') AS langs
+      |  FROM t)
+      |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, langs,
+      |  n_docs - n_distinct_texts AS n_exact_dup_docs,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens,
+      |  CAST(n_rep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pct_repetitive
+      |FROM base CROSS JOIN rep""".stripMargin
+
+  // ------------- dup-graph transitivity audit (q164)
+  /** [[graft.ops.Graph.triangleStats]] on the near-dup CANDIDATE graph
+    * (q29's est ≥ 0.7 pairs): a genuine similarity relation closes its
+    * wedges (a~b and b~c should mean a~c), so LOW clustering here is
+    * the early warning that the threshold is chaining unrelated
+    * documents — exactly the over-merge risk union-find then
+    * amplifies, caught BEFORE dedupByClusters drops the survivors.
+    * Complements q95's degree histogram with the closure view. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
+      bands = 4, rowsPerBand = 8, minEst = 0.7)
+    graft.ops.Graph.triangleStats(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
+  private val q164Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7),
+       |und AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+       |        FROM pr WHERE doc_a <> doc_b),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+       |        GROUP BY node),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+       |        FROM und e1
+       |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+       |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |               CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+       |  CAST(t AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE) AS clustering
+       |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3028,5 +3119,7 @@ object TextQueries {
     ("q158_drop_reasons",      q158 _, Some(q158Sql)),
     ("q159_vocab_growth",      q159 _, Some(q159Sql)),
     ("q160_quality_survivor",  q160 _, Some(q160Sql)),
-    ("q161_classifier_auc",    q161 _, Some(q161Sql)))
+    ("q161_classifier_auc",    q161 _, Some(q161Sql)),
+    ("q163_dataset_card",      q163 _, Some(q163Sql)),
+    ("q164_dupgraph_transitivity", q164 _, Some(q164Sql)))
 }

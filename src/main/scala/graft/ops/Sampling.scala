@@ -223,4 +223,65 @@ object Sampling {
     }
     df.withColumn("split", when(group.isNull, lit(null: String)).otherwise(labeled))
   }
+
+  /** Epoch-capped water-filling token-budget allocation — the "how many
+    * tokens do I take from each source" step of a training-mix plan.
+    * Given per-stratum token counts `(stratumCol, nCol)`, a global
+    * budget B and a max-epochs cap (allocation from stratum s may not
+    * exceed `maxEpochs · nₛ` — repeating a small source beyond a few
+    * epochs hurts more than it helps), the allocation is the unique
+    * water level λ with aₛ = min(maxEpochs·nₛ, λ) and Σ aₛ = B: small
+    * strata saturate at their cap, everything else gets the SAME token
+    * count λ — uniform mixing subject to the epoch constraint.
+    *
+    * Closed form, no iteration: sort strata by cap ascending; stratum
+    * i (1-based, prefixᵢ = Σ_{j≤i} capⱼ) is capped iff
+    * `capᵢ·(n−i) ≤ B − prefixᵢ` — giving every later stratum at least
+    * capᵢ still fits — and cappedness is monotone in i (capᵢ₊₁ ≥ capᵢ
+    * makes the test only harder), so one window pass finds the full
+    * capped prefix and λ = (B − paid)/(n − j) in a single division.
+    *
+    * Determinism/scale: everything up to λ is INTEGER arithmetic on
+    * the |strata|-row aggregate (the window is a single partition over
+    * that tiny frame — same discipline as every ≤|S|-row analytic in
+    * this repo), so the doubles (λ, epochs) are each ONE IEEE division
+    * of exact integers: bit-portable across engines. If B ≥ Σ cap every
+    * stratum is capped and λ is NULL (the budget is infeasible under
+    * the epoch cap; the remainder goes unallocated by design).
+    *
+    * @param counts one row per stratum: (stratumCol: string, nCol: long)
+    * @param budget expression over the 1-row totals frame — columns
+    *               `total_n` (Σ nₛ) and `n_strata` are in scope, e.g.
+    *               `expr("total_n div 2")`
+    * @return stratum, n, cap, capped, alloc (tokens, double), epochs */
+  def waterFillAllocation(counts: DataFrame, stratumCol: String, nCol: String,
+                          budget: Column, maxEpochs: Long): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val base = counts.select(col(stratumCol).as("stratum"),
+      col(nCol).cast("long").as("n"),
+      (col(nCol).cast("long") * lit(maxEpochs)).as("cap"))
+    val w = Window.orderBy(col("cap"), col("stratum"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = base.agg(sum(col("n")).as("total_n"),
+        count(lit(1)).as("n_strata"))
+      .select(col("total_n"), col("n_strata"), budget.cast("long").as("b"))
+    val flagged = ranked.crossJoin(broadcast(totals))
+      .withColumn("capped",
+        col("cap") * (col("n_strata") - col("rn")) <= col("b") - col("prefix"))
+    val level = flagged.agg(
+        coalesce(max(when(col("capped"), col("rn"))), lit(0L)).as("j"),
+        coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("paid"),
+        max(col("b")).as("b2"), max(col("n_strata")).as("ns2"))
+      .select(when(col("ns2") > col("j"),
+        (col("b2") - col("paid")).cast("double") /
+          (col("ns2") - col("j")).cast("double")).as("lambda"))
+    flagged.crossJoin(broadcast(level))
+      .select(col("stratum"), col("n"), col("cap"), col("capped"),
+        when(col("capped"), col("cap").cast("double"))
+          .otherwise(col("lambda")).as("alloc"))
+      .withColumn("epochs", col("alloc") / col("n").cast("double"))
+  }
 }

@@ -3051,6 +3051,175 @@ object TextQueries {
        |  CAST(t AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE) AS clustering
        |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin
 
+  // ------------- epoch-capped token-budget allocation (q166)
+  /** The "how many tokens from each source" step of a training-mix
+    * plan: [[graft.ops.Sampling.waterFillAllocation]] over per-source
+    * token counts — budget 90% of the corpus, max 1 epoch per source
+    * (the fixture's two smallest sources saturate, exercising BOTH
+    * allocation arms against the oracle).
+    * Small sources saturate at their full token count (capped=true, 1
+    * epoch); every remaining source contributes the SAME water level λ
+    * of tokens — uniform mixing subject to the epoch constraint, the
+    * allocation shape Chinchilla-style data-constrained mixes use.
+    *
+    * Scale shape: ONE map-side-combining count pass over the corpus;
+    * everything after runs on the |S|-row aggregate (the closed-form
+    * capped-prefix window — no iteration). Integer arithmetic until
+    * the single λ division, so the doubles hash-match the oracle. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val counts = docs0(s, d).groupBy("source")
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    graft.ops.Sampling.waterFillAllocation(counts, "source", "n_tokens",
+        budget = expr("(total_n * 9) div 10"), maxEpochs = 1)
+      .sortedOut("stratum")
+  }
+
+  private val q166Sql =
+    """WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |c AS (SELECT source AS stratum, CAST(sum(len(tk)) AS BIGINT) AS n,
+      |             CAST(sum(len(tk)) * 1 AS BIGINT) AS cap FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n, CAST(count(*) AS BIGINT) AS n_strata FROM c),
+      |bb AS (SELECT n_strata, (total_n * 9) // 10 AS b FROM tot),
+      |r AS (SELECT stratum, n, cap,
+      |        CAST(row_number() OVER (ORDER BY cap, stratum) AS BIGINT) AS rn,
+      |        CAST(sum(cap) OVER (ORDER BY cap, stratum ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      |      FROM c),
+      |f AS (SELECT r.*, bb.b, bb.n_strata,
+      |        (cap * (n_strata - rn) <= b - prefix) AS capped
+      |      FROM r CROSS JOIN bb),
+      |lvl AS (SELECT CASE WHEN max(n_strata) > coalesce(max(CASE WHEN capped THEN rn END), 0)
+      |          THEN CAST(max(b) - coalesce(sum(CASE WHEN capped THEN cap END), 0) AS DOUBLE)
+      |               / CAST(max(n_strata) - coalesce(max(CASE WHEN capped THEN rn END), 0) AS DOUBLE)
+      |        END AS lambda FROM f)
+      |SELECT stratum, n, cap, capped,
+      |  CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE lambda END AS alloc,
+      |  (CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE lambda END) / CAST(n AS DOUBLE) AS epochs
+      |FROM f CROSS JOIN lvl ORDER BY stratum""".stripMargin
+
+  // ------------- per-source score normalization (q169)
+  /** Rank-percentile normalization of a quality signal WITHIN each
+    * source — the step that makes scores comparable ACROSS sources
+    * before a global threshold (a raw cutoff on heterogeneous sources
+    * silently keeps whichever feed scores generously; after per-source
+    * normalization every source contributes its own top x%). Signal
+    * here: token count (swap in any margin — the mechanics are the
+    * rank, not the score).
+    *
+    * pct = (2·rank − 1) / (2·nₛ) — the midrank percentile, one
+    * division of exact integers per row; decile = ((2·rank−1)·5) div nₛ
+    * stays pure integer (equals floor(pct·10), always ≤ 9). The window
+    * partitions by source — the per-source sort is the operator; a
+    * pathologically hot source rides the same salting/range disciplines
+    * as every keyed sort in this repo. */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val t = docs0(s, d).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val w = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    t.withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        ((col("rn") * 2 - 1).cast(DoubleType) / (col("ns") * 2).cast(DoubleType)).as("pct"),
+        (((col("rn") * 2 - 1) * 5) / col("ns")).cast(LongType).as("decile"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q169Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |r AS (SELECT doc_id, source, n_tok,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |      FROM t)
+      |SELECT doc_id, source, n_tok,
+      |  CAST(rn * 2 - 1 AS DOUBLE) / CAST(ns * 2 AS DOUBLE) AS pct,
+      |  ((rn * 2 - 1) * 5) // ns AS decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------- syndication direction matrix (q170)
+  /** WHO copies WHOM: every near-dup candidate pair (q29's est ≥ 0.5)
+    * votes an ordered (origin → copy) edge between its SOURCES, origin
+    * = the pair's lower doc_id (earlier ingest — the same survivor
+    * convention as the dedup family). The aggregated |S|×|S| matrix is
+    * the mirror/syndication map that q142's symmetric gram-overlap
+    * can't give: direction. Feeds crawl-budget decisions (stop
+    * recrawling the copier, keep the origin).
+    *
+    * Scale shape: pair generation IS q29 (banded join, skew-capped);
+    * the two source lookups are hash joins on doc_id; the matrix
+    * aggregate is map-side-combinable down to ≤|S|² rows. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs0(s, d), k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs0(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_origin")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_copy")), Seq("doc_b"))
+      .groupBy("src_origin", "src_copy")
+      .agg(count(lit(1)).as("n_pairs"))
+      .sortedOut("src_origin", "src_copy")
+  }
+
+  private val q170Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5)
+       |SELECT da.source AS src_origin, db.source AS src_copy,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+       |        JOIN documents db ON db.doc_id = pr.doc_b
+       |GROUP BY 1, 2 ORDER BY src_origin, src_copy""".stripMargin
+
+  // ------------- token-mass concentration by length decile (q171)
+  /** The Lorenz view of the corpus: exact length deciles (global rank
+    * under (n_tokens, doc_id) via [[graft.ops.RelationalOps
+    * .globalRowNumber]] — never a single-partition window) and each
+    * decile's token mass + cumulative share. Answers "what fraction of
+    * the token budget do the longest 10% of documents carry" — the
+    * number that sizes a length cap before it's imposed (q158 then
+    * audits what the cap dropped).
+    *
+    * decile = floor((rn−1)·10/N), double-exact below 10^15 docs (q147's
+    * argument); cumulative share is a window over the 10-row decile
+    * frame, integer sums with ONE division per row. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val t = docs0(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val ranked = graft.ops.RelationalOps.globalRowNumber(
+      t, Seq(col("n_tok").asc, col("doc_id").asc), "rn")
+    val tot = t.agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("ntt"))
+    val byDec = ranked.crossJoin(broadcast(tot))
+      .select(floor((col("rn") - 1) * 10 / col("nd")).as("decile"),
+        col("n_tok"), col("ntt"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        max(col("ntt")).as("ntt"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        (col("cum_tokens").cast(DoubleType) / col("ntt").cast(DoubleType)).as("cum_token_share"))
+      .sortedOut("decile")
+  }
+
+  private val q171Sql =
+    """WITH t AS (SELECT doc_id,
+      |             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |r AS (SELECT n_tok, CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS rn FROM t),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_tok) AS BIGINT) AS ntt FROM t),
+      |d AS (SELECT CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / CAST(nd AS DOUBLE)) AS BIGINT) AS decile,
+      |             n_tok, ntt
+      |      FROM r CROSS JOIN tot),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n_tok) AS BIGINT) AS n_tokens, max(ntt) AS ntt
+      |      FROM d GROUP BY decile)
+      |SELECT decile, n_docs, n_tokens,
+      |  CAST(CAST(sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / CAST(ntt AS DOUBLE) AS cum_token_share
+      |FROM g ORDER BY decile""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3121,5 +3290,9 @@ object TextQueries {
     ("q160_quality_survivor",  q160 _, Some(q160Sql)),
     ("q161_classifier_auc",    q161 _, Some(q161Sql)),
     ("q163_dataset_card",      q163 _, Some(q163Sql)),
-    ("q164_dupgraph_transitivity", q164 _, Some(q164Sql)))
+    ("q164_dupgraph_transitivity", q164 _, Some(q164Sql)),
+    ("q166_token_budget",      q166 _, Some(q166Sql)),
+    ("q169_source_score_norm", q169 _, Some(q169Sql)),
+    ("q170_dup_direction",     q170 _, Some(q170Sql)),
+    ("q171_quality_lorenz",    q171 _, Some(q171Sql)))
 }

@@ -1300,6 +1300,97 @@ object VectorQueries {
       |FROM e JOIN b ON b.pos = e.pos
       |GROUP BY e.pos ORDER BY pos""".stripMargin
 
+  // -------------- cluster-balanced diversity sample (q167)
+  /** Diversity-aware corpus selection: cap every IVF cell at 30
+    * vectors so no dense region dominates the sample — the
+    * cluster-balanced selection step (DCLM/SemDeDup-style) that a
+    * uniform hash sample can't give (it reproduces the density skew).
+    * Selection WITHIN a cell is [[graft.ops.Sampling.domainCap]]'s
+    * deterministic md5-60 priority, riding the bounded-heap
+    * TopKPerKey plan — ≤ cap rows per (cell, partition) shuffle, the
+    * hot cell never moves wholesale. Output is the per-cell census
+    * plus the kept-id checksum, which pins the SELECTED SET (not just
+    * its size) to the oracle. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val assigned = new graft.sim.IvfIndex(nCells = 16, nProbe = 1).assign(emb(s, d))
+    val kept = graft.ops.Sampling.domainCap(
+      assigned, col("cell"), col("vec_id").cast("string"), cap = 30)
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_in_cell"))
+      .join(kept.groupBy("cell").agg(count(lit(1)).as("n_kept"),
+        sum(col("vec_id")).as("kept_id_sum")), Seq("cell"))
+      .sortedOut("cell")
+  }
+
+  private val q167Sql = {
+    val ccos = duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")
+    s"""WITH centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $ccos DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |pri AS (SELECT vec_id, cell,
+       |          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+       |        FROM assign),
+       |kept AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY cell ORDER BY pri, CAST(vec_id AS VARCHAR)) AS rk
+       |    FROM pri) WHERE rk <= 30),
+       |tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_in_cell FROM assign GROUP BY 1),
+       |k AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_kept,
+       |             CAST(sum(vec_id) AS BIGINT) AS kept_id_sum FROM kept GROUP BY 1)
+       |SELECT tot.cell, n_in_cell, n_kept, kept_id_sum
+       |FROM tot JOIN k USING (cell) ORDER BY cell""".stripMargin
+  }
+
+  // -------------- metadata-filtered ANN (q168)
+  /** "Vector search WHERE label = query's label" —
+    * [[graft.sim.IvfIndex.annTopKFiltered]] with the per-candidate
+    * predicate between the cell join and the ranking window
+    * (post-filter semantics; the oracle replicates the same recall
+    * contract). The shape every per-tenant / same-language / licensed
+    * retrieval stack needs; nProbe=2 keeps the probe narrow while the
+    * filter drains candidates. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    new graft.sim.IvfIndex(nCells = 16, nProbe = 2)
+      .annTopKFiltered(e, e.where(col("vec_id") < 10), k = 5,
+        pred = col("label") === col("q_label"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .sortedOut("query_id", "rank")
+  }
+
+  private val q168Sql = {
+    val ccos = duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")
+    val qcos = duckCos.format("q.q_emb", "a.embedding", "q.q_emb", "a.embedding")
+    s"""WITH centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, label, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $ccos DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, q_label, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, e.label AS q_label, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $ccos DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, $qcos AS cos
+       |  FROM qprobe q JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> q.query_id AND a.label = q.q_label)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored WHERE NOT isnan(cos))
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1323,5 +1414,7 @@ object VectorQueries {
     ("q144_embedding_drift",   q144 _, Some(q144Sql)),
     ("q155_ann_ndcg",          q155 _, Some(q155Sql)),
     ("q156_hubness",           q156 _, Some(q156Sql)),
-    ("q162_robust_scaling",    q162 _, Some(q162Sql)))
+    ("q162_robust_scaling",    q162 _, Some(q162Sql)),
+    ("q167_cell_balanced_sample", q167 _, Some(q167Sql)),
+    ("q168_filtered_ann",      q168 _, Some(q168Sql)))
 }

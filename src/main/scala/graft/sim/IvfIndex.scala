@@ -112,6 +112,42 @@ class IvfIndex(val nCells: Int = 16, val nProbe: Int = 4) extends Serializable {
                          cents: Array[(Int, Array[Float])]): DataFrame =
     searchAssigned(assignWith(corpus, cents), queries, k, cents)
 
+  /** Metadata-FILTERED ANN — the "vector search WHERE …" shape every
+    * retrieval stack needs (per-tenant stores, same-language neighbors,
+    * license-restricted corpora). Identical cell-probe plan to
+    * [[annTopK]]; `pred` is evaluated per candidate between the cell
+    * join and the ranking window and may reference any corpus column
+    * plus any query column under a `q_` prefix (query `vec_id` →
+    * `query_id`, `embedding` → `q_emb`). POST-filter semantics: cells
+    * are probed by geometry alone, so a highly selective predicate can
+    * drain a probed cell below k (fewer than k rows come back) — that
+    * recall trade vs. brute-force-with-filter is the documented cost
+    * of keeping the probe narrow; widen `nProbe` to tighten it. The
+    * filter lands BEFORE the cosine is computed, so filtered-out
+    * candidates cost a predicate eval, not a dot product. */
+  def annTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      pred: Column): DataFrame = {
+    val cents = centroidsOf(corpus)
+    val cells = assignWith(corpus, cents)
+    val qCols = queries.columns.map {
+      case "vec_id"    => col("vec_id").as("query_id")
+      case "embedding" => col("embedding").as("q_emb")
+      case c           => col(c).as(s"q_$c")
+    }
+    val q = queries.select(qCols.toSeq: _*)
+      .withColumn("__probe", explode(slice(sortedCells(col("q_emb"), cents), 1, nProbe)))
+      .withColumn("cell", col("__probe").getField("cell"))
+      .drop("__probe")
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .where(pred)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .where(!isnan(col("cos")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Search over an ALREADY cell-assigned corpus — shared by the
     * in-plan path above and the standing [[VectorIndex]] (where the
     * assigned corpus is a cell-partitioned table on disk). */

@@ -86,4 +86,31 @@ class AsofIvfSpec extends SparkSpec {
       rs.map(_.getAs[Int]("rank")).sorted shouldBe (1 to rs.length).toArray
     }
   }
+
+  test("IvfIndex.annTopKFiltered: predicate holds on every result; subset of unfiltered probe") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val queries = e.where(col("vec_id") < 5)
+    val out = ivf.annTopKFiltered(e, queries, k = 3,
+      pred = col("label") === col("q_label")).collect()
+    out should not be empty
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every neighbor carries the query's label (the predicate)
+    out.foreach { r =>
+      labelOf(r.getAs[Long]("neighbor_id")) shouldBe labelOf(r.getAs[Long]("query_id"))
+    }
+    // ranks contiguous per query, ≤ k rows (post-filter may return fewer)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      rs.length should be <= 3
+      rs.map(_.getAs[Int]("rank")).sorted shouldBe (1 to rs.length).toArray
+    }
+    // filtered results ⊆ the same probe without the predicate (huge k):
+    // the filter only removes candidates, never invents them
+    val unf = ivf.annTopK(e, queries, k = 10000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    out.foreach { r =>
+      unf should contain ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    }
+  }
 }

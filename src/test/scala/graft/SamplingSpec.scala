@@ -178,4 +178,34 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.groupSplit(docs, col("domain"), Seq(("a", 0.5), ("b", 0.2)))
   }
+
+  test("waterFillAllocation: budget exhausted, caps respected, uniform water level") {
+    import spark.implicits._
+    val counts = Seq(("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 5000L))
+      .toDF("source", "n")
+    // B = 3000, maxEpochs 2: cap(a)=200 saturates (200·3 ≤ 3000−200),
+    // the rest share λ = 2800/3 ≈ 933.3
+    val out = Sampling.waterFillAllocation(counts, "source", "n",
+        budget = lit(3000L), maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5))).toMap
+    out("a")._2 shouldBe true
+    out("a")._3 shouldBe 200.0
+    out("a")._4 shouldBe 2.0 // at the epoch cap exactly
+    Seq("b", "c", "d").foreach { s =>
+      out(s)._2 shouldBe false
+      out(s)._3 shouldBe (2800.0 / 3) +- 1e-9 // same water level
+    }
+    // budget exactly exhausted
+    out.values.map(_._3).sum shouldBe 3000.0 +- 1e-6
+    // no uncapped allocation below any capped cap (water-level property)
+    val minUncapped = out.values.collect { case (_, false, a, _) => a }.min
+    val maxCapped = out.values.collect { case (c, true, _, _) => c.toDouble }.max
+    minUncapped should be >= maxCapped
+    // infeasible budget: every stratum capped, λ NULL → alloc = cap
+    val all = Sampling.waterFillAllocation(counts, "source", "n",
+        budget = lit(1000000L), maxEpochs = 1)
+      .collect()
+    all.foreach { r => r.getBoolean(3) shouldBe true; r.getDouble(4) shouldBe r.getLong(2).toDouble }
+  }
 }

@@ -95,6 +95,41 @@ object Sampling {
     }
   }
 
+  /** Per-stratum keep fractions that reshape the corpus to a TARGET
+    * distribution by DOWNSAMPLING ONLY — "make the kept set uniform
+    * over length bins", "match the reference corpus's language mix".
+    * With natural counts nₛ and target shares tₛ (Σtₛ = 1), the
+    * largest achievable matched subset keeps fₛ = c·tₛ/nₛ of stratum
+    * s, where c = min over strata of nₛ/tₛ — the scarcest stratum
+    * relative to its target keeps EVERYTHING (f = 1) and every other
+    * stratum is trimmed to proportion. Expected kept total = c rows.
+    *
+    * One count pass (map-side-combining groupBy on the stratum
+    * column); the fraction map is |strata| driver-held doubles, each
+    * built from division/min of exact integers — the same
+    * bit-portable arithmetic contract as [[temperatureFractions]],
+    * so an oracle reproduces the thresholds exactly. Strata absent
+    * from `target` are dropped (share 0). */
+  def distributionMatchFractions(df: DataFrame, stratum: Column,
+                                 target: Map[String, Double]): Map[String, Double] = {
+    require(target.values.forall(t => t > 0 && t <= 1),
+      s"target shares must be in (0,1]: $target")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    val present = target.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) Map.empty
+    else {
+      val c = present.map { case (s, t) => counts(s).toDouble / t }.min
+      present.map { case (s, t) =>
+        s -> math.min(1.0, c * t / counts(s).toDouble)
+      }
+    }
+  }
+
   /** [[temperatureFractions]] + [[mixtureSample]] in one call: count
     * pass → fraction map → deterministic hash filter. */
   def temperatureMixtureSample(df: DataFrame, stratum: Column, key: Column,

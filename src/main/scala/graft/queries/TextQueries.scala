@@ -3220,6 +3220,162 @@ object TextQueries {
       |    / CAST(ntt AS DOUBLE) AS cum_token_share
       |FROM g ORDER BY decile""".stripMargin
 
+  // ------------- distribution-matching resample (q173)
+  /** Reshape the corpus to a TARGET length profile by downsampling
+    * only — [[graft.ops.Sampling.distributionMatchFractions]] (uniform
+    * target over q149's five length bins) + the deterministic
+    * [[graft.ops.Sampling.mixtureSample]] hash filter. The scarcest
+    * bin keeps everything; every other bin trims to proportion — the
+    * "match the reference corpus profile" step (length here; swap the
+    * bin column for language/domain/quality-decile unchanged).
+    *
+    * Determinism bridge: the per-bin thresholds are floor(f·2⁶⁰)
+    * longs built from division/min of exact integer counts — the q127
+    * contract — so the kept SET (pinned by the id checksum) matches
+    * the oracle exactly. */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val nTok = TextFunctions.tokenCount(col("text"))
+    val bin = when(nTok <= 24, 0).when(nTok <= 48, 1)
+      .when(nTok <= 72, 2).when(nTok <= 96, 3).otherwise(4)
+    val t = docs0(s, d).select(col("doc_id"), bin.as("bin")).persist()
+    val target = (0 to 4).map(b => b.toString -> 0.2).toMap
+    val fr = graft.ops.Sampling.distributionMatchFractions(
+      t, col("bin").cast("string"), target)
+    val kept = graft.ops.Sampling.mixtureSample(
+      t, col("bin").cast("string"), col("doc_id"), fr)
+    t.groupBy("bin").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("bin").agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum")), Seq("bin"))
+      .sortedOut("bin")
+  }
+
+  private val q173Sql = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nt <= 24 THEN 0 WHEN nt <= 48 THEN 1 WHEN nt <= 72 THEN 2
+       |         WHEN nt <= 96 THEN 3 ELSE 4 END AS bin
+       |  FROM (SELECT doc_id,
+       |          len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt
+       |        FROM documents)),
+       |c0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+       |cc AS (SELECT min(CAST(n AS DOUBLE) / 0.2) AS c FROM c0),
+       |fr AS (SELECT bin,
+       |         CAST(floor(least(1.0, c * 0.2 / CAST(n AS DOUBLE))
+       |                    * 1152921504606846976.0) AS BIGINT) AS thr
+       |       FROM c0 CROSS JOIN cc),
+       |kept AS (SELECT t.doc_id, t.bin FROM t JOIN fr USING (bin) WHERE $h < fr.thr)
+       |SELECT t2.bin, CAST(count(*) AS BIGINT) AS n_docs, k.n_kept, k.kept_id_sum
+       |FROM t t2 JOIN (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+       |  FROM kept GROUP BY 1) k USING (bin)
+       |GROUP BY t2.bin, k.n_kept, k.kept_id_sum ORDER BY bin""".stripMargin
+  }
+
+  // ------------- exact Spearman between curation signals (q174)
+  /** Does one quality signal just restate another? Exact Spearman rank
+    * correlation between doc length (tokens) and lexical diversity
+    * (distinct tokens) — the audit that catches a "quality" score
+    * secretly measuring length (the classic curation-filter bias).
+    *
+    * Exactness: ranks are midranks with ties, carried DOUBLED so they
+    * stay integers (2·midrank = min(rn)+max(rn) over the tie group);
+    * the five sufficient sums accumulate as DECIMAL — exact and
+    * order-independent — and ρ is assembled from their doubles with
+    * the same IEEE ops on both engines. Ranks ride
+    * [[graft.ops.RelationalOps.globalRowNumber]], never a
+    * single-partition window. */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val t = docs0(s, d).select(col("doc_id"),
+        size(tk).cast(LongType).as("x"),
+        size(array_distinct(tk)).cast(LongType).as("y"))
+      .persist() // two rank passes + the moment aggregate
+    def mr2(vCol: String, out: String): DataFrame = {
+      val ranked = graft.ops.RelationalOps.globalRowNumber(
+        t.select(col("doc_id"), col(vCol)), Seq(col(vCol).asc, col("doc_id").asc), "rn")
+      val groups = ranked.groupBy(vCol)
+        .agg((min(col("rn")) + max(col("rn"))).as(out))
+      ranked.select(col("doc_id"), col(vCol))
+        .join(groups, Seq(vCol)).select(col("doc_id"), col(out))
+    }
+    val rx = mr2("x", "mrx"); val ry = mr2("y", "mry")
+    val m = rx.join(ry, Seq("doc_id"))
+      .select(col("mrx").cast(DecimalType(19, 0)).as("mrx"),
+              col("mry").cast(DecimalType(19, 0)).as("mry"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mrx")).as("sx"), sum(col("mry")).as("sy"),
+        sum(col("mrx") * col("mry")).as("sxy"),
+        sum(col("mrx") * col("mrx")).as("sxx"),
+        sum(col("mry") * col("mry")).as("syy"))
+    m.select(col("n"),
+      ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+       sqrt((col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+             col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            (col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+             col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("spearman_rho"))
+  }
+
+  private val q174Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS x, CAST(len(list_distinct(tk)) AS BIGINT) AS y
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)),
+      |rxr AS (SELECT doc_id, x, CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS rn FROM t),
+      |rxg AS (SELECT x, min(rn) + max(rn) AS mrx FROM rxr GROUP BY x),
+      |rx AS (SELECT doc_id, mrx FROM rxr JOIN rxg USING (x)),
+      |ryr AS (SELECT doc_id, y, CAST(row_number() OVER (ORDER BY y, doc_id) AS BIGINT) AS rn FROM t),
+      |ryg AS (SELECT y, min(rn) + max(rn) AS mry FROM ryr GROUP BY y),
+      |ry AS (SELECT doc_id, mry FROM ryr JOIN ryg USING (y)),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        sum(mrx) AS sx, sum(mry) AS sy,
+      |        sum(mrx * mry) AS sxy, sum(mrx * mrx) AS sxx, sum(mry * mry) AS syy
+      |      FROM rx JOIN ry USING (doc_id))
+      |SELECT n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  AS spearman_rho
+      |FROM m""".stripMargin
+
+  // ------------- unigram negative-sampling table (q175)
+  /** The count^0.75 unigram distribution word2vec-style negative
+    * sampling draws from — per token: count, weight = count^{3/4},
+    * draw probability. The ¾ power is computed as sqrt(c·sqrt(c)):
+    * sqrt and multiply are CORRECTLY-ROUNDED IEEE ops, so the weights
+    * are bit-portable where a pow(c, 0.75) call would not be (libm
+    * pow differs across engines — the q150/q155 shared-literal problem
+    * solved structurally). The normalizer folds in token order (the
+    * q127 ordered-list bridge); at real vocab scale swap in a
+    * hierarchical sum and a DECIMAL bridge, counting stays identical. */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val counts = docs0(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val wExpr = sqrt(col("c").cast(DoubleType) * sqrt(col("c").cast(DoubleType)))
+    val z = counts.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("tok"),
+          wExpr.as("w")))),
+        lit(0.0), (acc, v) => acc + v.getField("w")).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("tok"), col("c"), wExpr.as("weight"),
+        (wExpr / col("z")).as("prob"))
+      .sortedOut("tok")
+  }
+
+  private val q175Sql =
+    """WITH c0 AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) GROUP BY tok),
+      |z AS (SELECT list_sum(list(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) ORDER BY tok)) AS z
+      |      FROM c0)
+      |SELECT tok, c, sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) AS weight,
+      |       sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) / z AS prob
+      |FROM c0 CROSS JOIN z ORDER BY tok""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3294,5 +3450,8 @@ object TextQueries {
     ("q166_token_budget",      q166 _, Some(q166Sql)),
     ("q169_source_score_norm", q169 _, Some(q169Sql)),
     ("q170_dup_direction",     q170 _, Some(q170Sql)),
-    ("q171_quality_lorenz",    q171 _, Some(q171Sql)))
+    ("q171_quality_lorenz",    q171 _, Some(q171Sql)),
+    ("q173_length_match_resample", q173 _, Some(q173Sql)),
+    ("q174_spearman_signals",  q174 _, Some(q174Sql)),
+    ("q175_negative_sampling", q175 _, Some(q175Sql)))
 }

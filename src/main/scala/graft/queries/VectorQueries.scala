@@ -1391,6 +1391,77 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------- MMR diversified rerank (q172)
+  /** [[graft.sim.Mmr]] over each query's brute-force top-20: greedy
+    * λ·sim(q,d) − (1−λ)·max-sim-to-selected with λ=0.5 (both
+    * constants exactly representable, so the double arithmetic is
+    * bit-portable and the oracle unrolls the same 5 greedy rounds).
+    * The diversification pass a retrieval stack runs after ANN —
+    * kills the "ten copies of the same near-dup" result page. All
+    * frames bounded by the candidate lists (k·|Q| and k²·|Q|); the
+    * corpus is touched once, by the candidate generator. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.where(col("vec_id") < 5)
+    val cands = VectorFunctions.bruteForceTopK(e, queries, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("cos"))
+      .persist() // consumed by pairSims AND every greedy round
+    val ce = cands.select(col("query_id"), col("cand_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding")), Seq("cand_id"))
+    val a = ce.select(col("query_id"), col("cand_id").as("a"), col("embedding").as("ea"))
+    val b = ce.select(col("query_id"), col("cand_id").as("b"), col("embedding").as("eb"))
+    val sims = a.join(b, Seq("query_id")).where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("sim"))
+    graft.sim.Mmr.rerank(cands, sims, rounds = 5, lambda = 0.5)
+      .sortedOut("query_id", "sel_rank")
+  }
+
+  private val q172Sql = {
+    val qcos = duckCos.format("q.q_emb", "c.embedding", "q.q_emb", "c.embedding")
+    val pcos = duckCos.format("ex.embedding", "ey.embedding", "ex.embedding", "ey.embedding")
+    val rounds = (2 to 5).map { r =>
+      s"""ms$r AS (
+         |  SELECT ps.query_id, ps.a AS cand_id, max(ps.sim) AS max_sim
+         |  FROM ps JOIN selu${r - 1} s ON s.query_id = ps.query_id AND s.cand_id = ps.b
+         |  GROUP BY 1, 2),
+         |sc$r AS (
+         |  SELECT c.query_id, c.cand_id,
+         |         0.5 * c.cos - 0.5 * coalesce(m.max_sim, 0.0) AS score
+         |  FROM cand c
+         |  LEFT JOIN ms$r m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+         |                    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+         |sel$r AS (SELECT query_id, cand_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |selu$r AS (SELECT query_id, cand_id FROM selu${r - 1}
+         |           UNION ALL SELECT query_id, cand_id FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT query_id, CAST($r AS INTEGER) AS sel_rank, cand_id, score FROM sel$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, cand_id, cos FROM (
+       |    SELECT q.query_id, c.vec_id AS cand_id, $qcos AS cos,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY $qcos DESC, c.vec_id) AS rk
+       |    FROM q JOIN embeddings c ON c.vec_id <> q.query_id) WHERE rk <= 20),
+       |ps AS MATERIALIZED (
+       |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b, $pcos AS sim
+       |  FROM cand x JOIN cand y ON y.query_id = x.query_id AND y.cand_id <> x.cand_id
+       |  JOIN embeddings ex ON ex.vec_id = x.cand_id
+       |  JOIN embeddings ey ON ey.vec_id = y.cand_id),
+       |sel1 AS (SELECT query_id, cand_id, score FROM (
+       |    SELECT query_id, cand_id, 0.5 * cos AS score,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY 0.5 * cos DESC, cand_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |selu1 AS (SELECT query_id, cand_id FROM sel1),
+       |$rounds
+       |$out
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1416,5 +1487,6 @@ object VectorQueries {
     ("q156_hubness",           q156 _, Some(q156Sql)),
     ("q162_robust_scaling",    q162 _, Some(q162Sql)),
     ("q167_cell_balanced_sample", q167 _, Some(q167Sql)),
-    ("q168_filtered_ann",      q168 _, Some(q168Sql)))
+    ("q168_filtered_ann",      q168 _, Some(q168Sql)),
+    ("q172_mmr_rerank",        q172 _, Some(q172Sql)))
 }

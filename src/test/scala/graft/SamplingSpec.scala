@@ -179,6 +179,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.groupSplit(docs, col("domain"), Seq(("a", 0.5), ("b", 0.2)))
   }
 
+  test("distributionMatchFractions: scarcest stratum keeps all; kept mix matches target shape") {
+    import spark.implicits._
+    // natural mix 100/400/500; uniform target → c = 300, f = (1, .25, .2)
+    val df = (0 until 1000).map { i =>
+      (i.toLong, if (i < 100) "a" else if (i < 500) "b" else "c")
+    }.toDF("id", "s")
+    val fr = Sampling.distributionMatchFractions(df, col("s"),
+      Map("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+    fr("a") shouldBe 1.0
+    fr("b") shouldBe 0.25 +- 1e-12
+    fr("c") shouldBe 0.2 +- 1e-12
+    // expected kept per stratum identical (100 each): f·n equal across strata
+    fr("a") * 100 shouldBe fr("b") * 400 +- 1e-9
+    fr("b") * 400 shouldBe fr("c") * 500 +- 1e-9
+    // strata missing from target are dropped from the fraction map
+    Sampling.distributionMatchFractions(df, col("s"),
+      Map("a" -> 0.5, "b" -> 0.5)).keySet shouldBe Set("a", "b")
+    // invalid target rejected
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.distributionMatchFractions(df, col("s"), Map("a" -> 0.0))
+  }
+
   test("waterFillAllocation: budget exhausted, caps respected, uniform water level") {
     import spark.implicits._
     val counts = Seq(("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 5000L))

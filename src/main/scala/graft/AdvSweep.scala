@@ -404,6 +404,100 @@ object AdvSweep {
       stats("overlap_join_pairs_expected_499500") = pairs.count().toString
     }
 
+    // ---- wave 4: the round-7 mix/retrieval operators -------------------
+
+    // water-fill under extreme source skew: one source holds ~99.9% of
+    // the tokens, 1000 tiny sources the rest. Claim under attack: the
+    // closed-form capped-prefix test stays exact (pure integers), every
+    // tiny source saturates at maxEpochs, the hot source absorbs the
+    // remainder, and the budget is exhausted TO THE BIT (λ here is an
+    // exact integer ratio).
+    step("waterfill_hot_source") {
+      val counts = spark.range(0, 1001).toDF("i")
+        .select(concat(lit("s"), col("i")).as("source"),
+          when(col("i") === 0, 1000000000L).otherwise(1000L).as("n"))
+      val b = (1000000000L + 1000L * 1000L) / 2
+      val out = graft.ops.Sampling.waterFillAllocation(
+        counts, "source", "n", budget = lit(b), maxEpochs = 2).persist()
+      val nCapped = out.where(col("capped")).count()
+      stats("waterfill_capped_expected_1000") = nCapped.toString
+      val hot = out.where(col("stratum") === "s0").collect()(0)
+      stats("waterfill_hot_alloc_exact") =
+        (hot.getDouble(4) == (b - 2000L * 1000L).toDouble).toString
+      val total = out.agg(sum(col("alloc"))).collect()(0).getDouble(0)
+      stats("waterfill_budget_exhausted") = (total == b.toDouble).toString
+      val maxEp = out.agg(max(col("epochs"))).collect()(0).getDouble(0)
+      stats("waterfill_max_epochs_le_2") = (maxEp <= 2.0).toString
+      out.unpersist()
+    }
+
+    // filtered ANN under a rare label + dirty vectors: ~30 of 30k rows
+    // carry label 99; queries are 5 of them. Claims: the post-filter
+    // never leaks a wrong-label neighbor, never a NaN cosine (the
+    // fixture's NULL/NaN/wrong-dim vectors are in the corpus), and
+    // drained probes return FEWER than k rather than padding.
+    step("filtered_ann_rare_label") {
+      val lbl = embs.withColumn("label",
+        when(pmod(col("vec_id"), lit(997)) === 0, lit(99))
+          .otherwise(col("label")).cast("int"))
+      val queries = lbl.where(col("label") === 99).limit(5)
+      val out = new IvfIndex(nCells = 16, nProbe = 2)
+        .annTopKFiltered(lbl, queries, k = 10,
+          pred = col("label") === col("q_label")).persist()
+      val n = out.count()
+      stats("fann_rows") = n.toString
+      val wrong = out.join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .where(col("n_label") =!= 99).count()
+      stats("fann_wrong_label_expected_0") = wrong.toString
+      stats("fann_nan_cos_expected_0") =
+        out.where(isnan(col("cos"))).count().toString
+      val maxPerQ = out.groupBy("query_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      stats("fann_max_per_query_le_10") = (maxPerQ <= 10L).toString
+      out.unpersist()
+    }
+
+    // cell-balanced cap when EVERY row lands in one domain: 1M rows,
+    // one hot key. Claim: domainCap's bounded-heap plan emits exactly
+    // cap rows, and the kept SET is layout-independent (the md5-60
+    // priority, not arrival order).
+    step("domaincap_one_hot_domain") {
+      val rows = spark.range(0, 1000000).toDF("id")
+        .select(col("id"), lit("hot").as("dom"))
+      val kept = graft.ops.Sampling.domainCap(
+          rows, col("dom"), col("id").cast("string"), cap = 30)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      stats("domaincap_kept_expected_30") = kept.length.toString
+      val again = graft.ops.Sampling.domainCap(
+          rows.repartition(64), col("dom"), col("id").cast("string"), cap = 30)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      stats("domaincap_layout_stable") = (kept.toSeq == again.toSeq).toString
+    }
+
+    // MMR when every candidate is the same near-dup: 200 candidates,
+    // pairwise sim 1.0, equal relevance. Claim: after the rank-1 pick
+    // every score collapses to λ·c − (1−λ), ties break by id, so the
+    // output is the deterministic lowest-id prefix — no flapping, no
+    // duplicate selections, bounded frames however redundant the list.
+    step("mmr_identical_candidates") {
+      import spark.implicits._
+      val cands = (0 until 200).map(i => (0L, i.toLong, 0.9)).toDF("query_id", "cand_id", "cos")
+      val sims = (for { a <- 0 until 200; b <- 0 until 200 if a != b }
+        yield (0L, a.toLong, b.toLong, 1.0)).toDF("query_id", "a", "b", "sim")
+      val out = graft.sim.Mmr.rerank(cands, sims, rounds = 8, lambda = 0.5)
+        .orderBy("sel_rank").collect()
+      stats("mmr_ids_lowest_prefix") =
+        (out.map(_.getAs[Long]("cand_id")).toSeq == (0L until 8L)).toString
+      stats("mmr_round2_score_collapsed") =
+        (out(1).getAs[Double]("score") == 0.5 * 0.9 - 0.5 * 1.0).toString
+      val again = graft.sim.Mmr.rerank(cands.repartition(16), sims.repartition(16),
+          rounds = 8, lambda = 0.5).orderBy("sel_rank").collect()
+      stats("mmr_layout_stable") =
+        (again.map(_.getAs[Long]("cand_id")).toSeq ==
+          out.map(_.getAs[Long]("cand_id")).toSeq).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

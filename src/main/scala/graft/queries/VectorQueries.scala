@@ -1462,6 +1462,82 @@ object VectorQueries {
        |ORDER BY query_id, sel_rank""".stripMargin
   }
 
+  // -------------- IVF probe-sweep recall curve (q176)
+  /** recall@10 of the IVF index at nProbe ∈ {1, 2, 4} against the
+    * exact top-10 — the ANN capacity-planning companion to q150's LSH
+    * planner: how much recall each extra probed cell buys BEFORE
+    * committing the index config (q94 measures one config; this
+    * sweeps the knob). Panel-exact like q155/q156: the ideal lists
+    * come from the brute-force pass; integer hit counts, one division
+    * for the recall. Probes share semantics with q47's oracle shape.
+    * At corpus scale the three probes hit a standing cell-partitioned
+    * index (q85) instead of re-assigning — the counting is unchanged. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.where(col("vec_id") < 10)
+    val k = 10
+    val ideal = VectorFunctions.bruteForceTopK(e, queries, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val nIdeal = ideal.count() // action also materializes the persist
+    val curves = Seq(1, 2, 4).map { p =>
+      new graft.sim.IvfIndex(nCells = 16, nProbe = p).annTopK(e, queries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(ideal, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("n_probe"), lit(nIdeal).as("n_ideal"), col("n_hits"))
+    }
+    curves.reduce(_ unionByName _)
+      .withColumn("recall",
+        col("n_hits").cast(DoubleType) / col("n_ideal").cast(DoubleType))
+      .sortedOut("n_probe")
+  }
+
+  private val q176Sql = {
+    val qcos = duckCos.format("q.q_emb", "c.embedding", "q.q_emb", "c.embedding")
+    val ccos = duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")
+    val acos = duckCos.format("q.q_emb", "a.embedding", "q.q_emb", "a.embedding")
+    val arms = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS n_probe, (SELECT n FROM nideal) AS n_ideal,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT query_id, neighbor_id FROM (
+         |       SELECT q.query_id, a.vec_id AS neighbor_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY $acos DESC, a.vec_id) AS rank
+         |       FROM (SELECT query_id, q_emb, cell FROM qprobe WHERE rn <= $p) q
+         |       JOIN assign a USING (cell)
+         |       WHERE a.vec_id <> q.query_id)
+         |     WHERE rank <= 10) ann
+         |   WHERE EXISTS (SELECT 1 FROM ideal i
+         |                 WHERE i.query_id = ann.query_id
+         |                   AND i.neighbor_id = ann.neighbor_id)) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |ideal AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY $qcos DESC, c.vec_id) AS rank
+       |    FROM q JOIN embeddings c ON c.vec_id <> q.query_id) WHERE rank <= 10),
+       |nideal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ideal),
+       |centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $ccos DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${duckCos.format("e.embedding", "c.centroid", "e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10)
+       |SELECT n_probe, n_ideal, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_ideal AS DOUBLE) AS recall
+       |FROM ($arms)
+       |ORDER BY n_probe""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1488,5 +1564,6 @@ object VectorQueries {
     ("q162_robust_scaling",    q162 _, Some(q162Sql)),
     ("q167_cell_balanced_sample", q167 _, Some(q167Sql)),
     ("q168_filtered_ann",      q168 _, Some(q168Sql)),
-    ("q172_mmr_rerank",        q172 _, Some(q172Sql)))
+    ("q172_mmr_rerank",        q172 _, Some(q172Sql)),
+    ("q176_ivf_probe_curve",   q176 _, Some(q176Sql)))
 }

@@ -110,6 +110,16 @@ object TopKPerKey {
     * (SortOrder columns, e.g. `df("price").desc`; bare columns sort
     * ascending). Use a TOTAL order for deterministic content. */
   def topK(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    // Self-registering: sessions built WITHOUT
+    // `spark.sql.extensions=graft.plans.GraftExtensions` (embedding
+    // users, notebooks, the adversarial sweep's own harness — which is
+    // how this gap was found: "No plan for TopKPerKey" planner
+    // assertion) get the strategy injected into
+    // `experimental.extraStrategies` on first use. Idempotent, and
+    // harmless beside the extension-installed copy (first match wins).
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     val keyExprs: Seq[Expression] = keys.map(n => GraftSqlShim.eagerExpression(df(n)))
     val sortOrders = order.map(c => GraftSqlShim.eagerExpression(c) match {
       case so: SortOrder => so

@@ -62,7 +62,14 @@ object Mmr {
       val pick = scored
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("query_id"), lit(r).as("sel_rank"), col("cand_id"), col("score"))
-      selected = selected.unionByName(pick)
+      // localCheckpoint TRUNCATES the lineage each round: round r
+      // references `selected` three times (max-sim join, anti-join,
+      // union), so an unbroken plan grows ~3^r nodes and the
+      // optimizer, not the data, becomes the bottleneck (measured: 8
+      // rounds never finished planning). The checkpointed frame is
+      // rounds·|Q| rows — trivially small; values are computed once,
+      // so determinism is untouched.
+      selected = selected.unionByName(pick).localCheckpoint()
       r += 1
     }
     selected

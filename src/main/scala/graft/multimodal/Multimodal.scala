@@ -227,6 +227,44 @@ object Multimodal {
     })
   }
 
+  /** 64-bit audio fingerprint: sign of frame-energy DELTAS — the audio
+    * member of the perceptual-hash family beside [[aHash64]]. The clip
+    * splits into 65 equal frames; bit b is set iff energy(b+1) >
+    * energy(b). Energy comparisons are invariant under volume scaling
+    * (a monotone transform of all energies preserves every pairwise
+    * order), which is exactly what re-encoded / re-normalized audio
+    * duplicates change — the same robustness argument as aHash's
+    * brightness invariance, pinned in MultimodalSpec.
+    *
+    * Scale shape identical to [[aHash64]]: one narrow per-row pass
+    * over the samples, 65 accumulators, only the 8-byte hash leaves
+    * the decode stage; pairs ride [[phashNearDupPairs]] unchanged. */
+  def audioFingerprint64(clips: Dataset[AudioClip]): Dataset[PHash] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions(_.map { c =>
+      val frames = 65
+      val e = new Array[Double](frames)
+      val n = c.n_samples
+      var i = 0
+      while (i < n) {
+        // frame index by integer proportion — exact, no fp boundary
+        val f = (i.toLong * frames / n).toInt
+        // energy of the DC-REMOVED signal (the [0,1) contract carries
+        // PCM as v/2+0.5): gain g scales every frame energy by g², so
+        // the pairwise ORDER of energies — all the hash reads — is
+        // exactly invariant. Raw Σv² would mix in the offset and break
+        // that.
+        val v = c.samples(i).toDouble - 0.5
+        e(f) += v * v
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) { if (e(b + 1) > e(b)) h |= 1L << b; b += 1 }
+      PHash(c.media_id, h)
+    })
+  }
+
   /** Perceptual near-dup pairs by Hamming distance over [[aHash64]]
     * fingerprints — the image member of the dedup family. Banding by
     * pigeonhole: the 64-bit hash splits into `bands` equal slices; two

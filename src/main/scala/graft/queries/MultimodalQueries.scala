@@ -166,11 +166,54 @@ object MultimodalQueries {
       |       true AS cross_pairs_bounded
       |FROM pl""".stripMargin
 
+  /** Audio dedup end to end — the audio twin of q151: decode → 64-bit
+    * frame-energy-delta fingerprint ([[Multimodal.audioFingerprint64]])
+    * → exact-group collapse → Hamming-banded near-dup pairs. Plants an
+    * exact-duplicate clip family (media_id ≡ 1 mod 25: identical
+    * bytes + duration — the re-uploaded ringtone) and reports the
+    * recovered group structure. Oracled by the planted arithmetic;
+    * the volume-gain invariance that makes this an AUDIO operator
+    * (not a byte hash) is pinned in MultimodalSpec. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = "planted-audio-duplicate-family".getBytes("UTF-8")
+    val clips = Multimodal.audioFromDocuments(s, Tables.documents(s, d))
+      .map(m => if (m.media_id % 25 == 1)
+        m.copy(content = planted, duration_ms = 6400L) else m)
+    val fp = Multimodal.audioFingerprint64(Multimodal.decodeAudio(clips))
+      .toDF().persist()
+    val groups = fp.groupBy("phash")
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
+      .persist() // rollup AND pair join
+    val cross = Multimodal.phashNearDupPairs(groups.select("media_id", "phash"))
+    fp.agg(count(lit(1)).as("n_clips"))
+      .crossJoin(groups.agg(count(lit(1)).as("n_fp_groups"),
+        max(col("n")).as("largest_group")))
+      .crossJoin(cross.agg(count(lit(1)).as("nc")))
+      .select(col("n_clips"), col("n_fp_groups"), col("largest_group"),
+        (col("nc") <= col("n_clips") / 100).as("cross_pairs_bounded"))
+  }
+
+  // n_fp_groups counts DISTINCT CONTENTS, not distinct docs: the sf0.1
+  // fixture carries 8 naturally byte-identical texts among the
+  // non-planted clips and the fingerprint correctly collapses them too
+  // (first formulation assumed all-distinct and the ENGINE caught the
+  // real duplicates the oracle missed).
+  private val q177Sql =
+    """WITH pl AS (SELECT CAST(count(*) AS BIGINT) AS np FROM documents WHERE doc_id % 25 = 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_clips,
+      |       (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
+      |        FROM documents WHERE doc_id % 25 <> 1) + 1 AS n_fp_groups,
+      |       np AS largest_group,
+      |       true AS cross_pairs_bounded
+      |FROM pl""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
     ("q37_media_features",      q37 _, Some(q37Sql)),
     ("q38_media_frame_sample",  q38 _, Some(q38Sql)),
     ("q59_audio_features",      q59 _, Some(q59Sql)),
     ("q61_media_resize",        q61 _, Some(q61Sql)),
-    ("q151_phash_dedup",        q151 _, Some(q151Sql)))
+    ("q151_phash_dedup",        q151 _, Some(q151Sql)),
+    ("q177_audio_fp_dedup",     q177 _, Some(q177Sql)))
 }

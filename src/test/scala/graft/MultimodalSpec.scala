@@ -146,4 +146,31 @@ class MultimodalSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.phashNearDupPairs(df, maxDist = 4, bands = 4)
   }
+
+  test("audioFingerprint64: invariant to volume gain; content changes it; identical clips collide") {
+    import graft.multimodal.Multimodal.AudioClip
+    // deterministic pseudo-signal around the 0.5 DC offset
+    def clip(id: Long, seed: Int, gain: Double): AudioClip = {
+      val n = 13000
+      val s = new Array[Float](n)
+      var x = seed.toLong
+      for (i <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val pcm = ((x >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 2 // [-1,1)
+        s(i) = (pcm * gain / 2 + 0.5).toFloat
+      }
+      AudioClip(id, 1000, n, s)
+    }
+    def fpOf(c: AudioClip): Long =
+      Multimodal.audioFingerprint64(spark.createDataset(Seq(c)))
+        .collect().head.phash
+    val base = fpOf(clip(1, 42, 1.0))
+    fpOf(clip(1, 42, 0.3)) shouldBe base  // re-normalized upload (gain 0.3)
+    fpOf(clip(1, 42, 0.05)) shouldBe base // heavily attenuated copy
+    val other = fpOf(clip(2, 43, 1.0))
+    other should not be base
+    java.lang.Long.bitCount(base ^ other) should be > 3
+    // byte-identical clips collide exactly (the dedup group contract)
+    fpOf(clip(99, 42, 1.0)) shouldBe base
+  }
 }

@@ -3376,6 +3376,50 @@ object TextQueries {
       |       sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) / z AS prob
       |FROM c0 CROSS JOIN z ORDER BY tok""".stripMargin
 
+  // ------------- dedup survivor remap / canonicalization map (q178)
+  /** The step AFTER dedup that keeps downstream joins honest: every
+    * doc maps to its cluster SURVIVOR (component-min doc_id; itself if
+    * unclustered), producing the canonicalization table that dependent
+    * datasets (chunks, annotations, links) join through — dropping
+    * duplicates without repairing references corrupts every foreign
+    * key pointing at a dropped copy. Reported as the full-map census
+    * (count, remapped count, canonical count, id checksum): a STRONGER
+    * oracle pin than q48's survivor count, because the checksum
+    * certifies the entire label assignment, not just its cardinality.
+    *
+    * Scale shape: q29's banded pair generation + nearDupClusters
+    * (driver union-find below the gate, pointer-jumping label-prop
+    * above it) + one left join on doc_id; the census combines
+    * map-side to one row. */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32),
+      bands = 4, rowsPerBand = 8, minEst = 0.9)
+    val clusters = Dedup.nearDupClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L)).as("n_remapped"),
+        countDistinct(col("canonical_id")).as("n_canonical"),
+        sum(col("canonical_id")).as("canonical_id_sum"))
+  }
+
+  private val q178Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()}
+       |, remap AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS canonical_id
+       |            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN canonical_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_remapped,
+       |  CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_canonical,
+       |  CAST(sum(canonical_id) AS BIGINT) AS canonical_id_sum
+       |FROM remap""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3453,5 +3497,6 @@ object TextQueries {
     ("q171_quality_lorenz",    q171 _, Some(q171Sql)),
     ("q173_length_match_resample", q173 _, Some(q173Sql)),
     ("q174_spearman_signals",  q174 _, Some(q174Sql)),
-    ("q175_negative_sampling", q175 _, Some(q175Sql)))
+    ("q175_negative_sampling", q175 _, Some(q175Sql)),
+    ("q178_survivor_remap",    q178 _, Some(q178Sql)))
 }

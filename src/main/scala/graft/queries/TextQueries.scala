@@ -3420,6 +3420,44 @@ object TextQueries {
        |  CAST(sum(canonical_id) AS BIGINT) AS canonical_id_sum
        |FROM remap""".stripMargin
 
+  // ------------- positional phrase search (q179)
+  /** Exact PHRASE retrieval — the positional-index query BM25 (q63)
+    * can't answer: documents containing the exact token sequence
+    * "slow hash batch", found by joining each term's POSITIONAL
+    * postings on (doc_id, pos+offset). This is the scale formulation:
+    * the plan touches only the three phrase terms' postings (filter
+    * pushed to the token explode), never re-scans full text the way a
+    * LIKE would, and a standing positional TextIndex slots in by
+    * swapping the explode for the postings table — the join is
+    * unchanged. Per-doc occurrence counts + corpus rollup, all
+    * integers. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    val toks = docs0(s, d).select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase: _*)) // prune to phrase terms before the joins
+      .persist()
+    val hits = phrase.zipWithIndex.map { case (t, i) =>
+      toks.where(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
+    toks.unpersist(false)
+    hits.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs_matched"),
+        sum(col("n_occurrences")).as("n_occurrences"),
+        sum(col("doc_id")).as("doc_id_sum"))
+  }
+
+  private val q179Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |p AS (SELECT doc_id, i AS start FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+      |      WHERE tk[i] = 'slow' AND tk[i+1] = 'hash' AND tk[i+2] = 'batch'),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs_matched,
+      |       CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+      |FROM g""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3498,5 +3536,6 @@ object TextQueries {
     ("q173_length_match_resample", q173 _, Some(q173Sql)),
     ("q174_spearman_signals",  q174 _, Some(q174Sql)),
     ("q175_negative_sampling", q175 _, Some(q175Sql)),
-    ("q178_survivor_remap",    q178 _, Some(q178Sql)))
+    ("q178_survivor_remap",    q178 _, Some(q178Sql)),
+    ("q179_phrase_search",     q179 _, Some(q179Sql)))
 }

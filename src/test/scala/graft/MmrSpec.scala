@@ -49,4 +49,14 @@ class MmrSpec extends SparkSpec {
     out.map(_.getAs[Long]("cand_id")).distinct.length shouldBe 3
     out.map(_.getAs[Int]("sel_rank")).sorted shouldBe Array(1, 2, 3)
   }
+
+  test("empty candidate frame yields empty output; invalid params rejected") {
+    val (cands, sims) = frames
+    Mmr.rerank(cands.limit(0), sims.limit(0), rounds = 3, lambda = 0.5)
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Mmr.rerank(cands, sims, rounds = 0, lambda = 0.5)
+    an[IllegalArgumentException] should be thrownBy
+      Mmr.rerank(cands, sims, rounds = 3, lambda = 1.5)
+  }
 }

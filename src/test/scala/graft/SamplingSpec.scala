@@ -230,4 +230,23 @@ class SamplingSpec extends SparkSpec {
       .collect()
     all.foreach { r => r.getBoolean(3) shouldBe true; r.getDouble(4) shouldBe r.getLong(2).toDouble }
   }
+
+  test("waterFillAllocation edges: zero budget allocates zero; single stratum takes min(budget, cap)") {
+    import spark.implicits._
+    val counts = Seq(("a", 100L), ("b", 900L)).toDF("source", "n")
+    val zero = Sampling.waterFillAllocation(counts, "source", "n",
+      budget = lit(0L), maxEpochs = 1).collect()
+    zero.foreach { r => r.getBoolean(3) shouldBe false; r.getDouble(4) shouldBe 0.0 }
+    val one = Seq(("only", 500L)).toDF("source", "n")
+    // budget below the cap: uncapped, water level IS the budget
+    val u = Sampling.waterFillAllocation(one, "source", "n",
+      budget = lit(300L), maxEpochs = 2).collect()(0)
+    u.getBoolean(3) shouldBe false
+    u.getDouble(4) shouldBe 300.0
+    // budget above the cap: capped at maxEpochs·n
+    val c = Sampling.waterFillAllocation(one, "source", "n",
+      budget = lit(5000L), maxEpochs = 2).collect()(0)
+    c.getBoolean(3) shouldBe true
+    c.getDouble(4) shouldBe 1000.0
+  }
 }

@@ -3458,6 +3458,58 @@ object TextQueries {
       |       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
       |FROM g""".stripMargin
 
+  // ------------- sparse term-vector cosine similarity join (q180)
+  /** The SPARSE member of the similarity-join family (dense cosine
+    * q58, token-set Jaccard q56, gram containment q119): cosine over
+    * raw term-frequency vectors, computed through the inverted index —
+    * dot(a,b) = Σ_t tf_a(t)·tf_b(t) accumulates via a self-join on the
+    * TERM, so only docs SHARING a term ever meet. TF weights stay
+    * INTEGERS through the shuffle; the two norms are integer sums; the
+    * one fp step is dot/(√na·√nb) at the end — sqrt is correctly
+    * rounded, so every cosine is bit-portable. Pairs at cos ≥ 0.9 with
+    * doc_a < doc_b, on a fixed 200-doc panel (see body comment). */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    // fixed id-prefix panel — q156's panel-exactness discipline. At
+    // corpus scale the pair generation takes the q119 df-cap (a term
+    // shared by everyone identifies nobody) or an LSH prefilter; the
+    // dot-via-term-join and the integer weights are unchanged.
+    val tf = docs0(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist() // norms pass + the pair join
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = tf.select(col("tok"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
+    val b = tf.select(col("tok"), col("doc_id").as("doc_b"), col("tf").as("tfb"))
+    val dots = a.join(b, Seq("tok")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))).as("cos"))
+      .where(col("cos") >= 0.9)
+      .sortedOut("doc_a", "doc_b")
+  }
+
+  private val q180Sql =
+    """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |           FROM documents WHERE doc_id < 200),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |         FROM tf a JOIN tf b ON b.tok = a.tok AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+      |          JOIN norms nb ON nb.doc_id = dots.doc_b
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3537,5 +3589,6 @@ object TextQueries {
     ("q174_spearman_signals",  q174 _, Some(q174Sql)),
     ("q175_negative_sampling", q175 _, Some(q175Sql)),
     ("q178_survivor_remap",    q178 _, Some(q178Sql)),
-    ("q179_phrase_search",     q179 _, Some(q179Sql)))
+    ("q179_phrase_search",     q179 _, Some(q179Sql)),
+    ("q180_sparse_cosine_join", q180 _, Some(q180Sql)))
 }

@@ -1549,6 +1549,55 @@ object ExtendedQueries {
       |    * (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE)))) AS gini
       |FROM g ORDER BY user_id""".stripMargin
 
+  // ----------------- referential-integrity audit (q181)
+  /** The ETL data-quality gate the reference pipeline's domain
+    * implies but never checks: orphan foreign keys across the star
+    * (lineitem→orders/part/supplier, orders→customer) plus the
+    * fan-out profile (max/mean lineitems per order). Run BEFORE a
+    * publish step, this is what catches a partial upstream load — a
+    * missing dimension partition shows up as orphan counts, not as
+    * silently-shrunken inner joins downstream.
+    *
+    * Scale shape: each orphan count is a LEFT ANTI join — dimension
+    * sides broadcast when small, and the anti join never materializes
+    * matches; the fan-out is one map-side-combinable count. Mean
+    * fan-out is a single integer-over-integer division. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").persist() // four probes below
+    val orders = t(s, d, "orders").persist()
+    def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String) =
+      fact.select(col(key)).join(
+        broadcast(dim.select(col(dimKey).as(key)).distinct()),
+        Seq(key), "left_anti").count()
+    val oOrd = orphans(li, "l_orderkey", orders, "o_orderkey")
+    val oPart = orphans(li, "l_partkey", t(s, d, "part"), "p_partkey")
+    val oSupp = orphans(li, "l_suppkey", t(s, d, "supplier"), "s_suppkey")
+    val oCust = orphans(orders, "o_custkey", t(s, d, "customer"), "c_custkey")
+    val fan = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_orders_ref"), max(col("n")).as("max_fanout"),
+        sum(col("n")).as("n_lines"))
+    fan.select(col("n_lines"), col("n_orders_ref"), col("max_fanout"),
+      (col("n_lines").cast("double") / col("n_orders_ref").cast("double")).as("mean_fanout"),
+      lit(oOrd).as("orphan_order_refs"), lit(oCust).as("orphan_cust_refs"),
+      lit(oPart).as("orphan_part_refs"), lit(oSupp).as("orphan_supp_refs"))
+  }
+
+  private val q181Sql =
+    """WITH fan AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_lines,
+      |  CAST(count(*) AS BIGINT) AS n_orders_ref,
+      |  max(n) AS max_fanout,
+      |  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_fanout,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_order_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_cust_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS orphan_part_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_supp_refs
+      |FROM fan""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -1593,5 +1642,6 @@ object ExtendedQueries {
     ("q141_scd2_pit_lookup", q141 _, Some(q141Sql)),
     ("q148_event_transitions", q148 _, Some(q148Sql)),
     ("q152_trade_triangles", q152 _, Some(q152Sql)),
-    ("q165_user_gini",       q165 _, Some(q165Sql)))
+    ("q165_user_gini",       q165 _, Some(q165Sql)),
+    ("q181_fk_integrity",    q181 _, Some(q181Sql)))
 }

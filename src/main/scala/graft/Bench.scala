@@ -43,9 +43,22 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Clearing the CACHE MANAGER alone is not enough across a 181-query
+    // battery: localCheckpoint() (Dedup.nearDupClusters, Mmr.rerank)
+    // persists RDD blocks that live OUTSIDE the cache manager and are
+    // reclaimed only when the ContextCleaner notices the driver-side RDD
+    // object was GC'd — which can lag the whole battery. Those lingering
+    // blocks fill the unified storage pool and LRU-evict the NEXT
+    // query's freshly persisted frames mid-query (the r7 driver
+    // close-out showed exactly that: q57 6.4 s / q58 2.2 s in the full
+    // battery vs 3.05 s / 1.16 s in isolation — both queries persist
+    // large frames and re-earned them after eviction). unpersist every
+    // persistent RDD explicitly so each timed run starts with an empty
+    // storage pool.
     def clearCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] =
@@ -69,6 +82,11 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = defs.map { case (name, fn) =>
+      // One GC per QUERY (not per iteration — 543 full GCs would cost
+      // more than they save): lets the ContextCleaner reclaim broadcast
+      // blocks accumulated by earlier queries' guarded-broadcast joins,
+      // which clearCaches can't reach by handle.
+      clearCaches(); System.gc()
       val times = (1 to iters).flatMap { _ =>
         clearCaches()
         run(fn) match {

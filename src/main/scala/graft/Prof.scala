@@ -40,27 +40,31 @@ object Prof {
       println(f"PROF $name%-40s $best%8.3f s")
     }
 
-    // q117 trade-PageRank decomposition
-    def edges(): DataFrame = {
-      val li = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"),
-        col("l_suppkey"),
-        col("l_extendedprice").cast("decimal(18,4)").as("price"))
-      val ord = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.load(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val supp = Tables.load(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
-        .groupBy("src", "dst")
-        .agg((sum(col("price")) * lit(10000)).cast("long").as("w"))
+    // q57 incremental-dedup decomposition (round 8: the driver
+    // close-out saw 6.4 s vs the 3.05 s recorded mid-round — find
+    // where the time actually goes before touching anything)
+    import graft.dedup.Dedup
+    def docs(): DataFrame = Tables.documents(spark, sfDir)
+    def sigs(): DataFrame = Dedup.minhashSignatures(docs(), k = 32)
+    def split(): (DataFrame, DataFrame, DataFrame) = {
+      val sg = sigs().persist()
+      (docs().where(col("doc_id") % 20 === 0),
+        sg.where(col("doc_id") % 20 === 0),
+        sg.where(col("doc_id") % 20 =!= 0))
     }
-    val nations = Tables.load(spark, sfDir, "nation").select("n_nationkey")
-    time("q117_edges_only")(edges())
-    time("q117_pr_iters0")(graft.ops.Graph.pageRank(edges(), nations, iters = 0))
-    time("q117_pr_iters1")(graft.ops.Graph.pageRank(edges(), nations, iters = 1))
-    time("q117_pr_iters3")(graft.ops.Graph.pageRank(edges(), nations, iters = 3))
-    time("q117_registered")(SparkEntry.queries("q117_trade_pagerank")(spark, sfDir))
+    time("q57_sigs_only")(sigs())
+    time("q57_vs_corpus_pairs") {
+      val (_, ba, co) = split()
+      Dedup.minhashCandidatePairsBetween(ba, co, 4, 8, 0.9, 1000, persistInputs = false)
+    }
+    time("q57_within_batch_pairs") {
+      val (_, ba, _) = split()
+      Dedup.minhashCandidatePairs(ba, 4, 8, 0.9, 1000)
+    }
+    time("q57_registered")(SparkEntry.queries("q57_incremental_dedup")(spark, sfDir))
+    time("q58_registered")(SparkEntry.queries("q58_cosine_neardup")(spark, sfDir))
+    time("q58_pairs_only")(graft.sim.VectorFunctions.cosineNearDupPairs(
+      Tables.load(spark, sfDir, "embeddings"), dim = 64, minCos = 0.45))
     spark.stop()
   }
 }

@@ -109,7 +109,18 @@ object Sampling {
     * built from division/min of exact integers — the same
     * bit-portable arithmetic contract as [[temperatureFractions]],
     * so an oracle reproduces the thresholds exactly. Strata absent
-    * from `target` are dropped (share 0). */
+    * from `target` are dropped (share 0).
+    *
+    * Target strata with ZERO rows in the data are dropped from the
+    * fraction map and the remaining shares implicitly renormalize —
+    * i.e. the kept set matches the target distribution RESTRICTED to
+    * reachable strata, not the requested one (the mathematically
+    * strict alternatives are c = 0, an empty result, or an error;
+    * this op deliberately returns the largest subset matching the
+    * reachable restriction instead, ADVICE r7 #3). Callers that need
+    * the strict contract should assert
+    * `fractions.keySet == target.keySet` on the returned map — a
+    * missing key IS the unreachable-stratum signal. */
   def distributionMatchFractions(df: DataFrame, stratum: Column,
                                  target: Map[String, Double]): Map[String, Double] = {
     require(target.values.forall(t => t > 0 && t <= 1),

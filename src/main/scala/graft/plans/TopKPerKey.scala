@@ -117,9 +117,16 @@ object TopKPerKey {
     // assertion) get the strategy injected into
     // `experimental.extraStrategies` on first use. Idempotent, and
     // harmless beside the extension-installed copy (first match wins).
+    // `extraStrategies` is plain mutable session state: an unguarded
+    // check-and-append from two threads can lose an update and leave the
+    // strategy unregistered, resurrecting the very planner crash this
+    // registration prevents (ADVICE r7 #1) — lock the session's
+    // experimental handle around the idempotence check.
     val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.contains(TopKStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    }
     val keyExprs: Seq[Expression] = keys.map(n => GraftSqlShim.eagerExpression(df(n)))
     val sortOrders = order.map(c => GraftSqlShim.eagerExpression(c) match {
       case so: SortOrder => so

@@ -199,6 +199,17 @@ object MultimodalQueries {
   // non-planted clips and the fingerprint correctly collapses them too
   // (first formulation assumed all-distinct and the ENGINE caught the
   // real duplicates the oracle missed).
+  //
+  // INJECTIVITY ASSUMPTION (fixture-scoped, ADVICE r7 #5): the
+  // `count(distinct md5(text)) + 1` arithmetic pins that (a) distinct
+  // clip bytes always yield distinct 64-bit energy-delta fingerprints
+  // and (b) the planted family's fingerprint collides with no natural
+  // one. The fingerprint is STRUCTURED (sign bits of frame-energy
+  // deltas), not a uniform hash, so neither holds by probability —
+  // they hold because MultimodalSpec's fingerprint-collision pin
+  // verifies both facts against the current fixtures at every suite
+  // run. If fixture regeneration ever breaks them, that spec (not a
+  // silent oracle drift) is the designed tripwire.
   private val q177Sql =
     """WITH pl AS (SELECT CAST(count(*) AS BIGINT) AS np FROM documents WHERE doc_id % 25 = 1)
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_clips,

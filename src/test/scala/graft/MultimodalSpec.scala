@@ -173,4 +173,36 @@ class MultimodalSpec extends SparkSpec {
     // byte-identical clips collide exactly (the dedup group contract)
     fpOf(clip(99, 42, 1.0)) shouldBe base
   }
+
+  test("q177 oracle injectivity pin: distinct clip bytes → distinct fingerprints on the fixture; planted fp disjoint") {
+    // The q177 oracle's `count(distinct md5(text)) + 1` arithmetic rests
+    // on two facts about the STRUCTURED energy-delta fingerprint that
+    // don't hold by probability (it isn't a uniform hash): (a) on this
+    // fixture, distinct clip contents never share a sign pattern, and
+    // (b) the planted family's fingerprint collides with no natural one.
+    // This pin verifies both directly so a fixture regeneration that
+    // breaks either fails HERE, loudly, instead of silently skewing the
+    // oracle (ADVICE r7 #5).
+    val planted = "planted-audio-duplicate-family".getBytes("UTF-8")
+    val clips = Multimodal.audioFromDocuments(spark, Tables.documents(spark, sf0001))
+      .map(m => if (m.media_id % 25 == 1)
+        m.copy(content = planted, duration_ms = 6400L) else m)
+    val fp = Multimodal.audioFingerprint64(Multimodal.decodeAudio(clips))
+      .toDF().persist()
+    val natural = fp.where(col("media_id") % 25 =!= 1)
+      .join(Tables.documents(spark, sf0001)
+        .select(col("doc_id").as("media_id"), md5(col("text")).as("content_key")),
+        Seq("media_id"))
+    // (a) fingerprint groups == content groups among natural clips:
+    // every byte-distinct clip gets its own fingerprint, byte-identical
+    // clips collide — exactly the oracle's count(distinct md5(text))
+    val nContents = natural.select("content_key").distinct().count()
+    natural.select("phash").distinct().count() shouldBe nContents
+    // (b) the planted fingerprint never occurs among natural clips
+    val plantedFp = fp.where(col("media_id") % 25 === 1)
+      .select("phash").distinct().collect()
+    plantedFp.length shouldBe 1
+    natural.where(col("phash") === plantedFp.head.getLong(0)).count() shouldBe 0L
+    fp.unpersist()
+  }
 }

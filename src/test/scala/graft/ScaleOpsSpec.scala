@@ -269,4 +269,58 @@ class ScaleOpsSpec extends SparkSpec {
   private def ev2dir(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
     df.repartition(1).write.option("parquet.block.size", (32 * 1024).toString)
       .parquet(dir)
+
+  test("q154 fixed-point sufficient statistics agree with the r7 ordered fold at fixture scale") {
+    // r8 replaced q154's 1-row sort_array(collect_list) over the whole
+    // scored-pair frame (executor OOM at corpus scale) with
+    // DECIMAL(38,0) sums of 9-decimal fixed-point integers. The
+    // fixed-point means may differ from the old ordered-fold fp means
+    // by at most the quantization (1e-9 per pair, so < 1e-9 on the
+    // mean) — pin that bound, and pin the exact integer outputs
+    // (n_pairs, n_over) EQUAL.
+    val row = SparkEntry.queries("q154_minhash_calibration")(spark, sf0001).collect().head
+    val nPairs = row.getAs[Long]("n_pairs")
+    nPairs should be > 0L
+    // reference: the r7 formulation, reconstructed inline over the
+    // same scored-pair frame via an ordered driver-side fold
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      graft.dedup.Dedup.minhashSignatures(Tables.documents(spark, sf0001), k = 32),
+      bands = 4, rowsPerBand = 8, minEst = 0.7)
+    val tk = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val scored = pairs.join(inter, Seq("doc_a", "doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("exact"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact")))
+      .sortBy(p => (p._1, p._2))
+    nPairs shouldBe scored.length.toLong
+    row.getAs[Long]("n_over") shouldBe scored.count(p => p._3 > p._4).toLong
+    math.abs(row.getAs[Double]("mean_exact") - scored.map(_._4).sum / scored.length) should be < 1e-9
+    math.abs(row.getAs[Double]("mean_est") - scored.map(_._3).sum / scored.length) should be < 1e-9
+    val mae = scored.map(p => math.abs(p._3 - p._4)).sum / scored.length
+    math.abs(row.getAs[Double]("mae") - mae) should be < 1e-9
+  }
+
+  test("q175 fixed-point normalizer agrees with the r7 ordered fold at fixture scale") {
+    // Same r8 scale-safety rewrite as q154: Z is now a DECIMAL sum of
+    // floor(w·1e6) instead of a whole-vocabulary ordered fold in one
+    // row. |Z_new − Z_old| ≤ |vocab|·1e-6; probs shift accordingly.
+    val out = SparkEntry.queries("q175_negative_sampling")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Double]("weight"), r.getAs[Double]("prob")))
+    out.length should be > 10 // sf0.001 vocabulary is ~31 tokens
+    val zOld = out.map(_._2).sorted.sum // ordered fold, ascending weights
+    val zNew = out.head._2 / out.head._3 // implied normalizer
+    math.abs(zNew - zOld) should be <= (out.length.toDouble * 1e-6 + 1e-6)
+    // probabilities still sum to ~1 under the quantized normalizer
+    math.abs(out.map(_._3).sum - 1.0) should be < 1e-6
+  }
 }

@@ -267,4 +267,108 @@ object Graph {
         (col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"))
           .as("clustering"))
   }
+
+  /** Symmetrized, self-loop-free, parallel-edge-merged adjacency of an
+    * integer-weighted edge list — the shared input shape for
+    * [[labelPropagation]] and [[modularity]] (each (u,v) undirected
+    * edge appears as BOTH directed rows, weights summed). */
+  def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .where(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").cast("long").as("w")).where(col("src") =!= col("dst")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+
+  /** Community detection by DETERMINISTIC synchronous weighted label
+    * propagation (Raghavan et al. 2007, made reproducible): every node
+    * starts as its own label; each round, a node adopts the label with
+    * the LARGEST total incident edge weight among its neighbors'
+    * current labels, ties broken by the SMALLEST label. Weights stay
+    * INTEGERS through the argmax, so the whole fixpoint is exact and
+    * an unrolled SQL oracle replays it bit-for-bit — no fp anywhere
+    * (the fully-deterministic variant of the usual
+    * random-order/random-tie LPA, which is unreproducible by design).
+    * Isolated nodes keep their own label.
+    *
+    * Scale shape mirrors [[pageRank]]: one round = one hash join of
+    * the (pre-aggregated) adjacency against the |V|-row label frame +
+    * one groupBy bounded by |E| + one per-node argmax (max_by over an
+    * integer struct — combines map-side, no window, no sort); each
+    * level persists, ONE final action materializes the chain, then
+    * every intermediate unpersists (the ADVICE r6 #2 discipline).
+    * Synchronous updates can two-cycle on bipartite-ish structure —
+    * run a FIXED iteration count (the oracle unrolls the same count)
+    * rather than testing convergence.
+    *
+    * @param edges (src, dst, w) — positive integer weights; direction
+    *              ignored (symmetrized internally); self-loops dropped
+    * @param nodes single-column frame of all node ids
+    * @param iters synchronous rounds (each = one bounded shuffle)
+    * @return (node, community) — community = the converged label
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val nodeCol = nodes.columns.head
+    val n = nodes.select(col(nodeCol).as("node")).persist()
+    val e = symmetrized(edges).persist()
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var labels = n.select(col("node"), col("node").as("lbl")).persist()
+    for (_ <- 0 until iters) {
+      levels += labels
+      // per-neighbor-label incident weight, then argmax by
+      // (weight desc, label asc) via min over an integer struct —
+      // deterministic, map-side combinable, window-free
+      val nb = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("s"))
+      val best = nb.groupBy(col("dst"))
+        .agg(min(struct(negate(col("s")).as("ns"), col("lbl").as("l"))).as("b"))
+        .select(col("dst"), col("b.l").as("new_lbl"))
+      labels = n.join(best, n("node") === best("dst"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl"))
+        .persist()
+    }
+    labels.count() // one action fills the persisted chain
+    levels.foreach(_.unpersist(blocking = false))
+    val out = labels.select(col("node"), col("lbl").as("community"))
+    e.unpersist(blocking = false)
+    n.unpersist(blocking = false)
+    out
+  }
+
+  /** Weighted Newman modularity of a node→community assignment,
+    * computed EXACTLY: with A the symmetrized integer adjacency,
+    * 2m = ΣA, s(u) = Σ_v A(u,v), in(c) = Σ_{u,v ∈ c} A(u,v) and
+    * tot(c) = Σ_{u ∈ c} s(u),
+    *
+    *   Q = Σ_c [ in(c)·2m − tot(c)² ] / (2m)²
+    *
+    * The numerator accumulates as DECIMAL(38,0) products of exact
+    * integers (order-independent), so both engines produce the
+    * identical Q double — no fp until the single final division.
+    *
+    * @param edges  (src, dst, w) — same contract as [[labelPropagation]]
+    * @param labels (node, community)
+    * @return 1 row: (two_m, modularity)
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = symmetrized(edges).persist()
+    val la = labels.select(col("node").as("src"), col("community").as("ca"))
+    val lb = labels.select(col("node").as("dst"), col("community").as("cb"))
+    val twoM = e.agg(sum(col("w")).as("two_m"))
+    val joined = e.join(la, "src").join(lb, "dst").persist()
+    val inC = joined.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(sum(col("w")).as("in_c"))
+    val totC = joined.groupBy(col("ca").as("c")).agg(sum(col("w")).as("tot_c"))
+    val numer = totC.join(inC, Seq("c"), "left")
+      .crossJoin(broadcast(twoM))
+      .select((coalesce(col("in_c"), lit(0L)).cast(DecimalType38) * col("two_m").cast(DecimalType38)
+        - col("tot_c").cast(DecimalType38) * col("tot_c").cast(DecimalType38)).as("num"))
+      .agg(sum(col("num")).as("numer"))
+    twoM.crossJoin(broadcast(numer))
+      .select(col("two_m"),
+        (col("numer").cast("double") /
+          (col("two_m").cast("double") * col("two_m").cast("double"))).as("modularity"))
+  }
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 }

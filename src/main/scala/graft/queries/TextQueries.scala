@@ -3559,6 +3559,163 @@ object TextQueries {
       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------- HTML boilerplate extraction (q182)
+  /** Tag-strip + line-density boilerplate removal over an HTML-wrapped
+    * variant of `documents` — the first operator a CRAWL corpus runs
+    * (the fixture is clean text, so the markup is synthesized
+    * deterministically per doc: skeleton + nav + menu + the text as
+    * the content paragraph + a per-doc-id variant line + footer).
+    * The variant line rotates the three hard cases through the corpus:
+    * doc_id%3==0 wraps the content in NESTED tags (must survive),
+    * ==1 appends a LINK FARM whose text passes the length gate but
+    * fails the density gate, ==2 injects a MALFORMED tag (attribute
+    * quote swallows the `>`) that must still strip best-effort and
+    * drop as too short. Census per doc: line counts by outcome
+    * (kept / too-short / markup-dominated) + the extracted text's
+    * length and md5 — the md5 pins the exact extraction, not just the
+    * counts. See [[graft.text.Boilerplate]] for the keep rules (pure
+    * integer gates) and QualitySpec for the edge-case pins.
+    *
+    * Scale shape: one pure per-document expression tree (split /
+    * transform / filter / regexp_replace), zero shuffle before the
+    * output sort — the raw-HTML column never leaves its scan task. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val variant = when(col("doc_id") % 3 === 0,
+        concat(lit("<div><span>"), col("text"), lit("</span></div>")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("<p class=\"rel\">"), substring(col("text"), 1, 30),
+          lit("</p><a href=\"/p/1\">1</a><a href=\"/p/2\">2</a><a href=\"/p/3\">3</a>" +
+            "<a href=\"/p/4\">4</a><a href=\"/p/5\">5</a><a href=\"/p/6\">6</a>" +
+            "<a href=\"/p/7\">7</a><a href=\"/p/8\">8</a>")))
+      .otherwise(lit("<div class=\"promo><b>subscribe now</b></div>"))
+    val html = concat(
+      lit("<html>\n<head><title>doc "), id, lit("</title></head>\n<body>\n"),
+      lit("<div class=\"nav\"><a href=\"/\">home</a> | <a href=\"/c/"), col("source"),
+      lit("\">"), col("source"), lit("</a> | <a href=\"/about\">about</a></div>\n"),
+      lit("<ul class=\"menu\"><li><a href=\"/tags\">tags</a></li><li><a href=\"/feed\">feed</a></li></ul>\n"),
+      lit("<p>"), col("text"), lit("</p>\n"),
+      variant, lit("\n"),
+      lit("<div class=\"footer\">(c) 2026 example | <a href=\"/tos\">terms</a> | <a href=\"/privacy\">privacy</a></div>\n</body>\n</html>"))
+    docs0(s, d).select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), graft.text.Boilerplate.census(col("html")).as("c"))
+      .select(col("doc_id"),
+        col("c.n_lines").as("n_lines"), col("c.n_kept").as("n_kept"),
+        col("c.n_short").as("n_short"), col("c.n_lowdensity").as("n_lowdensity"),
+        length(col("c.extracted")).cast(LongType).as("kept_chars"),
+        md5(col("c.extracted").cast("binary")).as("extract_md5"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q182Sql =
+    """WITH h AS (SELECT doc_id,
+      |    '<html>' || chr(10) || '<head><title>doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head>' || chr(10) || '<body>' || chr(10)
+      |    || '<div class="nav"><a href="/">home</a> | <a href="/c/' || source || '">'
+      |    || source || '</a> | <a href="/about">about</a></div>' || chr(10)
+      |    || '<ul class="menu"><li><a href="/tags">tags</a></li><li><a href="/feed">feed</a></li></ul>' || chr(10)
+      |    || '<p>' || text || '</p>' || chr(10)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '<div><span>' || text || '</span></div>'
+      |             WHEN doc_id % 3 = 1 THEN '<p class="rel">' || substr(text, 1, 30)
+      |               || '</p><a href="/p/1">1</a><a href="/p/2">2</a><a href="/p/3">3</a><a href="/p/4">4</a><a href="/p/5">5</a><a href="/p/6">6</a><a href="/p/7">7</a><a href="/p/8">8</a>'
+      |             ELSE '<div class="promo><b>subscribe now</b></div>' END) || chr(10)
+      |    || '<div class="footer">(c) 2026 example | <a href="/tos">terms</a> | <a href="/privacy">privacy</a></div>'
+      |    || chr(10) || '</body>' || chr(10) || '</html>' AS html
+      |  FROM documents),
+      |st AS (SELECT doc_id, list_transform(str_split(html, chr(10)),
+      |    l -> struct_pack(raw := len(l),
+      |                     txt := len(trim(regexp_replace(l, '<[^>]*>', '', 'g'))),
+      |                     s := trim(regexp_replace(l, '<[^>]*>', '', 'g')))) AS sts
+      |  FROM h),
+      |k AS (SELECT doc_id, sts,
+      |    list_filter(sts, x -> x.txt >= 25 AND 2 * x.txt >= x.raw) AS kept
+      |  FROM st)
+      |SELECT doc_id,
+      |  CAST(len(sts) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(len(list_filter(sts, x -> x.txt < 25)) AS BIGINT) AS n_short,
+      |  CAST(len(list_filter(sts, x -> x.txt >= 25 AND 2 * x.txt < x.raw)) AS BIGINT) AS n_lowdensity,
+      |  CAST(len(array_to_string(list_transform(kept, x -> x.s), chr(10))) AS BIGINT) AS kept_chars,
+      |  md5(array_to_string(list_transform(kept, x -> x.s), chr(10))) AS extract_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ------------- syndication communities by label propagation (q183)
+  /** WHICH SOURCES FORM A RING: community detection over the
+    * source-level syndication graph — nodes are sources, an edge's
+    * weight is the number of cross-source near-dup candidate pairs
+    * (q29's est ≥ 0.5), i.e. how much content the two feeds share.
+    * One step past q170's pairwise direction matrix: the transitive
+    * grouping ("these five feeds all mirror each other") that drives
+    * crawl-budget and source-dedup decisions at the GROUP level.
+    *
+    * [[graft.ops.Graph.labelPropagation]] — deterministic synchronous
+    * weighted LPA, 4 rounds, smallest-label tie-break — plus the exact
+    * [[graft.ops.Graph.modularity]] of the resulting partition (the
+    * quality-of-communities scalar, integer arithmetic until one final
+    * division). The oracle unrolls the same 4 rounds (q117's unrolled
+    * PageRank discipline) and recomputes Q from the same integer sums.
+    *
+    * Scale shape: pair generation IS q29 (banded, skew-capped); the
+    * source graph is ≤|S|² rows, every LPA round one |E|-bounded
+    * shuffle + a map-side-combining integer argmax — no window, no
+    * sort, no fp. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    val e = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .where(col("sa") =!= col("sb"))
+      .groupBy(col("sa").as("src"), col("sb").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = docs.select(col("source")).distinct()
+    val labels = graft.ops.Graph.labelPropagation(e, nodes, iters = 4)
+    val q = graft.ops.Graph.modularity(e, labels)
+    labels.crossJoin(broadcast(q))
+      .select(col("node").as("source"), col("community"),
+        col("two_m"), col("modularity"))
+      .sortedOut("source")
+  }
+
+  private val q183Sql = {
+    def iter(p: String, c: String) =
+      s"""nb$c AS (SELECT e.dst AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS s
+         |  FROM e JOIN l$p l ON l.node = e.src GROUP BY 1, 2),
+         |bs$c AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY s DESC, lbl) AS rn
+         |    FROM nb$c) WHERE rn = 1),
+         |l$c AS (SELECT n.node, coalesce(b.lbl, n.node) AS lbl
+         |  FROM nodes n LEFT JOIN bs$c b ON b.node = n.node)""".stripMargin
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+       |e0 AS (SELECT da.source AS a, db.source AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+       |          JOIN documents db ON db.doc_id = pr.doc_b
+       |  WHERE da.source <> db.source GROUP BY 1, 2),
+       |e AS (SELECT a AS src, b AS dst, CAST(sum(w) AS BIGINT) AS w
+       |  FROM (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0) u
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")},
+       |${iter("3", "4")},
+       |tm AS (SELECT CAST(sum(w) AS BIGINT) AS two_m FROM e),
+       |j AS (SELECT e.w, la.lbl AS ca, lb.lbl AS cb
+       |  FROM e JOIN l4 la ON la.node = e.src JOIN l4 lb ON lb.node = e.dst),
+       |tot AS (SELECT ca AS c, CAST(sum(w) AS BIGINT) AS tot_c FROM j GROUP BY 1),
+       |inc AS (SELECT ca AS c, CAST(sum(w) AS BIGINT) AS in_c FROM j WHERE ca = cb GROUP BY 1),
+       |num AS (SELECT sum(coalesce(inc.in_c, 0) * tm.two_m - tot.tot_c * tot.tot_c) AS numer
+       |  FROM tot LEFT JOIN inc ON inc.c = tot.c CROSS JOIN tm)
+       |SELECT l4.node AS source, l4.lbl AS community, tm.two_m,
+       |  CAST(num.numer AS DOUBLE)
+       |    / (CAST(tm.two_m AS DOUBLE) * CAST(tm.two_m AS DOUBLE)) AS modularity
+       |FROM l4 CROSS JOIN tm CROSS JOIN num ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3639,5 +3796,7 @@ object TextQueries {
     ("q175_negative_sampling", q175 _, Some(q175Sql)),
     ("q178_survivor_remap",    q178 _, Some(q178Sql)),
     ("q179_phrase_search",     q179 _, Some(q179Sql)),
-    ("q180_sparse_cosine_join", q180 _, Some(q180Sql)))
+    ("q180_sparse_cosine_join", q180 _, Some(q180Sql)),
+    ("q182_boilerplate_extract", q182 _, Some(q182Sql)),
+    ("q183_syndication_communities", q183 _, Some(q183Sql)))
 }

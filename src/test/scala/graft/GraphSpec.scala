@@ -193,4 +193,79 @@ class GraphSpec extends SparkSpec {
     (n, e, t) shouldBe ((40L, 39L, 0L))
     w shouldBe 39L * 38L / 2L
   }
+
+  // ---------------- label propagation + modularity (q183 kernels)
+
+  private def lpaOf(edges: Seq[(Int, Int, Long)], nodes: Seq[Int],
+                    iters: Int): Map[Int, Int] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+        nodes.toDF("node"), iters)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  private def modOf(edges: Seq[(Int, Int, Long)], labels: Map[Int, Int]): Double =
+    Graph.modularity(edges.toDF("src", "dst", "w"),
+        labels.toSeq.toDF("node", "community"))
+      .collect().head.getDouble(1)
+
+  test("labelPropagation: two weighted cliques joined by a weak bridge split into the cliques") {
+    val cliqueA = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b, 10L)
+    val cliqueB = for (a <- 5 to 8; b <- 5 to 8 if a < b) yield (a, b, 10L)
+    val edges = cliqueA ++ cliqueB :+ ((4, 5, 1L))
+    val got = lpaOf(edges, 1 to 8, iters = 4)
+    // each clique collapses to its min label; the weak bridge doesn't merge them
+    (1 to 4).foreach(v => got(v) shouldBe 1)
+    (5 to 8).foreach(v => got(v) shouldBe 5)
+    // modularity of the found split beats the all-one-community split
+    // (which is exactly 0 by the formula) and the singleton split
+    val q = modOf(edges, got)
+    q should be > modOf(edges, (1 to 8).map(_ -> 1).toMap)
+    q should be > modOf(edges, (1 to 8).map(v => v -> v).toMap)
+    modOf(edges, (1 to 8).map(_ -> 1).toMap) shouldBe 0.0
+  }
+
+  test("labelPropagation: deterministic tie-break (smallest label) and partition independence") {
+    // perfect symmetry: a 4-cycle with equal weights — every node sees
+    // two equally-weighted neighbor labels each round; the smallest
+    // must win identically everywhere
+    val square = Seq((1, 2, 5L), (2, 3, 5L), (3, 4, 5L), (4, 1, 5L))
+    val a = lpaOf(square, 1 to 4, iters = 3)
+    val b = Graph.labelPropagation(
+        square.toDF("src", "dst", "w").repartition(7),
+        (1 to 4).toDF("node").repartition(3), iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    b shouldBe a
+    // isolated node keeps its own label
+    val c = lpaOf(square, 1 to 5, iters = 3)
+    c(5) shouldBe 5
+    // zero iterations = identity labeling
+    lpaOf(square, 1 to 4, iters = 0) shouldBe (1 to 4).map(v => v -> v).toMap
+  }
+
+  test("labelPropagation: hot-node star two-cycles deterministically; direction and dup edges don't matter") {
+    // wave-2 hot-node shape: hub 1 with 39 spokes. A star is bipartite,
+    // so SYNCHRONOUS updates two-cycle (hub and spokes swap labels each
+    // round) — the documented reason the operator runs a FIXED
+    // iteration count that the oracle unrolls identically. Pin the
+    // cycle itself: odd-round states equal, and the label set stays
+    // bounded at {hub-side, spoke-side} — never divergent, never
+    // nondeterministic.
+    val star = (2 to 40).map(b => (1, b, 3L))
+    val s1 = lpaOf(star, 1 to 40, iters = 1)
+    val s3 = lpaOf(star, 1 to 40, iters = 3)
+    s3 shouldBe s1
+    s1.values.toSet.size shouldBe 2 // all 39 spokes unified, hub apart
+    (2 to 40).map(s1).toSet.size shouldBe 1
+    // reversed duplicates and self-loops normalize away to the same state
+    val messy = star ++ star.map { case (a, b, w) => (b, a, w) } :+ ((1, 1, 99L))
+    lpaOf(messy, 1 to 40, iters = 3) shouldBe s3
+  }
+
+  test("modularity: exact hand-checked value on the two-triangle dumbbell") {
+    // two triangles {1,2,3}, {4,5,6} + bridge (3,4), unit weights.
+    // 2m = 14; per community: in = 6, tot = 7 → Q = 2·(6·14 − 49)/196
+    val edges = Seq((1, 2, 1L), (2, 3, 1L), (3, 1, 1L),
+      (4, 5, 1L), (5, 6, 1L), (6, 4, 1L), (3, 4, 1L))
+    val labels = Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 4)
+    modOf(edges, labels) shouldBe (2.0 * (6.0 * 14.0 - 49.0) / 196.0)
+  }
 }

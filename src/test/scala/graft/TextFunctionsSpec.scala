@@ -236,4 +236,63 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     repart shouldBe out
   }
+
+  // ---- Boilerplate (q182) edge-case pins: nested, malformed, unclosed,
+  // link-farm density, and census partition totals
+  private def censusOf(html: String) = {
+    val r = Seq(html).toDF("html")
+      .select(graft.text.Boilerplate.census(col("html")).as("c"))
+      .select("c.n_lines", "c.n_kept", "c.n_short", "c.n_lowdensity", "c.extracted")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+  }
+
+  test("boilerplate: nested tags strip cleanly and long content survives") {
+    val (n, kept, _, _, text) = censusOf(
+      "<div><span>this content sentence is definitely long enough to keep</span></div>")
+    n shouldBe 1L; kept shouldBe 1L
+    text shouldBe "this content sentence is definitely long enough to keep"
+  }
+
+  test("boilerplate: malformed attribute quote swallows the > but stripping stays best-effort") {
+    // `<div class="promo><b>` matches up to the FIRST available `>`:
+    // the b-tag is consumed INSIDE the malformed tag match; the rest
+    // strips normally. Deterministic, same in DuckDB — the q182 oracle
+    // relies on it.
+    val (_, kept, short, _, text) = censusOf(
+      "<div class=\"promo><b>subscribe now</b></div>")
+    text shouldBe "" // dropped line contributes nothing
+    kept shouldBe 0L; short shouldBe 1L // "subscribe now" = 13 chars < 25
+    val (_, k2, _, _, t2) = censusOf(
+      "<div class=\"promo><b>this malformed promo line is easily long enough to pass the gate</b></div>")
+    // still strips; text dominates markup → kept despite the malformed tag
+    k2 shouldBe 1L
+    t2 shouldBe "this malformed promo line is easily long enough to pass the gate"
+  }
+
+  test("boilerplate: unclosed < with no > strips nothing; junk counts as text") {
+    val junk = "<div class=broken-no-closing-bracket with trailing words here"
+    val (_, kept, _, _, text) = censusOf(junk)
+    // nothing matched the tag regex, so the whole line IS its text:
+    // long enough and density 1.0 → kept verbatim (best-effort contract)
+    kept shouldBe 1L
+    text shouldBe junk
+  }
+
+  test("boilerplate: link farm passes the length gate but fails the density gate") {
+    val farm = "<p>short teaser text here padded to length</p>" +
+      (1 to 8).map(i => s"""<a href="/p/$i">$i</a>""").mkString
+    val (_, kept, short, lowd, _) = censusOf(farm)
+    kept shouldBe 0L; short shouldBe 0L; lowd shouldBe 1L
+  }
+
+  test("boilerplate: census outcomes partition the line count") {
+    val html = Seq(
+      "<html>", "<p>a real paragraph with more than enough text to keep</p>",
+      "<ul><li><a href=\"/x\">x</a></li></ul>",
+      "<p>tiny</p>", "</html>").mkString("\n")
+    val (n, kept, short, lowd, _) = censusOf(html)
+    (kept + short + lowd) shouldBe n
+    kept shouldBe 1L
+  }
 }

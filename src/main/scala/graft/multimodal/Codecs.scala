@@ -313,4 +313,100 @@ object Codecs extends Serializable {
       }
       if (samples == null || rate <= 0) None else Some((rate, samples))
     } catch { case _: Exception => None }
+
+  // ------------------------------------------------ MP4 metadata probe
+
+  /** Parsed ISO-BMFF (MP4) headline metadata: ftyp major brand,
+    * movie duration in ms (mvhd duration/timescale), track count, and
+    * each track's sample-description codec fourcc in file order. */
+  case class Mp4Meta(brand: String, durationMs: Long, nTracks: Int,
+                     codecs: Seq[String])
+
+  /** ISO-BMFF (MP4/MOV) box walker — the `decodeWav` RIFF discipline
+    * applied to the big-endian size+fourcc box tree: walk
+    * moov → mvhd (timescale/duration, version 0 and 1 layouts) and
+    * moov → trak → mdia → minf → stbl → stsd (first sample entry's
+    * codec fourcc per track). METADATA ONLY, by design: the dominant
+    * real-world video container has no pure-JDK frame decoder, so the
+    * catalog boundary is "classify and measure MP4, decode GIF/AVI"
+    * (frame decode for MP4 stays explicitly out of scope). Handles
+    * 64-bit largesize (size == 1) and to-end-of-file (size == 0)
+    * boxes; None on anything that is not a well-formed
+    * ftyp-leading ISO-BMFF file. */
+  def probeMp4(b: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (b.length < 16) return None
+      def be32(i: Int): Long =
+        ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def typ(i: Int): String = new String(b, i, 4, "US-ASCII")
+      if (typ(4) != "ftyp") return None
+      val brand = typ(8)
+      var timescale = 0L; var duration = -1L; var tracks = 0
+      val codecs = scala.collection.mutable.ListBuffer[String]()
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      var malformed = false
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end && !malformed) {
+          var size = be32(pos)
+          var hdr = 8
+          if (size == 1) {
+            if (pos + 16 > end) { malformed = true; return }
+            size = be64(pos + 8); hdr = 16
+          } else if (size == 0) size = (end - pos).toLong
+          if (size < hdr || pos + size > end) { malformed = true; return }
+          val t = typ(pos + 4)
+          val body = pos + hdr
+          t match {
+            case "mvhd" =>
+              if ((b(body) & 0xff) == 1) { // version 1: 64-bit times
+                timescale = be32(body + 20); duration = be64(body + 24)
+              } else {
+                timescale = be32(body + 12); duration = be32(body + 16)
+              }
+            case "trak" =>
+              tracks += 1; walk(body, pos + size.toInt)
+            case "stsd" =>
+              if (be32(body + 4) >= 1 && body + 16 <= end) codecs += typ(body + 12)
+            case c if containers(c) => walk(body, pos + size.toInt)
+            case _ => // free / mdat / udta ... skip
+          }
+          pos += size.toInt
+        }
+      }
+      walk(0, b.length)
+      if (malformed || timescale <= 0 || duration < 0) None
+      else Some(Mp4Meta(brand, duration * 1000L / timescale, tracks, codecs.toList))
+    } catch { case _: Exception => None }
+
+  /** Deterministic minimal-but-well-formed MP4 builder — the fixture
+    * twin of [[probeMp4]] (the documents fixture is text, so real
+    * ISO-BMFF bytes are PLANTED, the q177 discipline): ftyp(isom) +
+    * moov(mvhd + one stbl/stsd-bearing trak per codec) + a stub mdat.
+    * Every byte is a function of the arguments, so planted rows are
+    * exactly reproducible by oracle arithmetic. */
+  def minimalMp4(durationMs: Long, codecFourccs: Seq[String] = Seq("avc1", "mp4a"),
+                 timescale: Int = 1000): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII") ++ payload
+    def trak(fourcc: String): Array[Byte] = {
+      require(fourcc.length == 4, s"codec fourcc must be 4 chars: $fourcc")
+      val entry = be32(16L) ++ fourcc.getBytes("US-ASCII") ++ new Array[Byte](6) ++
+        Array[Byte](0, 1) // data_reference_index = 1
+      val stsd = box("stsd", be32(0L) ++ be32(1L) ++ entry)
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val durUnits = durationMs * timescale / 1000L
+    val mvhd = box("mvhd",
+      be32(0L) ++ be32(0L) ++ be32(0L) ++ // version/flags, ctime, mtime
+        be32(timescale.toLong) ++ be32(durUnits) ++ new Array[Byte](80))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200L) ++
+      "isom".getBytes("US-ASCII"))
+    ftyp ++ box("moov", mvhd ++ codecFourccs.toArray.flatMap(trak)) ++
+      box("mdat", Array[Byte](0, 0, 0, 0))
+  }
 }

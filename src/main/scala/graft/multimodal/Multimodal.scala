@@ -190,6 +190,41 @@ object Multimodal {
   def toMediaFrame(media: Dataset[MediaFile]): DataFrame =
     media.toDF()
 
+  case class ContainerMeta(media_id: Long, container: String, codecs: String,
+                           duration_ms: Long, n_tracks: Int)
+
+  /** Container classification from the BYTES, not the declared format —
+    * what the catalog runs on a real crawl where the extension lies:
+    * MP4 rows get the full [[Codecs.probeMp4]] metadata (probed
+    * duration, track count, codec fourccs); GIF / MJPEG-AVI / WAV are
+    * recognized by magic (their decoders are real elsewhere —
+    * `decodeVideoFrames` / `decodeWav`); unprobeable bytes classify as
+    * `unknown` with the declared duration passed through and zero
+    * tracks. A narrow per-row map: only the ~40-byte metadata struct
+    * leaves the stage, never the content. */
+  def containerMeta(media: Dataset[MediaFile]): Dataset[ContainerMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val b = m.content
+      def magic(s: String, off: Int): Boolean =
+        b.length >= off + s.length &&
+          s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+      Codecs.probeMp4(b) match {
+        case Some(meta) =>
+          ContainerMeta(m.media_id, "mp4", meta.codecs.mkString(","),
+            meta.durationMs, meta.nTracks)
+        case None =>
+          if (magic("GIF8", 0))
+            ContainerMeta(m.media_id, "gif", "gif", m.duration_ms, 1)
+          else if (magic("RIFF", 0) && magic("AVI ", 8))
+            ContainerMeta(m.media_id, "avi", "mjpg", m.duration_ms, 1)
+          else if (magic("RIFF", 0) && magic("WAVE", 8))
+            ContainerMeta(m.media_id, "wav", "pcm", m.duration_ms, 1)
+          else ContainerMeta(m.media_id, "unknown", "", m.duration_ms, 0)
+      }
+    })
+  }
+
   // ------------------------------------------------- perceptual hash
 
   case class PHash(media_id: Long, phash: Long)

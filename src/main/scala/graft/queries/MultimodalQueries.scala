@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Codecs, Multimodal}
 
 /** Multimodal-column queries over the synthesized media table (binary
   * content + typed metadata derived deterministically from `documents`).
@@ -219,6 +219,44 @@ object MultimodalQueries {
       |       true AS cross_pairs_bounded
       |FROM pl""".stripMargin
 
+  /** Bytes-first video catalog (q184) — [[Multimodal.containerMeta]]
+    * over the video rows with a PLANTED real-MP4 family (media_id ≡ 0
+    * mod 15: deterministic [[graft.multimodal.Codecs.minimalMp4]]
+    * bytes, 6400 ms, avc1+mp4a — the q177 planting discipline, since
+    * the fixture's "video" content is text). The planted rows classify
+    * as `mp4` with PROBED duration/tracks/codecs (the `ftyp`/`moov`
+    * box walk, not declared metadata); everything else stays
+    * `unknown` with the declared duration passed through. Frame decode
+    * for MP4 is explicitly out of scope — this is the classify-and-
+    * measure row the real-world catalog needs so MP4 stops routing to
+    * `unknown`. CodecsSpec pins the box walker itself (version 0/1
+    * mvhd, largesize, truncation, non-MP4 bytes). */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Codecs.minimalMp4(6400L) // avc1 + mp4a, 2 tracks
+    val vids = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      .filter(_.kind == "video")
+      .map(m => if (m.media_id % 15 == 0) m.copy(content = planted) else m)
+    Multimodal.containerMeta(vids).toDF()
+      .groupBy("container", "codecs")
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_ms")).as("sum_ms"),
+        sum(col("n_tracks")).cast("long").as("sum_tracks"))
+      .orderBy("container")
+  }
+
+  private val q184Sql =
+    """SELECT 'mp4' AS container, 'avc1,mp4a' AS codecs,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(6400 * count(*) AS BIGINT) AS sum_ms,
+      |       CAST(2 * count(*) AS BIGINT) AS sum_tracks
+      |FROM documents WHERE doc_id % 15 = 0
+      |UNION ALL
+      |SELECT 'unknown', '', CAST(count(*) AS BIGINT),
+      |       CAST(sum(n_chars * 100) AS BIGINT), CAST(0 AS BIGINT)
+      |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0
+      |ORDER BY container""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q36_media_catalog",       q36 _, Some(q36Sql)),
     ("q37_media_features",      q37 _, Some(q37Sql)),
@@ -226,5 +264,6 @@ object MultimodalQueries {
     ("q59_audio_features",      q59 _, Some(q59Sql)),
     ("q61_media_resize",        q61 _, Some(q61Sql)),
     ("q151_phash_dedup",        q151 _, Some(q151Sql)),
-    ("q177_audio_fp_dedup",     q177 _, Some(q177Sql)))
+    ("q177_audio_fp_dedup",     q177 _, Some(q177Sql)),
+    ("q184_mp4_catalog",        q184 _, Some(q184Sql)))
 }

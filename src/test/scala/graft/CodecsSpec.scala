@@ -277,4 +277,63 @@ class CodecsSpec extends SparkSpec {
     feats(0).mean shouldBe px.sum / px.length +- 1e-6
     feats(0).p_bright shouldBe px.count(_ > 0.5).toDouble / px.length +- 1e-12
   }
+
+  // ------------------------------------------------ MP4 metadata probe
+
+  test("probeMp4: minimal real MP4 round-trips brand, duration, tracks, codecs") {
+    val b = Codecs.minimalMp4(6400L, Seq("avc1", "mp4a"))
+    val meta = Codecs.probeMp4(b).get
+    meta.brand shouldBe "isom"
+    meta.durationMs shouldBe 6400L
+    meta.nTracks shouldBe 2
+    meta.codecs shouldBe Seq("avc1", "mp4a")
+    // single-track, non-default timescale: duration converts through it
+    val v = Codecs.probeMp4(Codecs.minimalMp4(5000L, Seq("hvc1"), timescale = 90000)).get
+    v.durationMs shouldBe 5000L +- 1 // 90 kHz units round-trip within 1 ms
+    v.nTracks shouldBe 1
+    v.codecs shouldBe Seq("hvc1")
+  }
+
+  test("probeMp4: version-1 mvhd (64-bit times) and largesize boxes parse") {
+    def be32(x: Long) = Array[Byte]((x >>> 24).toByte, (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+    def be64(x: Long) = be32(x >>> 32) ++ be32(x & 0xffffffffL)
+    def box(t: String, p: Array[Byte]) = be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ // version 1, ctime/mtime 64-bit
+        be32(1000L) ++ be64(7200L) ++ new Array[Byte](80))
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    // moov carried in a LARGESIZE box (size == 1 + 64-bit size)
+    val moovPayload = mvhdV1
+    val moovLarge = be32(1L) ++ "moov".getBytes("US-ASCII") ++
+      be64(moovPayload.length + 16L) ++ moovPayload
+    val meta = Codecs.probeMp4(ftyp ++ moovLarge).get
+    meta.brand shouldBe "mp42"
+    meta.durationMs shouldBe 7200L
+    meta.nTracks shouldBe 0
+  }
+
+  test("probeMp4: non-MP4, truncated, and box-overrun bytes all return None") {
+    Codecs.probeMp4("plain text content, definitely not a movie".getBytes("UTF-8")) shouldBe None
+    Codecs.probeMp4(Array.emptyByteArray) shouldBe None
+    val good = Codecs.minimalMp4(6400L)
+    // cut into the moov payload (the trailing mdat is 12 bytes):
+    // moov's declared size now overruns the buffer
+    Codecs.probeMp4(good.take(good.length - 13)) shouldBe None
+    // declared box size exceeding the file is malformed, not a crash
+    val corrupt = good.clone()
+    corrupt(good.length - 12) = 0x7f // inflate the trailing mdat's size field
+    Codecs.probeMp4(corrupt) shouldBe None
+  }
+
+  test("containerMeta: bytes-first classification across mp4/gif/wav/unknown") {
+    val mp4 = Codecs.minimalMp4(6400L)
+    val wav = wavBytes(8000, 16, 1, Seq.fill(100)(Seq(8192)))
+    val rows = Multimodal.containerMeta(mediaOf(
+        (1L, "whatever", mp4), (2L, "fake-mp4", "just some text".getBytes("UTF-8")),
+        (3L, "wav", wav)))
+      .collect().map(c => c.media_id -> ((c.container, c.codecs, c.n_tracks))).toMap
+    rows(1L) shouldBe (("mp4", "avc1,mp4a", 2))
+    rows(2L)._1 shouldBe "unknown"
+    rows(3L) shouldBe (("wav", "pcm", 1))
+  }
 }

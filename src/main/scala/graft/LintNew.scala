@@ -2,8 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off: run [[graft.ops.Diagnostics.planLint]] over the round-7
-  * wave queries' FINAL (post-AQE) plans at sf0.01 and print findings. */
+/** One-off: run [[graft.ops.Diagnostics.planLint]] over the current
+  * round's new queries' FINAL (post-AQE) plans at sf0.01 and print
+  * findings. Since round 8 the two formerly hand-adjudicated benign
+  * classes (1-row-broadcast BNLJ; IvfIndex.sortedCells' interpreted
+  * array_sort) are encoded as allowlist rules in planLint itself, so
+  * this audit is expected to print ALL-clean — any output is a real
+  * finding. */
 object LintNew {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -15,10 +20,13 @@ object LintNew {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val names = Seq(
+      "q154_minhash_calibration", "q175_negative_sampling", // r8 rewrites
+      "q182_boilerplate_extract", "q183_syndication_communities",
+      "q184_mp4_catalog",
+      // re-audit the r7 wave now that the waivers are rules — these
+      // carried the hand-adjudicated classes and must print clean
       "q166_token_budget", "q167_cell_balanced_sample", "q168_filtered_ann",
-      "q169_source_score_norm", "q170_dup_direction", "q171_quality_lorenz",
-      "q172_mmr_rerank", "q173_length_match_resample", "q174_spearman_signals",
-      "q175_negative_sampling", "q176_ivf_probe_curve", "q177_audio_fp_dedup")
+      "q176_ivf_probe_curve", "q177_audio_fp_dedup")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -82,9 +82,26 @@ object Diagnostics {
     helper.collect(plan) { case j: joins.CartesianProductExec => j }.foreach(j =>
       out += LintFinding("cartesian", j.nodeName,
         "join has no usable equi-condition; rows multiply at scale"))
-    helper.collect(plan) { case j: joins.BroadcastNestedLoopJoinExec => j }.foreach(j =>
-      out += LintFinding("cartesian", j.nodeName,
-        "nested-loop join: every streamed row scans the whole broadcast side"))
+    helper.collect(plan) { case j: joins.BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      // ALLOWLISTED CLASS (r7 wave audits adjudicated this by hand
+      // every round — now encoded, VERDICT r7 #3): a BNLJ whose BUILD
+      // side is statically ≤ 1 row is the `crossJoin(broadcast(agg))`
+      // totals-attach pattern every report query uses — the "nested
+      // loop" is a constant lookup, benign at any scale. Detection
+      // rides Catalyst's static maxRows on the build side's logical
+      // child (a global aggregate proves maxRows = 1), so a DATA-SIZED
+      // broadcast side can never slip through the waiver.
+      val buildLogical = j.logicalLink.flatMap { l =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => l.children.headOption
+          case _ => l.children.lastOption
+        }
+      }
+      val oneRowBuild = buildLogical.flatMap(_.maxRows).exists(_ <= 1L)
+      if (!oneRowBuild)
+        out += LintFinding("cartesian", j.nodeName,
+          "nested-loop join: every streamed row scans the whole broadcast side")
+    }
 
     if (threshold > 0) helper.collect(plan) {
       case j: joins.SortMergeJoinExec => j
@@ -144,9 +161,36 @@ object Diagnostics {
         case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
           e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
       })
-      if (fallbacks.nonEmpty)
+      // ALLOWLISTED CLASS (the second r7 hand-waiver, now encoded):
+      // IvfIndex.sortedCells' `array_sort(array(struct(-cosine, cell)…))`
+      // centroid-ranking node — a PRE-EXISTING shared path (q47/q84/
+      // q85/q107/q167/q168/q176) whose cost is bounded by nCells per
+      // row, with the native-expression upgrade documented as the
+      // escape hatch. The match is STRUCTURAL, not by name: the
+      // fallback must be an array_sort whose tree contains the fused
+      // CosineSimilarity expression AND the ("nc", "cell")-struct —
+      // any OTHER interpreted array_sort (or any different fallback)
+      // still fails loudly.
+      val isSortedCellsNode: org.apache.spark.sql.catalyst.expressions.Expression => Boolean = {
+        case srt if srt.prettyName == "array_sort" =>
+          srt.exists(_.isInstanceOf[graft.sim.CosineSimilarity]) &&
+            srt.exists {
+              case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+                s.names.map(_.toString) == Seq("nc", "cell")
+              case _ => false
+            }
+        case _ => false
+      }
+      // a fallback tree flags as a unit: the ArraySort's own
+      // LambdaFunction / NamedLambdaVariable children are collected as
+      // separate fallbacks, so descendants of an allowlisted root are
+      // cleared with it
+      val allowRoots = fallbacks.filter(isSortedCellsNode)
+      val flagged = fallbacks.filterNot(fb =>
+        allowRoots.exists(r => r.exists(_ eq fb)))
+      if (flagged.nonEmpty)
         out += LintFinding("interpreted-expression", node.nodeName,
-          s"${fallbacks.map(_.prettyName).distinct.mkString(", ")} evaluate on " +
+          s"${flagged.map(_.prettyName).distinct.mkString(", ")} evaluate on " +
             "the interpreted fallback path inside codegen — row-at-a-time " +
             "virtual calls in the hot loop")
     }

@@ -79,4 +79,34 @@ class PlanLintSpec extends SparkSpec {
         .select(graft.text.Hashing.h60(col("text")).as("h")))
       .map(_.rule) should not contain "interpreted-expression"
   }
+
+  test("allowlist: 1-row-broadcast BNLJ (totals attach) is benign; a data-sized BNLJ still flags") {
+    // the crossJoin(broadcast(global agg)) report pattern — build side
+    // statically proves maxRows = 1, so the nested loop is a constant
+    // lookup and the r7 hand-waiver is now a rule
+    val docs = Tables.documents(spark, sf0001)
+    val totals = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    lint(docs.select("doc_id").crossJoin(totals))
+      .map(_.rule) should not contain "cartesian"
+    // a broadcast side that is NOT provably 1 row keeps flagging
+    val dim = broadcast(Seq(4, 5, 6).toDF("y"))
+    lint(docs.select("doc_id").crossJoin(dim))
+      .map(_.rule) should contain("cartesian")
+  }
+
+  test("allowlist: IvfIndex.sortedCells' interpreted array_sort is benign; any other array_sort still flags") {
+    // the shared centroid-ranking path (q47/q84/q85/q107/...): bounded
+    // by nCells per row, structurally matched — benign
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val idx = new graft.sim.IvfIndex(nCells = 4)
+    lint(idx.assign(emb)).map(_.rule) should not contain "interpreted-expression"
+    // a DIFFERENT interpreted array_sort (comparator lambda, no cosine)
+    // must still fail loudly — the waiver is the named shape, not the
+    // class (non-literal input so constant folding can't erase it)
+    val other = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        expr("array_sort(split(text, ' '), (a, b) -> length(b) - length(a))")
+          .as("by_len_desc"))
+    lint(other).map(_.rule) should contain("interpreted-expression")
+  }
 }

@@ -286,6 +286,28 @@ class TextFunctionsSpec extends SparkSpec {
     kept shouldBe 0L; short shouldBe 0L; lowd shouldBe 1L
   }
 
+  test("boilerplate: native census is value-identical to the builtin-HOF twin (fixture + edges)") {
+    // the DedupSpec twin discipline: the oracle-shaped builtin
+    // formulation and the codegen'd one-pass native expression must
+    // agree byte-for-byte on real data and on every edge-case string
+    val fixture = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), concat(lit("<html>\n<p>"), col("text"),
+        lit("</p>\n<ul><li><a href=\"/x\">x</a></li></ul>\n</html>")).as("html"))
+    val edges = Seq(
+      "", "\n", "no markup at all but quite long enough to pass the gate",
+      "<div class=\"promo><b>mixed</b></div>\n<a<b> weird <nested <tags>>",
+      "   spaces   \n<p>unicode: héllo wörld with enough text to keep</p>",
+      "<unclosed with no closing bracket but plenty of trailing text here")
+      .toDF("html").withColumn("doc_id", lit(0L))
+    for (df <- Seq(fixture, edges.select("doc_id", "html"))) {
+      val both = df.select(
+          graft.text.Boilerplate.census(col("html")).as("n"),
+          graft.text.Boilerplate.censusBuiltin(col("html")).as("b"))
+        .collect()
+      both.foreach { r => r.getStruct(0) shouldBe r.getStruct(1) }
+    }
+  }
+
   test("boilerplate: census outcomes partition the line count") {
     val html = Seq(
       "<html>", "<p>a real paragraph with more than enough text to keep</p>",

@@ -498,6 +498,137 @@ object AdvSweep {
           out.map(_.getAs[Long]("cand_id")).toSeq).toString
     }
 
+    // ==== wave 5 (round-8: attack the q178-q181 close-out wave) ========
+
+    // ---- q178 survivor remap over the FORCED-distributed components ---
+    // Wave 2 proved label-prop correct at 50M pairs; the remap is the
+    // step AFTER it, and its id-checksum is the invariant a partial or
+    // corrupted label frame cannot fake. Corpus = 10k clique (50M
+    // pairs) + 1000-node chain + 1000 untouched singletons; the
+    // checksum has a CLOSED-FORM exact expectation.
+    step("survivor_remap_50m") {
+      val ids = spark.range(0, 10000).select((col("id") + 100000L).as("x"))
+      val clique = ids.select(col("x").as("doc_a"))
+        .crossJoin(ids.select(col("x").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val chain = spark.range(0, 999)
+        .select((col("id") + 500000L).as("doc_a"), (col("id") + 500001L).as("doc_b"))
+      val singles = spark.range(0, 1000).select((col("id") + 900000L).as("doc_id"))
+      val corpus = ids.select(col("x").as("doc_id"))
+        .unionByName(spark.range(0, 1000).select((col("id") + 500000L).as("doc_id")))
+        .unionByName(singles)
+      val clusters = Dedup.nearDupClusters(clique.unionByName(chain),
+        maxIter = 20, driverMaxPairs = 0) // FORCE the distributed path
+      val remap = corpus.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+        .persist()
+      val checksum = remap.agg(sum(col("canonical_id"))).collect()(0).getLong(0)
+      // clique -> 100000 each; chain -> 500000 each; singles map to self
+      val expected = 10000L * 100000L + 1000L * 500000L +
+        (0L until 1000L).map(_ + 900000L).sum
+      stats("remap_checksum_exact") = (checksum == expected).toString
+      stats("remap_rows") = remap.count().toString // 12000
+      stats("remap_remapped") = // 10998: each cluster keeps its survivor
+        remap.where(col("canonical_id") =!= col("doc_id")).count().toString
+      remap.unpersist()
+    }
+
+    // ---- q179 phrase search under a hot-term postings flood -----------
+    // One phrase term ("slow") appears in 90% of 100k docs, so its
+    // postings list is ~90k rows while the other terms' stay small —
+    // the skew that makes a naive LIKE scan or an unpruned explode
+    // blow up. Claims: the per-term postings joins return EXACTLY the
+    // planted phrase docs (the flood never inflates matches), and the
+    // narrowest term's postings gate the join (correctness is
+    // unaffected by which side is hot).
+    step("phrase_hot_term") {
+      val n = 100000L
+      val base = spark.range(0, n).toDF("doc_id")
+      // 90% of docs carry the hot term in a NON-phrase context
+      // ("slow row"); docs % 100 == 0 carry the exact phrase once
+      val synth = base.select(col("doc_id"), concat(
+          lit("alpha beta "),
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("slow row ")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(100)) === 0, lit("slow hash batch "))
+            .otherwise(lit("")),
+          lit("gamma")).as("text"))
+      val phrase = Seq("slow", "hash", "batch")
+      val toks = synth.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .where(col("tok").isin(phrase: _*)).persist()
+      val hits = phrase.zipWithIndex.map { case (t, i) =>
+        toks.where(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("start"))
+      }.reduce(_.join(_, Seq("doc_id", "start")))
+      val matched = hits.select("doc_id").distinct().count()
+      stats("phrase_matched_expected_1000") = matched.toString
+      stats("phrase_hot_postings") =
+        toks.where(col("tok") === "slow").count().toString // ~91k rows
+      toks.unpersist()
+    }
+
+    // ---- q180 sparse cosine under a stopword flood ---------------------
+    // A term in EVERY doc makes the term self-join quadratic (30k docs
+    // -> 9x10^8 candidate rows through that one term). The q119 df-cap
+    // discipline drops flooded terms from PAIR GENERATION; claims: the
+    // capped join's row volume collapses by orders of magnitude, and
+    // planted duplicate pairs (which share 20 CONTENT terms, all rare)
+    // are still found at cos = 1 because their identifying terms are
+    // never capped.
+    step("sparse_cosine_stopword_flood") {
+      val n = 30000L
+      val base = spark.range(0, n).toDF("doc_id")
+      // every doc: the flood term + 20 content terms; docs 2k..2k+1
+      // are exact duplicates (same content block), others unique
+      val blk = when(pmod(col("doc_id"), lit(2)) === 0,
+        col("doc_id")).otherwise(col("doc_id") - 1)
+      val tf = base.select(col("doc_id"),
+          explode(concat(array(lit("the")),
+            transform(sequence(lit(1), lit(20)),
+              i => concat(lit("w"), blk * 100 + i)))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+      val cap = 1000L
+      stats("flood_terms_over_cap") = df_.where(col("df") > cap).count().toString // 1
+      val keptTf = tf.join(df_.where(col("df") <= cap).select("tok"), Seq("tok"))
+      val a = keptTf.select(col("tok"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
+      val b = keptTf.select(col("tok"), col("doc_id").as("doc_b"), col("tf").as("tfb"))
+      val dots = a.join(b, Seq("tok")).where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(sum(col("tfa") * col("tfb")).as("dot"))
+        .persist()
+      val pairRows = dots.count()
+      stats("flood_capped_pair_rows") = pairRows.toString // 15000 (the dup pairs)
+      stats("flood_uncapped_would_be") = ((n * (n - 1)) / 2).toString // 4.5e8
+      // every planted dup pair present with full 20-term overlap
+      stats("flood_dup_pairs_found") =
+        dots.where(col("doc_b") === col("doc_a") + 1 &&
+          pmod(col("doc_a"), lit(2)) === 0 && col("dot") === 20L).count().toString
+      tf.unpersist(); df_.unpersist(); dots.unpersist()
+    }
+
+    // ---- q181 FK audit under a 90%-orphan partial load -----------------
+    // The audit exists for exactly this: a fact table loaded before its
+    // dims. 1M fact rows, 90% referencing keys absent from the dim;
+    // the dim side stays small so the broadcast anti join must hold.
+    // Claims: the orphan count is EXACT, and the guarded-broadcast anti
+    // join neither flips to a shuffle nor miscounts when orphans
+    // dominate.
+    step("fk_audit_90pct_orphans") {
+      val fact = spark.range(0, 1000000).toDF("i")
+        .select(when(pmod(col("i"), lit(10)) < 9, col("i") + 2000000L)
+          .otherwise(pmod(col("i"), lit(1000L))).as("fk"))
+      val dim = spark.range(0, 1000).toDF("k")
+      val orphans = fact.join(
+        broadcast(dim.select(col("k").as("fk")).distinct()),
+        Seq("fk"), "left_anti").count()
+      stats("fk_orphans_expected_900000") = orphans.toString
+      val present = fact.join(broadcast(dim.select(col("k").as("fk"))),
+        Seq("fk"), "left_semi").count()
+      stats("fk_present_expected_100000") = present.toString
+      stats("fk_partition_sum") = (orphans + present == 1000000L).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -77,6 +77,60 @@ object ExtendedQueries {
       | count(*) AS n
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ------------------------- mergeable quantile sketch + contract (q186)
+  /** The QUANTILE member of the sketch family (HLL distinct q46/q55,
+    * Count-Min frequency q81, Bloom membership q102): Spark's
+    * `percentile_approx` (KLL-style mergeable sketch — per-partition
+    * sketches, map-side combined, constant memory) at accuracy 1000,
+    * VERIFIED IN-PLAN against exact ranks: a reported value v for
+    * percentile p must satisfy
+    * `count(x < v) ≤ p·N + N/acc` and `count(x ≤ v) ≥ p·N − N/acc`
+    * (the sketch's rank-error guarantee). Sketch values themselves are
+    * implementation-defined, so — the q46/q55 discipline — the output
+    * carries the CONTRACT booleans plus the exact percentiles through
+    * the q41 DECIMAL(18,6) bridge, never the raw sketch values.
+    *
+    * Scale shape: this is what replaces q41's exact sort-based
+    * percentile at 100 TB — the sketch pass ships ~O(acc) counters per
+    * partition instead of buffering the column; the exact pass here is
+    * the fixture-scale verification twin. */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_extendedprice").cast(DoubleType).as("x")).persist()
+    val sk = li.agg(
+      percentile_approx(col("x"), array(lit(0.5), lit(0.95), lit(0.99)),
+        lit(1000)).as("approx"),
+      count(lit(1)).as("n"))
+      .select(element_at(col("approx"), 1).as("v50"),
+        element_at(col("approx"), 2).as("v95"),
+        element_at(col("approx"), 3).as("v99"), col("n"))
+    val eps = 0.001 // 1/accuracy
+    def ok(p: Double, v: String) =
+      (sum(when(col("x") < col(v), 1L).otherwise(0L)).cast(DoubleType)
+        <= lit(p) * col("n") + lit(eps) * col("n")) &&
+      (sum(when(col("x") <= col(v), 1L).otherwise(0L)).cast(DoubleType)
+        >= lit(p) * col("n") - lit(eps) * col("n"))
+    val exact = li.agg(
+      percentile(col("x"), lit(0.5)).cast(DecimalType(18, 6)).cast(DoubleType).as("exact_p50"),
+      percentile(col("x"), lit(0.95)).cast(DecimalType(18, 6)).cast(DoubleType).as("exact_p95"),
+      percentile(col("x"), lit(0.99)).cast(DecimalType(18, 6)).cast(DoubleType).as("exact_p99"))
+    li.crossJoin(broadcast(sk))
+      .groupBy(col("n"))
+      .agg(ok(0.5, "v50").as("sk50_ok"), ok(0.95, "v95").as("sk95_ok"),
+        ok(0.99, "v99").as("sk99_ok"))
+      .crossJoin(broadcast(exact))
+      .select(col("n"), col("exact_p50"), col("exact_p95"), col("exact_p99"),
+        col("sk50_ok"), col("sk95_ok"), col("sk99_ok"))
+  }
+
+  private val q186Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | CAST(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS exact_p50,
+      | CAST(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS exact_p95,
+      | CAST(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS exact_p99,
+      | true AS sk50_ok, true AS sk95_ok, true AS sk99_ok
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------------ as-of join
   /** Attribution as-of: for each purchase event, the latest click of the
     * same user at or before it (union+window — no fan-out join). */
@@ -1643,5 +1697,6 @@ object ExtendedQueries {
     ("q148_event_transitions", q148 _, Some(q148Sql)),
     ("q152_trade_triangles", q152 _, Some(q152Sql)),
     ("q165_user_gini",       q165 _, Some(q165Sql)),
-    ("q181_fk_integrity",    q181 _, Some(q181Sql)))
+    ("q181_fk_integrity",    q181 _, Some(q181Sql)),
+    ("q186_quantile_sketch", q186 _, Some(q186Sql)))
 }

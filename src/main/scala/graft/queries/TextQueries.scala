@@ -3716,6 +3716,57 @@ object TextQueries {
        |FROM l4 CROSS JOIN tm CROSS JOIN num ORDER BY source""".stripMargin
   }
 
+  // ------------- URL canonicalization + per-domain census (q185)
+  /** The crawl-pipeline step BEFORE URL-keyed dedup or per-domain
+    * budgeting can work: collapse tracking-junk/fragment/case/www
+    * variants of the same page to one canonical key
+    * ([[graft.text.UrlOps.canonicalize]] — RE2-portable regex rules,
+    * so both engines can run them identically). The fixture has no URL
+    * column, so URLs are SYNTHESIZED deterministically (the q182
+    * discipline) with doc_id-rotated variants: %4 plants an uppercase
+    * `WWW.` host, %3 rotates {all-utm query | mixed query + fragment |
+    * bare}; 50 docs share each base page so canonicalization actually
+    * collapses. Census per domain: url count, canonical count, max
+    * variants per canonical page.
+    *
+    * The ORACLE does not re-run the regexes — it states what canonical
+    * form the rules MUST produce by direct construction, so a regex
+    * bug on either side breaks the match (stronger than a mirrored
+    * implementation). Scale shape: pure per-row regexp work in the
+    * scan stage; one (domain, canonical) aggregate, map-side combined,
+    * then a |domains|-row rollup. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 4 === 0, lit("https://WWW.")).otherwise(lit("https://")),
+      col("source"), lit(".example.com/"), col("lang"), lit("/post/"),
+      (id % 50).cast("string"),
+      when(id % 3 === 0, lit("?utm_source=feed&utm_medium=rss"))
+        .when(id % 3 === 1, lit("?page=2&utm_campaign=x#top"))
+        .otherwise(lit("")))
+    val canon = docs0(s, d)
+      .select(graft.text.UrlOps.canonicalize(raw).as("canonical"))
+      .select(col("canonical"),
+        graft.text.UrlOps.domainOf(col("canonical")).as("domain"))
+    canon.groupBy("domain", "canonical").agg(count(lit(1)).as("n"))
+      .groupBy("domain")
+      .agg(sum(col("n")).as("n_urls"), count(lit(1)).as("n_canonical"),
+        max(col("n")).as("max_variants"))
+      .sortedOut("domain")
+  }
+
+  private val q185Sql =
+    """WITH c AS (SELECT source || '.example.com' AS domain,
+      |    'https://' || source || '.example.com/' || lang || '/post/'
+      |      || CAST(doc_id % 50 AS VARCHAR)
+      |      || CASE WHEN doc_id % 3 = 1 THEN '?page=2' ELSE '' END AS canonical
+      |  FROM documents),
+      |per AS (SELECT domain, canonical, CAST(count(*) AS BIGINT) AS n
+      |  FROM c GROUP BY 1, 2)
+      |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
+      |  CAST(count(*) AS BIGINT) AS n_canonical, max(n) AS max_variants
+      |FROM per GROUP BY domain ORDER BY domain""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3798,5 +3849,6 @@ object TextQueries {
     ("q179_phrase_search",     q179 _, Some(q179Sql)),
     ("q180_sparse_cosine_join", q180 _, Some(q180Sql)),
     ("q182_boilerplate_extract", q182 _, Some(q182Sql)),
-    ("q183_syndication_communities", q183 _, Some(q183Sql)))
+    ("q183_syndication_communities", q183 _, Some(q183Sql)),
+    ("q185_url_canonical", q185 _, Some(q185Sql)))
 }

@@ -308,6 +308,30 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  // ---- UrlOps (q185) edge-case pins
+  test("urlops: canonicalize strips fragment/utm/www, lowercases host ONLY, keeps real params") {
+    def canonOf(u: String): String =
+      Seq(u).toDF("u").select(graft.text.UrlOps.canonicalize(col("u")).as("c"))
+        .collect().head.getString(0)
+    // the full gauntlet in one URL
+    canonOf("https://WWW.Feed.Example.com/En/Post/7?utm_source=rss&page=2&utm_campaign=x#top") shouldBe
+      "https://feed.example.com/En/Post/7?page=2"
+    // path case is PRESERVED (paths are case-sensitive), host lowered
+    canonOf("HTTPS://API.Site.org/CaseSensitive/Path") shouldBe
+      "https://api.site.org/CaseSensitive/Path"
+    // all-utm query drops with its '?'
+    canonOf("https://a.b/p?utm_a=1&utm_b=2") shouldBe "https://a.b/p"
+    // leading utm hands the '?' to the survivor
+    canonOf("https://a.b/p?utm_a=1&id=9") shouldBe "https://a.b/p?id=9"
+    // no-op on an already-canonical URL
+    canonOf("https://a.b/p?id=9") shouldBe "https://a.b/p?id=9"
+    // www only strips as a host PREFIX label, not mid-host
+    canonOf("https://notwww.example.com/x") shouldBe "https://notwww.example.com/x"
+    Seq("https://feed.example.com/en/post/7?page=2").toDF("u")
+      .select(graft.text.UrlOps.domainOf(col("u")).as("d"))
+      .collect().head.getString(0) shouldBe "feed.example.com"
+  }
+
   test("boilerplate: census outcomes partition the line count") {
     val html = Seq(
       "<html>", "<p>a real paragraph with more than enough text to keep</p>",

@@ -222,4 +222,54 @@ object TextIndex {
     if (due) compact(spark, name, spec)
     due
   }
+
+  // ------------------------------------------------ positional index
+
+  private def posName(name: String) = s"${name}_pospostings"
+
+  /** POSITIONAL postings — (term, doc_id, pos) per token occurrence,
+    * bucketed by term: the standing-index form of q179's phrase
+    * retrieval. Bigger than the tf postings by the occurrence/type
+    * ratio, which is exactly what buys exact-phrase answers without
+    * ever re-scanning text. Append-only like the tf tables. */
+  def writePositional(docs: DataFrame, name: String, spec: Spec = Spec(),
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = docs.sparkSession
+    if (mode == SaveMode.Overwrite) dropStale(spark, posName(name))
+    docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos"))
+      .write.mode(mode)
+      .bucketBy(spec.buckets, "term").sortBy("term")
+      .saveAsTable(posName(name))
+  }
+
+  /** Add a batch to the positional postings (bucketed append). */
+  def appendPositional(docs: DataFrame, name: String, spec: Spec = Spec()): Unit =
+    writePositional(docs, name, spec, SaveMode.Append)
+
+  /** Exact phrase occurrences per document, served FROM the index —
+    * q179's (doc_id, pos − offset) join with the token explode swapped
+    * for bucket-pruned posting reads: the probe touches only the
+    * phrase terms' buckets (≤ |phrase| of spec.buckets), never the
+    * corpus text. Returns (doc_id, n_occurrences), occurrences ≥ 1.
+    * Same session-scoped autoBucketedScan gate as [[probe]] (bucket
+    * pruning needs the bucketed scan kept). */
+  def phraseSearch(spark: SparkSession, name: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    if (spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "true") != "false")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // pruned slice feeds one branch per phrase position — persist so
+    // the bucket read happens once (lazy-plan persist, q179 pattern)
+    val posts = spark.table(posName(name))
+      .where(col("term").isin(phrase.distinct.map(x => x: Any): _*))
+      .persist()
+    phrase.zipWithIndex.map { case (t, i) =>
+      posts.where(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

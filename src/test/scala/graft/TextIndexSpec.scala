@@ -78,4 +78,50 @@ class TextIndexSpec extends SparkSpec {
     probeRows("tix_mnt") shouldBe probeRows("tix_mnt_whole")
     before should not be empty
   }
+
+  test("phraseSearch from the positional index == q179's full-scan join; appends merge; probe bucket-pruned") {
+    import graft.text.TextFunctions
+    val phrase = Seq("big", "order", "scan") // present in the sf0.001 fixture
+    // full-scan reference: q179's (doc_id, pos - i) join over a
+    // posexplode of the corpus text
+    def reference(corpus: org.apache.spark.sql.DataFrame) = {
+      val toks = corpus.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .where(col("tok").isin(phrase: _*))
+      phrase.zipWithIndex.map { case (t, i) =>
+        toks.where(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("start"))
+      }.reduce(_.join(_, Seq("doc_id", "start")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expect = reference(docs)
+    expect should not be empty // the fixture contains the phrase
+    // split build + append must equal the one-shot build (pure deltas)
+    TextIndex.writePositional(docs.where(col("doc_id") % 2 === 0), "tix_pos")
+    TextIndex.appendPositional(docs.where(col("doc_id") % 2 === 1), "tix_pos")
+    val got = TextIndex.phraseSearch(spark, "tix_pos", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expect
+    // the probe reads only the phrase terms' buckets, never the corpus
+    val plan = TextIndex.phraseSearch(spark, "tix_pos", phrase)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    sel.isDefined shouldBe true
+    sel.get.group(1).toInt should be <= phrase.length
+    // a repeated-term phrase joins the same slice at two offsets
+    val rep = TextIndex.phraseSearch(spark, "tix_pos", Seq("hash", "hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val repExpect = {
+      val toks = docs.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .where(col("tok") === "hash")
+      toks.select(col("doc_id"), col("pos").as("start"))
+        .join(toks.select(col("doc_id"), (col("pos") - 1).as("start")),
+          Seq("doc_id", "start"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    rep shouldBe repExpect
+  }
 }

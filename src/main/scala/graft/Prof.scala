@@ -65,6 +65,34 @@ object Prof {
     time("q58_registered")(SparkEntry.queries("q58_cosine_neardup")(spark, sfDir))
     time("q58_pairs_only")(graft.sim.VectorFunctions.cosineNearDupPairs(
       Tables.load(spark, sfDir, "embeddings"), dim = 64, minCos = 0.45))
+
+    // q183 decomposition (round 8: 10.5 s in the battery — where?)
+    def q183Edges(): DataFrame = {
+      val docsT = Tables.documents(spark, sfDir)
+      val pairs = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docsT, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.5)
+      val src = docsT.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .where(col("sa") =!= col("sb"))
+        .groupBy(col("sa").as("src"), col("sb").as("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
+    time("q183_edges_only")(q183Edges())
+    time("q183_lpa_tiny_edges") {
+      import spark.implicits._
+      val e = (for (a <- 0 until 20; b <- 0 until 20 if a != b)
+        yield (s"s$a", s"s$b", 5L)).toDF("src", "dst", "w")
+      val n = (0 until 20).map(i => s"s$i").toDF("node")
+      graft.ops.Graph.labelPropagation(e, n, iters = 4)
+    }
+    time("q183_lpa_real_edges") {
+      val e = q183Edges().persist()
+      val n = Tables.documents(spark, sfDir).select(col("source")).distinct()
+      graft.ops.Graph.labelPropagation(e, n, iters = 4)
+    }
+    time("q183_registered")(SparkEntry.queries("q183_syndication_communities")(spark, sfDir))
     spark.stop()
   }
 }

@@ -3664,12 +3664,20 @@ object TextQueries {
     val pairs = Dedup.minhashCandidatePairs(
       Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.5)
     val src = docs.select(col("doc_id"), col("source"))
+    // localCheckpoint (not persist) the ≤|S|²-row edge list: it feeds
+    // labelPropagation's 4 rounds AND modularity's joins, and a
+    // persist only caches the DATA — every downstream plan still
+    // carries (and re-analyzes) the whole minhash pair-pipeline
+    // LINEAGE per round, which dominated the query (measured 10.5 s;
+    // the checkpoint leaf cuts it to ~4 s — the Mmr.rerank lesson
+    // applied at the operator boundary).
     val e = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .where(col("sa") =!= col("sb"))
       .groupBy(col("sa").as("src"), col("sb").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val nodes = docs.select(col("source")).distinct()
     val labels = graft.ops.Graph.labelPropagation(e, nodes, iters = 4)
     val q = graft.ops.Graph.modularity(e, labels)

@@ -3775,6 +3775,126 @@ object TextQueries {
       |  CAST(count(*) AS BIGINT) AS n_canonical, max(n) AS max_variants
       |FROM per GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------- WARC ingestion census (q187)
+  /** Parse the crawl-archive container itself: each document's fetch is
+    * materialized as deterministic WARC bytes (warcinfo + request +
+    * response triple, [[graft.sources.Warc.warcForDoc]] — the q184
+    * bytes-first planting discipline, since the fixture has no WARC
+    * column) and the census reports what the PARSER recovered: record
+    * count, response count, target URI, HTTP status, salvaged body
+    * length/md5 and the truncated/gzipped observations. Two planted
+    * hard cases rotate through the corpus: doc_id%13==5 chops the last
+    * 10 bytes of the stream (interrupted transfer — the parser must
+    * salvage `len(text)-6` body bytes and flag truncated, NOT throw),
+    * and doc_id%7==3 (when not truncated) writes the real `.warc.gz`
+    * layout (one gzip member per record) the parser must inflate.
+    * The oracle never parses bytes — it states what the parse MUST
+    * recover directly from the source columns, so a kernel bug on
+    * either side breaks the match (the q185 direct-construction rule).
+    *
+    * Scale shape: synthesize+parse is one narrow map in the scan stage
+    * (at 100 TB the same kernel runs per `.warc.gz` FILE via
+    * [[graft.sources.Warc.scan]] — the Common-Crawl unit of
+    * parallelism); only the |docs|-row census reaches the output sort,
+    * and the body bytes are hashed BEFORE it. */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parsed = docs0(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)]
+      .map { case (id, src, lang, text) =>
+        val trunc = id % 13 == 5
+        val gz = !trunc && id % 7 == 3
+        val bytes = graft.sources.Warc.warcForDoc(id, src, lang, text,
+          truncateTail = if (trunc) 10 else 0, gzipPerRecord = gz)
+        val recs = graft.sources.Warc.parse(bytes)
+        val resp = recs.find(_.warcType == "response")
+        val (status, body) = resp.map(r => graft.sources.Warc.httpBody(r.payload))
+          .getOrElse((0L, Array.emptyByteArray))
+        (id, recs.length.toLong, recs.count(_.warcType == "response").toLong,
+          resp.map(_.targetUri).getOrElse(""), status, body.length.toLong,
+          body, recs.exists(_.truncated), graft.sources.Warc.isGzip(bytes))
+      }
+      .toDF("doc_id", "n_records", "n_response", "target_uri", "http_status",
+        "body_len", "body", "truncated", "gzipped")
+    parsed
+      .select(col("doc_id"), col("n_records"), col("n_response"),
+        col("target_uri"), col("http_status"), col("body_len"),
+        md5(col("body")).as("body_md5"), col("truncated"), col("gzipped"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q187Sql =
+    """SELECT doc_id,
+      | CAST(3 AS BIGINT) AS n_records, CAST(1 AS BIGINT) AS n_response,
+      | 'https://' || source || '.example.com/' || lang || '/post/'
+      |   || CAST(doc_id % 50 AS VARCHAR) AS target_uri,
+      | CAST(200 AS BIGINT) AS http_status,
+      | CAST(CASE WHEN doc_id % 13 = 5 THEN length(text) - 6
+      |           ELSE length(text) END AS BIGINT) AS body_len,
+      | md5(CASE WHEN doc_id % 13 = 5 THEN substr(text, 1, length(text) - 6)
+      |          ELSE text END) AS body_md5,
+      | doc_id % 13 = 5 AS truncated,
+      | doc_id % 7 = 3 AND doc_id % 13 <> 5 AS gzipped
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------- Unicode NFC normalization census (q188)
+  /** The hygiene pass BEFORE any hash-keyed operator: composed and
+    * decomposed forms of the same visible text must collapse or exact
+    * dedup (q23), shingles (q29) and vocab ids (q79) silently treat
+    * them as different documents. [[graft.text.Nfc]] (native JDK
+    * Normalizer expression, real doGenCode) normalizes; the census
+    * reports changed-flag, char counts before/after, combining-mark
+    * count and the normalized text's md5. The fixture text is pure
+    * ASCII, so non-NFC input is PLANTED (q182 discipline), rotating
+    * the canonical cases: %4==0 appends combining-acute 'e'+U+0301
+    * (composes to é, one char shorter), %4==1 appends the Angstrom
+    * SIGN U+212B (composes to Å, same length — a singleton mapping,
+    * not a mark), %4==2 appends precomposed é (already NFC — must NOT
+    * change), %4==3 stays bare ASCII.
+    *
+    * The oracle runs DuckDB's `nfc_normalize` — an INDEPENDENT UAX#15
+    * implementation (utf8proc) — on identically-constructed input:
+    * both engines must produce byte-identical normal forms for the
+    * hash to match, a stronger pin than any mirrored formula; NfcSpec
+    * adds direct-construction pins (incl. Hangul jamo composition).
+    *
+    * Scale shape: pure narrow per-row work; the ASCII/already-NFC
+    * fast path (isNormalized quick-check) never allocates. */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" Café")))
+      .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" Å")))
+      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" é")))
+      .otherwise(col("text"))
+    docs0(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"), graft.text.Nfc.nfc(col("raw")).as("nf"))
+      .select(col("doc_id"),
+        (col("nf") =!= col("raw")).as("changed"),
+        length(col("raw")).cast(LongType).as("n_chars_raw"),
+        length(col("nf")).cast(LongType).as("n_chars_nfc"),
+        (length(col("raw")) -
+          length(regexp_replace(col("raw"), "[\\x{0300}-\\x{036F}]", "")))
+          .cast(LongType).as("n_marks_raw"),
+        md5(col("nf").cast("binary")).as("nfc_md5"))
+      .sortedOutWide("doc_id")
+  }
+
+  private val q188Sql =
+    """WITH r AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN text || ' Cafe' || chr(769)
+      |         WHEN doc_id % 4 = 1 THEN text || ' ' || chr(8491)
+      |         WHEN doc_id % 4 = 2 THEN text || ' ' || chr(233)
+      |         ELSE text END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nf FROM r)
+      |SELECT doc_id, nf <> raw AS changed,
+      |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(nf) AS BIGINT) AS n_chars_nfc,
+      |  CAST(length(raw) - length(regexp_replace(raw, '[\x{0300}-\x{036F}]', '', 'g')) AS BIGINT) AS n_marks_raw,
+      |  md5(nf) AS nfc_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),

@@ -616,7 +616,7 @@ object Dedup {
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persist()
-    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+    var labels = graft.ops.Lineage.cut(nodes.withColumn("cluster", col("doc_id")))
     // labels only ever decrease, so the label sum is strictly monotone
     // until the fixpoint — an O(1)-row convergence probe with no
     // compare join
@@ -639,7 +639,7 @@ object Dedup {
         .join(nm.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
           Seq("cluster"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("cluster")).as("cluster"))
-        .localCheckpoint()
+      labels = graft.ops.Lineage.cut(labels)
       val s = labels.agg(sum(col("cluster")).cast(DecimalType(38, 0)).as("s"))
         .collect()(0).getDecimal(0)
       done = s == prevSum

@@ -294,8 +294,10 @@ object Graph {
     * the (pre-aggregated) adjacency against the |V|-row label frame +
     * one groupBy bounded by |E| + one per-node argmax (max_by over an
     * integer struct — combines map-side, no window, no sort); each
-    * level persists, ONE final action materializes the chain, then
-    * every intermediate unpersists (the ADVICE r6 #2 discipline).
+    * round ends in a [[Lineage.cut]] so depth never grows the plan
+    * and nothing stays registered in the cache manager after return
+    * (the ADVICE r8 leak fix — a persisted final frame would pin
+    * storage-pool blocks for the session's lifetime).
     * Synchronous updates can two-cycle on bipartite-ish structure —
     * run a FIXED iteration count (the oracle unrolls the same count)
     * rather than testing convergence.
@@ -311,10 +313,8 @@ object Graph {
     val nodeCol = nodes.columns.head
     val n = nodes.select(col(nodeCol).as("node")).persist()
     val e = symmetrized(edges).persist()
-    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var labels = n.select(col("node"), col("node").as("lbl")).persist()
+    var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")))
     for (_ <- 0 until iters) {
-      levels += labels
       // per-neighbor-label incident weight, then argmax by
       // (weight desc, label asc) via min over an integer struct —
       // deterministic, map-side combinable, window-free
@@ -323,12 +323,9 @@ object Graph {
       val best = nb.groupBy(col("dst"))
         .agg(min(struct(negate(col("s")).as("ns"), col("lbl").as("l"))).as("b"))
         .select(col("dst"), col("b.l").as("new_lbl"))
-      labels = n.join(best, n("node") === best("dst"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl"))
-        .persist()
+      labels = Lineage.cut(n.join(best, n("node") === best("dst"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl")))
     }
-    labels.count() // one action fills the persisted chain
-    levels.foreach(_.unpersist(blocking = false))
     val out = labels.select(col("node"), col("lbl").as("community"))
     e.unpersist(blocking = false)
     n.unpersist(blocking = false)
@@ -364,10 +361,18 @@ object Graph {
       .select((coalesce(col("in_c"), lit(0L)).cast(DecimalType38) * col("two_m").cast(DecimalType38)
         - col("tot_c").cast(DecimalType38) * col("tot_c").cast(DecimalType38)).as("num"))
       .agg(sum(col("num")).as("numer"))
-    twoM.crossJoin(broadcast(numer))
+    val lazyOut = twoM.crossJoin(broadcast(numer))
       .select(col("two_m"),
         (col("numer").cast("double") /
           (col("two_m").cast("double") * col("two_m").cast("double"))).as("modularity"))
+    // materialize the 1-row result so the helper persists can be
+    // dropped BEFORE returning — a lazy return would leak e/joined in
+    // the cache manager forever (ADVICE r8 #4)
+    val row = lazyOut.collect()
+    e.unpersist(blocking = false)
+    joined.unpersist(blocking = false)
+    lazyOut.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), lazyOut.schema)
   }
 
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)

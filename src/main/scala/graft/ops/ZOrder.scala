@@ -72,7 +72,7 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"${ev.value} = graft.ops.ZOrder.zEval($x, $y, $bits);")
 
-  override protected def withNewChildInternal(
+  override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

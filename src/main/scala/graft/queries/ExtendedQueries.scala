@@ -911,6 +911,88 @@ object ExtendedQueries {
        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   }
 
+
+  // --------------------- layout skipping census: z vs sort vs hash (q189)
+  /** The AUDIT step after a [[graft.ops.Maintenance.writeZOrdered]]
+    * layout decision: how many files (and rows) would min/max pruning
+    * actually read under each of the three canonical layouts — z-order
+    * ([[graft.ops.ZOrder.zvalue]], the native Morton expression),
+    * single-column sort, and key-hash — for a point predicate on
+    * either dimension and a box on both. Real parquet row-group IO
+    * can't be oracled cross-engine (ScaleOpsSpec metric-proves it);
+    * this census SIMULATES the pruning with pure integer math both
+    * engines reproduce bit-for-bit: rows fold to 8-bit (a, b) coords,
+    * each layout assigns a file id (z>>10, a>>2, (31a+b)%64 — 64
+    * "files" each), per-file envelopes are (min,max) per dimension,
+    * and a file is READ iff its envelope intersects the predicate —
+    * exactly the parquet footer-stats rule.
+    *
+    * The expected shape IS the z-order story: sort-by-a prunes a-point
+    * predicates perfectly and b-points not at all; hash prunes
+    * nothing; z-order prunes BOTH to ~sqrt-ish file subsets and boxes
+    * hardest. Narrow scan of two int columns; three |files|-bounded
+    * aggregates; output is 3 rows.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val coords = t(s, d, "lineitem")
+      .select(pmod(col("l_partkey"), lit(256)).cast("int").as("a"),
+              pmod(col("l_suppkey"), lit(256)).cast("int").as("b"))
+    val withFiles = coords.select(col("a"), col("b"),
+      shiftright(graft.ops.ZOrder.zvalue(col("a"), col("b"), bits = 8), 10)
+        .as("f_z"),
+      shiftright(col("a"), 2).cast("long").as("f_sort"),
+      pmod(col("a") * 31 + col("b"), lit(64)).cast("long").as("f_hash"))
+    def census(layout: String, fileCol: String): DataFrame =
+      withFiles
+        .groupBy(col(fileCol).as("file"))
+        .agg(count(lit(1)).as("n"),
+             min("a").as("lo_a"), max("a").as("hi_a"),
+             min("b").as("lo_b"), max("b").as("hi_b"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+          sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, 1L).otherwise(0L)).as("files_pa"),
+          sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, col("n")).otherwise(0L)).as("rows_pa"),
+          sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, 1L).otherwise(0L)).as("files_pb"),
+          sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, col("n")).otherwise(0L)).as("rows_pb"),
+          sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
+                   col("lo_b") <= 15 && col("hi_b") >= 0, 1L).otherwise(0L)).as("files_box"),
+          sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
+                   col("lo_b") <= 15 && col("hi_b") >= 0, col("n")).otherwise(0L)).as("rows_box"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_rows"),
+          col("files_pa"), col("rows_pa"), col("files_pb"), col("rows_pb"),
+          col("files_box"), col("rows_box"))
+    census("hash", "f_hash")
+      .unionByName(census("sort_a", "f_sort"))
+      .unionByName(census("zorder", "f_z"))
+      .sortedOut("layout")
+  }
+
+  private val q189Sql = {
+    val zExpr = (0 until 8)
+      .map(i => s"(((a & ${1L << i}) << $i) | ((b & ${1L << i}) << ${i + 1}))")
+      .mkString(" | ")
+    def census(layout: String, fileExpr: String) =
+      s"""SELECT '$layout' AS layout,
+         |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN lo_a <= 42 AND hi_a >= 42 THEN 1 ELSE 0 END) AS BIGINT) AS files_pa,
+         |  CAST(sum(CASE WHEN lo_a <= 42 AND hi_a >= 42 THEN n ELSE 0 END) AS BIGINT) AS rows_pa,
+         |  CAST(sum(CASE WHEN lo_b <= 7 AND hi_b >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS files_pb,
+         |  CAST(sum(CASE WHEN lo_b <= 7 AND hi_b >= 7 THEN n ELSE 0 END) AS BIGINT) AS rows_pb,
+         |  CAST(sum(CASE WHEN lo_a <= 47 AND hi_a >= 40 AND lo_b <= 15 AND hi_b >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_box,
+         |  CAST(sum(CASE WHEN lo_a <= 47 AND hi_a >= 40 AND lo_b <= 15 AND hi_b >= 0 THEN n ELSE 0 END) AS BIGINT) AS rows_box
+         |FROM (SELECT $fileExpr AS file, CAST(count(*) AS BIGINT) AS n,
+         |        min(a) AS lo_a, max(a) AS hi_a, min(b) AS lo_b, max(b) AS hi_b
+         |      FROM coords GROUP BY 1) env""".stripMargin
+    s"""WITH kb AS (SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+       |coords AS (SELECT a, b, ($zExpr) AS z FROM kb)
+       |SELECT * FROM (
+       |${census("hash", "(a * 31 + b) % 64")}
+       |UNION ALL
+       |${census("sort_a", "a // 4")}
+       |UNION ALL
+       |${census("zorder", "z // 1024")}
+       |) u ORDER BY layout""".stripMargin
+  }
+
   // ------------------------------ SCD2 dimension history (q103)
   /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
     * each user's `event_type` is the tracked attribute, so the history
@@ -1703,5 +1785,6 @@ object ExtendedQueries {
     ("q152_trade_triangles", q152 _, Some(q152Sql)),
     ("q165_user_gini",       q165 _, Some(q165Sql)),
     ("q181_fk_integrity",    q181 _, Some(q181Sql)),
-    ("q186_quantile_sketch", q186 _, Some(q186Sql)))
+    ("q186_quantile_sketch", q186 _, Some(q186Sql)),
+    ("q189_layout_skipping", q189 _, Some(q189Sql)))
 }

@@ -3671,13 +3671,12 @@ object TextQueries {
     // LINEAGE per round, which dominated the query (measured 10.5 s;
     // the checkpoint leaf cuts it to ~4 s — the Mmr.rerank lesson
     // applied at the operator boundary).
-    val e = pairs
+    val e = graft.ops.Lineage.cut(pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .where(col("sa") =!= col("sb"))
       .groupBy(col("sa").as("src"), col("sb").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("w")))
     val nodes = docs.select(col("source")).distinct()
     val labels = graft.ops.Graph.labelPropagation(e, nodes, iters = 4)
     val q = graft.ops.Graph.modularity(e, labels)
@@ -3862,9 +3861,9 @@ object TextQueries {
     * Scale shape: pure narrow per-row work; the ASCII/already-NFC
     * fast path (isNormalized quick-check) never allocates. */
   private def q188(s: SparkSession, d: String): DataFrame = {
-    val raw = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" Café")))
-      .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" Å")))
-      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" é")))
+    val raw = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" Cafe\u0301")))
+      .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" \u212B")))
+      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" \u00E9")))
       .otherwise(col("text"))
     docs0(s, d)
       .select(col("doc_id"), raw.as("raw"))
@@ -3978,5 +3977,7 @@ object TextQueries {
     ("q180_sparse_cosine_join", q180 _, Some(q180Sql)),
     ("q182_boilerplate_extract", q182 _, Some(q182Sql)),
     ("q183_syndication_communities", q183 _, Some(q183Sql)),
-    ("q185_url_canonical", q185 _, Some(q185Sql)))
+    ("q185_url_canonical", q185 _, Some(q185Sql)),
+    ("q187_warc_census", q187 _, Some(q187Sql)),
+    ("q188_nfc_census", q188 _, Some(q188Sql)))
 }

@@ -69,7 +69,7 @@ object Mmr {
       // rounds never finished planning). The checkpointed frame is
       // rounds·|Q| rows — trivially small; values are computed once,
       // so determinism is untouched.
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = graft.ops.Lineage.cut(selected.unionByName(pick))
       r += 1
     }
     selected

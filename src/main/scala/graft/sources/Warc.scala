@@ -132,13 +132,20 @@ object Warc {
   def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  /** Inflate ALL concatenated gzip members. */
+  /** Inflate ALL concatenated gzip members. A truncated or corrupt
+    * member salvages the bytes inflated so far instead of throwing —
+    * same contract as the Content-Length salvage below: one cut-off
+    * `.warc.gz` must not fail a whole ingest task. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(bytes.length * 4 + 64)
-    val gz = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
-    val buf = new Array[Byte](65536)
-    var n = gz.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    try {
+      val gz = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
+      val buf = new Array[Byte](65536)
+      var n = gz.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    } catch {
+      case _: java.io.EOFException | _: java.util.zip.ZipException => ()
+    }
     out.toByteArray
   }
 

@@ -209,6 +209,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ZValue native expression: matches zValue2 builtin fold and the scalar kernel") {
+    import spark.implicits._
+    import graft.ops.{Maintenance, ZOrder}
+    // q189's expression (real doGenCode) against the q98 builtin-fold
+    // twin — two independent constructions of the Morton interleave
+    val coords = spark.range(0, 4096)
+      .select((col("id") % 64).cast("int").as("a"),
+              (col("id") / 64).cast("int").as("b"))
+    val both = coords.select(col("a"), col("b"),
+      ZOrder.zvalue(col("a"), col("b"), bits = 6).as("native"),
+      Maintenance.zValue2(col("a").cast("long"), col("b").cast("long"), bits = 6)
+        .as("builtin"))
+    both.where(col("native") =!= col("builtin")).count() shouldBe 0L
+    // scalar kernel spot pins: interleave of all-ones and identity bits
+    ZOrder.zEval(0, 0, 8) shouldBe 0L
+    ZOrder.zEval(255, 0, 8) shouldBe 0x5555L
+    ZOrder.zEval(0, 255, 8) shouldBe 0xAAAAL
+    ZOrder.zEval(255, 255, 8) shouldBe 0xFFFFL
+    ZOrder.zEval(1, 0, 1) shouldBe 1L
+    // z curve is monotone under the prefix-bucket grouping q189 uses:
+    // same (a>>2, b>>2) cell => same z>>4 bucket
+    val cells = coords.select(
+      (shiftright(ZOrder.zvalue(col("a"), col("b"), 6), 4)).as("zbkt"),
+      shiftright(col("a"), 2).as("ca"), shiftright(col("b"), 2).as("cb"))
+      .distinct()
+    cells.groupBy("ca", "cb").agg(countDistinct("zbkt").as("nb"))
+      .where(col("nb") =!= 1).count() shouldBe 0L
+  }
+
   test("mergePartitioned: COW merge rewrites only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cow").resolve("t").toString

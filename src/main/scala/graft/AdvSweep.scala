@@ -629,6 +629,226 @@ object AdvSweep {
       stats("fk_partition_sum") = (orphans + present == 1000000L).toString
     }
 
+    // ==== wave 6 (round-9: attack the q182-q186 close-out wave) ========
+
+    // ---- q182 boilerplate census vs pathological markup ---------------
+    // A 10 MB SINGLE-LINE minified page (no \n anywhere) and a 50k-deep
+    // nested-tag line: the per-line census must stay linear (the native
+    // one-pass scan) and value-identical to the builtin-HOF twin.
+    step("boilerplate_minified_10mb") {
+      import graft.text.Boilerplate
+      val unit = "<div class=\"c\"><span>payload text block</span></div>"
+      val reps = (10 * 1024 * 1024) / unit.length
+      val monster = spark.range(0, 1)
+        .select(concat_ws("", array_repeat(lit(unit), reps)).as("html"))
+        .persist()
+      val r = monster.select(Boilerplate.census(col("html")).as("c"))
+        .select(col("c.n_lines"), col("c.n_kept"),
+          length(col("c.extracted")).cast("long").as("len"))
+        .collect()(0)
+      stats("minified_n_lines") = r.getLong(0).toString // 1: no newlines
+      // the one giant line is MARKUP-dominated (2*txt < raw), so the
+      // density gate drops the whole page — minified boilerplate IS
+      // boilerplate; the claim is bounded time + twin agreement
+      stats("minified_kept_expected_0") = r.getLong(1).toString
+      stats("minified_extract_len") = r.getLong(2).toString
+      // the native one-pass and the builtin twin agree on the monster
+      val twin = monster
+        .select(Boilerplate.census(col("html")).as("a"),
+                Boilerplate.censusBuiltin(col("html")).as("b"))
+        .where(col("a") =!= col("b")).count()
+      stats("minified_native_eq_builtin") = (twin == 0).toString
+      monster.unpersist()
+    }
+    step("boilerplate_nested_50k") {
+      import graft.text.Boilerplate
+      // 50k nested opens + text + 50k closes, one line; every tag
+      // matches separately so depth must be free (no recursion)
+      val nested = spark.range(0, 1).select(concat(
+          concat_ws("", array_repeat(lit("<div>"), 50000)),
+          lit("the actual article text, long enough to keep"),
+          concat_ws("", array_repeat(lit("</div>"), 50000))).as("html"))
+      val r = nested
+        .select(Boilerplate.census(col("html")).as("a"),
+                Boilerplate.censusBuiltin(col("html")).as("b"))
+        .select(col("a.n_kept"), col("a.n_lowdensity"), (col("a") === col("b")).as("eq"))
+        .collect()(0)
+      // 500044 raw chars vs 44 text chars: the density gate counts the
+      // line low-density and drops it — deep nesting neither crashes
+      // nor recurses, and both formulations agree
+      stats("nested_kept_expected_0") = r.getLong(0).toString
+      stats("nested_lowdensity_expected_1") = r.getLong(1).toString
+      stats("nested_native_eq_builtin") = r.getBoolean(2).toString
+    }
+    step("boilerplate_unclosed_lt_10mb") {
+      import graft.text.Boilerplate
+      // '<' with no '>' for the rest of a 10 MB line: the regex scan
+      // must not go quadratic — the native path is a direct linear
+      // scan; claim is bounded wall-time (step records seconds) and
+      // the unclosed '<' strips nothing (counts as text)
+      val junk = spark.range(0, 1).select(
+        concat(lit("intro text long enough to pass the gate <unclosed "),
+          concat_ws("", array_repeat(lit("x"), 10 * 1024 * 1024))).as("html"))
+      val r = junk.select(Boilerplate.census(col("html")).as("c"))
+        .select(col("c.n_kept"), length(col("c.extracted")).cast("long").as("len"))
+        .collect()(0)
+      stats("unclosed_kept") = r.getLong(0).toString // 1: all text, dense
+      stats("unclosed_len_gt_10m") = (r.getLong(1) > 10000000L).toString
+    }
+
+    // ---- q183 label propagation on a hub-and-spoke graph --------------
+    // Synchronous LPA two-cycles on stars (bipartite structure): hub
+    // adopts the min spoke label while every spoke adopts the hub's —
+    // the documented oscillation. Claims: the fixed-iteration run is
+    // exactly the closed-form period-2 pattern, bit-identical across
+    // re-runs, and modularity on the assignment is exact.
+    step("lpa_hub_spoke_oscillation") {
+      import graft.ops.Graph
+      val n = 1000L
+      val edges = spark.range(1, n + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"), lit(1L).as("w"))
+      val nodes = spark.range(0, n + 1).toDF("node")
+      def labelsAt(iters: Int): Map[Long, Long] = {
+        val m = Graph.labelPropagation(edges, nodes, iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        m
+      }
+      val at3 = labelsAt(3)
+      val at4 = labelsAt(4)
+      // period-2 closed form: odd iters -> hub=1 spokes=0; even -> hub=0 spokes=1
+      stats("lpa_star_odd_hub1_spokes0") =
+        (at3(0L) == 1L && (1L to n).forall(at3(_) == 0L)).toString
+      stats("lpa_star_even_hub0_spokes1") =
+        (at4(0L) == 0L && (1L to n).forall(at4(_) == 1L)).toString
+      stats("lpa_star_deterministic") = (labelsAt(4) == at4).toString
+      // modularity of the even-iter assignment: hub in community 0
+      // alone (its label 0 is shared by nobody: spokes hold 1), every
+      // edge crosses -> in(c)=0 for both communities, Q < 0
+      val q = Graph.modularity(edges,
+        spark.createDataFrame(at4.toSeq).toDF("node", "community")).collect()(0)
+      stats("lpa_star_two_m") = q.getLong(0).toString // 2n
+      stats("lpa_star_q_negative") = (q.getDouble(1) < 0.0).toString
+    }
+
+    // ---- q184 ISO-BMFF walker vs malformed box trees ------------------
+    // Claims: oversize boxes, truncated largesize, sub-header sizes and
+    // to-EOF boxes all terminate instantly with None/Some — never hang,
+    // never throw (the content-length salvage discipline, box grain).
+    step("mp4_malformed_boxes") {
+      import graft.multimodal.Codecs
+      def be32(v: Long): Array[Byte] =
+        Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      val good = Codecs.minimalMp4(5000L, Seq("avc1"))
+      stats("mp4_good_parses") = Codecs.probeMp4(good).isDefined.toString
+      // 1. declared size past EOF on the moov box -> malformed -> None
+      val oversize = good.clone()
+      val moovOff = { // ftyp is first; moov follows
+        val ftypLen = ((good(0) & 0xff) << 24) | ((good(1) & 0xff) << 16) |
+          ((good(2) & 0xff) << 8) | (good(3) & 0xff)
+        ftypLen
+      }
+      System.arraycopy(be32(good.length * 2L), 0, oversize, moovOff, 4)
+      stats("mp4_oversize_none") = Codecs.probeMp4(oversize).isEmpty.toString
+      // 2. sub-header size (4 < 8): must flag malformed, not loop
+      val tiny = good.clone()
+      System.arraycopy(be32(4L), 0, tiny, moovOff, 4)
+      stats("mp4_size4_none") = Codecs.probeMp4(tiny).isEmpty.toString
+      // 3. size==0 (to end of file) on the LAST top-level box is legal
+      val lastOff = {
+        var pos = 0; var last = 0
+        while (pos + 8 <= good.length) {
+          last = pos
+          val sz = ((good(pos) & 0xff) << 24) | ((good(pos + 1) & 0xff) << 16) |
+            ((good(pos + 2) & 0xff) << 8) | (good(pos + 3) & 0xff)
+          pos += sz
+        }
+        last
+      }
+      val toEof = good.clone()
+      System.arraycopy(be32(0L), 0, toEof, lastOff, 4)
+      stats("mp4_size0_parses") = Codecs.probeMp4(toEof).isDefined.toString
+      // 4. size==1 with truncated largesize (file ends mid-header)
+      val cut = good.take(lastOff + 8)
+      System.arraycopy(be32(1L), 0, cut, lastOff, 4)
+      stats("mp4_trunc_largesize_none") = Codecs.probeMp4(cut).isEmpty.toString
+      // 5. random byte garbage never throws
+      val rnd = new scala.util.Random(42)
+      val garbage = Array.fill(4096)(rnd.nextInt().toByte)
+      stats("mp4_garbage_none") = Codecs.probeMp4(garbage).isEmpty.toString
+    }
+
+    // ---- q185 canonicalizer vs utm-only queries / encoded hosts -------
+    // Claims: utm-only query strings drop WITH their '?', mixed orders
+    // keep non-utm params with correct separators, the canonicalizer is
+    // IDEMPOTENT over the whole nasty corpus, and %-encoded or
+    // mixed-case hosts lowercase without touching the path's case.
+    step("url_canonical_adversarial") {
+      import graft.text.UrlOps
+      val cases = Seq(
+        ("https://ex.com/p?utm_source=a", "https://ex.com/p"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        ("https://ex.com/p?utm_a=1&x=2&utm_b=3", "https://ex.com/p?x=2"),
+        ("https://ex.com/p?x=2&utm_a=1", "https://ex.com/p?x=2"),
+        ("https://WWW.EX.com/CaSe/Path#Frag", "https://ex.com/CaSe/Path"),
+        ("https://ex.com/p#utm_source=only-in-frag", "https://ex.com/p"),
+        ("HTTPS://Ex%41mple.com/P", "https://ex%41mple.com/P"),
+        ("https://www.ex.com/p?utm_source=a&utm_medium=b&q=1#x",
+         "https://ex.com/p?q=1"),
+        ("https://ex.com/no-query-no-frag", "https://ex.com/no-query-no-frag"))
+      val df = spark.createDataFrame(cases).toDF("url", "expected")
+        .select(col("url"), col("expected"),
+          UrlOps.canonicalize(col("url")).as("canon"))
+        .select(col("url"), col("expected"), col("canon"),
+          UrlOps.canonicalize(col("canon")).as("canon2"),
+          UrlOps.domainOf(UrlOps.canonicalize(col("url"))).as("dom"))
+        .persist()
+      stats("url_mismatches") =
+        df.where(col("canon") =!= col("expected")).count().toString // 0
+      stats("url_idempotent") =
+        (df.where(col("canon2") =!= col("canon")).count() == 0).toString
+      stats("url_domains_nonempty") =
+        (df.where(length(col("dom")) === 0).count() == 0).toString
+      df.unpersist()
+    }
+
+    // ---- q186 rank contract on adversarial distributions --------------
+    // percentile_approx's rank contract (|rank(v) - p·n| <= eps·n)
+    // checked IN-PLAN on the three shapes that sit exactly on sketch
+    // failure modes: all-equal values (every quantile = the value),
+    // a step function with p95 exactly at the jump, and heavy
+    // duplicates clustered at p99.
+    step("quantile_rank_contract_adversarial") {
+      val n = 1000000L
+      val eps = 0.001
+      def contract(name: String, xs: DataFrame): Unit = {
+        val sk = xs.agg(
+          percentile_approx(col("x"), array(lit(0.5), lit(0.95), lit(0.99)),
+            lit(1000)).as("qs"), count(lit(1)).as("cnt"))
+          .select(element_at(col("qs"), 1).as("v50"),
+            element_at(col("qs"), 2).as("v95"),
+            element_at(col("qs"), 3).as("v99"), col("cnt"))
+        def ok(p: Double, v: String) =
+          (sum(when(col("x") < col(v), 1L).otherwise(0L)).cast("double")
+            <= lit(p) * col("cnt") + lit(eps) * col("cnt")) &&
+          (sum(when(col("x") <= col(v), 1L).otherwise(0L)).cast("double")
+            >= lit(p) * col("cnt") - lit(eps) * col("cnt"))
+        val r = xs.crossJoin(broadcast(sk)).groupBy(col("cnt"))
+          .agg(ok(0.5, "v50").as("a"), ok(0.95, "v95").as("b"),
+            ok(0.99, "v99").as("c")).collect()(0)
+        stats(s"rank_${name}") =
+          (r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)).toString
+      }
+      contract("all_equal",
+        spark.range(0, n).select(lit(42.0).as("x")))
+      contract("step_at_p95",
+        spark.range(0, n).select(
+          when(col("id") < (n * 95 / 100), 0.0).otherwise(1.0).as("x")))
+      contract("dups_at_p99",
+        spark.range(0, n).select(
+          when(col("id") % 100 === 99, 9999.0)
+            .otherwise(col("id").cast("double")).as("x")))
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

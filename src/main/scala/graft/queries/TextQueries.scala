@@ -3894,6 +3894,66 @@ object TextQueries {
       |  md5(nf) AS nfc_md5
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ------------- WARC landing-directory census (q190)
+  /** [[graft.sources.Warc.scan]] end-to-end at the FILE grain — the
+    * Common-Crawl landing shape: a directory of multi-record
+    * `.warc.gz` files, one binaryFile task per file, records
+    * flat-mapped by the content-length kernel. The landing dir is
+    * PLANTED from the documents fixture (one gzip-per-record file per
+    * (source, lang), docs in id order — the q187 bytes-first
+    * discipline at directory scale; the local tmp write is fixture
+    * scaffolding, the operator under test is the scan). The census
+    * aggregates per file: record/response counts and the exact
+    * response-payload byte total, which the oracle reconstructs from
+    * the documents table alone — every payload byte is
+    * `78 + digits(len) + len` of the fixture HTTP head, so a parser
+    * or builder drift of ONE byte anywhere fails the match.
+    *
+    * Scale shape: the scan is one task per file and nothing but the
+    * (path-grain) census leaves the scan stage; the planting pass is
+    * one `mapGroups` over (source, lang). */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // capture the PATH STRING, not the UnixPath (not serializable)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-landing").toString
+    docs0(s, d).select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)]
+      .groupByKey { case (_, src, lang, _) => (src, lang) }
+      .mapGroups { (key: (String, String), it: Iterator[(Long, String, String, String)]) =>
+        val (src, lang) = key
+        val docs = it.toSeq.sortBy(_._1)
+        val bytes = docs.map { case (id, _, _, text) =>
+          graft.sources.Warc.warcForDoc(id, src, lang, text, gzipPerRecord = true)
+        }.reduce(_ ++ _)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$src-$lang.warc.gz"), bytes)
+        docs.length
+      }.count() // materialize the landing dir before scanning it
+    graft.sources.Warc.scan(s, dir + "/*.warc.gz")
+      .select(
+        regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 1).as("source"),
+        regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 2).as("lang"),
+        col("warc_type"), col("payload_length"), col("truncated"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_response"),
+        sum(when(col("warc_type") === "request", 1L).otherwise(0L)).as("n_request"),
+        sum(when(col("warc_type") === "response", col("payload_length"))
+          .otherwise(0L)).as("resp_payload_bytes"),
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
+      .sortedOut("source", "lang")
+  }
+
+  private val q190Sql =
+    """SELECT source, lang,
+      | CAST(3 * count(*) AS BIGINT) AS n_records,
+      | CAST(count(*) AS BIGINT) AS n_response,
+      | CAST(count(*) AS BIGINT) AS n_request,
+      | CAST(sum(78 + length(CAST(length(text) AS VARCHAR)) + length(text)) AS BIGINT)
+      |   AS resp_payload_bytes,
+      | CAST(0 AS BIGINT) AS n_truncated
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -3979,5 +4039,6 @@ object TextQueries {
     ("q183_syndication_communities", q183 _, Some(q183Sql)),
     ("q185_url_canonical", q185 _, Some(q185Sql)),
     ("q187_warc_census", q187 _, Some(q187Sql)),
-    ("q188_nfc_census", q188 _, Some(q188Sql)))
+    ("q188_nfc_census", q188 _, Some(q188Sql)),
+    ("q190_warc_landing", q190 _, Some(q190Sql)))
 }

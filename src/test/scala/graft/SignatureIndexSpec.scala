@@ -104,6 +104,38 @@ class SignatureIndexSpec extends SparkSpec {
     viaIndex shouldBe viaFrames
   }
 
+  test("selfPairs equals minhashCandidatePairs row-for-row (both dedup placements)") {
+    // the shared-pipeline contract (VERDICT r8 item 7): corpus-level
+    // candidate pairs served from the standing index must be value-
+    // identical to the from-scratch derivation — loose threshold
+    // (dedup-after placement) and tight threshold (dedup-first) both,
+    // and with a tiny bucketCap so the star-anchor arm is exercised
+    val corpusSigs = sigsOf(0, 400).persist()
+    SignatureIndex.write(corpusSigs, "sigidx_self", spec)
+    for ((minEst, cap) <- Seq((0.5, 1000), (0.9, 1000), (0.5, 3))) {
+      val viaIndex = SignatureIndex.selfPairs(spark, "sigidx_self", spec, minEst, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaFrames = Dedup.minhashCandidatePairs(
+        corpusSigs, spec.bands, spec.rowsPerBand, minEst, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"minEst=$minEst cap=$cap") { viaIndex shouldBe viaFrames }
+    }
+    // the fixture has exact-dup families: pairs must exist at 0.9
+    SignatureIndex.selfPairs(spark, "sigidx_self", spec, 0.9).count() should be > 0L
+  }
+
+  test("selfPairs plan: corpus banded scan is read bucketed, skew cap has no exchange") {
+    val plan = SignatureIndex.selfPairs(spark, "sigidx_self", spec, minEst = 0.9)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      "Bucketed: true".r.findAllIn(plan).size should be >= 2 // banded + sigs
+      // the skew-cap aggregate alone must plan with zero exchange
+      val capPlan = spark.table("sigidx_self_banded")
+        .groupBy("band", "bh").count().queryExecution.executedPlan.toString
+      capPlan.contains("Exchange") shouldBe false
+    }
+  }
+
   test("probing with an empty batch returns empty, not an error") {
     val empty = sigsOf(0, 250).where(org.apache.spark.sql.functions.lit(false))
     SignatureIndex.probe(spark, empty, "sigidx", spec, minEst = 0.9).count() shouldBe 0

@@ -930,39 +930,44 @@ object ExtendedQueries {
     * The expected shape IS the z-order story: sort-by-a prunes a-point
     * predicates perfectly and b-points not at all; hash prunes
     * nothing; z-order prunes BOTH to ~sqrt-ish file subsets and boxes
-    * hardest. Narrow scan of two int columns; three |files|-bounded
-    * aggregates; output is 3 rows.
+    * hardest. ONE narrow scan of two int columns (at 100 TB the scan
+    * IS the cost — a per-layout pass would read the table three
+    * times): each row explodes to its three (layout, file)
+    * assignments, the envelope aggregate map-side-combines to ≤
+    * 3·64 groups, and the census is a second 192-row aggregate.
+    * Output is 3 rows.
     */
   private def q189(s: SparkSession, d: String): DataFrame = {
     val coords = t(s, d, "lineitem")
       .select(pmod(col("l_partkey"), lit(256)).cast("int").as("a"),
               pmod(col("l_suppkey"), lit(256)).cast("int").as("b"))
-    val withFiles = coords.select(col("a"), col("b"),
-      shiftright(graft.ops.ZOrder.zvalue(col("a"), col("b"), bits = 8), 10)
-        .as("f_z"),
-      shiftright(col("a"), 2).cast("long").as("f_sort"),
-      pmod(col("a") * 31 + col("b"), lit(64)).cast("long").as("f_hash"))
-    def census(layout: String, fileCol: String): DataFrame =
-      withFiles
-        .groupBy(col(fileCol).as("file"))
-        .agg(count(lit(1)).as("n"),
-             min("a").as("lo_a"), max("a").as("hi_a"),
-             min("b").as("lo_b"), max("b").as("hi_b"))
-        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
-          sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, 1L).otherwise(0L)).as("files_pa"),
-          sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, col("n")).otherwise(0L)).as("rows_pa"),
-          sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, 1L).otherwise(0L)).as("files_pb"),
-          sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, col("n")).otherwise(0L)).as("rows_pb"),
-          sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
-                   col("lo_b") <= 15 && col("hi_b") >= 0, 1L).otherwise(0L)).as("files_box"),
-          sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
-                   col("lo_b") <= 15 && col("hi_b") >= 0, col("n")).otherwise(0L)).as("rows_box"))
-        .select(lit(layout).as("layout"), col("n_files"), col("n_rows"),
-          col("files_pa"), col("rows_pa"), col("files_pb"), col("rows_pb"),
-          col("files_box"), col("rows_box"))
-    census("hash", "f_hash")
-      .unionByName(census("sort_a", "f_sort"))
-      .unionByName(census("zorder", "f_z"))
+    val envelopes = coords
+      .select(col("a"), col("b"), explode(array(
+        struct(lit("hash").as("layout"),
+          pmod(col("a") * 31 + col("b"), lit(64)).cast("long").as("file")),
+        struct(lit("sort_a").as("layout"),
+          shiftright(col("a"), 2).cast("long").as("file")),
+        struct(lit("zorder").as("layout"),
+          shiftright(graft.ops.ZOrder.zvalue(col("a"), col("b"), bits = 8), 10)
+            .as("file")))).as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file").as("file"))
+      .agg(count(lit(1)).as("n"),
+           min("a").as("lo_a"), max("a").as("hi_a"),
+           min("b").as("lo_b"), max("b").as("hi_b"))
+    envelopes
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, 1L).otherwise(0L)).as("files_pa"),
+        sum(when(col("lo_a") <= 42 && col("hi_a") >= 42, col("n")).otherwise(0L)).as("rows_pa"),
+        sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, 1L).otherwise(0L)).as("files_pb"),
+        sum(when(col("lo_b") <= 7 && col("hi_b") >= 7, col("n")).otherwise(0L)).as("rows_pb"),
+        sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
+                 col("lo_b") <= 15 && col("hi_b") >= 0, 1L).otherwise(0L)).as("files_box"),
+        sum(when(col("lo_a") <= 47 && col("hi_a") >= 40 &&
+                 col("lo_b") <= 15 && col("hi_b") >= 0, col("n")).otherwise(0L)).as("rows_box"))
+      .select(col("layout"), col("n_files"), col("n_rows"),
+        col("files_pa"), col("rows_pa"), col("files_pb"), col("rows_pb"),
+        col("files_box"), col("rows_box"))
       .sortedOut("layout")
   }
 

@@ -849,6 +849,44 @@ object AdvSweep {
             .otherwise(col("id").cast("double")).as("x")))
     }
 
+    // ---- shared pipeline: corpus pairs from the standing index --------
+    // The five dedup-derived analyses re-derive shingle->minhash->
+    // banding from raw text per query; the 100 TB shape derives
+    // signatures ONCE into the standing index and serves candidate
+    // pairs from its bucketed layout. Claims: the index-served pair
+    // set is IDENTICAL to the from-scratch one on the adversarial
+    // corpus (hot family + dirty rows), and the probe path saves the
+    // whole signature pass (seconds recorded for each).
+    step("index_served_pairs") {
+      import graft.dedup.SignatureIndex
+      val spec = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 32)
+      val t0 = System.nanoTime()
+      val sigs = Dedup.minhashSignatures(docs, k = 32)
+      val scratch = Dedup.minhashCandidatePairs(sigs, 4, 8, minEst = 0.9)
+        .select("doc_a", "doc_b").persist()
+      val nScratch = scratch.count()
+      val scratchSec = (System.nanoTime() - t0) / 1e9
+      // build once (the amortized standing cost)...
+      val t1 = System.nanoTime()
+      SignatureIndex.write(Dedup.minhashSignatures(docs, k = 32), "adv_sigidx", spec)
+      val buildSec = (System.nanoTime() - t1) / 1e9
+      // ...then every downstream analysis probes
+      val t2 = System.nanoTime()
+      val served = SignatureIndex.selfPairs(spark, "adv_sigidx", spec, minEst = 0.9)
+        .select("doc_a", "doc_b").persist()
+      val nServed = served.count()
+      val probeSec = (System.nanoTime() - t2) / 1e9
+      stats("idx_pairs_equal") =
+        (nServed == nScratch &&
+          served.exceptAll(scratch).count() == 0L &&
+          scratch.exceptAll(served).count() == 0L).toString
+      stats("idx_pairs_n") = nServed.toString
+      stats("idx_scratch_sec") = f"$scratchSec%.2f"
+      stats("idx_build_once_sec") = f"$buildSec%.2f"
+      stats("idx_probe_sec") = f"$probeSec%.2f"
+      scratch.unpersist(); served.unpersist()
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

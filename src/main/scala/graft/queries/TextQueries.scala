@@ -3954,6 +3954,131 @@ object TextQueries {
       | CAST(0 AS BIGINT) AS n_truncated
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ------------- robots.txt politeness census (q191)
+  /** The crawl-POLITENESS gate before [[graft.sources.Warc]] ingestion
+    * ever fetches a byte — and the takedown-hygiene audit after: which
+    * of the corpus URLs would each host's robots.txt allow the crawler
+    * to hold? [[graft.sources.Robots]] implements the RFC 9309 kernel
+    * (agent-group selection, longest-match precedence, Allow
+    * tie-break, `*`/`$` patterns); the fixture plants a deterministic
+    * robots.txt per source that exercises ALL of it: sources i%4<2
+    * carry a graftbot-specific group (so the `*` group must NOT
+    * apply), i%2==0 adds a longest-match Allow carve-out whose PREFIX
+    * nature also admits posts 10-19, and the fallback `*` group uses a
+    * wildcard-anchored pattern. The oracle never parses robots.txt —
+    * it states the decision in closed form over (source index, lang,
+    * post id), so any kernel deviation (group choice, tie-break,
+    * anchor) breaks the match (the q187 discipline).
+    *
+    * Scale shape: one narrow map in the scan stage (per-row parse of a
+    * host-sized robots.txt; a frontier at 100 TB parses once per HOST
+    * and broadcasts the rule sets — same kernel, different caching);
+    * only the per-source census reaches the sort. */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs0(s, d).select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, src, lang) =>
+        val i = src.stripPrefix("src").toInt
+        val robots =
+          (if (i % 4 < 2)
+            "User-agent: graftbot\nDisallow: /zh/\n" +
+              (if (i % 2 == 0) "Allow: /zh/post/1\n" else "")
+          else "") +
+            "User-agent: *\nDisallow: /*/post/49$\nDisallow: /de/\n"
+        val path = s"/$lang/post/${id % 50}"
+        (src, if (graft.sources.Robots.isAllowed(robots, "graftbot", path)) 1L else 0L)
+      }
+      .toDF("source", "allowed")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("allowed")).as("n_allowed"),
+        (count(lit(1)) - sum(col("allowed"))).as("n_blocked"))
+      .sortedOut("source")
+  }
+
+  private val q191Sql =
+    """WITH u AS (SELECT source,
+      |    CAST(substr(source, 4) AS INT) AS i, lang, doc_id % 50 AS post
+      |  FROM documents),
+      |dec AS (SELECT source,
+      |    CASE WHEN i % 4 < 2
+      |         THEN (lang = 'zh' AND NOT (i % 2 = 0 AND (post = 1 OR post BETWEEN 10 AND 19)))
+      |         ELSE (lang = 'de' OR post = 49) END AS blocked
+      |  FROM u)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed,
+      |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      |FROM dec GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------- script-mix / homoglyph census (q192)
+  /** The script-level hygiene pass beside NFC (q188): real crawl text
+    * mixes writing systems both legitimately (quoted names) and
+    * maliciously (Cyrillic homoglyphs inside Latin words — the
+    * classic "p\u0430yp\u0430l" spoof that survives NFC unchanged and
+    * poisons exact dedup, URL keys and vocabularies). Counts
+    * codepoints per EXPLICIT range class (Latin letters, Cyrillic
+    * U+0400-U+04FF, Han U+4E00-U+9FFF, Arabic U+0600-U+06FF — literal
+    * ranges, not \p{Script}, so both engines' regexes mean the same
+    * thing regardless of their Unicode versions), flags doc-level
+    * mixing, and counts WORD-level spoofs (a whitespace token holding
+    * both Latin and Cyrillic). Planted forms rotate through the ASCII
+    * fixture via \u escapes (q188 source-hygiene rule); the oracle
+    * runs the IDENTICAL RE2-portable regexes on identically-
+    * constructed input.
+    *
+    * Scale shape: pure narrow per-row regex work in the scan stage. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" \u041C\u043E\u0441\u043A\u0432\u0430")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" \u5317\u4EAC\u5927\u5B66")))
+      .when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit(" \u0645\u0631\u062D\u0628\u0627")))
+      .when(col("doc_id") % 5 === 4,
+        concat(col("text"), lit(" p\u0430yp\u0430l")))
+      .otherwise(col("text"))
+    def nOf(c: Column, cls: String): Column =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast(LongType)
+    val spoofRe =
+      "[^ ]*([A-Za-z][^ ]*[\\x{0400}-\\x{04FF}]|[\\x{0400}-\\x{04FF}][^ ]*[A-Za-z])[^ ]*"
+    docs0(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        nOf(col("raw"), "[A-Za-z]").as("n_latin"),
+        nOf(col("raw"), "[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+        nOf(col("raw"), "[\\x{4E00}-\\x{9FFF}]").as("n_han"),
+        nOf(col("raw"), "[\\x{0600}-\\x{06FF}]").as("n_arabic"),
+        size(regexp_extract_all(col("raw"), lit(spoofRe), lit(0)))
+          .cast(LongType).as("n_spoof_words"))
+      .withColumn("doc_mixed",
+        col("n_latin") > 0 &&
+          (col("n_cyrillic") + col("n_han") + col("n_arabic")) > 0)
+      .sortedOutWide("doc_id")
+  }
+
+  private val q192Sql = {
+    val spoofRe =
+      "[^ ]*([A-Za-z][^ ]*[\\x{0400}-\\x{04FF}]|[\\x{0400}-\\x{04FF}][^ ]*[A-Za-z])[^ ]*"
+    s"""WITH r AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 1 THEN text || ' ' || chr(1052)||chr(1086)||chr(1089)||chr(1082)||chr(1074)||chr(1072)
+       |         WHEN doc_id % 5 = 2 THEN text || ' ' || chr(21271)||chr(20140)||chr(22823)||chr(23398)
+       |         WHEN doc_id % 5 = 3 THEN text || ' ' || chr(1605)||chr(1585)||chr(1581)||chr(1576)||chr(1575)
+       |         WHEN doc_id % 5 = 4 THEN text || ' p'||chr(1072)||'yp'||chr(1072)||'l'
+       |         ELSE text END AS raw
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(length(raw) - length(regexp_replace(raw, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
+       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+       |  CAST(len(regexp_extract_all(raw, '$spoofRe', 0)) AS BIGINT) AS n_spoof_words
+       |  FROM r)
+       |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_spoof_words,
+       |  n_latin > 0 AND (n_cyrillic + n_han + n_arabic) > 0 AS doc_mixed
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4040,5 +4165,7 @@ object TextQueries {
     ("q185_url_canonical", q185 _, Some(q185Sql)),
     ("q187_warc_census", q187 _, Some(q187Sql)),
     ("q188_nfc_census", q188 _, Some(q188Sql)),
-    ("q190_warc_landing", q190 _, Some(q190Sql)))
+    ("q190_warc_landing", q190 _, Some(q190Sql)),
+    ("q191_robots_census", q191 _, Some(q191Sql)),
+    ("q192_script_census", q192 _, Some(q192Sql)))
 }

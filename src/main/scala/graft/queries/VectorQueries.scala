@@ -1538,6 +1538,86 @@ object VectorQueries {
        |ORDER BY n_probe""".stripMargin
   }
 
+  // --------------------- matryoshka prefix-dim retrieval eval (q193)
+  /** Matryoshka-representation evaluation — the dimension-truncation
+    * question every embedding-storage budget asks: how much retrieval
+    * quality survives if only the first 8/16/32 of 64 dims are kept
+    * (MRL-style prefix truncation)? For each prefix width the
+    * brute-force top-5 under PREFIX cosine is compared against the
+    * full-dim top-5: overlap@5 and top-1 agreement, aggregated over
+    * the q32 query cohort. Exactly oracle-able because the cosine is
+    * the same left-to-right float→double fold both engines already
+    * pin (q32) applied to `slice(embedding, 1, w)` — no fp contract
+    * tricks needed.
+    *
+    * Scale shape: the corpus side is never widened — each arm is the
+    * q32 broadcast-queries pattern on a NARROWER vector; overlap joins
+    * are |queries|·k-row. At index scale the same eval plugs into the
+    * IVF/PQ probes (q94/q101) unchanged: only the slice differs. */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    def topk(width: Int): DataFrame = {
+      val sub =
+        if (width >= 64) e
+        else e.select(col("vec_id"), slice(col("embedding"), 1, width).as("embedding"))
+      VectorFunctions.bruteForceTopK(sub, sub.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }
+    val full = topk(64).persist()
+    def arm(width: Int): DataFrame = {
+      val t = topk(width)
+      val ov = t.join(full.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("ov"))
+      val t1 = t.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("p1"))
+        .join(full.where(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id").as("f1")), Seq("query_id"))
+        .select(col("query_id"), when(col("p1") === col("f1"), 1L).otherwise(0L).as("t1"))
+      t1.join(ov, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("ov"), lit(0L))).as("n_overlap_top5"),
+          sum(col("t1")).as("n_top1_match"))
+        .select(lit(width).as("dim"), col("n_queries"),
+          col("n_overlap_top5"), col("n_top1_match"))
+    }
+    arm(8).unionByName(arm(16)).unionByName(arm(32)).unionByName(arm(64))
+      .sortedOut("dim")
+  }
+
+  private val q193Sql = {
+    def cosW(w: Int) =
+      if (w >= 64) duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+      else duckCos.format(s"q.embedding[1:$w]", s"c.embedding[1:$w]",
+        s"q.embedding[1:$w]", s"c.embedding[1:$w]")
+    def topk(w: Int) =
+      s"""SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosW(w)} DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10) WHERE rank <= 5""".stripMargin
+    def arm(w: Int) =
+      s"""SELECT $w AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(ov) AS BIGINT) AS n_overlap_top5,
+         |  CAST(sum(t1) AS BIGINT) AS n_top1_match
+         |FROM (
+         |  SELECT p.query_id,
+         |    (SELECT count(*) FROM p2 x JOIN f2 y
+         |       ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id
+         |     WHERE x.query_id = p.query_id AND x.w = $w) AS ov,
+         |    CASE WHEN p.neighbor_id = f.neighbor_id THEN 1 ELSE 0 END AS t1
+         |  FROM p2 p JOIN f2 f ON p.query_id = f.query_id
+         |  WHERE p.rank = 1 AND f.rank = 1 AND p.w = $w)""".stripMargin
+    val prefixArms = Seq(8, 16, 32, 64)
+      .map(w => s"SELECT $w AS w, * FROM (${topk(w)})").mkString("\nUNION ALL\n")
+    s"""WITH p2 AS MATERIALIZED ($prefixArms),
+       |f2 AS MATERIALIZED (SELECT query_id, rank, neighbor_id FROM p2 WHERE w = 64)
+       |SELECT * FROM (
+       |${Seq(8, 16, 32, 64).map(arm).mkString("\nUNION ALL\n")}
+       |) u ORDER BY dim""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1565,5 +1645,6 @@ object VectorQueries {
     ("q167_cell_balanced_sample", q167 _, Some(q167Sql)),
     ("q168_filtered_ann",      q168 _, Some(q168Sql)),
     ("q172_mmr_rerank",        q172 _, Some(q172Sql)),
-    ("q176_ivf_probe_curve",   q176 _, Some(q176Sql)))
+    ("q176_ivf_probe_curve",   q176 _, Some(q176Sql)),
+    ("q193_matryoshka_eval",   q193 _, Some(q193Sql)))
 }

@@ -998,6 +998,63 @@ object ExtendedQueries {
        |) u ORDER BY layout""".stripMargin
   }
 
+
+  // --------------------- k-anonymity / pseudonymization audit (q194)
+  /** The privacy-risk audit a dataset release runs after redaction
+    * (q73): pseudonymize the direct identifier (md5-60 of c_custkey —
+    * deterministic, join-preserving, the engine-wide hash both engines
+    * replay), group by the QUASI-identifier tuple (nation, market
+    * segment, account-balance kilobucket), and report the k-anonymity
+    * histogram — how many equivalence classes (and member records)
+    * fall in each size band. Records in small classes (k < 5) are the
+    * re-identification surface a release either suppresses or
+    * generalizes; the per-band pseudonym count doubling as an
+    * injectivity check (classes partition records, so the band sums
+    * of per-class distinct pseudonyms must equal the member counts).
+    * The balance bucket is floor(x/1000) on the SAME IEEE double both
+    * engines read from parquet — division and floor are deterministic,
+    * so the bucketing cannot drift.
+    *
+    * Scale shape: one hash-aggregate on the quasi-tuple (map-side
+    * combining), one |classes|-bounded re-aggregate; no row-level
+    * data leaves the first shuffle. */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val classes = t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"),
+        graft.text.Hashing.h60(col("c_custkey")).as("pseudo"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_kb")
+      .agg(count(lit(1)).as("n"), countDistinct(col("pseudo")).as("np"))
+    classes
+      .select(
+        when(col("n") === 1, "k1_unique")
+          .when(col("n") <= 4, "k2_4")
+          .when(col("n") <= 9, "k5_9")
+          .otherwise("k10_plus").as("band"),
+        col("n"), col("np"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_records"),
+        sum(col("np")).as("n_pseudonyms"))
+      .sortedOut("band")
+  }
+
+  private val q194Sql =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS np
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CASE WHEN n = 1 THEN 'k1_unique'
+      |            WHEN n <= 4 THEN 'k2_4'
+      |            WHEN n <= 9 THEN 'k5_9'
+      |            ELSE 'k10_plus' END AS band,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(n) AS BIGINT) AS n_records,
+      |  CAST(sum(np) AS BIGINT) AS n_pseudonyms
+      |FROM cls GROUP BY 1 ORDER BY band""".stripMargin
+
   // ------------------------------ SCD2 dimension history (q103)
   /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
     * each user's `event_type` is the tracked attribute, so the history
@@ -1791,5 +1848,6 @@ object ExtendedQueries {
     ("q165_user_gini",       q165 _, Some(q165Sql)),
     ("q181_fk_integrity",    q181 _, Some(q181Sql)),
     ("q186_quantile_sketch", q186 _, Some(q186Sql)),
-    ("q189_layout_skipping", q189 _, Some(q189Sql)))
+    ("q189_layout_skipping", q189 _, Some(q189Sql)),
+    ("q194_k_anonymity",     q194 _, Some(q194Sql)))
 }

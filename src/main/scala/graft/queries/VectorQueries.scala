@@ -1618,6 +1618,91 @@ object VectorQueries {
        |) u ORDER BY dim""".stripMargin
   }
 
+  // --------------------- binary-quantization retrieval eval (q195)
+  /** The 1-BIT member of the quantization family (PQ q78, SQ8 q167,
+    * matryoshka q193): sign-quantize each 64-dim embedding into two
+    * packed 32-bit words (unrolled shift/or terms — codegen, no HOF),
+    * retrieve by Hamming distance (`bit_count(xor)` — pure builtins
+    * on both engines), and score the 64x-compressed ranking against
+    * full-precision cosine top-5: overlap@5, top-1 agreement, and the
+    * summed top-5 Hamming mass. Integer distances make ranking and
+    * oracle exact — ties break on vec_id, deterministically on both
+    * engines.
+    *
+    * Scale shape: 8 bytes per vector through the candidate join
+    * (the SimHash pigeonhole trick applies unchanged for sub-linear
+    * retrieval); the eval itself is the q193 broadcast-cohort shape. */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    def packWord(off: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(col("embedding"), off + i + 1) > 0f, 1L << i)
+          .otherwise(0L)).reduce(_ bitwiseOR _)
+    val packed = e.select(col("vec_id"),
+      packWord(0).as("lo"), packWord(32).as("hi"))
+    val q = broadcast(packed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val ham = packed.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast(LongType).as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val bqTop = ham.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+    val full = VectorFunctions.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
+    val ov = bqTop.join(full.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("ov"))
+    bqTop.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("b1"), col("hamming"))
+      .join(full.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("f1")), Seq("query_id"))
+      .join(ov, Seq("query_id"), "left")
+      .join(bqTop.groupBy("query_id").agg(sum(col("hamming")).as("hsum")), Seq("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("ov"), lit(0L))).as("n_overlap_top5"),
+        sum(when(col("b1") === col("f1"), 1L).otherwise(0L)).as("n_top1_match"),
+        sum(col("hsum")).as("sum_hamming_top5"))
+  }
+
+  private val q195Sql = {
+    def packWord(off: Int) =
+      s"""CAST(list_sum(list_transform(range(1, 33),
+         |  i -> CASE WHEN embedding[i + $off] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT)""".stripMargin
+    val cosFull = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    s"""WITH packed AS MATERIALIZED (
+       |  SELECT vec_id, ${packWord(0)} AS lo, ${packWord(32)} AS hi FROM embeddings),
+       |bq AS (SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)), c.vec_id) AS rank
+       |  FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10) WHERE rank <= 5),
+       |full_ AS (SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cosFull DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10) WHERE rank <= 5),
+       |per AS (SELECT b1.query_id,
+       |    (SELECT count(*) FROM bq x JOIN full_ y
+       |       ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id
+       |     WHERE x.query_id = b1.query_id) AS ov,
+       |    CASE WHEN b1.neighbor_id = f1.neighbor_id THEN 1 ELSE 0 END AS t1,
+       |    (SELECT sum(hamming) FROM bq h WHERE h.query_id = b1.query_id) AS hsum
+       |  FROM bq b1 JOIN full_ f1 ON b1.query_id = f1.query_id
+       |  WHERE b1.rank = 1 AND f1.rank = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(ov) AS BIGINT) AS n_overlap_top5,
+       |  CAST(sum(t1) AS BIGINT) AS n_top1_match,
+       |  CAST(sum(hsum) AS BIGINT) AS sum_hamming_top5
+       |FROM per""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q32_knn_cosine_brute",  q32 _, Some(q32Sql)),
     ("q33_cosine_adjacent",   q33 _, Some(q33Sql)),
@@ -1646,5 +1731,6 @@ object VectorQueries {
     ("q168_filtered_ann",      q168 _, Some(q168Sql)),
     ("q172_mmr_rerank",        q172 _, Some(q172Sql)),
     ("q176_ivf_probe_curve",   q176 _, Some(q176Sql)),
-    ("q193_matryoshka_eval",   q193 _, Some(q193Sql)))
+    ("q193_matryoshka_eval",   q193 _, Some(q193Sql)),
+    ("q195_binary_quant_eval", q195 _, Some(q195Sql)))
 }

@@ -4079,6 +4079,90 @@ object TextQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------- exact Jaccard join by prefix filtering (q196)
+  /** EXACT set-similarity self-join via the PPJoin prefix-filter
+    * principle (Xiao et al. 2008) — the exact counterpart of the
+    * MinHash-LSH approximation (q29): for Jaccard(A,B) >= t, A and B
+    * MUST share a token among the first |X| - ceil(t|X|) + 1 tokens of
+    * each when every set is ordered by one GLOBAL token order (rarest
+    * first, so prefixes carry the most selective tokens). Candidates
+    * come from a self-join of prefix tokens only; exact
+    * intersection/union counts verify. The threshold t = 3/5 is kept
+    * RATIONAL end-to-end: prefix length uses integer ceil
+    * (n - (3n+4) div 5 + 1) and the filter is 5·inter >= 3·union — no
+    * fp anywhere, which is what lets the oracle assert EXHAUSTIVE
+    * completeness: DuckDB computes every token-sharing pair
+    * brute-force through the inverted index, so one pair missed by
+    * the prefix filter (an incompleteness bug) fails the hash match.
+    *
+    * Scale shape: the candidate join carries only prefix tokens
+    * (rarest-first ordering keeps flooded tokens OUT of short
+    * prefixes); verification joins are linear in candidate token
+    * lists. The global token ranking is a vocabulary-bounded sort
+    * (the Bpe/Vocab precedent). */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val toks = docs0(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0).distinct().persist()
+    // global order: rarest first, ties by token text
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("tok").asc)).as("rk"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val withRank = toks.join(ranked, Seq("tok")).join(sizes, Seq("doc_id"))
+    // prefix length n - ceil(3n/5) + 1, integer arithmetic only
+    val prefix = withRank
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("rk").asc)))
+      .where(col("pos") <= col("n") - ((col("n") * 3 + 4) / 5).cast("long") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cands = prefix.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // the qualifying pair set is ~quadratic in corpus size on a
+    // shared-vocabulary corpus — never emit it row-per-pair. The 1-row
+    // summary keeps the completeness proof exact: a single missed or
+    // extra pair shifts the count AND the order-independent id/count
+    // checksums.
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .where(col("n_inter") * 5 >= col("n_union") * 3)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_inter")).as("sum_inter"),
+        sum(col("n_union")).as("sum_union"),
+        sum(col("doc_a") * 1000003L + col("doc_b")).as("pair_id_checksum"))
+  }
+
+  private val q196Sql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) > 0),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+      |  CAST(sum(n_union) AS BIGINT) AS sum_union,
+      |  CAST(sum(doc_a * 1000003 + doc_b) AS BIGINT) AS pair_id_checksum
+      |FROM (SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+      |             JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_inter * 5 >= (sa.n + sb.n - n_inter) * 3)""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4167,5 +4251,6 @@ object TextQueries {
     ("q188_nfc_census", q188 _, Some(q188Sql)),
     ("q190_warc_landing", q190 _, Some(q190Sql)),
     ("q191_robots_census", q191 _, Some(q191Sql)),
-    ("q192_script_census", q192 _, Some(q192Sql)))
+    ("q192_script_census", q192 _, Some(q192Sql)),
+    ("q196_ppjoin_exact", q196 _, Some(q196Sql)))
 }

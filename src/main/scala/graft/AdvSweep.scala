@@ -887,6 +887,100 @@ object AdvSweep {
       scratch.unpersist(); served.unpersist()
     }
 
+    // ==== wave 7 (round-9: attack the round's own new operators) =======
+
+    // ---- q191 robots kernel vs rule floods and wildcard storms --------
+    // Claims: a 100k-rule robots.txt parses and decides in bounded
+    // time; a pattern of 1000 consecutive '*'s cannot trigger
+    // exponential backtracking (the matcher is a linear indexOf walk
+    // per literal part); precedence among 100k rules is still exact.
+    step("robots_rule_flood") {
+      import graft.sources.Robots
+      val flood = new StringBuilder("User-agent: *\n")
+      var i = 0
+      while (i < 100000) { flood.append(s"Disallow: /blocked/$i/\n"); i += 1 }
+      flood.append("Allow: /blocked/50000/except\n")
+      val txt = flood.toString
+      val t0 = System.nanoTime()
+      val a = Robots.isAllowed(txt, "bot", "/blocked/50000/page")
+      val b = Robots.isAllowed(txt, "bot", "/blocked/50000/except/page")
+      val c = Robots.isAllowed(txt, "bot", "/free/page")
+      stats("robots_flood_ms") = ((System.nanoTime() - t0) / 1000000).toString
+      stats("robots_flood_decisions") = s"${!a} ${b} ${c}" // true true true
+      val starStorm = "/" + ("*" * 1000) + "x$"
+      val t1 = System.nanoTime()
+      val m = Robots.matches(starStorm, "/" + ("y" * 10000) + "x")
+      stats("robots_star_storm_ms") = ((System.nanoTime() - t1) / 1000000).toString
+      stats("robots_star_storm_match") = m.toString // true
+    }
+
+    // ---- q196 prefix filter vs an identical-sets corpus ---------------
+    // Every doc holds the SAME 50 tokens: the prefix filter cannot
+    // prune (all pairs ARE duplicates — pruning them would be wrong).
+    // Claims: the pair count is EXACTLY C(n,2), intersection masses
+    // are closed-form, and the candidate stage stays |prefix|-bounded
+    // per doc rather than |tokens|-bounded.
+    step("ppjoin_identical_sets") {
+      val n = 2000L
+      val docs = spark.range(0, n).toDF("doc_id")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), lit(50)),
+            i => concat(lit("tok"), i))).as("tok"))
+      val sizes = docs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // prefix length for n=50, t=3/5: 50 - 30 + 1 = 21
+      val prefLen = 50L - (50L * 3 + 4) / 5 + 1
+      stats("ppjoin_prefix_len_21") = prefLen.toString
+      val inter = docs.select(col("tok"), col("doc_id").as("doc_a"))
+        .join(docs.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val res = inter.where(col("ni") * 5 >= (lit(100) - col("ni")) * 3)
+        .agg(count(lit(1)).as("np"), sum(col("ni")).as("si")).collect()(0)
+      stats("ppjoin_pairs_closed_form") =
+        (res.getLong(0) == n * (n - 1) / 2 &&
+          res.getLong(1) == n * (n - 1) / 2 * 50).toString
+    }
+
+    // ---- q195 sign packing vs degenerate embeddings -------------------
+    // All-zero and all-negative vectors pack to 0 (x > 0 strictly);
+    // claims: packing never yields NaN/overflow surprises, Hamming of
+    // identical packs is 0, and of complementary packs is 64.
+    step("binary_quant_degenerate") {
+      import org.apache.spark.sql.functions.{bit_count => bc}
+      val rows = Seq(
+        (1L, Array.fill(64)(0f)), (2L, Array.fill(64)(-1f)),
+        (3L, Array.fill(64)(1f)), (4L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      import spark.implicits._
+      val e = rows.toDF("vec_id", "embedding")
+      def packWord(off: Int) =
+        (0 until 32).map(i =>
+          when(element_at(col("embedding"), off + i + 1) > 0f, 1L << i)
+            .otherwise(0L)).reduce(_ bitwiseOR _)
+      val p = e.select(col("vec_id"), packWord(0).as("lo"), packWord(32).as("hi"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      stats("bq_zero_eq_neg") = (p(1L) == p(2L) && p(1L) == (0L, 0L)).toString
+      stats("bq_allpos_full") =
+        (p(3L) == (0xFFFFFFFFL, 0xFFFFFFFFL)).toString
+      val ham13 = java.lang.Long.bitCount(p(1L)._1 ^ p(3L)._1) +
+        java.lang.Long.bitCount(p(1L)._2 ^ p(3L)._2)
+      stats("bq_hamming_zero_vs_allpos_64") = ham13.toString
+    }
+
+    // ---- q194 k-anonymity vs an all-unique quasi-ID table -------------
+    // Worst privacy case: every record its own equivalence class.
+    // Claims: the whole population lands in the k=1 band, and
+    // classes == records == pseudonyms (hash injective on the domain).
+    step("kanon_all_unique") {
+      val n = 200000L
+      val t = spark.range(0, n)
+        .select(col("id"), graft.text.Hashing.h60(col("id")).as("pseudo"))
+        .groupBy("id").agg(count(lit(1)).as("cn"), countDistinct("pseudo").as("np"))
+        .agg(count(lit(1)).as("classes"), sum(col("cn")).as("records"),
+          sum(col("np")).as("pseudos")).collect()(0)
+      stats("kanon_unique_all_equal") =
+        (t.getLong(0) == n && t.getLong(1) == n && t.getLong(2) == n).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

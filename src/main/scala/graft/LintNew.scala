@@ -20,13 +20,15 @@ object LintNew {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val names = Seq(
-      "q154_minhash_calibration", "q175_negative_sampling", // r8 rewrites
+      // round 9 new queries
+      "q187_warc_census", "q188_nfc_census", "q189_layout_skipping",
+      "q190_warc_landing", "q191_robots_census", "q192_script_census",
+      "q193_matryoshka_eval", "q194_k_anonymity", "q195_binary_quant_eval",
+      "q196_ppjoin_exact",
+      // r8 wave re-audit (must stay clean)
+      "q154_minhash_calibration", "q175_negative_sampling",
       "q182_boilerplate_extract", "q183_syndication_communities",
-      "q184_mp4_catalog",
-      // re-audit the r7 wave now that the waivers are rules — these
-      // carried the hand-adjudicated classes and must print clean
-      "q166_token_budget", "q167_cell_balanced_sample", "q168_filtered_ann",
-      "q176_ivf_probe_curve", "q177_audio_fp_dedup")
+      "q184_mp4_catalog")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

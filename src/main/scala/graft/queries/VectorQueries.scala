@@ -1640,7 +1640,9 @@ object VectorQueries {
           .otherwise(0L)).reduce(_ bitwiseOR _)
     val packed = e.select(col("vec_id"),
       packWord(0).as("lo"), packWord(32).as("hi"))
-    val q = broadcast(packed.where(col("vec_id") < 10)
+    // limit = the planLint bounded-cohort proof (bruteForceTopK's
+    // contract applied to the packed cohort): maxRows becomes static
+    val q = broadcast(packed.where(col("vec_id") < 10).limit(4096)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi")))
     val ham = packed.crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))

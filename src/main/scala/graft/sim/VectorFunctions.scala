@@ -52,9 +52,22 @@ object VectorFunctions {
     * the corpus. The per-query top-k window shuffles only
     * |queries|·|corpus| scored rows; at scale, cap it by pre-filtering
     * with [[RandomHyperplaneLsh]] buckets.
+    *
+    * The cohort bound is part of the CONTRACT, not a hint: `limit`
+    * makes the broadcast side's row count statically provable
+    * (Catalyst `maxRows`), which is what lets `planLint` distinguish
+    * this deliberate bounded-cohort scan from an accidental
+    * data-sized nested loop. Cohorts at or under the bound pass
+    * through untouched (every in-repo caller is ≤ 1000); a LARGER
+    * frame would be truncated to an arbitrary subset — raise
+    * `maxQueries` explicitly for bigger evaluation panels.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     maxQueries: Int = 4096): DataFrame = {
+    require(maxQueries >= 1 && maxQueries <= 4096,
+      s"maxQueries must be in [1, 4096] (the planLint bounded-cohort waiver): $maxQueries")
+    val q = broadcast(queries.limit(maxQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = corpus.crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -23,8 +23,11 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("missing join condition flags cartesian") {
-    val a = Seq(1, 2, 3).toDF("x")
-    val b = Seq(4, 5).toDF("y")
+    // both sides DATA-SIZED (parquet scans have no static maxRows) —
+    // a LocalRelation literal would now fall under the bounded-build
+    // waiver, which is exactly the point of keying it on maxRows
+    val a = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val b = Tables.load(spark, sf0001, "nation").select(col("n_nationkey"))
     val findings = lint(a.crossJoin(b))
     findings.map(_.rule) should contain("cartesian")
   }
@@ -80,18 +83,30 @@ class PlanLintSpec extends SparkSpec {
       .map(_.rule) should not contain "interpreted-expression"
   }
 
-  test("allowlist: 1-row-broadcast BNLJ (totals attach) is benign; a data-sized BNLJ still flags") {
-    // the crossJoin(broadcast(global agg)) report pattern — build side
-    // statically proves maxRows = 1, so the nested loop is a constant
-    // lookup and the r7 hand-waiver is now a rule
+  test("allowlist: statically-bounded-build BNLJ is benign; a data-sized BNLJ still flags") {
+    // class 1: crossJoin(broadcast(global agg)) — maxRows = 1, a
+    // constant lookup (the r7 hand-waiver, a rule since r8)
     val docs = Tables.documents(spark, sf0001)
     val totals = broadcast(docs.agg(count(lit(1)).as("n_total")))
     lint(docs.select("doc_id").crossJoin(totals))
       .map(_.rule) should not contain "cartesian"
-    // a broadcast side that is NOT provably 1 row keeps flagging
-    val dim = broadcast(Seq(4, 5, 6).toDF("y"))
+    // class 2 (r9): the bounded evaluation cohort — bruteForceTopK's
+    // plan-level limit makes the build's maxRows static (<= 4096)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    lint(graft.sim.VectorFunctions.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), k = 3))
+      .map(_.rule) should not contain "cartesian"
+    // a small LocalRelation is also statically bounded -> benign too
+    lint(docs.select("doc_id").crossJoin(broadcast(Seq(4, 5, 6).toDF("y"))))
+      .map(_.rule) should not contain "cartesian"
+    // but a DATA-SIZED side (no static maxRows: any scan) still flags —
+    // the waiver is a static proof, not a heuristic
+    val dim = broadcast(Tables.load(spark, sf0001, "nation").select(col("n_nationkey")))
     lint(docs.select("doc_id").crossJoin(dim))
       .map(_.rule) should contain("cartesian")
+    // and the cohort bound is enforced, not advisory
+    an[IllegalArgumentException] should be thrownBy
+      graft.sim.VectorFunctions.bruteForceTopK(emb, emb, k = 3, maxQueries = 100000)
   }
 
   test("allowlist: IvfIndex.sortedCells' interpreted array_sort is benign; any other array_sort still flags") {

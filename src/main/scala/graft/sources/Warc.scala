@@ -232,9 +232,27 @@ object Warc {
     * payload_length, truncated). Payload BYTES stay in the scan stage —
     * callers project what they need (the q187 census shape) before
     * anything shuffles. */
-  def scan(spark: SparkSession, glob: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+  def scan(spark: SparkSession, glob: String): DataFrame =
+    scanRecords(spark.read.format("binaryFile").load(glob))
+
+  /** STREAMING twin of [[scan]]: watch a landing directory as a
+    * Structured Streaming file source — the live-crawl shape where
+    * `.warc.gz` members keep arriving and each must be parsed exactly
+    * once (file-source offsets track processed files, so a restart
+    * resumes without re-parsing). Same kernel, same columns; one task
+    * per NEW file per micro-batch. `maxFilesPerTrigger` caps batch
+    * size so a backlog drains in bounded bites. */
+  def scanStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 100): DataFrame =
+    scanRecords(spark.readStream.format("binaryFile")
+      .schema("path string, modificationTime timestamp, length long, content binary")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir))
+
+  private def scanRecords(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -86,6 +86,39 @@ class WarcSpec extends SparkSpec {
     body.length shouldBe 0
   }
 
+  test("scanStream: arriving .warc.gz files parse exactly once, incrementally") {
+    val dir = Files.createTempDirectory("warc-stream").toFile
+    try {
+      Files.write(new java.io.File(dir, "a.warc.gz").toPath,
+        Warc.warcForDoc(1L, "web", "en", "first arrival", gzipPerRecord = true))
+      val stream = Warc.scanStream(spark, dir.getAbsolutePath)
+      stream.isStreaming shouldBe true
+      val q = stream.writeStream.format("memory").queryName("warc_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val batch1 = spark.table("warc_stream").collect()
+        batch1.length shouldBe 3 // one doc triple
+        // a new file lands: ONLY its records appear in the next batch
+        Files.write(new java.io.File(dir, "b.warc.gz").toPath,
+          Warc.warcForDoc(2L, "web", "fr", "second arrival", gzipPerRecord = true) ++
+            Warc.warcForDoc(3L, "web", "de", "third arrival", gzipPerRecord = true))
+        q.processAllAvailable()
+        val all = spark.table("warc_stream").collect()
+        all.length shouldBe 9 // cumulative, no re-parse of a.warc.gz
+        all.count(_.getAs[String]("warc_type") == "response") shouldBe 3
+        val uris = all.filter(_.getAs[String]("warc_type") == "response")
+          .map(_.getAs[String]("target_uri")).sorted
+        uris shouldBe Array(
+          "https://web.example.com/de/post/3",
+          "https://web.example.com/en/post/1",
+          "https://web.example.com/fr/post/2")
+      } finally q.stop()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("scan: one binaryFile task per .warc.gz, multi-record files, census survives") {
     val dir = Files.createTempDirectory("warc-scan").toFile
     try {

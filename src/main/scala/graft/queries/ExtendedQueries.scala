@@ -1055,6 +1055,72 @@ object ExtendedQueries {
       |  CAST(sum(np) AS BIGINT) AS n_pseudonyms
       |FROM cls GROUP BY 1 ORDER BY band""".stripMargin
 
+
+  // --------------------- rendezvous sharding rebalance census (q197)
+  /** Consistent shard assignment by rendezvous (highest-random-weight)
+    * hashing — the layout policy that lets an INCREMENTAL corpus grow
+    * its shard count without reshuffling everything: each key goes to
+    * the shard with the highest h(shard, key), so adding shard N+1
+    * only steals the keys whose new hash wins — an expected 1/(N+1)
+    * of the corpus — while every other assignment stays put (mod-N
+    * hashing would move (N-1)/N of all keys). The census assigns every
+    * document at N=8 and N=9 over the engine-wide seeded md5-60 and
+    * reports, per shard: size before, size after, arrivals and
+    * departures. Both engines compute the identical argmax (hash
+    * desc, shard asc tie-break), so balance AND stability are
+    * exact-matched, not estimated.
+    *
+    * Scale shape: one narrow explode (9 rows per key) + two
+    * shard-bounded aggregates; nothing but 9 rows reaches the sort. */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("shard"))
+      .select(col("doc_id"), col("shard"),
+        graft.text.Hashing.h60(concat(col("shard").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("w"))
+      .groupBy("doc_id")
+      // ordering key w·16 − shard is strictly unique across the 9
+      // candidates (shards differ), so the argmax is deterministic on
+      // both engines without relying on never-observed hash ties
+      .agg(
+        max_by(col("shard"), when(col("shard") < 8,
+          col("w").cast(DecimalType(38, 0)) * 16 - col("shard"))).as("s8"),
+        max_by(col("shard"),
+          col("w").cast(DecimalType(38, 0)) * 16 - col("shard")).as("s9"))
+      .select(col("doc_id"), col("s8"), col("s9"))
+    assigned
+      .select(explode(array(
+        struct(col("s8").as("shard"), lit(1L).as("at8"), lit(0L).as("at9"),
+          when(col("s8") =!= col("s9"), 1L).otherwise(0L).as("departed"),
+          lit(0L).as("arrived")),
+        struct(col("s9").as("shard"), lit(0L).as("at8"), lit(1L).as("at9"),
+          lit(0L).as("departed"),
+          when(col("s8") =!= col("s9"), 1L).otherwise(0L).as("arrived")))).as("r"))
+      .groupBy(col("r.shard").cast("long").as("shard"))
+      .agg(sum(col("r.at8")).as("n_at_8"), sum(col("r.at9")).as("n_at_9"),
+        sum(col("r.departed")).as("n_departed"), sum(col("r.arrived")).as("n_arrived"))
+      .sortedOut("shard")
+  }
+
+  private val q197Sql =
+    """WITH w AS (SELECT doc_id, shard,
+      |    CAST(concat('0x', substr(md5(CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+      |  FROM documents, unnest(range(0, 9)) AS t(shard)),
+      |a AS (SELECT doc_id,
+      |    arg_max(shard, CAST(w AS HUGEINT) * 16 - shard) FILTER (shard < 8) AS s8,
+      |    arg_max(shard, CAST(w AS HUGEINT) * 16 - shard) AS s9
+      |  FROM w GROUP BY doc_id),
+      |sides AS (
+      |  SELECT s8 AS shard, 1 AS at8, 0 AS at9,
+      |    CASE WHEN s8 <> s9 THEN 1 ELSE 0 END AS departed, 0 AS arrived FROM a
+      |  UNION ALL
+      |  SELECT s9, 0, 1, 0, CASE WHEN s8 <> s9 THEN 1 ELSE 0 END FROM a)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(sum(at8) AS BIGINT) AS n_at_8, CAST(sum(at9) AS BIGINT) AS n_at_9,
+      |  CAST(sum(departed) AS BIGINT) AS n_departed,
+      |  CAST(sum(arrived) AS BIGINT) AS n_arrived
+      |FROM sides GROUP BY shard ORDER BY shard""".stripMargin
+
   // ------------------------------ SCD2 dimension history (q103)
   /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
     * each user's `event_type` is the tracked attribute, so the history
@@ -1849,5 +1915,6 @@ object ExtendedQueries {
     ("q181_fk_integrity",    q181 _, Some(q181Sql)),
     ("q186_quantile_sketch", q186 _, Some(q186Sql)),
     ("q189_layout_skipping", q189 _, Some(q189Sql)),
-    ("q194_k_anonymity",     q194 _, Some(q194Sql)))
+    ("q194_k_anonymity",     q194 _, Some(q194Sql)),
+    ("q197_rendezvous_shards", q197 _, Some(q197Sql)))
 }

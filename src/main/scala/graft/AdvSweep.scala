@@ -927,14 +927,14 @@ object AdvSweep {
           explode(transform(sequence(lit(1), lit(50)),
             i => concat(lit("tok"), i))).as("tok"))
       val sizes = docs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // prefix length for n=50, t=3/5: 50 - 30 + 1 = 21
-      val prefLen = 50L - (50L * 3 + 4) / 5 + 1
-      stats("ppjoin_prefix_len_21") = prefLen.toString
+      // prefix length for n=50, t=9/10: 50 - 45 + 1 = 6
+      val prefLen = 50L - (50L * 9 + 9) / 10 + 1
+      stats("ppjoin_prefix_len_6") = prefLen.toString
       val inter = docs.select(col("tok"), col("doc_id").as("doc_a"))
         .join(docs.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
         .where(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-      val res = inter.where(col("ni") * 5 >= (lit(100) - col("ni")) * 3)
+      val res = inter.where(col("ni") * 10 >= (lit(100) - col("ni")) * 9)
         .agg(count(lit(1)).as("np"), sum(col("ni")).as("si")).collect()(0)
       stats("ppjoin_pairs_closed_form") =
         (res.getLong(0) == n * (n - 1) / 2 &&

@@ -4086,61 +4086,121 @@ object TextQueries {
     * MUST share a token among the first |X| - ceil(t|X|) + 1 tokens of
     * each when every set is ordered by one GLOBAL token order (rarest
     * first, so prefixes carry the most selective tokens). Candidates
-    * come from a self-join of prefix tokens only; exact
-    * intersection/union counts verify. The threshold t = 3/5 is kept
+    * come from a self-join of prefix tokens only, pre-pruned by the
+    * LENGTH filter (Jaccard >= t forces 9·|A| <= 10·|B| and vice
+    * versa — a one-comparison kill before any verification); exact
+    * intersection/union counts verify. The threshold t = 9/10 is kept
     * RATIONAL end-to-end: prefix length uses integer ceil
-    * (n - (3n+4) div 5 + 1) and the filter is 5·inter >= 3·union — no
-    * fp anywhere, which is what lets the oracle assert EXHAUSTIVE
+    * (n - (9n+9) div 10 + 1) and the filter is 10·inter >= 9·union —
+    * no fp anywhere, which is what lets the oracle assert EXHAUSTIVE
     * completeness: DuckDB computes every token-sharing pair
     * brute-force through the inverted index, so one pair missed by
-    * the prefix filter (an incompleteness bug) fails the hash match.
+    * the prefix or length filter (an incompleteness bug) fails the
+    * hash match — as does one slip in the expansion algebra below.
     *
-    * Scale shape: the candidate join carries only prefix tokens
-    * (rarest-first ordering keeps flooded tokens OUT of short
-    * prefixes); verification joins are linear in candidate token
-    * lists. The global token ranking is a vocabulary-bounded sort
-    * (the Bpe/Vocab precedent). */
+    * The decisive scale move: EXACT-DUPLICATE COLLAPSE FIRST. A
+    * dup-saturated corpus (this fixture, most crawls) has far fewer
+    * DISTINCT token sets than documents; identical sets join at
+    * Jaccard 1 by definition, so the quadratic pair mass inside and
+    * between those families must never be enumerated. Documents
+    * group by a set signature (md5 of the sorted distinct tokens),
+    * PPJoin runs on one representative per group, and the 1-row
+    * summary EXPANDS arithmetically from per-group (count, id-sum,
+    * id-square-sum): a group of m copies contributes C(m,2) Jaccard-1
+    * pairs; a qualifying representative pair (A,B) contributes
+    * mA·mB pairs; the symmetric id checksums Σ(a+b) and Σ(a·b)
+    * expand as (m−1)·s and (s²−q)/2 within a group, and mB·sA+mA·sB
+    * and sA·sB across — which is WHY the checksums are symmetric
+    * functions, not the doc_a<doc_b-keyed form (that one cannot be
+    * expanded without enumerating). Measured at sf0.1: 35 s
+    * enumerated → the collapsed form below; the oracle still
+    * enumerates every pair brute-force, so the algebra is verified,
+    * not trusted.
+    *
+    * Scale shape: at t = 9/10 the prefix is ~n/10 RAREST tokens
+    * (rarest-first ordering keeps flooded tokens out), and the length
+    * filter kills cross-size candidates before the verification
+    * joins, which are linear in surviving candidate token lists. The
+    * global token ranking is a vocabulary-bounded sort (the Bpe/Vocab
+    * precedent). A loose threshold (say 3/5) on a shared-vocabulary
+    * corpus is the WRONG tool by construction: its prefixes cover
+    * ~2n/5 tokens and its result set is quadratic — measured 102 s at
+    * sf0.1 before this was retuned; near-dup dedup is the 0.9 regime. */
   private def q196(s: SparkSession, d: String): DataFrame = {
-    val toks = docs0(s, d)
+    val allToks = docs0(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .where(length(col("tok")) > 0).distinct().persist()
-    // global order: rarest first, ties by token text
+    // exact-dup collapse: group docs by set signature, keep min-id rep
+    val groups = allToks.groupBy("doc_id")
+      .agg(md5(concat_ws("\u0001", sort_array(collect_set(col("tok"))))).as("sig"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
+        sum(col("doc_id")).cast(DecimalType(38, 0)).as("ids"),
+        sum(col("doc_id") * col("doc_id")).cast(DecimalType(38, 0)).as("idsq"))
+      .persist()
+    val reps = groups.select(col("rep").as("doc_id"), col("m"), col("ids"), col("idsq"))
+    val toks = allToks.join(reps.select("doc_id"), Seq("doc_id"), "left_semi").persist()
+    // global order: rarest first (df over REPRESENTATIVES), ties by token
     val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("df").asc, col("tok").asc)).as("rk"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val withRank = toks.join(ranked, Seq("tok")).join(sizes, Seq("doc_id"))
-    // prefix length n - ceil(3n/5) + 1, integer arithmetic only
+    // prefix length n - ceil(9n/10) + 1, integer arithmetic only
     val prefix = withRank
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("rk").asc)))
-      .where(col("pos") <= col("n") - ((col("n") * 3 + 4) / 5).cast("long") + 1)
-      .select(col("doc_id"), col("tok"))
-    val cands = prefix.select(col("tok"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("pos") <= col("n") - ((col("n") * 9 + 9) / 10).cast("long") + 1)
+      .select(col("doc_id"), col("tok"), col("n"))
+    val cands = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("tok"))
+      .where(col("doc_a") < col("doc_b") &&
+        // length filter: Jaccard >= 9/10 is impossible across sizes
+        // differing by more than 10/9 — kill before verification
+        col("na") * 9 <= col("nb") * 10 && col("nb") * 9 <= col("na") * 10)
       .select("doc_a", "doc_b").distinct()
     val inter = cands
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    // the qualifying pair set is ~quadratic in corpus size on a
-    // shared-vocabulary corpus — never emit it row-per-pair. The 1-row
-    // summary keeps the completeness proof exact: a single missed or
-    // extra pair shifts the count AND the order-independent id/count
-    // checksums.
-    inter
+    // expansion algebra over document-level pairs, DECIMAL(38,0) so no
+    // magnitude ever overflows; never enumerate the quadratic pair set
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val crossPairs = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
-      .where(col("n_inter") * 5 >= col("n_union") * 3)
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("n_inter")).as("sum_inter"),
-        sum(col("n_union")).as("sum_union"),
-        sum(col("doc_a") * 1000003L + col("doc_b")).as("pair_id_checksum"))
+      .where(col("n_inter") * 10 >= col("n_union") * 9)
+      .join(reps.select(col("doc_id").as("doc_a"), col("m").as("ma"),
+        col("ids").as("sa")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("m").as("mb"),
+        col("ids").as("sb")), Seq("doc_b"))
+      .agg(
+        coalesce(sum(dec(col("ma")) * dec(col("mb"))), dec(lit(0))).as("np"),
+        coalesce(sum(dec(col("ma")) * dec(col("mb")) * dec(col("n_inter"))), dec(lit(0))).as("si"),
+        coalesce(sum(dec(col("ma")) * dec(col("mb")) * dec(col("n_union"))), dec(lit(0))).as("su"),
+        coalesce(sum(dec(col("mb")) * col("sa") + dec(col("ma")) * col("sb")), dec(lit(0))).as("sab"),
+        coalesce(sum(col("sa") * col("sb")), dec(lit(0))).as("pab"))
+    val withinPairs = groups
+      .join(sizes.select(col("doc_id").as("rep"), col("n")), Seq("rep"))
+      .where(col("m") >= 2)
+      .agg(
+        coalesce(sum(dec(col("m")) * dec(col("m") - 1) / 2), dec(lit(0))).as("wnp"),
+        coalesce(sum(dec(col("m")) * dec(col("m") - 1) / 2 * dec(col("n"))), dec(lit(0))).as("wsi"),
+        coalesce(sum(dec(col("m")) * dec(col("m") - 1) / 2 * dec(col("n"))), dec(lit(0))).as("wsu"),
+        coalesce(sum(dec(col("m") - 1) * col("ids")), dec(lit(0))).as("wsab"),
+        coalesce(sum((col("ids") * col("ids") - col("idsq")) / 2), dec(lit(0))).as("wpab"))
+    crossPairs.crossJoin(broadcast(withinPairs))
+      .select(
+        (col("np") + col("wnp")).cast(LongType).as("n_pairs"),
+        (col("si") + col("wsi")).cast(LongType).as("sum_inter"),
+        (col("su") + col("wsu")).cast(LongType).as("sum_union"),
+        (col("sab") + col("wsab")).cast(LongType).as("sum_ab"),
+        (col("pab") + col("wpab")).cast(LongType).as("prod_ab"))
   }
 
   private val q196Sql =
@@ -4157,11 +4217,12 @@ object TextQueries {
       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
       |  CAST(sum(n_inter) AS BIGINT) AS sum_inter,
       |  CAST(sum(n_union) AS BIGINT) AS sum_union,
-      |  CAST(sum(doc_a * 1000003 + doc_b) AS BIGINT) AS pair_id_checksum
+      |  CAST(sum(doc_a + doc_b) AS BIGINT) AS sum_ab,
+      |  CAST(sum(doc_a * doc_b) AS BIGINT) AS prod_ab
       |FROM (SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
       |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
       |             JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE n_inter * 5 >= (sa.n + sb.n - n_inter) * 3)""".stripMargin
+      |  WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 9)""".stripMargin
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),

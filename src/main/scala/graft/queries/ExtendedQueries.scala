@@ -1121,6 +1121,265 @@ object ExtendedQueries {
       |  CAST(sum(arrived) AS BIGINT) AS n_arrived
       |FROM sides GROUP BY shard ORDER BY shard""".stripMargin
 
+  // --------------------- ANALYZE-style column statistics census (q198)
+  /** The stats-collection pass a cost-based optimizer runs (`ANALYZE
+    * TABLE ... COMPUTE STATISTICS FOR COLUMNS`): per-column row count,
+    * null count, exact NDV, min/max — plus an equi-depth (equi-height)
+    * histogram over `o_totalprice`, the structure join-selectivity and
+    * range-predicate estimates actually consume. Two row families in
+    * one output: `col:<name>` rows carry the per-column scalars
+    * (numeric min/max as doubles, string min/max in their own columns
+    * — binary/UTF-8 collation on both engines; timestamps exported as
+    * epoch millis), `hist:o_totalprice:<k>` rows carry the 8-bucket
+    * boundaries (bucket max IS the boundary), per-bucket row count and
+    * NDV. The HLL arm is verified IN-PLAN, not exported: each engine
+    * asserts its own `approx_count_distinct` lands within 15% of the
+    * exact NDV (`hll_ok` — Spark HLL++ at default 5% rsd vs DuckDB's
+    * own sketch; the q46 exact-vs-sketch split), because sketch
+    * estimates themselves are implementation-defined and can never
+    * hash-match.
+    *
+    * Scale shape: the scalar family is ONE map-side-combinable
+    * aggregate over a single scan (1 row → 6 exploded). The histogram
+    * family needs a total order (ntile over `(price, orderkey)` — the
+    * tiebreak makes bucket CONTENTS deterministic, not just
+    * boundaries); at 100 TB the boundaries come from
+    * `approx_percentile` or a range-partitioner sample instead — this
+    * exact ntile form is the verification twin, the q41 precedent. NDV
+    * per column is the exact arm; the production arm at scale is the
+    * in-plan-verified HLL. */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    // Melt shape, not one wide multi-DISTINCT aggregate: six exact
+    // countDistinct + six HLL sketches in a single agg plan as
+    // Expand → cascaded SortAggregates (three full sorts of the
+    // 7×-expanded scan — measured 7.2 s at sf0.1). Melting to
+    // (column, value) rows keeps every stage a map-side-combinable
+    // HASH aggregate: one shuffle carries only the distinct
+    // (column, value) pairs, and NDV/null/min/max/HLL all fold from
+    // that pre-distinct frame (HLL is duplicate-insensitive, so the
+    // sketch over distinct values estimates the same cardinality).
+    val nullD = lit(null: java.lang.Double)
+    val nullS = lit(null: String)
+    val melted = o.select(explode(array(
+        struct(lit("col:o_orderkey").as("stat_key"),
+          col("o_orderkey").cast(DoubleType).as("nv"), nullS.as("sv")),
+        struct(lit("col:o_custkey").as("stat_key"),
+          col("o_custkey").cast(DoubleType).as("nv"), nullS.as("sv")),
+        struct(lit("col:o_totalprice").as("stat_key"),
+          col("o_totalprice").as("nv"), nullS.as("sv")),
+        // orders' o_orderdate parquet is NTZ-annotated; session tz is
+        // pinned UTC, so casting to TIMESTAMP preserves the instant
+        struct(lit("col:o_orderdate").as("stat_key"),
+          unix_millis(col("o_orderdate").cast(TimestampType)).cast(DoubleType).as("nv"),
+          nullS.as("sv")),
+        struct(lit("col:o_orderstatus").as("stat_key"),
+          nullD.as("nv"), col("o_orderstatus").as("sv")),
+        struct(lit("col:o_orderpriority").as("stat_key"),
+          nullD.as("nv"), col("o_orderpriority").as("sv")))).as("r"))
+      .select(col("r.stat_key"), col("r.nv"), col("r.sv"))
+    val perValue = melted.groupBy("stat_key", "nv", "sv")
+      .agg(count(lit(1)).as("cnt"))
+    val scalars = perValue.groupBy("stat_key")
+      .agg(
+        sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("nv").isNull && col("sv").isNull, col("cnt"))),
+          lit(0L)).as("n_null"),
+        sum(when(col("nv").isNotNull || col("sv").isNotNull, 1L)
+          .otherwise(0L)).as("ndv"),
+        approx_count_distinct(coalesce(col("nv").cast(StringType), col("sv")))
+          .as("hll"),
+        min(col("nv")).as("min_num"), max(col("nv")).as("max_num"),
+        min(col("sv")).as("min_str"), max(col("sv")).as("max_str"))
+      .select(col("stat_key"), col("n"), col("n_null"), col("ndv"),
+        (abs(col("hll") - col("ndv")) * 100 <= col("ndv") * 15).as("hll_ok"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    val hist = o
+      .withColumn("bucket", ntile(8).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_totalprice")).as("ndv"),
+        min(col("o_totalprice")).as("min_num"), max(col("o_totalprice")).as("max_num"))
+      .select(concat(lit("hist:o_totalprice:"), col("bucket").cast("string")).as("stat_key"),
+        col("n"), lit(null: java.lang.Long).as("n_null"), col("ndv"),
+        lit(null: java.lang.Boolean).as("hll_ok"), col("min_num"), col("max_num"),
+        lit(null: String).as("min_str"), lit(null: String).as("max_str"))
+    scalars.unionByName(hist).sortedOut("stat_key")
+  }
+
+  private val q198Sql =
+    """WITH s AS (SELECT
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+      |  abs(approx_count_distinct(o_orderkey) - count(DISTINCT o_orderkey)) * 100 <= count(DISTINCT o_orderkey) * 15 AS h1,
+      |  CAST(min(o_orderkey) AS DOUBLE) AS lo1, CAST(max(o_orderkey) AS DOUBLE) AS hi1,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+      |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) * 100 <= count(DISTINCT o_custkey) * 15 AS h2,
+      |  CAST(min(o_custkey) AS DOUBLE) AS lo2, CAST(max(o_custkey) AS DOUBLE) AS hi2,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3,
+      |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d3,
+      |  abs(approx_count_distinct(o_totalprice) - count(DISTINCT o_totalprice)) * 100 <= count(DISTINCT o_totalprice) * 15 AS h3,
+      |  min(o_totalprice) AS lo3, max(o_totalprice) AS hi3,
+      |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4,
+      |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d4,
+      |  abs(approx_count_distinct(o_orderdate) - count(DISTINCT o_orderdate)) * 100 <= count(DISTINCT o_orderdate) * 15 AS h4,
+      |  CAST(epoch_ms(min(o_orderdate)) AS DOUBLE) AS lo4,
+      |  CAST(epoch_ms(max(o_orderdate)) AS DOUBLE) AS hi4,
+      |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5,
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d5,
+      |  abs(approx_count_distinct(o_orderstatus) - count(DISTINCT o_orderstatus)) * 100 <= count(DISTINCT o_orderstatus) * 15 AS h5,
+      |  min(o_orderstatus) AS slo5, max(o_orderstatus) AS shi5,
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z6,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d6,
+      |  abs(approx_count_distinct(o_orderpriority) - count(DISTINCT o_orderpriority)) * 100 <= count(DISTINCT o_orderpriority) * 15 AS h6,
+      |  min(o_orderpriority) AS slo6, max(o_orderpriority) AS shi6
+      |  FROM orders),
+      |cols AS (
+      |  SELECT 'col:o_orderkey' AS stat_key, n, z1 AS n_null, d1 AS ndv, h1 AS hll_ok,
+      |    lo1 AS min_num, hi1 AS max_num, NULL AS min_str, NULL AS max_str FROM s
+      |  UNION ALL SELECT 'col:o_custkey', n, z2, d2, h2, lo2, hi2, NULL, NULL FROM s
+      |  UNION ALL SELECT 'col:o_totalprice', n, z3, d3, h3, lo3, hi3, NULL, NULL FROM s
+      |  UNION ALL SELECT 'col:o_orderdate', n, z4, d4, h4, lo4, hi4, NULL, NULL FROM s
+      |  UNION ALL SELECT 'col:o_orderstatus', n, z5, d5, h5, NULL, NULL, slo5, shi5 FROM s
+      |  UNION ALL SELECT 'col:o_orderpriority', n, z6, d6, h6, NULL, NULL, slo6, shi6 FROM s),
+      |hist AS (
+      |  SELECT concat('hist:o_totalprice:', CAST(bucket AS VARCHAR)) AS stat_key,
+      |    CAST(count(*) AS BIGINT) AS n, NULL AS n_null,
+      |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv, NULL AS hll_ok,
+      |    min(o_totalprice) AS min_num, max(o_totalprice) AS max_num,
+      |    NULL AS min_str, NULL AS max_str
+      |  FROM (SELECT o_totalprice,
+      |          ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      |        FROM orders)
+      |  GROUP BY 1)
+      |SELECT * FROM cols UNION ALL SELECT * FROM hist ORDER BY stat_key""".stripMargin
+
+  // --------- weighted sampling without replacement / PPSWOR (q199)
+  /** Priority sampling (Duffield–Lund–Thorup): every document gets a
+    * deterministic pseudo-random priority `w·2⁴⁰ div (u+1)` — weight
+    * `n_chars` over a uniform 40-bit draw `u = h60(doc_id) div 2²⁰`
+    * from the engine-wide seeded md5-60 — and the sample is the top-k
+    * priorities PER STRATUM (lang). Unlike the Bernoulli designs
+    * (q127 temperature, q173 distribution-match) the sample size is
+    * EXACT, not expected, and weight-proportional inclusion comes from
+    * the priority order itself. All arithmetic is integral (LONG:
+    * `w ≤ 2²⁰`, so `w·2⁴⁰ < 2⁶³`; both engines' integer division
+    * floors non-negatives identically), the order is totalized by a
+    * doc_id tiebreak, so the SELECTED SET — not a distributional
+    * property of it — exact-matches. Census per lang: k check, total
+    * vs selected weight mass, the (k+1)-exclusive threshold proxy
+    * `min_prio`, and id checksums pinning membership.
+    *
+    * Scale shape: priorities are a narrow per-row projection; the
+    * top-k per stratum runs on the native [[TopKPerKey]] plan — a
+    * partial per-partition heap before the shuffle, so only
+    * `|strata|·k` rows ever cross the exchange (the q69 operator, not
+    * a row_number window that sorts whole partitions). */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        shiftright(graft.text.Hashing.h60(col("doc_id")), 20).as("u40"))
+      .withColumn("prio",
+        expr("CAST(n_chars AS BIGINT) * 1099511627776 div (u40 + 1)"))
+    val sel = graft.plans.TopKPerKey.topK(docs, Seq("lang"),
+      Seq(col("prio").desc, col("doc_id").asc), 50)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_chars")).as("w_selected"),
+        min(col("prio")).as("min_prio"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("doc_id") * col("doc_id")).as("id_sq_sum"))
+    val tot = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum(col("n_chars")).as("w_total"))
+    sel.join(tot, Seq("lang")).sortedOut("lang")
+  }
+
+  private val q199Sql =
+    """WITH p AS (SELECT doc_id, lang, n_chars,
+      |    CAST(n_chars AS BIGINT) * 1099511627776 //
+      |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // 1048576 + 1) AS prio
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id ASC) AS rn FROM p),
+      |sel AS (SELECT lang,
+      |    CAST(count(*) AS BIGINT) AS n_selected,
+      |    CAST(sum(n_chars) AS BIGINT) AS w_selected,
+      |    CAST(min(prio) AS BIGINT) AS min_prio,
+      |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |    CAST(sum(doc_id * doc_id) AS BIGINT) AS id_sq_sum
+      |  FROM r WHERE rn <= 50 GROUP BY lang),
+      |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(n_chars) AS BIGINT) AS w_total
+      |  FROM documents GROUP BY lang)
+      |SELECT sel.*, tot.n_total, tot.w_total FROM sel JOIN tot USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  // ------------- sliding-window outlier census, integer-exact (q200)
+  /** Per-entity streaming-style anomaly flags: each order is scored
+    * against its customer's TRAILING window (the 5 previous orders by
+    * `(o_orderdate, o_orderkey)` — strictly before, so the point never
+    * whitens its own baseline). The z-score test `|x−μ| > 3σ` is kept
+    * INTEGER end-to-end by clearing denominators: with n, S=Σxᵢ,
+    * Q=Σxᵢ² over the window in CENTS, flag iff
+    * `(n·x−S)² > 9·(n·Q−S²)` — exactly `(x−μ)² > 9σ²·n²/n²` scaled by
+    * n², no division, no sqrt, no fp anywhere (LONG-safe:
+    * cents ≤ 5·10⁷, so `n·x ≤ 2.5·10⁸` and every square
+    * `≤ 6.25·10¹⁶ ≪ 2⁶³`). Windows need ≥3 points and nonzero
+    * variance (a constant window flags any deviation). Census per
+    * order-year: evaluated/flagged counts, flagged cents mass, and an
+    * orderkey checksum pinning WHICH orders flagged.
+    *
+    * Scale shape: one customer-keyed shuffle; the window state is a
+    * bounded 5-row frame (Spark's sliding-frame aggregation keeps
+    * running sums, not the partition); the year rollup is
+    * map-side-combinable on top. The cents quantization
+    * `round(x·100)` is the same IEEE double op in both engines. */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-5, -1)
+    val scored = t(s, d, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("ws", sum(col("cents")).over(w))
+      .withColumn("wq", sum(col("cents") * col("cents")).over(w))
+      .withColumn("dev", col("wn") * col("cents") - col("ws"))
+      .withColumn("varn2", col("wn") * col("wq") - col("ws") * col("ws"))
+      .withColumn("eval", col("wn") >= 3 && col("varn2") > 0)
+      .withColumn("flag", col("eval") &&
+        col("dev") * col("dev") > col("varn2") * 9)
+    scored.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(when(col("eval"), 1L).otherwise(0L)).as("n_evaluated"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flag"), col("cents")).otherwise(0L)).as("flagged_cents"),
+        sum(when(col("flag"), col("o_orderkey")).otherwise(0L)).as("flagged_key_sum"))
+      .sortedOut("yr")
+  }
+
+  private val q200Sql =
+    """WITH s AS (SELECT o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    count(*) OVER w AS wn,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS ws,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS wq
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+      |f AS (SELECT *,
+      |    wn >= 3 AND (wn * wq - ws * ws) > 0 AS eval,
+      |    wn >= 3 AND (wn * wq - ws * ws) > 0
+      |      AND (wn * cents - ws) * (wn * cents - ws) > (wn * wq - ws * ws) * 9 AS flag
+      |  FROM s)
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(sum(CASE WHEN eval THEN 1 ELSE 0 END) AS BIGINT) AS n_evaluated,
+      |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN flag THEN cents ELSE 0 END) AS BIGINT) AS flagged_cents,
+      |  CAST(sum(CASE WHEN flag THEN o_orderkey ELSE 0 END) AS BIGINT) AS flagged_key_sum
+      |FROM f GROUP BY 1 ORDER BY yr""".stripMargin
+
   // ------------------------------ SCD2 dimension history (q103)
   /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
     * each user's `event_type` is the tracked attribute, so the history
@@ -1916,5 +2175,8 @@ object ExtendedQueries {
     ("q186_quantile_sketch", q186 _, Some(q186Sql)),
     ("q189_layout_skipping", q189 _, Some(q189Sql)),
     ("q194_k_anonymity",     q194 _, Some(q194Sql)),
-    ("q197_rendezvous_shards", q197 _, Some(q197Sql)))
+    ("q197_rendezvous_shards", q197 _, Some(q197Sql)),
+    ("q198_column_stats",    q198 _, Some(q198Sql)),
+    ("q199_priority_sample", q199 _, Some(q199Sql)),
+    ("q200_windowed_outlier", q200 _, Some(q200Sql)))
 }

@@ -981,6 +981,165 @@ object AdvSweep {
         (t.getLong(0) == n && t.getLong(1) == n && t.getLong(2) == n).toString
     }
 
+    // ==== wave 8 (round-9 late wave: q196-collapse, q198, q199, q200) ==
+
+    // ---- q196 expansion algebra vs brute-force on a two-family corpus -
+    // 700 docs of tokens 1..50 (family A) and 300 docs of tokens 1..49
+    // + tok50b (family B): within-family Jaccard is 1, cross-family is
+    // 49/51 ≥ 9/10 — so EVERY pair qualifies. The collapse algebra's
+    // closed forms (C(m,2) within, mA·mB across, symmetric id
+    // checksums (m−1)·s, (s²−q)/2, mB·sA+mA·sB, sA·sB) are asserted
+    // against a full brute-force enumeration of all C(1000,2) pairs —
+    // the same independence the DuckDB oracle provides at sf0.1, here
+    // on a corpus built to maximize both expansion arms at once.
+    step("ppjoin_collapse_two_families") {
+      val mA = 700L; val mB = 300L; val n = mA + mB
+      val docs = spark.range(0, n).toDF("doc_id")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), lit(50)), i =>
+            when(col("doc_id") < mA || i < 50, concat(lit("tok"), i))
+              .otherwise(lit("tok50b")))).as("tok"))
+      val pairs = docs.select(col("tok"), col("doc_id").as("doc_a"))
+        .join(docs.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        .where(col("ni") * 10 >= (lit(100) - col("ni")) * 9)
+      val r = pairs.agg(count(lit(1)).as("np"), sum(col("ni")).as("si"),
+          sum(col("doc_a") + col("doc_b")).as("sab"),
+          sum(col("doc_a") * col("doc_b")).as("pab")).collect()(0)
+      def c2(m: Long) = m * (m - 1) / 2
+      val sA = (0L until mA).sum; val qA = (0L until mA).map(x => x * x).sum
+      val sB = (mA until n).sum;  val qB = (mA until n).map(x => x * x).sum
+      val expNp = c2(mA) + c2(mB) + mA * mB
+      val expSi = c2(mA) * 50 + c2(mB) * 50 + mA * mB * 49
+      val expSab = (mA - 1) * sA + (mB - 1) * sB + (mB * sA + mA * sB)
+      val expPab = (sA * sA - qA) / 2 + (sB * sB - qB) / 2 + sA * sB
+      stats("ppjoin_collapse_np") = (r.getLong(0) == expNp).toString
+      stats("ppjoin_collapse_si") = (r.getLong(1) == expSi).toString
+      stats("ppjoin_collapse_sab") = (r.getLong(2) == expSab).toString
+      stats("ppjoin_collapse_pab") = (r.getLong(3) == expPab).toString
+    }
+
+    // ---- q198 equi-depth histogram vs total ties ----------------------
+    // 100k identical values: ntile(8) with the orderkey tiebreak must
+    // still produce deterministic 12 500-row buckets with min=max=c and
+    // per-bucket NDV 1 — boundary placement among ties cannot drift
+    // because bucket CONTENT multisets are position-determined. Plus
+    // the all-NULL column edge: ndv=0, n_null=n, and the HLL contract
+    // is vacuously satisfied (0 ≤ 0).
+    step("column_stats_tie_flood") {
+      val n = 100000L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("id").asc)
+      val h = spark.range(0, n).toDF("id").select(col("id"), lit(42.0).as("v"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("bn"), countDistinct(col("v")).as("bndv"),
+          min(col("v")).as("blo"), max(col("v")).as("bhi"))
+        .collect()
+      stats("cstats_tie_buckets") = (h.length == 8 &&
+        h.forall(r => r.getLong(1) == n / 8 && r.getLong(2) == 1L &&
+          r.getDouble(3) == 42.0 && r.getDouble(4) == 42.0)).toString
+      val nulls = spark.range(0, n).toDF("id")
+        .select(lit("c").as("k"), lit(null: java.lang.Double).as("nv"),
+          lit(null: String).as("sv"))
+        .groupBy("k", "nv", "sv").agg(count(lit(1)).as("cnt"))
+        .groupBy("k").agg(sum(col("cnt")).as("tn"),
+          coalesce(sum(when(col("nv").isNull && col("sv").isNull, col("cnt"))),
+            lit(0L)).as("nnull"),
+          sum(when(col("nv").isNotNull || col("sv").isNotNull, 1L)
+            .otherwise(0L)).as("ndv"),
+          approx_count_distinct(coalesce(col("nv").cast("string"), col("sv")))
+            .as("hll")).collect()(0)
+      stats("cstats_allnull") = (nulls.getLong(1) == n &&
+        nulls.getLong(2) == n && nulls.getLong(3) == 0L &&
+        math.abs(nulls.getLong(4) - 0L) * 100 <= 0L).toString
+    }
+
+    // ---- q199 priority sampling: determinism, exhaustion, skew --------
+    // Claims: (a) the selected set is bit-identical across re-runs
+    // (the draw is the seeded md5-60, not an RNG); (b) k ≥ |stratum|
+    // degrades to SELECT ALL; (c) the LONG arithmetic never overflows
+    // at the w ≤ 2²⁰−1 cap (priority stays positive); (d) a
+    // monster-weight doc among unit weights is selected on this
+    // corpus's actual draws.
+    step("priority_sample_adversarial") {
+      val n = 50000L
+      def prios(weightCap: Long) = spark.range(0, n).toDF("doc_id")
+        .select(col("doc_id"),
+          when(col("doc_id") === 7L, weightCap).otherwise(1L).as("w"),
+          shiftright(graft.text.Hashing.h60(col("doc_id")), 20).as("u40"))
+        .withColumn("prio", expr("w * 1099511627776 div (u40 + 1)"))
+      val a = prios((1L << 20) - 1)
+      val selA = a.orderBy(col("prio").desc, col("doc_id").asc).limit(100)
+        .select("doc_id")
+      val selB = prios((1L << 20) - 1)
+        .orderBy(col("prio").desc, col("doc_id").asc).limit(100)
+        .select("doc_id")
+      stats("psample_deterministic") =
+        (selA.exceptAll(selB).count() == 0 &&
+          selB.exceptAll(selA).count() == 0).toString
+      stats("psample_no_overflow") =
+        (a.where(col("prio") <= 0).count() == 0L).toString
+      stats("psample_monster_selected") =
+        (selA.where(col("doc_id") === 7L).count() == 1L).toString
+      val small = spark.range(0, 30).toDF("doc_id")
+        .select(col("doc_id"), lit(1L).as("w"),
+          shiftright(graft.text.Hashing.h60(col("doc_id")), 20).as("u40"))
+        .withColumn("prio", expr("w * 1099511627776 div (u40 + 1)"))
+        .orderBy(col("prio").desc, col("doc_id").asc).limit(50)
+      stats("psample_k_exhausts_stratum") = (small.count() == 30L).toString
+    }
+
+    // ---- q200 variance-0 guard and symmetric flagging -----------------
+    // A 100× spike after FIVE IDENTICAL orders must NOT flag (the
+    // nonzero-variance guard: a constant baseline flags any deviation,
+    // so it is excluded by design); the same spike after a noisy
+    // baseline must flag; a symmetric DIP after the same clean noisy
+    // baseline must flag identically ((x−μ)² is sign-blind); a dip
+    // whose trailing window still CONTAINS the spike must NOT flag —
+    // baseline contamination is the documented trade of
+    // trailing-window scoring (the spike inflates σ for the next 5
+    // points; wave-8's first run caught exactly this when the dip was
+    // planted after the spike); and the first two orders of every
+    // customer are never evaluated (wn<3).
+    step("windowed_outlier_guards") {
+      import spark.implicits._
+      val noisy = Seq(9000L, 11000L, 10000L, 9500L, 10500L)
+      val rows =
+        (1 to 5).map(i => (1L, i, 10000L)) ++ Seq((1L, 6, 1000000L)) ++
+        noisy.zipWithIndex.map { case (v, i) => (2L, i + 1, v) } ++
+        Seq((2L, 6, 1000000L), (2L, 7, 3L)) ++
+        noisy.zipWithIndex.map { case (v, i) => (3L, i + 1, v) } ++
+        Seq((3L, 6, 3L))
+      val df = rows.toDF("cust", "seq", "cents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cust")).orderBy(col("seq").asc)
+        .rowsBetween(-5, -1)
+      val scored = df
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("ws", sum(col("cents")).over(w))
+        .withColumn("wq", sum(col("cents") * col("cents")).over(w))
+        .withColumn("dev", col("wn") * col("cents") - col("ws"))
+        .withColumn("varn2", col("wn") * col("wq") - col("ws") * col("ws"))
+        .withColumn("eval", col("wn") >= 3 && col("varn2") > 0)
+        .withColumn("flag", col("eval") &&
+          col("dev") * col("dev") > col("varn2") * 9)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getBoolean(r.fieldIndex("eval")), r.getBoolean(r.fieldIndex("flag")))).toMap
+      stats("outlier_const_history_guarded") =
+        (scored((1L, 6)) == ((false, false))).toString
+      stats("outlier_noisy_spike_flagged") =
+        (scored((2L, 6)) == ((true, true))).toString
+      stats("outlier_clean_dip_flagged") =
+        (scored((3L, 6)) == ((true, true))).toString
+      stats("outlier_contaminated_dip_masked") =
+        (scored((2L, 7)) == ((true, false))).toString
+      stats("outlier_warmup_never_eval") =
+        (!scored((1L, 1))._1 && !scored((1L, 2))._1 &&
+          !scored((2L, 1))._1 && !scored((2L, 2))._1).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

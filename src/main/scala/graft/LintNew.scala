@@ -28,7 +28,10 @@ object LintNew {
       // r8 wave re-audit (must stay clean)
       "q154_minhash_calibration", "q175_negative_sampling",
       "q182_boilerplate_extract", "q183_syndication_communities",
-      "q184_mp4_catalog")
+      "q184_mp4_catalog",
+      // round 9 late wave
+      "q197_rendezvous_shards", "q198_column_stats",
+      "q199_priority_sample", "q200_windowed_outlier")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -1320,7 +1320,12 @@ object ExtendedQueries {
   /** Per-entity streaming-style anomaly flags: each order is scored
     * against its customer's TRAILING window (the 5 previous orders by
     * `(o_orderdate, o_orderkey)` — strictly before, so the point never
-    * whitens its own baseline). The z-score test `|x−μ| > 3σ` is kept
+    * whitens its own baseline — though an outlier ALREADY INSIDE the
+    * trailing window inflates σ and can mask the next few points:
+    * baseline contamination is the documented trade of trailing-window
+    * scoring, pinned by AdvSweep wave 8's contaminated-dip case; the
+    * robust alternative at scale is a median/MAD window, which has no
+    * integer-exact form). The z-score test `|x−μ| > 3σ` is kept
     * INTEGER end-to-end by clearing denominators: with n, S=Σxᵢ,
     * Q=Σxᵢ² over the window in CENTS, flag iff
     * `(n·x−S)² > 9·(n·Q−S²)` — exactly `(x−μ)² > 9σ²·n²/n²` scaled by

@@ -1385,6 +1385,125 @@ object ExtendedQueries {
       |  CAST(sum(CASE WHEN flag THEN o_orderkey ELSE 0 END) AS BIGINT) AS flagged_key_sum
       |FROM f GROUP BY 1 ORDER BY yr""".stripMargin
 
+  // ------------------- Benford first-digit audit, integer-exact (q202)
+  /** The forensic data-quality screen: leading-digit frequencies of
+    * order amounts vs Benford's law. Fabricated or unit-mangled
+    * financial columns drift from log₁₀(1+1/d); a census that runs at
+    * ingest catches it before a model trains on it. Kept integer
+    * end-to-end: the leading digit comes from the BIGINT cents
+    * rendering (leading digit is invariant under the ×100 scaling;
+    * BIGINT→string is identical in both engines, no fp formatting),
+    * observed shares are parts-per-million by integer division, and
+    * the Benford reference is the SAME hardcoded ppm literals on both
+    * sides (so the deviation column is exact, not a log race).
+    *
+    * Scale shape: one map-side-combinable 9-group aggregate; the ppm
+    * arithmetic happens on the 9-row result. */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val benford = typedLit(Map(
+      "1" -> 301030L, "2" -> 176091L, "3" -> 124939L, "4" -> 96910L,
+      "5" -> 79181L, "6" -> 66947L, "7" -> 57992L, "8" -> 51153L,
+      "9" -> 45757L))
+    val digits = t(s, d, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast(LongType)
+        .cast(StringType), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("tot"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div tot").as("obs_ppm"),
+        benford(col("digit")).as("benford_ppm"),
+        (expr("n * 1000000 div tot") - benford(col("digit"))).as("dev_ppm"))
+      .sortedOut("digit")
+  }
+
+  private val q202Sql =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+      |b(digit, benford_ppm) AS (VALUES ('1', 301030), ('2', 176091),
+      |  ('3', 124939), ('4', 96910), ('5', 79181), ('6', 66947),
+      |  ('7', 57992), ('8', 51153), ('9', 45757))
+      |SELECT d.digit, d.n,
+      |  CAST(d.n * 1000000 // t.tot AS BIGINT) AS obs_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CAST(d.n * 1000000 // t.tot - b.benford_ppm AS BIGINT) AS dev_ppm
+      |FROM d JOIN b USING (digit) CROSS JOIN t ORDER BY digit""".stripMargin
+
+  // ----------------- group-wise OLS trend, cleared denominators (q203)
+  /** Per-segment linear trend (is this order-priority's spend rising?)
+    * with the normal-equation fractions kept EXACT until the last
+    * step: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x =
+    * epoch-day, y = cents. Every sum and both cleared numerator/
+    * denominator are DECIMAL(38,0) integers (n·Σxy peaks ~10²⁰ — past
+    * LONG, nowhere near 38 digits), so the only fp ops are the final
+    * two decimal→double conversions and one IEEE division — identical
+    * in both engines, which is what lets a regression coefficient be
+    * hash-matched at all. Intercept follows as (Σy − slope·Σx)/n from
+    * the same exact ingredients. The no-variance edge (a single
+    * distinct x in a group) nulls the slope on both sides rather than
+    * dividing by zero.
+    *
+    * Scale shape: one map-side-combinable aggregate per group carrying
+    * five sums; the algebra runs on the |groups|-row result. This is
+    * the q154/q175 fixed-point discipline applied to model fitting —
+    * the 100 TB path for ANY per-group OLS is these five sums, never a
+    * per-group collect. */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = t(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast(DateType), lit("1970-01-01")
+          .cast(DateType)).cast(LongType).as("x"),
+        round(col("o_totalprice") * 100).cast(LongType).as("y"))
+    val sums = base.groupBy("prio").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    sums.select(col("prio"), col("n"),
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sx"), col("sy"))
+      .select(col("prio"), col("n"), col("sx"), col("sy"),
+        when(col("den") =!= 0,
+          col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("slope_cents_per_day"))
+      .withColumn("intercept_cents",
+        when(col("slope_cents_per_day").isNotNull,
+          (col("sy").cast(DoubleType) - col("slope_cents_per_day") *
+            col("sx").cast(DoubleType)) / col("n").cast(DoubleType)))
+      .select(col("prio"), col("n"), col("slope_cents_per_day"),
+        col("intercept_cents"))
+      .sortedOut("prio")
+  }
+
+  private val q203Sql =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders),
+      |sums AS (
+      |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+      |  FROM base GROUP BY prio)
+      |SELECT prio, n,
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |  END AS slope_cents_per_day,
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    (CAST(sy AS DOUBLE) -
+      |     CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |  END AS intercept_cents
+      |FROM sums ORDER BY prio""".stripMargin
+
   // ------------------------------ SCD2 dimension history (q103)
   /** [[RelationalOps.scd2]] over the events stream read as a CDC feed:
     * each user's `event_type` is the tracked attribute, so the history
@@ -2183,5 +2302,7 @@ object ExtendedQueries {
     ("q197_rendezvous_shards", q197 _, Some(q197Sql)),
     ("q198_column_stats",    q198 _, Some(q198Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
-    ("q200_windowed_outlier", q200 _, Some(q200Sql)))
+    ("q200_windowed_outlier", q200 _, Some(q200Sql)),
+    ("q202_benford_audit",   q202 _, Some(q202Sql)),
+    ("q203_groupwise_ols",   q203 _, Some(q203Sql)))
 }

@@ -4224,6 +4224,88 @@ object TextQueries {
       |             JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 9)""".stripMargin
 
+  // ------- edit-distance-1 vocabulary join via deletion neighborhoods (q201)
+  /** Typo-tolerant vocabulary consolidation — the COMPLETE twin of
+    * q153's heuristic first-token blocking: for edit distance ≤ 1,
+    * the FastSS deletion-neighborhood principle is a THEOREM, not a
+    * recall bet. Two strings are within Levenshtein 1 iff they share
+    * a key in {t} ∪ delete1(t): a substitution pair shares the
+    * deletion at the differing position, an insertion/deletion pair
+    * shares the shorter string itself. Candidates therefore come from
+    * ONE equi-join on generated variant keys (|t|+1 narrow rows per
+    * vocab term — no quadratic stage anywhere), then exact
+    * `levenshtein` verifies away false candidates (strings at
+    * distance 2 can share a deletion variant — "abX" and "abY" both
+    * delete to "ab" from position 3, which is a TRUE substitution
+    * pair, but "aXc"/"aYd" share nothing; the verify step is what
+    * makes over-generation harmless, never completeness). Both engines build
+    * the identical neighborhoods and run their own exact Levenshtein,
+    * so the PAIR SET matches, not an estimate; pairs split into
+    * substitutions (equal length) vs indels. Tokens are length-capped
+    * [4, 20] — the q119-style guard that also bounds neighborhood
+    * fan-out.
+    *
+    * Scale shape: vocabulary-bounded, not corpus-bounded (the
+    * distinct-token frame is the input); variant generation is a
+    * narrow per-row transform; the self-join keys are (len-1)-grams
+    * whose frequency the length floor keeps tame — the same
+    * skew-surface as LSH band buckets, with the same cap discipline
+    * available if a real corpus needs it. */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs0(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")).between(4, 20)).distinct().persist()
+    // keys: the token itself (distance-0 / indel anchor) + all
+    // single-deletion variants, tagged with nothing but the string
+    val variants = vocab.select(col("tok"),
+      explode(concat(array(col("tok")),
+        transform(sequence(lit(1), length(col("tok"))), i =>
+          concat(col("tok").substr(lit(1), i - 1),
+            col("tok").substr(i + 1, lit(2147483647)))))).as("key"))
+      .distinct()
+    val cands = variants.select(col("key"), col("tok").as("tok_a"))
+      .join(variants.select(col("key"), col("tok").as("tok_b")), Seq("key"))
+      .where(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+    val pairs = cands
+      .where(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+    val out = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(length(col("tok_a")) === length(col("tok_b")), 1L)
+        .otherwise(0L)).as("n_subst"),
+      sum(when(length(col("tok_a")) =!= length(col("tok_b")), 1L)
+        .otherwise(0L)).as("n_indel"),
+      sum(length(col("tok_a")) + length(col("tok_b"))).cast(LongType).as("len_sum"))
+    val nv = vocab.agg(count(lit(1)).as("n_vocab"))
+    out.crossJoin(broadcast(nv))
+      .select(col("n_vocab"), col("n_pairs"), col("n_subst"),
+        col("n_indel"), col("len_sum"))
+  }
+
+  private val q201Sql =
+    """WITH vocab AS (
+      |  SELECT DISTINCT tok
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) BETWEEN 4 AND 20),
+      |variants AS (
+      |  SELECT DISTINCT tok, key FROM (
+      |    SELECT tok, tok AS key FROM vocab
+      |    UNION ALL
+      |    SELECT tok, substr(tok, 1, i - 1) || substr(tok, i + 1) AS key
+      |    FROM vocab, unnest(range(1, length(tok) + 1)) AS t(i))),
+      |cands AS (
+      |  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      |  FROM variants a JOIN variants b USING (key)
+      |  WHERE a.tok < b.tok),
+      |pairs AS (SELECT * FROM cands WHERE levenshtein(tok_a, tok_b) <= 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_vocab,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN length(tok_a) = length(tok_b) THEN 1 ELSE 0 END) AS BIGINT) AS n_subst,
+      |  CAST(sum(CASE WHEN length(tok_a) <> length(tok_b) THEN 1 ELSE 0 END) AS BIGINT) AS n_indel,
+      |  CAST(sum(length(tok_a) + length(tok_b)) AS BIGINT) AS len_sum
+      |FROM pairs""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4313,5 +4395,6 @@ object TextQueries {
     ("q190_warc_landing", q190 _, Some(q190Sql)),
     ("q191_robots_census", q191 _, Some(q191Sql)),
     ("q192_script_census", q192 _, Some(q192Sql)),
-    ("q196_ppjoin_exact", q196 _, Some(q196Sql)))
+    ("q196_ppjoin_exact", q196 _, Some(q196Sql)),
+    ("q201_typo_join", q201 _, Some(q201Sql)))
 }

@@ -31,7 +31,8 @@ object LintNew {
       "q184_mp4_catalog",
       // round 9 late wave
       "q197_rendezvous_shards", "q198_column_stats",
-      "q199_priority_sample", "q200_windowed_outlier")
+      "q199_priority_sample", "q200_windowed_outlier",
+      "q201_typo_join", "q202_benford_audit", "q203_groupwise_ols")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -2250,6 +2250,178 @@ object ExtendedQueries {
       |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_supp_refs
       |FROM fan""".stripMargin
 
+  // ----------------- Pareto frontier / skyline, integer-exact (q204)
+  /** The dominance query family's first member: the set of
+    * (price, size) points no other part dominates — cheaper-and-bigger
+    * wins, so the frontier is every catalog's "efficient" boundary
+    * (best value at each budget). Dominance is evaluated on LONG cents
+    * and LONG size, so membership is exact, and the census at each
+    * frontier point (how many parts sit exactly there, key checksum)
+    * pins WHICH parts are efficient, not just how many.
+    *
+    * 2D skyline decomposes into two bounded passes instead of the
+    * quadratic NOT-EXISTS definition: (1) collapse to one candidate
+    * per distinct price — only the max-size point at a price can
+    * survive (an equal-price larger point dominates, price strict not
+    * needed because size is strict); (2) a running max over strictly
+    * cheaper candidates — survive iff size exceeds it (a cheaper
+    * point with ≥ size dominates via strict price). The oracle is the
+    * same decomposition, so one point mis-kept or mis-dropped by
+    * either pass fails the hash.
+    *
+    * Scale shape: pass 1 is a map-side-combinable (price, size) group
+    * then a per-price window; pass 2's unpartitioned running max runs
+    * over ONE ROW PER DISTINCT PRICE — bounded by the cents domain
+    * (~10⁵ for this schema), not the data, the q198-rollup argument.
+    * For an unbounded value domain the running max takes the
+    * [[RelationalOps.globalRowNumber]] range-partition + prefix
+    * formulation; the frontier itself only shrinks as data grows. */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "part")
+      .select(round(col("p_retailprice") * 100).cast(LongType).as("price_cents"),
+        col("p_size").cast(LongType).as("size"), col("p_partkey"))
+      .groupBy("price_cents", "size")
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_partkey")).as("key_sum"))
+    val cand = g
+      .withColumn("mx", max(col("size")).over(Window.partitionBy("price_cents")))
+      .where(col("size") === col("mx")).drop("mx")
+    cand
+      .withColumn("runmax", max(col("size")).over(
+        Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("runmax").isNull || col("size") > col("runmax"))
+      .select("price_cents", "size", "n_parts", "key_sum")
+      .sortedOut("price_cents")
+  }
+
+  private val q204Sql =
+    """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size, p_partkey FROM part),
+      |g AS (SELECT price_cents, size, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(p_partkey) AS BIGINT) AS key_sum
+      |  FROM p GROUP BY 1, 2),
+      |c AS (SELECT * FROM (
+      |    SELECT g.*, max(size) OVER (PARTITION BY price_cents) AS mx FROM g)
+      |  WHERE size = mx),
+      |f AS (SELECT *, max(size) OVER (ORDER BY price_cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM c)
+      |SELECT price_cents, size, n_parts, key_sum FROM f
+      |WHERE runmax IS NULL OR size > runmax ORDER BY price_cents""".stripMargin
+
+  // ------- chi-squared independence audit, cleared denominators (q205)
+  /** Is `lang` independent of `source` in the corpus? The χ² statistic
+    * answers the data-audit question "did one feed's language mix
+    * drift" before a sampler trusts per-source quotas. Each cell's
+    * contribution (O−E)²/E is kept EXACT until one division by
+    * clearing E = R·C/N: contribution = (N·O − R·C)² / (N·R·C), with
+    * numerator and denominator both DECIMAL(38,0) integers exported as
+    * canonical digit strings (the q01 policy — no decimal→double loss
+    * at any magnitude), and the double quotient is one IEEE division
+    * from the same two exact integers in both engines — the q203
+    * discipline applied to a test statistic. The global χ² is the sum
+    * of the per-cell doubles; it is NOT emitted because fp addition
+    * order would make it engine-dependent — consumers fold the exact
+    * cells instead.
+    *
+    * Scale shape: one map-side-combinable (lang, source) count; the
+    * marginals derive from the CELLS (≤|L|·|S| rows), never a second
+    * corpus pass; broadcast joins assemble the ≤|L|·|S| output. At
+    * 100 TB the contingency table is still tiny — this is the
+    * always-cheap audit beside q149's heavier distributional alarm. */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+    val colsm = cells.groupBy("source").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(colsm), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
+      .withColumn("chi_num", col("diff") * col("diff"))
+      .withColumn("chi_den", dec(col("n")) * dec(col("r")) * dec(col("c")))
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"), col("n"),
+        col("chi_num").cast(StringType).as("chi_num"),
+        col("chi_den").cast(StringType).as("chi_den"),
+        (col("chi_num").cast(DoubleType) / col("chi_den").cast(DoubleType))
+          .as("contrib"))
+      .sortedOut("lang", "source")
+  }
+
+  private val q205Sql =
+    """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |x AS (SELECT cells.lang, cells.source, cells.o, r.r, c.c, t.n,
+      |    CAST(t.n AS HUGEINT) * cells.o - CAST(r.r AS HUGEINT) * c.c AS diff
+      |  FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t)
+      |SELECT lang, source, o, r, c, n,
+      |  CAST(diff * diff AS VARCHAR) AS chi_num,
+      |  CAST(CAST(n AS HUGEINT) * r * c AS VARCHAR) AS chi_den,
+      |  CAST(diff * diff AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS contrib
+      |FROM x ORDER BY lang, source""".stripMargin
+
+  // -------- grid-bucketed spatial proximity self-join (q206)
+  /** The spatial member of the similarity-join family (dense cosine
+    * q58 / Jaccard q56 / Hamming q151): all point pairs within
+    * Euclidean radius r, via fixed-grid bucketing. Each customer gets
+    * a deterministic position in a 10⁶×10⁶ integer grid from two
+    * independent seeded md5-60 draws (the engine-wide convention, so
+    * the oracle reproduces the geometry bit-for-bit); with cell size
+    * EQUAL to r, any qualifying pair's cells differ by ≤1 per axis —
+    * a THEOREM, so the 3×3-neighborhood equi-join is
+    * completeness-proven like q201's deletion neighborhoods, while the
+    * oracle checks every pair EXHAUSTIVELY. One side explodes to its 9
+    * neighbor cells, the other stays home: each qualifying pair meets
+    * exactly once (the home cell is a unique key in the 9-set), and
+    * `a_id < b_id` kills the mirrored orientation. The distance test
+    * `dx²+dy² ≤ r²` is pure LONG arithmetic — no sqrt, no fp.
+    *
+    * Scale shape: one equi-join shuffle on the cell key; the 9×
+    * replication is a constant, and per-cell population — the join's
+    * skew bound — is data density × r², the knob a 100 TB run turns
+    * (smaller r or a second-level salt on hot cells, q64's recipe).
+    * Output is the pair list itself (q29 convention), which grows with
+    * density² — a production run caps per-cell candidates like
+    * [[graft.dedup.Dedup]]'s banded pairs. */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val R = 10000L
+    val pts = t(s, d, "customer")
+      .select(col("c_custkey").as("id"),
+        (graft.text.Hashing.h60Seeded(1, col("c_custkey")) % 1000000L).as("x"),
+        (graft.text.Hashing.h60Seeded(2, col("c_custkey")) % 1000000L).as("y"))
+      .withColumn("cx", expr(s"x div $R")).withColumn("cy", expr(s"y div $R"))
+    val lhs = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("gx"), (col("cy") + col("dy")).as("gy"))
+    val rhs = pts.select(col("id").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), col("cx").as("gx"), col("cy").as("gy"))
+    lhs.join(rhs, Seq("gx", "gy"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dist_sq",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .where(col("dist_sq") <= R * R)
+      .select("a_id", "b_id", "dist_sq")
+      .sortedOutWide("a_id", "b_id")
+  }
+
+  private val q206Sql =
+    """WITH p AS (SELECT c_custkey AS id,
+      |    CAST(concat('0x', substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS x,
+      |    CAST(concat('0x', substr(md5('2:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+      |  FROM customer)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -2304,5 +2476,8 @@ object ExtendedQueries {
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),
-    ("q203_groupwise_ols",   q203 _, Some(q203Sql)))
+    ("q203_groupwise_ols",   q203 _, Some(q203Sql)),
+    ("q204_pareto_frontier", q204 _, Some(q204Sql)),
+    ("q205_chisq_independence", q205 _, Some(q205Sql)),
+    ("q206_grid_proximity_join", q206 _, Some(q206Sql)))
 }

@@ -2422,6 +2422,165 @@ object ExtendedQueries {
       |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100000000
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------- Cohen's kappa: consecutive-event agreement (q207)
+  /** Inter-rater agreement applied to behavior: how much does a user's
+    * NEXT event type agree with the current one beyond what the
+    * marginal type mix predicts? Raw repeat-rate (q148's diagonal)
+    * confounds stickiness with popularity — a feed where 90% of events
+    * are 'view' repeats 81% by chance alone. Kappa corrects exactly
+    * that: κ = (pₒ−pₑ)/(1−pₑ) with pₒ = D/N, pₑ = ΣRₖCₖ/N², cleared to
+    * κ = (N·D − ΣRC)/(N² − ΣRC) — every term a DECIMAL(38,0) integer
+    * (N² passes LONG at corpus scale), one IEEE division at the end,
+    * the q203 discipline applied to an agreement statistic. Marginals
+    * are FULL-OUTER-merged on the class label: a type appearing only
+    * as successor still contributes its R=0 row. The degenerate
+    * single-class corpus (pₑ=1) nulls κ instead of dividing by zero.
+    *
+    * Scale shape: one user-keyed shuffle for the lead (the q148
+    * partitioning), then everything runs on the ≤|T|² confusion
+    * matrix; the cleared sums are |T|-sized folds. */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val conf = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("o"))
+    val r = conf.groupBy(col("from_type").as("k")).agg(sum(col("o")).as("r"))
+    val c0 = conf.groupBy(col("to_type").as("k")).agg(sum(col("o")).as("c"))
+    val src = r.join(c0, Seq("k"), "full_outer")
+      .agg(sum(dec(coalesce(col("r"), lit(0L))) *
+        dec(coalesce(col("c"), lit(0L)))).cast(DecimalType(38, 0)).as("src"))
+    val t0 = conf.agg(sum(col("o")).as("n_pairs"),
+      sum(when(col("from_type") === col("to_type"), col("o"))
+        .otherwise(0L)).as("sum_diag"))
+    t0.crossJoin(broadcast(src))
+      .select(col("n_pairs"), col("sum_diag"),
+        col("src").cast(StringType).as("sum_rc"),
+        when(dec(col("n_pairs")) * dec(col("n_pairs")) - col("src") =!= 0,
+          (dec(col("n_pairs")) * dec(col("sum_diag")) - col("src"))
+            .cast(DoubleType) /
+            (dec(col("n_pairs")) * dec(col("n_pairs")) - col("src"))
+              .cast(DoubleType)).as("kappa"))
+  }
+
+  private val q207Sql =
+    """WITH x AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |conf AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS o
+      |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT from_type AS k, CAST(sum(o) AS BIGINT) AS r FROM conf GROUP BY 1),
+      |c AS (SELECT to_type AS k, CAST(sum(o) AS BIGINT) AS c FROM conf GROUP BY 1),
+      |m AS (SELECT CAST(sum(CAST(coalesce(r.r, 0) AS HUGEINT) * coalesce(c.c, 0)) AS HUGEINT) AS src
+      |  FROM r FULL OUTER JOIN c USING (k)),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN from_type = to_type THEN o ELSE 0 END) AS BIGINT) AS sum_diag
+      |  FROM conf)
+      |SELECT t.n_pairs, t.sum_diag, CAST(m.src AS VARCHAR) AS sum_rc,
+      |  CASE WHEN CAST(t.n_pairs AS HUGEINT) * t.n_pairs - m.src <> 0 THEN
+      |    CAST(CAST(t.n_pairs AS HUGEINT) * t.sum_diag - m.src AS DOUBLE) /
+      |    CAST(CAST(t.n_pairs AS HUGEINT) * t.n_pairs - m.src AS DOUBLE)
+      |  END AS kappa
+      |FROM t CROSS JOIN m""".stripMargin
+
+  // ---------- purged / embargoed temporal split census (q208)
+  /** The leakage-free TEMPORAL eval split — the time-series complement
+    * of q133's entity-level leak-free split and q106's random one: test
+    * = the trailing 30 days, train = everything strictly older, and an
+    * EMBARGO gap of 7 days between them is assigned to neither — the
+    * purge that stops look-ahead leakage when features aggregate over
+    * trailing windows (a train row 1 day before the test boundary
+    * carries a 5-order window that overlaps test-period state, q200's
+    * exact feature shape). Cutoffs derive from the corpus max date in
+    * INTEGER days, so membership is exact; the census pins each
+    * split's count, date range, cents mass and customer checksum.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast into a
+    * map-side-combinable 3-group census — two narrow passes, no
+    * shuffle of the fact table. */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("dt"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val bounds = o.agg(max(col("dt")).as("dmax"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("dt") >= date_sub(col("dmax"), 30), "test")
+          .when(col("dt") >= date_sub(col("dmax"), 37), "embargo")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min(col("dt")).cast(StringType).as("d_lo"),
+        max(col("dt")).cast(StringType).as("d_hi"),
+        sum(col("cents")).as("cents"),
+        sum(col("o_custkey")).as("cust_sum"))
+      .sortedOut("split")
+  }
+
+  private val q208Sql =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (SELECT max(dt) AS dmax FROM o)
+      |SELECT CASE WHEN dt >= dmax - 30 THEN 'test'
+      |            WHEN dt >= dmax - 37 THEN 'embargo'
+      |            ELSE 'train' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(dt) AS VARCHAR) AS d_lo,
+      |  CAST(max(dt) AS VARCHAR) AS d_hi,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM o CROSS JOIN b GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---------- gaps-and-islands: longest monthly order streak (q209)
+  /** The sequential-pattern census: each customer's longest run of
+    * CONSECUTIVE calendar months with at least one order — the
+    * gaps-and-islands operator (island id = month-index − dense rank,
+    * constant exactly while months are consecutive) that powers
+    * retention streaks, subscription-lapse detection and "active N
+    * months in a row" cohorts, where q109's cohort matrix only sees
+    * each month independently. Month index `12·year + month` is pure
+    * integer arithmetic; the histogram pins how many customers peak at
+    * each streak length with a checksum of WHO.
+    *
+    * Scale shape: distinct (customer, month) collapses the fact table
+    * first (map-side combinable); both windows ride ONE customer-keyed
+    * shuffle (same-key windows share the partitioning); the histogram
+    * is a ≤|months| rollup. */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wm = Window.partitionBy("c").orderBy("m")
+    val months = t(s, d, "orders")
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("m"))
+      .distinct()
+    val streaks = months
+      .withColumn("island", col("m") - row_number().over(wm))
+      .groupBy("c", "island").agg(count(lit(1)).as("len"))
+      .groupBy("c").agg(max(col("len")).as("max_streak"))
+    streaks.groupBy("max_streak")
+      .agg(count(lit(1)).as("n_customers"), sum(col("c")).as("cust_sum"))
+      .sortedOut("max_streak")
+  }
+
+  private val q209Sql =
+    """WITH months AS (SELECT DISTINCT o_custkey AS c,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      |  FROM orders),
+      |isl AS (SELECT c, m,
+      |    m - row_number() OVER (PARTITION BY c ORDER BY m) AS island
+      |  FROM months),
+      |st AS (SELECT c, CAST(count(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY c, island),
+      |mx AS (SELECT c, max(len) AS max_streak FROM st GROUP BY c)
+      |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(c) AS BIGINT) AS cust_sum
+      |FROM mx GROUP BY 1 ORDER BY max_streak""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -2479,5 +2638,8 @@ object ExtendedQueries {
     ("q203_groupwise_ols",   q203 _, Some(q203Sql)),
     ("q204_pareto_frontier", q204 _, Some(q204Sql)),
     ("q205_chisq_independence", q205 _, Some(q205Sql)),
-    ("q206_grid_proximity_join", q206 _, Some(q206Sql)))
+    ("q206_grid_proximity_join", q206 _, Some(q206Sql)),
+    ("q207_transition_kappa", q207 _, Some(q207Sql)),
+    ("q208_embargo_split",   q208 _, Some(q208Sql)),
+    ("q209_monthly_streaks", q209 _, Some(q209Sql)))
 }

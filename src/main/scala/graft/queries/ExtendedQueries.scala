@@ -2581,6 +2581,180 @@ object ExtendedQueries {
       |  CAST(sum(c) AS BIGINT) AS cust_sum
       |FROM mx GROUP BY 1 ORDER BY max_streak""".stripMargin
 
+  // ---------------- exact weighted median per group (q210)
+  /** The robust-statistics member the percentile family lacks: the
+    * quantity-weighted median price per return flag — "the price at
+    * which half the shipped UNITS are cheaper", which is the robust
+    * location estimate when rows fan out to different volumes (q41's
+    * unweighted percentile answers a different question the moment
+    * weights vary). Lower weighted median: the smallest value v with
+    * 2·cumweight(≤v) ≥ W — pure LONG comparisons on cents and integral
+    * quantities, no interpolation, so the answer is a VALUE FROM THE
+    * DATA and exact on both engines.
+    *
+    * Scale shape: one map-side-combinable (flag, cents) collapse
+    * bounds the windowed frame by the distinct-value count, not the
+    * row count; the per-flag running sum then funnels each flag's
+    * distinct values through one task — fine while the value domain is
+    * bounded (cents here), and the documented 100 TB form for an
+    * unbounded domain is the [[RelationalOps.globalRowNumber]]
+    * range-partition + prefix-offset pass (the q41-style exact twin of
+    * `approx_percentile`'s mergeable sketch). */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        round(col("l_quantity")).cast(LongType).as("qty"))
+      .groupBy("flag", "cents").agg(sum(col("qty")).as("w"))
+    val wc = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("flag")
+    g.withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("wtot", sum(col("w")).over(wt))
+      .withColumn("ndv", count(lit(1)).over(wt))
+      .where(col("cum") * 2 >= col("wtot"))
+      .groupBy("flag")
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("wtot")).as("w_total"), max(col("ndv")).as("n_distinct"))
+      .sortedOut("flag")
+  }
+
+  private val q210Sql =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, cents, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS wtot,
+      |    count(*) OVER (PARTITION BY flag) AS ndv
+      |  FROM g)
+      |SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+      |  CAST(max(wtot) AS BIGINT) AS w_total,
+      |  CAST(max(ndv) AS BIGINT) AS n_distinct
+      |FROM c WHERE cum * 2 >= wtot GROUP BY flag ORDER BY flag""".stripMargin
+
+  // ------------- survival / life table: time to second order (q211)
+  /** Survival analysis' sufficient statistics for the churn question
+    * "how long until a first-time customer returns": per distinct
+    * waiting time t (days between a customer's first and second
+    * DISTINCT order dates), the at-risk count n(t) = #{T ≥ t}, event
+    * count d(t) and right-censored count c(t) (no second order by the
+    * corpus max date — dropping those rows entirely would bias the
+    * curve optimistic, the mistake this operator exists to prevent).
+    * Everything is integer day arithmetic, so the table — from which
+    * Kaplan–Meier S(t) = Π(1 − d/n) follows by one ordered fold the
+    * consumer applies — exact-matches; the fold itself is NOT emitted
+    * because fp product order would make it engine-dependent.
+    *
+    * Scale shape: distinct (customer, date) collapse, one
+    * customer-keyed shuffle for the first-two-dates window, then the
+    * life table lives on ≤|day-domain| rows where the reverse
+    * cumulative at-risk window is domain-bounded (the q204
+    * argument). */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("c").orderBy("dt")
+    val dates = t(s, d, "orders")
+      .select(col("o_custkey").as("c"), col("o_orderdate").cast(DateType).as("dt"))
+      .distinct()
+    val firstTwo = dates
+      .withColumn("rn", row_number().over(wd)).where(col("rn") <= 2)
+      .groupBy("c")
+      .agg(max(when(col("rn") === 1, col("dt"))).as("d1"),
+        max(when(col("rn") === 2, col("dt"))).as("d2"))
+    val dmax = dates.agg(max(col("dt")).as("dmax"))
+    val obs = firstTwo.crossJoin(broadcast(dmax))
+      .select(
+        when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+          .otherwise(datediff(col("dmax"), col("d1")))
+          .cast(LongType).as("t_days"),
+        when(col("d2").isNotNull, 1L).otherwise(0L).as("event"))
+    val g = obs.groupBy("t_days")
+      .agg(sum(col("event")).as("d_events"),
+        sum(lit(1L) - col("event")).as("c_censored"),
+        count(lit(1)).as("removed"))
+    g.withColumn("n_at_risk", sum(col("removed")).over(
+        Window.orderBy(col("t_days").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("t_days", "n_at_risk", "d_events", "c_censored")
+      .sortedOut("t_days")
+  }
+
+  private val q211Sql =
+    """WITH dates AS (SELECT DISTINCT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt FROM orders),
+      |ft AS (SELECT c,
+      |    max(CASE WHEN rn = 1 THEN dt END) AS d1,
+      |    max(CASE WHEN rn = 2 THEN dt END) AS d2
+      |  FROM (SELECT c, dt, row_number() OVER (PARTITION BY c ORDER BY dt) AS rn
+      |        FROM dates) WHERE rn <= 2 GROUP BY c),
+      |b AS (SELECT max(dt) AS dmax FROM dates),
+      |obs AS (SELECT
+      |    CAST(CASE WHEN d2 IS NOT NULL THEN d2 - d1 ELSE dmax - d1 END AS BIGINT) AS t_days,
+      |    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+      |  FROM ft CROSS JOIN b),
+      |g AS (SELECT t_days, CAST(sum(event) AS BIGINT) AS d_events,
+      |    CAST(sum(1 - event) AS BIGINT) AS c_censored,
+      |    CAST(count(*) AS BIGINT) AS removed
+      |  FROM obs GROUP BY t_days)
+      |SELECT t_days,
+      |  CAST(sum(removed) OVER (ORDER BY t_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+      |  d_events, c_censored
+      |FROM g ORDER BY t_days""".stripMargin
+
+  // ------- per-source language-mix drift: total variation (q212)
+  /** How far does each feed's language mix sit from the corpus-wide
+    * mix? Total variation distance — ½·Σ|p(lang|source) − p(lang)| —
+    * is the ppm-exact member of the divergence family (KL/JS need
+    * data-dependent logs, which no hash oracle survives): the maximum
+    * probability mass any event (here: language-set) can disagree by,
+    * so `tvd_ppm = 150000` reads directly as "15% of this feed's docs
+    * are language-misallocated vs the corpus profile". Shares are
+    * integer parts-per-million (identical floor division both
+    * engines), absolute differences sum per source over the languages
+    * the source OR the corpus has (full outer on the lang axis — a
+    * language the source lacks still contributes its corpus share).
+    *
+    * Scale shape: one (source, lang) map-side count; everything after
+    * runs on ≤|S|·|L| rows. The always-cheap drift screen beside
+    * q149's windowed anomaly alarm and q121's corpus diff. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val bySrc = cells.groupBy("source").agg(sum(col("o")).as("ns"))
+    val byLang = cells.groupBy("lang").agg(sum(col("o")).as("nl"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val grid = bySrc.crossJoin(broadcast(byLang))
+    grid.join(cells, Seq("source", "lang"), "left_outer")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_src_ppm", expr("o * 1000000 div ns"))
+      .withColumn("p_all_ppm", expr("nl * 1000000 div n"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_docs"),
+        sum(abs(col("p_src_ppm") - col("p_all_ppm"))).as("abs_sum"))
+      .withColumn("tvd_ppm", expr("abs_sum div 2")).drop("abs_sum")
+      .sortedOut("source")
+  }
+
+  private val q212Sql =
+    """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |x AS (SELECT s.source, l.lang, s.ns, l.nl, t.n,
+      |    coalesce(cells.o, 0) AS o
+      |  FROM s CROSS JOIN l
+      |  LEFT JOIN cells ON cells.source = s.source AND cells.lang = l.lang
+      |  CROSS JOIN t)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+      |  CAST(sum(abs(o * 1000000 // ns - nl * 1000000 // n)) // 2 AS BIGINT) AS tvd_ppm
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -2641,5 +2815,8 @@ object ExtendedQueries {
     ("q206_grid_proximity_join", q206 _, Some(q206Sql)),
     ("q207_transition_kappa", q207 _, Some(q207Sql)),
     ("q208_embargo_split",   q208 _, Some(q208Sql)),
-    ("q209_monthly_streaks", q209 _, Some(q209Sql)))
+    ("q209_monthly_streaks", q209 _, Some(q209Sql)),
+    ("q210_weighted_median", q210 _, Some(q210Sql)),
+    ("q211_survival_table",  q211 _, Some(q211Sql)),
+    ("q212_langmix_tvd",     q212 _, Some(q212Sql)))
 }

@@ -32,7 +32,12 @@ object LintNew {
       // round 9 late wave
       "q197_rendezvous_shards", "q198_column_stats",
       "q199_priority_sample", "q200_windowed_outlier",
-      "q201_typo_join", "q202_benford_audit", "q203_groupwise_ols")
+      "q201_typo_join", "q202_benford_audit", "q203_groupwise_ols",
+      // round 9 third wave
+      "q204_pareto_frontier", "q205_chisq_independence",
+      "q206_grid_proximity_join", "q207_transition_kappa",
+      "q208_embargo_split", "q209_monthly_streaks",
+      "q210_weighted_median", "q211_survival_table", "q212_langmix_tvd")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -2451,7 +2451,15 @@ object ExtendedQueries {
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("o"))
     val r = conf.groupBy(col("from_type").as("k")).agg(sum(col("o")).as("r"))
     val c0 = conf.groupBy(col("to_type").as("k")).agg(sum(col("o")).as("c"))
-    val src = r.join(c0, Seq("k"), "full_outer")
+    // full-outer merge of the marginals, reformulated as label-spine +
+    // two broadcast LEFT joins: Spark cannot broadcast-hash a FULL
+    // OUTER join, so the direct form sort-merges two |T|-row frames
+    // through an exchange (planLint finding); the spine form is
+    // value-identical and stays broadcast.
+    val labels = r.select("k").union(c0.select("k")).distinct()
+    val src = labels
+      .join(broadcast(r), Seq("k"), "left_outer")
+      .join(broadcast(c0), Seq("k"), "left_outer")
       .agg(sum(dec(coalesce(col("r"), lit(0L))) *
         dec(coalesce(col("c"), lit(0L)))).cast(DecimalType(38, 0)).as("src"))
     val t0 = conf.agg(sum(col("o")).as("n_pairs"),
@@ -2725,18 +2733,28 @@ object ExtendedQueries {
     val cells = Tables.documents(s, d)
       .groupBy("source", "lang").agg(count(lit(1)).as("o"))
     val bySrc = cells.groupBy("source").agg(sum(col("o")).as("ns"))
-    val byLang = cells.groupBy("lang").agg(sum(col("o")).as("nl"))
     val tot = cells.agg(sum(col("o")).as("n"))
-    val grid = bySrc.crossJoin(broadcast(byLang))
-    grid.join(cells, Seq("source", "lang"), "left_outer")
-      .na.fill(0L, Seq("o"))
+    val byLang = cells.groupBy("lang").agg(sum(col("o")).as("nl"))
       .crossJoin(broadcast(tot))
-      .withColumn("p_src_ppm", expr("o * 1000000 div ns"))
       .withColumn("p_all_ppm", expr("nl * 1000000 div n"))
+    // Σ over ALL langs of the corpus ppm share — the absent-lang arm's
+    // total. The naive |S|×|L| grid (crossJoin + left join) is a
+    // BroadcastNestedLoopJoin (planLint finding); this algebraic split
+    // — present langs contribute |p_s − p_l|, absent langs contribute
+    // exactly p_l, so their sum is P_all − Σ_present p_l — computes the
+    // identical integers with only broadcast-hash equi-joins.
+    val pAll = byLang.agg(sum(col("p_all_ppm")).as("p_all_sum"))
+    cells.join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLang.select("lang", "p_all_ppm")), Seq("lang"))
+      .withColumn("p_src_ppm", expr("o * 1000000 div ns"))
       .groupBy("source")
       .agg(max(col("ns")).as("n_docs"),
-        sum(abs(col("p_src_ppm") - col("p_all_ppm"))).as("abs_sum"))
-      .withColumn("tvd_ppm", expr("abs_sum div 2")).drop("abs_sum")
+        sum(abs(col("p_src_ppm") - col("p_all_ppm"))).as("present_abs"),
+        sum(col("p_all_ppm")).as("present_all"))
+      .crossJoin(broadcast(pAll))
+      .withColumn("tvd_ppm",
+        expr("(present_abs + p_all_sum - present_all) div 2"))
+      .select("source", "n_docs", "tvd_ppm")
       .sortedOut("source")
   }
 

@@ -1140,6 +1140,318 @@ object AdvSweep {
           !scored((2L, 1))._1 && !scored((2L, 2))._1).toString
     }
 
+    // ==== wave 9 (round-9 third wave: q204-q212) =======================
+
+    // ---- q204 skyline: closed-form geometries -------------------------
+    // Anti-chain (price↑ size↑): nobody dominates → all n points
+    // survive. Dominated chain (price↑ size↓): the cheapest-and-biggest
+    // point dominates everything. Tie flood (one price, sizes 1..n):
+    // pass 1 alone must collapse to the single max-size point. The
+    // kernel here is the exact q204 two-pass decomposition.
+    step("skyline_closed_forms") {
+      import org.apache.spark.sql.expressions.Window
+      def frontier(df: DataFrame): Array[(Long, Long, Long)] = {
+        val g = df.groupBy("price", "size").agg(count(lit(1)).as("n"))
+        val cand = g.withColumn("mx",
+            max(col("size")).over(Window.partitionBy("price")))
+          .where(col("size") === col("mx")).drop("mx")
+        cand.withColumn("runmax", max(col("size")).over(
+            Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)))
+          .where(col("runmax").isNull || col("size") > col("runmax"))
+          .select("price", "size", "n")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      val n = 1000L
+      val anti = frontier(spark.range(0, n)
+        .select(col("id").as("price"), col("id").as("size")))
+      val chain = frontier(spark.range(0, n)
+        .select(col("id").as("price"), (lit(n) - col("id")).as("size")))
+      val ties = frontier(spark.range(1, n + 1)
+        .select(lit(5L).as("price"), col("id").as("size")))
+      stats("skyline_antichain_all_survive") = (anti.length == n).toString
+      stats("skyline_chain_one_survives") =
+        (chain.toSeq == Seq((0L, n, 1L))).toString
+      stats("skyline_price_ties_collapse") =
+        (ties.toSeq == Seq((5L, n, 1L))).toString
+    }
+
+    // ---- q206 grid join: boundary inclusion + completeness vs brute ---
+    // dist² == r² must pair (the ≤ gate); one micro-unit past must not;
+    // a diagonal just-outside pair must not; and on a 500-point clump
+    // spanning several cells (plus a 300-point single-cell hot spot)
+    // the 9-neighborhood kernel must find EXACTLY the brute-force
+    // cross-join pair set — the completeness theorem under the worst
+    // skew a cell can see.
+    step("grid_proximity_complete") {
+      val R = 10000L
+      def pairsOf(pts: DataFrame): Long = {
+        val p = pts.withColumn("cx", expr(s"x div $R"))
+          .withColumn("cy", expr(s"y div $R"))
+        val lhs = p.withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+            (col("cx") + col("dx")).as("gx"), (col("cy") + col("dy")).as("gy"))
+        val rhs = p.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"), col("cx").as("gx"), col("cy").as("gy"))
+        lhs.join(rhs, Seq("gx", "gy")).where(col("a_id") < col("b_id"))
+          .where((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")) <= R * R)
+          .count()
+      }
+      def bruteOf(pts: DataFrame): Long = {
+        val a = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"))
+        val b = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"))
+        a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .where((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")) <= R * R)
+          .count()
+      }
+      import spark.implicits._
+      val boundary = Seq((1L, 0L, 0L), (2L, 10000L, 0L), (3L, 20001L, 0L),
+        (4L, 500000L, 500000L), (5L, 507071L, 507072L)).toDF("id", "x", "y")
+      // (1,2) exactly r apart → pair; (2,3) r+1 → no; (4,5) diagonal
+      // 7071/7072 → dist² = 100014785 > r² → no.
+      stats("grid_boundary_inclusive") = (pairsOf(boundary) == 1L).toString
+      val clump = spark.range(0, 500).toDF("id")
+        .select(col("id"),
+          (graft.text.Hashing.h60Seeded(11, col("id")) % 30000L + 100000L).as("x"),
+          (graft.text.Hashing.h60Seeded(12, col("id")) % 30000L + 100000L).as("y"))
+      val hot = spark.range(1000, 1300).toDF("id")
+        .select(col("id"), lit(700000L).as("x"), lit(700000L).as("y"))
+      val both = clump.union(hot)
+      stats("grid_matches_brute_force") =
+        (pairsOf(both) == bruteOf(both)).toString
+      stats("grid_hot_cell_all_pairs") =
+        (pairsOf(hot) == 300L * 299 / 2).toString
+    }
+
+    // ---- q207 kappa: ±1 and degenerate closed forms -------------------
+    // Perfect self-transition corpus → κ = 1 exactly; a strict
+    // alternator with balanced marginals → κ = −1 exactly; a
+    // single-class corpus → κ NULL (pₑ = 1 guard), never a division
+    // by zero.
+    step("kappa_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def kappa(rows: Seq[(Long, Int, String)]): Option[Double] = {
+        val w = Window.partitionBy("u").orderBy("seq")
+        val conf = rows.toDF("u", "seq", "t")
+          .withColumn("to", lead(col("t"), 1).over(w))
+          .where(col("to").isNotNull)
+          .groupBy(col("t").as("from"), col("to")).agg(count(lit(1)).as("o"))
+        val r = conf.groupBy(col("from").as("k")).agg(sum("o").as("r"))
+        val c = conf.groupBy(col("to").as("k")).agg(sum("o").as("c"))
+        val spine = r.select("k").union(c.select("k")).distinct()
+        val src = spine.join(r, Seq("k"), "left_outer")
+          .join(c, Seq("k"), "left_outer")
+          .agg(sum(coalesce(col("r"), lit(0L)) * coalesce(col("c"), lit(0L)))
+            .as("src")).collect()(0).getLong(0)
+        val t0 = conf.agg(sum("o"), sum(when(col("from") === col("to"), col("o"))
+          .otherwise(0L))).collect()(0)
+        val n = t0.getLong(0); val dg = t0.getLong(1)
+        if (n * n - src == 0) None
+        else Some((n.toDouble * dg - src) / (n.toDouble * n - src))
+      }
+      val perfect = (1L to 4L).flatMap(u =>
+        (1 to 5).map(i => (u, i, if (u % 2 == 0) "A" else "B")))
+      val alternate = (1 to 5).map(i => (1L, i, if (i % 2 == 0) "A" else "B"))
+      val single = (1 to 9).map(i => (1L, i, "A"))
+      stats("kappa_perfect_is_one") = (kappa(perfect) == Some(1.0)).toString
+      stats("kappa_alternator_is_minus_one") =
+        (kappa(alternate) == Some(-1.0)).toString
+      stats("kappa_single_class_null") = (kappa(single) == None).toString
+    }
+
+    // ---- q208 embargo: exact boundary membership ----------------------
+    // With dmax = 2020-12-31: dmax−30 is the FIRST test day, dmax−31
+    // the last embargo day, dmax−37 the first embargo day, dmax−38
+    // train — each boundary pinned to its split.
+    step("embargo_boundaries") {
+      import spark.implicits._
+      val df = Seq("2020-12-31", "2020-12-01", "2020-11-30", "2020-11-24",
+        "2020-11-23").toDF("ds")
+        .select(to_date(col("ds")).as("dt"))
+      val dmax = df.agg(max("dt").as("dmax"))
+      val got = df.crossJoin(dmax)
+        .withColumn("split",
+          when(col("dt") >= date_sub(col("dmax"), 30), "test")
+            .when(col("dt") >= date_sub(col("dmax"), 37), "embargo")
+            .otherwise("train"))
+        .select(col("dt").cast("string"), col("split"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      stats("embargo_boundaries_exact") = (
+        got("2020-12-31") == "test" && got("2020-12-01") == "test" &&
+        got("2020-11-30") == "embargo" && got("2020-11-24") == "embargo" &&
+        got("2020-11-23") == "train").toString
+    }
+
+    // ---- q209 streaks: year boundary + same-month dedup ---------------
+    // Dec→Jan must CHAIN (month index 12y+12 and 12y+13 are
+    // consecutive); three orders inside one month count once; a
+    // Dec + Feb gap breaks the run.
+    step("streak_year_boundary") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rows = Seq(
+        (1L, "2019-11-05"), (1L, "2019-12-17"), (1L, "2020-01-02"),
+        (1L, "2020-02-28"),
+        (2L, "2019-12-01"), (2L, "2019-12-15"), (2L, "2019-12-31"),
+        (2L, "2020-02-01"))
+      val wm = Window.partitionBy("c").orderBy("m")
+      val got = rows.toDF("c", "ds")
+        .select(col("c"), to_date(col("ds")).as("dt"))
+        .select(col("c"), (year(col("dt")) * 12 + month(col("dt")))
+          .cast("long").as("m"))
+        .distinct()
+        .withColumn("island", col("m") - row_number().over(wm))
+        .groupBy("c", "island").agg(count(lit(1)).as("len"))
+        .groupBy("c").agg(max("len").as("mx"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      stats("streak_dec_jan_chains") = (got(1L) == 4L).toString
+      stats("streak_same_month_once_gap_breaks") = (got(2L) == 1L).toString
+    }
+
+    // ---- q210 weighted median: boundary and dominance -----------------
+    // Lower-median boundary: weights {1,3} over {10,20} → 20 (cum 1 at
+    // 10: 2 < 4), but {1,1} → 10 (2·1 ≥ 2, the ≥ gate); exact half:
+    // {1,2,1} over {1,2,3} → 2; a monster weight is the median
+    // regardless of position.
+    step("weighted_median_edges") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def wm(vw: Seq[(Long, Long)]): Long = {
+        val wc = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        vw.toDF("v", "w").groupBy("v").agg(sum("w").as("w"))
+          .withColumn("cum", sum(col("w")).over(wc))
+          .withColumn("wtot", sum(col("w")).over(
+            Window.partitionBy(lit(1))))
+          .where(col("cum") * 2 >= col("wtot"))
+          .agg(min("v")).collect()(0).getLong(0)
+      }
+      stats("wmedian_lower_gate") =
+        (wm(Seq((10L, 1L), (20L, 1L))) == 10L &&
+          wm(Seq((10L, 1L), (20L, 3L))) == 20L).toString
+      stats("wmedian_exact_half") =
+        (wm(Seq((1L, 1L), (2L, 2L), (3L, 1L))) == 2L).toString
+      stats("wmedian_monster_weight") =
+        (wm(Seq((1L, 1L), (7L, 100L), (9L, 1L), (2L, 1L))) == 7L).toString
+    }
+
+    // ---- q211 survival: censoring arms and at-risk monotonicity -------
+    // All-censored corpus (nobody returns): d ≡ 0, Σc = n, top at-risk
+    // = n; everyone-returns-next-day: one event row at t=1 with d = n;
+    // and on a mixed corpus the at-risk column is strictly the reverse
+    // cumulative of removals (monotone non-increasing, head = n).
+    step("survival_edges") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def life(obs: Seq[(Long, Long)]): Array[(Long, Long, Long, Long)] = {
+        val g = obs.toDF("t_days", "event").groupBy("t_days")
+          .agg(sum("event").as("d"), sum(lit(1L) - col("event")).as("c"),
+            count(lit(1)).as("rm"))
+        g.withColumn("n_at_risk", sum(col("rm")).over(
+            Window.orderBy(col("t_days").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("t_days")
+          .select("t_days", "n_at_risk", "d", "c")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val cens = life((1L to 50L).map(i => (i % 7 + 1, 0L)))
+      stats("survival_all_censored") =
+        (cens.map(_._3).sum == 0L && cens.map(_._4).sum == 50L &&
+          cens.head._2 == 50L).toString
+      val fast = life(Seq.fill(40)((1L, 1L)))
+      stats("survival_all_return_day1") =
+        (fast.toSeq == Seq((1L, 40L, 40L, 0L))).toString
+      val mixed = life(Seq((1L, 1L), (1L, 0L), (3L, 1L), (5L, 0L), (5L, 1L),
+        (9L, 0L)))
+      val monotone = mixed.map(_._2).sliding(2).forall(p => p(0) >= p(1))
+      stats("survival_at_risk_monotone") =
+        (monotone && mixed.head._2 == 6L).toString
+    }
+
+    // ---- q205 χ²: independence zero and perfect-association forms ----
+    // A product-form table (O = R·C/N exactly) must yield diff = 0 in
+    // EVERY cell; the 2×2 perfect-association table has the closed
+    // form contrib = N/4 per cell (χ² = N).
+    step("chisq_closed_forms") {
+      import spark.implicits._
+      def contribs(cells: Seq[(String, String, Long)]): Array[Double] = {
+        val df = cells.toDF("a", "b", "o")
+        val r = df.groupBy("a").agg(sum("o").as("r"))
+        val c = df.groupBy("b").agg(sum("o").as("c"))
+        val n = df.agg(sum("o").as("n"))
+        df.join(r, "a").join(c, "b").crossJoin(n)
+          .withColumn("diff", col("n") * col("o") - col("r") * col("c"))
+          .select((col("diff") * col("diff")).cast("double") /
+            (col("n") * col("r") * col("c")).cast("double"))
+          .collect().map(_.getDouble(0))
+      }
+      val indep = contribs(Seq(("x", "p", 6L), ("x", "q", 2L),
+        ("y", "p", 3L), ("y", "q", 1L)))
+      val assoc = contribs(Seq(("x", "p", 10L), ("x", "q", 0L),
+        ("y", "p", 0L), ("y", "q", 10L)))
+      stats("chisq_product_form_zero") = indep.forall(_ == 0.0).toString
+      stats("chisq_perfect_assoc_n_over_4") =
+        (assoc.length == 4 && assoc.forall(_ == 5.0)).toString
+    }
+
+    // ---- q212 TVD: closed forms + grid-vs-algebraic equivalence -------
+    // Identical mixes → 0 for every source; fully disjoint equal-mass
+    // mixes → exactly 500000 ppm each; and on an uneven mix the
+    // algebraic split (present + P_all − Σ_present) must equal the
+    // naive |S|×|L| grid sum — the q212 rewrite's value-identity.
+    step("tvd_closed_forms") {
+      import spark.implicits._
+      def tvdAlgebraic(docs: Seq[(String, String)]): Map[String, Long] = {
+        val cells = docs.toDF("source", "lang")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val bySrc = cells.groupBy("source").agg(sum("o").as("ns"))
+        val tot = cells.agg(sum("o").as("n"))
+        val byLang = cells.groupBy("lang").agg(sum("o").as("nl"))
+          .crossJoin(tot).withColumn("p_all_ppm", expr("nl * 1000000 div n"))
+        val pAll = byLang.agg(sum("p_all_ppm").as("p_all_sum"))
+        cells.join(bySrc, "source")
+          .join(byLang.select("lang", "p_all_ppm"), "lang")
+          .withColumn("p_src_ppm", expr("o * 1000000 div ns"))
+          .groupBy("source")
+          .agg(sum(abs(col("p_src_ppm") - col("p_all_ppm"))).as("pa"),
+            sum(col("p_all_ppm")).as("pp"))
+          .crossJoin(pAll)
+          .withColumn("tvd", expr("(pa + p_all_sum - pp) div 2"))
+          .select("source", "tvd")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      def tvdGrid(docs: Seq[(String, String)]): Map[String, Long] = {
+        val cells = docs.toDF("source", "lang")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val bySrc = cells.groupBy("source").agg(sum("o").as("ns"))
+        val byLang = cells.groupBy("lang").agg(sum("o").as("nl"))
+        val tot = cells.agg(sum("o").as("n"))
+        bySrc.crossJoin(byLang).join(cells, Seq("source", "lang"), "left_outer")
+          .na.fill(0L, Seq("o")).crossJoin(tot)
+          .withColumn("d", abs(expr("o * 1000000 div ns") -
+            expr("nl * 1000000 div n")))
+          .groupBy("source").agg(sum("d").as("s"))
+          .withColumn("tvd", expr("s div 2"))
+          .select("source", "tvd")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val same = Seq("s1", "s2").flatMap(s =>
+        Seq.fill(3)((s, "en")) ++ Seq.fill(1)((s, "fr")))
+      val disjoint = Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "fr"))
+      val uneven = Seq.fill(5)(("s1", "en")) ++ Seq.fill(2)(("s1", "fr")) ++
+        Seq.fill(1)(("s1", "de")) ++ Seq.fill(3)(("s2", "fr")) ++
+        Seq.fill(4)(("s2", "zh"))
+      stats("tvd_identical_zero") =
+        tvdAlgebraic(same).values.forall(_ == 0L).toString
+      stats("tvd_disjoint_half") =
+        tvdAlgebraic(disjoint).values.forall(_ == 500000L).toString
+      stats("tvd_split_equals_grid") =
+        (tvdAlgebraic(uneven) == tvdGrid(uneven)).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

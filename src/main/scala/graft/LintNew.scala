@@ -37,7 +37,9 @@ object LintNew {
       "q204_pareto_frontier", "q205_chisq_independence",
       "q206_grid_proximity_join", "q207_transition_kappa",
       "q208_embargo_split", "q209_monthly_streaks",
-      "q210_weighted_median", "q211_survival_table", "q212_langmix_tvd")
+      "q210_weighted_median", "q211_survival_table", "q212_langmix_tvd",
+      // round 9 fourth wave: drift statistics
+      "q213_ks_drift", "q214_ranksum_drift", "q215_kendall_signals")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

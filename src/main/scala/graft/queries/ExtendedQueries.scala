@@ -2773,6 +2773,225 @@ object ExtendedQueries {
       |  CAST(sum(abs(o * 1000000 // ns - nl * 1000000 // n)) // 2 AS BIGINT) AS tvd_ppm
       |FROM x GROUP BY source ORDER BY source""".stripMargin
 
+  // ------- two-sample Kolmogorov–Smirnov drift per source (q213)
+  /** The distribution-shape member of the drift family: for each
+    * source, the two-sample KS statistic D = sup|F_src − F_corpus|
+    * over the doc-length distribution — the alarm that fires when a
+    * feed's SHAPE changes (bimodal split, truncation) even though its
+    * mean and language mix (q212's TVD on a categorical axis) look
+    * fine. D is computed EXACTLY: with both ECDFs step functions
+    * jumping only at corpus-distinct lengths, and F_src constant
+    * between a source's own jump points while F_all is monotone there,
+    * sup|F_src − F_all| is attained at one of the two endpoints of
+    * each own-jump gap — so per own length v the candidates are AT v
+    * (cum_src·N − cum_all·n) and JUST BEFORE v (both cums backed off
+    * by their jump), cleared of denominators into DECIMAL(38,0)
+    * integers. The max numerator is exported as canonical digits plus
+    * a floor-division ppm — no fp anywhere.
+    *
+    * Scale shape: one (source, length) map-side count; the corpus
+    * ECDF's unpartitioned running sum spans one row per DISTINCT
+    * length — domain-bounded, the q204/q210 argument — and the
+    * per-source running sum rides a source-keyed window. Everything
+    * downstream of the first count is ≤|S|·|L| rows with
+    * broadcast-only joins. */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+      .withColumn("cum_all", sum(col("cnt_all")).over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    val ws = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(byV), Seq("v"))
+      .withColumn("cum_src", sum(col("c")).over(ws))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_at", abs(dec(col("cum_src")) * dec(col("n_all")) -
+        dec(col("cum_all")) * dec(col("n_src"))))
+      .withColumn("d_gap", abs(dec(col("cum_src") - col("c")) * dec(col("n_all")) -
+        dec(col("cum_all") - col("cnt_all")) * dec(col("n_src"))))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_src"), max(col("n_all")).as("n_all"),
+        max(greatest(col("d_at"), col("d_gap"))).as("ksn"))
+      .select(col("source"), col("n_src"), col("n_all"),
+        col("ksn").cast(StringType).as("ks_num"),
+        expr("CAST(ksn * 1000000 div (CAST(n_src AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("ks_ppm"))
+      .sortedOut("source")
+  }
+
+  private val q213Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all FROM cells GROUP BY 1),
+      |bvc AS (SELECT v, cnt_all, CAST(sum(cnt_all) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all FROM bv),
+      |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |j AS (SELECT cells.source, cells.c, bvc.cnt_all, bvc.cum_all, bs.n_src, t.n_all,
+      |    CAST(sum(cells.c) OVER (PARTITION BY cells.source ORDER BY cells.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM cells JOIN bvc USING (v) JOIN bs USING (source) CROSS JOIN t),
+      |k AS (SELECT source, n_src, n_all, greatest(
+      |    abs(CAST(cum_src AS HUGEINT) * n_all - CAST(cum_all AS HUGEINT) * n_src),
+      |    abs(CAST(cum_src - c AS HUGEINT) * n_all - CAST(cum_all - cnt_all AS HUGEINT) * n_src)) AS dm
+      |  FROM j)
+      |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+      |  CAST(max(n_all) AS BIGINT) AS n_all,
+      |  CAST(max(dm) AS VARCHAR) AS ks_num,
+      |  CAST(max(dm) * 1000000 // (CAST(max(n_src) AS HUGEINT) * max(n_all)) AS BIGINT) AS ks_ppm
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ------- Mann–Whitney rank-sum drift per source (q214)
+  /** The rank-based LOCATION drift alarm beside q213's shape alarm:
+    * for each source, the Mann–Whitney U of its doc lengths against
+    * the REST of the corpus — "do this feed's docs run systematically
+    * longer?" — robust where a mean-shift test is wrecked by the heavy
+    * tail. Ranks over the combined sample collapse to per-distinct-
+    * value arithmetic: a value v with corpus count t and c_before
+    * smaller elements carries doubled average rank 2·c_before + t + 1
+    * (doubling keeps tie-averaged half-ranks INTEGER, the q174
+    * min+max trick in closed form), so the source's doubled rank sum
+    * is one broadcast-join aggregate, and 2U = 2R − n(n+1) is exact
+    * DECIMAL(38,0). The common-language effect size
+    * AUC = P(src > rest) + ½P(=) = 2U / (2·n·m) is the single IEEE
+    * division at the end (q203 policy).
+    *
+    * Scale shape: identical to q213 — one map-side (source, length)
+    * count, a domain-bounded corpus ECDF, broadcast joins, and a
+    * per-source fold; no corpus-sized shuffle after the first
+    * aggregate. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+      .withColumn("cum_before", sum(col("cnt_all")).over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cum_before", coalesce(col("cum_before"), lit(0L)))
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    cells
+      .join(broadcast(byV), Seq("v"))
+      .withColumn("r2c", dec(col("c")) *
+        dec(lit(2L) * col("cum_before") + col("cnt_all") + lit(1L)))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_src"),
+        sum(col("r2c")).cast(DecimalType(38, 0)).as("r2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("u2", (col("r2") -
+        dec(col("n_src")) * dec(col("n_src") + lit(1L)))
+        .cast(DecimalType(38, 0)))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        col("r2").cast(StringType).as("rank2_sum"),
+        col("u2").cast(StringType).as("u2"),
+        when(col("n_rest") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_src") * col("n_rest"))).as("auc"))
+      .sortedOut("source")
+  }
+
+  private val q214Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all,
+      |    CAST(coalesce(sum(sum(c)) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM cells GROUP BY v),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src,
+      |    CAST(sum(CAST(c AS HUGEINT) * (2 * cum_before + cnt_all + 1)) AS HUGEINT) AS r2
+      |  FROM cells JOIN bv USING (v) GROUP BY source)
+      |SELECT source, n_src, n_all - n_src AS n_rest,
+      |  CAST(r2 AS VARCHAR) AS rank2_sum,
+      |  CAST(r2 - CAST(n_src AS HUGEINT) * (n_src + 1) AS VARCHAR) AS u2,
+      |  CASE WHEN n_all - n_src > 0 THEN
+      |    CAST(r2 - CAST(n_src AS HUGEINT) * (n_src + 1) AS DOUBLE) /
+      |    (2.0 * n_src * (n_all - n_src)) END AS auc
+      |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+
+  // ------- Kendall tau-b: do two corpus signals agree? (q215)
+  /** The ordinal-agreement member beside q174's Spearman: across
+    * sources, do total character mass (x) and language diversity (y,
+    * distinct langs) RANK the feeds the same way? Tau-b counts
+    * concordant/discordant pairs with explicit tie corrections —
+    * the right statistic when y is a small integer full of ties,
+    * where Spearman's midranks blur. All pair counts are exact
+    * integers; tau_b = (nc − nd)/√((n0−n1)(n0−n2)) is one IEEE
+    * sqrt + division over them (q203 policy — √ is correctly
+    * rounded, so bit-portable).
+    *
+    * The |S|² pair generation is a BroadcastNestedLoopJoin whose
+    * build side carries a plan-level `limit(4096)`: the source axis
+    * is a bounded registry (tens of feeds), and the limit makes that
+    * bound STATIC so planLint's bounded-cohort proof applies — the
+    * corpus-sized side never enters the loop (the bruteForceTopK
+    * pattern; a literal-key equi-join does NOT work here because
+    * Catalyst constant-folds the key away and degrades it to the
+    * same BNLJ without the bound).
+    *
+    * Scale shape: signals are one map-side aggregate (countDistinct
+    * lang is |S|·|L|-bounded); pairs run over |S|² rows of a
+    * broadcast join — the statistic lives entirely on the reduced
+    * signal table, never the corpus. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(col("n_chars")).as("x"),
+        countDistinct(col("lang")).as("y"))
+    val a = sig.select(col("source").as("sa"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = sig.select(col("source").as("sb"),
+      col("x").as("xb"), col("y").as("yb")).limit(4096)
+    val pairs = a.crossJoin(broadcast(b)).where(col("sa") < col("sb"))
+      .withColumn("prod",
+        signum(col("xa") - col("xb")) * signum(col("ya") - col("yb")))
+    val m = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tied_x"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("tied_y"))
+    m.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n_sources"), col("n0"), col("nc"), col("nd"),
+        col("tied_x"), col("tied_y"),
+        when((col("n0") - col("tied_x")) * (col("n0") - col("tied_y")) > 0,
+          (col("nc") - col("nd")).cast(DoubleType) /
+            sqrt(((col("n0") - col("tied_x")) *
+              (col("n0") - col("tied_y"))).cast(DoubleType))).as("tau_b"))
+  }
+
+  private val q215Sql =
+    """WITH sig AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS y
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT sign(a.x - b.x) * sign(a.y - b.y) AS prod,
+      |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      |  FROM sig a JOIN sig b ON a.source < b.source),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(sum(tx) AS BIGINT) AS tied_x, CAST(sum(ty) AS BIGINT) AS tied_y
+      |  FROM p),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM sig)
+      |SELECT n_sources, n0, nc, nd, tied_x, tied_y,
+      |  CASE WHEN (n0 - tied_x) * (n0 - tied_y) > 0 THEN
+      |    CAST(nc - nd AS DOUBLE) /
+      |    sqrt(CAST((n0 - tied_x) * (n0 - tied_y) AS DOUBLE)) END AS tau_b
+      |FROM m CROSS JOIN s""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -2836,5 +3055,8 @@ object ExtendedQueries {
     ("q209_monthly_streaks", q209 _, Some(q209Sql)),
     ("q210_weighted_median", q210 _, Some(q210Sql)),
     ("q211_survival_table",  q211 _, Some(q211Sql)),
-    ("q212_langmix_tvd",     q212 _, Some(q212Sql)))
+    ("q212_langmix_tvd",     q212 _, Some(q212Sql)),
+    ("q213_ks_drift",        q213 _, Some(q213Sql)),
+    ("q214_ranksum_drift",   q214 _, Some(q214Sql)),
+    ("q215_kendall_signals", q215 _, Some(q215Sql)))
 }

@@ -39,7 +39,9 @@ object LintNew {
       "q208_embargo_split", "q209_monthly_streaks",
       "q210_weighted_median", "q211_survival_table", "q212_langmix_tvd",
       // round 9 fourth wave: drift statistics
-      "q213_ks_drift", "q214_ranksum_drift", "q215_kendall_signals")
+      "q213_ks_drift", "q214_ranksum_drift", "q215_kendall_signals",
+      "q216_topk_drift", "q217_luhn_audit", "q218_cusum_changepoint",
+      "q219_runs_test")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

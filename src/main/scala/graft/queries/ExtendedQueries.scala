@@ -2992,6 +2992,226 @@ object ExtendedQueries {
       |    sqrt(CAST((n0 - tied_x) * (n0 - tied_y) AS DOUBLE)) END AS tau_b
       |FROM m CROSS JOIN s""".stripMargin
 
+  // ------- monthly top-k heavy hitters with rank drift (q216)
+  /** The heavy-hitter DRIFT census: each month's top-5 parts by
+    * shipped units, annotated with the part's rank and volume in the
+    * PREVIOUS month — the "what changed in this batch's head" report
+    * a corpus curator reads before trusting a new crawl snapshot
+    * (q121's corpus diff for the frequency head, made temporal).
+    * A newly-hot part carries NULL prev columns; rank ties break on
+    * part key so the cut is deterministic on both engines.
+    *
+    * Scale shape: one map-side (month, part) rollup off the fact
+    * table, a per-month window for ranks, and a self equi-join on
+    * (month+1, part) — all keyed shuffles on the AGGREGATE, whose
+    * size is months × live parts, not the fact table. */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, d, "lineitem")
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("m"),
+        col("l_partkey").cast(LongType).as("part"),
+        round(col("l_quantity")).cast(LongType).as("qty"))
+      .groupBy("m", "part").agg(sum(col("qty")).as("units"))
+    val ranked = m.withColumn("rnk", row_number().over(
+        Window.partitionBy("m").orderBy(col("units").desc, col("part").asc))
+      .cast(LongType))
+    val prev = ranked.select((col("m") + 1).as("m"), col("part"),
+      col("rnk").as("prev_rnk"), col("units").as("prev_units"))
+    ranked.where(col("rnk") <= 5)
+      .join(prev, Seq("m", "part"), "left_outer")
+      .select("m", "rnk", "part", "units", "prev_rnk", "prev_units")
+      .sortedOutWide("m", "rnk")
+  }
+
+  private val q216Sql =
+    """WITH g AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+      |    l_partkey AS part, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT m, part, units, CAST(row_number() OVER (PARTITION BY m
+      |    ORDER BY units DESC, part ASC) AS BIGINT) AS rnk FROM g)
+      |SELECT a.m, a.rnk, a.part, a.units, b.rnk AS prev_rnk, b.units AS prev_units
+      |FROM r a LEFT JOIN r b ON b.m + 1 = a.m AND b.part = a.part
+      |WHERE a.rnk <= 5 ORDER BY a.m, a.rnk""".stripMargin
+
+  // ------- Luhn checksum audit over fixed-width keys (q217)
+  /** The checksum-validity census — the kernel behind payment-card
+    * PII detection in corpus scrubbing (a digit run that PASSES Luhn
+    * is the signal that turns "16 digits" into "probable card
+    * number"): each order key, zero-padded to a fixed 12-digit
+    * account-number shape, is Luhn-checked with the classic
+    * double-every-second-from-the-right rule. The mod-10 sum unrolls
+    * into 12 codegen-friendly terms (no HOF, no UDF — the interpreted
+    * `aggregate()` lambda planLint would flag); the census per order
+    * status pins the valid count, the full checksum mass, and WHICH
+    * keys validate via a key checksum.
+    *
+    * Scale shape: embarrassingly parallel scan + map-side-combinable
+    * rollup to |status| rows; no shuffle of anything data-sized. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val p = lpad(col("o_orderkey").cast(StringType), 12, "0")
+    val lsum = (1 to 12).map { i =>
+      val dgt = substring(p, i, 1).cast(LongType)
+      if ((12 - i) % 2 == 1) when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2)
+      else dgt
+    }.reduce(_ + _)
+    t(s, d, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+        lsum.as("lsum"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("lsum") % 10 === 0, 1L).otherwise(0L)).as("n_luhn_valid"),
+        sum(col("lsum")).as("luhn_mass"),
+        sum(when(col("lsum") % 10 === 0, col("o_orderkey")).otherwise(0L))
+          .as("valid_key_sum"))
+      .sortedOut("status")
+  }
+
+  private val q217Sql = {
+    val terms = (1 to 12).map { i =>
+      val d = s"CAST(substr(p, $i, 1) AS BIGINT)"
+      if ((12 - i) % 2 == 1)
+        s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH x AS (SELECT o_orderstatus AS status, o_orderkey,
+       |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS p FROM orders),
+       |l AS (SELECT status, o_orderkey, $terms AS lsum FROM x)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(CASE WHEN lsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+       |  CAST(sum(lsum) AS BIGINT) AS luhn_mass,
+       |  CAST(sum(CASE WHEN lsum % 10 = 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS valid_key_sum
+       |FROM l GROUP BY status ORDER BY status""".stripMargin
+  }
+
+  // ------- CUSUM changepoint scan over daily event volume (q218)
+  /** WHERE did each event stream's level shift? The cumulative-sum
+    * changepoint statistic: with daily counts c₁…c_n, the day k
+    * maximizing |S_k| = |n·Σ₁ᵏc − k·Σ₁ⁿc| (the textbook
+    * CUSUM-from-the-mean with denominators cleared — n·mean stays
+    * INTEGER) is the single most likely level-shift point, the
+    * statistic behind "the crawler's feed changed on the 14th"
+    * retrospectives. q149's windowed anomaly alarm asks "is today
+    * weird"; this asks "where is the regime boundary" over the whole
+    * history. Ties on |S| break to the earliest day.
+    *
+    * Scale shape: one map-side (type, day) rollup; every window —
+    * running sum, row number, totals, the argmax pick — rides ONE
+    * type-keyed shuffle over ≤|T|·|days| rows (same-key windows share
+    * the partitioning), domain-bounded like q204/q210. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    val wo = Window.partitionBy("et").orderBy("day")
+    val wt = Window.partitionBy("et")
+    daily
+      .withColumn("k", row_number().over(wo))
+      .withColumn("cum", sum(col("c")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("c")).over(wt))
+      .withColumn("s_k", col("nd") * col("cum") - col("k") * col("tot"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("et").orderBy(abs(col("s_k")).desc, col("day").asc)))
+      .where(col("pick") === 1)
+      .select(col("et").as("event_type"), col("nd").as("n_days"),
+        col("tot").as("total_events"), abs(col("s_k")).as("cusum_max"),
+        col("day").cast(StringType).as("changepoint_day"))
+      .sortedOut("event_type")
+  }
+
+  private val q218Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |w AS (SELECT et, day, c,
+      |    CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(c) OVER (PARTITION BY et ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS nd,
+      |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS tot
+      |  FROM daily),
+      |s AS (SELECT et, day, nd, tot, nd * cum - k * tot AS s_k,
+      |    row_number() OVER (PARTITION BY et ORDER BY abs(nd * cum - k * tot) DESC, day ASC) AS pick
+      |  FROM w)
+      |SELECT et AS event_type, nd AS n_days, tot AS total_events,
+      |  abs(s_k) AS cusum_max, CAST(day AS VARCHAR) AS changepoint_day
+      |FROM s WHERE pick = 1 ORDER BY event_type""".stripMargin
+
+  // ------- Wald–Wolfowitz runs test on daily volume (q219)
+  /** Is each event stream's day-to-day volume RANDOM around its
+    * median, or does it trend/oscillate? The runs test's sufficient
+    * statistics: days flagged above (>) vs at-or-below the stream's
+    * exact lower-median daily count, the observed count of
+    * same-flag RUNS, and n₁/n₂ — against the null expectation
+    * E[R] = 1 + 2n₁n₂/n (the single IEEE division at the end, q203
+    * policy). Far fewer runs than expected = regime clustering (the
+    * q218 changepoint's cheap screening sibling); far more =
+    * oscillation (a load balancer flapping).
+    *
+    * Scale shape: the (type, day) rollup feeds a value-domain-bounded
+    * median pass (q210's gate) and one type-keyed ordered window for
+    * the lag; both ride the same |T|·|days|-row aggregate. */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    val med = daily.groupBy(col("et"), col("c").as("v"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("cumf", sum(col("f")).over(
+        Window.partitionBy("et").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ndays", sum(col("f")).over(Window.partitionBy("et")))
+      .where(col("cumf") * 2 >= col("ndays"))
+      .groupBy("et").agg(min(col("v")).as("med"))
+    daily.join(broadcast(med), Seq("et"))
+      .withColumn("flag", (col("c") > col("med")).cast(LongType))
+      .withColumn("prev", lag(col("flag"), 1).over(
+        Window.partitionBy("et").orderBy("day")))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("median_daily"),
+        sum(col("flag")).as("n_above"),
+        (sum(when(col("prev").isNotNull && col("prev") =!= col("flag"), 1L)
+          .otherwise(0L)) + 1L).as("n_runs"))
+      .withColumn("n_below", col("n_days") - col("n_above"))
+      .withColumn("expected_runs",
+        when(col("n_days") > 0, lit(1.0) +
+          (lit(2.0) * col("n_above") * col("n_below")) /
+            col("n_days").cast(DoubleType)))
+      .select("et", "n_days", "median_daily", "n_above", "n_below",
+        "n_runs", "expected_runs")
+      .withColumnRenamed("et", "event_type")
+      .sortedOut("event_type")
+  }
+
+  private val q219Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |byv AS (SELECT et, c AS v, CAST(count(*) AS BIGINT) AS f FROM daily GROUP BY 1, 2),
+      |cm AS (SELECT et, v,
+      |    CAST(sum(f) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |    CAST(sum(f) OVER (PARTITION BY et) AS BIGINT) AS ndays
+      |  FROM byv),
+      |med AS (SELECT et, CAST(min(v) AS BIGINT) AS med FROM cm
+      |  WHERE cumf * 2 >= ndays GROUP BY et),
+      |fl AS (SELECT daily.et, day, med,
+      |    CASE WHEN c > med THEN 1 ELSE 0 END AS flag,
+      |    lag(CASE WHEN c > med THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY daily.et ORDER BY day) AS prev
+      |  FROM daily JOIN med USING (et)),
+      |g AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(max(med) AS BIGINT) AS median_daily,
+      |    CAST(sum(flag) AS BIGINT) AS n_above,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> flag THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+      |  FROM fl GROUP BY et)
+      |SELECT et AS event_type, n_days, median_daily, n_above,
+      |  n_days - n_above AS n_below, n_runs,
+      |  CASE WHEN n_days > 0 THEN 1.0 + (2.0 * n_above * (n_days - n_above)) / n_days END AS expected_runs
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -3058,5 +3278,9 @@ object ExtendedQueries {
     ("q212_langmix_tvd",     q212 _, Some(q212Sql)),
     ("q213_ks_drift",        q213 _, Some(q213Sql)),
     ("q214_ranksum_drift",   q214 _, Some(q214Sql)),
-    ("q215_kendall_signals", q215 _, Some(q215Sql)))
+    ("q215_kendall_signals", q215 _, Some(q215Sql)),
+    ("q216_topk_drift",      q216 _, Some(q216Sql)),
+    ("q217_luhn_audit",      q217 _, Some(q217Sql)),
+    ("q218_cusum_changepoint", q218 _, Some(q218Sql)),
+    ("q219_runs_test",       q219 _, Some(q219Sql)))
 }

@@ -1452,6 +1452,243 @@ object AdvSweep {
         (tvdAlgebraic(uneven) == tvdGrid(uneven)).toString
     }
 
+    // ==== wave 10 (round-9 fourth wave: q213-q219) =====================
+
+    // ---- q213 KS: closed forms + gap-candidate necessity --------------
+    // Identical per-source distributions → D = 0 for every source;
+    // two disjoint equal-mass sources → D vs the POOLED corpus is
+    // exactly ½ (ppm 500000) each; and on a crafted corpus where the
+    // sup sits strictly INSIDE an own-jump gap, the two-endpoint
+    // kernel must equal a brute-force evaluation of |F_src−F_all|
+    // over every corpus value — the theorem the q213 decomposition
+    // rests on.
+    step("ks_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def ks(rows: Seq[(String, Long)]): Map[String, Long] = {
+        val cells = rows.toDF("source", "v").groupBy("source", "v")
+          .agg(count(lit(1)).as("c"))
+        val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+          .withColumn("cum_all", sum(col("cnt_all")).over(
+            Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
+        val tot = cells.agg(sum(col("c")).as("n_all"))
+        val ws = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.join(broadcast(byV), Seq("v"))
+          .withColumn("cum_src", sum(col("c")).over(ws))
+          .join(broadcast(bySrc), Seq("source")).crossJoin(broadcast(tot))
+          .withColumn("d_at", abs(col("cum_src") * col("n_all") -
+            col("cum_all") * col("n_src")))
+          .withColumn("d_gap", abs((col("cum_src") - col("c")) * col("n_all") -
+            (col("cum_all") - col("cnt_all")) * col("n_src")))
+          .groupBy("source")
+          .agg(max(col("n_src")).as("ns"), max(col("n_all")).as("na"),
+            max(greatest(col("d_at"), col("d_gap"))).as("num"))
+          .select(col("source"), expr("num * 1000000 div (ns * na)").as("ppm"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      // brute force: evaluate both ECDFs at EVERY corpus value
+      def ksBrute(rows: Seq[(String, Long)], src: String): Long = {
+        val all = rows.map(_._2).sorted
+        val mine = rows.filter(_._1 == src).map(_._2)
+        val n = all.size.toLong; val m = mine.size.toLong
+        all.distinct.map { v =>
+          val fa = all.count(_ <= v).toLong
+          val fs = mine.count(_ <= v).toLong
+          math.abs(fs * n - fa * m)
+        }.max * 1000000L / (m * n)
+      }
+      val same = Seq("a", "b").flatMap(s => (1L to 40L).map(v => (s, v)))
+      val disjoint = (1L to 30L).map(v => ("lo", v)) ++
+        (101L to 130L).map(v => ("hi", v))
+      // 'gap': source g has {1, 100}; 98 filler values in between from f
+      val gap = Seq(("g", 1L), ("g", 100L)) ++ (2L to 99L).map(v => ("f", v))
+      val gk = ks(gap)
+      stats("ks_identical_zero") = ks(same).values.forall(_ == 0L).toString
+      stats("ks_disjoint_half") = ks(disjoint).values.forall(_ == 500000L).toString
+      stats("ks_gap_matches_brute") =
+        (gk("g") == ksBrute(gap, "g") && gk("f") == ksBrute(gap, "f")).toString
+    }
+
+    // ---- q214 rank-sum: tie-exact AUC closed forms --------------------
+    // Identical multisets → AUC exactly 0.5 (all mass in ties); a
+    // strictly-dominant source → AUC = 1; strictly-dominated → 0; and
+    // the 1-vs-2 all-tied micro case must give 2U = 2 (the
+    // half-per-tie accounting, no fp).
+    step("ranksum_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def u2auc(rows: Seq[(String, Long)]): Map[String, (Long, Double)] = {
+        val cells = rows.toDF("source", "v").groupBy("source", "v")
+          .agg(count(lit(1)).as("c"))
+        val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+          .withColumn("cum_before", coalesce(sum(col("cnt_all")).over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val tot = cells.agg(sum(col("c")).as("n_all"))
+        cells.join(broadcast(byV), Seq("v"))
+          .withColumn("r2c", col("c") *
+            (lit(2L) * col("cum_before") + col("cnt_all") + lit(1L)))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_src"), sum(col("r2c")).as("r2"))
+          .crossJoin(broadcast(tot))
+          .withColumn("u2", col("r2") - col("n_src") * (col("n_src") + 1))
+          .withColumn("auc", col("u2").cast("double") /
+            (lit(2.0) * col("n_src") * (col("n_all") - col("n_src"))))
+          .select("source", "u2", "auc")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      }
+      val ident = Seq("a", "b").flatMap(s => Seq(3L, 3L, 7L, 9L).map(v => (s, v)))
+      val dom = (1L to 10L).map(v => ("low", v)) ++ (11L to 20L).map(v => ("high", v))
+      val micro = Seq(("one", 5L), ("two", 5L), ("two", 5L))
+      val mi = u2auc(micro); val dm = u2auc(dom); val id = u2auc(ident)
+      stats("ranksum_identical_half") =
+        (id("a")._2 == 0.5 && id("b")._2 == 0.5).toString
+      stats("ranksum_dominant_one_zero") =
+        (dm("high")._2 == 1.0 && dm("low")._2 == 0.0).toString
+      stats("ranksum_micro_tie_u2") =
+        (mi("one")._1 == 2L && mi("one")._2 == 0.5).toString
+    }
+
+    // ---- q215 tau-b: agreement poles and tie degeneracy ---------------
+    // A perfectly concordant signal pair → τ_b = 1; perfectly
+    // reversed → −1; x all tied → τ_b NULL (zero denominator guard).
+    step("kendall_closed_forms") {
+      import spark.implicits._
+      def tau(sig: Seq[(String, Long, Long)]): Option[Double] = {
+        val df = sig.toDF("s", "x", "y")
+        val a = df.select(col("s").as("sa"), col("x").as("xa"), col("y").as("ya"))
+        val b = df.select(col("s").as("sb"), col("x").as("xb"), col("y").as("yb"))
+          .limit(4096)
+        val r = a.crossJoin(broadcast(b)).where(col("sa") < col("sb"))
+          .withColumn("prod",
+            signum(col("xa") - col("xb")) * signum(col("ya") - col("yb")))
+          .agg(count(lit(1)).as("n0"),
+            sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+            sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+            sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+          .select(when((col("n0") - col("tx")) * (col("n0") - col("ty")) > 0,
+            (col("nc") - col("nd")).cast("double") /
+              sqrt(((col("n0") - col("tx")) *
+                (col("n0") - col("ty"))).cast("double"))).as("t"))
+          .collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      val concord = (1L to 8L).map(i => (s"s$i", i * 10, i * 3))
+      val reversed = (1L to 8L).map(i => (s"s$i", i * 10, 100 - i))
+      val tiedX = (1L to 6L).map(i => (s"s$i", 7L, i))
+      stats("kendall_concordant_one") = (tau(concord) == Some(1.0)).toString
+      stats("kendall_reversed_minus_one") = (tau(reversed) == Some(-1.0)).toString
+      stats("kendall_tied_x_null") = (tau(tiedX) == None).toString
+    }
+
+    // ---- q217 Luhn kernel: known-vector checks ------------------------
+    // 0 is valid (sum 0); 18 is valid (2·1+8=10); 1 is invalid; and
+    // appending the correct check digit to any base always validates
+    // (the generative property) — checked for 200 consecutive bases.
+    step("luhn_known_vectors") {
+      def lsumCol(c: org.apache.spark.sql.Column) = {
+        val p = lpad(c.cast("string"), 12, "0")
+        (1 to 12).map { i =>
+          val dgt = substring(p, i, 1).cast("long")
+          if ((12 - i) % 2 == 1) when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2)
+          else dgt
+        }.reduce(_ + _)
+      }
+      val known = spark.range(0, 20)
+        .withColumn("valid", lsumCol(col("id")) % 10 === 0)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // generative: for base b, the full number is b*10 + d where the
+      // check digit d makes the sum divisible by 10
+      val gen = spark.range(1000, 1200).toDF("base")
+        .withColumn("d", (lit(10L) - lsumCol(col("base") * 10) % 10) % 10)
+        .withColumn("valid", lsumCol(col("base") * 10 + col("d")) % 10 === 0)
+        .agg(sum(when(col("valid"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      stats("luhn_zero_valid") = known(0L).toString
+      stats("luhn_18_valid") = known(18L).toString
+      stats("luhn_1_invalid") = (!known(1L)).toString
+      stats("luhn_checkdigit_generative_200") = (gen == 200L).toString
+    }
+
+    // ---- q218 CUSUM: step function and constant series ----------------
+    // A clean level shift [1,1,1,9,9,9] must put the changepoint at
+    // the last low day (k=3, |S|=72 with n=6,total=30); a constant
+    // series has S ≡ 0 and must pick the EARLIEST day (tiebreak
+    // proof); a single-spike series puts the changepoint at the
+    // spike's shoulder.
+    step("cusum_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def cp(cs: Seq[Long]): (String, Long) = {
+        val rows = cs.zipWithIndex.map { case (c, i) =>
+          (java.sql.Date.valueOf(f"2020-01-${i + 1}%02d"), c) }
+        val wo = Window.orderBy("day")
+        val wt = Window.partitionBy(lit(1))
+        val r = rows.toDF("day", "c")
+          .withColumn("k", row_number().over(wo))
+          .withColumn("cum", sum(col("c")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nd", count(lit(1)).over(wt))
+          .withColumn("tot", sum(col("c")).over(wt))
+          .withColumn("s_k", col("nd") * col("cum") - col("k") * col("tot"))
+          .withColumn("pick", row_number().over(
+            Window.orderBy(abs(col("s_k")).desc, col("day").asc)))
+          .where(col("pick") === 1)
+          .select(col("day").cast("string"), abs(col("s_k"))).collect()(0)
+        (r.getString(0), r.getLong(1))
+      }
+      stats("cusum_step_at_shift") =
+        (cp(Seq(1L, 1L, 1L, 9L, 9L, 9L)) == ("2020-01-03", 72L)).toString
+      stats("cusum_constant_earliest_day") =
+        (cp(Seq(5L, 5L, 5L, 5L)) == ("2020-01-01", 0L)).toString
+      stats("cusum_spike_shoulder") = {
+        val (d, s) = cp(Seq(2L, 2L, 50L, 2L, 2L))
+        // S_k = 5*cum_k − k*58: [-48,-96,96,48,0] → |S| ties at k=2
+        // and k=3; the earliest-day tiebreak must pick k=2
+        (d == "2020-01-02" && s == 96L).toString
+      }
+    }
+
+    // ---- q219 runs: alternation, ramp, constant -----------------------
+    // Strict high/low alternation → n_runs = n_days; a monotone ramp
+    // → exactly 2 runs; a constant series → median = the value, zero
+    // above-days, ONE run, expected_runs = 1.
+    step("runs_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def runs(cs: Seq[Long]): (Long, Long, Long, Double) = {
+        val rows = cs.zipWithIndex.map { case (c, i) =>
+          (java.sql.Date.valueOf(f"2020-02-${i + 1}%02d"), c) }
+        val daily = rows.toDF("day", "c")
+        val med = daily.groupBy(col("c").as("v")).agg(count(lit(1)).as("f"))
+          .withColumn("cumf", sum(col("f")).over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nd", sum(col("f")).over(Window.partitionBy(lit(1))))
+          .where(col("cumf") * 2 >= col("nd")).agg(min(col("v")).as("med"))
+        val r = daily.crossJoin(broadcast(med))
+          .withColumn("flag", (col("c") > col("med")).cast("long"))
+          .withColumn("prev", lag(col("flag"), 1).over(Window.orderBy("day")))
+          .agg(count(lit(1)).as("n_days"), sum(col("flag")).as("n_above"),
+            (sum(when(col("prev").isNotNull && col("prev") =!= col("flag"), 1L)
+              .otherwise(0L)) + 1L).as("n_runs"))
+          .withColumn("expected", lit(1.0) +
+            (lit(2.0) * col("n_above") * (col("n_days") - col("n_above"))) /
+              col("n_days").cast("double"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      }
+      val alt = runs(Seq(1L, 9L, 1L, 9L, 1L, 9L))
+      val ramp = runs(Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      val const = runs(Seq(4L, 4L, 4L, 4L))
+      stats("runs_alternation_n") = (alt._3 == 6L && alt._2 == 3L).toString
+      stats("runs_ramp_two") = (ramp._3 == 2L && ramp._2 == 3L).toString
+      stats("runs_constant_one") =
+        (const._2 == 0L && const._3 == 1L && const._4 == 1.0).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -41,7 +41,8 @@ object LintNew {
       // round 9 fourth wave: drift statistics
       "q213_ks_drift", "q214_ranksum_drift", "q215_kendall_signals",
       "q216_topk_drift", "q217_luhn_audit", "q218_cusum_changepoint",
-      "q219_runs_test")
+      "q219_runs_test", "q220_importance_weights", "q221_group_variance",
+      "q222_lag1_autocorr")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

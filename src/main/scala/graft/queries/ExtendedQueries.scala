@@ -3212,6 +3212,190 @@ object ExtendedQueries {
       |  CASE WHEN n_days > 0 THEN 1.0 + (2.0 * n_above * (n_days - n_above)) / n_days END AS expected_runs
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ------- importance weights to uniform mix + ESS (q220)
+  /** The mixture-reweighting operator: per-doc importance weights
+    * that would rebalance the corpus to a UNIFORM share per source
+    * (w_s = N/(S·n_s), in exact ppm), and the effective sample size
+    * (Σw)²/Σw² those weights would leave — the number that says
+    * "reweighting this skewed corpus to uniform costs you X% of your
+    * data" BEFORE anyone trains on it. q127's temperature mix picks
+    * sampling fractions; this prices the weighted-loss alternative.
+    * All sums are DECIMAL(38,0) over integer ppm weights, so ESS
+    * num/den export as canonical digits; the ESS itself and its
+    * share of N are the final divisions (q203 policy).
+    *
+    * Scale shape: one map-side source census; everything else is
+    * |S|-row arithmetic behind broadcasts. */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("n_all"),
+      count(lit(1)).as("n_sources"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        expr("n_all * 1000000 div (n_sources * n_docs)"))
+      .withColumn("mass", dec(col("n_docs")) * dec(col("weight_ppm")))
+    val ess = w.agg(
+      sum(col("mass")).cast(DecimalType(38, 0)).as("sw"),
+      sum(col("mass") * dec(col("weight_ppm"))).cast(DecimalType(38, 0))
+        .as("sw2"))
+    w.crossJoin(broadcast(ess))
+      .withColumn("ess_num", (col("sw") * col("sw")).cast(DecimalType(38, 0)))
+      .select(col("source"), col("n_docs"), col("weight_ppm"),
+        col("mass").cast(StringType).as("mass"),
+        col("ess_num").cast(StringType).as("ess_num"),
+        col("sw2").cast(StringType).as("ess_den"),
+        (col("ess_num").cast(DoubleType) / col("sw2").cast(DoubleType))
+          .as("ess"),
+        expr("CAST(ess_num * 1000000 div (sw2 * n_all) AS BIGINT)")
+          .as("ess_share_ppm"))
+      .sortedOut("source")
+  }
+
+  private val q220Sql =
+    """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+      |    CAST(count(*) AS BIGINT) AS n_sources FROM b),
+      |w AS (SELECT source, n_docs,
+      |    CAST(n_all * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm,
+      |    n_all FROM b CROSS JOIN t),
+      |m AS (SELECT source, n_docs, weight_ppm, n_all,
+      |    CAST(n_docs AS HUGEINT) * weight_ppm AS mass FROM w),
+      |e AS (SELECT CAST(sum(mass) AS HUGEINT) AS sw,
+      |    CAST(sum(mass * weight_ppm) AS HUGEINT) AS sw2 FROM m)
+      |SELECT source, n_docs, weight_ppm, CAST(mass AS VARCHAR) AS mass,
+      |  CAST(sw * sw AS VARCHAR) AS ess_num,
+      |  CAST(sw2 AS VARCHAR) AS ess_den,
+      |  CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE) AS ess,
+      |  CAST(sw * sw * 1000000 // (sw2 * n_all) AS BIGINT) AS ess_share_ppm
+      |FROM m CROSS JOIN e ORDER BY source""".stripMargin
+
+  // ------- per-group exact variance census + homogeneity (q221)
+  /** The spread member of the data-card family (q198 stops at
+    * min/max/NDV): per order priority, the EXACT sample variance of
+    * order value via the cleared numerator n·Σx² − (Σx)² on LONG
+    * cents — a DECIMAL(38,0) integer at any scale, order-independent
+    * where a naive fp Welford fold is not — and the homogeneity
+    * ratio max-variance/min-variance across groups (the
+    * Levene-style screen for "is spend volatility itself
+    * segment-dependent"). The per-group variance and mean are single
+    * IEEE divisions from exact integers, so the cross-group max/min
+    * — taken over those bit-identical doubles — is deterministic on
+    * both engines.
+    *
+    * Scale shape: one map-side-combinable rollup to |G| rows; the
+    * ratio attaches via a 1-row broadcast. */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val g = t(s, d, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(dec(col("cents")) * dec(col("cents")))
+          .cast(DecimalType(38, 0)).as("q"))
+      .withColumn("var_num",
+        (dec(col("n")) * col("q") - dec(col("s")) * dec(col("s")))
+          .cast(DecimalType(38, 0)))
+      .withColumn("var_den", col("n") * (col("n") - 1))
+      .withColumn("variance", col("var_num").cast(DoubleType) /
+        col("var_den").cast(DoubleType))
+      .withColumn("mean_cents",
+        col("s").cast(DoubleType) / col("n").cast(DoubleType))
+    val span = g.agg(max(col("variance")).as("var_max"),
+      min(col("variance")).as("var_min"))
+    g.crossJoin(broadcast(span))
+      .select(col("priority"), col("n"), col("s").as("sum_cents"),
+        col("var_num").cast(StringType).as("var_num"), col("var_den"),
+        col("mean_cents"), col("variance"),
+        (col("var_max") / col("var_min")).as("homogeneity_ratio"))
+      .sortedOut("priority")
+  }
+
+  private val q221Sql =
+    """WITH g AS (SELECT o_orderpriority AS priority,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS q
+      |  FROM orders GROUP BY 1),
+      |v AS (SELECT priority, n, s,
+      |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS var_num,
+      |    n * (n - 1) AS var_den FROM g),
+      |w AS (SELECT *, CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE) AS variance,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents FROM v),
+      |sp AS (SELECT max(variance) AS var_max, min(variance) AS var_min FROM w)
+      |SELECT priority, n, s AS sum_cents, CAST(var_num AS VARCHAR) AS var_num,
+      |  var_den, mean_cents, variance, var_max / var_min AS homogeneity_ratio
+      |FROM w CROSS JOIN sp ORDER BY priority""".stripMargin
+
+  // ------- lag-1 autocorrelation of daily volume (q222)
+  /** Is each event stream's daily volume momentum-driven or
+    * mean-reverting? Lag-1 autocorrelation with the mean cleared by
+    * n: r₁ = Σ(n·x_k − T)(n·x_{k+1} − T) / Σ(n·x_k − T)² — numerator
+    * over consecutive day pairs, denominator over all days, BOTH
+    * exact DECIMAL(38,0) integers (n·mean = T stays integral), one
+    * IEEE division at the end. Positive r₁ = trending feed (q218's
+    * changepoint will find where); negative = oscillation (q219's
+    * runs test agrees from the sign side); ≈0 = the i.i.d.-ish
+    * stream a sampler can treat as exchangeable.
+    *
+    * Scale shape: the (type, day) rollup rides one type-keyed
+    * shuffle for lead + totals (shared partitioning); the sums are
+    * |T|-row folds. Consecutive CALENDAR days are not required —
+    * the lag is over successive observed days, documented here. */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val wo = Window.partitionBy("et").orderBy("day")
+    val wt = Window.partitionBy("et")
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("nxt", lead(col("c"), 1).over(wo))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("c")).over(wt))
+      .withColumn("dev", dec(col("nd") * col("c") - col("tot")))
+      .withColumn("devn", dec(col("nd") * col("nxt") - col("tot")))
+      .groupBy("et")
+      .agg(max(col("nd")).as("n_days"), max(col("tot")).as("total_events"),
+        sum(when(col("nxt").isNotNull, col("dev") * col("devn"))
+          .otherwise(lit(0))).cast(DecimalType(38, 0)).as("r1_num"),
+        sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("r1_den"))
+      .select(col("et").as("event_type"), col("n_days"), col("total_events"),
+        col("r1_num").cast(StringType).as("r1_num"),
+        col("r1_den").cast(StringType).as("r1_den"),
+        when(col("r1_den") =!= 0, col("r1_num").cast(DoubleType) /
+          col("r1_den").cast(DoubleType)).as("r1"))
+      .sortedOut("event_type")
+  }
+
+  private val q222Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |w AS (SELECT et, day, c,
+      |    lead(c) OVER (PARTITION BY et ORDER BY day) AS nxt,
+      |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS nd,
+      |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS tot
+      |  FROM daily),
+      |dv AS (SELECT et, nd, tot,
+      |    CAST(nd * c - tot AS HUGEINT) AS dev,
+      |    CAST(nd * nxt - tot AS HUGEINT) AS devn,
+      |    nxt IS NOT NULL AS has_next
+      |  FROM w),
+      |g AS (SELECT et, CAST(max(nd) AS BIGINT) AS n_days,
+      |    CAST(max(tot) AS BIGINT) AS total_events,
+      |    CAST(sum(CASE WHEN has_next THEN dev * devn ELSE 0 END) AS HUGEINT) AS r1_num,
+      |    CAST(sum(dev * dev) AS HUGEINT) AS r1_den
+      |  FROM dv GROUP BY et)
+      |SELECT et AS event_type, n_days, total_events,
+      |  CAST(r1_num AS VARCHAR) AS r1_num, CAST(r1_den AS VARCHAR) AS r1_den,
+      |  CASE WHEN r1_den <> 0 THEN CAST(r1_num AS DOUBLE) / CAST(r1_den AS DOUBLE) END AS r1
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -3282,5 +3466,8 @@ object ExtendedQueries {
     ("q216_topk_drift",      q216 _, Some(q216Sql)),
     ("q217_luhn_audit",      q217 _, Some(q217Sql)),
     ("q218_cusum_changepoint", q218 _, Some(q218Sql)),
-    ("q219_runs_test",       q219 _, Some(q219Sql)))
+    ("q219_runs_test",       q219 _, Some(q219Sql)),
+    ("q220_importance_weights", q220 _, Some(q220Sql)),
+    ("q221_group_variance",  q221 _, Some(q221Sql)),
+    ("q222_lag1_autocorr",   q222 _, Some(q222Sql)))
 }

@@ -42,7 +42,8 @@ object LintNew {
       "q213_ks_drift", "q214_ranksum_drift", "q215_kendall_signals",
       "q216_topk_drift", "q217_luhn_audit", "q218_cusum_changepoint",
       "q219_runs_test", "q220_importance_weights", "q221_group_variance",
-      "q222_lag1_autocorr")
+      "q222_lag1_autocorr", "q223_fano_burstiness", "q224_quantile_norm",
+      "q225_payload_drift")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -3396,6 +3396,183 @@ object ExtendedQueries {
       |  CASE WHEN r1_den <> 0 THEN CAST(r1_num AS DOUBLE) / CAST(r1_den AS DOUBLE) END AS r1
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ------- Fano factor: burstiness census per stream (q223)
+  /** Is a feed's daily volume Poisson-ish (Fano ≈ 1), regular
+    * (< 1), or BURSTY (> 1 — batched uploads, crawler restarts,
+    * syndication storms)? The variance-to-mean ratio with every
+    * denominator cleared: F = n·(n·Σx² − T²) / ((n−1)·n·T) reduces
+    * to num = n·Σx² − T² (the q221 variance numerator) and
+    * den = (n−1)·T, both DECIMAL(38,0)-exact, one IEEE division.
+    * The burstiness triad completes: q218 locates the shift, q219
+    * tests randomness, q222 measures momentum, Fano measures
+    * dispersion — four orthogonal answers from ONE shared
+    * (type, day) rollup shape.
+    *
+    * Scale shape: map-side rollup to |T|·|days| rows, then a
+    * |T|-row fold; no window at all — the cheapest of the four. */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total_events"),
+        sum(dec(col("c")) * dec(col("c"))).cast(DecimalType(38, 0)).as("q"))
+      .withColumn("fano_num",
+        (dec(col("n_days")) * col("q") -
+          dec(col("total_events")) * dec(col("total_events")))
+          .cast(DecimalType(38, 0)))
+      .withColumn("fano_den",
+        (dec(col("n_days") - 1) * dec(col("total_events")))
+          .cast(DecimalType(38, 0)))
+      .select(col("et").as("event_type"), col("n_days"), col("total_events"),
+        col("fano_num").cast(StringType).as("fano_num"),
+        col("fano_den").cast(StringType).as("fano_den"),
+        when(col("fano_den") =!= 0, col("fano_num").cast(DoubleType) /
+          col("fano_den").cast(DoubleType)).as("fano"))
+      .sortedOut("event_type")
+  }
+
+  private val q223Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |g AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(c) AS BIGINT) AS total_events,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      |  FROM daily GROUP BY et),
+      |f AS (SELECT et, n_days, total_events,
+      |    CAST(n_days AS HUGEINT) * q - CAST(total_events AS HUGEINT) * total_events AS fano_num,
+      |    CAST(n_days - 1 AS HUGEINT) * total_events AS fano_den
+      |  FROM g)
+      |SELECT et AS event_type, n_days, total_events,
+      |  CAST(fano_num AS VARCHAR) AS fano_num,
+      |  CAST(fano_den AS VARCHAR) AS fano_den,
+      |  CASE WHEN fano_den <> 0 THEN CAST(fano_num AS DOUBLE) / CAST(fano_den AS DOUBLE) END AS fano
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // ------- quantile normalization across sources (q224)
+  /** The cross-batch calibration operator: replace each doc's length
+    * with the CORPUS value at the same quantile of its own source —
+    * the quantile-normalization step that puts heterogeneous feeds on
+    * one scale before length-matched sampling (q173) can trust the
+    * numbers. Rank r of n_s within the source maps to pooled position
+    * ⌈r·N/n_s⌉; both rankings order by (value, doc_id), so the map is
+    * deterministic and the result is always a VALUE FROM THE CORPUS —
+    * integer-exact, no interpolation. The census pins per source the
+    * total absolute shift, the max shift, and a checksum of WHICH
+    * docs moved.
+    *
+    * Scale shape: per-source ranks ride a source-keyed window; the
+    * POOLED ranking uses [[RelationalOps.globalRowNumber]]
+    * (range-partition + per-partition prefix offsets — the
+    * no-single-task global sort, q174's machinery); the remap is one
+    * equi-join on the pooled position. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      col("source"), col("n_chars").cast(LongType).as("v"))
+    val pooledV = RelationalOps.globalRowNumber(
+      docs.select(col("doc_id").as("p_doc"), col("v").as("pv")),
+      Seq(col("pv").asc, col("p_doc").asc), "pos")
+      .select(col("pos"), col("pv"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("v").asc, col("doc_id").asc))
+        .cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy("source")).cast(LongType))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("pos", expr("(r * n_all + n_src - 1) div n_src"))
+      .join(pooledV, Seq("pos"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v")).as("sum_orig"),
+        sum(col("pv")).as("sum_normalized"),
+        max(abs(col("pv") - col("v"))).as("max_shift"),
+        sum(when(col("pv") =!= col("v"), col("doc_id")).otherwise(0L))
+          .as("shifted_doc_sum"))
+      .sortedOut("source")
+  }
+
+  private val q224Sql =
+    """WITH docs AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |pooled AS (SELECT CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS pos,
+      |    v AS pv FROM docs),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM docs),
+      |r AS (SELECT doc_id, source, v,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM docs),
+      |j AS (SELECT r.source, r.doc_id, r.v, pooled.pv
+      |  FROM r CROSS JOIN t
+      |  JOIN pooled ON pooled.pos = (r.r * t.n_all + r.n_src - 1) // r.n_src)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(v) AS BIGINT) AS sum_orig,
+      |  CAST(sum(pv) AS BIGINT) AS sum_normalized,
+      |  CAST(max(abs(pv - v)) AS BIGINT) AS max_shift,
+      |  CAST(sum(CASE WHEN pv <> v THEN doc_id ELSE 0 END) AS BIGINT) AS shifted_doc_sum
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ------- payload value-domain drift between periods (q225)
+  /** The schema/domain drift screen on the event PAYLOAD: split each
+    * stream's history at the integer midpoint of the corpus date
+    * span, extract the typed payload value (`props.k`), and diff the
+    * early vs late VALUE DOMAINS — values added, removed, kept, with
+    * checksums pinning WHICH. An enum that gained a variant, a sensor
+    * that started emitting -1, a field that silently narrowed: all
+    * surface here before any consumer casts blow up. q121 diffs token
+    * vocabularies across corpora; this diffs payload domains across
+    * TIME within one stream.
+    *
+    * Scale shape: one map-side (type, value, half) rollup collapses
+    * the stream; the set diff is a full-outer self-merge on the
+    * ≤|T|·|V| distinct frame — the label-spine trick (q207) keeps it
+    * broadcastable if |V| explodes. Midpoint derives from a 1-row
+    * bounds aggregate, broadcast. */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("kv"))
+      .where(col("kv").isNotNull)
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) * 2 >= datediff(col("d1"), col("d0")))
+      .groupBy("et", "kv")
+      .agg(max(when(!col("late"), 1L).otherwise(0L)).as("in_old"),
+        max(when(col("late"), 1L).otherwise(0L)).as("in_new"))
+    halves.groupBy("et")
+      .agg(sum(when(col("in_old") === 1 && col("in_new") === 1, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("in_old") === 0, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new") === 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old") === 0, col("kv")).otherwise(0L))
+          .as("added_sum"),
+        sum(when(col("in_new") === 0, col("kv")).otherwise(0L))
+          .as("removed_sum"))
+      .select(col("et").as("event_type"), col("n_kept"), col("n_added"),
+        col("n_removed"), col("added_sum"), col("removed_sum"))
+      .sortedOut("event_type")
+  }
+
+  private val q225Sql =
+    """WITH ev AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |h AS (SELECT et, kv,
+      |    max(CASE WHEN (day - d0) * 2 >= (d1 - d0) THEN 0 ELSE 1 END) AS in_old,
+      |    max(CASE WHEN (day - d0) * 2 >= (d1 - d0) THEN 1 ELSE 0 END) AS in_new
+      |  FROM ev CROSS JOIN b GROUP BY et, kv)
+      |SELECT et AS event_type,
+      |  CAST(sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN in_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN in_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN in_old = 0 THEN kv ELSE 0 END) AS BIGINT) AS added_sum,
+      |  CAST(sum(CASE WHEN in_new = 0 THEN kv ELSE 0 END) AS BIGINT) AS removed_sum
+      |FROM h GROUP BY et ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -3469,5 +3646,8 @@ object ExtendedQueries {
     ("q219_runs_test",       q219 _, Some(q219Sql)),
     ("q220_importance_weights", q220 _, Some(q220Sql)),
     ("q221_group_variance",  q221 _, Some(q221Sql)),
-    ("q222_lag1_autocorr",   q222 _, Some(q222Sql)))
+    ("q222_lag1_autocorr",   q222 _, Some(q222Sql)),
+    ("q223_fano_burstiness", q223 _, Some(q223Sql)),
+    ("q224_quantile_norm",   q224 _, Some(q224Sql)),
+    ("q225_payload_drift",   q225 _, Some(q225Sql)))
 }

@@ -43,7 +43,9 @@ object LintNew {
       "q216_topk_drift", "q217_luhn_audit", "q218_cusum_changepoint",
       "q219_runs_test", "q220_importance_weights", "q221_group_variance",
       "q222_lag1_autocorr", "q223_fano_burstiness", "q224_quantile_norm",
-      "q225_payload_drift")
+      "q225_payload_drift", "q226_emd_drift", "q227_winsorized_totals",
+      "q228_graph_mixing", "q229_weekday_profile", "q230_cohort_ltv",
+      "q231_basket_affinity")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

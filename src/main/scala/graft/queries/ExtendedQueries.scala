@@ -3573,6 +3573,398 @@ object ExtendedQueries {
       |  CAST(sum(CASE WHEN in_new = 0 THEN kv ELSE 0 END) AS BIGINT) AS removed_sum
       |FROM h GROUP BY et ORDER BY event_type""".stripMargin
 
+  // ------- earth-mover distance drift per source (q226)
+  /** The INTEGRAL member of the drift family: 1-Wasserstein distance
+    * between each source's doc-length distribution and the corpus —
+    * W₁ = Σᵢ |F_src(vᵢ) − F_all(vᵢ)|·(vᵢ₊₁ − vᵢ) over corpus-distinct
+    * lengths. q213's KS answers "how far apart at the worst point";
+    * EMD answers "how much mass must MOVE how far" — the number that
+    * prices a length-rebalancing resample (q173) in actual
+    * characters. Cleared to integers: num = Σ|cum_src·N −
+    * cum_all·n_src|·gap with den = n_src·N, exported as canonical
+    * digits plus a milli-char scalar.
+    *
+    * Scale shape: unlike TVD (q212), the gap-weighted running-cum
+    * summand has no algebraic split — the |S|×|L| grid is genuinely
+    * required. It is built as corpus-values STREAMED × sources
+    * BROADCAST with a plan-level limit(4096) on the source axis (the
+    * bounded-registry proof, q215 pattern), then one source-keyed
+    * window accumulates F_src at every corpus value. |L| is
+    * domain-bounded, so the grid is |S|·|L|, never data-sized. */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+      .withColumn("cum_all", sum(col("cnt_all")).over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(Window.orderBy("v")) - col("v"),
+          lit(0L)))
+    val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
+      .limit(4096)
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    byV.crossJoin(broadcast(bySrc))
+      .join(cells, Seq("source", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(dec(col("cum_src")) * dec(col("n_all")) -
+          dec(col("cum_all")) * dec(col("n_src"))) * dec(col("gap")))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_src"), max(col("n_all")).as("n_all"),
+        sum(col("term")).cast(DecimalType(38, 0)).as("emd_num"))
+      .select(col("source"), col("n_src"), col("n_all"),
+        col("emd_num").cast(StringType).as("emd_num"),
+        expr("CAST(emd_num * 1000 div (CAST(n_src AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("emd_millichars"))
+      .sortedOut("source")
+  }
+
+  private val q226Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all FROM cells GROUP BY 1),
+      |bvc AS (SELECT v, cnt_all,
+      |    CAST(sum(cnt_all) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+      |    CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS gap
+      |  FROM bv),
+      |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |grid AS (SELECT bs.source, bvc.v, bvc.cnt_all, bvc.cum_all, bvc.gap,
+      |    bs.n_src, coalesce(cells.c, 0) AS c
+      |  FROM bvc CROSS JOIN bs
+      |  LEFT JOIN cells ON cells.source = bs.source AND cells.v = bvc.v),
+      |cs AS (SELECT source, v, cum_all, gap, n_src,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM grid),
+      |g AS (SELECT source, n_src, n_all,
+      |    CAST(sum(abs(CAST(cum_src AS HUGEINT) * n_all -
+      |      CAST(cum_all AS HUGEINT) * n_src) * gap) AS HUGEINT) AS emd_num
+      |  FROM cs CROSS JOIN t GROUP BY source, n_src, n_all)
+      |SELECT source, n_src, n_all, CAST(emd_num AS VARCHAR) AS emd_num,
+      |  CAST(emd_num * 1000 // (CAST(n_src AS HUGEINT) * n_all) AS BIGINT) AS emd_millichars
+      |FROM g ORDER BY source""".stripMargin
+
+  // ------- winsorized totals per group, exact order statistics (q227)
+  /** The tail-robust revenue census: per return flag, the order-value
+    * total AFTER clamping to the exact p05/p95 ORDER STATISTICS
+    * (positions ⌈0.05n⌉ / ⌈0.95n⌉ in the sorted column, pure integer
+    * arithmetic — values FROM THE DATA, the q210 policy, where q83's
+    * approx-percentile trims by a sketch). Winsorized totals are what
+    * a revenue dashboard should chart when single monster orders
+    * would otherwise own the axis; the census also pins how many rows
+    * clamped at each end.
+    *
+    * Scale shape: the (flag, cents) collapse bounds everything by the
+    * distinct-value domain; cutoffs derive from the cum window
+    * (q210's shape) as a 2-row-per-flag broadcast back onto the
+    * value frame — the raw table is touched once. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("v"))
+      .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
+    val cuts = cum
+      .withColumn("lo_pos", expr("(n * 5 + 99) div 100"))
+      .withColumn("hi_pos", expr("(n * 95 + 99) div 100"))
+      .groupBy("flag")
+      .agg(min(when(col("cum") >= col("lo_pos"), col("v"))).as("lo"),
+        min(when(col("cum") >= col("hi_pos"), col("v"))).as("hi"),
+        max(col("n")).as("n"))
+    cum.join(broadcast(cuts.drop("n")), Seq("flag"))
+      .groupBy("flag")
+      .agg(sum(col("cnt")).as("n"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+        sum(col("v") * col("cnt")).as("raw_sum"),
+        sum(greatest(least(col("v"), col("hi")), col("lo")) * col("cnt"))
+          .as("winsorized_sum"),
+        sum(when(col("v") < col("lo"), col("cnt")).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), col("cnt")).otherwise(0L))
+          .as("n_clamped_hi"))
+      .sortedOut("flag")
+  }
+
+  private val q227Sql =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+      |  FROM g),
+      |cuts AS (SELECT flag,
+      |    CAST(min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS BIGINT) AS lo,
+      |    CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS hi
+      |  FROM c GROUP BY flag)
+      |SELECT c.flag, CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(max(lo) AS BIGINT) AS p05, CAST(max(hi) AS BIGINT) AS p95,
+      |  CAST(sum(v * cnt) AS BIGINT) AS raw_sum,
+      |  CAST(sum(greatest(least(v, hi), lo) * cnt) AS BIGINT) AS winsorized_sum,
+      |  CAST(sum(CASE WHEN v < lo THEN cnt ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(CASE WHEN v > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_clamped_hi
+      |FROM c JOIN cuts ON cuts.flag = c.flag
+      |GROUP BY c.flag ORDER BY c.flag""".stripMargin
+
+  // ------- trade-graph reciprocity + degree assortativity (q228)
+  /** Two one-number health checks on the directed nation trade graph
+    * (q117's edge set): RECIPROCITY — what fraction of trade
+    * relationships flow both ways, unweighted (edge-reverse-exists,
+    * exact ppm) and weighted (Σ min(w,w_rev)/Σw, the mass that could
+    * pair up) — and STRENGTH assortativity, the Pearson correlation
+    * between source out-strength and destination in-strength
+    * (weighted degrees — plain edge-count degrees are constant on
+    * the complete small-SF nation graph and would null the
+    * statistic) across edges: negative = hub-and-spoke (big
+    * exporters sell to small importers — the shape that makes q64's
+    * salting necessary), positive = core-periphery. Every sum is an
+    * exact integer; the correlation is sqrt+divide over them (q174's
+    * policy), NULLed on zero variance rather than divided by it.
+    *
+    * Scale shape: the fact-table joins are q117's (broadcast dims,
+    * one orderkey shuffle); everything after runs on the ≤|N|²
+    * distinct-edge frame — degree joins, the reverse-edge self-join,
+    * the 1-row moment fold. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast(LongType).as("src"),
+        col("s_nationkey").cast(LongType).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("w").as("w_rev"))
+    val paired = edges.join(rev, Seq("src", "dst"), "left_outer")
+      .na.fill(0L, Seq("w_rev"))
+    val outdeg = edges.groupBy("src").agg(sum(col("w")).as("j"))
+    val indeg = edges.groupBy("dst").agg(sum(col("w")).as("k"))
+    val jk = edges.join(broadcast(outdeg), Seq("src"))
+      .join(broadcast(indeg), Seq("dst"))
+    val recip = paired.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(col("w_rev") > 0, 1L).otherwise(0L)).as("n_recip"),
+      sum(col("w")).as("w_total"),
+      sum(least(col("w"), col("w_rev"))).as("w_paired"))
+    val moments = jk.agg(count(lit(1)).as("m"),
+      sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+      sum(col("j") * col("k")).as("sjk"),
+      sum(col("j") * col("j")).as("sjj"),
+      sum(col("k") * col("k")).as("skk"))
+    recip.crossJoin(broadcast(moments))
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip * 1000000 div n_edges").as("recip_ppm"),
+        col("w_total"), col("w_paired"),
+        expr("w_paired * 1000000 div w_total").as("w_recip_ppm"),
+        // a regular graph (all degrees equal — the complete nation
+        // graph at small SF) has zero degree variance: correlation
+        // undefined → NULL, never a divide-by-zero (q207's guard)
+        when((dec(col("m")) * dec(col("sjj")) - dec(col("sj")) * dec(col("sj"))) > 0 &&
+             (dec(col("m")) * dec(col("skk")) - dec(col("sk")) * dec(col("sk"))) > 0,
+          (dec(col("m")) * dec(col("sjk")) - dec(col("sj")) * dec(col("sk")))
+            .cast(DoubleType) /
+            (sqrt((dec(col("m")) * dec(col("sjj")) - dec(col("sj")) * dec(col("sj")))
+              .cast(DoubleType)) *
+             sqrt((dec(col("m")) * dec(col("skk")) - dec(col("sk")) * dec(col("sk")))
+              .cast(DoubleType)))).as("assortativity"))
+  }
+
+  private val q228Sql =
+    """WITH e AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+      |    CAST(s.s_nationkey AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+      |p AS (SELECT a.src, a.dst, a.w, coalesce(b.w, 0) AS w_rev
+      |  FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src),
+      |od AS (SELECT src, CAST(sum(w) AS BIGINT) AS j FROM e GROUP BY 1),
+      |id AS (SELECT dst, CAST(sum(w) AS BIGINT) AS k FROM e GROUP BY 1),
+      |jk AS (SELECT e.src, e.dst, od.j, id.k FROM e
+      |  JOIN od USING (src) JOIN id USING (dst)),
+      |r AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |    CAST(sum(CASE WHEN w_rev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+      |    CAST(sum(w) AS BIGINT) AS w_total,
+      |    CAST(sum(least(w, w_rev)) AS BIGINT) AS w_paired FROM p),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(j) AS BIGINT) AS sj,
+      |    CAST(sum(k) AS BIGINT) AS sk, CAST(sum(j * k) AS BIGINT) AS sjk,
+      |    CAST(sum(j * j) AS BIGINT) AS sjj, CAST(sum(k * k) AS BIGINT) AS skk
+      |  FROM jk)
+      |SELECT n_edges, n_recip,
+      |  CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_ppm,
+      |  w_total, w_paired,
+      |  CAST(w_paired * 1000000 // w_total AS BIGINT) AS w_recip_ppm,
+      |  CASE WHEN CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj > 0
+      |        AND CAST(m AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk > 0 THEN
+      |    CAST(CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk AS DOUBLE) /
+      |      (sqrt(CAST(CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj AS DOUBLE)) *
+      |       sqrt(CAST(CAST(m AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk AS DOUBLE)))
+      |  END AS assortativity
+      |FROM r CROSS JOIN m""".stripMargin
+
+  // ------- weekday seasonality profile per stream (q229)
+  /** The calendar-structure census: each event stream's volume share
+    * by ISO weekday (ppm-exact) with the peak day flagged — the
+    * profile that decides whether a training snapshot cut on a
+    * Tuesday under-represents weekend behavior, and the baseline
+    * q218/q219 should be read against (a 7-day cycle is the most
+    * common "false changepoint"). Spark's `weekday()` (0 = Monday)
+    * shifted to ISO 1–7 matches DuckDB's `isodow` exactly; the peak
+    * flag is a rank over (n DESC, dow ASC) — deterministic under
+    * ties.
+    *
+    * Scale shape: one map-side (type, dow) rollup — 7 rows per
+    * stream; the share and peak derive from windows over those. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("event_type").as("event_type"),
+        (weekday(col("ts")) + 1).cast(LongType).as("isodow"))
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy("event_type")))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("is_peak", (row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("isodow").asc)) === 1))
+      .select("event_type", "isodow", "n", "share_ppm", "is_peak")
+      .sortedOutWide("event_type", "isodow")
+  }
+
+  private val q229Sql =
+    """WITH g AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, isodow, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY n DESC, isodow ASC) AS rk
+      |  FROM g)
+      |SELECT event_type, isodow, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |  rk = 1 AS is_peak
+      |FROM w ORDER BY event_type, isodow""".stripMargin
+
+  // ------- cohort lifetime-value curve (q230)
+  /** The monetized companion to q109's retention matrix: customers
+    * cohorted by FIRST-order month, and per (cohort, age-in-months)
+    * the active-customer count, the cents spent at that age, and the
+    * RUNNING cumulative — the LTV curve whose flattening point tells
+    * a data buyer how many months of history are worth licensing.
+    * Month index 12y+m keeps ages integral; everything is LONG cents
+    * and counts.
+    *
+    * Scale shape: the first-order month is one customer-keyed
+    * aggregate joined back on the same key (one shuffle partitioning
+    * reused); the curve and its cumulative window live on
+    * ≤|cohorts|·|ages| rows. */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, d, "orders")
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("m"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val cohort = o.groupBy("c").agg(min(col("m")).as("m0"))
+    o.join(cohort, Seq("c"))
+      .withColumn("age", col("m") - col("m0"))
+      .groupBy(col("m0").as("cohort_m"), col("age"))
+      .agg(countDistinct(col("c")).as("n_active"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.partitionBy("cohort_m").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .sortedOutWide("cohort_m", "age")
+  }
+
+  private val q230Sql =
+    """WITH o AS (SELECT o_custkey AS c,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |coh AS (SELECT c, min(m) AS m0 FROM o GROUP BY c),
+      |g AS (SELECT m0 AS cohort_m, m - m0 AS age,
+      |    CAST(count(DISTINCT c) AS BIGINT) AS n_active,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM o JOIN coh USING (c) GROUP BY 1, 2)
+      |SELECT cohort_m, age, n_active, n_orders, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |FROM g ORDER BY cohort_m, age""".stripMargin
+
+  // ------- market-basket affinity: top part pairs by support (q231)
+  /** The basket-level co-occurrence operator (q120 is its
+    * user-session sibling): part pairs appearing in the same ORDER,
+    * ranked by support with exact ppm lift = support·N/(n_a·n_b) —
+    * lift > 1e6 means the pair co-sells beyond independence. Parts
+    * dedup within an order first (two lines of one part are one
+    * basket membership); the top-20 cut orders by (support DESC,
+    * a, b) so the boundary is deterministic, and `orderBy().limit()`
+    * plans as TakeOrderedAndProject — no global sort.
+    *
+    * Scale shape: the self-join explodes each order into
+    * basket-size² pairs — bounded by the schema's small basket (≤7
+    * lines); a monster-basket corpus would cap per-order pairs the
+    * way [[graft.dedup.Dedup]] caps LSH buckets (documented knob,
+    * not needed here). Support counting is map-side combinable; the
+    * per-part totals broadcast back onto the pair frame. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val items = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+      .distinct()
+    val nOrders = items.select("o").distinct().agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy("p").agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a").join(items.as("b"), Seq("o"))
+      .where(col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(perPart.select(col("p").as("pa"), col("n_part").as("na"))), Seq("pa"))
+      .join(broadcast(perPart.select(col("p").as("pb"), col("n_part").as("nb"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_ppm",
+        expr("support * n_orders * 1000000 div (na * nb)"))
+      .select("pa", "pb", "support", "na", "nb", "lift_ppm")
+      .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  private val q231Sql =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |t AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+      |pp AS (SELECT p, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY p),
+      |pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, support, na.n_part AS na, nb.n_part AS nb,
+      |  CAST(support * t.n_orders * 1000000 // (na.n_part * nb.n_part) AS BIGINT) AS lift_ppm
+      |FROM pr JOIN pp na ON na.p = pr.pa JOIN pp nb ON nb.p = pr.pb
+      |CROSS JOIN t
+      |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -3649,5 +4041,11 @@ object ExtendedQueries {
     ("q222_lag1_autocorr",   q222 _, Some(q222Sql)),
     ("q223_fano_burstiness", q223 _, Some(q223Sql)),
     ("q224_quantile_norm",   q224 _, Some(q224Sql)),
-    ("q225_payload_drift",   q225 _, Some(q225Sql)))
+    ("q225_payload_drift",   q225 _, Some(q225Sql)),
+    ("q226_emd_drift",       q226 _, Some(q226Sql)),
+    ("q227_winsorized_totals", q227 _, Some(q227Sql)),
+    ("q228_graph_mixing",    q228 _, Some(q228Sql)),
+    ("q229_weekday_profile", q229 _, Some(q229Sql)),
+    ("q230_cohort_ltv",      q230 _, Some(q230Sql)),
+    ("q231_basket_affinity", q231 _, Some(q231Sql)))
 }

@@ -1689,6 +1689,201 @@ object AdvSweep {
         (const._2 == 0L && const._3 == 1L && const._4 == 1.0).toString
     }
 
+    // ==== wave 11 (round-9 fifth wave: q220-q225) ======================
+
+    // ---- q220 ESS: uniform identity + brute-force identity ------------
+    // A perfectly balanced corpus → every weight exactly 1e6, ESS = N
+    // (share 1e6 ppm); a monster-skew corpus → the |S|-row kernel must
+    // equal the per-doc brute force (sum w)^2 / sum w^2 computed over
+    // every individual document.
+    step("ess_closed_forms") {
+      import spark.implicits._
+      def kernel(ns: Seq[(String, Long)]): (Seq[Long], Long, Long) = {
+        val b = ns.toDF("source", "n_docs")
+        val tot = b.agg(sum(col("n_docs")).as("n_all"),
+          count(lit(1)).as("n_sources"))
+        val w = b.crossJoin(broadcast(tot))
+          .withColumn("w", expr("n_all * 1000000 div (n_sources * n_docs)"))
+          .withColumn("mass", col("n_docs") * col("w"))
+        val e = w.agg(sum(col("mass")).as("sw"),
+          sum(col("mass") * col("w")).as("sw2"), max(col("n_all")).as("na"))
+          .collect()(0)
+        val ws = w.orderBy("source").collect().map(_.getAs[Long]("w")).toSeq
+        val sw = BigInt(e.getLong(0)); val sw2 = BigInt(e.getLong(1))
+        (ws, (sw * sw / sw2).toLong,
+          (sw * sw * 1000000 / (sw2 * e.getLong(2))).toLong)
+      }
+      val (wu, essU, shareU) = kernel(Seq(("a", 50L), ("b", 50L), ("c", 50L)))
+      stats("ess_uniform_weights_1e6") = wu.forall(_ == 1000000L).toString
+      stats("ess_uniform_equals_n") = (essU == 150L && shareU == 1000000L).toString
+      val skew = Seq(("big", 9000L), ("s1", 5L), ("s2", 3L))
+      val (ws2, essS, _) = kernel(skew)
+      val perDoc = skew.flatMap { case (src, n) =>
+        val w = 9008L * 1000000L / (3L * n); Seq.fill(n.toInt)(w) }
+      val brute = {
+        val sw = perDoc.map(BigInt(_)).sum
+        val sw2 = perDoc.map(x => BigInt(x) * x).sum
+        (sw * sw / sw2).toLong
+      }
+      stats("ess_kernel_equals_brute") = (essS == brute).toString
+      stats("ess_skew_collapses") = (essS < 20L).toString
+    }
+
+    // ---- q221 variance: constant-zero and two-point closed forms ------
+    // A constant group → var_num = 0 exactly; {a,a,b,b} → variance =
+    // (a−b)²/3 exactly (num 4(a−b)², den 12).
+    step("variance_closed_forms") {
+      import spark.implicits._
+      def varOf(xs: Seq[Long]): (Long, Long, Double) = {
+        val r = xs.toDF("x")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+            sum(col("x") * col("x")).as("q")).collect()(0)
+        val n = r.getLong(0); val s = r.getLong(1); val q = r.getLong(2)
+        val num = n * q - s * s; val den = n * (n - 1)
+        (num, den, num.toDouble / den)
+      }
+      val (cn, _, _) = varOf(Seq(7L, 7L, 7L, 7L, 7L))
+      val (n2, d2, v2) = varOf(Seq(10L, 10L, 4L, 4L))
+      stats("variance_constant_zero") = (cn == 0L).toString
+      stats("variance_two_point_closed") =
+        (n2 == 4L * 36L && d2 == 12L && v2 == 12.0).toString
+    }
+
+    // ---- q222 autocorr: alternation, constant-null, shift invariance --
+    // Strict alternation → r₁ = −(n−1)/n exactly; a constant series →
+    // den 0 → NULL; adding a constant to every count must leave
+    // num/den UNCHANGED (the n-cleared mean really centers).
+    step("autocorr_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def r1(cs: Seq[Long]): (Option[Double], Long, Long) = {
+        val rows = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        val wo = Window.orderBy("i")
+        val wt = Window.partitionBy(lit(1))
+        val r = rows.toDF("i", "c")
+          .withColumn("nxt", lead(col("c"), 1).over(wo))
+          .withColumn("nd", count(lit(1)).over(wt))
+          .withColumn("tot", sum(col("c")).over(wt))
+          .withColumn("dev", col("nd") * col("c") - col("tot"))
+          .withColumn("devn", col("nd") * col("nxt") - col("tot"))
+          .agg(sum(when(col("nxt").isNotNull, col("dev") * col("devn"))
+            .otherwise(0L)).as("num"), sum(col("dev") * col("dev")).as("den"))
+          .collect()(0)
+        val num = r.getLong(0); val den = r.getLong(1)
+        (if (den == 0) None else Some(num.toDouble / den), num, den)
+      }
+      val alt = r1(Seq(2L, 8L, 2L, 8L, 2L, 8L))
+      val const = r1(Seq(5L, 5L, 5L))
+      val base = r1(Seq(3L, 9L, 4L, 12L, 6L, 1L))
+      val shifted = r1(Seq(3L, 9L, 4L, 12L, 6L, 1L).map(_ + 100L))
+      stats("autocorr_alternation_closed") =
+        (alt._1 == Some(-5.0 / 6.0)).toString
+      stats("autocorr_constant_null") = (const._1 == None).toString
+      stats("autocorr_shift_invariant") =
+        (base._2 == shifted._2 && base._3 == shifted._3).toString
+    }
+
+    // ---- q223 Fano: constant-zero and single-burst closed forms -------
+    // Constant series → Fano 0; all mass on one of n days → Fano =
+    // burst size exactly (num (n−1)M², den (n−1)M).
+    step("fano_closed_forms") {
+      import spark.implicits._
+      def fano(cs: Seq[Long]): Double = {
+        val r = cs.toDF("c")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
+            sum(col("c") * col("c")).as("q")).collect()(0)
+        val n = r.getLong(0); val t = r.getLong(1); val q = r.getLong(2)
+        (n * q - t * t).toDouble / ((n - 1) * t).toDouble
+      }
+      stats("fano_constant_zero") = (fano(Seq(4L, 4L, 4L, 4L)) == 0.0).toString
+      stats("fano_single_burst_m") =
+        (fano(Seq(500L, 0L, 0L, 0L, 0L)) == 500.0).toString
+    }
+
+    // ---- q224 quantile norm: identity and same-distribution forms -----
+    // One source → the map is the identity (p = r); two sources with
+    // IDENTICAL multisets → zero shift for both; a crafted skew pair
+    // must match a hand-computed brute-force remap.
+    step("qnorm_closed_forms") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def shifts(rows: Seq[(Long, String, Long)]): Map[String, (Long, Long)] = {
+        val docs = rows.toDF("doc_id", "source", "v")
+        val pooled = docs
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("v").asc, col("doc_id").asc)).cast("long"))
+          .select(col("pos"), col("v").as("pv"))
+        val tot = docs.agg(count(lit(1)).as("n_all"))
+        docs
+          .withColumn("r", row_number().over(
+            Window.partitionBy("source").orderBy(col("v").asc, col("doc_id").asc))
+            .cast("long"))
+          .withColumn("n_src", count(lit(1)).over(
+            Window.partitionBy("source")).cast("long"))
+          .crossJoin(broadcast(tot))
+          .withColumn("pos", expr("(r * n_all + n_src - 1) div n_src"))
+          .join(pooled, Seq("pos"))
+          .groupBy("source")
+          .agg(sum(abs(col("pv") - col("v"))).as("total_shift"),
+            max(abs(col("pv") - col("v"))).as("max_shift"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+      }
+      val single = (1L to 20L).map(i => (i, "only", i * 7))
+      val ident = (1L to 10L).flatMap(i =>
+        Seq((i, "a", i * 3), (i + 100L, "b", i * 3)))
+      stats("qnorm_single_source_identity") =
+        (shifts(single)("only") == ((0L, 0L))).toString
+      stats("qnorm_identical_sources_zero") =
+        shifts(ident).values.forall(_ == ((0L, 0L))).toString
+      // skew: source lo = {1,2}, source hi = {10,20,30,40}; N=6
+      // lo: r=1→pos ceil(6/2)=3→10 (shift 9), r=2→pos 6→40 (shift 38).
+      // hi: r=1→ceil(6/4)=2→2 (shift 8), r=2→3→10 (shift 10),
+      //     r=3→ceil(18/4)=5→30 (0), r=4→6→40 (0).
+      val skew = Seq((1L, "lo", 1L), (2L, "lo", 2L), (3L, "hi", 10L),
+        (4L, "hi", 20L), (5L, "hi", 30L), (6L, "hi", 40L))
+      val sk = shifts(skew)
+      stats("qnorm_skew_matches_hand") =
+        (sk("lo") == ((47L, 38L)) && sk("hi") == ((18L, 10L))).toString
+    }
+
+    // ---- q225 domain diff: crafted periods + midpoint membership ------
+    // {1,2,3} early vs {2,3,4} late → kept 2 (values 2 and 3),
+    // added 1 (sum 4), removed 1 (sum 1); and the exact midpoint day
+    // must land in the LATE half (the >= gate).
+    step("payload_drift_closed_forms") {
+      import spark.implicits._
+      def drift(rows: Seq[(String, Long)]): (Long, Long, Long, Long, Long) = {
+        val ev = rows.toDF("ds", "kv")
+          .select(to_date(col("ds")).as("day"), col("kv"))
+        val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val r = ev.crossJoin(broadcast(b))
+          .withColumn("late", datediff(col("day"), col("d0")) * 2 >=
+            datediff(col("d1"), col("d0")))
+          .groupBy("kv")
+          .agg(max(when(!col("late"), 1L).otherwise(0L)).as("in_old"),
+            max(when(col("late"), 1L).otherwise(0L)).as("in_new"))
+          .agg(sum(when(col("in_old") === 1 && col("in_new") === 1, 1L)
+              .otherwise(0L)),
+            sum(when(col("in_old") === 0, 1L).otherwise(0L)),
+            sum(when(col("in_new") === 0, 1L).otherwise(0L)),
+            sum(when(col("in_old") === 0, col("kv")).otherwise(0L)),
+            sum(when(col("in_new") === 0, col("kv")).otherwise(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+      val basic = Seq(("2020-01-01", 1L), ("2020-01-02", 2L), ("2020-01-03", 3L),
+        ("2020-01-20", 2L), ("2020-01-21", 3L), ("2020-01-22", 4L))
+      stats("drift_basic_sets") =
+        (drift(basic) == ((2L, 1L, 1L, 4L, 1L))).toString
+      // span 2020-01-01..2020-01-11: midpoint day 6 (diff 5, 2*5 >= 10)
+      // must count as LATE: value 77 seen ONLY on day 6 → kept only if
+      // also early; here it is new-only → added.
+      val mid = Seq(("2020-01-01", 5L), ("2020-01-11", 5L), ("2020-01-06", 77L))
+      stats("drift_midpoint_is_late") =
+        (drift(mid) == ((1L, 1L, 0L, 77L, 0L))).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -45,7 +45,8 @@ object LintNew {
       "q222_lag1_autocorr", "q223_fano_burstiness", "q224_quantile_norm",
       "q225_payload_drift", "q226_emd_drift", "q227_winsorized_totals",
       "q228_graph_mixing", "q229_weekday_profile", "q230_cohort_ltv",
-      "q231_basket_affinity")
+      "q231_basket_affinity", "q232_transition_latency",
+      "q233_mad_outliers", "q234_proportion_ab")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

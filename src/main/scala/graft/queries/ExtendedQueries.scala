@@ -3965,6 +3965,205 @@ object ExtendedQueries {
       |CROSS JOIN t
       |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin
 
+  // ------- transition latency percentiles (q232)
+  /** q148 counts WHICH transitions happen; this measures HOW FAST:
+    * per (from_type → to_type) consecutive-event pair, the exact
+    * lower-median and p90 of the gap in seconds (order statistics
+    * from the data — the ≥-gate of q210 at cum·2 ≥ n and
+    * cum·10 ≥ 9n) plus the exact mean as one division. The funnel
+    * question "users click→purchase, but how long does that take"
+    * is this row.
+    *
+    * Scale shape: one user-keyed shuffle for the lead (q148's
+    * partitioning), a map-side (pair, gap) collapse, then per-pair
+    * value windows. Gap values are corpus-timespan-bounded; at an
+    * unbounded domain the documented fallback is the
+    * [[RelationalOps.globalRowNumber]] per-group range partition
+    * (q210's note). */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        (unix_millis(col("ts")).cast(LongType)).as("ms"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("to_ms", lead(col("ms"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type"),
+        ((col("to_ms") - col("ms")) / 1000).cast(LongType).as("gap_s"))
+      .groupBy("from_type", "to_type", "gap_s").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("from_type", "to_type").orderBy("gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("from_type", "to_type")
+    gaps
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wt))
+      .withColumn("sum_gap", sum(col("gap_s") * col("cnt")).over(wt))
+      .groupBy("from_type", "to_type")
+      .agg(max(col("n")).as("n_transitions"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_s"))).as("median_gap_s"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).as("p90_gap_s"),
+        (max(col("sum_gap")).cast(DoubleType) / max(col("n")))
+          .as("mean_gap_s"))
+      .sortedOutWide("from_type", "to_type")
+  }
+
+  private val q232Sql =
+    """WITH x AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+      |    CAST((epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_ms(ts)) // 1000 AS BIGINT) AS gap_s
+      |  FROM events),
+      |g AS (SELECT from_type, to_type, gap_s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+      |c AS (SELECT from_type, to_type, gap_s, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY from_type, to_type ORDER BY gap_s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY from_type, to_type) AS BIGINT) AS n,
+      |    CAST(sum(gap_s * cnt) OVER (PARTITION BY from_type, to_type) AS BIGINT) AS sum_gap
+      |  FROM g)
+      |SELECT from_type, to_type, CAST(max(n) AS BIGINT) AS n_transitions,
+      |  CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS median_gap_s,
+      |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_gap_s,
+      |  CAST(max(sum_gap) AS DOUBLE) / max(n) AS mean_gap_s
+      |FROM c GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  // ------- MAD-based robust outlier census (q233)
+  /** The robust twin of q200's mean/std windowed z-score: per event
+    * stream, flag days where |count − median| > 3·MAD — median and
+    * MAD both exact lower order statistics, so the gate is pure
+    * integer comparison and NO outlier can poison the scale it is
+    * judged against (the exact failure q200's wave-8 contaminated-dip
+    * pin documents for trailing mean/std). A zero-MAD stream (over
+    * half the days identical) flags every deviating day — the
+    * documented degenerate convention.
+    *
+    * Scale shape: (type, day) rollup; two value-domain median passes
+    * (q210's gate) and one broadcast join back; no data-sized
+    * window. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame =
+      df.groupBy(col("et"), col(vCol).as("v")).agg(count(lit(1)).as("f"))
+        .withColumn("cumf", sum(col("f")).over(
+          Window.partitionBy("et").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", sum(col("f")).over(Window.partitionBy("et")))
+        .where(col("cumf") * 2 >= col("nd"))
+        .groupBy("et").agg(min(col("v")).as(out))
+    val med = lowerMedian(daily, "c", "med")
+    val withDev = daily.join(broadcast(med), Seq("et"))
+      .withColumn("adev", abs(col("c") - col("med")))
+    val mad = lowerMedian(withDev, "adev", "mad")
+    withDev.join(broadcast(mad), Seq("et"))
+      .withColumn("is_out", col("adev") > col("mad") * 3)
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("median_daily"),
+        max(col("mad")).as("mad"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("day")).otherwise(lit(null)))
+          .cast(StringType).as("first_outlier_day"),
+        sum(when(col("is_out"), col("c")).otherwise(0L)).as("outlier_mass"))
+      .select(col("et").as("event_type"), col("n_days"), col("median_daily"),
+        col("mad"), col("n_outliers"), col("first_outlier_day"),
+        col("outlier_mass"))
+      .sortedOut("event_type")
+  }
+
+  private val q233Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |m1 AS (SELECT et, CAST(min(v) AS BIGINT) AS med FROM (
+      |    SELECT et, c AS v,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et ORDER BY c
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et) AS BIGINT) AS nd
+      |    FROM daily GROUP BY et, c)
+      |  WHERE cumf * 2 >= nd GROUP BY et),
+      |dv AS (SELECT daily.et, day, c, med, abs(c - med) AS adev
+      |  FROM daily JOIN m1 USING (et)),
+      |m2 AS (SELECT et, CAST(min(v) AS BIGINT) AS mad FROM (
+      |    SELECT et, adev AS v,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et ORDER BY adev
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et) AS BIGINT) AS nd
+      |    FROM dv GROUP BY et, adev)
+      |  WHERE cumf * 2 >= nd GROUP BY et)
+      |SELECT dv.et AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(max(med) AS BIGINT) AS median_daily, CAST(max(mad) AS BIGINT) AS mad,
+      |  CAST(sum(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN adev > mad * 3 THEN day END) AS VARCHAR) AS first_outlier_day,
+      |  CAST(sum(CASE WHEN adev > mad * 3 THEN c ELSE 0 END) AS BIGINT) AS outlier_mass
+      |FROM dv JOIN m2 USING (et) GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ------- two-proportion A/B test, cleared z² (q234)
+  /** The experiment-readout operator: users split A/B by parity of
+    * their id (the deterministic assignment a real platform hashes),
+    * outcome = purchase share of events; the readout is the exact
+    * contingency (n_a, x_a, n_b, x_b), the difference in ppm, and
+    * the pooled two-proportion z² with EVERY denominator cleared:
+    * z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)) — numerator and
+    * denominator DECIMAL(38,0) integers exported as digits, the
+    * statistic one IEEE division (q205's χ² discipline; z² IS the
+    * 2×2 χ², so the engines cross-check). z² > 3.84 ⇒ p < .05.
+    *
+    * Scale shape: one map-side rollup to (arm, outcome) counts —
+    * four numbers; everything else is scalar arithmetic on a 1-row
+    * frame. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val arms = Tables.events(s, d)
+      .select((col("user_id") % 2 === 0).as("arm_a"),
+        (col("event_type") === "purchase").as("hit"))
+      .agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm_a") && col("hit"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("arm_a") && col("hit"), 1L).otherwise(0L)).as("x_b"))
+    arms
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("x", col("x_a") + col("x_b"))
+      .withColumn("rate_a_ppm", expr("x_a * 1000000 div n_a"))
+      .withColumn("rate_b_ppm", expr("x_b * 1000000 div n_b"))
+      .withColumn("d0", dec(col("x_a")) * dec(col("n_b")) -
+        dec(col("x_b")) * dec(col("n_a")))
+      .withColumn("z2_num", (col("d0") * col("d0") * dec(col("n")))
+        .cast(DecimalType(38, 0)))
+      .withColumn("z2_den", (dec(col("n_a")) * dec(col("n_b")) *
+        dec(col("x")) * dec(col("n") - col("x"))).cast(DecimalType(38, 0)))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"),
+        col("z2_num").cast(StringType).as("z2_num"),
+        col("z2_den").cast(StringType).as("z2_den"),
+        when(col("z2_den") =!= 0,
+          col("z2_num").cast(DoubleType) / col("z2_den").cast(DoubleType))
+          .as("z_squared"))
+  }
+
+  private val q234Sql =
+    """WITH a AS (SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM events),
+      |b AS (SELECT *, n_a + n_b AS n, x_a + x_b AS x,
+      |    CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a AS d0
+      |  FROM a)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |  CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |  CAST(d0 * d0 * n AS VARCHAR) AS z2_num,
+      |  CAST(CAST(n_a AS HUGEINT) * n_b * x * (n - x) AS VARCHAR) AS z2_den,
+      |  CASE WHEN CAST(n_a AS HUGEINT) * n_b * x * (n - x) <> 0 THEN
+      |    CAST(d0 * d0 * n AS DOUBLE) /
+      |    CAST(CAST(n_a AS HUGEINT) * n_b * x * (n - x) AS DOUBLE) END AS z_squared
+      |FROM b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -4047,5 +4246,8 @@ object ExtendedQueries {
     ("q228_graph_mixing",    q228 _, Some(q228Sql)),
     ("q229_weekday_profile", q229 _, Some(q229Sql)),
     ("q230_cohort_ltv",      q230 _, Some(q230Sql)),
-    ("q231_basket_affinity", q231 _, Some(q231Sql)))
+    ("q231_basket_affinity", q231 _, Some(q231Sql)),
+    ("q232_transition_latency", q232 _, Some(q232Sql)),
+    ("q233_mad_outliers",    q233 _, Some(q233Sql)),
+    ("q234_proportion_ab",   q234 _, Some(q234Sql)))
 }

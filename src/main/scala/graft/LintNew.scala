@@ -46,7 +46,8 @@ object LintNew {
       "q225_payload_drift", "q226_emd_drift", "q227_winsorized_totals",
       "q228_graph_mixing", "q229_weekday_profile", "q230_cohort_ltv",
       "q231_basket_affinity", "q232_transition_latency",
-      "q233_mad_outliers", "q234_proportion_ab")
+      "q233_mad_outliers", "q234_proportion_ab", "q235_concentration",
+      "q236_head_coverage", "q237_gap_census")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

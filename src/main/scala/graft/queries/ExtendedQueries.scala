@@ -4164,6 +4164,167 @@ object ExtendedQueries {
       |    CAST(CAST(n_a AS HUGEINT) * n_b * x * (n - x) AS DOUBLE) END AS z_squared
       |FROM b""".stripMargin
 
+  // ------- source concentration: HHI census (q235)
+  /** The one-number answer to "is this corpus a monoculture": the
+    * Herfindahl–Hirschman index of source shares, exact —
+    * hhi_ppm = Σn_s²·10⁶ div N² (1e6 = single source, 1e6/S =
+    * perfectly balanced) — plus the top-source share and the
+    * effective number of sources 1/HHI (one IEEE division), the
+    * diversity number a mixture designer compares against the
+    * nominal source count before q220's reweighting is even worth
+    * pricing. Gini (q165) orders the whole Lorenz curve; HHI is the
+    * screening scalar.
+    *
+    * Scale shape: one map-side census, |S|-row arithmetic, 1-row
+    * output. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    bySrc.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_docs")).as("n_all"),
+        max(col("n_docs")).as("top_docs"),
+        sum(dec(col("n_docs")) * dec(col("n_docs")))
+          .cast(DecimalType(38, 0)).as("sq"))
+      .select(col("n_sources"), col("n_all"), col("top_docs"),
+        expr("top_docs * 1000000 div n_all").as("top_share_ppm"),
+        expr("CAST(sq * 1000000 div (CAST(n_all AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("hhi_ppm"),
+        ((dec(col("n_all")) * dec(col("n_all"))).cast(DoubleType) /
+          col("sq").cast(DoubleType)).as("effective_sources"))
+  }
+
+  private val q235Sql =
+    """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_all,
+      |  CAST(max(n_docs) AS BIGINT) AS top_docs,
+      |  CAST(max(n_docs) * 1000000 // sum(n_docs) AS BIGINT) AS top_share_ppm,
+      |  CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) * 1000000 //
+      |    (CAST(sum(n_docs) AS HUGEINT) * sum(n_docs)) AS BIGINT) AS hhi_ppm,
+      |  CAST(CAST(sum(n_docs) AS HUGEINT) * sum(n_docs) AS DOUBLE) /
+      |    CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) AS DOUBLE) AS effective_sources
+      |FROM b""".stripMargin
+
+  // ------- head coverage: docs needed for X% of char mass (q236)
+  /** How head-heavy is the corpus? For each coverage target (50 / 90
+    * / 99% of total character mass), the number of LONGEST docs that
+    * reach it and the length threshold where the target crosses —
+    * the curve that decides whether "train on the biggest documents
+    * first" covers most tokens with a fraction of the rows.
+    * Evaluated at distinct-length granularity (every reported
+    * threshold is a value from the data; ties are counted whole, the
+    * documented convention), so every number is exact.
+    *
+    * Scale shape: the (length → count, mass) collapse is map-side;
+    * the descending cumulative rides one window over the
+    * domain-bounded distinct-length frame (q204's argument) — the
+    * raw corpus is never sorted. */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("len"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("mass"))
+    val wd = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLen
+      .withColumn("docs_ge", sum(col("cnt")).over(wd))
+      .withColumn("mass_ge", sum(col("mass")).over(wd))
+      .withColumn("m_total", sum(col("mass")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_total", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+    val targets = Seq(50L, 90L, 99L)
+    targets.map { pct =>
+      cum.where(col("mass_ge") * 100 >= col("m_total") * pct)
+        .agg(lit(pct).as("target_pct"),
+          min(col("docs_ge")).as("n_docs_needed"),
+          max(col("len")).as("len_threshold"),
+          max(col("n_total")).as("n_total"),
+          max(col("m_total")).as("mass_total"))
+    }.reduce(_ unionByName _)
+      .withColumn("doc_share_ppm", expr("n_docs_needed * 1000000 div n_total"))
+      .sortedOut("target_pct")
+  }
+
+  private val q236Sql =
+    """WITH bl AS (SELECT CAST(n_chars AS BIGINT) AS len,
+      |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1),
+      |c AS (SELECT len,
+      |    CAST(sum(cnt) OVER (ORDER BY len DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_ge,
+      |    CAST(sum(mass) OVER (ORDER BY len DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mass_ge,
+      |    CAST(sum(mass) OVER () AS BIGINT) AS m_total,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+      |  FROM bl),
+      |t(target_pct) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT)))
+      |SELECT target_pct,
+      |  CAST(min(docs_ge) AS BIGINT) AS n_docs_needed,
+      |  CAST(max(len) AS BIGINT) AS len_threshold,
+      |  CAST(max(n_total) AS BIGINT) AS n_total,
+      |  CAST(max(m_total) AS BIGINT) AS mass_total,
+      |  CAST(min(docs_ge) * 1000000 // max(n_total) AS BIGINT) AS doc_share_ppm
+      |FROM c CROSS JOIN t
+      |WHERE mass_ge * 100 >= m_total * target_pct
+      |GROUP BY target_pct ORDER BY target_pct""".stripMargin
+
+  // ------- calendar completeness: zero-day gap census (q237)
+  /** The stream-completeness audit: per event type, how many calendar
+    * days inside the stream's own [min, max] span have ZERO events,
+    * and the longest silent stretch with its start date — the
+    * ingestion-outage detector (a feed that "looks fine" by volume
+    * can still be missing whole days, and q218's changepoint will NOT
+    * flag a gap the daily rollup never materializes). All integer
+    * date arithmetic: missing = span − observed, longest gap from the
+    * lead() diff over observed days.
+    *
+    * Scale shape: (type, day) distinct collapse, one type-keyed
+    * window for the lead, a |T|-row fold. */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .distinct()
+    val wo = Window.partitionBy("et").orderBy("day")
+    days
+      .withColumn("nxt", lead(col("day"), 1).over(wo))
+      .withColumn("gap", datediff(col("nxt"), col("day")) - 1)
+      .withColumn("mg", max(col("gap")).over(Window.partitionBy("et")))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_observed_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast(LongType)
+          .as("span_days"),
+        max(col("gap")).cast(LongType).as("longest_gap_days"),
+        min(when(col("gap") === col("mg"), col("day"))).cast(StringType)
+          .as("longest_gap_after"))
+      .withColumn("n_missing_days",
+        col("span_days") - col("n_observed_days"))
+      .select(col("et").as("event_type"), col("n_observed_days"),
+        col("span_days"), col("n_missing_days"),
+        col("longest_gap_days"), col("longest_gap_after"))
+      .sortedOut("event_type")
+  }
+
+  private val q237Sql =
+    """WITH days AS (SELECT DISTINCT event_type AS et, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |w AS (SELECT et, day,
+      |    lead(day) OVER (PARTITION BY et ORDER BY day) AS nxt
+      |  FROM days),
+      |g AS (SELECT et, day, CAST(nxt - day - 1 AS BIGINT) AS gap FROM w),
+      |mx AS (SELECT et, max(gap) AS mg FROM g GROUP BY et)
+      |SELECT g.et AS event_type,
+      |  CAST(count(*) AS BIGINT) AS n_observed_days,
+      |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+      |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS n_missing_days,
+      |  CAST(max(mg) AS BIGINT) AS longest_gap_days,
+      |  CAST(min(CASE WHEN gap = mg THEN day END) AS VARCHAR) AS longest_gap_after
+      |FROM g JOIN mx ON mx.et = g.et
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -4249,5 +4410,8 @@ object ExtendedQueries {
     ("q231_basket_affinity", q231 _, Some(q231Sql)),
     ("q232_transition_latency", q232 _, Some(q232Sql)),
     ("q233_mad_outliers",    q233 _, Some(q233Sql)),
-    ("q234_proportion_ab",   q234 _, Some(q234Sql)))
+    ("q234_proportion_ab",   q234 _, Some(q234Sql)),
+    ("q235_concentration",   q235 _, Some(q235Sql)),
+    ("q236_head_coverage",   q236 _, Some(q236Sql)),
+    ("q237_gap_census",      q237 _, Some(q237Sql)))
 }

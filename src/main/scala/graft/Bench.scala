@@ -56,6 +56,7 @@ object Bench {
     // persistent RDD explicitly so each timed run starts with an empty
     // storage pool.
     def clearCaches(): Unit = {
+      graft.ops.TrackedCache.release(spark) // drop the registry entries too
       spark.sharedState.cacheManager.clearCache()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -149,9 +150,13 @@ object Bench {
     val line = s"""{"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
     println(line)
     // Full untruncated copy for the judge (driver auto-commits stray
-    // repo files at round end; 2000-char stdout tail can't hold ~115
-    // query entries).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    // repo files at round end; 2000-char stdout tail can't hold ~240
+    // query entries). STRUCTURAL GUARD (VERDICT r9 #1): a filtered
+    // spot run writes BENCH_SPOT.json — BENCH_FULL.json only ever
+    // holds a complete battery, so a local A/B iteration can no longer
+    // overwrite the round's close-out evidence.
+    val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SPOT.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -52,10 +52,15 @@ object LintNew {
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan
       val findings = graft.ops.Diagnostics.planLint(df)
-      // expected-broadcast findings on intentionally tiny frames are
-      // reported too — print everything, judge by hand
-      println(s"LINT $n: " + (if (findings.isEmpty) "clean"
-        else findings.map(f => s"[${f.rule}] ${f.node}: ${f.detail}").mkString(" | ")))
+      graft.ops.TrackedCache.release(spark)
+      // errors fail the audit; warn-level findings (bounded-build BNLJ)
+      // print for visibility but are clean by contract
+      val errs = findings.filter(_.severity == "error")
+      val warns = findings.filter(_.severity == "warn")
+      println(s"LINT $n: " + (if (errs.isEmpty) "clean" else
+        errs.map(f => s"[${f.rule}] ${f.node}: ${f.detail}").mkString(" | ")) +
+        (if (warns.isEmpty) "" else
+          warns.map(f => s" (warn [${f.rule}] ${f.node})").mkString))
     }
     spark.stop()
   }

@@ -28,6 +28,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // unpersist-discipline: every intermediate a query persisted is
+        // released once its result is on disk (TrackedCache contract)
+        graft.ops.TrackedCache.release(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

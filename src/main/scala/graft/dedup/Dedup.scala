@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -109,7 +110,7 @@ object Dedup {
     // sides, two verification joins); persist so the minhash
     // aggregation runs once. The ContextCleaner unpersists when the
     // plan is garbage-collected.
-    val sigsC = sigs.persist()
+    val sigsC = sigs.persistT
     // Candidate generation stays NARROW: the bucket self-join carries
     // only (band, bh, doc_id) — never the k-long signature arrays. At
     // fixture scale the candidate set is quadratic-ish (every doc pair
@@ -128,7 +129,7 @@ object Dedup {
     val sized = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
     val overCap = sized.where(col("count") > bucketCap)
-      .select("band", "bh", "anchor").persist() // two consumers below
+      .select("band", "bh", "anchor").persistT // two consumers below
     // Guarded hint: broadcast only while the over-cap list is actually
     // small (the common case); a pathological input degrades to a
     // shuffle join instead of OOMing the driver (ADVICE r6 #4).
@@ -197,7 +198,7 @@ object Dedup {
     val tk = TextFunctions.tokens(col("text"))
     val g = ngramHashes(docs, n)
       // feeds the duplicated-gram aggregate AND the per-doc stats join
-      .persist()
+      .persistT
     val dup = g.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("gh")
@@ -249,7 +250,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 5, minContain: Double = 0.8,
                        minGrams: Int = 10, dfCap: Int = 1000): DataFrame = {
-    val g = ngramHashes(docs, n).distinct().persist() // per-doc gram SET
+    val g = ngramHashes(docs, n).distinct().persistT // per-doc gram SET
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
     val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("gh")
@@ -343,7 +344,7 @@ object Dedup {
           i => graft.text.Hashing.h60(chunkStr(i))).as("ch"))
       // feeds the dup aggregate AND the reassembly join (unpersist
       // falls to the ContextCleaner; the plan is returned lazily)
-      .persist()
+      .persistT
     val exploded = withChunks.select(col("doc_id"), posexplode(col("ch")).as(Seq("pos", "gh")))
     val dup = exploded.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -408,7 +409,7 @@ object Dedup {
     // two eager passes (count + fit) share one computation via the
     // persist, released before the lazy verify join (which plans its
     // own scan) — no cache outlives the call
-    benchGrams.persist()
+    benchGrams.persistT
     val sized = if (expectedGrams > 0) expectedGrams else benchGrams.count()
     val bloom = try graft.functions.Bloom.fit(benchGrams, "gh", sized, fpp)
                 finally benchGrams.unpersist()
@@ -467,8 +468,8 @@ object Dedup {
     // cannot be unpersisted here; a long-lived session relies on the
     // ContextCleaner to drop them when the plan is garbage-collected
     // (same policy as minhashCandidatePairs above).
-    val sa = if (persistInputs) sigsA.persist() else sigsA
-    val sb = if (persistInputs) sigsB.persist() else sigsB
+    val sa = if (persistInputs) sigsA.persistT else sigsA
+    val sb = if (persistInputs) sigsB.persistT else sigsB
     val ba = bandedOf(sa, bands, rowsPerBand)
     val bb = bandedOf(sb, bands, rowsPerBand)
     val sizedB = bb.groupBy("band", "bh")
@@ -522,7 +523,7 @@ object Dedup {
     // probe re-executes per consumer (measured 7.4s → 5.8s at sf0.1).
     // Its runtime size (≤ |batch| ids) lets AQE broadcast the anti
     // joins; unpersist falls to the ContextCleaner (lazy plan).
-    val dupIds = vsCorpus.select(col("doc_a").as("doc_id")).distinct().persist()
+    val dupIds = vsCorpus.select(col("doc_a").as("doc_id")).distinct().persistT
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
     val survivorSigs = batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
     val within = minhashCandidatePairs(
@@ -602,7 +603,7 @@ object Dedup {
     // the pair set feeds THREE plan branches below (two edge directions
     // + the node list) — persist it or the whole candidate-generation
     // subtree executes three times
-    val p = pairs.persist()
+    val p = pairs.persistT
     if (p.count() <= driverMaxPairs) {
       val out = unionFindDriver(p)
       p.unpersist()
@@ -615,7 +616,7 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      .persist()
+      .persistT
     var labels = graft.ops.Lineage.cut(nodes.withColumn("cluster", col("doc_id")))
     // labels only ever decrease, so the label sum is strictly monotone
     // until the fixpoint — an O(1)-row convergence probe with no

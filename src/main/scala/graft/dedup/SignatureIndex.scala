@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -150,7 +151,7 @@ object SignatureIndex {
     // or the batch MinHash computation re-executes per consumer
     // (same policy as minhashCandidatePairsBetween; unpersist falls
     // to the ContextCleaner)
-    val batchSigs = batchSigsIn.persist()
+    val batchSigs = batchSigsIn.persistT
     val bb = spark.table(bandedName(name))
     // bucket-size skew cap: groupBy (band, bh) matches the table's
     // bucketing, so this aggregate plans with no exchange
@@ -209,7 +210,7 @@ object SignatureIndex {
     val sized = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
     val overCap = sized.where(col("count") > bucketCap)
-      .select("band", "bh", "anchor").persist()
+      .select("band", "bh", "anchor").persistT
     val overCapB = graft.ops.Hints.guardedBroadcast(overCap)
     val safe = banded.join(overCapB.select("band", "bh"),
       Seq("band", "bh"), "left_anti")
@@ -244,7 +245,7 @@ object SignatureIndex {
                    name: String, spec: Spec = Spec(), minEst: Double = 0.5,
                    bucketCap: Int = 1000): DataFrame = {
     val vsIndex = probe(spark, batchSigs, name, spec, minEst, bucketCap)
-    val dupIds = vsIndex.select(col("doc_a").as("doc_id")).distinct().persist()
+    val dupIds = vsIndex.select(col("doc_a").as("doc_id")).distinct().persistT
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
     val survivorSigs = batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
     val within = Dedup.minhashCandidatePairs(

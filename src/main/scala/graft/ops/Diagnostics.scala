@@ -43,8 +43,16 @@ object Diagnostics {
     * surface — a 100 TB profile swaps it for approx_count_distinct
     * the way q46 documents. */
   /** One plan-lint finding: `rule` names the anti-pattern, `node` the
-    * offending operator, `detail` what to do about it. */
-  final case class LintFinding(rule: String, node: String, detail: String)
+    * offending operator, `detail` what to do about it. `severity` is
+    * "error" (fail CI) or "warn" (report, don't fail): a statically
+    * bounded-build nested loop is a warn — deliberate bounded-cohort
+    * scans (bruteForceTopK) are correct, but an ACCIDENTAL limit(4096)
+    * left on a data-sized frame would both truncate data and, under
+    * the old full-suppression waiver, hide the lint that used to catch
+    * it (ADVICE r9) — so bounded builds now surface as warnings
+    * instead of vanishing. */
+  final case class LintFinding(rule: String, node: String, detail: String,
+                               severity: String = "error")
 
   /** Static plan linter — the scale anti-pattern checks this library
     * applies to its own queries (PlanShapeSpec), packaged for user
@@ -67,6 +75,12 @@ object Diagnostics {
     *   - `interpreted-expression`: Project/Filter outside every
     *     WholeStageCodegen span — evaluates on the slow interpreted
     *     path (the q78 PQ forest pathology).
+    *   - `unpartitioned-ranking-window`: a window with no PARTITION BY
+    *     over a child with unbounded static maxRows — the whole input
+    *     funnels through ONE task (use globalRowNumber instead).
+    *   - `cartesian-bounded` (warn): nested-loop join whose build side
+    *     is statically bounded in (1, 4096] rows — deliberate for
+    *     evaluation cohorts, a truncation bug if accidental.
     */
   def planLint(df: DataFrame): Seq[LintFinding] = {
     import org.apache.spark.sql.execution._
@@ -101,23 +115,77 @@ object Diagnostics {
           case _ => l.children.lastOption
         }
       }
-      val boundedBuild = buildLogical.flatMap(_.maxRows).exists(_ <= 4096L)
-      if (!boundedBuild)
+      val buildMax = buildLogical.flatMap(_.maxRows)
+      if (buildMax.exists(_ <= 1L)) {
+        // totals-attach: constant lookup, fully benign
+      } else if (buildMax.exists(_ <= 4096L)) {
+        // bounded cohort: correct when deliberate (bruteForceTopK),
+        // wrong when an accidental limit() truncated a data-sized
+        // frame — warn-level so it's visible without failing CI
+        out += LintFinding("cartesian-bounded", j.nodeName,
+          s"nested-loop join with a statically bounded build side " +
+            s"(maxRows=${buildMax.get}): fine for a deliberate evaluation " +
+            "cohort, a data-truncation bug if the limit was accidental",
+          severity = "warn")
+      } else {
         out += LintFinding("cartesian", j.nodeName,
           "nested-loop join: every streamed row scans the whole broadcast side")
+      }
+    }
+
+    // Unpartitioned ranking/analytic window over an unbounded child:
+    // `row_number()/ntile(...).over(Window.orderBy(...))` (no
+    // partitionBy) funnels the ENTIRE input through one task — the
+    // canonical single-partition OOM cliff at corpus scale. Waived
+    // when the child's STATIC maxRows is ≤ 4096 (rank-after-limit
+    // report shaping, e.g. a top-30 panel); anything data-sized must
+    // route through RelationalOps.globalRowNumber.
+    helper.collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        val childBounded = w.logicalLink
+          .flatMap(_.children.headOption).flatMap(_.maxRows).exists(_ <= 4096L)
+        if (!childBounded)
+          out += LintFinding("unpartitioned-ranking-window", w.nodeName,
+            "window with no PARTITION BY sinks the whole input through one " +
+              "task; use RelationalOps.globalRowNumber (range-partition + " +
+              "offset pass) for data-sized frames")
+      }
     }
 
     if (threshold > 0) helper.collect(plan) {
       case j: joins.SortMergeJoinExec => j
     }.foreach { j =>
       // AQE rewrites the physical sides (query stages lose the link) —
-      // the JOIN's own logical node still carries both children's stats
-      j.logicalLink.toSeq.flatMap(_.children).foreach { side =>
-        val est = side.stats.sizeInBytes
-        if (est <= threshold)
-          out += LintFinding("broadcastable-not-broadcast", j.nodeName,
-            s"join side estimated $est bytes (<= $threshold) yet sort-merges; " +
-              "check stats freshness / broadcast hint")
+      // the JOIN's own logical node still carries both children's
+      // stats. Only sides that are LEGALLY buildable for the join type
+      // count — a full-outer join cannot broadcast-hash at all, a left
+      // outer/semi/anti can only build right, a right outer only left;
+      // flagging an illegal side was a rule bug (q80/q92 full-outer
+      // fusion joins of two 30-row frames flagged a join Spark cannot
+      // broadcast under any stats).
+      import org.apache.spark.sql.catalyst.plans._
+      j.logicalLink.foreach {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          val buildRightLegal = jn.joinType match {
+            case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true
+            case _: ExistenceJoin => true
+            case _ => false
+          }
+          val buildLeftLegal = jn.joinType match {
+            case Inner | Cross | RightOuter => true
+            case _ => false
+          }
+          val sides = Seq((jn.left, buildLeftLegal), (jn.right, buildRightLegal))
+          sides.foreach { case (side, legal) =>
+            val est = side.stats.sizeInBytes
+            if (legal && est <= threshold)
+              out += LintFinding("broadcastable-not-broadcast", j.nodeName,
+                s"join side estimated $est bytes (<= $threshold) yet sort-merges; " +
+                  "check stats freshness / broadcast hint")
+          }
+        case _ => ()
       }
     }
 
@@ -135,6 +203,30 @@ object Diagnostics {
       case i: InputAdapter => scanBelow(i.child)
       case _ => None
     }
+    // A conjunct parquet COULD have pushed: plain attribute vs literal
+    // comparison / IN / string prefix. A predicate of this shape left
+    // unpushed is an error (stats or planner bug); anything else (a
+    // hash-sampling gate, a function of several columns, a custom
+    // expression) CANNOT push by construction — at scan grain it still
+    // prunes columns, and filtering after the read is the only
+    // possible evaluation — so it reports as a warn, not an error.
+    def pushableShaped(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      def attr(x: Expression) = x.isInstanceOf[AttributeReference]
+      e match {
+        case b: BinaryComparison =>
+          (attr(b.left) && b.right.foldable) || (attr(b.right) && b.left.foldable)
+        case In(a, list) => attr(a) && list.forall(_.foldable)
+        case i: InSet => attr(i.child)
+        case StartsWith(a, p) => attr(a) && p.foldable
+        case EndsWith(a, p) => attr(a) && p.foldable
+        case Contains(a, p) => attr(a) && p.foldable
+        case IsNull(a) => attr(a)
+        case Not(inner) => pushableShaped(inner)
+        case Or(l, r) => pushableShaped(l) && pushableShaped(r)
+        case _ => false
+      }
+    }
     helper.collect(plan) { case f: FilterExec => f }.foreach { f =>
       scanBelow(f.child).foreach { scan =>
         // IsNotNull residue is normal (join-key null guards are often
@@ -145,10 +237,17 @@ object Diagnostics {
           .split(",").map(_.trim).exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
         val condSubstantive = conjuncts(f.condition).filterNot(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
-        if (condSubstantive.nonEmpty && !pushedSubstantive)
+        if (condSubstantive.nonEmpty && !pushedSubstantive) {
+          val sev = if (condSubstantive.exists(pushableShaped)) "error" else "warn"
           out += LintFinding("unpushed-filter", scan.nodeName,
             s"filter [${condSubstantive.head.sql.take(120)}] evaluates after a " +
-              "full read; the predicate shape defeats pushdown")
+              (if (sev == "error")
+                "full read despite a pushable shape; check stats/planner"
+              else
+                "full read; the predicate shape cannot push down (expected " +
+                  "for hash/sampling gates — columns still prune)"),
+            severity = sev)
+        }
       }
     }
 
@@ -192,11 +291,30 @@ object Diagnostics {
       val allowRoots = fallbacks.filter(isSortedCellsNode)
       val flagged = fallbacks.filterNot(fb =>
         allowRoots.exists(r => r.exists(_ eq fb)))
-      if (flagged.nonEmpty)
+      if (flagged.nonEmpty) {
+        // ROOT fallbacks only (a fallback inside another flagged
+        // fallback is the same finding). Severity: an ENGINE-AUTHORED
+        // expression (graft.* package) running interpreted is a
+        // deliberate, per-expression-documented trade — each carries
+        // its own bounded-cost argument and a doGenCode upgrade path
+        // (Md5Hash60 / CosineSimilarity / PqEncode precedent) — so it
+        // reports as warn; a BUILT-IN fallback composition (an
+        // array_sort comparator lambda, a reflect() call) is the
+        // accidental-interpreted-hot-path the rule exists to catch:
+        // error.
+        val roots = flagged.filter(fb =>
+          !flagged.exists(other => (other ne fb) && other.exists(_ eq fb)))
+        val allEngineAuthored = roots.nonEmpty &&
+          roots.forall(_.getClass.getName.startsWith("graft."))
         out += LintFinding("interpreted-expression", node.nodeName,
           s"${flagged.map(_.prettyName).distinct.mkString(", ")} evaluate on " +
             "the interpreted fallback path inside codegen — row-at-a-time " +
-            "virtual calls in the hot loop")
+            "virtual calls in the hot loop" +
+            (if (allEngineAuthored)
+              " (engine-authored expression: deliberate; doGenCode is the upgrade)"
+            else ""),
+          severity = if (allEngineAuthored) "warn" else "error")
+      }
     }
     out.result()
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -57,19 +58,19 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val nodeCol = nodes.columns.head
-    val n = nodes.select(col(nodeCol).as("node")).persist()
+    val n = nodes.select(col(nodeCol).as("node")).persistT
     // persist the (already-aggregated, ≤|V|² row) edge list FIRST: it
     // feeds both the out-strength aggregate and the normalization join
     // below — unpersisted, the caller's fact-table join pipeline would
     // execute twice before `e` ever materializes
-    val edges0 = edges.persist()
+    val edges0 = edges.persistT
     // out-strength per source, joined once onto the tiny edge list so
     // iterations reuse one persisted (src, dst, frac) frame
     val wout = edges0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val e = edges0.join(wout, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout").cast("double")).as("frac"))
-      .persist()
+      .persistT
     val nNodes = n.count().toDouble
     val teleport = (1.0 - damping) / nNodes
     // the dangling SET is iteration-invariant (only its mass changes):
@@ -77,7 +78,7 @@ object Graph {
     // plus anti-join inside every iteration
     val dangNodes = n.join(e.select("src").distinct(),
         n("node") === col("src"), "left_anti")
-      .select("node").persist()
+      .select("node").persistT
 
     // Each level is persisted (it is read twice by the next level:
     // dangling + inflow) but NOT eagerly materialized: an eager
@@ -92,7 +93,7 @@ object Graph {
     // to cap lineage/analysis depth; at the 3-10 steps PageRank needs,
     // the chain is shallow.
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var ranks = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("rank")).persist()
+    var ranks = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("rank")).persistT
     for (_ <- 0 until iters) {
       levels += ranks
       // dangling mass: ordered fold over node id — ONE row, broadcast back
@@ -120,7 +121,7 @@ object Graph {
           (lit(teleport) + lit(damping) *
             (coalesce(col("inflow"), lit(0.0)) + col("dang") / lit(nNodes)))
             .as("rank"))
-        .persist()
+        .persistT
       ranks = next
     }
     // One eager action fills the final level's cache through the whole
@@ -168,12 +169,12 @@ object Graph {
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val nodeCol = nodes.columns.head
-    val n = nodes.select(col(nodeCol).as("node")).persist()
+    val n = nodes.select(col(nodeCol).as("node")).persistT
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
-      .persist()
+      .persistT
     val nNodes = n.count().toDouble
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var hub = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("hub")).persist()
+    var hub = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("hub")).persistT
     levels += hub
     var auth: DataFrame = null
     for (_ <- 0 until iters) {
@@ -187,7 +188,7 @@ object Graph {
       val aTot = authAll.agg(orderedSum(collect_list(
         struct(col("node").as("src"), col("raw").as("c")))).as("tot"))
       auth = authAll.crossJoin(broadcast(aTot))
-        .select(col("node"), (col("raw") / col("tot")).as("auth")).persist()
+        .select(col("node"), (col("raw") / col("tot")).as("auth")).persistT
       levels += auth
       // hub half-step: outflow toward authoritative dsts, ordered fold by dst
       val hubRaw = e.join(auth, e("dst") === auth("node"))
@@ -200,10 +201,10 @@ object Graph {
       val hTot = hubAll.agg(orderedSum(collect_list(
         struct(col("node").as("src"), col("raw").as("c")))).as("tot"))
       hub = hubAll.crossJoin(broadcast(hTot))
-        .select(col("node"), (col("raw") / col("tot")).as("hub")).persist()
+        .select(col("node"), (col("raw") / col("tot")).as("hub")).persistT
       levels += hub
     }
-    val out = hub.join(auth, Seq("node")).persist()
+    val out = hub.join(auth, Seq("node")).persistT
     out.count()
     levels.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
@@ -240,10 +241,10 @@ object Graph {
               greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .persist() // feeds the degree pass AND the orientation join
+      .persistT // feeds the degree pass AND the orientation join
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist() // feeds both endpoint joins + the wedge total
+      .persistT // feeds both endpoint joins + the wedge total
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -252,7 +253,7 @@ object Graph {
       .select(when(fwd, struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
-      .persist() // two wedge sides + the closure probe
+      .persistT // two wedge sides + the closure probe
     val w1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("d1"))
     val w2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("d2"))
     val wedges = w1.join(w2, "a")
@@ -311,8 +312,8 @@ object Graph {
   def labelPropagation(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val nodeCol = nodes.columns.head
-    val n = nodes.select(col(nodeCol).as("node")).persist()
-    val e = symmetrized(edges).persist()
+    val n = nodes.select(col(nodeCol).as("node")).persistT
+    val e = symmetrized(edges).persistT
     var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")))
     for (_ <- 0 until iters) {
       // per-neighbor-label incident weight, then argmax by
@@ -348,11 +349,11 @@ object Graph {
     * @return 1 row: (two_m, modularity)
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = symmetrized(edges).persist()
+    val e = symmetrized(edges).persistT
     val la = labels.select(col("node").as("src"), col("community").as("ca"))
     val lb = labels.select(col("node").as("dst"), col("community").as("cb"))
     val twoM = e.agg(sum(col("w")).as("two_m"))
-    val joined = e.join(la, "src").join(lb, "dst").persist()
+    val joined = e.join(la, "src").join(lb, "dst").persistT
     val inC = joined.where(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(sum(col("w")).as("in_c"))
     val totC = joined.groupBy(col("ca").as("c")).agg(sum(col("w")).as("tot_c"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -196,8 +197,8 @@ object RelationalOps {
     // candidate join) — persist, or the explode+frequency subtree
     // executes twice per side; unpersist falls to the ContextCleaner
     // once the returned plan is garbage-collected
-    val lr = lg.join(rare, Seq("gram")).persist()
-    val rr = rg.join(rare, Seq("gram")).persist()
+    val lr = lg.join(rare, Seq("gram")).persistT
+    val rr = rg.join(rare, Seq("gram")).persistT
     val lSize = lr.groupBy("l_id").agg(count(lit(1)).as("n_l"))
     val rSize = rr.groupBy("r_id").agg(count(lit(1)).as("n_r"))
     lr.join(rr, Seq("gram"))
@@ -423,6 +424,26 @@ object RelationalOps {
           .otherwise("modified").as("status"))
   }
 
+  /** Statically-bounded broadcast registry with a LOUD overflow
+    * (ADVICE/VERDICT r9): the drift-family grids (q215 Kendall pairs,
+    * q226 EMD source×value) broadcast a "bounded axis" (sources,
+    * feeds) whose bound is made STATIC with a plan-level `limit(cap)`
+    * so planLint's bounded-build proof applies. A bare `limit`,
+    * though, would silently truncate a registry that outgrew the cap
+    * — an arbitrary, plan-dependent subset of sources would simply
+    * vanish from the report. This guard probes `cap + 1` rows (the
+    * bruteForceTopK discipline: O(cap) work via CollectLimit
+    * short-circuit, regardless of input size) and THROWS on overflow;
+    * the caller then shards the axis or raises the cap deliberately.
+    */
+  def boundedRegistry(df: DataFrame, cap: Int, what: String): DataFrame = {
+    val n = df.limit(cap + 1).count()
+    require(n <= cap,
+      s"$what holds more than $cap rows: the broadcast registry would be " +
+        "silently truncated — shard the axis or raise the cap explicitly")
+    df.limit(cap)
+  }
+
   /** Exact 1-based global row number under a TOTAL order, without the
     * single-partition cliff: `row_number().over(Window.orderBy(...))`
     * funnels the whole dataset through one task, which at corpus scale
@@ -448,7 +469,7 @@ object RelationalOps {
     val sorted = df
       .repartitionByRange(nParts, order: _*)
       .sortWithinPartitions(order: _*)
-      .persist()
+      .persistT
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
@@ -460,6 +481,119 @@ object RelationalOps {
     val out = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
       var rn = offsets(pid)
       it.map { r => rn += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rn) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Shared skeleton of the distributed prefix-scan family
+    * ([[globalRunningSum]] / [[globalRunningMax]]): range-partition +
+    * local sort, ONE P-long partial round to the driver, exclusive
+    * combine of the partials, then each partition streams its rows
+    * folding from its offset — the `globalRowNumber` mechanics
+    * generalized from COUNT to any associative Long fold. Replaces
+    * `agg(...).over(Window.orderBy(...))`, whose empty PARTITION BY
+    * funnels the whole frame through one task. */
+  private def globalRunningLong(df: DataFrame, order: Seq[Column],
+                                valueCol: String, outCol: String,
+                                inclusive: Boolean, isMax: Boolean,
+                                partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persistT
+    val idx = sorted.schema.fieldIndex(valueCol)
+    def merge(a: Option[Long], v: Long): Option[Long] =
+      Some(a.fold(v)(x => if (isMax) math.max(x, v) else x + v))
+    val partials = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc: Option[Long] = None
+      it.foreach(r => if (!r.isNullAt(idx)) acc = merge(acc, r.getLong(idx)))
+      Iterator((pid, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(p) = fold of partitions 0..p-1 — the exclusive carry-in
+    val offsets = partials.scanLeft(Option.empty[Long]) { (acc, p) =>
+      p.fold(acc)(v => merge(acc, v))
+    }.dropRight(1)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val out = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val v = if (r.isNullAt(idx)) None else Some(r.getLong(idx))
+        val result =
+          if (inclusive) { v.foreach(x => acc = merge(acc, x)); acc }
+          else { val before = acc; v.foreach(x => acc = merge(acc, x)); before }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ result.map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Distributed running SUM of `valueCol` (Long) under a total
+    * `order` — `sum(v).over(Window.orderBy(...).rowsBetween(
+    * unboundedPreceding, currentRow))` without the single-partition
+    * cliff. `inclusive = false` gives the `(…, -1)` exclusive frame
+    * (null for the first row, like the window). Ties in `order` get
+    * an arbitrary relative order, same contract as the ROWS-frame
+    * window — pass a total order when per-row values must be stable. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                       outCol: String, inclusive: Boolean = true,
+                       partitions: Int = 0): DataFrame =
+    globalRunningLong(df, order, valueCol, outCol, inclusive, isMax = false,
+      partitions = partitions)
+
+  /** Distributed running MAX — see [[globalRunningSum]]. */
+  def globalRunningMax(df: DataFrame, order: Seq[Column], valueCol: String,
+                       outCol: String, inclusive: Boolean = true,
+                       partitions: Int = 0): DataFrame =
+    globalRunningLong(df, order, valueCol, outCol, inclusive, isMax = true,
+      partitions = partitions)
+
+  /** Distributed `lead(valueCol, 1).over(Window.orderBy(order))`: each
+    * partition's rows take the NEXT row's value; the last row of every
+    * partition takes the first value of the next non-empty partition
+    * (one P-long head round to the driver). Null for the global last
+    * row, like the window. Value type is preserved as-is. */
+  def globalLead1(df: DataFrame, order: Seq[Column], valueCol: String,
+                  outCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persistT
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val heads = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      if (it.hasNext) Iterator((pid, Option(it.next().get(idx)))) else Iterator((pid, None))
+    }.collect().sortBy(_._1).map(_._2)
+    // nextHead(p) = first value of the next NON-EMPTY partition
+    val nextHead = Array.tabulate(heads.length) { p =>
+      heads.drop(p + 1).collectFirst { case Some(v) => v }
+    }
+    val field = sorted.schema.fields(idx)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, field.dataType, nullable = true))
+    val out = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      // NB: named `buf`, not `buffered` — inside the anonymous
+      // Iterator the INHERITED `Iterator.buffered` method would shadow
+      // an outer local of that name and recurse infinitely
+      val buf = it.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val r = buf.next()
+          val nxt =
+            if (buf.hasNext) Option(buf.head.get(idx))
+            else nextHead(pid)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nxt.orNull)
+        }
+      }
     }
     spark.createDataFrame(out, schema)
   }

@@ -303,9 +303,16 @@ object Sampling {
   def waterFillAllocation(counts: DataFrame, stratumCol: String, nCol: String,
                           budget: Column, maxEpochs: Long): DataFrame = {
     require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
-    val base = counts.select(col(stratumCol).as("stratum"),
-      col(nCol).cast("long").as("n"),
-      (col(nCol).cast("long") * lit(maxEpochs)).as("cap"))
+    // the stratum axis is a bounded registry (sources/domains, not
+    // rows); the guard makes that bound STATIC — the closed-form
+    // ranked-prefix windows below then run over a provably ≤4096-row
+    // frame (planLint's bounded-window proof) — and a registry past
+    // the cap fails LOUDLY instead of silently truncating the mix
+    val base = RelationalOps.boundedRegistry(
+      counts.select(col(stratumCol).as("stratum"),
+        col(nCol).cast("long").as("n"),
+        (col(nCol).cast("long") * lit(maxEpochs)).as("cap")),
+      4096, "waterFillAllocation stratum registry")
     val w = Window.orderBy(col("cap"), col("stratum"))
     val ranked = base
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped persist registry — the engine-wide unpersist
+  * discipline (VERDICT r9 #3 / ADVICE r8 #4).
+  *
+  * Why it exists: a query function returns a LAZY frame, so an
+  * intermediate it persisted (because two branches of the final plan
+  * consume it) cannot be unpersisted inside the function — the cache
+  * only fills when the CALLER materializes. But `Dataset.persist`
+  * registers the plan in the session's CacheManager, which holds a
+  * strong reference: "unpersist falls to the ContextCleaner" never
+  * actually happens for these, and in a long-lived session library
+  * calls accumulate storage-pool blocks without bound.
+  *
+  * The contract that fixes it:
+  *  - query/operator code persists intermediates through
+  *    [[persist]] (or the `.persistT` extension) instead of bare
+  *    `.persist()`;
+  *  - the HARNESS (Verify / Bench / LintNew / a user's job runner)
+  *    calls [[release]] once the query's result is materialized —
+  *    every tracked frame is unpersisted, the registry entry dropped.
+  *
+  * `release` is cheap (unpersist(blocking=false)) and idempotent —
+  * frames an operator already unpersisted itself are no-ops. Standing
+  * caches with their OWN lifecycle (a `VectorIndex`'s parquet cells,
+  * StreamSinks' per-batch persists released inside the batch) stay
+  * off this registry on purpose: release() must never yank state out
+  * from under a concurrent streaming batch.
+  *
+  * Keying is per SparkSession identity, so concurrent sessions (tests)
+  * release independently. Frames registered but never released behave
+  * exactly like the pre-discipline engine — no worse — plus one
+  * registry entry per session.
+  */
+object TrackedCache {
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    Integer, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def key(s: SparkSession): Integer =
+    Integer.valueOf(System.identityHashCode(s))
+
+  /** `df.persist()` + register for a later session-wide [[release]]. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist()
+    registry.computeIfAbsent(key(df.sparkSession),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Unpersist every tracked frame of `spark`; returns how many. */
+  def release(spark: SparkSession): Int = {
+    val q = registry.remove(key(spark))
+    if (q == null) 0
+    else {
+      var n = 0
+      val it = q.iterator()
+      while (it.hasNext) { it.next().unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
+
+  /** Tracked-but-unreleased frame count (CacheDisciplineSpec probe). */
+  def pending(spark: SparkSession): Int = {
+    val q = registry.get(key(spark))
+    if (q == null) 0 else q.size()
+  }
+
+  /** `.persistT` — the tracked spelling of `.persist()`. */
+  implicit class TrackOps(private val df: DataFrame) extends AnyVal {
+    def persistT: DataFrame = TrackedCache.persist(df)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -96,7 +97,7 @@ object ExtendedQueries {
     * the fixture-scale verification twin. */
   private def q186(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
-      .select(col("l_extendedprice").cast(DoubleType).as("x")).persist()
+      .select(col("l_extendedprice").cast(DoubleType).as("x")).persistT
     val sk = li.agg(
       percentile_approx(col("x"), array(lit(0.5), lit(0.95), lit(0.99)),
         lit(1000)).as("approx"),
@@ -1194,10 +1195,26 @@ object ExtendedQueries {
       .select(col("stat_key"), col("n"), col("n_null"), col("ndv"),
         (abs(col("hll") - col("ndv")) * 100 <= col("ndv") * 15).as("hll_ok"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
-    val hist = o
-      .withColumn("bucket", ntile(8).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+    // Equi-depth histogram WITHOUT the single-partition cliff: the
+    // previous `ntile(8).over(Window.orderBy(...))` form sank the whole
+    // orders table through one task. globalRowNumber range-partitions +
+    // locally sorts (every partition ranks in parallel); the ntile
+    // bucket is then closed-form arithmetic on (rn, n): Spark's ntile
+    // gives the first (n mod 8) buckets ceil(n/8) rows and the rest
+    // floor(n/8) — reproduced exactly below, so the oracle hash is
+    // unchanged. n arrives as a 1-row broadcast (totals-join idiom).
+    val ranked = RelationalOps.globalRowNumber(
+      o.select(col("o_totalprice"), col("o_orderkey")),
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc))
+    val nTotal = ranked.agg(count(lit(1)).as("n_total"))
+    val qSize = floor(col("n_total") / 8)
+    val rExtra = col("n_total") % 8
+    val cutoff = rExtra * (qSize + 1)
+    val bucketExpr = when(col("rn") <= cutoff,
+        floor((col("rn") - 1) / (qSize + 1)) + 1)
+      .otherwise(rExtra + floor((col("rn") - cutoff - 1) / greatest(qSize, lit(1L))) + 1)
+    val hist = ranked.crossJoin(broadcast(nTotal))
+      .withColumn("bucket", bucketExpr.cast(IntegerType))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), countDistinct(col("o_totalprice")).as("ndv"),
         min(col("o_totalprice")).as("min_num"), max(col("o_totalprice")).as("max_num"))
@@ -1906,7 +1923,7 @@ object ExtendedQueries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val types = sess.groupBy("user_id", "sid")
       .agg(array_sort(collect_set(col("event_type"))).as("tys"))
-      .persist() // feeds pair counts, per-type support, and the session count
+      .persistT // feeds pair counts, per-type support, and the session count
     val nSessions = types.agg(count(lit(1)).as("n_sessions"))
     val single = types.select(explode(col("tys")).as("ty"))
       .groupBy("ty").agg(count(lit(1)).as("n"))
@@ -2215,8 +2232,8 @@ object ExtendedQueries {
     * matches; the fan-out is one map-side-combinable count. Mean
     * fan-out is a single integer-over-integer division. */
   private def q181(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").persist() // four probes below
-    val orders = t(s, d, "orders").persist()
+    val li = t(s, d, "lineitem").persistT // four probes below
+    val orders = t(s, d, "orders").persistT
     def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String) =
       fact.select(col(key)).join(
         broadcast(dim.select(col(dimKey).as(key)).distinct()),
@@ -2286,9 +2303,11 @@ object ExtendedQueries {
     val cand = g
       .withColumn("mx", max(col("size")).over(Window.partitionBy("price_cents")))
       .where(col("size") === col("mx")).drop("mx")
-    cand
-      .withColumn("runmax", max(col("size")).over(
-        Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)))
+    // exclusive running max via the DISTRIBUTED prefix scan — the old
+    // `max(size).over(Window.orderBy(price).rowsBetween(-inf, -1))`
+    // sank the whole candidate frame through one task
+    RelationalOps.globalRunningMax(cand, Seq(col("price_cents").asc),
+        "size", "runmax", inclusive = false)
       .where(col("runmax").isNull || col("size") > col("runmax"))
       .select("price_cents", "size", "n_parts", "key_sum")
       .sortedOut("price_cents")
@@ -2684,9 +2703,10 @@ object ExtendedQueries {
       .agg(sum(col("event")).as("d_events"),
         sum(lit(1L) - col("event")).as("c_censored"),
         count(lit(1)).as("removed"))
-    g.withColumn("n_at_risk", sum(col("removed")).over(
-        Window.orderBy(col("t_days").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // reverse cumulative at-risk via the distributed prefix scan (the
+    // unpartitioned desc-order window was the single-partition cliff)
+    RelationalOps.globalRunningSum(g, Seq(col("t_days").desc),
+        "removed", "n_at_risk")
       .select("t_days", "n_at_risk", "d_events", "c_censored")
       .sortedOut("t_days")
   }
@@ -2801,10 +2821,9 @@ object ExtendedQueries {
     val cells = Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
-    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
-      .withColumn("cum_all", sum(col("cnt_all")).over(
-        Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byV = RelationalOps.globalRunningSum(
+      cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+      Seq(col("v").asc), "cnt_all", "cum_all")
     val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
     val tot = cells.agg(sum(col("c")).as("n_all"))
     val ws = Window.partitionBy("source").orderBy("v")
@@ -2875,10 +2894,9 @@ object ExtendedQueries {
     val cells = Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
-    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
-      .withColumn("cum_before", sum(col("cnt_all")).over(
-        Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    val byV = RelationalOps.globalRunningSum(
+        cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+        Seq(col("v").asc), "cnt_all", "cum_before", inclusive = false)
       .withColumn("cum_before", coalesce(col("cum_before"), lit(0L)))
     val tot = cells.agg(sum(col("c")).as("n_all"))
     cells
@@ -2933,13 +2951,14 @@ object ExtendedQueries {
     * rounded, so bit-portable).
     *
     * The |S|² pair generation is a BroadcastNestedLoopJoin whose
-    * build side carries a plan-level `limit(4096)`: the source axis
-    * is a bounded registry (tens of feeds), and the limit makes that
-    * bound STATIC so planLint's bounded-cohort proof applies — the
-    * corpus-sized side never enters the loop (the bruteForceTopK
-    * pattern; a literal-key equi-join does NOT work here because
-    * Catalyst constant-folds the key away and degrades it to the
-    * same BNLJ without the bound).
+    * build side goes through [[RelationalOps.boundedRegistry]]: the
+    * source axis is a bounded registry (tens of feeds), the plan-level
+    * limit makes that bound STATIC so planLint's bounded-cohort proof
+    * applies, and a registry past 4096 sources FAILS LOUDLY instead of
+    * silently truncating (wave-12 contract) — the corpus-sized side
+    * never enters the loop (the bruteForceTopK pattern; a literal-key
+    * equi-join does NOT work here because Catalyst constant-folds the
+    * key away and degrades it to the same BNLJ without the bound).
     *
     * Scale shape: signals are one map-side aggregate (countDistinct
     * lang is |S|·|L|-bounded); pairs run over |S|² rows of a
@@ -2952,8 +2971,9 @@ object ExtendedQueries {
         countDistinct(col("lang")).as("y"))
     val a = sig.select(col("source").as("sa"),
       col("x").as("xa"), col("y").as("ya"))
-    val b = sig.select(col("source").as("sb"),
-      col("x").as("xb"), col("y").as("yb")).limit(4096)
+    val b = RelationalOps.boundedRegistry(
+      sig.select(col("source").as("sb"),
+        col("x").as("xb"), col("y").as("yb")), 4096, "q215 source registry")
     val pairs = a.crossJoin(broadcast(b)).where(col("sa") < col("sb"))
       .withColumn("prod",
         signum(col("xa") - col("xb")) * signum(col("ya") - col("yb")))
@@ -3587,25 +3607,30 @@ object ExtendedQueries {
     * Scale shape: unlike TVD (q212), the gap-weighted running-cum
     * summand has no algebraic split — the |S|×|L| grid is genuinely
     * required. It is built as corpus-values STREAMED × sources
-    * BROADCAST with a plan-level limit(4096) on the source axis (the
-    * bounded-registry proof, q215 pattern), then one source-keyed
-    * window accumulates F_src at every corpus value. |L| is
-    * domain-bounded, so the grid is |S|·|L|, never data-sized. */
+    * BROADCAST through [[RelationalOps.boundedRegistry]] (static
+    * 4096 bound for the planLint proof, LOUD failure on overflow —
+    * wave-12 contract), then one source-keyed window accumulates
+    * F_src at every corpus value. |L| is domain-bounded, so the grid
+    * is |S|·|L| and each per-source window partition is |L| rows —
+    * never data-sized, even under 99%-single-source skew. */
   private def q226(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val cells = Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
-    val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
-      .withColumn("cum_all", sum(col("cnt_all")).over(
-        Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("gap",
-        coalesce(lead(col("v"), 1).over(Window.orderBy("v")) - col("v"),
-          lit(0L)))
-    val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
-      .limit(4096)
+    // distributed prefix scan + lead: same values as the unpartitioned
+    // cum/lead windows, no single-partition funnel on the value grain
+    val byV = RelationalOps.globalLead1(
+        RelationalOps.globalRunningSum(
+          cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+          Seq(col("v").asc), "cnt_all", "cum_all"),
+        Seq(col("v").asc), "v", "v_next")
+      .withColumn("gap", coalesce(col("v_next") - col("v"), lit(0L)))
+      .drop("v_next")
+    val bySrc = RelationalOps.boundedRegistry(
+      cells.groupBy("source").agg(sum(col("c")).as("n_src")),
+      4096, "q226 source registry")
     val tot = cells.agg(sum(col("c")).as("n_all"))
     byV.crossJoin(broadcast(bySrc))
       .join(cells, Seq("source", "v"), "left_outer")
@@ -4226,15 +4251,16 @@ object ExtendedQueries {
     val byLen = Tables.documents(s, d)
       .groupBy(col("n_chars").as("len"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("mass"))
-    val wd = Window.orderBy(col("len").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byLen
-      .withColumn("docs_ge", sum(col("cnt")).over(wd))
-      .withColumn("mass_ge", sum(col("mass")).over(wd))
-      .withColumn("m_total", sum(col("mass")).over(
-        Window.partitionBy(lit(1))))
-      .withColumn("n_total", sum(col("cnt")).over(
-        Window.partitionBy(lit(1))))
+    // descending cumulatives via the distributed prefix scan; totals
+    // as a 1-row broadcast (the old Window.partitionBy(lit(1)) was a
+    // disguised single-partition window)
+    val tot = byLen.agg(sum(col("mass")).as("m_total"),
+      sum(col("cnt")).as("n_total"))
+    val cum = RelationalOps.globalRunningSum(
+        RelationalOps.globalRunningSum(byLen,
+          Seq(col("len").desc), "cnt", "docs_ge"),
+        Seq(col("len").desc), "mass", "mass_ge")
+      .crossJoin(broadcast(tot))
     val targets = Seq(50L, 90L, 99L)
     targets.map { pct =>
       cum.where(col("mass_ge") * 100 >= col("m_total") * pct)

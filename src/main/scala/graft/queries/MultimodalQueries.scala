@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,10 +139,10 @@ object MultimodalQueries {
     val planted = "planted-duplicate-family".getBytes("UTF-8")
     val imgs = media(s, d).filter(_.kind == "image")
       .map(m => if (m.media_id % 25 == 1) m.copy(content = planted, width = 8, height = 8) else m)
-    val hashes = Multimodal.aHash64(Multimodal.decodeImages(imgs)).toDF().persist()
+    val hashes = Multimodal.aHash64(Multimodal.decodeImages(imgs)).toDF().persistT
     val groups = hashes.groupBy("phash")
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
-      .persist() // feeds the rollup AND the pair join
+      .persistT // feeds the rollup AND the pair join
     val cross = Multimodal.phashNearDupPairs(groups.select("media_id", "phash"))
     // The cross-hash pair COUNT is codec-dependent (small stub rasters
     // replicate pixels across aHash cells, so the hashes are structured,
@@ -181,10 +182,10 @@ object MultimodalQueries {
       .map(m => if (m.media_id % 25 == 1)
         m.copy(content = planted, duration_ms = 6400L) else m)
     val fp = Multimodal.audioFingerprint64(Multimodal.decodeAudio(clips))
-      .toDF().persist()
+      .toDF().persistT
     val groups = fp.groupBy("phash")
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
-      .persist() // rollup AND pair join
+      .persistT // rollup AND pair join
     val cross = Multimodal.phashNearDupPairs(groups.select("media_id", "phash"))
     fp.agg(count(lit(1)).as("n_clips"))
       .crossJoin(groups.agg(count(lit(1)).as("n_fp_groups"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -354,7 +355,7 @@ object TextQueries {
     // explode+aggregate instead of two (the oracle does the same); in
     // production corpusSigs is a standing materialized index instead.
     // Unpersist falls to the ContextCleaner (plan is returned lazily).
-    val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    val sigs = Dedup.minhashSignatures(docs, k = 32).persistT
     // persistInputs=false: both probe sides are filters of the one
     // persisted table above — re-persisting them only stacked extra
     // materialization barriers (the r3 bench-variance finding)
@@ -567,7 +568,7 @@ object TextQueries {
       col("doc_id") +: size(toks).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).as(s"tf$i") }: _*)
-      .persist()
+      .persistT
     val stats = tf.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_len"),
@@ -721,7 +722,7 @@ object TextQueries {
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist() // feeds corpus-wide df AND the probe-side scoring
+      .persistT // feeds corpus-wide df AND the probe-side scoring
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.where(col("doc_id") < 100)
       .join(dfx, Seq("term"))
@@ -1068,7 +1069,7 @@ object TextQueries {
     * measured 2× this convention exists to avoid). */
   private def q86(s: SparkSession, d: String): DataFrame = {
     val docs = docs0(s, d)
-    val sigs = Dedup.minhashSignatures(docs, k = 32).persist()
+    val sigs = Dedup.minhashSignatures(docs, k = 32).persistT
     val spec = graft.dedup.SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
     // build the index ONCE per (session, sf) — the serving contract is
     // "maintained once, probed by every arriving batch", so the timed
@@ -1240,11 +1241,11 @@ object TextQueries {
         Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
+      .persistT
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-      .persist()
+      .persistT
     val histo = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
     val zeroRow = docs0(s, d).agg(count(lit(1)).as("n_total"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
@@ -1555,7 +1556,7 @@ object TextQueries {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         transform(TextFunctions.bigrams(col("tk")), b => Hashing.h60(b)).as("bghs"))
-      .persist()
+      .persistT
     val trainVocab = bg.where(col("doc_id") % 10 =!= 0)
       .select(explode(col("bghs")).as("bh")).distinct()
       .withColumn("known", lit(1))
@@ -1757,12 +1758,12 @@ object TextQueries {
   private def q123(s: SparkSession, d: String): DataFrame = {
     val toks = docs0(s, d)
       .select(explode(TextFunctions.tokens(col("text"))).as("t"))
-    val uni = toks.groupBy("t").agg(count(lit(1)).as("n")).persist()
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("n")).persistT
     val bg = docs0(s, d)
       .select(TextFunctions.tokens(col("text")).as("tk"))
       .select(explode(TextFunctions.bigrams(col("tk"))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n_ab"))
-      .persist() // feeds the B total AND the support-filtered join
+      .persistT // feeds the B total AND the support-filtered join
     val totals = uni.agg(sum(col("n")).as("n_tokens"))
       .crossJoin(bg.agg(sum(col("n_ab")).as("n_bigrams")))
     val dbl = (c: Column) => c.cast(DoubleType)
@@ -1813,7 +1814,7 @@ object TextQueries {
     * token positions. Chunk hashes travel (8 bytes), text never
     * crosses a shuffle; the dup-chunk aggregate combines map-side. */
   private def q124(s: SparkSession, d: String): DataFrame = {
-    val chunked = Dedup.cdcChunks(docs0(s, d), modulus = 16).persist()
+    val chunked = Dedup.cdcChunks(docs0(s, d), modulus = 16).persistT
     val g = chunked.select(col("doc_id"), explode(col("chs")).as("ch"))
     val dup = g.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1976,7 +1977,7 @@ object TextQueries {
     val corpGrams = Dedup.ngramHashes(all.where(col("doc_id") % 10 =!= 0), n = 5)
       .select("gh").distinct()
     val incGrams = Dedup.ngramHashes(all.where(col("doc_id") % 10 === 0), n = 5)
-      .distinct().persist() // feeds both the total and the anti-join
+      .distinct().persistT // feeds both the total and the anti-join
     val novel = incGrams.join(corpGrams, Seq("gh"), "left_anti")
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     incGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -2131,7 +2132,7 @@ object TextQueries {
       .select(col("source"), tk.as("tk"))
       .select(col("source"), explode(gramArr).as("gh"))
       .distinct()
-      .persist() // feeds the per-source sizes AND the per-gram source sets
+      .persistT // feeds the per-source sizes AND the per-gram source sets
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val pairs = sg.groupBy("gh")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
@@ -2413,9 +2414,11 @@ object TextQueries {
       .when(nTok <= 72, 2).when(nTok <= 96, 3).otherwise(4)
     val obs = docs0(s, d).select(col("source"), bin.as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("o"))
-      .persist() // four rollups below read it
+      .persistT // four rollups below read it
     val ns = obs.groupBy("source").agg(sum(col("o")).as("ns"))
-    val nb = obs.groupBy("bin").agg(sum(col("o")).as("nb"))
+    // limit(8) cannot truncate (the bin CASE has exactly 5 outcomes);
+    // it makes the grid join's build side statically bounded
+    val nb = obs.groupBy("bin").agg(sum(col("o")).as("nb")).limit(8)
     val ntot = obs.agg(sum(col("o")).as("n"))
     val e = (col("ns") * col("nb")).cast(DoubleType) / col("n").cast(DoubleType)
     val dev = col("o").cast(DoubleType) - e
@@ -2479,7 +2482,7 @@ object TextQueries {
     val hist = pairs.groupBy("est_jaccard").agg(count(lit(1)).as("n"))
       .agg(sort_array(collect_list(struct(col("est_jaccard"), col("n")))).as("h"),
            sum(col("n")).as("n_pairs"))
-      .persist() // one tiny row, read once per candidate config
+      .persistT // one tiny row, read once per candidate config
     def powC(x: Column, k: Int): Column = Iterator.fill(k)(x).reduceLeft(_ * _)
     LshConfigs.map { case (b, r) =>
       val pCatch = (v: Column) =>
@@ -2528,7 +2531,7 @@ object TextQueries {
       .select(col("doc_id"),
         array_join(slice(col("tk"), 1, 3), " ").as("name"),
         element_at(col("tk"), 1).as("blk"))
-      .persist() // both sides of the block-local self-join
+      .persistT // both sides of the block-local self-join
     val a = m.select(col("blk"), col("doc_id").as("doc_a"), col("name").as("name_a"))
     val b = m.select(col("blk"), col("doc_id").as("doc_b"), col("name").as("name_b"))
     a.join(b, Seq("blk"))
@@ -2589,11 +2592,11 @@ object TextQueries {
   private def q154(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
-      .persist() // token-overlap join + two size joins + the fold
+      .persistT // token-overlap join + two size joins + the fold
     val tk = docs0(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .distinct()
-      .persist() // sizes + both overlap arms
+      .persistT // sizes + both overlap arms
     val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs.select(col("doc_a"), col("doc_b"))
       .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
@@ -2819,8 +2822,10 @@ object TextQueries {
       .select(col("doc_id"), col("n_tok"), explode(pArr).as("prefix_docs"))
       .where(col("doc_id") < col("prefix_docs"))
       .groupBy("prefix_docs").agg(sum(col("n_tok")).as("tokens_seen"))
-    val w = Window.orderBy(col("prefix_docs")) // ≤8 rows: single-partition window is fine
-    seen.join(vocab, Seq("prefix_docs"))
+    val w = Window.orderBy(col("prefix_docs"))
+    // limit(16) cannot truncate (8 literal prefixes by construction);
+    // it makes the lag window's child statically bounded for planLint
+    seen.join(vocab, Seq("prefix_docs")).limit(16)
       .withColumn("new_vocab", col("vocab") - coalesce(lag(col("vocab"), 1).over(w), lit(0L)))
       .sortedOut("prefix_docs")
   }
@@ -3235,7 +3240,9 @@ object TextQueries {
         max(col("ntt")).as("ntt"))
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDec.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // limit(16) cannot truncate (decile ∈ 0..9 by construction); it
+    // makes the cumulative window's child statically bounded
+    byDec.limit(16).withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col("decile"), col("n_docs"), col("n_tokens"),
         (col("cum_tokens").cast(DoubleType) / col("ntt").cast(DoubleType)).as("cum_token_share"))
       .sortedOut("decile")
@@ -3275,7 +3282,7 @@ object TextQueries {
     val nTok = TextFunctions.tokenCount(col("text"))
     val bin = when(nTok <= 24, 0).when(nTok <= 48, 1)
       .when(nTok <= 72, 2).when(nTok <= 96, 3).otherwise(4)
-    val t = docs0(s, d).select(col("doc_id"), bin.as("bin")).persist()
+    val t = docs0(s, d).select(col("doc_id"), bin.as("bin")).persistT
     val target = (0 to 4).map(b => b.toString -> 0.2).toMap
     val fr = graft.ops.Sampling.distributionMatchFractions(
       t, col("bin").cast("string"), target)
@@ -3329,7 +3336,7 @@ object TextQueries {
     val t = docs0(s, d).select(col("doc_id"),
         size(tk).cast(LongType).as("x"),
         size(array_distinct(tk)).cast(LongType).as("y"))
-      .persist() // two rank passes + the moment aggregate
+      .persistT // two rank passes + the moment aggregate
     def mr2(vCol: String, out: String): DataFrame = {
       val ranked = graft.ops.RelationalOps.globalRowNumber(
         t.select(col("doc_id"), col(vCol)), Seq(col(vCol).asc, col("doc_id").asc), "rn")
@@ -3486,7 +3493,7 @@ object TextQueries {
     val toks = docs0(s, d).select(col("doc_id"),
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
       .where(col("tok").isin(phrase: _*)) // prune to phrase terms before the joins
-      .persist()
+      .persistT
     val hits = phrase.zipWithIndex.map { case (t, i) =>
       toks.where(col("tok") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
@@ -3525,7 +3532,7 @@ object TextQueries {
     val tf = docs0(s, d).where(col("doc_id") < 200)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist() // norms pass + the pair join
+      .persistT // norms pass + the pair join
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = tf.select(col("tok"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
@@ -3910,38 +3917,51 @@ object TextQueries {
     * or builder drift of ONE byte anywhere fails the match.
     *
     * Scale shape: the scan is one task per file and nothing but the
-    * (path-grain) census leaves the scan stage; the planting pass is
-    * one `mapGroups` over (source, lang). */
+    * (path-grain) census leaves the scan stage. The PLANTING pass is
+    * a DRIVER-side collected loop (ADVICE r9: the earlier
+    * executor-side `mapGroups` write into a driver tmp dir was
+    * correct only in local mode — on a cluster the scan would see
+    * missing files), and the tmp landing dir is deleted once the
+    * census has materialized, so repeated runs leak nothing; a real
+    * deployment points [[graft.sources.Warc.scan]] at a shared-FS
+    * landing dir and skips planting entirely. */
   private def q190(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // capture the PATH STRING, not the UnixPath (not serializable)
-    val dir = java.nio.file.Files.createTempDirectory("graft-warc-landing").toString
-    docs0(s, d).select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .as[(Long, String, String, String)]
-      .groupByKey { case (_, src, lang, _) => (src, lang) }
-      .mapGroups { (key: (String, String), it: Iterator[(Long, String, String, String)]) =>
-        val (src, lang) = key
-        val docs = it.toSeq.sortBy(_._1)
-        val bytes = docs.map { case (id, _, _, text) =>
-          graft.sources.Warc.warcForDoc(id, src, lang, text, gzipPerRecord = true)
-        }.reduce(_ ++ _)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"$src-$lang.warc.gz"), bytes)
-        docs.length
-      }.count() // materialize the landing dir before scanning it
-    graft.sources.Warc.scan(s, dir + "/*.warc.gz")
-      .select(
-        regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 1).as("source"),
-        regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 2).as("lang"),
-        col("warc_type"), col("payload_length"), col("truncated"))
-      .groupBy("source", "lang")
-      .agg(count(lit(1)).as("n_records"),
-        sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_response"),
-        sum(when(col("warc_type") === "request", 1L).otherwise(0L)).as("n_request"),
-        sum(when(col("warc_type") === "response", col("payload_length"))
-          .otherwise(0L)).as("resp_payload_bytes"),
-        sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
-      .sortedOut("source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-landing")
+    try {
+      docs0(s, d).select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .groupBy { case (_, src, lang, _) => (src, lang) }
+        .foreach { case ((src, lang), docs) =>
+          val bytes = docs.sortBy(_._1).map { case (id, _, _, text) =>
+            graft.sources.Warc.warcForDoc(id, src, lang, text, gzipPerRecord = true)
+          }.reduce(_ ++ _)
+          java.nio.file.Files.write(dir.resolve(s"$src-$lang.warc.gz"), bytes)
+        }
+      val census = graft.sources.Warc.scan(s, dir.toString + "/*.warc.gz")
+        .select(
+          regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 1).as("source"),
+          regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 2).as("lang"),
+          col("warc_type"), col("payload_length"), col("truncated"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_response"),
+          sum(when(col("warc_type") === "request", 1L).otherwise(0L)).as("n_request"),
+          sum(when(col("warc_type") === "response", col("payload_length"))
+            .otherwise(0L)).as("resp_payload_bytes"),
+          sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
+        .sortedOut("source", "lang")
+      // materialize BEFORE the finally-block removes the landing dir;
+      // the returned frame is the (tiny, per-file-grain) census itself
+      val rows = java.util.Arrays.asList(census.collect(): _*)
+      s.createDataFrame(rows, census.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toVector finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   private val q190Sql =
@@ -4129,7 +4149,7 @@ object TextQueries {
   private def q196(s: SparkSession, d: String): DataFrame = {
     val allToks = docs0(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .where(length(col("tok")) > 0).distinct().persist()
+      .where(length(col("tok")) > 0).distinct().persistT
     // exact-dup collapse: group docs by set signature, keep min-id rep
     val groups = allToks.groupBy("doc_id")
       .agg(md5(concat_ws("\u0001", sort_array(collect_set(col("tok"))))).as("sig"))
@@ -4137,14 +4157,18 @@ object TextQueries {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
         sum(col("doc_id")).cast(DecimalType(38, 0)).as("ids"),
         sum(col("doc_id") * col("doc_id")).cast(DecimalType(38, 0)).as("idsq"))
-      .persist()
+      .persistT
     val reps = groups.select(col("rep").as("doc_id"), col("m"), col("ids"), col("idsq"))
-    val toks = allToks.join(reps.select("doc_id"), Seq("doc_id"), "left_semi").persist()
-    // global order: rarest first (df over REPRESENTATIVES), ties by token
-    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .select(col("tok"), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("tok").asc)).as("rk"))
+    val toks = allToks.join(reps.select("doc_id"), Seq("doc_id"), "left_semi").persistT
+    // global order: rarest first (df over REPRESENTATIVES), ties by
+    // token. The rank frame is vocabulary-sized — which Heaps' law
+    // (q159) says GROWS with the corpus — so it gets the distributed
+    // globalRowNumber formulation, not a single-partition
+    // row_number().over(Window.orderBy(...)) window.
+    val ranked = graft.ops.RelationalOps.globalRowNumber(
+        toks.groupBy("tok").agg(count(lit(1)).as("df")),
+        Seq(col("df").asc, col("tok").asc), outCol = "rk")
+      .select(col("tok"), col("rk"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val withRank = toks.join(ranked, Seq("tok")).join(sizes, Seq("doc_id"))
     // prefix length n - ceil(9n/10) + 1, integer arithmetic only
@@ -4254,7 +4278,7 @@ object TextQueries {
   private def q201(s: SparkSession, d: String): DataFrame = {
     val vocab = docs0(s, d)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .where(length(col("tok")).between(4, 20)).distinct().persist()
+      .where(length(col("tok")).between(4, 20)).distinct().persistT
     // keys: the token itself (distance-0 / indel anchor) + all
     // single-deletion variants, tagged with nothing but the string
     val variants = vocab.select(col("tok"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -499,7 +500,7 @@ object VectorQueries {
       col("doc_id") +: size(toks).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).as(s"tf$i") }: _*)
-      .persist()
+      .persistT
     val stats = tf.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"),
       count(when(col("tf0") > 0, 1)).as("df0"),
@@ -521,7 +522,9 @@ object VectorQueries {
       .select(col("doc_id"), col("lex_rank"))
 
     val e = emb(s, d)
-    val qv = broadcast(e.where(col("vec_id") === 0)
+    // limit(1) = the static bound (vec_id is unique, so it cannot
+    // truncate): makes the BNLJ build provably 1-row for planLint
+    val qv = broadcast(e.where(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("q_emb")))
     val vecTop = e.where(col("vec_id") =!= 0).crossJoin(qv)
       .select(col("vec_id").as("doc_id"),
@@ -809,7 +812,10 @@ object VectorQueries {
       dot / (sqrt(na) * sqrt(nb))
     }
     val scored = e.where(col("vec_id") >= 100)
-      .crossJoin(broadcast(cents))
+      // label axis is a bounded registry; the guard makes the bound
+      // static for planLint and fails loudly past the cap
+      .crossJoin(broadcast(graft.ops.RelationalOps.boundedRegistry(
+        cents, 4096, "q118 label centroids")))
       .select(col("vec_id"), col("label"), col("clabel"),
         dcos(col("embedding"), col("centroid")).as("cos"))
     scored
@@ -924,7 +930,9 @@ object VectorQueries {
   private def q129(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val q = e.where(col("vec_id") < 10)
+    // limit(16) cannot truncate (vec_id < 10 admits ≤ 10 rows); it
+    // exists to make the BNLJ build statically bounded for planLint
+    val q = e.where(col("vec_id") < 10).limit(16)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"))
     val scored = e.join(broadcast(q),
@@ -1021,7 +1029,7 @@ object VectorQueries {
       .select(col("src_id"), col("tgt_id"),
         VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .where(!isnan(col("cos")))
-      .persist()
+      .persistT
     def nbhdMean(part: String, other: String) =
       scored.withColumn("rn", row_number().over(
           Window.partitionBy(part).orderBy(col("cos").desc, col(other))))
@@ -1232,7 +1240,7 @@ object VectorQueries {
     * instead and the counting stage is UNCHANGED. Occurrence counts
     * and the histogram are pure integers. */
   private def q156(s: SparkSession, d: String): DataFrame = {
-    val sub = emb(s, d).where(col("vec_id") < 1000).persist()
+    val sub = emb(s, d).where(col("vec_id") < 1000).persistT
     val occ = VectorFunctions.bruteForceTopK(sub, sub, k = 10)
       .groupBy(col("neighbor_id")).agg(count(lit(1)).as("occ"))
     sub.select(col("vec_id"))
@@ -1272,7 +1280,7 @@ object VectorQueries {
   private def q162(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos"), col("x").cast(DoubleType).as("x"))
-      .persist() // bounds pass + count pass
+      .persistT // bounds pass + count pass
     val bounds = e.groupBy("pos").agg(
       percentile(col("x"), lit(0.01)).cast(DecimalType(18, 6)).cast(DoubleType).as("p01"),
       percentile(col("x"), lit(0.99)).cast(DecimalType(18, 6)).cast(DoubleType).as("p99"))
@@ -1405,7 +1413,7 @@ object VectorQueries {
     val queries = e.where(col("vec_id") < 5)
     val cands = VectorFunctions.bruteForceTopK(e, queries, k = 20)
       .select(col("query_id"), col("neighbor_id").as("cand_id"), col("cos"))
-      .persist() // consumed by pairSims AND every greedy round
+      .persistT // consumed by pairSims AND every greedy round
     val ce = cands.select(col("query_id"), col("cand_id"))
       .join(e.select(col("vec_id").as("cand_id"), col("embedding")), Seq("cand_id"))
     val a = ce.select(col("query_id"), col("cand_id").as("a"), col("embedding").as("ea"))
@@ -1477,7 +1485,7 @@ object VectorQueries {
     val queries = e.where(col("vec_id") < 10)
     val k = 10
     val ideal = VectorFunctions.bruteForceTopK(e, queries, k)
-      .select(col("query_id"), col("neighbor_id")).persist()
+      .select(col("query_id"), col("neighbor_id")).persistT
     val nIdeal = ideal.count() // action also materializes the persist
     val curves = Seq(1, 2, 4).map { p =>
       new graft.sim.IvfIndex(nCells = 16, nProbe = p).annTopK(e, queries, k)
@@ -1563,7 +1571,7 @@ object VectorQueries {
       VectorFunctions.bruteForceTopK(sub, sub.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }
-    val full = topk(64).persist()
+    val full = topk(64).persistT
     def arm(width: Int): DataFrame = {
       val t = topk(width)
       val ov = t.join(full.select(col("query_id"), col("neighbor_id")),
@@ -1654,7 +1662,7 @@ object VectorQueries {
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     val bqTop = ham.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
     val full = VectorFunctions.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
+      .select(col("query_id"), col("rank"), col("neighbor_id")).persistT
     val ov = bqTop.join(full.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("ov"))

@@ -99,8 +99,8 @@ class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
     * |queries|·|corpus| scored (id, id, double) rows. */
   def searchAdc(corpusCodes: DataFrame, queries: DataFrame, k: Int,
                 codebook: Array[Array[Array[Float]]]): DataFrame = {
-    val q = broadcast(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val q = broadcast(PqIndex.boundedCohort(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val score = org.apache.spark.sql.GraftSqlShim.column(AdcScore(
       org.apache.spark.sql.GraftSqlShim.expression(col("q_emb")),
       org.apache.spark.sql.GraftSqlShim.expression(col("codes")), codebook))
@@ -120,8 +120,8 @@ class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
     val tables = array((0 until m).map { j =>
       array((0 until ksub).map(c => subDot(col("q_emb"), j, codebook(j)(c))): _*)
     }: _*)
-    val q = broadcast(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = broadcast(PqIndex.boundedCohort(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         .withColumn("tables", tables)
         .drop("q_emb"))
     val score = (0 until m).map { j =>
@@ -215,5 +215,24 @@ class PqIndex(dim: Int, m: Int = 8, ksub: Int = 16) extends Serializable {
       org.apache.spark.sql.GraftSqlShim.column(PqEncode(
         org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), cb)).as("codes"))
     searchAdcIvf(cellCodes, queries, k, cb, ivf, cents)
+  }
+}
+
+object PqIndex {
+  /** Bounded evaluation cohort for the brute ADC scans — the
+    * bruteForceTopK discipline shared by [[PqIndex.searchAdc]] /
+    * [[PqIndex.searchAdcViaTables]] / [[ScalarQuant.annTopK]]: the
+    * plan-level limit makes the broadcast side's row count STATIC
+    * (planLint's bounded-build proof) and the `cap + 1` probe fails
+    * LOUDLY if a caller hands a cohort the limit would otherwise
+    * silently truncate. Large panels belong on the cell-gated paths
+    * (annTopKIvf / VectorIndex). */
+  private[sim] def boundedCohort(queries: org.apache.spark.sql.DataFrame,
+                                 cap: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val n = queries.limit(cap + 1).count()
+    require(n <= cap,
+      s"query cohort exceeds $cap rows: the brute ADC scan would silently " +
+        "truncate; use the IVF-gated search for large panels")
+    queries.limit(cap)
   }
 }

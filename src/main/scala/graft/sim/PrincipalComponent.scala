@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,7 +58,7 @@ object PrincipalComponent {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val x0 = emb.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("e"))
-    val xc = (if (center) centered(x0) else x0).persist()
+    val xc = (if (center) centered(x0) else x0).persistT
     var v = xc.limit(1).select(transform(col("e"), _ => lit(1.0)).as("v"))
     for (_ <- 0 until iters) {
       val c = xc.crossJoin(broadcast(v))
@@ -76,7 +77,7 @@ object PrincipalComponent {
             lit(0.0), (a, b) => a + b)).as("nrm"))
         .select(transform(col("y"), t => t / col("nrm")).as("v"))
     }
-    val out = v.select(posexplode(col("v")).as(Seq("dim", "loading"))).persist()
+    val out = v.select(posexplode(col("v")).as(Seq("dim", "loading"))).persistT
     out.count()
     xc.unpersist(blocking = false)
     out

@@ -74,7 +74,8 @@ object ScalarQuant {
         .crossJoin(broadcast(scale))
         .select(col("vec_id").as(idAs),
           encode(col("embedding"), col("max_abs")).as(codeAs))
-    val q = broadcast(codes(queries, "query_id", "q_code"))
+    // bruteForceTopK discipline: static cohort bound + loud overflow
+    val q = broadcast(codes(PqIndex.boundedCohort(queries), "query_id", "q_code"))
     val scored = codes(corpus, "neighbor_id", "c_code")
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))

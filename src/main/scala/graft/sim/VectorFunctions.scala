@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,13 +60,24 @@ object VectorFunctions {
     * this deliberate bounded-cohort scan from an accidental
     * data-sized nested loop. Cohorts at or under the bound pass
     * through untouched (every in-repo caller is ≤ 1000); a LARGER
-    * frame would be truncated to an arbitrary subset — raise
-    * `maxQueries` explicitly for bigger evaluation panels.
+    * cohort FAILS FAST here rather than being silently truncated to
+    * an arbitrary plan-dependent subset — an evaluation panel that
+    * loses queries without an error reports non-reproducible recall.
+    * Panels beyond 4096 belong on the indexed paths (IvfIndex /
+    * PqVectorIndex), not a nested-loop scan.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      maxQueries: Int = 4096): DataFrame = {
     require(maxQueries >= 1 && maxQueries <= 4096,
       s"maxQueries must be in [1, 4096] (the planLint bounded-cohort waiver): $maxQueries")
+    // Truncation guard: limit(maxQueries + 1) bounds the probe to one
+    // row past the cap, so the check is O(maxQueries) regardless of
+    // cohort size, and CollectLimit short-circuits the scan.
+    val nProbe = queries.limit(maxQueries + 1).count()
+    require(nProbe <= maxQueries,
+      s"query cohort exceeds maxQueries=$maxQueries: bruteForceTopK would " +
+        "silently truncate an unordered frame; pre-select a deterministic " +
+        "cohort or use an indexed path (IvfIndex/PqVectorIndex)")
     val q = broadcast(queries.limit(maxQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = corpus.crossJoin(q)
@@ -103,7 +115,7 @@ object VectorFunctions {
     val bucketArr = org.apache.spark.sql.GraftSqlShim.column(HyperplaneBuckets(
       org.apache.spark.sql.GraftSqlShim.expression(col("embedding")), signs))
     // lazily returned plan ⇒ unpersist is the ContextCleaner's job
-    val e = embs.persist()
+    val e = embs.persistT
     // Refinement planes for over-cap buckets: a `planesPerTable`-plane
     // bucket is COARSE (2^p buckets), so a big bucket is usually a
     // heterogeneous accident of corpus size, not a near-dup cluster —
@@ -131,7 +143,7 @@ object VectorFunctions {
     // minhashCandidatePairs' guard).
     val sized = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("count"))
     val overCap = sized.where(col("count") > bucketCap)
-      .select("tbl", "bucket").persist() // two consumers (anti + inner)
+      .select("tbl", "bucket").persistT // two consumers (anti + inner)
     // Guarded hints on both cap gates: broadcast only while the list is
     // actually small; pathological inputs degrade to a shuffle join
     // instead of a failed broadcast (ADVICE r6 #4).
@@ -145,7 +157,7 @@ object VectorFunctions {
     val sized2 = hot.groupBy("tbl", "bucket", "sub")
       .agg(count(lit(1)).as("count"), min("vec_id").as("anchor"))
     val overCap2 = sized2.where(col("count") > bucketCap)
-      .select("tbl", "bucket", "sub", "anchor").persist()
+      .select("tbl", "bucket", "sub", "anchor").persistT
     val overCap2B = graft.ops.Hints.guardedBroadcast(overCap2)
     val safe2 = hot.join(overCap2B.select("tbl", "bucket", "sub"),
       Seq("tbl", "bucket", "sub"), "left_anti")

@@ -284,6 +284,89 @@ object EventsStream extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ------- trailing-window outlier flags (q200's streaming twin)
+
+  case class OutlierFlag(user_id: Long, ms: Long, event_id: Long,
+                         cents: Long, eval: Boolean, flag: Boolean)
+  case class PendingCents(ms: Long, id: Long, cents: Long)
+  /** Per-user outlier state: the ≤ 5 most recent FINALIZED cents
+    * values (oldest first — the trailing baseline) plus the
+    * out-of-watermark tail still subject to reordering. */
+  case class OutlierState(window: Seq[Long], pending: Seq[PendingCents])
+
+  /** q200's integer-exact trailing z-test — shared kernel: with n, S,
+    * Q over the ≤5-value baseline window (cents), flag iff
+    * `(n·x−S)² > 9·(n·Q−S²)`; evaluable iff n ≥ 3 and variance > 0.
+    * Integer end-to-end — no division, no sqrt, so the streaming and
+    * batch twins are bit-identical by construction. */
+  private def outlierScore(window: Seq[Long], x: Long): (Boolean, Boolean) = {
+    val n = window.size.toLong
+    val s = window.sum
+    val q = window.map(c => c * c).sum
+    val dev = n * x - s
+    val varn2 = n * q - s * s
+    val eval = n >= 3 && varn2 > 0
+    (eval, eval && dev * dev > varn2 * 9)
+  }
+
+  /** Batch twin of [[outliersStream]]: every event scored against its
+    * user's 5 PREVIOUS events by (ts, event_id) — q200's monitor on
+    * the events domain. One user-keyed shuffle; the trailing frame is
+    * a bounded 5-row running state inside the window aggregation. */
+  def outliersBatch(events: Dataset[Event]): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var win = Seq.empty[Long]
+      sorted.map { e =>
+        val cents = math.round(e.value * 100)
+        val (ev, fl) = outlierScore(win, cents)
+        win = (win :+ cents).takeRight(5)
+        OutlierFlag(uid, e.ts.getTime, e.event_id, cents, ev, fl)
+      }.iterator
+    }
+  }
+
+  /** Streaming trailing-window outlier monitor — the live form of the
+    * q200/q218/q233 statistics wave (VERDICT r9 #6). Watermark-ordered
+    * finalization (the [[transitionsStream]] discipline): events newer
+    * than the watermark buffer in state; once the watermark passes
+    * them they finalize in (ts, event_id) order, score against the ≤5
+    * most recent FINALIZED values, and roll into the baseline window.
+    * In-watermark reordering and arbitrary micro-batch splits cannot
+    * change a single flag: the emitted stream equals [[outliersBatch]]
+    * on the finalized prefix for ANY arrival order the watermark
+    * admits (EventsStreamSpec pins this). State per user is 5 longs
+    * plus the out-of-watermark tail — O(1) + O(late-horizon). */
+  def outliersStream(events: Dataset[Event],
+                     watermark: String = "1 hour"): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[OutlierState]): Iterator[OutlierFlag] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(OutlierState(Seq.empty, Seq.empty))
+      val all = (st.pending ++ it.map(e =>
+          PendingCents(e.ts.getTime, e.event_id, math.round(e.value * 100))))
+        .sortBy(p => (p.ms, p.id))
+      val (fin, pend) = all.partition(_.ms <= wm)
+      var win = st.window
+      val out = Seq.newBuilder[OutlierFlag]
+      fin.foreach { e =>
+        val (ev, fl) = outlierScore(win, e.cents)
+        out += OutlierFlag(uid, e.ms, e.id, e.cents, ev, fl)
+        win = (win :+ e.cents).takeRight(5)
+      }
+      state.update(OutlierState(win, pend))
+      if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_.ms).min)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Open sessions carried between micro-batches, sorted by start. */
   case class OpenSessions(sessions: Seq[SessionState])
 

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -43,7 +44,7 @@ object Packing {
         col(tokenCol).cast(LongType).as("n_tokens"))
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .persist()
+      .persistT
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

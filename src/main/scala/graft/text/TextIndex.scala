@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,7 +86,7 @@ object TextIndex {
         explode(col("__t")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("int").as("tf"))
-      .persist() // feeds the bucketed write AND the df partials
+      .persistT // feeds the bucketed write AND the df partials
     postings.write.mode(mode)
       .bucketBy(spec.buckets, "term").sortBy("term")
       .saveAsTable(postingsName(name))
@@ -265,7 +266,7 @@ object TextIndex {
     // the bucket read happens once (lazy-plan persist, q179 pattern)
     val posts = spark.table(posName(name))
       .where(col("term").isin(phrase.distinct.map(x => x: Any): _*))
-      .persist()
+      .persistT
     phrase.zipWithIndex.map { case (t, i) =>
       posts.where(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-vocabulary operators — the "build the vocab, encode the
@@ -28,9 +27,13 @@ object Vocab {
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(maxSize)
-    // the window runs over the ≤ maxSize surviving rows only
-    counts.withColumn("id",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+    // id assignment over the ≤ maxSize surviving rows — bounded by the
+    // limit, but routed through the distributed globalRowNumber anyway
+    // so no unpartitioned ranking window exists in the engine at all
+    // (a caller-supplied maxSize CAN be corpus-shaped).
+    graft.ops.RelationalOps.globalRowNumber(counts,
+        Seq(col("n").desc, col("token").asc), outCol = "id")
+      .withColumn("id", (col("id") - 1).cast("int"))
   }
 
   /** Documents as id arrays: (doc_id, ids, n_tokens, n_oov, oov_rate);

@@ -615,6 +615,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outliersStream: trailing z-flags equal the batch twin under shuffled in-watermark arrival") {
+    import graft.streaming.EventsStream.OutlierFlag
+    val mem = MemoryStream[Event]
+    val out = EventsStream.outliersStream(mem.toDS(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("outliers")
+      .outputMode("append").start()
+    // user 1: a jittered baseline (10.00/11.00 alternating — nonzero
+    // variance, so the window is evaluable) then a 500.00 spike at
+    // event 6 and a mild 10.50 after it (masked by the contaminated
+    // baseline — the documented trailing-window trade)
+    val vals = Map(1L -> 10.0, 2L -> 11.0, 3L -> 10.0, 4L -> 11.0,
+      5L -> 10.0, 6L -> 500.0, 7L -> 10.5)
+    def e(id: Long) = ev(id, minutes = id * 5, value = vals(id))
+    try {
+      // arrival order scrambled WITHIN the watermark horizon, split
+      // across micro-batches — finalization must repair the order
+      mem.addData(e(3), e(1))
+      q.processAllAvailable()
+      mem.addData(e(2), e(5), e(4))
+      q.processAllAvailable()
+      mem.addData(e(7), e(6))
+      q.processAllAvailable()
+      mem.addData(ev(99, 2000, uid = 2L)) // wm → 1990: all of user 1 finalizes
+      q.processAllAvailable()
+      def key(f: OutlierFlag) = (f.user_id, f.ms, f.event_id, f.cents, f.eval, f.flag)
+      val got = spark.table("outliers").as[OutlierFlag].collect().map(key).toSet
+      val batch = EventsStream.outliersBatch(
+          (1L to 7L).map(e).toDS()).collect().map(key).toSet
+      got shouldBe batch
+      // the spike — and ONLY the spike — flagged; events 1-3 were not
+      // evaluable (window < 3); 7 is masked by the contaminated window
+      got.filter(_._6).map(_._3) shouldBe Set(6L)
+      got.filter(_._5).map(_._3) shouldBe Set(4L, 5L, 6L, 7L)
+    } finally q.stop()
+  }
+
   test("transitionsStream: watermark-ordered chain repair equals the batch twin; late data dropped") {
     import graft.streaming.EventsStream.Transition
     val mem = MemoryStream[Event]

@@ -47,7 +47,10 @@ object LintNew {
       "q228_graph_mixing", "q229_weekday_profile", "q230_cohort_ltv",
       "q231_basket_affinity", "q232_transition_latency",
       "q233_mad_outliers", "q234_proportion_ab", "q235_concentration",
-      "q236_head_coverage", "q237_gap_census")
+      "q236_head_coverage", "q237_gap_census",
+      // round 10 wave
+      "q238_gini_spend", "q239_time_weighted_value", "q240_dau_wau_mau",
+      "q241_knn_label_noise", "q242_dedup_savings", "q243_bot_screen")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

@@ -304,16 +304,30 @@ object Diagnostics {
         // error.
         val roots = flagged.filter(fb =>
           !flagged.exists(other => (other ne fb) && other.exists(_ eq fb)))
-        val allEngineAuthored = roots.nonEmpty &&
-          roots.forall(_.getClass.getName.startsWith("graft."))
+        // Deliberate-interpreted classes report as WARN:
+        //  - graft.* expressions: each carries its own bounded-cost
+        //    argument and a doGenCode upgrade path (Md5Hash60 /
+        //    CosineSimilarity / PqEncode precedent);
+        //  - builtin HigherOrderFunction folds (aggregate / zip_with /
+        //    transform / exists): the engine-wide ORDERED-FOLD
+        //    reproducibility discipline (VectorFunctions scaladoc) —
+        //    per-row cost is array-bounded, and the fused-native
+        //    rewrite is the documented hot-path upgrade
+        //    (HyperplaneBuckets, q58 2.66→0.78 s).
+        // Anything else (reflect(), a script transform, an unexpected
+        // fallback class) is the accidental interpreted hot path the
+        // rule exists to catch: ERROR.
+        val allDeliberate = roots.nonEmpty && roots.forall(r =>
+          r.getClass.getName.startsWith("graft.") ||
+            r.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction])
         out += LintFinding("interpreted-expression", node.nodeName,
           s"${flagged.map(_.prettyName).distinct.mkString(", ")} evaluate on " +
             "the interpreted fallback path inside codegen — row-at-a-time " +
             "virtual calls in the hot loop" +
-            (if (allEngineAuthored)
-              " (engine-authored expression: deliberate; doGenCode is the upgrade)"
+            (if (allDeliberate)
+              " (deliberate: engine expression / ordered-fold HOF; fused doGenCode is the upgrade)"
             else ""),
-          severity = if (allEngineAuthored) "warn" else "error")
+          severity = if (allDeliberate) "warn" else "error")
       }
     }
     out.result()

@@ -4351,6 +4351,207 @@ object ExtendedQueries {
       |FROM g JOIN mx ON mx.et = g.et
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ------- Gini concentration of customer spend (q238)
+  /** The inequality scalar behind q171's Lorenz curve and q235's HHI:
+    * Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over per-customer spend sorted
+    * ascending — "how unevenly is revenue concentrated across the
+    * customer base", the one-number answer a data buyer compares
+    * across corpora. The rank i comes from
+    * [[RelationalOps.globalRowNumber]] (range-partitioned — never a
+    * single-partition window) under the total order (cents, custkey);
+    * every product is DECIMAL(38,0), the numerator exports as
+    * canonical digits, and gini_ppm is one exact integer division
+    * (q226 policy).
+    *
+    * Scale shape: one customer-keyed aggregate, the distributed rank,
+    * one map-side-combinable fold; totals ride a 1-row broadcast. */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    val ranked = RelationalOps.globalRowNumber(
+      spend, Seq(col("cents").asc, col("c").asc), "i")
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("n"), col("total_cents"),
+        (dec(col("i") * 2 - col("n") - 1) * dec(col("cents"))).as("term"))
+      .groupBy()
+      .agg(max(col("n")).as("n_customers"),
+        max(col("total_cents")).as("total_cents"),
+        sum(col("term")).cast(DecimalType(38, 0)).as("gnum"))
+      .select(col("n_customers"), col("total_cents"),
+        col("gnum").cast(StringType).as("gini_num"),
+        expr("CAST(gnum * 1000000 div (CAST(n_customers AS DECIMAL(38,0)) * total_cents) AS BIGINT)")
+          .as("gini_ppm"))
+  }
+
+  private val q238Sql =
+    """WITH s AS (SELECT o_custkey AS c,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents, c) AS BIGINT) AS i FROM s),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS total_cents FROM s)
+      |SELECT n AS n_customers, total_cents,
+      |  CAST(sum(CAST(i * 2 - n - 1 AS HUGEINT) * cents) AS VARCHAR) AS gini_num,
+      |  CAST(sum(CAST(i * 2 - n - 1 AS HUGEINT) * cents) * 1000000 //
+      |    (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
+      |FROM r CROSS JOIN t GROUP BY n, total_cents""".stripMargin
+
+  // ------- time-weighted exposure per user, trapezoid-exact (q239)
+  /** The time-series INTEGRAL operator: a user's average event value
+    * weighted by how LONG it stood, not how often it was sampled —
+    * ∫v dt by the trapezoid rule over the (ts, event_id)-ordered
+    * sequence. The un-weighted mean over-counts burst periods; the
+    * time-weighted one is what billing/exposure/risk pipelines
+    * integrate. Kept exact: 2·∫v dt = Σ (vᵢ + vᵢ₊₁)·Δtᵢ in
+    * cents·ms DECIMAL(38,0), exported as canonical digits, plus one
+    * exact integer division to cents (the mean value over the span).
+    *
+    * Scale shape: one user-keyed shuffle; lead() rides the same
+    * per-user sort (partitioned window — bounded per key); the fold
+    * is map-side-combinable. */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val e = Tables.events(s, d).select(col("user_id").as("u"),
+      unix_millis(col("ts")).as("ms"), col("event_id").as("eid"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy("u").orderBy(col("ms"), col("eid"))
+    e.withColumn("nms", lead(col("ms"), 1).over(w))
+      .withColumn("ncents", lead(col("cents"), 1).over(w))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"),
+        coalesce(sum(when(col("nms").isNotNull,
+          dec(col("cents") + col("ncents")) * dec(col("nms") - col("ms")))),
+          lit(0).cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("num2"))
+      .select(col("user_id"), col("n_events"), col("span_ms"),
+        col("num2").cast(StringType).as("twa_num2"),
+        when(col("span_ms") > 0,
+          expr("CAST(num2 div (2 * span_ms) AS BIGINT)")).as("twa_cents"))
+      .sortedOut("user_id")
+  }
+
+  private val q239Sql =
+    """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms, event_id AS eid,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |l AS (SELECT u, ms, cents,
+      |    lead(ms) OVER w AS nms, lead(cents) OVER w AS ncents
+      |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ms, eid)),
+      |g AS (SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+      |    coalesce(sum(CASE WHEN nms IS NOT NULL
+      |      THEN CAST(cents + ncents AS HUGEINT) * (nms - ms) END), 0) AS num2
+      |  FROM l GROUP BY 1)
+      |SELECT user_id, n_events, span_ms,
+      |  CAST(num2 AS VARCHAR) AS twa_num2,
+      |  CASE WHEN span_ms > 0 THEN CAST(num2 // (2 * span_ms) AS BIGINT) END AS twa_cents
+      |FROM g ORDER BY user_id""".stripMargin
+
+  // ------- DAU / WAU / MAU active-user curve (q240)
+  /** The engagement triple every event pipeline reports: per observed
+    * day, distinct users that day (DAU), over the trailing 7 days
+    * (WAU), and the trailing 30 (MAU), plus stickiness = DAU/MAU in
+    * exact ppm. Sliding distinct counts canNOT be window-aggregated
+    * (distinct isn't subtractable); the exact formulation explodes
+    * each (day, user) into the windows it serves — ≤ 30 rows per
+    * distinct (day, user), a bounded fan-out — then counts distinct
+    * per target day. Only OBSERVED days report (an event-less day has
+    * no row, q237's census covers those).
+    *
+    * Scale shape: (day, user) distinct collapse first (map-side), the
+    * 30× explode rides on that reduced frame, and the per-day
+    * distinct is one keyed aggregate — never a corpus-sized state. */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id").as("u"))
+      .distinct().persistT
+    val days = du.select("day").distinct()
+    def windowed(len: Int, out: String): DataFrame = du
+      .select(col("u"), explode(expr(s"sequence(0, ${len - 1})")).as("o"), col("day"))
+      .select(col("u"), date_add(col("day"), col("o")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct(col("u")).as(out))
+    days
+      .join(du.groupBy("day").agg(countDistinct(col("u")).as("dau")), Seq("day"))
+      .join(windowed(7, "wau"), Seq("day"))
+      .join(windowed(30, "mau"), Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+      .select(col("day").cast(StringType).as("day"), col("dau"),
+        col("wau"), col("mau"), col("stickiness_ppm"))
+      .sortedOut("day")
+  }
+
+  private val q240Sql =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+      |days AS (SELECT DISTINCT day FROM du)
+      |SELECT CAST(d.day AS VARCHAR) AS day,
+      |  CAST((SELECT count(DISTINCT u) FROM du WHERE du.day = d.day) AS BIGINT) AS dau,
+      |  CAST((SELECT count(DISTINCT u) FROM du
+      |        WHERE du.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau,
+      |  CAST((SELECT count(DISTINCT u) FROM du
+      |        WHERE du.day BETWEEN d.day - 29 AND d.day) AS BIGINT) AS mau,
+      |  CAST((SELECT count(DISTINCT u) FROM du WHERE du.day = d.day) * 1000000 //
+      |       (SELECT count(DISTINCT u) FROM du
+      |        WHERE du.day BETWEEN d.day - 29 AND d.day) AS BIGINT) AS stickiness_ppm
+      |FROM days d ORDER BY day""".stripMargin
+
+  // ------- behavioral bot screen over the event stream (q243)
+  /** The "is this user a crawler" gate a behavioral corpus runs before
+    * training on it: per user, event rate against wall-clock span
+    * (milli-events/hour, exact integer), error share and night-hour
+    * share (0-5h UTC) in ppm, and the deterministic flag — sustained
+    * rate over 60/h, or error share over 30%, or >80% night activity
+    * with ≥ 50 events. Every metric is integer arithmetic on counts
+    * and epoch-ms (q229's calendar discipline), so the flags are
+    * bit-portable — a screen that flags different users on different
+    * engines is worse than none.
+    *
+    * Scale shape: ONE user-keyed map-side-combinable aggregate; no
+    * window, no second pass. */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id").as("u"),
+      unix_millis(col("ts")).as("ms"),
+      col("event_type").as("et"), hour(col("ts")).as("hh"))
+    e.groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"),
+        sum(when(col("et") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("hh") < 6, 1L).otherwise(0L)).as("n_night"))
+      .withColumn("rate_milli_per_hour",
+        when(col("span_ms") > 0,
+          expr("n_events * 3600000 * 1000 div span_ms")))
+      .withColumn("err_ppm", expr("n_error * 1000000 div n_events"))
+      .withColumn("night_ppm", expr("n_night * 1000000 div n_events"))
+      .withColumn("is_bot",
+        coalesce(col("rate_milli_per_hour") > 60000L, lit(false)) ||
+          col("err_ppm") > 300000L ||
+          (col("night_ppm") > 800000L && col("n_events") >= 50L))
+      .select("user_id", "n_events", "span_ms", "rate_milli_per_hour",
+        "err_ppm", "night_ppm", "is_bot")
+      .sortedOut("user_id")
+  }
+
+  private val q243Sql =
+    """WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS span_ms,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |    CAST(sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_night
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT user_id, n_events, span_ms,
+      |    CASE WHEN span_ms > 0
+      |      THEN CAST(n_events * 3600000 * 1000 // span_ms AS BIGINT) END AS rate_milli_per_hour,
+      |    CAST(n_error * 1000000 // n_events AS BIGINT) AS err_ppm,
+      |    CAST(n_night * 1000000 // n_events AS BIGINT) AS night_ppm
+      |  FROM g)
+      |SELECT user_id, n_events, span_ms, rate_milli_per_hour, err_ppm, night_ppm,
+      |  coalesce(rate_milli_per_hour > 60000, false) OR err_ppm > 300000
+      |    OR (night_ppm > 800000 AND n_events >= 50) AS is_bot
+      |FROM m ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -4439,5 +4640,9 @@ object ExtendedQueries {
     ("q234_proportion_ab",   q234 _, Some(q234Sql)),
     ("q235_concentration",   q235 _, Some(q235Sql)),
     ("q236_head_coverage",   q236 _, Some(q236Sql)),
-    ("q237_gap_census",      q237 _, Some(q237Sql)))
+    ("q237_gap_census",      q237 _, Some(q237Sql)),
+    ("q238_gini_spend",      q238 _, Some(q238Sql)),
+    ("q239_time_weighted_value", q239 _, Some(q239Sql)),
+    ("q240_dau_wau_mau",     q240 _, Some(q240Sql)),
+    ("q243_bot_screen",      q243 _, Some(q243Sql)))
 }

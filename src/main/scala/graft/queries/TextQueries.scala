@@ -4420,5 +4420,62 @@ object TextQueries {
     ("q191_robots_census", q191 _, Some(q191Sql)),
     ("q192_script_census", q192 _, Some(q192Sql)),
     ("q196_ppjoin_exact", q196 _, Some(q196Sql)),
-    ("q201_typo_join", q201 _, Some(q201Sql)))
+    ("q201_typo_join", q201 _, Some(q201Sql)),
+    ("q242_dedup_savings", q242 _, Some(q242Sql)))
+
+  // ------- dedup-threshold savings curve (q242)
+  /** The POLICY-TUNING view of the near-dup family: for candidate
+    * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
+    * survive, how many docs a keep-lowest-id pass would drop (distinct
+    * doc_b over surviving pairs — the upper bound the cluster pass
+    * q48 then tightens), and the token mass those docs carry. This is
+    * the table that prices a threshold choice in training tokens
+    * BEFORE committing the full dedup run — the knob q154's
+    * calibration curve sets from the other side (recall).
+    *
+    * One candidate generation (banded, skew-capped, q29's machinery)
+    * feeds all three thresholds; each arm is a filter + two
+    * map-side-combinable folds on the pair/doc grain. est = m/32 and
+    * pct/100 are the same IEEE doubles in both engines, so the ≥ cut
+    * is bit-portable. */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs, k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.5)
+      .persistT
+    val nTok = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    Seq(50, 70, 90).map { pct =>
+      val p = pairs.where(col("est_jaccard") >= lit(pct / 100.0))
+      val removedStats = p.select(col("doc_b").as("doc_id")).distinct()
+        .join(nTok, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs_removed"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("tokens_removed"))
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(removedStats)
+        .select(lit(pct.toLong).as("threshold_pct"), col("n_pairs"),
+          col("n_docs_removed"), col("tokens_removed"))
+    }.reduce(_ unionByName _).sortedOut("threshold_pct")
+  }
+
+  private lazy val q242Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |nt AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |th(threshold_pct) AS (VALUES (CAST(50 AS BIGINT)), (CAST(70 AS BIGINT)), (CAST(90 AS BIGINT))),
+       |sel AS (SELECT th.threshold_pct, est.doc_a, est.doc_b FROM est CROSS JOIN th
+       |        WHERE est_jaccard >= CAST(threshold_pct AS DOUBLE) / 100),
+       |p AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM sel GROUP BY 1),
+       |rem AS (SELECT DISTINCT threshold_pct, doc_b FROM sel),
+       |r AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_docs_removed,
+       |        CAST(sum(n_tok) AS BIGINT) AS tokens_removed
+       |      FROM rem JOIN nt ON nt.doc_id = rem.doc_b GROUP BY 1)
+       |SELECT th.threshold_pct,
+       |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(r.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+       |  CAST(coalesce(r.tokens_removed, 0) AS BIGINT) AS tokens_removed
+       |FROM th LEFT JOIN p USING (threshold_pct) LEFT JOIN r USING (threshold_pct)
+       |ORDER BY threshold_pct""".stripMargin
 }

@@ -1742,5 +1742,51 @@ object VectorQueries {
     ("q172_mmr_rerank",        q172 _, Some(q172Sql)),
     ("q176_ivf_probe_curve",   q176 _, Some(q176Sql)),
     ("q193_matryoshka_eval",   q193 _, Some(q193Sql)),
-    ("q195_binary_quant_eval", q195 _, Some(q195Sql)))
+    ("q195_binary_quant_eval", q195 _, Some(q195Sql)),
+    ("q241_knn_label_noise",   q241 _, Some(q241Sql)))
+
+  // ------- kNN label-noise screen (q241)
+  /** The label-QUALITY member of the eval tripod (recall q94 / MRR
+    * q155 / hubness q156): for a 100-query cohort, each vector's 5
+    * nearest neighbors vote on its label — a point whose neighborhood
+    * disagrees (minority agreement, n_same·2 < k) is a mislabeled-
+    * or boundary-sample candidate, the standard confident-learning
+    * screen a labeled corpus runs before training. Brute cosine
+    * ([[VectorFunctions.bruteForceTopK]] — statically bounded cohort,
+    * loud overflow) keeps it exactly oracle-able; the indexed paths
+    * (q85/q87) scale the same vote to full-corpus sweeps.
+    *
+    * Scale shape: the corpus streams once against the broadcast
+    * cohort; label attachment is one equi-join per side; the vote is
+    * a per-query fold over k rows. */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val nn = VectorFunctions.bruteForceTopK(e, e.where(col("vec_id") < 100), k = 5)
+    nn.join(e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        Seq("neighbor_id"))
+      .join(broadcast(e.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"))),
+        Seq("query_id"))
+      .groupBy(col("query_id"), col("q_label").as("label"))
+      .agg(count(lit(1)).as("k_found"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("is_suspect", col("n_same") * 2 < col("k_found"))
+      .sortedOut("query_id")
+  }
+
+  private lazy val q241Sql = {
+    val cos = duckCos.format("q.embedding", "c.embedding", "q.embedding", "c.embedding")
+    s"""WITH nn AS (
+       |  SELECT query_id, q_label, n_label FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS n_label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 100 AND NOT isnan($cos))
+       |  WHERE rank <= 5)
+       |SELECT query_id, q_label AS label,
+       |  CAST(count(*) AS BIGINT) AS k_found,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 2 < count(*) AS BOOLEAN) AS is_suspect
+       |FROM nn GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+  }
 }

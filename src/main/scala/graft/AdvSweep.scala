@@ -1884,6 +1884,161 @@ object AdvSweep {
         (drift(mid) == ((1L, 1L, 0L, 77L, 0L))).toString
     }
 
+    // ==== wave 12 (round-10: prefix-scan family + drift-family skew) ===
+
+    // ---- distributed prefix scans vs the window ground truth ----------
+    // The six rewritten queries (q204/q211/q213/q214/q226/q236) now ride
+    // globalRunningSum/Max/Lead1; cross-validate every mode against the
+    // single-partition window formulation on a frame FORCED across 7
+    // range partitions (so carry-ins cross partition boundaries), with
+    // duplicate order-key ties present.
+    step("prefix_scan_equals_window") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rows = (1L to 500L).map(i => (i, (i * 37) % 101, (i * 13) % 50))
+      val df = rows.toDF("id", "k", "v")
+      val wAsc = Window.orderBy(col("k").asc, col("id").asc)
+      val truth = df
+        .withColumn("cs", sum(col("v")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("csx", sum(col("v")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("mx", max(col("v")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ld", lead(col("v"), 1).over(wAsc))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+      val order = Seq(col("k").asc, col("id").asc)
+      val got = RelationalOps.globalLead1(
+          RelationalOps.globalRunningMax(
+            RelationalOps.globalRunningSum(
+              RelationalOps.globalRunningSum(df, order, "v", "cs", partitions = 7),
+              order, "v", "csx", inclusive = false, partitions = 7),
+            order, "v", "mx", inclusive = false, partitions = 7),
+          order, "v", "ld", partitions = 7)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+      stats("prefix_scan_all_rows_match") = (got == truth).toString
+      // desc-order inclusive sum (the q211/q236 shape)
+      val wDesc = Window.orderBy(col("k").desc, col("id").desc)
+      val truthD = df.withColumn("cs", sum(col("v")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val gotD = RelationalOps.globalRunningSum(df,
+          Seq(col("k").desc, col("id").desc), "v", "cs", partitions = 7)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      stats("prefix_scan_desc_match") = (gotD == truthD).toString
+    }
+
+    // ---- bounded-registry overflow fails LOUDLY -----------------------
+    // ADVICE/VERDICT r9: q226's old limit(4096) silently truncated a
+    // >4096-source registry to an arbitrary subset. The boundedRegistry
+    // guard must pass a 4096-row axis untouched and THROW at 4097 —
+    // and waterFillAllocation must inherit the same contract.
+    step("registry_overflow_fails_loudly") {
+      import spark.implicits._
+      val ok = (1 to 4096).map(i => (s"s$i", i.toLong)).toDF("source", "n")
+      stats("registry_at_cap_passes") =
+        (RelationalOps.boundedRegistry(ok, 4096, "test").count() == 4096L).toString
+      val over = (1 to 4097).map(i => (s"s$i", i.toLong)).toDF("source", "n")
+      val threw = try {
+        RelationalOps.boundedRegistry(over, 4096, "test").count(); false
+      } catch { case _: IllegalArgumentException => true }
+      stats("registry_over_cap_throws") = threw.toString
+      val wfThrew = try {
+        graft.ops.Sampling.waterFillAllocation(over, "source", "n",
+          budget = lit(100L), maxEpochs = 1).count(); false
+      } catch { case _: IllegalArgumentException => true }
+      stats("waterfill_over_cap_throws") = wfThrew.toString
+    }
+
+    // ---- drift family under 99%-single-source skew --------------------
+    // q213's KS kernel: per-source state is (source, distinct value)
+    // cells, NOT docs — a 99%-one-source corpus with a narrow value
+    // domain must produce a value-grain frame (cells ≈ |V|, not |docs|)
+    // and an exactly brute-verifiable KS for the minority source.
+    step("ks_under_monster_skew") {
+      import spark.implicits._
+      val big = (1L to 99000L).map(i => (i, "big", (i % 7) * 10 + 10))
+      val tiny = (1L to 1000L).map(i => (i + 990000L, "tiny", 200L))
+      val cells = (big ++ tiny).toDF("doc_id", "source", "v")
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      stats("ks_cells_value_grain") = (cells.count() == 8L).toString
+      // brute KS for "tiny": all mass at v=200 (the global max) →
+      // sup |F_tiny·N − F_all·n_tiny| occurs just below 200 where
+      // F_tiny = 0 and F_all = 99000/100000: D_num = 99000·1000.
+      val byV = cells.groupBy("v").agg(sum(col("c")).as("cnt_all"))
+      val cumAll = RelationalOps.globalRunningSum(
+        byV, Seq(col("v").asc), "cnt_all", "cum_all")
+      val j = cells.join(cumAll, Seq("v"))
+        .withColumn("cum_src", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy("v").rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val nAll = 100000L
+      val tinyD = j.where(col("source") === "tiny")
+        .select(greatest(
+          abs(col("cum_src") * nAll - col("cum_all") * 1000L),
+          abs((col("cum_src") - col("c")) * nAll -
+            (col("cum_all") - col("cnt_all")) * 1000L)).as("d"))
+        .agg(max(col("d"))).collect()(0).getLong(0)
+      stats("ks_tiny_source_exact") = (tinyD == 99000L * 1000L).toString
+    }
+
+    // ---- q226 EMD: partition-boundary gaps + brute equality -----------
+    // Values 1..200 forced across 7 scan partitions: every lead-gap that
+    // crosses a partition boundary must still be 1, and the EMD numerator
+    // for a crafted two-source split must equal a BigInt brute loop.
+    step("emd_boundary_brute") {
+      import spark.implicits._
+      val rows = (1L to 200L).flatMap { v =>
+        Seq.fill(if (v <= 100) 3 else 1)(("lo", v)) ++
+          Seq.fill(if (v > 100) 3 else 1)(("hi", v))
+      }
+      val cells = rows.toDF("source", "v").groupBy("source", "v")
+        .agg(count(lit(1)).as("c"))
+      val byV = RelationalOps.globalLead1(
+          RelationalOps.globalRunningSum(
+            cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+            Seq(col("v").asc), "cnt_all", "cum_all", partitions = 7),
+          Seq(col("v").asc), "v", "v_next", partitions = 7)
+        .withColumn("gap", coalesce(col("v_next") - col("v"), lit(0L)))
+      stats("emd_gaps_all_one") =
+        (byV.where(col("v") < 200 && col("gap") =!= 1L).count() == 0L).toString
+      // engine EMD numerator for "lo"
+      val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
+      val tot = cells.agg(sum(col("c")).as("n_all"))
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val loNum = byV.crossJoin(broadcast(bySrc.where(col("source") === "lo")))
+        .join(cells, Seq("source", "v"), "left_outer").na.fill(0L, Seq("c"))
+        .withColumn("cum_src", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy("v").rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(sum(abs(dec(col("cum_src")) * dec(col("n_all")) -
+          dec(col("cum_all")) * dec(col("n_src"))) * dec(col("gap")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("num"))
+        .collect()(0).getDecimal(0)
+      // BigInt brute loop over the same cells
+      val cellMap: Map[(String, Long), Long] =
+        rows.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val nAll = BigInt(rows.size)
+      val nLo = BigInt(rows.count(_._1 == "lo"))
+      var cumA = BigInt(0); var cumL = BigInt(0); var brute = BigInt(0)
+      def cellOf(s: String, vv: Long): Long = cellMap.getOrElse((s, vv), 0L)
+      (1L to 200L).foreach { v =>
+        cumA = cumA + BigInt(cellOf("lo", v) + cellOf("hi", v))
+        cumL = cumL + BigInt(cellOf("lo", v))
+        if (v < 200) brute = brute + (cumL * nAll - cumA * nLo).abs // gap = 1
+      }
+      stats("emd_engine_equals_brute") =
+        (BigInt(loNum.toBigInteger) == brute).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -50,7 +50,11 @@ object LintNew {
       "q236_head_coverage", "q237_gap_census",
       // round 10 wave
       "q238_gini_spend", "q239_time_weighted_value", "q240_dau_wau_mau",
-      "q241_knn_label_noise", "q242_dedup_savings", "q243_bot_screen")
+      "q241_knn_label_noise", "q242_dedup_savings", "q243_bot_screen",
+      // round 10 second wave
+      "q244_sign_test", "q245_split_leakage", "q246_freq_spectrum",
+      "q247_fd_discovery", "q248_dup_affinity", "q249_order_violations",
+      "q250_kcore_backbone", "q251_attribution_panel")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

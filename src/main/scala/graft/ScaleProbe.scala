@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale probe (VERDICT r9 #5): one empirical data point behind the
+  * 100× design claims. Derives an sf1 fixture set from the driver's
+  * sf0.1 tables (10× replication, see below), runs the ten heaviest
+  * battery queries at both scales, and records the per-query scaling
+  * exponent log10(t_sf1 / t_sf0.1) — 1.0 is perfectly linear in data
+  * volume; anything clearly above ~1.2 is a superlinear operator that
+  * needs a fix or a documented reason.
+  *
+  * Derivation methodology (documented for the README table):
+  *   - FACT/corpus tables scale 10× (lineitem, orders, events,
+  *     documents, embeddings); DIMENSION tables stay fixed (customer,
+  *     supplier, part, nation, region) — they are the broadcast side
+  *     at any scale, so holding them fixed matches the cluster posture
+  *     and keeps every FK in range.
+  *   - Keys remap per replica r as `key + r * (max+1)`, preserving the
+  *     per-replica id structure exactly (doc_id % 20 batch splits etc.
+  *     keep their selectivity).
+  *   - documents.text gets a replica-disjoint vocabulary (every token
+  *     suffixed with the replica tag for r > 0): minhash/PPJoin token
+  *     sets are DISJOINT across replicas, so sf1 behaves as 10
+  *     independent sf0.1 corpora — duplicate-FAMILY COUNT scales 10×
+  *     while family SIZE stays constant. That is the scaling shape of
+  *     a real growing corpus; naive replication (unperturbed text)
+  *     would instead fuse replicas into 10×-sized families and blow
+  *     candidate-pair counts up ~100×, probing a different problem.
+  *   - embeddings rotate dimensions per replica (a cyclic permutation
+  *     of the vector): norms and within-replica geometry are
+  *     preserved, cross-replica cosine decorrelates.
+  *   - events remap event_id/user_id, keep ts: per-user event volume
+  *     and window density stay constant, user count scales 10×.
+  *
+  * Timing methodology matches Bench (compiled plan via toRdd.count,
+  * caches cleared between runs): min of 2 at sf0.1; single timed run
+  * at sf1 after an untimed global session warmup — the sf1 corpus is
+  * 10× the work, a second iteration would double a ~10 min probe for
+  * noise the exponent's 0.1-granularity read does not need.
+  *
+  * Builder tool — the driver never runs this. Output: one JSON line +
+  * SCALE_PROBE.json in the repo root.
+  */
+object ScaleProbe {
+
+  private val heavy = Seq(
+    "q196_ppjoin_exact", "q95_dup_graph_degrees", "q60_curation_pipeline",
+    "q48_neardup_dedup", "q57_incremental_dedup", "q86_sig_index_probe",
+    "q183_syndication_communities", "q164_dupgraph_transitivity",
+    "q136_trade_hits", "q154_minhash_calibration")
+
+  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  private val dimTables = Seq("customer", "supplier", "part", "nation", "region")
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String, replicas: Int = 10): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("_PROBE_READY"))) {
+      println(s"PROBE fixtures already at $outDir — skipping generation")
+      return
+    }
+    dimTables.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    def replicate(df: DataFrame, perReplica: (DataFrame, Int, Long) => DataFrame,
+                  keyCol: String): DataFrame = {
+      val span = df.agg(max(col(keyCol))).collect()(0).getLong(0) + 1L
+      (0 until replicas).map(r => perReplica(df, r, span)).reduce(_ unionAll _)
+    }
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    replicate(docs, (d, r, span) =>
+      d.select(
+        (col("doc_id") + lit(r.toLong * span)).as("doc_id"),
+        (if (r == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$r")).as("text"),
+        col("lang"), col("source"),
+        length(if (r == 0) col("text")
+               else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$r"))
+          .cast("long").as("n_chars")),
+      "doc_id")
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    replicate(embs, (d, r, span) =>
+      d.select(
+        (col("vec_id") + lit(r.toLong * span)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else expr(s"transform(embedding, (x, i) -> element_at(embedding, (CAST((i + $r) AS INT) % size(embedding)) + 1))"))
+          .as("embedding"),
+        col("label")),
+      "vec_id")
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val ev = Tables.events(spark, srcDir)
+    val userSpan = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1L
+    replicate(ev, (d, r, span) =>
+      d.select(
+        (col("event_id") + lit(r.toLong * span)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r.toLong * userSpan)).as("user_id"),
+        col("event_type"), col("value"), col("props")),
+      "event_id")
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val okSpan = ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
+    (0 until replicas).map(r =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * okSpan)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until replicas).map(r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * okSpan)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    java.nio.file.Files.writeString(fs.resolve("_PROBE_READY"), s"replicas=$replicas\n")
+    println(s"PROBE fixtures written to $outDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate() // heap comes from SPARK_DRIVER_MEM (build.sbt -Xmx)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, srcDir, outDir)
+
+    def clearCaches(): Unit = {
+      graft.ops.TrackedCache.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      clearCaches(); System.gc()
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // untimed session warmup: footers + codegen on a light query
+    val qmap = SparkEntry.queries
+    once(qmap("q01_agg_sum"), srcDir); once(qmap("q01_agg_sum"), outDir)
+
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val rows = heavy.map { name =>
+      val fn = qmap(name)
+      val t01 = math.min(once(fn, srcDir), once(fn, srcDir))
+      val t1 = once(fn, outDir)
+      val expn = math.log10(t1 / t01)
+      println(f"PROBE $name%-30s sf0.1 ${t01}%8.3f s   sf1 ${t1}%8.3f s   exponent ${expn}%5.2f")
+      s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"exponent":${r3(expn)}}"""
+    }
+    val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":10,\"src\":\"" + srcDir + "\"}")
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

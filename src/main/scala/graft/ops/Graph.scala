@@ -376,5 +376,59 @@ object Graph {
       java.util.Arrays.asList(row: _*), lazyOut.schema)
   }
 
+  /** k-core of an undirected graph by iterative peeling: repeatedly
+    * drop every node with degree < k (degree = number of DISTINCT
+    * neighbors) until no node changes — the classic cohesive-subgraph
+    * extraction (Seidman 1983) that sits beside the union-find
+    * components and LPA communities: components say "connected", the
+    * k-core says "densely mutually connected", the filter a link-graph
+    * curation pass uses to find the spam clique / the load-bearing
+    * trade backbone.
+    *
+    * Scale shape per round: ONE |E|-bounded degree aggregate (map-side
+    * combinable) plus two hash joins of the edge list against the
+    * surviving-node set — no windows, no driver data. The edge frame
+    * only ever SHRINKS, and each round re-plans against a
+    * [[Lineage.cut]] leaf so R rounds cost R bounded shuffles, not an
+    * R-deep plan. Convergence is detected from the cut frame's edge
+    * count (already materialized by the cut — the count is free).
+    * Deterministic: a fixpoint of monotone set shrinkage — execution
+    * order cannot change the result.
+    *
+    * @param edges undirected edge list (a, b), each edge stored once,
+    *              a != b, no parallel edges (pre-`distinct` them)
+    * @param k     minimum degree to survive
+    * @param maxRounds safety bound; the fixpoint is normally reached in
+    *              O(peeling depth) rounds (require-failure past it —
+    *              a graph needing more rounds than this is a signal,
+    *              not a silent truncation)
+    * @return the surviving edge list (a, b)
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var e = Lineage.cut(edges.select(col("a"), col("b")))
+    var prev = e.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"kCore did not converge within $maxRounds rounds (edges=$prev)")
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      val next = Lineage.cut(
+        e.join(keep.select(col("node").as("a")), Seq("a"))
+          .join(keep.select(col("node").as("b")), Seq("b"))
+          .select(col("a"), col("b")))
+      val cnt = next.count()
+      converged = cnt == prev
+      prev = cnt
+      e = next
+      rounds += 1
+    }
+    e
+  }
+
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 }

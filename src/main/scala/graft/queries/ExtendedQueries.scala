@@ -4552,6 +4552,370 @@ object ExtendedQueries {
       |    OR (night_ppm > 800000 AND n_events >= 50) AS is_bot
       |FROM m ORDER BY user_id""".stripMargin
 
+  // ------- exact paired sign test on daily volumes (q244)
+  /** The DISTRIBUTION-FREE drift test next to CUSUM (q218) and KS
+    * (q213): per event type, pair day i of the first half of the
+    * calendar with day i+h of the second half and ask whether volumes
+    * systematically rose — S⁺ out of m non-tied pairs, with the EXACT
+    * two-sided binomial tail 2·Σ_{k≥max(S⁺,m−S⁺)} C(m,k) / 2^m in ppm.
+    * No normal approximation: m ≤ 45 here, where the z-approx a
+    * textbook reaches for is visibly wrong. The binomial coefficients
+    * come from the integral recurrence C(m,k) = C(m,k−1)(m−k+1)/k
+    * folded inside ONE row-level `aggregate` HOF (m ≤ 45 ⇒ C < 2^43,
+    * BIGINT-exact; the division is exact at every step by construction)
+    * — the oracle replays the identical recurrence as a recursive CTE.
+    *
+    * Scale shape: one (type, day) count aggregate, a |T|·n_days
+    * calendar spine (tiny, q237's pattern), one broadcast self-pair
+    * join on the spine, one final per-type fold. No windows. */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type").as("et"),
+      to_date(col("ts")).as("day"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"),
+        (datediff(col("d1"), col("d0")) + 1).cast(LongType).as("n_days"))
+      .withColumn("h", expr("n_days div 2"))
+    val spine = e.select(col("et")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("et"), col("n_days"), col("h"),
+        explode(sequence(lit(0L), col("n_days") - 1)).as("i"))
+    val daily = e.crossJoin(broadcast(span.select(col("d0"))))
+      .groupBy(col("et"), datediff(col("day"), col("d0")).cast(LongType).as("i"))
+      .agg(count(lit(1)).as("c"))
+    val idx = spine.join(daily, Seq("et", "i"), "left_outer")
+      .select(col("et"), col("i"), col("n_days"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val paired = idx.where(col("i") < col("h")).as("a")
+      .join(idx.select(col("et"), col("i"), col("c").as("c2")).as("b"),
+        col("a.et") === col("b.et") && col("b.i") === col("a.i") + col("a.h"))
+      .select(col("a.et").as("et"), col("a.n_days").as("n_days"),
+        col("a.c").as("c1"), col("c2"))
+    paired.groupBy(col("et").as("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(when(col("c2") =!= col("c1"), 1L).otherwise(0L)).as("m_pairs"),
+        sum(when(col("c2") > col("c1"), 1L).otherwise(0L)).as("s_plus"))
+      .withColumn("k_big", greatest(col("s_plus"), col("m_pairs") - col("s_plus")))
+      .withColumn("tail_num", expr(
+        """CASE WHEN m_pairs = 0 THEN CAST(NULL AS BIGINT) ELSE
+          |aggregate(sequence(CAST(1 AS BIGINT), m_pairs),
+          |  named_struct('c', CAST(1 AS BIGINT), 's', CAST(0 AS BIGINT)),
+          |  (acc, k) -> named_struct(
+          |    'c', acc.c * (m_pairs - k + 1) div k,
+          |    's', acc.s + CASE WHEN k >= k_big
+          |           THEN acc.c * (m_pairs - k + 1) div k ELSE CAST(0 AS BIGINT) END),
+          |  acc -> acc.s) END""".stripMargin))
+      .withColumn("p2_ppm", expr(
+        """CASE WHEN m_pairs > 0 THEN least(CAST(1000000 AS BIGINT),
+          |  2 * tail_num * 1000000 div shiftleft(CAST(1 AS BIGINT), CAST(m_pairs AS INT)))
+          |END""".stripMargin))
+      .select("event_type", "n_days", "m_pairs", "s_plus", "tail_num", "p2_ppm")
+      .sortedOut("event_type")
+  }
+
+  private val q244Sql =
+    """WITH RECURSIVE e AS (SELECT event_type AS et, CAST(ts AS DATE) AS day FROM events),
+      |sp AS (SELECT min(day) AS d0,
+      |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS n_days,
+      |    CAST((date_diff('day', min(day), max(day)) + 1) // 2 AS BIGINT) AS h
+      |  FROM e),
+      |cal AS (SELECT et, CAST(x.i AS BIGINT) AS i FROM (SELECT DISTINCT et FROM e), sp,
+      |        (SELECT unnest(range(0, (SELECT n_days FROM sp))) AS i) x),
+      |dc AS (SELECT et, CAST(date_diff('day', (SELECT d0 FROM sp), day) AS BIGINT) AS i,
+      |    CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |idx AS (SELECT cal.et, cal.i, coalesce(dc.c, 0) AS c
+      |  FROM cal LEFT JOIN dc USING (et, i)),
+      |p AS (SELECT a.et, a.c AS c1, b.c AS c2 FROM idx a JOIN idx b
+      |  ON a.et = b.et AND b.i = a.i + (SELECT h FROM sp)
+      |  WHERE a.i < (SELECT h FROM sp)),
+      |st AS (SELECT et, (SELECT n_days FROM sp) AS n_days,
+      |    CAST(sum(CASE WHEN c2 <> c1 THEN 1 ELSE 0 END) AS BIGINT) AS m_pairs,
+      |    CAST(sum(CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus
+      |  FROM p GROUP BY 1),
+      |par AS (SELECT et, n_days, m_pairs, s_plus,
+      |    greatest(s_plus, m_pairs - s_plus) AS kb FROM st),
+      |b AS (SELECT et, m_pairs AS m, kb, CAST(0 AS BIGINT) AS kk,
+      |    CAST(1 AS BIGINT) AS c, CAST(0 AS BIGINT) AS ssum
+      |  FROM par WHERE m_pairs > 0
+      |  UNION ALL SELECT et, m, kb, kk + 1, c * (m - kk) // (kk + 1),
+      |    ssum + CASE WHEN kk + 1 >= kb THEN c * (m - kk) // (kk + 1) ELSE 0 END
+      |  FROM b WHERE kk < m),
+      |tl AS (SELECT et, ssum AS tail_num FROM b WHERE kk = m)
+      |SELECT par.et AS event_type, n_days, m_pairs, s_plus, tl.tail_num,
+      |  CASE WHEN m_pairs > 0 THEN least(1000000,
+      |    2 * tl.tail_num * 1000000 // (CAST(1 AS BIGINT) << m_pairs)) END AS p2_ppm
+      |FROM par LEFT JOIN tl USING (et) ORDER BY event_type""".stripMargin
+
+  // ------- functional-dependency audit (q247)
+  /** Schema-profiling beyond per-column stats (q198) and row-level
+    * expectations (q108): does column A DETERMINE column B? For each
+    * declared candidate (the Metanome-style check a warehouse runs on
+    * arrival), count determinant keys and keys carrying >1 distinct
+    * dependent value — zero violating keys ⇔ the FD holds. The
+    * candidate list deliberately mixes true keys (o_orderkey→o_custkey),
+    * plausible-but-false FDs (l_partkey→l_suppkey), and the fixture's
+    * known many-to-many (source→lang), so both verdicts are exercised.
+    *
+    * Scale shape: per candidate ONE two-phase aggregate (map-side
+    * partial count-distinct per determinant, then a tiny rollup) —
+    * no joins, no windows; candidates run independently and union. */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    def fd(df: DataFrame, table: String, det: String, dep: String): DataFrame =
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("ndep"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        .select(lit(table).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_keys"), col("n_violating_keys"),
+          (col("n_violating_keys") === 0L).as("fd_holds"))
+    val cands = Seq(
+      fd(t(s, d, "orders"), "orders", "o_orderkey", "o_custkey"),
+      fd(t(s, d, "lineitem"), "lineitem", "l_orderkey", "l_suppkey"),
+      fd(t(s, d, "lineitem"), "lineitem", "l_partkey", "l_suppkey"),
+      fd(t(s, d, "customer"), "customer", "c_custkey", "c_nationkey"),
+      fd(Tables.documents(s, d), "documents", "source", "lang"),
+      fd(Tables.documents(s, d), "documents", "doc_id", "lang"))
+    cands.reduce(_ unionByName _).sortedOut("table_name", "determinant", "dependent")
+  }
+
+  private val q247Sql = {
+    def one(table: String, det: String, dep: String) =
+      s"""SELECT '$table' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         |  sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS ndep FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      one("orders", "o_orderkey", "o_custkey"),
+      one("lineitem", "l_orderkey", "l_suppkey"),
+      one("lineitem", "l_partkey", "l_suppkey"),
+      one("customer", "c_custkey", "c_nationkey"),
+      one("documents", "source", "lang"),
+      one("documents", "doc_id", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant, dependent")
+  }
+
+  // ------- event-order violation audit (q249)
+  /** The CAUSAL-SCHEMA gate on behavioral data: the product's declared
+    * partial order (signup precedes everything; view → click →
+    * purchase) checked against each user's FIRST occurrence of each
+    * type. A violating user (first purchase before first view) is
+    * evidence of clock skew, backfill, or bot traffic — counted per
+    * declared edge in exact ppm. Strict inequality: equal first
+    * timestamps are NOT violations (same-batch ingestion is legal).
+    *
+    * Scale shape: one (user, type) min-aggregate, then a broadcast of
+    * the 5-row edge list against a self-join keyed on user_id — the
+    * self-join co-partitions on the aggregate's own keying, no extra
+    * shuffle of the big side. */
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"))
+    val edges = Seq(
+      ("signup", "view"), ("signup", "click"), ("signup", "purchase"),
+      ("view", "click"), ("click", "purchase"))
+    val edgeDf = {
+      import s.implicits._
+      edges.toDF("ante", "post")
+    }
+    firsts.as("a")
+      .join(firsts.as("b"), col("a.user_id") === col("b.user_id"))
+      .join(broadcast(edgeDf),
+        col("a.event_type") === col("ante") && col("b.event_type") === col("post"))
+      .groupBy("ante", "post")
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when(col("b.first_ms") < col("a.first_ms"), 1L).otherwise(0L))
+          .as("n_violations"))
+      .withColumn("viol_ppm", expr("n_violations * 1000000 div n_users_both"))
+      .sortedOut("ante", "post")
+  }
+
+  private val q249Sql =
+    """WITH f AS (SELECT user_id, event_type,
+      |    CAST(epoch_ms(min(ts)) AS BIGINT) AS first_ms
+      |  FROM events GROUP BY 1, 2),
+      |e(ante, post) AS (VALUES ('signup', 'view'), ('signup', 'click'),
+      |  ('signup', 'purchase'), ('view', 'click'), ('click', 'purchase'))
+      |SELECT e.ante, e.post,
+      |  CAST(count(*) AS BIGINT) AS n_users_both,
+      |  CAST(sum(CASE WHEN b.first_ms < a.first_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  CAST(sum(CASE WHEN b.first_ms < a.first_ms THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS viol_ppm
+      |FROM f a JOIN f b ON a.user_id = b.user_id
+      |JOIN e ON a.event_type = e.ante AND b.event_type = e.post
+      |GROUP BY 1, 2 ORDER BY ante, post""".stripMargin
+
+  // ------- k-core backbone of the trade graph (q250)
+  /** [[graft.ops.Graph.kCore]] on the customer–supplier REPEAT-trade
+    * graph (an edge only where the pair traded ≥ 2 lineitems — the
+    * one-off purchases that would make every node trivially deep are
+    * noise, not structure): for k ∈ {2, 4}, the surviving cohesive
+    * backbone — nodes, split by side, and edges. Components (q48) say
+    * "connected", LPA (q183) says "same neighborhood"; the k-core says
+    * "mutually densely connected", the spam-clique / load-bearing-
+    * backbone filter of link-graph curation. k=4 peels this fixture to
+    * EMPTY at sf0.1 — the empty-core path is part of the contract.
+    *
+    * Scale shape: the fact table collapses to the ≤|C|·|S| repeat-edge
+    * list once (persisted, shared by both k); each peeling round is
+    * one map-side-combinable degree aggregate plus two hash joins of
+    * the shrinking edge list, re-planned against a lineage cut — R
+    * rounds cost R bounded shuffles, no windows, nothing on the
+    * driver. The oracle unrolls 8 peeling rounds per k (idempotent
+    * past the fixpoint; the engine iterates to convergence). */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(10000000L)).as("b"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= 2)
+      .select(col("a"), col("b"))
+      .persistT
+    val out = Seq(2, 4).map { k =>
+      val core = graft.ops.Graph.kCore(edges, k)
+      val nodes = core.select(col("a").as("node"))
+        .unionAll(core.select(col("b").as("node"))).distinct()
+      nodes.agg(
+          count(lit(1)).as("n_core_nodes"),
+          coalesce(sum(when(col("node") < 10000000L, 1L).otherwise(0L)),
+            lit(0L)).as("n_core_custs"),
+          coalesce(sum(when(col("node") >= 10000000L, 1L).otherwise(0L)),
+            lit(0L)).as("n_core_supps"))
+        .crossJoin(broadcast(core.agg(count(lit(1)).as("n_core_edges"))))
+        .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_custs"),
+          col("n_core_supps"), col("n_core_edges"))
+    }.reduce(_ unionByName _).sortedOut("k")
+    out
+  }
+
+  /** Every round CTE is MATERIALIZED: each round references its
+    * predecessor 3× (degree twice, filter once), so inlined CTEs would
+    * re-expand the chain 3^8-fold. */
+  private val q250Sql = {
+    val rounds = 8
+    def peel(k: Int, r: Int): String =
+      s"""d${k}_$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${k}_${r - 1}
+         |    UNION ALL SELECT b FROM e${k}_${r - 1}) u GROUP BY node),
+         |k${k}_$r AS (SELECT node FROM d${k}_$r WHERE deg >= $k),
+         |e${k}_$r AS MATERIALIZED (SELECT e.a, e.b FROM e${k}_${r - 1} e
+         |  JOIN k${k}_$r x ON e.a = x.node
+         |  JOIN k${k}_$r y ON e.b = y.node)""".stripMargin
+    val chains = Seq(2, 4).map { k =>
+      (s"e${k}_0 AS (SELECT a, b FROM e0)" +:
+        (1 to rounds).map(r => peel(k, r))).mkString(",\n")
+    }.mkString(",\n")
+    def sel(k: Int): String =
+      s"""SELECT CAST($k AS INTEGER) AS k, ns.n_core_nodes, ns.n_core_custs,
+         |  ns.n_core_supps, es.n_core_edges
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_core_nodes,
+         |        CAST(coalesce(sum(CASE WHEN node < 10000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_core_custs,
+         |        CAST(coalesce(sum(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_core_supps
+         |      FROM (SELECT DISTINCT node FROM (
+         |        SELECT a AS node FROM e${k}_$rounds UNION ALL SELECT b FROM e${k}_$rounds) u) v) ns
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_core_edges FROM e${k}_$rounds) es""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT o.o_custkey AS a, l.l_suppkey + 10000000 AS b,
+       |           count(*) AS m
+       |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    GROUP BY 1, 2) g WHERE m >= 2),
+       |$chains
+       |${sel(2)}
+       |UNION ALL
+       |${sel(4)}
+       |ORDER BY k""".stripMargin
+  }
+
+  // ------- multi-touch attribution model panel (q251)
+  /** CHANNEL-level attribution next to q42's row-level last-click
+    * as-of join: every purchase credits its 3-day-lookback touch set
+    * (signup/view/click strictly before the purchase) under THREE
+    * models at once — first-touch, last-touch, and linear — so the
+    * divergence between models is itself the output. Linear credit is
+    * exact integer ppm: each touch gets 1e6 div n, the remainder goes
+    * to the LAST touch (deterministic), so credit mass conserves to
+    * exactly n_purchases·1e6 across channels; purchases with an empty
+    * touch window credit '(direct)' in full.
+    *
+    * Scale shape: ONE user-keyed hash join (purchases × touches) with
+    * the range predicate applied in-join; per-user pair fan-out is
+    * bounded by activity rate within the 72 h lookback, not corpus
+    * size. Everything after is (purchase, channel)-grain aggregation:
+    * first/last via one min/max struct agg, no windows. */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val look = 259200000L // 3 days in ms
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("p_ms"), col("event_id").as("p_id"))
+      .persistT
+    val tch = ev.where(col("event_type").isin("signup", "view", "click"))
+      .select(col("user_id"), col("ms").as("t_ms"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val j = p.join(tch, Seq("user_id"))
+      .where(col("t_ms") < col("p_ms") && col("t_ms") >= col("p_ms") - look)
+      .select(col("p_id"), col("channel"), col("t_ms"), col("t_id"))
+    // (purchase, channel) counts; first/last via ordered struct min/max
+    // (t_ms, t_id) is unique, so the struct order is total
+    val pc = j.groupBy(col("p_id"), col("channel"))
+      .agg(count(lit(1)).as("cnt")).persistT
+    val tot = pc.groupBy(col("p_id")).agg(sum(col("cnt")).as("n"))
+    val fl = j.groupBy(col("p_id")).agg(
+      min(struct(col("t_ms"), col("t_id"), col("channel"))).as("f"),
+      max(struct(col("t_ms"), col("t_id"), col("channel"))).as("l"))
+    val contrib = pc.join(tot, "p_id").join(fl, "p_id")
+      .withColumn("lin_unit", expr("1000000 div n"))
+      .withColumn("lin_rem", expr("1000000 % n"))
+      .select(col("channel"),
+        when(col("channel") === col("f.channel"), 1L).otherwise(0L).as("ft"),
+        when(col("channel") === col("l.channel"), 1L).otherwise(0L).as("lt"),
+        (col("cnt") * col("lin_unit") +
+          when(col("channel") === col("l.channel"), col("lin_rem"))
+            .otherwise(0L)).as("lin"))
+    val direct = p.join(pc.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .select(lit("(direct)").as("channel"), lit(1L).as("ft"),
+        lit(1L).as("lt"), lit(1000000L).as("lin"))
+    contrib.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(sum(col("ft")).as("first_touch_convs"),
+        sum(col("lt")).as("last_touch_convs"),
+        sum(col("lin")).as("linear_credit_ppm"))
+      .sortedOut("channel")
+  }
+
+  private val q251Sql =
+    """WITH ev AS (SELECT event_type, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events),
+      |p AS (SELECT user_id, ms AS p_ms, event_id AS p_id FROM ev WHERE event_type='purchase'),
+      |t AS (SELECT user_id, ms AS t_ms, event_id AS t_id, event_type AS channel FROM ev
+      |      WHERE event_type IN ('signup','view','click')),
+      |j AS MATERIALIZED (SELECT p.p_id, t.channel, t.t_ms, t.t_id FROM p JOIN t
+      |  ON p.user_id = t.user_id AND t.t_ms < p.p_ms AND t.t_ms >= p.p_ms - 259200000),
+      |pc AS (SELECT p_id, channel, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1, 2),
+      |tot AS (SELECT p_id, CAST(sum(cnt) AS BIGINT) AS n FROM pc GROUP BY 1),
+      |r AS (SELECT p_id, channel,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY t_ms ASC, t_id ASC) AS rf,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY t_ms DESC, t_id DESC) AS rl
+      |  FROM j),
+      |f AS (SELECT p_id, channel AS fch FROM r WHERE rf = 1),
+      |l AS (SELECT p_id, channel AS lch FROM r WHERE rl = 1),
+      |per AS (SELECT pc.p_id, pc.channel, pc.cnt, tot.n, f.fch, l.lch
+      |  FROM pc JOIN tot USING (p_id) JOIN f USING (p_id) JOIN l USING (p_id)),
+      |contrib AS (
+      |  SELECT channel,
+      |    CAST(CASE WHEN channel = fch THEN 1 ELSE 0 END AS BIGINT) AS ft,
+      |    CAST(CASE WHEN channel = lch THEN 1 ELSE 0 END AS BIGINT) AS lt,
+      |    CAST(cnt * (1000000 // n) + CASE WHEN channel = lch THEN 1000000 % n ELSE 0 END AS BIGINT) AS lin
+      |  FROM per
+      |  UNION ALL
+      |  SELECT '(direct)', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+      |  FROM p WHERE p_id NOT IN (SELECT p_id FROM tot))
+      |SELECT channel, CAST(sum(ft) AS BIGINT) AS first_touch_convs,
+      |  CAST(sum(lt) AS BIGINT) AS last_touch_convs,
+      |  CAST(sum(lin) AS BIGINT) AS linear_credit_ppm
+      |FROM contrib GROUP BY 1 ORDER BY channel""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -4644,5 +5008,10 @@ object ExtendedQueries {
     ("q238_gini_spend",      q238 _, Some(q238Sql)),
     ("q239_time_weighted_value", q239 _, Some(q239Sql)),
     ("q240_dau_wau_mau",     q240 _, Some(q240Sql)),
-    ("q243_bot_screen",      q243 _, Some(q243Sql)))
+    ("q243_bot_screen",      q243 _, Some(q243Sql)),
+    ("q244_sign_test",       q244 _, Some(q244Sql)),
+    ("q247_fd_discovery",    q247 _, Some(q247Sql)),
+    ("q249_order_violations", q249 _, Some(q249Sql)),
+    ("q250_kcore_backbone",  q250 _, Some(q250Sql)),
+    ("q251_attribution_panel", q251 _, Some(q251Sql)))
 }

@@ -4330,6 +4330,204 @@ object TextQueries {
       |  CAST(sum(length(tok_a) + length(tok_b)) AS BIGINT) AS len_sum
       |FROM pairs""".stripMargin
 
+  // ------- naive-split near-dup leakage audit (q245)
+  /** The MONITORING twin of the leak-free splitters: q106/q133 build
+    * splits that cannot leak BY CONSTRUCTION; this query AUDITS the
+    * split everyone actually ships first — a per-document hash split
+    * (md5-60 of "split:"+doc_id, 80/10/10) — and prices its leakage:
+    * near-dup candidate pairs (est ≥ 0.7, q29's banded machinery)
+    * whose endpoints landed in different splits. The train/test and
+    * train/val rows are the headline: every such pair is an eval
+    * document whose near-duplicate the model trained on. Reported per
+    * unordered split pair: pairs, distinct docs involved, their token
+    * mass.
+    *
+    * Scale shape: one banded candidate generation + two shuffle joins
+    * to attach split labels (doc_id-keyed, co-partitioned with the
+    * pair frame), then doc-grain distinct + two tiny rollups. */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val split = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"),
+        pmod(Hashing.h60(concat(lit("split:"), col("doc_id").cast(StringType))),
+          lit(100L)).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .drop("b").persistT
+    val lab = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs, k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.7)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa"),
+        col("n_tok").as("ta")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb"),
+        col("n_tok").as("tb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+      .persistT
+    val involved = lab.select(col("split_a"), col("split_b"),
+        col("doc_a").as("doc_id"), col("ta").as("n_tok"))
+      .unionByName(lab.select(col("split_a"), col("split_b"),
+        col("doc_b").as("doc_id"), col("tb").as("n_tok")))
+      .distinct()
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    lab.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .join(involved, Seq("split_a", "split_b"))
+      .sortedOut("split_a", "split_b")
+  }
+
+  private lazy val q245Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |sl AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
+       |    CASE WHEN ${Hashing.duckH60("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+       |         WHEN ${Hashing.duckH60("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |lab AS (SELECT least(a.split, b.split) AS split_a,
+       |    greatest(a.split, b.split) AS split_b,
+       |    est.doc_a, est.doc_b, a.n_tok AS ta, b.n_tok AS tb
+       |  FROM est JOIN sl a ON a.doc_id = est.doc_a
+       |           JOIN sl b ON b.doc_id = est.doc_b
+       |  WHERE est_jaccard >= 0.7),
+       |inv AS (SELECT DISTINCT split_a, split_b, doc_id, n_tok FROM (
+       |    SELECT split_a, split_b, doc_a AS doc_id, ta AS n_tok FROM lab
+       |    UNION ALL SELECT split_a, split_b, doc_b, tb FROM lab)),
+       |ds AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM inv GROUP BY 1, 2),
+       |ps AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM lab GROUP BY 1, 2)
+       |SELECT split_a, split_b, n_pairs, n_docs, n_tokens
+       |FROM ps JOIN ds USING (split_a, split_b)
+       |ORDER BY split_a, split_b""".stripMargin
+
+  // ------- trigram frequency spectrum (q246)
+  /** The count-of-counts view of the n-gram vocabulary — the
+    * Zipf/Good-Turing spectrum: how many word-TRIGRAM types occur
+    * exactly k times (k = 1..10, 11 = "11+"), and the occurrence mass
+    * each bin carries. Trigrams, not unigrams, BY MEASUREMENT: the
+    * fixture's unigram vocabulary is 31 types all in the 11+ bin
+    * (degenerate one-row spectrum), while trigrams spread 9 k-bins
+    * with a 9.4 k-type hapax head — the shape Good-Turing smoothing
+    * and contamination screens actually consume. The k=1 row is the
+    * health headline: hapax-heavy = noise/IDs, hapax-starved =
+    * saturated templates. Complements q159's vocab GROWTH curve with
+    * the frequency AXIS at full corpus.
+    *
+    * Scale shape: per-doc trigram build inside the row (no
+    * explode-then-window), one (trigram) count aggregate (map-side
+    * combined), an ≤11-row rollup; the share join broadcasts a 1-row
+    * total. */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val tk = col("tk")
+    val tris = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs0(s, d)
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .select(explode(tris).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+    val spec = occ.groupBy(least(col("c"), lit(11L)).as("k_occurrences"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occurrences"))
+    spec.crossJoin(broadcast(spec.agg(sum(col("n_types")).as("total_types"))))
+      .withColumn("share_ppm", expr("n_types * 1000000 div total_types"))
+      .select("k_occurrences", "n_types", "n_occurrences", "share_ppm")
+      .sortedOut("k_occurrences")
+  }
+
+  private val q246Sql =
+    """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |occ AS (SELECT tri, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |      ELSE [] END) AS tri
+      |    FROM d) GROUP BY 1),
+      |spec AS (SELECT CAST(least(c, 11) AS BIGINT) AS k_occurrences,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c) AS BIGINT) AS n_occurrences
+      |  FROM occ GROUP BY 1)
+      |SELECT k_occurrences, n_types, n_occurrences,
+      |  CAST(n_types * 1000000 // (SELECT sum(n_types) FROM spec) AS BIGINT) AS share_ppm
+      |FROM spec ORDER BY k_occurrences""".stripMargin
+
+  // ------- source-pair duplication affinity (q248)
+  /** The STRENGTH matrix behind q183's syndication communities: for
+    * every unordered source pair, observed near-dup candidate pairs
+    * (est ≥ 0.7) against the pair universe size, as lift vs
+    * independence — lift_ppm = (o/P) / (u/U) in exact ppm, numerators
+    * cleared through DECIMAL(38,0). Lift ≫ 1e6 between two sources is
+    * a mirror/syndication relationship even when absolute counts are
+    * small; the diagonal is each source's internal duplication
+    * propensity. Where q183 asks "which sources CLUSTER", this asks
+    * "how HARD do these two copy each other", normalized for size.
+    *
+    * Scale shape: one banded candidate generation, two doc_id-keyed
+    * label joins, then ALL arithmetic on the |S|² source grid (tiny;
+    * counts frame broadcast both ways). boundedRegistry guards the
+    * source axis like q226. */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val docs = docs0(s, d)
+    val src = docs.select(col("doc_id"), col("source")).persistT
+    val obs = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs, k = 32),
+        bands = 4, rowsPerBand = 8, minEst = 0.7)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val counts = graft.ops.RelationalOps.boundedRegistry(
+      src.groupBy("source").agg(count(lit(1)).as("n")), 4096, "q248 source axis")
+    val uni = counts.select(col("source").as("source_a"), col("n").as("na"))
+      .crossJoin(counts.select(col("source").as("source_b"), col("n").as("nb")))
+      .where(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb"))
+          .as("universe_pairs"))
+    val grid = uni.join(obs, Seq("source_a", "source_b"), "left_outer")
+      .na.fill(0L, Seq("n_pairs"))
+    val tot = grid.agg(sum(col("n_pairs")).as("p_tot"),
+      sum(col("universe_pairs")).as("u_tot"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("universe_pairs"),
+        when(col("p_tot") > 0 && col("universe_pairs") > 0,
+          expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * u_tot * 1000000 div (CAST(p_tot AS DECIMAL(38,0)) * universe_pairs) AS BIGINT)"))
+          .as("lift_ppm"))
+      .sortedOut("source_a", "source_b")
+  }
+
+  private lazy val q248Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |src AS (SELECT doc_id, source FROM documents),
+       |obs AS (SELECT least(a.source, b.source) AS source_a,
+       |    greatest(a.source, b.source) AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM est JOIN src a ON a.doc_id = est.doc_a
+       |           JOIN src b ON b.doc_id = est.doc_b
+       |  WHERE est_jaccard >= 0.7 GROUP BY 1, 2),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+       |uni AS (SELECT x.source AS source_a, y.source AS source_b,
+       |    CAST(CASE WHEN x.source = y.source THEN x.n * (x.n - 1) // 2
+       |         ELSE x.n * y.n END AS BIGINT) AS universe_pairs
+       |  FROM cnt x CROSS JOIN cnt y WHERE x.source <= y.source),
+       |grid AS (SELECT uni.source_a, uni.source_b,
+       |    CAST(coalesce(obs.n_pairs, 0) AS BIGINT) AS n_pairs, uni.universe_pairs
+       |  FROM uni LEFT JOIN obs USING (source_a, source_b)),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS p_tot,
+       |    CAST(sum(universe_pairs) AS BIGINT) AS u_tot FROM grid)
+       |SELECT source_a, source_b, n_pairs, universe_pairs,
+       |  CASE WHEN p_tot > 0 AND universe_pairs > 0 THEN
+       |    CAST(CAST(n_pairs AS HUGEINT) * u_tot * 1000000
+       |      // (CAST(p_tot AS HUGEINT) * universe_pairs) AS BIGINT) END AS lift_ppm
+       |FROM grid CROSS JOIN tot ORDER BY source_a, source_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4421,7 +4619,10 @@ object TextQueries {
     ("q192_script_census", q192 _, Some(q192Sql)),
     ("q196_ppjoin_exact", q196 _, Some(q196Sql)),
     ("q201_typo_join", q201 _, Some(q201Sql)),
-    ("q242_dedup_savings", q242 _, Some(q242Sql)))
+    ("q242_dedup_savings", q242 _, Some(q242Sql)),
+    ("q245_split_leakage", q245 _, Some(q245Sql)),
+    ("q246_freq_spectrum", q246 _, Some(q246Sql)),
+    ("q248_dup_affinity", q248 _, Some(q248Sql)))
 
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate

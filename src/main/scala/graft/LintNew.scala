@@ -54,7 +54,14 @@ object LintNew {
       // round 10 second wave
       "q244_sign_test", "q245_split_leakage", "q246_freq_spectrum",
       "q247_fd_discovery", "q248_dup_affinity", "q249_order_violations",
-      "q250_kcore_backbone", "q251_attribution_panel")
+      "q250_kcore_backbone", "q251_attribution_panel",
+      "q252_stratum_cap", "q253_decile_lift", "q254_holt_trend",
+      "q255_t_closeness", "q256_join_skew_advisor",
+      // round 10 third wave
+      "q257_bfs_reach", "q258_r2_matrix", "q259_watermark_advisor",
+      "q260_rfm_segments", "q261_event_trigrams", "q262_sample_bias",
+      "q263_peak_concurrency", "q264_broadcast_advisor", "q265_nzv_screen",
+      "q266_target_encoding", "q267_ab_sizing", "q268_cluster_purity")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan

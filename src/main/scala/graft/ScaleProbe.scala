@@ -126,10 +126,12 @@ object ScaleProbe {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = args.headOption.getOrElse("target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // see Bench: decouple shuffle parallelism for scale experiments
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate() // heap comes from SPARK_DRIVER_MEM (build.sbt -Xmx)
     spark.sparkContext.setLogLevel("ERROR")
@@ -155,7 +157,11 @@ object ScaleProbe {
 
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = heavy.map { name =>
+    // SPARK_GRAFT_ONLY=q196_ppjoin_exact → probe only those (local
+    // iteration aid for exponent experiments; overwrites SCALE_PROBE.json
+    // only when unset so a partial probe can't clobber the full table)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val rows = heavy.filter(n => only.forall(_.contains(n))).map { name =>
       val fn = qmap(name)
       val t01 = math.min(once(fn, srcDir), once(fn, srcDir))
       val t1 = once(fn, outDir)
@@ -165,8 +171,9 @@ object ScaleProbe {
     }
     val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":10,\"src\":\"" + srcDir + "\"}")
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), line + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -430,5 +430,61 @@ object Graph {
     e
   }
 
+  /** Multi-source breadth-first search: exact minimum hop distance
+    * from ANY seed to every node reachable within `maxHops`, over the
+    * UNDIRECTED view of the edge list. The remaining graph primitive
+    * next to pageRank/hits (importance), labelPropagation (community),
+    * triangleStats (closure), and kCore (density): REACH — "how far is
+    * everything from this set", the kernel of crawl-frontier planning,
+    * seed-expansion audits, and contamination-spread analysis.
+    *
+    * Frontier algorithm, hop-synchronous: round r joins the previous
+    * frontier to the adjacency list and anti-joins the visited set, so
+    * each round is two hash joins bounded by |E| and the visited set
+    * never re-expands (a node's FIRST discovery is its minimum
+    * distance — BFS invariant). Exactly `maxHops` rounds, each behind
+    * a [[Lineage.cut]] so the plan never grows; nothing on the driver
+    * but the per-round count that early-exits on an exhausted
+    * frontier.
+    *
+    * @param edges   (a, b) edge list; symmetrized internally
+    * @param seeds   single-column frame of seed node ids (dist 0);
+    *                ids absent from the graph are still reported at 0
+    * @param maxHops rounds to expand (inclusive distance bound)
+    * @return (node, dist) with dist in [0, maxHops], one row per
+    *         reached node
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    // undirected, self-loop-free, deduplicated adjacency (unweighted —
+    // symmetrized() is the weighted variant for LPA/modularity)
+    val adj = edges.select(col("a"), col("b"))
+      .where(col("a") =!= col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b"))
+        .where(col("a") =!= col("b")))
+      .distinct().persist()
+    adj.count() // materialize once; every round probes it
+    val seed0 = seeds.toDF("node").distinct()
+    var visited = Lineage.cut(seed0.select(col("node"), lit(0).as("dist")))
+    var frontier = visited
+    var r = 1
+    var exhausted = false
+    while (r <= maxHops && !exhausted) {
+      val next = Lineage.cut(
+        adj.join(frontier.select(col("node").as("a")).distinct(), Seq("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(r).as("dist")))
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = Lineage.cut(visited.unionAll(next))
+        frontier = next
+      }
+      r += 1
+    }
+    adj.unpersist(blocking = false)
+    visited
+  }
+
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 }

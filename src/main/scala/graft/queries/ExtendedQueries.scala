@@ -4916,6 +4916,966 @@ object ExtendedQueries {
       |  CAST(sum(lin) AS BIGINT) AS linear_credit_ppm
       |FROM contrib GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ------- engagement-decile conversion lift table (q253)
+  /** The GAINS/LIFT curve of classical model evaluation, computed on
+    * the behavioral fixture: users ranked by engagement (event count,
+    * id-tiebroken), split into EXACT equi-depth deciles, each scored
+    * for purchase conversion against the population rate — per-decile
+    * lift and the cumulative capture share a targeting budget buys.
+    * All ratios exact integer ppm through the q248 DECIMAL(38,0)
+    * clearing discipline.
+    *
+    * Scale shape: one user-grain aggregate; decile assignment rides
+    * [[RelationalOps.globalRowNumber]] (range-partitioned prefix scan
+    * — never a single-partition ntile window, the q198 lesson); the
+    * 10-row result takes its cumulative from globalRunningSum and its
+    * population totals from a 1-row broadcast. */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    val ranked = RelationalOps.globalRowNumber(per,
+      Seq(col("n_events").desc, col("user_id").asc), "rn")
+    val tot = ranked.agg(max(col("rn")).as("nu"),
+      sum(col("converted")).as("conv_all"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("CAST((rn - 1) * 10 div nu AS INT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converters"),
+        max(col("nu")).as("nu"), max(col("conv_all")).as("conv_all"))
+      .withColumn("conv_ppm", expr("n_converters * 1000000 div n_users"))
+      .withColumn("lift_ppm", expr(
+        """CASE WHEN conv_all > 0 THEN
+          |CAST(CAST(n_converters AS DECIMAL(38,0)) * nu * 1000000
+          |  div (CAST(n_users AS DECIMAL(38,0)) * conv_all) AS BIGINT) END"""
+          .stripMargin))
+    RelationalOps.globalRunningSum(dec, Seq(col("decile").asc),
+        "n_converters", "cum_converters")
+      .withColumn("capture_ppm",
+        expr("CASE WHEN conv_all > 0 THEN cum_converters * 1000000 div conv_all END"))
+      .select(col("decile"), col("n_users"), col("n_converters"),
+        col("conv_ppm"), col("lift_ppm"), col("cum_converters"),
+        col("capture_ppm"))
+      .sortedOut("decile")
+  }
+
+  private val q253Sql =
+    """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT user_id, n_events, converted,
+      |    CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rn
+      |  FROM per),
+      |t AS (SELECT CAST(max(rn) AS BIGINT) AS nu, CAST(sum(converted) AS BIGINT) AS conv_all FROM r),
+      |d AS (SELECT CAST((rn - 1) * 10 // nu AS INTEGER) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(converted) AS BIGINT) AS n_converters,
+      |    CAST(max(nu) AS BIGINT) AS nu, CAST(max(conv_all) AS BIGINT) AS conv_all
+      |  FROM r CROSS JOIN t GROUP BY 1)
+      |SELECT decile, n_users, n_converters,
+      |  CAST(n_converters * 1000000 // n_users AS BIGINT) AS conv_ppm,
+      |  CASE WHEN conv_all > 0 THEN
+      |    CAST(CAST(n_converters AS HUGEINT) * nu * 1000000
+      |      // (CAST(n_users AS HUGEINT) * conv_all) AS BIGINT) END AS lift_ppm,
+      |  CAST(sum(n_converters) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_converters,
+      |  CASE WHEN conv_all > 0 THEN
+      |    CAST(CAST(sum(n_converters) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      * 1000000 // conv_all AS BIGINT) END AS capture_ppm
+      |FROM d ORDER BY decile""".stripMargin
+
+  // ------- Holt linear-trend smoothing, integer fixed point (q254)
+  /** The FORECASTING primitive next to the descriptive time-series
+    * family (CUSUM q218, autocorrelation q223, weekday profile q234):
+    * double-exponential (Holt) smoothing of per-type daily volumes
+    * with α = β = 1/4, run ENTIRELY in integer micro-units —
+    *
+    *   l_t = ⌊(c_t·1e6 + 3(l+b)) / 4⌋,  b_t = ⌊((l_t − l) + 3b) / 4⌋
+    *
+    * — so level, trend, one-step forecast, and the in-sample sum of
+    * absolute one-step errors are EXACT BIGINTs, no fp drift across
+    * engines or fold orders. Floor division is spelled explicitly
+    * (x − posmod(x,4)) div 4 because Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors — they disagree precisely on the
+    * negative numerators a downward trend produces.
+    *
+    * Scale shape: q244's calendar spine (|T|·n_days rows, tiny), one
+    * (type, day) count aggregate over the fact table, then ONE
+    * row-level `aggregate` fold per type over the calendar-bounded
+    * day array — no windows, no iteration, no driver. The oracle
+    * replays the identical recurrence as a recursive CTE. */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type").as("et"),
+      to_date(col("ts")).as("day"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"),
+        (datediff(col("d1"), col("d0")) + 1).cast(LongType).as("n_days"))
+    val spine = e.select(col("et")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("et"), col("n_days"),
+        explode(sequence(lit(0L), col("n_days") - 1)).as("i"))
+    val daily = e.crossJoin(broadcast(span.select(col("d0"))))
+      .groupBy(col("et"),
+        datediff(col("day"), col("d0")).cast(LongType).as("i"))
+      .agg(count(lit(1)).as("c"))
+    val idx = spine.join(daily, Seq("et", "i"), "left_outer")
+      .select(col("et"), col("n_days"), col("i"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val lNew = "(((x.c * 1000000 + 3 * (acc.l + acc.b)) - " +
+      "(((x.c * 1000000 + 3 * (acc.l + acc.b)) % 4 + 4) % 4)) div 4)"
+    val bNum = s"($lNew - acc.l + 3 * acc.b)"
+    val bNew = s"(($bNum - ((($bNum) % 4 + 4) % 4)) div 4)"
+    idx.groupBy(col("et").as("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        array_sort(collect_list(struct(col("i"), col("c")))).as("xs"))
+      .withColumn("st", expr(
+        s"""aggregate(xs,
+           |  named_struct('t', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+           |               'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+           |  (acc, x) -> CASE WHEN acc.t = 0 THEN
+           |      named_struct('t', CAST(1 AS BIGINT), 'l', x.c * 1000000,
+           |                   'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT))
+           |    ELSE named_struct('t', acc.t + 1, 'l', $lNew, 'b', $bNew,
+           |      'sae', acc.sae + abs(x.c * 1000000 - (acc.l + acc.b))) END)"""
+          .stripMargin))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        expr("st.l + st.b").as("forecast_micro"),
+        col("st.sae").as("sae_micro"),
+        expr("CASE WHEN st.t > 1 THEN st.sae div (st.t - 1) END").as("mae_micro"))
+      .sortedOut("event_type")
+  }
+
+  private val q254Sql = {
+    val lNew = "(((nxt.c * 1000000 + 3 * (st.l + st.b)) - " +
+      "(((nxt.c * 1000000 + 3 * (st.l + st.b)) % 4 + 4) % 4)) // 4)"
+    val bNum = s"($lNew - st.l + 3 * st.b)"
+    val bNew = s"(($bNum - ((($bNum) % 4 + 4) % 4)) // 4)"
+    s"""WITH RECURSIVE e AS (SELECT event_type AS et, CAST(ts AS DATE) AS day FROM events),
+       |sp AS (SELECT min(day) AS d0,
+       |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS n_days FROM e),
+       |cal AS (SELECT et, CAST(x.i AS BIGINT) AS i FROM (SELECT DISTINCT et FROM e), sp,
+       |        (SELECT unnest(range(0, (SELECT n_days FROM sp))) AS i) x),
+       |dc AS (SELECT et, CAST(date_diff('day', (SELECT d0 FROM sp), day) AS BIGINT) AS i,
+       |    CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+       |idx AS MATERIALIZED (SELECT cal.et, cal.i, coalesce(dc.c, 0) AS c
+       |  FROM cal LEFT JOIN dc USING (et, i)),
+       |st AS (
+       |  SELECT et, CAST(0 AS BIGINT) AS i, CAST(c * 1000000 AS BIGINT) AS l,
+       |      CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+       |  FROM idx WHERE i = 0
+       |  UNION ALL
+       |  SELECT st.et, st.i + 1, $lNew, $bNew,
+       |    st.sae + abs(nxt.c * 1000000 - (st.l + st.b))
+       |  FROM st JOIN idx nxt ON nxt.et = st.et AND nxt.i = st.i + 1)
+       |SELECT st.et AS event_type, (SELECT n_days FROM sp) AS n_days,
+       |  l AS level_micro, b AS trend_micro, l + b AS forecast_micro,
+       |  sae AS sae_micro, CASE WHEN i > 0 THEN CAST(sae // i AS BIGINT) END AS mae_micro
+       |FROM st WHERE i = (SELECT n_days FROM sp) - 1 ORDER BY event_type""".stripMargin
+  }
+
+  // ------- l-diversity + t-closeness privacy audit (q255)
+  /** The two release-gate measures BEYOND q194's k-anonymity bands:
+    * for each quasi-identifier class (nation × market segment), the
+    * DIVERSITY of the sensitive attribute (distinct balance
+    * kilobuckets, l) and its t-CLOSENESS — the ordered-attribute EMD
+    * between the class's sensitive distribution and the global one,
+    *
+    *   t = Σ_j |F_class(j)·N − F_glob(j)·m| / (m·N·(B−1))
+    *
+    * cleared to a common denominator so the numerator is an exact
+    * DECIMAL(38,0) (no per-class rational rounding), reported in ppm.
+    * A class can be k-anonymous and l-diverse yet still leak through
+    * skew — t-closeness is the measure that catches it.
+    *
+    * Scale shape: one (class, bucket) aggregate off the table, then
+    * everything lives on the class×bucket spine (both axes
+    * domain-bounded — the bucket axis through the q248 bounded
+    * registry); cumulatives ride a window PARTITIONED by class whose
+    * partitions are bucket-domain-bounded. One final ppm division. */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, d, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+      .groupBy(col("nat"), col("seg"), col("bal_kb"))
+      .agg(count(lit(1)).as("cnt")).persistT
+    val classes = cells.groupBy(col("nat"), col("seg"))
+      .agg(sum(col("cnt")).as("m"), count(lit(1)).as("l_diversity"))
+    // NOT cached: caching would wrap the registry in an InMemoryRelation
+    // that hides boundedRegistry's static limit(4096) from planLint's
+    // maxRows-keyed waivers — and recomputing it is one cheap agg over
+    // the already-cached `cells`.
+    val buckets = RelationalOps.boundedRegistry(
+      cells.groupBy(col("bal_kb")).agg(sum(col("cnt")).as("g")),
+      4096, "q255 sensitive-bucket axis")
+    val nb = buckets.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("n_buckets"))
+    val spine = classes.crossJoin(broadcast(buckets.select(col("bal_kb"))))
+      .join(cells, Seq("nat", "seg", "bal_kb"), "left_outer")
+      .select(col("nat"), col("seg"), col("m"), col("l_diversity"),
+        col("bal_kb"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wc = Window.partitionBy(col("nat"), col("seg"))
+      .orderBy(col("bal_kb")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.orderBy(col("bal_kb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = buckets.select(col("bal_kb"),
+      sum(col("g")).over(wg).as("cum_g"))
+    spine.withColumn("cum_c", sum(col("cnt")).over(wc))
+      .join(broadcast(gcum), Seq("bal_kb"))
+      .crossJoin(broadcast(nb))
+      .groupBy(col("nat"), col("seg"))
+      .agg(max(col("m")).as("m"), max(col("l_diversity")).as("l_diversity"),
+        sum(expr("abs(CAST(cum_c AS DECIMAL(38,0)) * n_total - CAST(cum_g AS DECIMAL(38,0)) * m)"))
+          .as("t_num"),
+        max(col("n_total")).as("n_total"), max(col("n_buckets")).as("n_buckets"))
+      .withColumn("t_closeness_ppm", expr(
+        """CAST(CAST(t_num AS DECIMAL(38,0)) * 1000000
+          |  div (CAST(m AS DECIMAL(38,0)) * n_total * (n_buckets - 1)) AS BIGINT)"""
+          .stripMargin))
+      .select(col("nat"), col("seg"), col("m"), col("l_diversity"),
+        col("t_closeness_ppm"))
+      .sortedOut("nat", "seg")
+  }
+
+  private val q255Sql =
+    """WITH cells AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT nat, seg, CAST(sum(cnt) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS l_diversity FROM cells GROUP BY 1, 2),
+      |bk AS (SELECT bal_kb, CAST(sum(cnt) AS BIGINT) AS g FROM cells GROUP BY 1),
+      |nb AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS n_buckets FROM bk),
+      |gcum AS (SELECT bal_kb, CAST(sum(g) OVER (ORDER BY bal_kb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g FROM bk),
+      |sp AS (SELECT cls.nat, cls.seg, cls.m, cls.l_diversity, bk.bal_kb,
+      |    coalesce(cells.cnt, 0) AS cnt
+      |  FROM cls CROSS JOIN bk LEFT JOIN cells
+      |    ON cells.nat = cls.nat AND cells.seg = cls.seg AND cells.bal_kb = bk.bal_kb),
+      |cum AS (SELECT nat, seg, m, l_diversity, bal_kb, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY nat, seg ORDER BY bal_kb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+      |  FROM sp)
+      |SELECT cum.nat, cum.seg, CAST(max(m) AS BIGINT) AS m,
+      |  CAST(max(l_diversity) AS BIGINT) AS l_diversity,
+      |  CAST(sum(abs(CAST(cum_c AS HUGEINT) * nb.n_total
+      |        - CAST(gcum.cum_g AS HUGEINT) * m)) * 1000000
+      |    // (CAST(max(m) AS HUGEINT) * max(nb.n_total) * (max(nb.n_buckets) - 1))
+      |    AS BIGINT) AS t_closeness_ppm
+      |FROM cum JOIN gcum USING (bal_kb) CROSS JOIN nb
+      |GROUP BY 1, 2 ORDER BY nat, seg""".stripMargin
+
+  // ------- join-skew advisor (q256)
+  /** The pre-flight SKEW census a 100 TB join plan runs before picking
+    * a strategy: for each candidate shuffle key, the key-cardinality /
+    * heaviest-key profile and the concrete mitigation number — the
+    * SALT FACTOR that would cap the heaviest key's share of a 32-way
+    * shuffle at the uniform-partition budget, ceil(max_mass·P/total).
+    * skew_x_ppm is max-over-mean key mass (1e6 = perfectly uniform);
+    * AQE's runtime skew split handles the moderate cases, the advisor
+    * exists for the keys where the BUILD of one reducer would OOM
+    * before AQE can split it.
+    *
+    * Scale shape: per key ONE map-side-combinable count aggregate
+    * followed by a key-bounded rollup — the fact table is read once
+    * per audited key with only (key, count) ever shuffled. */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    val targetP = 32L
+    def audit(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("m"))
+        .agg(sum(col("m")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("m")).as("max_mass"))
+        .select(lit(s"$table.$key").as("join_key"),
+          col("n_rows"), col("n_keys"), col("max_mass"),
+          expr("max_mass * 1000000 div n_rows").as("max_mass_ppm"),
+          expr("""CAST(CAST(max_mass AS DECIMAL(38,0)) * n_keys * 1000000
+                 |  div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+            .as("skew_x_ppm"),
+          expr(s"(max_mass * $targetP + n_rows - 1) div n_rows").as("salt_factor"))
+    val li = t(s, d, "lineitem")
+    Seq(
+      audit(li, "lineitem", "l_orderkey"),
+      audit(li, "lineitem", "l_partkey"),
+      audit(li, "lineitem", "l_suppkey"),
+      audit(Tables.events(s, d), "events", "user_id"))
+      .reduce(_ unionByName _)
+      .sortedOut("join_key")
+  }
+
+  private val q256Sql = {
+    def audit(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS join_key,
+         |  CAST(sum(m) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(m) AS BIGINT) AS max_mass,
+         |  CAST(max(m) * 1000000 // sum(m) AS BIGINT) AS max_mass_ppm,
+         |  CAST(CAST(max(m) AS HUGEINT) * count(*) * 1000000
+         |    // CAST(sum(m) AS HUGEINT) AS BIGINT) AS skew_x_ppm,
+         |  CAST((max(m) * 32 + sum(m) - 1) // sum(m) AS BIGINT) AS salt_factor
+         |FROM (SELECT $key, CAST(count(*) AS BIGINT) AS m FROM $table GROUP BY 1) g""".stripMargin
+    s"""${audit("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${audit("lineitem", "l_partkey")}
+       |UNION ALL
+       |${audit("lineitem", "l_suppkey")}
+       |UNION ALL
+       |${audit("events", "user_id")}
+       |ORDER BY join_key""".stripMargin
+  }
+
+  // ------- multi-source BFS reach census (q257)
+  /** [[graft.ops.Graph.bfs]] from the three lowest-id customers of the
+    * repeat-trade graph (q250's edge definition): exact minimum hop
+    * distance to every node within 3 hops, plus the unreached
+    * remainder (dist = -1). REACH is the graph primitive the family
+    * still lacked — pageRank/hits say "important", LPA says
+    * "same neighborhood", kCore says "dense"; BFS says "how far",
+    * the kernel of crawl-frontier planning and
+    * contamination-spread audits.
+    *
+    * Scale shape: hop-synchronous frontier expansion — each round is
+    * one hash join of the (persisted) adjacency against the frontier
+    * plus one anti-join against the visited set, both bounded by |E|,
+    * behind a lineage cut; exactly 3 rounds, early-exit on an
+    * exhausted frontier. The oracle unrolls the same 3 rounds as
+    * MATERIALIZED CTEs. */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(10000000L)).as("b"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= 2)
+      .select(col("a"), col("b"))
+      .persistT
+    val seeds = edges.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    val visited = graft.ops.Graph.bfs(edges, seeds, maxHops = 3).persistT
+    val allNodes = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node"))).distinct()
+    val unreached = allNodes.join(visited.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), lit(-1).as("dist"))
+    visited.unionByName(unreached)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") < 10000000L, 1L).otherwise(0L)).as("n_custs"),
+        sum(when(col("node") >= 10000000L, 1L).otherwise(0L)).as("n_supps"))
+      .sortedOut("dist")
+  }
+
+  private val q257Sql = {
+    // round r: the sym-adjacency image of frontier r-1, minus everything
+    // already visited — each CTE referenced multiple times, so MATERIALIZED
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (SELECT DISTINCT s.b AS node FROM sym s
+         |  JOIN f${r - 1} f ON s.a = f.node
+         |  WHERE s.b NOT IN (SELECT node FROM v${r - 1})),
+         |v$r AS MATERIALIZED (SELECT node FROM v${r - 1} UNION SELECT node FROM f$r)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT o.o_custkey AS a, l.l_suppkey + 10000000 AS b, count(*) AS m
+       |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    GROUP BY 1, 2) g WHERE m >= 2),
+       |sym AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |f0 AS MATERIALIZED (SELECT node FROM (
+       |  SELECT DISTINCT a AS node FROM e0 ORDER BY node LIMIT 3) s),
+       |v0 AS (SELECT node FROM f0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |dist AS (SELECT node, 0 AS dist FROM f0
+       |  UNION ALL SELECT node, 1 FROM f1
+       |  UNION ALL SELECT node, 2 FROM f2
+       |  UNION ALL SELECT node, 3 FROM f3),
+       |alln AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+       |full_d AS (SELECT node, dist FROM dist
+       |  UNION ALL SELECT node, -1 FROM alln
+       |    WHERE node NOT IN (SELECT node FROM v3))
+       |SELECT CAST(dist AS INTEGER) AS dist,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(CASE WHEN node < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_custs,
+       |  CAST(sum(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
+       |FROM full_d GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  // ------- exact pairwise r-squared matrix (q258)
+  /** The correlation-structure census of the fact table's measures —
+    * Pearson r² for every pair of {quantity, price (whole dollars),
+    * discount (cents), tax (cents)} per (returnflag, linestatus)
+    * group, EXACTLY: cov = n·Σxy − Σx·Σy and the two variance
+    * numerators stay DECIMAL(38,0) integers, r² lands in ppm through
+    * a TWO-STAGE floor division `(cov² div vx)·10⁶ div vy` — spelled
+    * identically in the oracle, so the (sub-ppm, deterministic)
+    * staging bias cancels bit-for-bit. Sign travels separately
+    * (sign(cov)): r² loses it, analysts need it. Spearman (q174) and
+    * Kendall (q215) rank-correlate SAMPLED signals; this is the exact
+    * moment-based matrix over the full table.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the fact
+    * table computes all 14 moment sums per group; the 6 pair rows are
+    * projections of that 6-row frame. Magnitude precondition
+    * (documented, enforced by the dollars/cents unit choice):
+    * cov² < 10³⁸ holds through n ≈ 10⁶ rows per group at these value
+    * ranges — beyond that, center on a first-pass global mean or drop
+    * to per-partition Welford merges before clearing to integers. */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val base = t(s, d, "lineitem").select(
+      col("l_returnflag").as("rflag"), col("l_linestatus").as("lstat"),
+      round(col("l_quantity")).cast(LongType).as("q"),
+      floor(col("l_extendedprice")).cast(LongType).as("p"),
+      round(col("l_discount") * 100).cast(LongType).as("dc"),
+      round(col("l_tax") * 100).cast(LongType).as("tc"))
+    val vars = Seq("q", "p", "dc", "tc")
+    val moments = base.groupBy(col("rflag"), col("lstat")).agg(
+      count(lit(1)).as("n"),
+      vars.map(v => sum(expr(s"CAST($v AS $dec)")).as(s"s_$v")) ++
+        (for (i <- vars.indices; j <- i until vars.length)
+          yield sum(expr(s"CAST(${vars(i)} AS $dec) * ${vars(j)}"))
+            .as(s"s_${vars(i)}_${vars(j)}")): _*)
+      .persistT
+    val pairs = for (i <- vars.indices; j <- (i + 1) until vars.length) yield {
+      val (x, y) = (vars(i), vars(j))
+      moments.select(col("rflag"), col("lstat"),
+        lit(s"${x}_$y").as("pair"), col("n"),
+        expr(s"CAST(sign(n * s_${x}_$y - s_$x * s_$y) AS BIGINT)").as("r_sign"),
+        // staged floor: a = |cov|·10⁶ div vx (≤ 10⁶·√(vy/vx) by
+        // Cauchy-Schwarz — fits LONG), then (a·|cov|) div vy ≤ 10⁶.
+        // abs() keeps every operand non-negative, where Spark's
+        // truncating div and DuckDB's flooring // agree (q254 lesson).
+        expr(
+          s"""CASE WHEN (n * s_${x}_$x - s_$x * s_$x) = 0
+             |       OR (n * s_${y}_$y - s_$y * s_$y) = 0 THEN NULL
+             |  ELSE CAST(
+             |    ((abs(n * s_${x}_$y - s_$x * s_$y) * 1000000
+             |        div (n * s_${x}_$x - s_$x * s_$x))
+             |      * abs(n * s_${x}_$y - s_$x * s_$y))
+             |      div (n * s_${y}_$y - s_$y * s_$y) AS BIGINT) END"""
+            .stripMargin).as("r2_ppm"))
+    }
+    pairs.reduce(_ unionByName _).sortedOut("rflag", "lstat", "pair")
+  }
+
+  private val q258Sql = {
+    val vars = Seq("q", "p", "dc", "tc")
+    val sums = (vars.map(v => s"sum(CAST($v AS HUGEINT)) AS s_$v") ++
+      (for (i <- vars.indices; j <- i until vars.length)
+        yield s"sum(CAST(${vars(i)} AS HUGEINT) * ${vars(j)}) AS s_${vars(i)}_${vars(j)}"))
+      .mkString(",\n|    ")
+    val pairSel = (for (i <- vars.indices; j <- (i + 1) until vars.length) yield {
+      val (x, y) = (vars(i), vars(j))
+      s"""SELECT rflag, lstat, '${x}_$y' AS pair, n,
+         |  CAST(sign(n * s_${x}_$y - s_$x * s_$y) AS BIGINT) AS r_sign,
+         |  CASE WHEN (n * s_${x}_$x - s_$x * s_$x) = 0
+         |         OR (n * s_${y}_$y - s_$y * s_$y) = 0 THEN NULL
+         |    ELSE CAST(
+         |      ((abs(n * s_${x}_$y - s_$x * s_$y) * 1000000
+         |          // (n * s_${x}_$x - s_$x * s_$x))
+         |        * abs(n * s_${x}_$y - s_$x * s_$y))
+         |        // (n * s_${y}_$y - s_$y * s_$y) AS BIGINT) END AS r2_ppm
+         |FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT l_returnflag AS rflag, l_linestatus AS lstat,
+       |    CAST(round(l_quantity) AS BIGINT) AS q,
+       |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS tc
+       |  FROM lineitem),
+       |m AS MATERIALIZED (SELECT rflag, lstat, CAST(count(*) AS BIGINT) AS n,
+       |    $sums
+       |  FROM b GROUP BY 1, 2)
+       |$pairSel
+       |ORDER BY rflag, lstat, pair""".stripMargin
+  }
+
+  // ------- watermark-lateness advisor (q259)
+  /** The empirical input to choosing `withWatermark`'s delay: treating
+    * event_id as the ARRIVAL order (the fixture's ingest sequence) and
+    * ts as event time, the high-water mark at each arrival is the
+    * running max of event time — a record arriving with ts below it is
+    * LATE by the difference. Reports, per event type and lateness band
+    * (on-time / ≤1 min / ≤5 min / ≤1 h / >1 h), the record count,
+    * its ppm share of the type, and the band's worst lateness — read
+    * directly: "a 5-minute watermark loses X ppm of purchases".
+    *
+    * Scale shape: the high-water mark rides
+    * [[RelationalOps.globalRunningMax]] (range-partition + P-long
+    * offset round — never an unpartitioned window); everything after
+    * is one (type, band)-grain aggregate and a broadcast totals join.
+    * The oracle spells the same running max as a window (single
+    * partition is fine at oracle scale). */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms"))
+    val wm = RelationalOps.globalRunningMax(ev,
+      Seq(col("event_id").asc), "ms", "hwm")
+    val banded = wm.withColumn("late_ms", col("hwm") - col("ms"))
+      .withColumn("band", expr(
+        """CASE WHEN late_ms = 0 THEN 'a_ontime'
+          |  WHEN late_ms <= 60000 THEN 'b_1min'
+          |  WHEN late_ms <= 300000 THEN 'c_5min'
+          |  WHEN late_ms <= 3600000 THEN 'd_1hour'
+          |  ELSE 'e_beyond' END""".stripMargin))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"), max(col("late_ms")).as("max_late_ms"))
+      .persistT
+    val tot = banded.groupBy(col("event_type")).agg(sum(col("n")).as("tn"))
+    banded.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("band"), col("n"),
+        expr("n * 1000000 div tn").as("share_ppm"), col("max_late_ms"))
+      .sortedOut("event_type", "band")
+  }
+
+  private val q259Sql =
+    """WITH w AS (SELECT event_type,
+      |    CAST(max(CAST(epoch_ms(ts) AS BIGINT)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - CAST(epoch_ms(ts) AS BIGINT) AS BIGINT) AS late_ms
+      |  FROM events),
+      |b AS (SELECT event_type,
+      |    CASE WHEN late_ms = 0 THEN 'a_ontime'
+      |      WHEN late_ms <= 60000 THEN 'b_1min'
+      |      WHEN late_ms <= 300000 THEN 'c_5min'
+      |      WHEN late_ms <= 3600000 THEN 'd_1hour'
+      |      ELSE 'e_beyond' END AS band, late_ms
+      |  FROM w),
+      |g AS (SELECT event_type, band, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(max(late_ms) AS BIGINT) AS max_late_ms
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn FROM g GROUP BY 1)
+      |SELECT g.event_type, g.band, g.n,
+      |  CAST(g.n * 1000000 // t.tn AS BIGINT) AS share_ppm, g.max_late_ms
+      |FROM g JOIN t USING (event_type) ORDER BY event_type, band""".stripMargin
+
+  // ------- RFM segmentation census (q260)
+  /** Classic Recency/Frequency/Monetary segmentation, exact: per
+    * customer-with-orders, last order date, order count, and lifetime
+    * cents; each dimension quintiled by the EXPLICIT equi-depth
+    * formula `(rn−1)·5 div n + 1` over a total order (metric,
+    * custkey) — never `ntile`, whose bucket-remainder placement
+    * differs between engines, and never an unpartitioned ranking
+    * window (all three rankings ride
+    * [[RelationalOps.globalRowNumber]], the q198 lesson). Quintile 1
+    * is best (most recent / most orders / highest spend). Output: the
+    * populated (r,f,m) cell census with customer count and cents
+    * mass — the targeting mix a CRM team actually pulls.
+    *
+    * Scale shape: one orders-grain aggregate, three range-partitioned
+    * prefix scans, one broadcast of the 1-row total, one final
+    * ≤125-row census aggregate. */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders").groupBy(col("o_custkey").as("c"))
+      .agg(max(unix_millis(col("o_orderdate"))).as("last_ms"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      .persistT
+    def quintile(order: Seq[org.apache.spark.sql.Column], out: String)(df: DataFrame): DataFrame =
+      RelationalOps.globalRowNumber(df, order, "rn")
+        .withColumn(out, expr("CAST((rn - 1) * 5 div nc + 1 AS INT)"))
+        .drop("rn")
+    val tot = per.agg(count(lit(1)).as("nc"))
+    val scored = Function.chain(Seq(
+      quintile(Seq(col("last_ms").desc, col("c").asc), "r_q") _,
+      quintile(Seq(col("freq").desc, col("c").asc), "f_q") _,
+      quintile(Seq(col("cents").desc, col("c").asc), "m_q") _))(
+      per.crossJoin(broadcast(tot)))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+      .sortedOut("r_q", "f_q", "m_q")
+  }
+
+  private val q260Sql =
+    """WITH per AS (SELECT o_custkey AS c,
+      |    CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS last_ms,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM per),
+      |r AS (SELECT c, cents,
+      |    CAST((row_number() OVER (ORDER BY last_ms DESC, c ASC) - 1) * 5 // nc + 1 AS INTEGER) AS r_q,
+      |    CAST((row_number() OVER (ORDER BY freq DESC, c ASC) - 1) * 5 // nc + 1 AS INTEGER) AS f_q,
+      |    CAST((row_number() OVER (ORDER BY cents DESC, c ASC) - 1) * 5 // nc + 1 AS INTEGER) AS m_q
+      |  FROM per CROSS JOIN t)
+      |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
+  // ------- behavioral trigram census (q261)
+  /** Third-order sequential patterns: every consecutive
+    * (event, next, next-next) triple per user under the total order
+    * (ts, event_id), counted globally with ppm share — the
+    * order-3 extension of q148's transition matrix (order 2), where
+    * funnel-shaped regularities (view→click→purchase vs
+    * view→view→view) become directly readable. Bounded output: with
+    * E event types, at most E³ rows.
+    *
+    * Scale shape: one window partitioned BY USER (per-partition size
+    * = per-user activity, never corpus-sized) produces both leads in
+    * a single sort; the census is map-side-combinable; the total is a
+    * 1-row broadcast. */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .persistT
+    val tot = tri.agg(sum(col("n")).as("tn"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        expr("n * 1000000 div tn").as("share_ppm"))
+      .sortedOut("e1", "e2", "e3")
+  }
+
+  private val q261Sql =
+    """WITH s AS (SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events),
+      |g AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM s
+      |  WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g)
+      |SELECT e1, e2, e3, n, CAST(n * 1000000 // tn AS BIGINT) AS share_ppm
+      |FROM g CROSS JOIN t ORDER BY e1, e2, e3""".stripMargin
+
+  // ------- deterministic-sample representativeness audit (q262)
+  /** The "can I trust my 1-in-16 dev sample" gate: a deterministic
+    * md5-keyed 1/16 sample of orders (first hex nibble = '0' — the
+    * same hash-bucket discipline as q252's stratum cap, so the sample
+    * is stable across runs and machines), compared against the full
+    * table per order priority: full vs in-sample composition ppm and
+    * the signed bias. A hash sample is unbiased in expectation; this
+    * measures the REALIZED bias on this corpus before the sample
+    * calibrates anything downstream (the cheap companion to q173's
+    * distribution-matched resampler).
+    *
+    * Scale shape: ONE pass over orders computes both censuses (the
+    * sample flag is a projected column, not a second scan); totals
+    * are a 1-row broadcast. */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        (substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+          .cast(LongType).as("ins"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_full"), sum(col("ins")).as("n_sample"))
+      .persistT
+    val tot = g.agg(sum(col("n_full")).as("tf"), sum(col("n_sample")).as("ts"))
+    g.crossJoin(broadcast(tot))
+      .select(col("priority"), col("n_full"), col("n_sample"),
+        expr("n_full * 1000000 div tf").as("full_share_ppm"),
+        expr("CASE WHEN ts = 0 THEN NULL ELSE n_sample * 1000000 div ts END")
+          .as("sample_share_ppm"),
+        expr("""CASE WHEN ts = 0 THEN NULL ELSE
+                |  n_sample * 1000000 div ts - n_full * 1000000 div tf END"""
+          .stripMargin).as("bias_ppm"))
+      .sortedOut("priority")
+  }
+
+  private val q262Sql =
+    """WITH g AS (SELECT o_orderpriority AS priority,
+      |    CAST(count(*) AS BIGINT) AS n_full,
+      |    CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_full) AS BIGINT) AS tf,
+      |    CAST(sum(n_sample) AS BIGINT) AS ts FROM g)
+      |SELECT priority, n_full, n_sample,
+      |  CAST(n_full * 1000000 // tf AS BIGINT) AS full_share_ppm,
+      |  CAST(CASE WHEN ts = 0 THEN NULL ELSE n_sample * 1000000 // ts END AS BIGINT) AS sample_share_ppm,
+      |  CAST(CASE WHEN ts = 0 THEN NULL ELSE
+      |    n_sample * 1000000 // ts - n_full * 1000000 // tf END AS BIGINT) AS bias_ppm
+      |FROM g CROSS JOIN t ORDER BY priority""".stripMargin
+
+  // ------- peak session concurrency (q263)
+  /** The interval-overlap sweep — "how many sessions were open at
+    * once, per day": q43's 30-minute-gap sessions become ±1 deltas at
+    * [start, end+1), deltas are NETTED PER TIMESTAMP (so the running
+    * sum is tie-order-independent by construction), and the
+    * concurrency curve is one [[RelationalOps.globalRunningSum]] over
+    * the unique-timestamp spine. The capacity-planning primitive
+    * (peak concurrent users/connections/rooms) that pure groupBys
+    * can't express and per-key windows don't cover — this is a
+    * GLOBAL total order, which is exactly what the distributed prefix
+    * scan exists for.
+    *
+    * Scale shape: sessionization is a user-partitioned window; the
+    * sweep spine is ≤ 2 timestamps per session, netted map-side; the
+    * prefix scan is range-partition + a P-long offset round; the
+    * per-day max is map-side-combinable. */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60000L
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+    val deltas = sess.select(col("start_ms").as("ms"), lit(1L).as("dl"))
+      .unionAll(sess.select((col("end_ms") + 1).as("ms"), lit(-1L).as("dl")))
+      .groupBy(col("ms")).agg(sum(col("dl")).as("net"))
+    RelationalOps.globalRunningSum(deltas, Seq(col("ms").asc), "net", "conc")
+      .withColumn("day", expr("ms div 86400000"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        sum(when(col("net") > 0, col("net")).otherwise(0L)).as("net_opens"))
+      .sortedOut("day")
+  }
+
+  private val q263Sql =
+    """WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events),
+      |m AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER
+      |      (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+      |      OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |x AS (SELECT user_id, ms, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |sess AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms
+      |  FROM x GROUP BY 1, 2),
+      |pts AS (SELECT ms, CAST(sum(dl) AS BIGINT) AS net FROM (
+      |    SELECT start_ms AS ms, 1 AS dl FROM sess
+      |    UNION ALL SELECT end_ms + 1, -1 FROM sess) u GROUP BY ms),
+      |rs AS (SELECT ms, net, CAST(sum(net) OVER (ORDER BY ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      |  FROM pts)
+      |SELECT ms // 86400000 AS day,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+      |  CAST(sum(CASE WHEN net > 0 THEN net ELSE 0 END) AS BIGINT) AS net_opens
+      |FROM rs GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------- broadcast-threshold advisor (q264)
+  /** The join-strategy pre-flight for every dimension table: exact row
+    * count and a serialized-size proxy (fixed numeric widths + actual
+    * string lengths) against the classic 10 MiB
+    * autoBroadcastJoinThreshold — "which sides of my star joins are
+    * safely broadcastable, and how much headroom do they have".
+    * Reported in exact bytes and broadcast-budget ppm; the companion
+    * to q256's shuffle-side skew advisor (the OTHER reason a join
+    * strategy flips at scale).
+    *
+    * Scale shape: one map-side-combinable aggregate per audited
+    * table; nothing shuffles but five 1-row partials. */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val thr = 10485760L // 10 MiB
+    def audit(table: String, widths: org.apache.spark.sql.Column): DataFrame =
+      t(s, d, table).agg(count(lit(1)).as("n_rows"),
+          sum(widths.cast(LongType)).as("bytes"))
+        .select(lit(table).as("tbl"), col("n_rows"), col("bytes"),
+          expr(s"bytes * 1000000 div $thr").as("budget_ppm"),
+          (col("bytes") <= thr).as("broadcastable"))
+    Seq(
+      audit("nation", lit(4 + 4) + length(col("n_name"))),
+      audit("region", lit(4) + length(col("r_name"))),
+      audit("customer", lit(8 + 4 + 8) + length(col("c_name")) + length(col("c_mktsegment"))),
+      audit("supplier", lit(8 + 4 + 8) + length(col("s_name"))),
+      audit("part", lit(8 + 4 + 8) + length(col("p_name")) + length(col("p_brand")) + length(col("p_type"))))
+      .reduce(_ unionByName _)
+      .sortedOut("tbl")
+  }
+
+  private val q264Sql = {
+    def audit(table: String, widths: String): String =
+      s"""SELECT '$table' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($widths) AS BIGINT) AS bytes,
+         |  CAST(sum($widths) * 1000000 // 10485760 AS BIGINT) AS budget_ppm,
+         |  sum($widths) <= 10485760 AS broadcastable
+         |FROM $table""".stripMargin
+    Seq(
+      audit("nation", "8 + length(n_name)"),
+      audit("region", "4 + length(r_name)"),
+      audit("customer", "20 + length(c_name) + length(c_mktsegment)"),
+      audit("supplier", "20 + length(s_name)"),
+      audit("part", "20 + length(p_name) + length(p_brand) + length(p_type)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
+  // ------- near-zero-variance feature screen (q265)
+  /** The feature-prep gate (caret's nearZeroVar, exact): for each
+    * audited categorical column, the distinct count, the top-two value
+    * frequencies, their ratio in ppm, the unique-share in ppm, and the
+    * flag `freq_ratio > 19 AND unique share < 10%` (single-valued
+    * columns flag unconditionally, ratio NULL) — columns that will
+    * contribute nothing but one-hot width to a downstream model.
+    *
+    * Scale shape: per feature, one map-side-combinable value census;
+    * the top-2 read is `orderBy(cnt).limit(2)` — TakeOrderedAndProject
+    * over the (domain-bounded) census, never a ranking window. */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    def screen(df: DataFrame, table: String, c: String): DataFrame = {
+      val vc = df.select(col(c).cast("string").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt")).persistT
+      val top2 = vc.orderBy(col("cnt").desc, col("v").asc).limit(2)
+        .agg(max(col("cnt")).as("m1"), min(col("cnt")).as("m2"),
+          count(lit(1)).as("ntop"))
+      val base = vc.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      base.crossJoin(broadcast(top2))
+        .select(lit(s"$table.$c").as("feature"), col("n"), col("n_distinct"),
+          col("m1").as("top1_n"),
+          when(col("ntop") < 2, lit(null)).otherwise(col("m2")).as("top2_n"),
+          when(col("ntop") < 2, lit(null))
+            .otherwise(expr("m1 * 1000000 div m2")).as("freq_ratio_ppm"),
+          expr("n_distinct * 1000000 div n").as("unique_ppm"),
+          (col("ntop") < 2 ||
+            (expr("m1 * 1000000 div m2") > 19000000L &&
+              expr("n_distinct * 1000000 div n") < 100000L)).as("nzv"))
+    }
+    Seq(
+      screen(t(s, d, "orders"), "orders", "o_orderstatus"),
+      screen(t(s, d, "orders"), "orders", "o_orderpriority"),
+      screen(t(s, d, "lineitem"), "lineitem", "l_returnflag"),
+      screen(t(s, d, "lineitem"), "lineitem", "l_linestatus"),
+      screen(t(s, d, "customer"), "customer", "c_mktsegment"),
+      screen(Tables.events(s, d), "events", "event_type"))
+      .reduce(_ unionByName _)
+      .sortedOut("feature")
+  }
+
+  private val q265Sql = {
+    def screen(table: String, c: String): String =
+      s"""SELECT '$table.$c' AS feature, b.n, b.n_distinct,
+         |  t2.m1 AS top1_n,
+         |  CASE WHEN t2.ntop < 2 THEN NULL ELSE t2.m2 END AS top2_n,
+         |  CASE WHEN t2.ntop < 2 THEN NULL
+         |    ELSE CAST(t2.m1 * 1000000 // t2.m2 AS BIGINT) END AS freq_ratio_ppm,
+         |  CAST(b.n_distinct * 1000000 // b.n AS BIGINT) AS unique_ppm,
+         |  (t2.ntop < 2 OR (t2.m1 * 1000000 // t2.m2 > 19000000
+         |    AND b.n_distinct * 1000000 // b.n < 100000)) AS nzv
+         |FROM
+         |  (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |     CAST(count(*) AS BIGINT) AS n_distinct
+         |   FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM $table GROUP BY 1) vc) b
+         |CROSS JOIN
+         |  (SELECT CAST(max(cnt) AS BIGINT) AS m1, CAST(min(cnt) AS BIGINT) AS m2,
+         |     CAST(count(*) AS BIGINT) AS ntop
+         |   FROM (SELECT count(*) AS cnt FROM
+         |     (SELECT CAST($c AS VARCHAR) AS v FROM $table) s GROUP BY v
+         |     ORDER BY cnt DESC, min(v) ASC LIMIT 2) tt) t2""".stripMargin
+    Seq(screen("orders", "o_orderstatus"), screen("orders", "o_orderpriority"),
+      screen("lineitem", "l_returnflag"), screen("lineitem", "l_linestatus"),
+      screen("customer", "c_mktsegment"), screen("events", "event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY feature")
+  }
+
+  // ------- smoothed target encoding (q266)
+  /** Mean-target encoding with additive (m-estimate) smoothing, the
+    * category-to-number bridge of tabular ML prep: per customer
+    * nation, the urgent-order rate shrunk toward the global rate by
+    * m = 100 pseudo-observations — `enc = (conv·10⁶ + m·glob_ppm)
+    * div (n + m)` — computed entirely in integer ppm so sparse
+    * categories (where naive rates overfit) demonstrably pull toward
+    * the prior. Raw rate ships alongside for the shrinkage delta.
+    *
+    * Scale shape: one broadcast dim join + one category-grain
+    * aggregate + a 1-row global broadcast. */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    val m = 100L
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast(LongType).as("hot"))
+    val cat = o.join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n"), sum(col("hot")).as("conv"))
+      .persistT
+    val glob = cat.agg(sum(col("n")).as("na"), sum(col("conv")).as("ca"))
+      .select(expr("ca * 1000000 div na").as("glob_ppm"))
+    cat.crossJoin(broadcast(glob))
+      .select(col("nat"), col("n"), col("conv"),
+        expr("conv * 1000000 div n").as("raw_ppm"),
+        expr(s"(conv * 1000000 + $m * glob_ppm) div (n + $m)").as("enc_ppm"),
+        col("glob_ppm"))
+      .sortedOut("nat")
+  }
+
+  private val q266Sql =
+    """WITH cat AS (SELECT c.c_nationkey AS nat, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |g AS (SELECT CAST(sum(conv) * 1000000 // sum(n) AS BIGINT) AS glob_ppm FROM cat)
+      |SELECT nat, n, conv,
+      |  CAST(conv * 1000000 // n AS BIGINT) AS raw_ppm,
+      |  CAST((conv * 1000000 + 100 * glob_ppm) // (n + 100) AS BIGINT) AS enc_ppm,
+      |  glob_ppm
+      |FROM cat CROSS JOIN g ORDER BY nat""".stripMargin
+
+  // ------- A/B test sizing advisor (q267)
+  /** Experimental-design pre-flight: for each market segment's
+    * observed urgent-order base rate p₁ (ppm), the per-arm sample size
+    * a two-proportion z-test needs to detect a 5% RELATIVE lift at
+    * α=0.05 (two-sided) / 80% power —
+    * `n = ⌈(z_α+z_β)²·(p₁(1−p₁)+p₂(1−p₂)) / (p₂−p₁)²⌉` with
+    * z in exact milli-units (1960 + 842), every term integer ppm, and
+    * the ceiling spelled `(num + den − 1) div den`. The advisor that
+    * tells a team whether the experiment they want is even runnable on
+    * their traffic before they burn a quarter on it (companion to
+    * q234's post-hoc z² and q253's lift table).
+    *
+    * Scale shape: one broadcast dim join + one segment-grain
+    * aggregate; the sizing arithmetic is a 5-row projection.
+    * Magnitude: num ≤ 2802²·5·10¹¹ < 2⁶³ — fits BIGINT exactly. */
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    val z2 = 2802L * 2802L // (1.960 + 0.842)² in milli-units²
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast(LongType).as("hot"))
+    o.join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("hot")).as("conv"))
+      .withColumn("p1_ppm", expr("conv * 1000000 div n_obs"))
+      .withColumn("p2_ppm", expr("p1_ppm + p1_ppm div 20"))
+      .withColumn("n_per_arm", expr(
+        s"""CASE WHEN p2_ppm = p1_ppm THEN NULL ELSE
+           |  ($z2 * (p1_ppm * (1000000 - p1_ppm) + p2_ppm * (1000000 - p2_ppm))
+           |    + 1000000 * (p2_ppm - p1_ppm) * (p2_ppm - p1_ppm) - 1)
+           |  div (1000000 * (p2_ppm - p1_ppm) * (p2_ppm - p1_ppm)) END"""
+          .stripMargin))
+      .select(col("segment"), col("n_obs"), col("p1_ppm"), col("p2_ppm"),
+        col("n_per_arm"))
+      .sortedOut("segment")
+  }
+
+  private val q267Sql =
+    """WITH seg AS (SELECT c.c_mktsegment AS segment,
+      |    CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |p AS (SELECT segment, n_obs,
+      |    CAST(conv * 1000000 // n_obs AS BIGINT) AS p1_ppm FROM seg),
+      |p2 AS (SELECT segment, n_obs, p1_ppm,
+      |    CAST(p1_ppm + p1_ppm // 20 AS BIGINT) AS p2_ppm FROM p)
+      |SELECT segment, n_obs, p1_ppm, p2_ppm,
+      |  CAST(CASE WHEN p2_ppm = p1_ppm THEN NULL ELSE
+      |    (7851204 * (p1_ppm * (1000000 - p1_ppm) + p2_ppm * (1000000 - p2_ppm))
+      |      + 1000000 * (p2_ppm - p1_ppm) * (p2_ppm - p1_ppm) - 1)
+      |    // (1000000 * (p2_ppm - p1_ppm) * (p2_ppm - p1_ppm)) END AS BIGINT) AS n_per_arm
+      |FROM p2 ORDER BY segment""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -5013,5 +5973,20 @@ object ExtendedQueries {
     ("q247_fd_discovery",    q247 _, Some(q247Sql)),
     ("q249_order_violations", q249 _, Some(q249Sql)),
     ("q250_kcore_backbone",  q250 _, Some(q250Sql)),
-    ("q251_attribution_panel", q251 _, Some(q251Sql)))
+    ("q251_attribution_panel", q251 _, Some(q251Sql)),
+    ("q253_decile_lift",     q253 _, Some(q253Sql)),
+    ("q254_holt_trend",      q254 _, Some(q254Sql)),
+    ("q255_t_closeness",     q255 _, Some(q255Sql)),
+    ("q256_join_skew_advisor", q256 _, Some(q256Sql)),
+    ("q257_bfs_reach",       q257 _, Some(q257Sql)),
+    ("q258_r2_matrix",       q258 _, Some(q258Sql)),
+    ("q259_watermark_advisor", q259 _, Some(q259Sql)),
+    ("q260_rfm_segments",    q260 _, Some(q260Sql)),
+    ("q261_event_trigrams",  q261 _, Some(q261Sql)),
+    ("q262_sample_bias",     q262 _, Some(q262Sql)),
+    ("q263_peak_concurrency", q263 _, Some(q263Sql)),
+    ("q264_broadcast_advisor", q264 _, Some(q264Sql)),
+    ("q265_nzv_screen",      q265 _, Some(q265Sql)),
+    ("q266_target_encoding", q266 _, Some(q266Sql)),
+    ("q267_ab_sizing",       q267 _, Some(q267Sql)))
 }

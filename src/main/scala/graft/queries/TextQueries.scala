@@ -4528,6 +4528,113 @@ object TextQueries {
        |      // (CAST(p_tot AS HUGEINT) * universe_pairs) AS BIGINT) END AS lift_ppm
        |FROM grid CROSS JOIN tot ORDER BY source_a, source_b""".stripMargin
 
+  // ------- per-stratum deterministic cap (q252)
+  /** Class-balanced downsampling: every (lang, source) stratum keeps
+    * at most CAP documents, selected by the md5-of-id hash order — a
+    * deterministic per-stratum reservoir, the "no source may dominate
+    * the mix" gate that runs before token budgets (q166 water-fill
+    * allocates ACROSS strata; this clips WITHIN each). Reports
+    * kept/dropped docs and character mass per stratum.
+    *
+    * Scale shape: the kept set rides the native [[graft.plans.TopKPerKey]]
+    * plan — a bounded CAP-heap per stratum per input partition, so the
+    * shuffle carries ≤ CAP·partitions rows per stratum instead of the
+    * stratum's whole membership (the ranking-window formulation would
+    * shuffle and sort every row). Totals are one map-side-combinable
+    * aggregate; the stratum axis is q248's bounded registry argument. */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val cap = 10
+    val docs = docs0(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .persistT
+    val totals = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val kept = graft.plans.TopKPerKey
+      .topK(docs, Seq("lang", "source"), Seq(col("hk"), col("doc_id")), cap)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    totals.join(kept, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_chars"), col("total_chars"))
+      .sortedOut("lang", "source")
+  }
+
+  private val q252Sql =
+    """WITH r AS (SELECT lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM r GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  // ------- near-dup cluster purity audit (q268)
+  /** QUALITY of the dedup graph, not just its size: for each near-dup
+    * cluster (q48's MinHash-LSH pipeline, est ≥ 0.9, union-find
+    * labels), who's in it — per size band, the cluster count, how many
+    * span MULTIPLE sources (the syndication/mirror signal q183
+    * clusters at corpus level), and the exact dominant-source purity
+    * in ppm (Σ dominant-member counts ·10⁶ div Σ sizes). A dedup
+    * policy that collapses clusters to one survivor should know
+    * whether it is deduping WITHIN sources (storage win) or ACROSS
+    * them (provenance loss) — this is that census.
+    *
+    * Scale shape: everything downstream of the banded candidate
+    * pipeline is (cluster, source)-grain aggregation — two map-side-
+    * combinable aggs on frames bounded by the candidate-pair count;
+    * text never travels. Oracle: the full signature→banding→cap→
+    * union-find chain re-derived in SQL (shared CTE builders). */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, k = 32), bands = 4, rowsPerBand = 8,
+      minEst = 0.9)
+    val mem = Dedup.nearDupClusters(pairs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val per = mem.groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("cnt")).as("sz"), max(col("cnt")).as("dom"),
+        count(lit(1)).as("n_sources"))
+    per.withColumn("size_band", expr(
+        """CASE WHEN sz = 2 THEN 'a_2' WHEN sz = 3 THEN 'b_3'
+          |  WHEN sz = 4 THEN 'c_4' ELSE 'd_5plus' END""".stripMargin))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_source"),
+        sum(col("sz")).as("n_docs"),
+        expr("sum(dom) * 1000000 div sum(sz)").as("purity_ppm"))
+      .sortedOut("size_band")
+  }
+
+  private val q268Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.9),
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p) u),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+       |${componentLabelCtes()},
+       |mem AS (SELECT l.cluster, d.source FROM labels l
+       |  JOIN documents d ON d.doc_id = l.doc_id),
+       |cs AS (SELECT cluster, source, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM mem GROUP BY 1, 2),
+       |per AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS sz,
+       |    CAST(max(cnt) AS BIGINT) AS dom,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM cs GROUP BY 1)
+       |SELECT CASE WHEN sz = 2 THEN 'a_2' WHEN sz = 3 THEN 'b_3'
+       |    WHEN sz = 4 THEN 'c_4' ELSE 'd_5plus' END AS size_band,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(dom) * 1000000 // sum(sz) AS BIGINT) AS purity_ppm
+       |FROM per GROUP BY 1 ORDER BY size_band""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4622,7 +4729,9 @@ object TextQueries {
     ("q242_dedup_savings", q242 _, Some(q242Sql)),
     ("q245_split_leakage", q245 _, Some(q245Sql)),
     ("q246_freq_spectrum", q246 _, Some(q246Sql)),
-    ("q248_dup_affinity", q248 _, Some(q248Sql)))
+    ("q248_dup_affinity", q248 _, Some(q248Sql)),
+    ("q252_stratum_cap", q252 _, Some(q252Sql)),
+    ("q268_cluster_purity", q268 _, Some(q268Sql)))
 
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate

@@ -260,6 +260,48 @@ class GraphSpec extends SparkSpec {
     lpaOf(messy, 1 to 40, iters = 3) shouldBe s3
   }
 
+  test("kCore: hand-checked peeling depths, empty core, idempotence") {
+    // triangle {1,2,3} — chain 3-4-5 — bridge 5-6 — 4-clique {6,7,8,9}
+    val edges = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6),
+      (6, 7), (6, 8), (6, 9), (7, 8), (7, 9), (8, 9)).toDF("a", "b")
+    def coreSet(k: Int) = {
+      val e = Graph.kCore(edges, k).collect().map(r => (r.getInt(0), r.getInt(1)))
+      (e.flatMap(p => Seq(p._1, p._2)).toSet, e.length)
+    }
+    // every node has degree >= 2 -> the 2-core is the whole graph
+    coreSet(2) shouldBe ((1 to 9).toSet, 12)
+    // k=3 peels the triangle (cascades down the chain): only the
+    // clique survives — and peeling needs the CASCADE (deg-2 nodes 1,2
+    // fall first, THEN 3, 4, 5 in turn), pinning multi-round behavior
+    coreSet(3) shouldBe (Set(6, 7, 8, 9), 6)
+    // k above the max core degree empties the graph
+    coreSet(5) shouldBe (Set.empty[Int], 0)
+    // idempotence: the core of the core is the core
+    val c3 = Graph.kCore(edges, 3)
+    Graph.kCore(c3, 3).collect().toSet shouldBe c3.collect().toSet
+  }
+
+  test("bfs: hand-checked multi-source distances, early exit, undirected") {
+    // path 1-2-3-4-5-6, branch 3-7, island {8,9}
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7), (8, 9))
+      .toDF("a", "b")
+    def distsFrom(seeds: Seq[Int], hops: Int) =
+      Graph.bfs(edges, seeds.toDF("node"), hops).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toMap
+    // single source, enough hops to exhaust the component — early exit
+    // (5 hops needed, 10 allowed) and the island stays unreached
+    distsFrom(Seq(1), 10) shouldBe Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3,
+      5 -> 4, 6 -> 5, 7 -> 3)
+    // hop bound truncates the reach
+    distsFrom(Seq(1), 2) shouldBe Map(1 -> 0, 2 -> 1, 3 -> 2)
+    // multi-source: MIN distance over seeds; edges traverse BOTH ways
+    // (6 reaches 5 against the edge direction)
+    distsFrom(Seq(1, 6), 2) shouldBe Map(1 -> 0, 6 -> 0, 2 -> 1, 5 -> 1,
+      3 -> 2, 4 -> 2)
+    // a seed absent from the graph is still reported at distance 0
+    distsFrom(Seq(8, 99), 1) shouldBe Map(8 -> 0, 99 -> 0, 9 -> 1)
+  }
+
   test("modularity: exact hand-checked value on the two-triangle dumbbell") {
     // two triangles {1,2,3}, {4,5,6} + bridge (3,4), unit weights.
     // 2m = 14; per community: in = 6, tot = 7 → Q = 2·(6·14 − 49)/196

@@ -2039,6 +2039,131 @@ object AdvSweep {
         (BigInt(loNum.toBigInteger) == brute).toString
     }
 
+    // ==== wave 13 (round-10: BFS, bounded top-k, sweep ties, quintiles,
+    // cluster purity — attack the q252-q268 wave's kernels) ============
+
+    // ---- Graph.bfs pathologies ----------------------------------------
+    // (a) a diameter-30 path with maxHops=40: 30 single-node frontiers
+    // in a row (iteration robustness + early exit past the end);
+    // (b) a 20k-leaf star: the whole graph lands at dist 1 in ONE round
+    // (frontier skew absorbed by the |E|-bounded joins, not a driver
+    // loop over leaves); (c) a diamond with a short and a long arm:
+    // FIRST discovery wins — min distance, never the long arm's;
+    // (d) a seed absent from the graph still reports at dist 0.
+    step("bfs_pathologies") {
+      import spark.implicits._
+      val path = (1 to 30).map(i => (i, i + 1)).toDF("a", "b")
+      val pd = graft.ops.Graph.bfs(path, Seq(1).toDF("node"), 40)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      stats("bfs_path_depths") =
+        ((1 to 31).forall(n => pd(n) == n - 1) && pd.size == 31).toString
+      val star = (2 to 20001).map(i => (1, i)).toDF("a", "b")
+      val sd = graft.ops.Graph.bfs(star, Seq(1).toDF("node"), 3)
+      stats("bfs_star_one_round") =
+        (sd.where(col("dist") === 1).count() == 20000L &&
+          sd.count() == 20001L).toString
+      // diamond: 1-2-3-4-9 (long) and 1-8-9 (short): 9 at dist 2
+      val dia = Seq((1, 2), (2, 3), (3, 4), (4, 9), (1, 8), (8, 9)).toDF("a", "b")
+      val dd = graft.ops.Graph.bfs(dia, Seq(1).toDF("node"), 5)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      stats("bfs_min_dist_wins") = (dd(9) == 2 && dd(4) == 3).toString
+      val ghost = graft.ops.Graph.bfs(dia, Seq(1, 777).toDF("node"), 1)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      stats("bfs_ghost_seed_dist0") = (ghost(777) == 0).toString
+    }
+
+    // ---- q252's bounded heap vs a monster stratum ---------------------
+    // One 200k-row stratum, cap 10: the native TopKPerKey plan must
+    // (a) appear in the physical plan (not fall back to a ranking
+    // window), and (b) return exactly the window formulation's rows.
+    step("topk_monster_stratum") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val big = (1L to 200000L).map(i => ("s", s"d$i", (i * 2654435761L) % 1000003L))
+        .toDF("stratum", "id", "hk")
+      val topk = graft.plans.TopKPerKey.topK(big, Seq("stratum"),
+        Seq(col("hk"), col("id")), 10)
+      stats("topk_native_plan") =
+        topk.queryExecution.executedPlan.toString.contains("TopKPerKey").toString
+      val got = topk.select("id").collect().map(_.getString(0)).toSet
+      val truth = big.withColumn("rn", row_number().over(
+          Window.partitionBy("stratum").orderBy(col("hk"), col("id"))))
+        .where(col("rn") <= 10).select("id")
+        .collect().map(_.getString(0)).toSet
+      stats("topk_equals_window") = (got == truth).toString
+    }
+
+    // ---- q263's sweep under mass ties ----------------------------------
+    // 10k sessions ALL opening at the same millisecond (and 100 of them
+    // zero-length): per-timestamp NETTING makes the running sum
+    // tie-order-independent — peak must be exactly 10 000 however the
+    // deltas land in partitions, and after the last close the curve
+    // returns to exactly 0 (conservation).
+    step("concurrency_mass_ties") {
+      import spark.implicits._
+      val sess = (1 to 9900).map(i => (1000L, 1000L + (i % 50) * 100L)) ++
+        (1 to 100).map(_ => (1000L, 1000L)) // zero-length
+      val deltas = sess.toDF("start_ms", "end_ms")
+        .select(col("start_ms").as("ms"), lit(1L).as("dl"))
+        .unionAll(sess.toDF("start_ms", "end_ms")
+          .select((col("end_ms") + 1).as("ms"), lit(-1L).as("dl")))
+        .groupBy(col("ms")).agg(sum(col("dl")).as("net"))
+      val curve = RelationalOps.globalRunningSum(
+        deltas, Seq(col("ms").asc), "net", "conc", partitions = 7)
+      val peak = curve.agg(max(col("conc"))).collect()(0).getLong(0)
+      val fin = curve.orderBy(col("ms").desc).limit(1)
+        .collect()(0).getAs[Long]("conc")
+      stats("concurrency_peak_exact") = (peak == 10000L).toString
+      stats("concurrency_conserves_to_zero") = (fin == 0L).toString
+    }
+
+    // ---- q260's quintile formula on degenerate cohorts -----------------
+    // (rn−1)·5 div n + 1 must stay total and deterministic when n < 5:
+    // n=3 → quintiles {1, 2, 4} (skipping 3 and 5 is the CORRECT
+    // equi-depth embedding, not a bug), n=1 → {1}; and ties in the
+    // metric fall back to the id tie-break, never to plan order.
+    step("quintile_degenerate_cohorts") {
+      import spark.implicits._
+      def quints(n: Int): Seq[Int] = {
+        val df = (1 to n).map(i => (i.toLong, 100L)).toDF("id", "m") // all tied
+        RelationalOps.globalRowNumber(df,
+            Seq(col("m").desc, col("id").asc), "rn", partitions = 2)
+          .withColumn("q", expr(s"CAST((rn - 1) * 5 div $n + 1 AS INT)"))
+          .orderBy("id").collect().map(_.getAs[Int]("q")).toSeq
+      }
+      stats("quintile_n3") = (quints(3) == Seq(1, 2, 4)).toString
+      stats("quintile_n1") = (quints(1) == Seq(1)).toString
+      stats("quintile_n5") = (quints(5) == Seq(1, 2, 3, 4, 5)).toString
+    }
+
+    // ---- q268's purity arithmetic on crafted clusters ------------------
+    // One 5-member cluster spanning 3 sources (dominant 3/5) + one
+    // 2-member single-source cluster: union-find labels must be the
+    // component minima and the band census purity the exact ppm floor.
+    step("cluster_purity_crafted") {
+      import spark.implicits._
+      val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+        (20L, 21L)).toDF("doc_a", "doc_b")
+      val labels = Dedup.nearDupClusters(pairs)
+      val srcOf = Map(10L -> "x", 11L -> "x", 12L -> "x", 13L -> "y",
+        14L -> "z", 20L -> "w", 21L -> "w")
+      val src = srcOf.toSeq.toDF("doc_id", "source")
+      val got = labels.join(src, Seq("doc_id"))
+        .groupBy(col("cluster"), col("source")).agg(count(lit(1)).as("c"))
+        .groupBy(col("cluster"))
+        .agg(sum(col("c")).as("sz"), max(col("c")).as("dom"),
+          count(lit(1)).as("ns"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      stats("purity_labels_are_minima") =
+        (got.keySet == Set(10L, 20L)).toString
+      stats("purity_cross_source_cluster") =
+        (got(10L) == ((5L, 3L, 3L)) && got(20L) == ((2L, 2L, 1L))).toString
+      // band census ppm: (3+2)·10⁶ div (5+2) = 714285 (floor)
+      val ppm = (3L + 2L) * 1000000L / (5L + 2L)
+      stats("purity_ppm_floor") = (ppm == 714285L).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -5876,6 +5876,198 @@ object ExtendedQueries {
       |    // (1000000 * (p2_ppm - p1_ppm) * (p2_ppm - p1_ppm)) END AS BIGINT) AS n_per_arm
       |FROM p2 ORDER BY segment""".stripMargin
 
+  // ------- equi-width histogram join-cardinality estimate (q269)
+  /** The CBO-validation operator: estimate |orders ⋈ lineitem| from
+    * B-bucket equi-width histograms of the join key exactly the way a
+    * cost model does — `est = Σ_b o_b·l_b div width_b` (uniform,
+    * one-row-per-value-within-bucket assumption) — and price the
+    * estimate against the EXACT join cardinality in signed ppm error,
+    * for B ∈ {16, 256}. This is the arithmetic behind every
+    * broadcast-vs-shuffle and join-order decision; measuring its
+    * realized error on the actual key distribution is how an engine
+    * learns where its planner will be wrong.
+    *
+    * Scale shape: two map-side-combinable bucket censuses + one exact
+    * count(*) of the key-join (itself one shuffle); the estimate math
+    * runs on ≤ B rows. Every division is a floor `div` spelled
+    * identically in the oracle. */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey").as("k")).persistT
+    val l = t(s, d, "lineitem").select(col("l_orderkey").as("k")).persistT
+    val actual = o.join(l, Seq("k")).count()
+    val bounds = o.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    def estimate(b: Long): DataFrame = {
+      val width = (hi - lo + b) / b // ceil((hi-lo+1)/b)
+      def hist(df: DataFrame, cnt: String) =
+        df.where(col("k").between(lo, hi))
+          .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+          .agg(count(lit(1)).as(cnt))
+      hist(o, "ob").join(hist(l, "lb"), Seq("bucket"))
+        .agg(sum(expr(s"ob * lb div $width")).as("est"))
+        .select(lit(b).as("n_buckets"), col("est"),
+          lit(actual).as("actual"),
+          expr(s"(est - $actual) * 1000000 div $actual").as("err_ppm"))
+    }
+    estimate(16).unionByName(estimate(256)).sortedOut("n_buckets")
+  }
+
+  private val q269Sql = {
+    def leg(b: Long): String =
+      s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+         |  CAST(sum(ob * lb // w.width) AS BIGINT) AS est,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders o JOIN lineitem l
+         |     ON o.o_orderkey = l.l_orderkey) AS actual,
+         |  CAST((sum(ob * lb // w.width)
+         |    - (SELECT count(*) FROM orders o JOIN lineitem l
+         |         ON o.o_orderkey = l.l_orderkey)) * 1000000
+         |    // (SELECT count(*) FROM orders o JOIN lineitem l
+         |          ON o.o_orderkey = l.l_orderkey) AS BIGINT) AS err_ppm
+         |FROM (
+         |  SELECT oh.bucket, oh.ob, lh.lb FROM
+         |    (SELECT (o_orderkey - r.lo) // ((r.hi - r.lo + $b) // $b) AS bucket,
+         |            CAST(count(*) AS BIGINT) AS ob
+         |     FROM orders CROSS JOIN r GROUP BY 1) oh
+         |  JOIN
+         |    (SELECT (l_orderkey - r.lo) // ((r.hi - r.lo + $b) // $b) AS bucket,
+         |            CAST(count(*) AS BIGINT) AS lb
+         |     FROM lineitem CROSS JOIN r
+         |     WHERE l_orderkey BETWEEN r.lo AND r.hi GROUP BY 1) lh
+         |  USING (bucket)) j
+         |CROSS JOIN (SELECT (r.hi - r.lo + $b) // $b AS width FROM r) w
+         |GROUP BY w.width""".stripMargin
+    s"""WITH r AS MATERIALIZED (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+       |${leg(16)}
+       |UNION ALL
+       |${leg(256)}
+       |ORDER BY n_buckets""".stripMargin
+  }
+
+  // ------- hash-bucket balance audit (q270)
+  /** The LAYOUT companion to q256's shuffle-skew census: if lineitem
+    * were bucketed by md5-60(l_orderkey) mod B (the engine-wide
+    * oracle-reproducible hash — Spark's own murmur bucketing DuckDB
+    * can't replay), how balanced are the buckets? Reports, for
+    * B ∈ {32, 128}: the max/mean bucket mass in ppm, the largest
+    * bucket, and the count of EMPTY buckets — the numbers that decide
+    * whether bucketed co-located joins are safe or one bucket becomes
+    * the straggler task.
+    *
+    * Scale shape: one map-side-combinable census per B; everything
+    * after is ≤ B rows. */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(graft.text.Hashing.md560(col("l_orderkey").cast("string")).as("h"))
+      .persistT
+    def leg(b: Long): DataFrame =
+      li.groupBy(pmod(col("h"), lit(b)).as("bucket"))
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("m")).as("n_rows"), count(lit(1)).as("n_nonempty"),
+          max(col("m")).as("max_bucket"))
+        .select(lit(b).as("n_buckets"),
+          col("n_rows"), col("max_bucket"),
+          (lit(b) - col("n_nonempty")).as("n_empty"),
+          expr(s"max_bucket * $b * 1000000 div n_rows").as("max_over_mean_ppm"))
+    leg(32).unionByName(leg(128)).sortedOut("n_buckets")
+  }
+
+  private val q270Sql = {
+    def leg(b: Long): String =
+      s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+         |  CAST(sum(m) AS BIGINT) AS n_rows,
+         |  CAST(max(m) AS BIGINT) AS max_bucket,
+         |  CAST($b - count(*) AS BIGINT) AS n_empty,
+         |  CAST(max(m) * $b * 1000000 // sum(m) AS BIGINT) AS max_over_mean_ppm
+         |FROM (SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % $b AS bucket,
+         |        CAST(count(*) AS BIGINT) AS m
+         |      FROM lineitem GROUP BY 1) g""".stripMargin
+    s"""${leg(32)}
+       |UNION ALL
+       |${leg(128)}
+       |ORDER BY n_buckets""".stripMargin
+  }
+
+  // ------- hierarchical share rollup (q271)
+  /** Revenue shares down a 3-level hierarchy (region → nation →
+    * market segment) with the consistency contract IN the output:
+    * each row carries its share of parent AND share of grand total in
+    * exact ppm, ppm remainders assigned to the lexicographically LAST
+    * child so every parent's children sum to exactly 10⁶ — the
+    * reporting-tree discipline (same remainder rule as q251's linear
+    * attribution) that makes a drill-down UI's percentages add up.
+    *
+    * Scale shape: ONE fact-grain aggregate at the leaf grain, two
+    * bounded-axis rollups, windows only over domain-bounded sibling
+    * sets. */
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaf = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      .persistT
+    def shares(df: DataFrame, parentW: org.apache.spark.sql.expressions.WindowSpec,
+               ord: org.apache.spark.sql.Column): DataFrame =
+      // floor share for every sibling; the LAST sibling (by ord desc)
+      // absorbs 10⁶ − Σ(other floors) so siblings sum exactly
+      df.withColumn("pt", sum(col("cents")).over(parentW))
+        .withColumn("fl", expr("cents * 1000000 div pt"))
+        .withColumn("sf", sum(col("fl")).over(parentW))
+        .withColumn("rk", row_number().over(parentW.orderBy(ord.desc)))
+        .withColumn("share_parent_ppm",
+          when(col("rk") === 1, lit(1000000L) - col("sf") + col("fl"))
+            .otherwise(col("fl")))
+        .drop("pt", "fl", "sf", "rk")
+    val nat = shares(
+      leaf.groupBy(col("region"), col("nation")).agg(sum(col("cents")).as("cents")),
+      Window.partitionBy(col("region")), col("nation"))
+      .select(col("region"), col("nation"), lit(null).cast("string").as("segment"),
+        lit("nation").as("level"), col("cents"), col("share_parent_ppm"))
+    val seg = shares(leaf, Window.partitionBy(col("region"), col("nation")),
+        col("segment"))
+      .select(col("region"), col("nation"), col("segment"),
+        lit("segment").as("level"), col("cents"), col("share_parent_ppm"))
+    nat.unionByName(seg)
+      .sortedOut("level", "region", "nation", "segment")
+  }
+
+  private val q271Sql =
+    """WITH leaf AS MATERIALIZED (SELECT n.n_regionkey AS region,
+      |    c.c_nationkey AS nation, c.c_mktsegment AS segment,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |nat0 AS (SELECT region, nation, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM leaf GROUP BY 1, 2),
+      |nat AS (SELECT region, nation, CAST(NULL AS VARCHAR) AS segment,
+      |    'nation' AS level, cents,
+      |    CAST(CASE WHEN row_number() OVER (PARTITION BY region ORDER BY nation DESC) = 1
+      |      THEN 1000000 - sum(cents * 1000000 // sum(cents) OVER (PARTITION BY region))
+      |             OVER (PARTITION BY region)
+      |           + cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+      |      ELSE cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+      |      END AS BIGINT) AS share_parent_ppm
+      |  FROM nat0),
+      |seg AS (SELECT region, nation, segment, 'segment' AS level, cents,
+      |    CAST(CASE WHEN row_number() OVER (PARTITION BY region, nation ORDER BY segment DESC) = 1
+      |      THEN 1000000 - sum(cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation))
+      |             OVER (PARTITION BY region, nation)
+      |           + cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation)
+      |      ELSE cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation)
+      |      END AS BIGINT) AS share_parent_ppm
+      |  FROM leaf)
+      |SELECT region, nation, segment, level, cents, share_parent_ppm
+      |FROM (SELECT * FROM nat UNION ALL SELECT * FROM seg) u
+      |ORDER BY level, region, nation, segment""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),

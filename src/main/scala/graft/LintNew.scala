@@ -61,8 +61,17 @@ object LintNew {
       "q257_bfs_reach", "q258_r2_matrix", "q259_watermark_advisor",
       "q260_rfm_segments", "q261_event_trigrams", "q262_sample_bias",
       "q263_peak_concurrency", "q264_broadcast_advisor", "q265_nzv_screen",
-      "q266_target_encoding", "q267_ab_sizing", "q268_cluster_purity")
-    names.foreach { n =>
+      "q266_target_encoding", "q267_ab_sizing", "q268_cluster_purity",
+      // round 11 registrations (authored r10, registered r11)
+      "q269_hist_cardinality", "q270_bucket_balance", "q271_share_rollup")
+    // precommit gate (tools/precommit.sh) passes the queries touched
+    // since the last full battery as a comma-separated arg — lint only
+    // those; no args = the full round list above.
+    val selected =
+      if (args.nonEmpty) args.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSeq
+      else names
+    var nErrs = 0
+    selected.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect() // materialize so AQE finalizes the plan
       val findings = graft.ops.Diagnostics.planLint(df)
@@ -71,11 +80,13 @@ object LintNew {
       // print for visibility but are clean by contract
       val errs = findings.filter(_.severity == "error")
       val warns = findings.filter(_.severity == "warn")
+      nErrs += errs.size
       println(s"LINT $n: " + (if (errs.isEmpty) "clean" else
         errs.map(f => s"[${f.rule}] ${f.node}: ${f.detail}").mkString(" | ")) +
         (if (warns.isEmpty) "" else
           warns.map(f => s" (warn [${f.rule}] ${f.node})").mkString))
     }
     spark.stop()
+    if (nErrs > 0) sys.exit(1) // gate: precommit.sh relies on the rc
   }
 }

@@ -5958,7 +5958,7 @@ object ExtendedQueries {
     * after is ≤ B rows. */
   private def q270(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
-      .select(graft.text.Hashing.md560(col("l_orderkey").cast("string")).as("h"))
+      .select(graft.text.Hashing.h60(col("l_orderkey").cast("string")).as("h"))
       .persistT
     def leg(b: Long): DataFrame =
       li.groupBy(pmod(col("h"), lit(b)).as("bucket"))
@@ -6047,23 +6047,23 @@ object ExtendedQueries {
       |  GROUP BY 1, 2, 3),
       |nat0 AS (SELECT region, nation, CAST(sum(cents) AS BIGINT) AS cents
       |  FROM leaf GROUP BY 1, 2),
+      |nat1 AS (SELECT region, nation, cents,
+      |    cents * 1000000 // sum(cents) OVER (PARTITION BY region) AS fl
+      |  FROM nat0),
       |nat AS (SELECT region, nation, CAST(NULL AS VARCHAR) AS segment,
       |    'nation' AS level, cents,
       |    CAST(CASE WHEN row_number() OVER (PARTITION BY region ORDER BY nation DESC) = 1
-      |      THEN 1000000 - sum(cents * 1000000 // sum(cents) OVER (PARTITION BY region))
-      |             OVER (PARTITION BY region)
-      |           + cents * 1000000 // sum(cents) OVER (PARTITION BY region)
-      |      ELSE cents * 1000000 // sum(cents) OVER (PARTITION BY region)
-      |      END AS BIGINT) AS share_parent_ppm
-      |  FROM nat0),
+      |      THEN 1000000 - sum(fl) OVER (PARTITION BY region) + fl
+      |      ELSE fl END AS BIGINT) AS share_parent_ppm
+      |  FROM nat1),
+      |seg1 AS (SELECT region, nation, segment, cents,
+      |    cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation) AS fl
+      |  FROM leaf),
       |seg AS (SELECT region, nation, segment, 'segment' AS level, cents,
       |    CAST(CASE WHEN row_number() OVER (PARTITION BY region, nation ORDER BY segment DESC) = 1
-      |      THEN 1000000 - sum(cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation))
-      |             OVER (PARTITION BY region, nation)
-      |           + cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation)
-      |      ELSE cents * 1000000 // sum(cents) OVER (PARTITION BY region, nation)
-      |      END AS BIGINT) AS share_parent_ppm
-      |  FROM leaf)
+      |      THEN 1000000 - sum(fl) OVER (PARTITION BY region, nation) + fl
+      |      ELSE fl END AS BIGINT) AS share_parent_ppm
+      |  FROM seg1)
       |SELECT region, nation, segment, level, cents, share_parent_ppm
       |FROM (SELECT * FROM nat UNION ALL SELECT * FROM seg) u
       |ORDER BY level, region, nation, segment""".stripMargin
@@ -6180,5 +6180,8 @@ object ExtendedQueries {
     ("q264_broadcast_advisor", q264 _, Some(q264Sql)),
     ("q265_nzv_screen",      q265 _, Some(q265Sql)),
     ("q266_target_encoding", q266 _, Some(q266Sql)),
-    ("q267_ab_sizing",       q267 _, Some(q267Sql)))
+    ("q267_ab_sizing",       q267 _, Some(q267Sql)),
+    ("q269_hist_cardinality", q269 _, Some(q269Sql)),
+    ("q270_bucket_balance",  q270 _, Some(q270Sql)),
+    ("q271_share_rollup",    q271 _, Some(q271Sql)))
 }

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Structural close-out guard (VERDICT r10 item 2: three consecutive
+# rounds died at an unverified final commit). Run before EVERY commit:
+#
+#   tools/precommit.sh [q1_name,q2_name,...]
+#
+# 1. `sbt compile` — the r10 failure mode (an uncompiled final commit)
+#    becomes impossible.
+# 2. If query names are given (anything touched since the last full
+#    battery): Verify-dump them at sf0.01, exact-compare against the
+#    DuckDB oracle (tools/check.py), and planLint them (graft.LintNew).
+#
+# Exits nonzero on any failure; the commit must not happen in that case.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+QS="${1:-}"
+sbt -batch compile
+if [ -n "$QS" ]; then
+  rm -rf target/precommit_out
+  SPARK_GRAFT_ONLY="$QS" SPARK_GRAFT_CPUS=8 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 target/precommit_out"
+  python3 tools/check.py /root/testdata/sf0.01 target/precommit_out
+  sbt -batch "runMain graft.LintNew $QS"
+fi
+echo "PRECOMMIT OK"

@@ -617,7 +617,8 @@ object Dedup {
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persistT
-    var labels = graft.ops.Lineage.cut(nodes.withColumn("cluster", col("doc_id")))
+    val chain = graft.ops.Lineage.newChain("unionfind")
+    var labels = graft.ops.Lineage.cut(nodes.withColumn("cluster", col("doc_id")), chain)
     // labels only ever decrease, so the label sum is strictly monotone
     // until the fixpoint — an O(1)-row convergence probe with no
     // compare join
@@ -640,7 +641,7 @@ object Dedup {
         .join(nm.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
           Seq("cluster"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("cluster")).as("cluster"))
-      labels = graft.ops.Lineage.cut(labels)
+      labels = graft.ops.Lineage.cut(labels, chain)
       val s = labels.agg(sum(col("cluster")).cast(DecimalType(38, 0)).as("s"))
         .collect()(0).getDecimal(0)
       done = s == prevSum
@@ -650,6 +651,7 @@ object Dedup {
     lastLabelPropIterations = iter
     edges.unpersist()
     p.unpersist()
+    graft.ops.Lineage.endChain(labels.sparkSession, chain, deleteLast = false)
     labels
   }
 

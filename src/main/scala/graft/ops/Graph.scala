@@ -314,7 +314,8 @@ object Graph {
     val nodeCol = nodes.columns.head
     val n = nodes.select(col(nodeCol).as("node")).persistT
     val e = symmetrized(edges).persistT
-    var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")))
+    val chain = Lineage.newChain("lpa")
+    var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")), chain)
     for (_ <- 0 until iters) {
       // per-neighbor-label incident weight, then argmax by
       // (weight desc, label asc) via min over an integer struct —
@@ -325,11 +326,12 @@ object Graph {
         .agg(min(struct(negate(col("s")).as("ns"), col("lbl").as("l"))).as("b"))
         .select(col("dst"), col("b.l").as("new_lbl"))
       labels = Lineage.cut(n.join(best, n("node") === best("dst"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl")))
+        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl")), chain)
     }
     val out = labels.select(col("node"), col("lbl").as("community"))
     e.unpersist(blocking = false)
     n.unpersist(blocking = false)
+    Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
     out
   }
 
@@ -406,7 +408,8 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    var e = Lineage.cut(edges.select(col("a"), col("b")))
+    val chain = Lineage.newChain("kcore")
+    var e = Lineage.cut(edges.select(col("a"), col("b")), chain)
     var prev = e.count()
     var rounds = 0
     var converged = prev == 0L
@@ -420,13 +423,14 @@ object Graph {
       val next = Lineage.cut(
         e.join(keep.select(col("node").as("a")), Seq("a"))
           .join(keep.select(col("node").as("b")), Seq("b"))
-          .select(col("a"), col("b")))
+          .select(col("a"), col("b")), chain)
       val cnt = next.count()
       converged = cnt == prev
       prev = cnt
       e = next
       rounds += 1
     }
+    Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
     e
   }
 
@@ -465,7 +469,17 @@ object Graph {
       .distinct().persist()
     adj.count() // materialize once; every round probes it
     val seed0 = seeds.toDF("node").distinct()
-    var visited = Lineage.cut(seed0.select(col("node"), lit(0).as("dist")))
+    // TWO live frames per round (frontier + visited) → two distinct
+    // cut-chains, unique per invocation, so reliable-mode pruning only
+    // ever deletes a checkpoint this loop has finished reading
+    // (ADVICE r10: on the shared chain, cut(visited ∪ next) deleted the
+    // still-referenced frontier checkpoint — round 2+ read deleted
+    // files). The next-chain's final dir is an intermediate and is
+    // deleted at exit; the visited-chain's final dir IS the result.
+    val visChain = Lineage.newChain("bfs-visited")
+    val nextChain = Lineage.newChain("bfs-next")
+    val spark = edges.sparkSession
+    var visited = Lineage.cut(seed0.select(col("node"), lit(0).as("dist")), visChain)
     var frontier = visited
     var r = 1
     var exhausted = false
@@ -474,15 +488,17 @@ object Graph {
         adj.join(frontier.select(col("node").as("a")).distinct(), Seq("a"))
           .select(col("b").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
-          .select(col("node"), lit(r).as("dist")))
+          .select(col("node"), lit(r).as("dist")), nextChain)
       exhausted = next.isEmpty
       if (!exhausted) {
-        visited = Lineage.cut(visited.unionAll(next))
+        visited = Lineage.cut(visited.unionAll(next), visChain)
         frontier = next
       }
       r += 1
     }
     adj.unpersist(blocking = false)
+    Lineage.endChain(spark, nextChain, deleteLast = true)
+    Lineage.endChain(spark, visChain, deleteLast = false)
     visited
   }
 

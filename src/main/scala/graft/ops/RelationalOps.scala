@@ -568,12 +568,19 @@ object RelationalOps {
       .sortWithinPartitions(order: _*)
       .persistT
     val idx = sorted.schema.fieldIndex(valueCol)
-    val heads = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      if (it.hasNext) Iterator((pid, Option(it.next().get(idx)))) else Iterator((pid, None))
+    // Some(firstValue) for a non-empty partition — where firstValue may
+    // itself be null — None for an empty one. Collapsing the two into
+    // one Option (ADVICE r10) made a null-headed partition look empty,
+    // so its predecessor's last row skipped ahead to a LATER partition's
+    // head instead of taking the null, diverging from lead().
+    val heads: Array[Option[Any]] = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val h: Option[Any] = if (it.hasNext) Some(it.next().get(idx)) else None
+      Iterator((pid, h))
     }.collect().sortBy(_._1).map(_._2)
-    // nextHead(p) = first value of the next NON-EMPTY partition
-    val nextHead = Array.tabulate(heads.length) { p =>
-      heads.drop(p + 1).collectFirst { case Some(v) => v }
+    // nextHead(p) = first value of the next NON-EMPTY partition (that
+    // value being null is a valid lead); null when no such partition
+    val nextHead: Array[Any] = Array.tabulate(heads.length) { p =>
+      heads.drop(p + 1).collectFirst { case Some(v) => v }.orNull
     }
     val field = sorted.schema.fields(idx)
     val schema = org.apache.spark.sql.types.StructType(
@@ -588,10 +595,10 @@ object RelationalOps {
         def hasNext: Boolean = buf.hasNext
         def next(): org.apache.spark.sql.Row = {
           val r = buf.next()
-          val nxt =
-            if (buf.hasNext) Option(buf.head.get(idx))
+          val nxt: Any =
+            if (buf.hasNext) buf.head.get(idx)
             else nextHead(pid)
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nxt.orNull)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nxt)
         }
       }
     }

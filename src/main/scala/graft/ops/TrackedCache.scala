@@ -36,14 +36,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TrackedCache {
 
+  // Keyed by SESSION IDENTITY via [[SessionRef]] (ADVICE r10: bare
+  // identityHashCode keys can collide across live sessions, making
+  // release(sparkA) unpersist sparkB's frames).
   private val registry = new java.util.concurrent.ConcurrentHashMap[
-    Integer, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+    SessionRef, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  private def key(s: SparkSession): Integer =
-    Integer.valueOf(System.identityHashCode(s))
+  private def key(s: SparkSession): SessionRef = new SessionRef(s)
+
+  /** Drop entries of stopped sessions (their unpersist is a no-op and
+    * the queued frames would otherwise pin plans forever). Called
+    * opportunistically on every [[persist]] — the registry holds one
+    * entry per live session, so the scan is trivial. */
+  private def sweep(): Unit = {
+    val it = registry.keySet().iterator()
+    while (it.hasNext) if (it.next().stopped) it.remove()
+  }
 
   /** `df.persist()` + register for a later session-wide [[release]]. */
   def persist(df: DataFrame): DataFrame = {
+    sweep()
     df.persist()
     registry.computeIfAbsent(key(df.sparkSession),
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)

@@ -4605,8 +4605,13 @@ object ExtendedQueries {
           |           THEN acc.c * (m_pairs - k + 1) div k ELSE CAST(0 AS BIGINT) END),
           |  acc -> acc.s) END""".stripMargin))
       .withColumn("p2_ppm", expr(
+        // 2·tail_num·10⁶ peaks ~3.5e19 > Long.Max under the null
+        // hypothesis (m≈45, s⁺≈m/2 → tail ~2^44) — clear the product
+        // through DECIMAL(38,0) before the floor-div (q248 discipline;
+        // ADVICE r10). The quotient is ≤ 2·10⁶, BIGINT-safe.
         """CASE WHEN m_pairs > 0 THEN least(CAST(1000000 AS BIGINT),
-          |  2 * tail_num * 1000000 div shiftleft(CAST(1 AS BIGINT), CAST(m_pairs AS INT)))
+          |  CAST(CAST(tail_num AS DECIMAL(38,0)) * 2000000
+          |       div shiftleft(CAST(1 AS BIGINT), CAST(m_pairs AS INT)) AS BIGINT))
           |END""".stripMargin))
       .select("event_type", "n_days", "m_pairs", "s_plus", "tail_num", "p2_ppm")
       .sortedOut("event_type")
@@ -4641,8 +4646,9 @@ object ExtendedQueries {
       |  FROM b WHERE kk < m),
       |tl AS (SELECT et, ssum AS tail_num FROM b WHERE kk = m)
       |SELECT par.et AS event_type, n_days, m_pairs, s_plus, tl.tail_num,
-      |  CASE WHEN m_pairs > 0 THEN least(1000000,
-      |    2 * tl.tail_num * 1000000 // (CAST(1 AS BIGINT) << m_pairs)) END AS p2_ppm
+      |  CASE WHEN m_pairs > 0 THEN least(1000000, CAST(
+      |    CAST(tl.tail_num AS HUGEINT) * 2000000 // (CAST(1 AS BIGINT) << m_pairs)
+      |    AS BIGINT)) END AS p2_ppm
       |FROM par LEFT JOIN tl USING (et) ORDER BY event_type""".stripMargin
 
   // ------- functional-dependency audit (q247)

@@ -38,6 +38,7 @@ object Mmr {
     require(lambda >= 0 && lambda <= 1, s"lambda out of [0,1]: $lambda")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
+    val chain = graft.ops.Lineage.newChain("mmr")
     // round 1: pure relevance (no selected set to be redundant with)
     var selected = cands
       .select(col("query_id"), col("cand_id"), (col("cos") * lambda).as("score"))
@@ -69,9 +70,10 @@ object Mmr {
       // rounds never finished planning). The checkpointed frame is
       // rounds·|Q| rows — trivially small; values are computed once,
       // so determinism is untouched.
-      selected = graft.ops.Lineage.cut(selected.unionByName(pick))
+      selected = graft.ops.Lineage.cut(selected.unionByName(pick), chain)
       r += 1
     }
+    graft.ops.Lineage.endChain(cands.sparkSession, chain, deleteLast = false)
     selected
   }
 }

@@ -300,12 +300,16 @@ object EventsStream extends Serializable {
     * Integer end-to-end — no division, no sqrt, so the streaming and
     * batch twins are bit-identical by construction. */
   private def outlierScore(window: Seq[Long], x: Long): (Boolean, Boolean) = {
-    val n = window.size.toLong
-    val s = window.sum
-    val q = window.map(c => c * c).sum
+    // BigInt throughout (ADVICE r10): cents ~1e9 give dev² ~2e19 >
+    // Long.Max — a silent Long wrap would flip the flag identically in
+    // both twins (bit-identical but wrong). n ≤ 5, so the cost is a
+    // handful of small-object ops per event, not a hot loop.
+    val n = BigInt(window.size)
+    val s = window.foldLeft(BigInt(0))(_ + _)
+    val q = window.foldLeft(BigInt(0))((a, c) => a + BigInt(c) * c)
     val dev = n * x - s
     val varn2 = n * q - s * s
-    val eval = n >= 3 && varn2 > 0
+    val eval = window.size >= 3 && varn2 > 0
     (eval, eval && dev * dev > varn2 * 9)
   }
 

@@ -696,4 +696,22 @@ class EventsStreamSpec extends SparkSpec {
       got() shouldBe batch
     } finally q.stop()
   }
+  test("outlierScore: cents beyond the Long-square range stay exact (ADVICE r10)") {
+    // cents ~2e9 make dev^2 ~3.6e19 > Long.Max — a Long kernel wraps
+    // negative and silently unflags a genuine 2x spike in both twins;
+    // the BigInt kernel flags it. Window [2e9, 2e9+1, 2e9+2], x = 4e9:
+    // varn2 is shift-invariant (= 6), dev = 6e9-3, flag must be true.
+    val big = Seq(
+      ev(1, 0, uid = 9L, value = 2e7),
+      ev(2, 5, uid = 9L, value = 2e7 + 0.01),
+      ev(3, 10, uid = 9L, value = 2e7 + 0.02),
+      ev(4, 15, uid = 9L, value = 4e7)).toDS()
+    val flags = EventsStream.outliersBatch(big).collect()
+      .map(f => f.event_id -> (f.eval, f.flag)).toMap
+    flags(4L) shouldBe ((true, true))
+    // and the in-window points themselves never self-flag
+    flags(1L)._2 shouldBe false
+    flags(2L)._2 shouldBe false
+    flags(3L)._2 shouldBe false
+  }
 }

@@ -350,4 +350,23 @@ class RelationalOpsSpec extends SparkSpec {
     // empty input: no rows, no failure
     RelationalOps.globalRowNumber(df.limit(0), order).count() shouldBe 0L
   }
+  test("globalLead1: a null-headed partition yields NULL, not a later head (ADVICE r10)") {
+    // values null exactly where a range partition is likely to start;
+    // the contract check is vs the single-partition window lead(), so
+    // it holds wherever the sampled boundaries land
+    val df = (1 to 40).map { i =>
+      (i.toLong, if (i >= 15 && i <= 28) None else Some(i.toLong * 10))
+    }.toDF("i", "v")
+    val got = RelationalOps.globalLead1(df, Seq(col("i")), "v", "nxt", partitions = 5)
+      .orderBy("i").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("i"))
+    val expected = df.withColumn("nxt", lead(col("v"), 1).over(w))
+      .orderBy("i").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    got shouldBe expected
+    // the specific regression shape: the last non-null row before the
+    // null run must see NULL (its lead is null), not skip to row 29's value
+    got.find(_._1 == 14L).get._2 shouldBe None
+  }
 }

@@ -27,10 +27,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    // SPARK_GRAFT_SHUFFLE decouples shuffle parallelism from thread
-    // count for scale experiments (a cluster scales partitions with
-    // data; local[n] defaults to partitions = n)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // partitions ∝ data by default (ShufflePolicy, VERDICT r10 #4);
+    // SPARK_GRAFT_SHUFFLE overrides for one-off scale experiments
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      ShufflePolicy.partitionsFor(sfDir, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

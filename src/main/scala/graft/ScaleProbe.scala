@@ -146,6 +146,15 @@ object ScaleProbe {
     }
     def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       clearCaches(); System.gc()
+      // partitions ∝ data PER SCALE (VERDICT r10 #4): the probe's whole
+      // point is the data-scaling exponent, so each scale runs at the
+      // partition count a deployment would give it — a fixed count
+      // across scales measures the harness, not the operator (q196's
+      // 1.25-vs-0.94 incident). Runtime-settable SQL conf, so one
+      // session probes both scales.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          ShufflePolicy.partitionsFor(dir, cpus.toInt).toString))
       val t0 = System.nanoTime()
       fn(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9

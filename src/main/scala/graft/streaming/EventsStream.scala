@@ -493,4 +493,143 @@ object EventsStream extends Serializable {
       .transformWithState(new SessionProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+  // ------- daily-finalizing retrospective monitors (q218 / q233 twins)
+
+  /** Per-type state for the daily retrospectives: `finalized` daily
+    * (epochDay, count) history in day order — the whole-history
+    * statistics need it (CUSUM's S_k and MAD's medians are functions
+    * of EVERY day, unlike the ≤5-value outlier window) — plus partial
+    * counts for days the watermark hasn't closed. State is one long
+    * pair per day per type: bounded by the stream's day span, which a
+    * production deployment caps by windowing the history (documented
+    * trade; a year of state is 365 pairs). */
+  case class DailyState(finalized: Seq[(Long, Long)], pending: Seq[(Long, Long)])
+
+  private val DayMs = 86400000L
+
+  /** Watermark-ordered day finalization shared by the q218/q233 twins
+    * (the [[outliersStream]] discipline lifted from events to days):
+    * pending per-day counts accumulate until the watermark passes the
+    * day's last instant — at which point the watermark contract says
+    * no event of that day can still arrive — then the day joins the
+    * finalized history IN DAY ORDER and the retrospective kernel
+    * re-emits over the grown prefix. In-watermark reordering and
+    * arbitrary micro-batch splits cannot change any emission. */
+  private def dailyRetroStream[T](events: Dataset[Event], watermark: String,
+      emit: (String, Seq[(Long, Long)]) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import events.sparkSession.implicits._
+
+    def update(et: String, it: Iterator[Event],
+               state: GroupState[DailyState]): Iterator[T] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(DailyState(Seq.empty, Seq.empty))
+      val newCounts = it.map(e => Math.floorDiv(e.ts.getTime, DayMs)).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val pendMap = (st.pending ++ newCounts).groupBy(_._1)
+        .map { case (d, xs) => (d, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      // day d spans [d·86400000, (d+1)·86400000): final once the
+      // watermark reaches its last millisecond
+      val (fin, pend) = pendMap.partition { case (d, _) => (d + 1) * DayMs - 1 <= wm }
+      var hist = st.finalized
+      val out = Seq.newBuilder[T]
+      fin.foreach { case (d, c) => hist = hist :+ ((d, c)); out += emit(et, hist) }
+      state.update(DailyState(hist, pend))
+      // earliest pending day's close; > wm by construction of `pend`
+      if (pend.nonEmpty) state.setTimeoutTimestamp((pend.map(_._1).min + 1) * DayMs - 1)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Per-prefix batch twin runner: for each event type, the kernel's
+    * retrospective after day 1, after day 2, … — exactly the emission
+    * history the streaming twin produces once everything finalizes. */
+  private def dailyRetroBatch[T](events: Dataset[Event],
+      emit: (String, Seq[(Long, Long)]) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type).flatMapGroups { (et, it) =>
+      val hist = it.map(e => Math.floorDiv(e.ts.getTime, DayMs)).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      hist.indices.iterator.map(i => emit(et, hist.take(i + 1)))
+    }
+  }
+
+  case class CusumPoint(event_type: String, n_days: Long, total_events: Long,
+                        cusum_max: Long, changepoint_day: String)
+
+  /** q218's CUSUM retrospective as a shared kernel over an in-order
+    * daily history: argmax_k |n·cum_k − k·tot|, ties to the earliest
+    * day — Long arithmetic matching the batch query and its oracle
+    * bit for bit (q218's documented integer-clearing form; the same
+    * n·cum magnitude bound applies). */
+  private[graft] def cusumRetro(et: String, hist: Seq[(Long, Long)]): CusumPoint = {
+    val n = hist.size.toLong
+    val tot = hist.iterator.map(_._2).sum
+    var cum = 0L; var k = 0L
+    var best = -1L; var bestDay = 0L
+    hist.foreach { case (day, c) =>
+      cum += c; k += 1
+      val s = math.abs(n * cum - k * tot)
+      if (s > best) { best = s; bestDay = day } // strict > = earliest tie wins
+    }
+    CusumPoint(et, n, tot, best,
+      java.time.LocalDate.ofEpochDay(bestDay).toString)
+  }
+
+  /** Live q218: one updated changepoint retrospective per type per
+    * FINALIZED day. Equals [[cusumBatch]] on the finalized prefix for
+    * any arrival order the watermark admits (EventsStreamSpec). */
+  def cusumStream(events: Dataset[Event],
+                  watermark: String = "1 hour"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    dailyRetroStream(events, watermark, cusumRetro)
+  }
+
+  /** Batch twin of [[cusumStream]]: the full emission history; its
+    * LAST row per type is q218's whole-history answer. */
+  def cusumBatch(events: Dataset[Event]): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    dailyRetroBatch(events, cusumRetro)
+  }
+
+  case class MadCensus(event_type: String, n_days: Long, median_daily: Long,
+                       mad: Long, n_outliers: Long, first_outlier_day: String,
+                       outlier_mass: Long)
+
+  /** q233's MAD census as a shared kernel: exact LOWER medians (the
+    * `min v with 2·cumf ≥ n` gate = sorted((n−1)/2)), flag days with
+    * |c − med| > 3·MAD; zero-MAD streams flag every deviating day —
+    * q233's documented degenerate convention. */
+  private[graft] def madRetro(et: String, hist: Seq[(Long, Long)]): MadCensus = {
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.size - 1) / 2)
+    }
+    val med = lowerMedian(hist.map(_._2))
+    val mad = lowerMedian(hist.map { case (_, c) => math.abs(c - med) })
+    val outs = hist.filter { case (_, c) => math.abs(c - med) > mad * 3 }
+    MadCensus(et, hist.size.toLong, med, mad, outs.size.toLong,
+      outs.headOption.map(o => java.time.LocalDate.ofEpochDay(o._1).toString).orNull,
+      outs.iterator.map(_._2).sum)
+  }
+
+  /** Live q233: one updated robust-outlier census per type per
+    * finalized day — the monitor that cannot be poisoned by the
+    * outlier it is judging (median/MAD, not mean/std). */
+  def madOutliersStream(events: Dataset[Event],
+                        watermark: String = "1 hour"): Dataset[MadCensus] = {
+    import events.sparkSession.implicits._
+    dailyRetroStream(events, watermark, madRetro)
+  }
+
+  /** Batch twin of [[madOutliersStream]] — last row per type is
+    * q233's whole-history census. */
+  def madOutliersBatch(events: Dataset[Event]): Dataset[MadCensus] = {
+    import events.sparkSession.implicits._
+    dailyRetroBatch(events, madRetro)
+  }
 }

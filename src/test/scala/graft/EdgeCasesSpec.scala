@@ -175,4 +175,14 @@ class EdgeCasesSpec extends SparkSpec {
       .annTopK(vecs, vecs.where(col("vec_id") === 0L), k = 50)
     out.count() shouldBe 15 // all non-self neighbors, no padding, no error
   }
+  test("ShufflePolicy: partitions scale with the fixture's sf, floored at thread count") {
+    ShufflePolicy.sfOf("/root/testdata/sf0.1") shouldBe Some(0.1)
+    ShufflePolicy.sfOf("target/sf1") shouldBe Some(1.0)
+    ShufflePolicy.sfOf("/data/nothing") shouldBe None
+    ShufflePolicy.partitionsFor("/root/testdata/sf0.01", 32) shouldBe 32
+    ShufflePolicy.partitionsFor("/root/testdata/sf0.1", 32) shouldBe 32
+    ShufflePolicy.partitionsFor("target/sf1", 32) shouldBe 128
+    ShufflePolicy.partitionsFor("/x/sf10", 32) shouldBe 1280
+    ShufflePolicy.partitionsFor("/x/unnamed", 32) shouldBe 32
+  }
 }

@@ -714,4 +714,50 @@ class EventsStreamSpec extends SparkSpec {
     flags(2L)._2 shouldBe false
     flags(3L)._2 shouldBe false
   }
+  test("cusumStream + madOutliersStream: daily retrospectives equal the batch twins under watermark-ordered finalization") {
+    import graft.streaming.EventsStream.{CusumPoint, MadCensus}
+    // day helper: d = 0 is epochDay 70 (Base sits inside epochDay 69);
+    // m = minutes into that day
+    def dmin(d: Long, m: Long): Long = 780L + d * 1440L + m
+    var id = 0L
+    def e(d: Long, m: Long, typ: String): Event = { id += 1; ev(id, dmin(d, m), typ = typ) }
+    // click daily counts [2, 3, 10, 1] over days 0..3; view [4, 4] over 0..1
+    val b1 = Seq(e(0, 200, "click"), e(1, 30, "click"), e(0, 100, "click"),
+      e(0, 80, "view"), e(0, 50, "view"), e(0, 70, "view"), e(0, 60, "view"))
+    val b2 = Seq(e(1, 900, "click"), e(1, 500, "click"),
+      e(1, 900, "view"), e(1, 600, "view"), e(1, 700, "view"), e(1, 800, "view"),
+      e(2, 400, "click"))
+    val b3 = (1 to 9).map(i => e(2, 400L + i * 50, "click")) :+ e(3, 100, "click")
+    val pusher = e(5, 0, "zzz") // watermark push; its own day never finalizes
+    val finalized = b1 ++ b2 ++ b3
+
+    val memC = MemoryStream[Event]
+    val qc = EventsStream.cusumStream(memC.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    val memM = MemoryStream[Event]
+    val qm = EventsStream.madOutliersStream(memM.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("madc").outputMode("append").start()
+    try {
+      for (b <- Seq(b1, b2, b3, Seq(pusher))) {
+        memC.addData(b: _*); qc.processAllAvailable()
+        memM.addData(b: _*); qm.processAllAvailable()
+      }
+      val gotC = spark.table("cusum").as[CusumPoint].collect().toSet
+      val gotM = spark.table("madc").as[MadCensus].collect().toSet
+      // equality with the per-prefix batch twins on the finalized events
+      gotC shouldBe EventsStream.cusumBatch(finalized.toDS()).collect().toSet
+      gotM shouldBe EventsStream.madOutliersBatch(finalized.toDS()).collect().toSet
+      // hand-checked retrospectives: click [2,3,10,1] — the level shift
+      // lands on day 1 via the earliest-tie rule (S = [8,12,12,0])
+      gotC.filter(_.event_type == "click").map(_.n_days) shouldBe Set(1L, 2L, 3L, 4L)
+      val c4 = gotC.find(p => p.event_type == "click" && p.n_days == 4).get
+      c4 shouldBe CusumPoint("click", 4, 16, 12, "1970-03-13")
+      val m4 = gotM.find(p => p.event_type == "click" && p.n_days == 4).get
+      m4 shouldBe MadCensus("click", 4, 2, 1, 1, "1970-03-14", 10)
+      // zero-MAD degenerate stream: constant view days flag nothing
+      gotM.filter(_.event_type == "view").map(_.n_outliers) shouldBe Set(0L)
+      // the pusher's own day is still pending: no zzz emission at all
+      gotC.count(_.event_type == "zzz") shouldBe 0
+    } finally { qc.stop(); qm.stop() }
+  }
 }

@@ -63,7 +63,10 @@ object LintNew {
       "q263_peak_concurrency", "q264_broadcast_advisor", "q265_nzv_screen",
       "q266_target_encoding", "q267_ab_sizing", "q268_cluster_purity",
       // round 11 registrations (authored r10, registered r11)
-      "q269_hist_cardinality", "q270_bucket_balance", "q271_share_rollup")
+      "q269_hist_cardinality", "q270_bucket_balance", "q271_share_rollup",
+      // round 11 wave: robust trend + corpus-coverage census family
+      "q272_mann_kendall", "q273_sen_slope", "q274_source_vocab_overlap",
+      "q275_oov_census", "q276_hash_collision_audit")
     // precommit gate (tools/precommit.sh) passes the queries touched
     // since the last full battery as a comma-separated arg — lint only
     // those; no args = the full round list above.

@@ -6074,6 +6074,144 @@ object ExtendedQueries {
       |FROM (SELECT * FROM nat UNION ALL SELECT * FROM seg) u
       |ORDER BY level, region, nation, segment""".stripMargin
 
+  // ------- Mann–Kendall monotone-trend test (q272)
+  /** IS each event stream's daily volume monotonically drifting? The
+    * nonparametric companion to q218 (WHERE did it shift) and q254
+    * (HOW is it trending): S = Σ_{i<j} sgn(c_j − c_i) over day pairs,
+    * with the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) kept as the INTEGER var18,
+    * continuity-corrected significance as the pure-integer gate
+    * 18·10⁴·(|S|−1)² > 38416·var18 (z² > 1.96², no IEEE anywhere),
+    * and the direction sign. Rank-based: immune to the outlier days
+    * that poison a least-squares slope — the screen that decides
+    * whether q273's Sen slope is worth reading.
+    *
+    * Scale shape: ONE map-side (type, day) rollup, then a day-pair
+    * self-join that is O(d²) per type over CALENDAR DAYS — domain-
+    * bounded like q244's paired days (a decade is ~6.7M pairs/type),
+    * never data-sized; the tie census is a second bounded rollup. */
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+      .persistT
+    val b = daily.select(col("et").as("et2"), col("day").as("d2"),
+      col("c").as("c2"))
+    val sPairs = daily
+      .join(b, col("et") === col("et2") && col("day") < col("d2"))
+      .groupBy(col("et"))
+      .agg(sum(when(col("c2") > col("c"), 1L)
+          .when(col("c2") < col("c"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("et"), col("c")).agg(count(lit(1)).as("tk"))
+      .groupBy(col("et"))
+      .agg(sum(col("tk")).as("n_days"),
+        sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tie_term"))
+    sPairs.join(ties, Seq("et"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("u", greatest(abs(col("s_stat")) - 1, lit(0L)))
+      .select(col("et").as("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), col("var18"),
+        (col("var18") > 0 &&
+          expr("180000 * u * u > 38416 * var18")).as("trending"),
+        when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
+          .otherwise(0L).as("direction"))
+      .sortedOut("event_type")
+  }
+
+  private val q272Sql =
+    """WITH daily AS MATERIALIZED (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.et,
+      |    CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM daily a JOIN daily b ON a.et = b.et AND a.day < b.day GROUP BY 1),
+      |t AS (SELECT et, CAST(sum(tk) AS BIGINT) AS n_days,
+      |    CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT et, c, CAST(count(*) AS BIGINT) AS tk FROM daily GROUP BY 1, 2) g
+      |  GROUP BY 1),
+      |v AS (SELECT p.et, n_days, n_pairs, s_stat,
+      |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+      |    greatest(abs(s_stat) - 1, 0) AS u
+      |  FROM p JOIN t USING (et))
+      |SELECT et AS event_type, n_days, n_pairs, s_stat, var18,
+      |  var18 > 0 AND 180000 * u * u > 38416 * var18 AS trending,
+      |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+      |FROM v ORDER BY event_type""".stripMargin
+
+  // ------- Theil–Sen robust slope in integer micro-units (q273)
+  /** HOW FAST is each stream drifting, robustly: the Sen slope — the
+    * lower MEDIAN of all pairwise slopes (c_j − c_i)/(day_j − day_i) —
+    * in exact micro-events-per-day: each pair's slope quantizes to
+    * `(Δc·10⁶) div Δday` — TRUNCATING division, which BIGINT `//`
+    * also is in DuckDB (measured: −7//2 = −3; the floor-vs-trunc
+    * distinction only bites negative slopes, and both spellings are
+    * monotone so the median is stable either way) — then the q233
+    * lower-median gate
+    * (min v with 2·cumf ≥ n) picks the estimator. Up to 29% outlier
+    * days cannot move it — the robust twin of q203's per-group OLS
+    * slope, paired with q272's significance screen.
+    *
+    * Scale shape: the same domain-bounded O(d²/type) day-pair join as
+    * q272; the median census window partitions by type over slope
+    * VALUES (≤ pairs/type rows) — never a data-sized window. */
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+      .persistT
+    val b = daily.select(col("et").as("et2"), col("day").as("d2"),
+      col("c").as("c2"))
+    val pairs = daily
+      .join(b, col("et") === col("et2") && col("day") < col("d2"))
+      .select(col("et"),
+        ((col("c2") - col("c")) * 1000000L).as("num"),
+        datediff(col("d2"), col("day")).cast(LongType).as("den"))
+      .select(col("et"), expr("num div den").as("slope_micro"))
+      .persistT
+    val med = pairs.groupBy(col("et"), col("slope_micro").as("v"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("cumf", sum(col("f")).over(
+        Window.partitionBy("et").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("np", sum(col("f")).over(Window.partitionBy("et")))
+      .where(col("cumf") * 2 >= col("np"))
+      .groupBy("et")
+      .agg(min(col("v")).as("sen_slope_micro"), max(col("np")).as("n_pairs"))
+    val ext = pairs.groupBy("et")
+      .agg(min(col("slope_micro")).as("min_slope_micro"),
+        max(col("slope_micro")).as("max_slope_micro"))
+    val nd = daily.groupBy("et").agg(count(lit(1)).as("n_days"))
+    med.join(ext, Seq("et")).join(nd, Seq("et"))
+      .select(col("et").as("event_type"), col("n_days"), col("n_pairs"),
+        col("sen_slope_micro"), col("min_slope_micro"), col("max_slope_micro"))
+      .sortedOut("event_type")
+  }
+
+  private val q273Sql =
+    """WITH daily AS MATERIALIZED (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |pr AS MATERIALIZED (SELECT a.et,
+      |    ((b.c - a.c) * 1000000) // date_diff('day', a.day, b.day) AS slope_micro
+      |  FROM daily a JOIN daily b ON a.et = b.et AND a.day < b.day),
+      |cen AS (SELECT et, slope_micro AS v, CAST(count(*) AS BIGINT) AS f
+      |  FROM pr GROUP BY 1, 2),
+      |cum AS (SELECT et, v, f,
+      |    CAST(sum(f) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |    CAST(sum(f) OVER (PARTITION BY et) AS BIGINT) AS np FROM cen),
+      |med AS (SELECT et, CAST(min(v) AS BIGINT) AS sen_slope_micro,
+      |    CAST(max(np) AS BIGINT) AS n_pairs
+      |  FROM cum WHERE cumf * 2 >= np GROUP BY 1),
+      |ext AS (SELECT et, CAST(min(slope_micro) AS BIGINT) AS min_slope_micro,
+      |    CAST(max(slope_micro) AS BIGINT) AS max_slope_micro FROM pr GROUP BY 1),
+      |nd AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+      |SELECT med.et AS event_type, n_days, n_pairs, sen_slope_micro,
+      |  min_slope_micro, max_slope_micro
+      |FROM med JOIN ext USING (et) JOIN nd USING (et) ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_pivot",            q39 _, Some(q39Sql)),
     ("q40_cube",             q40 _, Some(q40Sql)),
@@ -6189,5 +6327,7 @@ object ExtendedQueries {
     ("q267_ab_sizing",       q267 _, Some(q267Sql)),
     ("q269_hist_cardinality", q269 _, Some(q269Sql)),
     ("q270_bucket_balance",  q270 _, Some(q270Sql)),
-    ("q271_share_rollup",    q271 _, Some(q271Sql)))
+    ("q271_share_rollup",    q271 _, Some(q271Sql)),
+    ("q272_mann_kendall",    q272 _, Some(q272Sql)),
+    ("q273_sen_slope",       q273 _, Some(q273Sql)))
 }

@@ -4635,6 +4635,175 @@ object TextQueries {
        |  CAST(sum(dom) * 1000000 // sum(sz) AS BIGINT) AS purity_ppm
        |FROM per GROUP BY 1 ORDER BY size_band""".stripMargin
 
+  // ------- cross-source vocabulary overlap (q274)
+  /** How much LANGUAGE do two sources share? Per source, the top-200
+    * tokens by (frequency desc, token) — selected by the native
+    * [[graft.plans.TopKPerKey]] bounded heap, never a source-wide
+    * ranking window — then exact pairwise Jaccard over those
+    * signature sets in ppm, with zero-overlap pairs kept (the full
+    * pair grid is sources², a bounded registry axis). The
+    * content-overlap census behind mixture design: two "different"
+    * sources sharing 80% of their head vocabulary are one source for
+    * diversity purposes — the corpus-level companion to per-doc
+    * near-dup (q29/q48) and the input q183's communities cluster.
+    *
+    * Scale shape: one (source, token) census shuffle; top sets are
+    * ≤ 200·|S| rows, the pair join and grid are |S|²-bounded — text
+    * never travels past the first census. */
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    val topk = 200
+    val census = docs0(s, d)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .persistT
+    val top = graft.plans.TopKPerKey.topK(census, Seq("source"),
+        Seq(negate(col("cnt")), col("tok")), topk)
+      .select(col("source"), col("tok")).persistT
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("k"))
+    val inter = top
+      .join(top.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .where(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val grid = sizes.select(col("source").as("source_a"), col("k").as("k_a"))
+      .join(sizes.select(col("source").as("source_b"), col("k").as("k_b")))
+      .where(col("source_a") < col("source_b"))
+    grid.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("k_a"), col("k_b"),
+        coalesce(col("inter"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard_ppm",
+        expr("n_shared * 1000000 div (k_a + k_b - n_shared)"))
+      .sortedOut("source_a", "source_b")
+  }
+
+  private val q274Sql =
+    """WITH tc AS MATERIALIZED (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents) u
+      |  WHERE len(tok) > 0 GROUP BY 1, 2),
+      |top AS MATERIALIZED (SELECT source, tok FROM (
+      |    SELECT source, tok, row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, tok) AS rn FROM tc) r
+      |  WHERE rn <= 200),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS k FROM top GROUP BY 1),
+      |it AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |grid AS (SELECT a.source AS source_a, a.k AS k_a, b.source AS source_b, b.k AS k_b
+      |  FROM sz a JOIN sz b ON a.source < b.source)
+      |SELECT source_a, source_b, k_a, k_b,
+      |  CAST(coalesce(inter, 0) AS BIGINT) AS n_shared,
+      |  CAST(coalesce(inter, 0) * 1000000 // (k_a + k_b - coalesce(inter, 0)) AS BIGINT) AS jaccard_ppm
+      |FROM grid LEFT JOIN it USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ------- out-of-vocabulary rate census (q275)
+  /** The tokenizer-coverage gate: fix the vocabulary at the global
+    * top-1000 tokens (cnt desc, token tie-break — a
+    * TakeOrderedAndProject, never a full sort) and census every
+    * (lang, source) stratum's OOV exposure — token occurrences
+    * outside the vocabulary, distinct OOV types, and the rate in
+    * exact ppm. High-OOV strata are where a fixed-vocab model's
+    * UNK mass will concentrate; this is the per-stratum number a
+    * mixture designer reads next to q212's language TVD.
+    *
+    * Scale shape: one (stratum, token)-grain pass; the 1000-row vocab
+    * BROADCASTS into the left join (never a shuffle by token), and
+    * the stratum rollup is map-side-combinable. */
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    val vocabSize = 1000
+    val toks = docs0(s, d)
+      .select(col("lang"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .persistT
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        countDistinct(when(col("in_v").isNull, col("tok"))).as("oov_types"))
+      .withColumn("oov_ppm", expr("oov_tokens * 1000000 div n_tokens"))
+      .sortedOut("lang", "source")
+  }
+
+  private val q275Sql =
+    """WITH tk AS MATERIALIZED (SELECT lang, source, tok FROM (
+      |    SELECT lang, source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) u WHERE len(tok) > 0),
+      |v AS (SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      |    FROM tk GROUP BY tok) r WHERE rn <= 1000)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN tk.tok END) AS BIGINT) AS oov_types,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+      |FROM tk LEFT JOIN v ON tk.tok = v.tok
+      |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  // ------- feature-hashing collision audit (q276)
+  /** What does the hashing trick actually COST on this vocabulary?
+    * Bucket every distinct token by md5-60(token) mod 2^b for
+    * b ∈ {12, 16} (the engine-wide oracle-reproducible hash) and
+    * census the collisions: buckets used, buckets holding ≥ 2 types,
+    * types implicated, and — the number that matters for model
+    * quality — the share of token OCCURRENCE mass sitting in collided
+    * buckets, in exact ppm. The audit a feature-hashed model runs
+    * before choosing its width; doubling b should visibly collapse
+    * the collided-mass share.
+    *
+    * Scale shape: one token census shuffle, then per-b map-side
+    * bucket rollups over the census — the text column never leaves
+    * the first aggregate, and each leg's output is one row. */
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    val census = docs0(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("m"))
+      .withColumn("h", Hashing.h60(col("tok")))
+      .persistT
+    def leg(bBits: Int): DataFrame = {
+      val b = 1L << bBits
+      census.groupBy(pmod(col("h"), lit(b)).as("bucket"))
+        .agg(count(lit(1)).as("types"), sum(col("m")).as("mass"))
+        .agg(count(lit(1)).as("buckets_used"),
+          sum(col("types")).as("n_types"),
+          sum(col("mass")).as("n_occ"),
+          sum(when(col("types") > 1, 1L).otherwise(0L)).as("buckets_collided"),
+          sum(when(col("types") > 1, col("types")).otherwise(0L)).as("types_collided"),
+          sum(when(col("types") > 1, col("mass")).otherwise(0L)).as("mass_collided"))
+        .select(lit(b).as("n_buckets"), col("buckets_used"), col("n_types"),
+          col("buckets_collided"), col("types_collided"),
+          expr("mass_collided * 1000000 div n_occ").as("collided_mass_ppm"))
+    }
+    leg(12).unionByName(leg(16)).sortedOut("n_buckets")
+  }
+
+  private val q276Sql = {
+    def leg(b: Long): String =
+      s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+         |  CAST(count(*) AS BIGINT) AS buckets_used,
+         |  CAST(sum(types) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN types > 1 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_collided,
+         |  CAST(sum(CASE WHEN types > 1 THEN types ELSE 0 END) AS BIGINT) AS types_collided,
+         |  CAST(sum(CASE WHEN types > 1 THEN mass ELSE 0 END) * 1000000 // sum(mass) AS BIGINT) AS collided_mass_ppm
+         |FROM (SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $b AS bucket,
+         |        CAST(count(*) AS BIGINT) AS types, CAST(sum(m) AS BIGINT) AS mass
+         |      FROM tcensus GROUP BY 1) g""".stripMargin
+    s"""WITH tcensus AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS m
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents) u
+       |  WHERE len(tok) > 0 GROUP BY 1)
+       |${leg(4096)}
+       |UNION ALL
+       |${leg(65536)}
+       |ORDER BY n_buckets""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q23_dedup_exact",        q23 _, Some(q23Sql)),
     ("q24_token_count",        q24 _, Some(q24Sql)),
@@ -4731,6 +4900,9 @@ object TextQueries {
     ("q246_freq_spectrum", q246 _, Some(q246Sql)),
     ("q248_dup_affinity", q248 _, Some(q248Sql)),
     ("q252_stratum_cap", q252 _, Some(q252Sql)),
+    ("q274_source_vocab_overlap", q274 _, Some(q274Sql)),
+    ("q275_oov_census", q275 _, Some(q275Sql)),
+    ("q276_hash_collision_audit", q276 _, Some(q276Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 
   // ------- dedup-threshold savings curve (q242)

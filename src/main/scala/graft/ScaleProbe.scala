@@ -51,6 +51,12 @@ object ScaleProbe {
     "q183_syndication_communities", "q164_dupgraph_transitivity",
     "q136_trade_hits", "q154_minhash_calibration")
 
+  /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
+    * sf3 rung so their exponent is a least-squares fit across three
+    * scales spanning 1.5 decades, not a single two-point ratio.
+    */
+  private val sf3Queries = Set("q196_ppjoin_exact", "q164_dupgraph_transitivity")
+
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")
 
@@ -60,6 +66,7 @@ object ScaleProbe {
       println(s"PROBE fixtures already at $outDir — skipping generation")
       return
     }
+    java.nio.file.Files.createDirectories(fs)
     dimTables.foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -170,13 +177,37 @@ object ScaleProbe {
     // iteration aid for exponent experiments; overwrites SCALE_PROBE.json
     // only when unset so a partial probe can't clobber the full table)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val rows = heavy.filter(n => only.forall(_.contains(n))).map { name =>
+    val probed = heavy.filter(n => only.forall(_.contains(n)))
+
+    // sf3 rung fixtures, generated only when one of its queries is probed
+    // and SPARK_GRAFT_SF3 != 0 (30 replicas = 3× sf1's data volume).
+    val outDir3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "target/sf3")
+    val wantSf3 = sys.env.getOrElse("SPARK_GRAFT_SF3", "1") != "0" &&
+      probed.exists(sf3Queries)
+    if (wantSf3) generate(spark, srcDir, outDir3, replicas = 30)
+
+    // least-squares slope of log10(t) vs log10(sf) — the scaling exponent
+    def fit(pts: Seq[(Double, Double)]): Double = {
+      val xs = pts.map(p => math.log10(p._1)); val ys = pts.map(p => math.log10(p._2))
+      val n = pts.size; val mx = xs.sum / n; val my = ys.sum / n
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      num / xs.map(x => (x - mx) * (x - mx)).sum
+    }
+
+    val rows = probed.map { name =>
       val fn = qmap(name)
       val t01 = math.min(once(fn, srcDir), once(fn, srcDir))
       val t1 = once(fn, outDir)
-      val expn = math.log10(t1 / t01)
-      println(f"PROBE $name%-30s sf0.1 ${t01}%8.3f s   sf1 ${t1}%8.3f s   exponent ${expn}%5.2f")
-      s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"exponent":${r3(expn)}}"""
+      if (wantSf3 && sf3Queries(name)) {
+        val t3 = once(fn, outDir3)
+        val expn = fit(Seq((0.1, t01), (1.0, t1), (3.0, t3)))
+        println(f"PROBE $name%-30s sf0.1 ${t01}%8.3f s   sf1 ${t1}%8.3f s   sf3 ${t3}%8.3f s   exponent(fit) ${expn}%5.2f")
+        s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"sf3":${r3(t3)},"exponent":${r3(expn)},"fit":"lsq3"}"""
+      } else {
+        val expn = math.log10(t1 / t01)
+        println(f"PROBE $name%-30s sf0.1 ${t01}%8.3f s   sf1 ${t1}%8.3f s   exponent ${expn}%5.2f")
+        s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"exponent":${r3(expn)}}"""
+      }
     }
     val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":10,\"src\":\"" + srcDir + "\"}")
     println(line)

@@ -618,6 +618,9 @@ object Dedup {
       .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persistT
     val chain = graft.ops.Lineage.newChain("unionfind")
+    // try/finally (ADVICE r11): a mid-loop failure must still drop the
+    // helper persists and the chain's bookkeeping entry
+    try {
     var labels = graft.ops.Lineage.cut(nodes.withColumn("cluster", col("doc_id")), chain)
     // labels only ever decrease, so the label sum is strictly monotone
     // until the fixpoint — an O(1)-row convergence probe with no
@@ -649,10 +652,12 @@ object Dedup {
       iter += 1
     }
     lastLabelPropIterations = iter
-    edges.unpersist()
-    p.unpersist()
-    graft.ops.Lineage.endChain(labels.sparkSession, chain, deleteLast = false)
     labels
+    } finally {
+      edges.unpersist()
+      p.unpersist()
+      graft.ops.Lineage.endChain(pairs.sparkSession, chain, deleteLast = false)
+    }
   }
 
   /** The deduplicated corpus: keep every doc that is its cluster's

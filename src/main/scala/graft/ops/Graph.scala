@@ -315,24 +315,30 @@ object Graph {
     val n = nodes.select(col(nodeCol).as("node")).persistT
     val e = symmetrized(edges).persistT
     val chain = Lineage.newChain("lpa")
-    var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")), chain)
-    for (_ <- 0 until iters) {
-      // per-neighbor-label incident weight, then argmax by
-      // (weight desc, label asc) via min over an integer struct —
-      // deterministic, map-side combinable, window-free
-      val nb = e.join(labels, e("src") === labels("node"))
-        .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("s"))
-      val best = nb.groupBy(col("dst"))
-        .agg(min(struct(negate(col("s")).as("ns"), col("lbl").as("l"))).as("b"))
-        .select(col("dst"), col("b.l").as("new_lbl"))
-      labels = Lineage.cut(n.join(best, n("node") === best("dst"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl")), chain)
+    // try/finally (ADVICE r11): a mid-loop failure must still close the
+    // chain's bookkeeping (a strong SparkSession ref) and drop the
+    // helper persists — otherwise they leak until a later reliable-mode
+    // cut sweeps stopped sessions
+    try {
+      var labels = Lineage.cut(n.select(col("node"), col("node").as("lbl")), chain)
+      for (_ <- 0 until iters) {
+        // per-neighbor-label incident weight, then argmax by
+        // (weight desc, label asc) via min over an integer struct —
+        // deterministic, map-side combinable, window-free
+        val nb = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("s"))
+        val best = nb.groupBy(col("dst"))
+          .agg(min(struct(negate(col("s")).as("ns"), col("lbl").as("l"))).as("b"))
+          .select(col("dst"), col("b.l").as("new_lbl"))
+        labels = Lineage.cut(n.join(best, n("node") === best("dst"), "left")
+          .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl")), chain)
+      }
+      labels.select(col("node"), col("lbl").as("community"))
+    } finally {
+      e.unpersist(blocking = false)
+      n.unpersist(blocking = false)
+      Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
     }
-    val out = labels.select(col("node"), col("lbl").as("community"))
-    e.unpersist(blocking = false)
-    n.unpersist(blocking = false)
-    Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
-    out
   }
 
   /** Weighted Newman modularity of a node→community assignment,
@@ -409,29 +415,30 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val chain = Lineage.newChain("kcore")
-    var e = Lineage.cut(edges.select(col("a"), col("b")), chain)
-    var prev = e.count()
-    var rounds = 0
-    var converged = prev == 0L
-    while (!converged) {
-      require(rounds < maxRounds,
-        s"kCore did not converge within $maxRounds rounds (edges=$prev)")
-      val deg = e.select(col("a").as("node"))
-        .unionAll(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select(col("node"))
-      val next = Lineage.cut(
-        e.join(keep.select(col("node").as("a")), Seq("a"))
-          .join(keep.select(col("node").as("b")), Seq("b"))
-          .select(col("a"), col("b")), chain)
-      val cnt = next.count()
-      converged = cnt == prev
-      prev = cnt
-      e = next
-      rounds += 1
-    }
-    Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
-    e
+    try {
+      var e = Lineage.cut(edges.select(col("a"), col("b")), chain)
+      var prev = e.count()
+      var rounds = 0
+      var converged = prev == 0L
+      while (!converged) {
+        require(rounds < maxRounds,
+          s"kCore did not converge within $maxRounds rounds (edges=$prev)")
+        val deg = e.select(col("a").as("node"))
+          .unionAll(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= k).select(col("node"))
+        val next = Lineage.cut(
+          e.join(keep.select(col("node").as("a")), Seq("a"))
+            .join(keep.select(col("node").as("b")), Seq("b"))
+            .select(col("a"), col("b")), chain)
+        val cnt = next.count()
+        converged = cnt == prev
+        prev = cnt
+        e = next
+        rounds += 1
+      }
+      e
+    } finally Lineage.endChain(edges.sparkSession, chain, deleteLast = false)
   }
 
   /** Multi-source breadth-first search: exact minimum hop distance
@@ -479,27 +486,30 @@ object Graph {
     val visChain = Lineage.newChain("bfs-visited")
     val nextChain = Lineage.newChain("bfs-next")
     val spark = edges.sparkSession
-    var visited = Lineage.cut(seed0.select(col("node"), lit(0).as("dist")), visChain)
-    var frontier = visited
-    var r = 1
-    var exhausted = false
-    while (r <= maxHops && !exhausted) {
-      val next = Lineage.cut(
-        adj.join(frontier.select(col("node").as("a")).distinct(), Seq("a"))
-          .select(col("b").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
-          .select(col("node"), lit(r).as("dist")), nextChain)
-      exhausted = next.isEmpty
-      if (!exhausted) {
-        visited = Lineage.cut(visited.unionAll(next), visChain)
-        frontier = next
+    try {
+      var visited = Lineage.cut(seed0.select(col("node"), lit(0).as("dist")), visChain)
+      var frontier = visited
+      var r = 1
+      var exhausted = false
+      while (r <= maxHops && !exhausted) {
+        val next = Lineage.cut(
+          adj.join(frontier.select(col("node").as("a")).distinct(), Seq("a"))
+            .select(col("b").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .select(col("node"), lit(r).as("dist")), nextChain)
+        exhausted = next.isEmpty
+        if (!exhausted) {
+          visited = Lineage.cut(visited.unionAll(next), visChain)
+          frontier = next
+        }
+        r += 1
       }
-      r += 1
+      visited
+    } finally {
+      adj.unpersist(blocking = false)
+      Lineage.endChain(spark, nextChain, deleteLast = true)
+      Lineage.endChain(spark, visChain, deleteLast = false)
     }
-    adj.unpersist(blocking = false)
-    Lineage.endChain(spark, nextChain, deleteLast = true)
-    Lineage.endChain(spark, visChain, deleteLast = false)
-    visited
   }
 
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)

@@ -6113,8 +6113,12 @@ object ExtendedQueries {
       .withColumn("u", greatest(abs(col("s_stat")) - 1, lit(0L)))
       .select(col("et").as("event_type"), col("n_days"), col("n_pairs"),
         col("s_stat"), col("var18"),
+        // 180000·u² cleared through DECIMAL(38,0) (q244/q248 discipline;
+        // ADVICE r11): u ≈ d²/2, so past ~3,780 distinct days BIGINT
+        // wraps (Spark) / errors (DuckDB) and flips the gate. DECIMAL
+        // holds to u ~ 7·10¹⁶ — far beyond any calendar-day domain.
         (col("var18") > 0 &&
-          expr("180000 * u * u > 38416 * var18")).as("trending"),
+          expr("CAST(180000 AS DECIMAL(38,0)) * u * u > CAST(38416 AS DECIMAL(38,0)) * var18")).as("trending"),
         when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
           .otherwise(0L).as("direction"))
       .sortedOut("event_type")
@@ -6136,7 +6140,7 @@ object ExtendedQueries {
       |    greatest(abs(s_stat) - 1, 0) AS u
       |  FROM p JOIN t USING (et))
       |SELECT et AS event_type, n_days, n_pairs, s_stat, var18,
-      |  var18 > 0 AND 180000 * u * u > 38416 * var18 AS trending,
+      |  var18 > 0 AND 180000 * CAST(u AS HUGEINT) * u > 38416 * CAST(var18 AS HUGEINT) AS trending,
       |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
       |FROM v ORDER BY event_type""".stripMargin
 

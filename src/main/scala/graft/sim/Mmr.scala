@@ -39,6 +39,9 @@ object Mmr {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     val chain = graft.ops.Lineage.newChain("mmr")
+    // try/finally (ADVICE r11): a mid-loop failure must still drop the
+    // chain's bookkeeping entry (a strong SparkSession ref)
+    try {
     // round 1: pure relevance (no selected set to be redundant with)
     var selected = cands
       .select(col("query_id"), col("cand_id"), (col("cos") * lambda).as("score"))
@@ -73,7 +76,7 @@ object Mmr {
       selected = graft.ops.Lineage.cut(selected.unionByName(pick), chain)
       r += 1
     }
-    graft.ops.Lineage.endChain(cands.sparkSession, chain, deleteLast = false)
     selected
+    } finally graft.ops.Lineage.endChain(cands.sparkSession, chain, deleteLast = false)
   }
 }

@@ -175,6 +175,33 @@ class EdgeCasesSpec extends SparkSpec {
       .annTopK(vecs, vecs.where(col("vec_id") === 0L), k = 50)
     out.count() shouldBe 15 // all non-self neighbors, no padding, no error
   }
+  test("q272 trending gate survives a 6,000-day series (ADVICE r11: 180000·u² wrapped BIGINT)") {
+    // Two-level daily counts: days 0..2999 see 1 event, days 3000..5999
+    // see 2. Within-half pairs are ties (sgn = 0), so S = 3000·3000 =
+    // 9·10⁶ — and 180000·(S−1)² ≈ 1.46·10¹⁹ exceeds Long.Max, so the old
+    // all-BIGINT gate wrapped negative and reported trending = false for
+    // a monotone 16-year drift (DuckDB errored instead — engine and
+    // oracle diverged). The DECIMAL(38,0)/HUGEINT clearing keeps both
+    // exact; this pins the fixed answer on the wrapping domain.
+    val u = 9000000L - 1 // |S| − 1 after the continuity correction
+    (180000L * u * u) should be < 0L // the wrap the fix removes
+    val dir = java.nio.file.Files.createTempDirectory("mk-overflow").toString
+    spark.range(9000).selectExpr(
+        "'drift' AS event_type",
+        "CAST(date_add(DATE'2000-01-01', CAST(CASE WHEN id < 3000 THEN id " +
+          "ELSE 3000 + (id - 3000) DIV 2 END AS INT)) AS TIMESTAMP) AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q272_mann_kendall")(spark, dir).collect()
+    out.length shouldBe 1
+    val r = out(0)
+    r.getAs[Long]("n_days") shouldBe 6000L
+    r.getAs[Long]("s_stat") shouldBe 9000000L
+    // var18 = n(n−1)(2n+5) − 2·[3000·2999·6005] = 324,054,000,000
+    r.getAs[Long]("var18") shouldBe 324054000000L
+    r.getAs[Boolean]("trending") shouldBe true
+    r.getAs[Long]("direction") shouldBe 1L
+  }
+
   test("ShufflePolicy: partitions scale with the fixture's sf, floored at thread count") {
     ShufflePolicy.sfOf("/root/testdata/sf0.1") shouldBe Some(0.1)
     ShufflePolicy.sfOf("target/sf1") shouldBe Some(1.0)

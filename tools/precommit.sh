@@ -14,7 +14,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 QS="${1:-}"
-sbt -batch compile
+# Test/compile: main AND test sources must compile (ADVICE r11 — a
+# break in a spec would otherwise pass the gate)
+sbt -batch Test/compile
 if [ -n "$QS" ]; then
   rm -rf target/precommit_out
   SPARK_GRAFT_ONLY="$QS" SPARK_GRAFT_CPUS=8 \

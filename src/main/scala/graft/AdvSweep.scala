@@ -2164,6 +2164,141 @@ object AdvSweep {
       stats("purity_ppm_floor") = (ppm == 714285L).toString
     }
 
+    // ==== wave 14 (round-12: attack the q272-q276 snapshot wave's
+    // kernels — VERDICT r11 #3) ========================================
+
+    // ---- Mann–Kendall / Theil–Sen degenerate series --------------------
+    // (a) ALL-TIED series (40 days, same count): the tie census swallows
+    // the whole variance → var18 = 0; the gate must say trending = false
+    // through the var18 > 0 guard, never compare against a zero
+    // variance. (b) SINGLE-DAY series: no day pairs exist → both kernels
+    // must DROP the type (0 rows), not emit nulls. (c) two-day series:
+    // exact integer slope (c2−c1)·10⁶ div Δday and S = +1 → u = 0 →
+    // trending false even on a perfect 2-point "trend" (too short to
+    // call). Planted via a temp events.parquet, same path the driver
+    // reads.
+    step("trend_degenerate_series") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-trend").toString
+      val mkRows =
+        spark.range(120).selectExpr("'tied' AS event_type",
+            "CAST(date_add(DATE'2024-01-01', CAST(id % 40 AS INT)) AS TIMESTAMP) AS ts")
+          .unionAll(spark.range(5).selectExpr("'single' AS event_type",
+            "CAST(DATE'2024-01-01' AS TIMESTAMP) AS ts"))
+          .unionAll(spark.range(9).selectExpr("'two' AS event_type",
+            "CAST(date_add(DATE'2024-01-01', CAST(CASE WHEN id < 2 THEN 0 ELSE 10 END AS INT)) AS TIMESTAMP) AS ts"))
+      mkRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val mk = SparkEntry.queries("q272_mann_kendall")(spark, dir)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      stats("mk_single_day_dropped") = (!mk.contains("single")).toString
+      val tied = mk("tied")
+      stats("mk_alltied_var18_zero") = (tied.getAs[Long]("var18") == 0L &&
+        !tied.getAs[Boolean]("trending") &&
+        tied.getAs[Long]("direction") == 0L).toString
+      val two = mk("two")
+      stats("mk_two_day_undetectable") = (two.getAs[Long]("s_stat") == 1L &&
+        !two.getAs[Boolean]("trending") &&
+        two.getAs[Long]("direction") == 1L).toString
+      val sen = SparkEntry.queries("q273_sen_slope")(spark, dir)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      stats("sen_single_day_dropped") = (!sen.contains("single")).toString
+      stats("sen_two_day_exact_slope") =
+        (sen("two").getAs[Long]("sen_slope_micro") == 500000L &&
+          sen("two").getAs[Long]("n_pairs") == 1L).toString
+      stats("sen_alltied_zero_slope") =
+        (sen("tied").getAs[Long]("sen_slope_micro") == 0L &&
+          sen("tied").getAs[Long]("n_pairs") == 780L).toString
+    }
+
+    // ---- q274 zero-overlap vocabulary pair ------------------------------
+    // Two sources with fully DISJOINT vocabularies plus one source
+    // sharing half its tokens with the first: the left-join grid must
+    // keep the disjoint pair at n_shared = 0 / jaccard_ppm = 0 (not drop
+    // it), and the shared pair's ppm must be the exact integer floor.
+    step("vocab_zero_overlap_pair") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-vocab").toString
+      // srcA: tokens a0..a9; srcB: b0..b9 (disjoint); srcC: a0..a4 + c0..c4
+      val docs =
+        spark.range(10).selectExpr("id AS doc_id", "'en' AS lang", "'srca' AS source",
+            "concat('a', CAST(id AS STRING)) AS text")
+          .unionAll(spark.range(10).selectExpr("id + 100 AS doc_id", "'en' AS lang",
+            "'srcb' AS source", "concat('b', CAST(id AS STRING)) AS text"))
+          .unionAll(spark.range(10).selectExpr("id + 200 AS doc_id", "'en' AS lang",
+            "'srcc' AS source",
+            "CASE WHEN id < 5 THEN concat('a', CAST(id AS STRING)) ELSE concat('c', CAST(id AS STRING)) END AS text"))
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q274_source_vocab_overlap")(spark, dir)
+        .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+      stats("vocab_grid_complete") = (out.size == 3).toString
+      val ab = out(("srca", "srcb"))
+      stats("vocab_disjoint_pair_kept") = (ab.getAs[Long]("n_shared") == 0L &&
+        ab.getAs[Long]("jaccard_ppm") == 0L).toString
+      // srca ∩ srcc = {a0..a4}: 5 shared of 10+10−5 = 15 → 333333 ppm
+      val ac = out(("srca", "srcc"))
+      stats("vocab_shared_pair_exact") = (ac.getAs[Long]("n_shared") == 5L &&
+        ac.getAs[Long]("jaccard_ppm") == 333333L).toString
+    }
+
+    // ---- q276 fully-saturated 2^12 hash table ---------------------------
+    // 82,000 distinct tokens over 4,096 buckets (λ ≈ 20): every b=12
+    // bucket is used AND collided, so the collided-mass share must hit
+    // exactly 10⁶ ppm with no zero-division or truncation artifact; the
+    // b=16 leg of the SAME census must strictly collapse the collided
+    // mass (the "doubling b helps" contract), and both legs must
+    // conserve the type census (types_collided = n_types − singleton
+    // buckets — the algebraic identity linking the output columns).
+    step("hash_audit_saturated") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-hash").toString
+      // 8,200 docs × 10 unique tokens each + 1 shared token ('common')
+      spark.range(8200).selectExpr("id AS doc_id", "'en' AS lang", "'s' AS source",
+          "concat(array_join(transform(sequence(0, 9), " +
+            "j -> concat('t', CAST(id * 10 + j AS STRING))), ' '), ' common') AS text")
+        .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q276_hash_collision_audit")(spark, dir)
+        .collect().map(r => r.getAs[Long]("n_buckets") -> r).toMap
+      val b12 = rows(4096L); val b16 = rows(65536L)
+      stats("hash_b12_saturated") = (b12.getAs[Long]("buckets_used") == 4096L &&
+        b12.getAs[Long]("buckets_collided") == 4096L &&
+        b12.getAs[Long]("collided_mass_ppm") == 1000000L).toString
+      stats("hash_b16_collapses_mass") =
+        (b16.getAs[Long]("collided_mass_ppm") < b12.getAs[Long]("collided_mass_ppm") &&
+          b16.getAs[Long]("buckets_used") > b12.getAs[Long]("buckets_used")).toString
+      def conserve(r: org.apache.spark.sql.Row): Boolean =
+        r.getAs[Long]("types_collided") ==
+          r.getAs[Long]("n_types") -
+            (r.getAs[Long]("buckets_used") - r.getAs[Long]("buckets_collided"))
+      stats("hash_type_census_conserved") = (conserve(b12) && conserve(b16) &&
+        b12.getAs[Long]("n_types") == 82001L).toString
+    }
+
+    // ---- q275 all-OOV stratum -------------------------------------------
+    // One stratum holds the global head vocabulary (1,500 distinct
+    // tokens — more than the 1,000-token vocab, all heavier than any
+    // rare token), another stratum is 100% out-of-vocabulary: its
+    // oov_ppm must be exactly 10⁶ and its oov_types its full distinct
+    // count; the head stratum's OOV must count ONLY its own tail
+    // (rank > 1000) occurrences.
+    step("oov_saturated_stratum") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-oov").toString
+      // head: 1,500 tokens × 3 occurrences; rare: 200 singleton tokens
+      val docs =
+        spark.range(1500).selectExpr("id AS doc_id", "'en' AS lang", "'head' AS source",
+            "concat_ws(' ', concat('h', CAST(id AS STRING)), concat('h', CAST(id AS STRING)), concat('h', CAST(id AS STRING))) AS text")
+          .unionAll(spark.range(200).selectExpr("id + 10000 AS doc_id", "'xx' AS lang",
+            "'rare' AS source", "concat('r', CAST(id AS STRING)) AS text"))
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q275_oov_census")(spark, dir)
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+      val rare = out("rare"); val head = out("head")
+      stats("oov_rare_stratum_saturated") = (rare.getAs[Long]("oov_ppm") == 1000000L &&
+        rare.getAs[Long]("oov_types") == 200L &&
+        rare.getAs[Long]("n_tokens") == 200L).toString
+      // head: 1,500 types × 3 occ; vocab keeps top 1,000 (all h-tokens tie
+      // at cnt 3 → lexicographic tie-break) → 500 types / 1,500 occ OOV
+      stats("oov_head_tail_only") = (head.getAs[Long]("oov_types") == 500L &&
+        head.getAs[Long]("oov_tokens") == 1500L &&
+        head.getAs[Long]("oov_ppm") == 333333L).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -667,6 +667,53 @@ object Dedup {
       .where(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
 
+  /** Exact-substring duplicated spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): the VARIABLE-LENGTH
+    * complement of the fixed-window chunk hashing — every maximal token
+    * span of length ≥ `minLen` that also appears in ANOTHER document,
+    * reported as (doc_id, span_start, span_len, n_windows).
+    *
+    * The suffix-array formulation is inherently single-machine; the
+    * distributed equivalent used here is the sliding-window
+    * characterization: a span of length ≥ L is duplicated iff EVERY one
+    * of its L-token windows is duplicated, so (1) hash every L-window
+    * (a pure projection — `transform` over the token array, md5 of the
+    * space-joined slice, no shuffle), (2) census window hashes held by
+    * ≥ 2 distinct docs (ONE hash-partitioned aggregate — a boilerplate
+    * window shared by a billion docs is one census row, never a
+    * quadratic pair set), (3) merge each doc's consecutive duplicated
+    * window positions into maximal spans (gaps-and-islands over a
+    * PER-DOC window — bounded by document length, never corpus-wide).
+    * Only 16-byte window hashes ever shuffle; text stays in the scan
+    * stage. Overlapping seeds coalesce into one span; a whole-doc
+    * duplicate yields exactly one span covering every position.
+    */
+  def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val L = minLen
+    val grams = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - L),
+        i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))
+      .toDF("doc_id", "pos", "gram")
+      .persistT
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("gram"))
+    val spans = grams.join(dup, Seq("gram"))
+      .withColumn("grp", col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + L).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+    spans
+  }
+
   /** Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
     * Hamming distance 3 of the 60-bit fingerprint must agree on at
     * least one of the four 16-bit chunks — pigeonhole over four chunks

@@ -1,0 +1,2297 @@
+package graft.queries
+
+import graft.ops.TrackedCache.TrackOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.RelationalOps
+import graft.sim.IvfIndex
+import graft.text.TextFunctions
+
+/** Extended coverage, analytics wave (q152-q237 range): funnels, drift,
+  * market-basket, concentration/inequality, calendar profiles - split
+  * out of the former ExtendedQueries mega-file (VERDICT r11 #6); query
+  * names, bodies, and oracles are unchanged.
+  */
+object ExtendedAnalyticsQueries {
+  import ParityQueries.{Q, SortedOutOps}
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def d184(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+  /** Final output cast: exact decimal -> double (ParityQueries policy). */
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+
+  // ------------- trade-graph triangle census (q152)
+  /** [[graft.ops.Graph.triangleStats]] on the strong-tie trade graph:
+    * nation pairs whose trade volume clears half the average edge
+    * weight (the threshold sparsifies the near-complete raw graph into
+    * actual structure), then the exact triangle count and global
+    * clustering coefficient. The cohesion statistic beside q117/q136's
+    * centralities — organic communities close their wedges, hub-spoke
+    * syndication doesn't.
+    *
+    * Scale: the fact table collapses to the ≤|V|² weighted edge list
+    * once (the q117/q136 discipline); the census itself runs on the
+    * degree-ordered orientation, bounding per-node join work by
+    * O(√|E|) however hot a hub is. All-integer until the final
+    * division. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      d184(col("l_extendedprice")).as("price"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val e0 = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+      .groupBy("src", "dst")
+      .agg((sum(col("price")) * lit(10000)).cast(LongType).as("w"))
+    val thr = e0.agg((sum(col("w")).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType)).as("avg_w"))
+    val strong = e0.crossJoin(broadcast(thr))
+      .where(col("w").cast(DoubleType) >= col("avg_w") * 0.5)
+      .select("src", "dst")
+    graft.ops.Graph.triangleStats(strong)
+  }
+
+  private val q152Sql =
+    """WITH e0 AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |thr AS (SELECT CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_w FROM e0),
+      |strong AS (SELECT src, dst FROM e0 CROSS JOIN thr
+      |           WHERE CAST(w AS DOUBLE) >= avg_w * 0.5),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM strong WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |        GROUP BY node),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+      |        FROM und e1
+      |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |               CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+      |  CAST(t AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE) AS clustering
+      |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
+  // ------------- behavioral diversity: per-user Gini impurity (q165)
+  /** How varied is each user's behavior: Gini impurity 1 − Σ pₜ² over
+    * the user's event-type mix — the bot/monoculture detector next to
+    * the transition matrix (q148): scripted accounts sit near 0, and a
+    * sudden corpus-wide Gini shift means the event taxonomy or the
+    * traffic changed. Gini instead of entropy BY CHOICE: it needs no
+    * log, so with the per-type shares folded in event-type order every
+    * double is exactly reproducible cross-engine.
+    *
+    * Scale shape: one (user, type) count pass with map-side combine,
+    * then a per-user fold over ≤|T| types. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+           sort_array(collect_list(struct(col("event_type"), col("c")))).as("cs"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1.0) - aggregate(col("cs"), lit(0.0), (acc, v) =>
+          acc + (v.getField("c").cast(DoubleType) / col("n_events").cast(DoubleType)) *
+                (v.getField("c").cast(DoubleType) / col("n_events").cast(DoubleType)))).as("gini"))
+      .sortedOutWide("user_id")
+  }
+
+  private val q165Sql =
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |        CAST(count(*) AS BIGINT) AS n_types,
+      |        list(c ORDER BY event_type) AS cs
+      |      FROM c GROUP BY user_id)
+      |SELECT user_id, n_events, n_types,
+      |  1.0 - list_sum(list_transform(cs, x ->
+      |    (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+      |    * (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE)))) AS gini
+      |FROM g ORDER BY user_id""".stripMargin
+
+  // ----------------- referential-integrity audit (q181)
+  /** The ETL data-quality gate the reference pipeline's domain
+    * implies but never checks: orphan foreign keys across the star
+    * (lineitem→orders/part/supplier, orders→customer) plus the
+    * fan-out profile (max/mean lineitems per order). Run BEFORE a
+    * publish step, this is what catches a partial upstream load — a
+    * missing dimension partition shows up as orphan counts, not as
+    * silently-shrunken inner joins downstream.
+    *
+    * Scale shape: each orphan count is a LEFT ANTI join — dimension
+    * sides broadcast when small, and the anti join never materializes
+    * matches; the fan-out is one map-side-combinable count. Mean
+    * fan-out is a single integer-over-integer division. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").persistT // four probes below
+    val orders = t(s, d, "orders").persistT
+    def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String) =
+      fact.select(col(key)).join(
+        broadcast(dim.select(col(dimKey).as(key)).distinct()),
+        Seq(key), "left_anti").count()
+    val oOrd = orphans(li, "l_orderkey", orders, "o_orderkey")
+    val oPart = orphans(li, "l_partkey", t(s, d, "part"), "p_partkey")
+    val oSupp = orphans(li, "l_suppkey", t(s, d, "supplier"), "s_suppkey")
+    val oCust = orphans(orders, "o_custkey", t(s, d, "customer"), "c_custkey")
+    val fan = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_orders_ref"), max(col("n")).as("max_fanout"),
+        sum(col("n")).as("n_lines"))
+    fan.select(col("n_lines"), col("n_orders_ref"), col("max_fanout"),
+      (col("n_lines").cast("double") / col("n_orders_ref").cast("double")).as("mean_fanout"),
+      lit(oOrd).as("orphan_order_refs"), lit(oCust).as("orphan_cust_refs"),
+      lit(oPart).as("orphan_part_refs"), lit(oSupp).as("orphan_supp_refs"))
+  }
+
+  private val q181Sql =
+    """WITH fan AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_lines,
+      |  CAST(count(*) AS BIGINT) AS n_orders_ref,
+      |  max(n) AS max_fanout,
+      |  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_fanout,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_order_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_cust_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS orphan_part_refs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_supp_refs
+      |FROM fan""".stripMargin
+
+  // ----------------- Pareto frontier / skyline, integer-exact (q204)
+  /** The dominance query family's first member: the set of
+    * (price, size) points no other part dominates — cheaper-and-bigger
+    * wins, so the frontier is every catalog's "efficient" boundary
+    * (best value at each budget). Dominance is evaluated on LONG cents
+    * and LONG size, so membership is exact, and the census at each
+    * frontier point (how many parts sit exactly there, key checksum)
+    * pins WHICH parts are efficient, not just how many.
+    *
+    * 2D skyline decomposes into two bounded passes instead of the
+    * quadratic NOT-EXISTS definition: (1) collapse to one candidate
+    * per distinct price — only the max-size point at a price can
+    * survive (an equal-price larger point dominates, price strict not
+    * needed because size is strict); (2) a running max over strictly
+    * cheaper candidates — survive iff size exceeds it (a cheaper
+    * point with ≥ size dominates via strict price). The oracle is the
+    * same decomposition, so one point mis-kept or mis-dropped by
+    * either pass fails the hash.
+    *
+    * Scale shape: pass 1 is a map-side-combinable (price, size) group
+    * then a per-price window; pass 2's unpartitioned running max runs
+    * over ONE ROW PER DISTINCT PRICE — bounded by the cents domain
+    * (~10⁵ for this schema), not the data, the q198-rollup argument.
+    * For an unbounded value domain the running max takes the
+    * [[RelationalOps.globalRowNumber]] range-partition + prefix
+    * formulation; the frontier itself only shrinks as data grows. */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "part")
+      .select(round(col("p_retailprice") * 100).cast(LongType).as("price_cents"),
+        col("p_size").cast(LongType).as("size"), col("p_partkey"))
+      .groupBy("price_cents", "size")
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_partkey")).as("key_sum"))
+    val cand = g
+      .withColumn("mx", max(col("size")).over(Window.partitionBy("price_cents")))
+      .where(col("size") === col("mx")).drop("mx")
+    // exclusive running max via the DISTRIBUTED prefix scan — the old
+    // `max(size).over(Window.orderBy(price).rowsBetween(-inf, -1))`
+    // sank the whole candidate frame through one task
+    RelationalOps.globalRunningMax(cand, Seq(col("price_cents").asc),
+        "size", "runmax", inclusive = false)
+      .where(col("runmax").isNull || col("size") > col("runmax"))
+      .select("price_cents", "size", "n_parts", "key_sum")
+      .sortedOut("price_cents")
+  }
+
+  private val q204Sql =
+    """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size, p_partkey FROM part),
+      |g AS (SELECT price_cents, size, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(p_partkey) AS BIGINT) AS key_sum
+      |  FROM p GROUP BY 1, 2),
+      |c AS (SELECT * FROM (
+      |    SELECT g.*, max(size) OVER (PARTITION BY price_cents) AS mx FROM g)
+      |  WHERE size = mx),
+      |f AS (SELECT *, max(size) OVER (ORDER BY price_cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM c)
+      |SELECT price_cents, size, n_parts, key_sum FROM f
+      |WHERE runmax IS NULL OR size > runmax ORDER BY price_cents""".stripMargin
+
+  // ------- chi-squared independence audit, cleared denominators (q205)
+  /** Is `lang` independent of `source` in the corpus? The χ² statistic
+    * answers the data-audit question "did one feed's language mix
+    * drift" before a sampler trusts per-source quotas. Each cell's
+    * contribution (O−E)²/E is kept EXACT until one division by
+    * clearing E = R·C/N: contribution = (N·O − R·C)² / (N·R·C), with
+    * numerator and denominator both DECIMAL(38,0) integers exported as
+    * canonical digit strings (the q01 policy — no decimal→double loss
+    * at any magnitude), and the double quotient is one IEEE division
+    * from the same two exact integers in both engines — the q203
+    * discipline applied to a test statistic. The global χ² is the sum
+    * of the per-cell doubles; it is NOT emitted because fp addition
+    * order would make it engine-dependent — consumers fold the exact
+    * cells instead.
+    *
+    * Scale shape: one map-side-combinable (lang, source) count; the
+    * marginals derive from the CELLS (≤|L|·|S| rows), never a second
+    * corpus pass; broadcast joins assemble the ≤|L|·|S| output. At
+    * 100 TB the contingency table is still tiny — this is the
+    * always-cheap audit beside q149's heavier distributional alarm. */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+    val colsm = cells.groupBy("source").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(colsm), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
+      .withColumn("chi_num", col("diff") * col("diff"))
+      .withColumn("chi_den", dec(col("n")) * dec(col("r")) * dec(col("c")))
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"), col("n"),
+        col("chi_num").cast(StringType).as("chi_num"),
+        col("chi_den").cast(StringType).as("chi_den"),
+        (col("chi_num").cast(DoubleType) / col("chi_den").cast(DoubleType))
+          .as("contrib"))
+      .sortedOut("lang", "source")
+  }
+
+  private val q205Sql =
+    """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |x AS (SELECT cells.lang, cells.source, cells.o, r.r, c.c, t.n,
+      |    CAST(t.n AS HUGEINT) * cells.o - CAST(r.r AS HUGEINT) * c.c AS diff
+      |  FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t)
+      |SELECT lang, source, o, r, c, n,
+      |  CAST(diff * diff AS VARCHAR) AS chi_num,
+      |  CAST(CAST(n AS HUGEINT) * r * c AS VARCHAR) AS chi_den,
+      |  CAST(diff * diff AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS contrib
+      |FROM x ORDER BY lang, source""".stripMargin
+
+  // -------- grid-bucketed spatial proximity self-join (q206)
+  /** The spatial member of the similarity-join family (dense cosine
+    * q58 / Jaccard q56 / Hamming q151): all point pairs within
+    * Euclidean radius r, via fixed-grid bucketing. Each customer gets
+    * a deterministic position in a 10⁶×10⁶ integer grid from two
+    * independent seeded md5-60 draws (the engine-wide convention, so
+    * the oracle reproduces the geometry bit-for-bit); with cell size
+    * EQUAL to r, any qualifying pair's cells differ by ≤1 per axis —
+    * a THEOREM, so the 3×3-neighborhood equi-join is
+    * completeness-proven like q201's deletion neighborhoods, while the
+    * oracle checks every pair EXHAUSTIVELY. One side explodes to its 9
+    * neighbor cells, the other stays home: each qualifying pair meets
+    * exactly once (the home cell is a unique key in the 9-set), and
+    * `a_id < b_id` kills the mirrored orientation. The distance test
+    * `dx²+dy² ≤ r²` is pure LONG arithmetic — no sqrt, no fp.
+    *
+    * Scale shape: one equi-join shuffle on the cell key; the 9×
+    * replication is a constant, and per-cell population — the join's
+    * skew bound — is data density × r², the knob a 100 TB run turns
+    * (smaller r or a second-level salt on hot cells, q64's recipe).
+    * Output is the pair list itself (q29 convention), which grows with
+    * density² — a production run caps per-cell candidates like
+    * [[graft.dedup.Dedup]]'s banded pairs. */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val R = 10000L
+    val pts = t(s, d, "customer")
+      .select(col("c_custkey").as("id"),
+        (graft.text.Hashing.h60Seeded(1, col("c_custkey")) % 1000000L).as("x"),
+        (graft.text.Hashing.h60Seeded(2, col("c_custkey")) % 1000000L).as("y"))
+      .withColumn("cx", expr(s"x div $R")).withColumn("cy", expr(s"y div $R"))
+    val lhs = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("gx"), (col("cy") + col("dy")).as("gy"))
+    val rhs = pts.select(col("id").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), col("cx").as("gx"), col("cy").as("gy"))
+    lhs.join(rhs, Seq("gx", "gy"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dist_sq",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .where(col("dist_sq") <= R * R)
+      .select("a_id", "b_id", "dist_sq")
+      .sortedOutWide("a_id", "b_id")
+  }
+
+  private val q206Sql =
+    """WITH p AS (SELECT c_custkey AS id,
+      |    CAST(concat('0x', substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS x,
+      |    CAST(concat('0x', substr(md5('2:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+      |  FROM customer)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------- Cohen's kappa: consecutive-event agreement (q207)
+  /** Inter-rater agreement applied to behavior: how much does a user's
+    * NEXT event type agree with the current one beyond what the
+    * marginal type mix predicts? Raw repeat-rate (q148's diagonal)
+    * confounds stickiness with popularity — a feed where 90% of events
+    * are 'view' repeats 81% by chance alone. Kappa corrects exactly
+    * that: κ = (pₒ−pₑ)/(1−pₑ) with pₒ = D/N, pₑ = ΣRₖCₖ/N², cleared to
+    * κ = (N·D − ΣRC)/(N² − ΣRC) — every term a DECIMAL(38,0) integer
+    * (N² passes LONG at corpus scale), one IEEE division at the end,
+    * the q203 discipline applied to an agreement statistic. Marginals
+    * are FULL-OUTER-merged on the class label: a type appearing only
+    * as successor still contributes its R=0 row. The degenerate
+    * single-class corpus (pₑ=1) nulls κ instead of dividing by zero.
+    *
+    * Scale shape: one user-keyed shuffle for the lead (the q148
+    * partitioning), then everything runs on the ≤|T|² confusion
+    * matrix; the cleared sums are |T|-sized folds. */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val conf = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("o"))
+    val r = conf.groupBy(col("from_type").as("k")).agg(sum(col("o")).as("r"))
+    val c0 = conf.groupBy(col("to_type").as("k")).agg(sum(col("o")).as("c"))
+    // full-outer merge of the marginals, reformulated as label-spine +
+    // two broadcast LEFT joins: Spark cannot broadcast-hash a FULL
+    // OUTER join, so the direct form sort-merges two |T|-row frames
+    // through an exchange (planLint finding); the spine form is
+    // value-identical and stays broadcast.
+    val labels = r.select("k").union(c0.select("k")).distinct()
+    val src = labels
+      .join(broadcast(r), Seq("k"), "left_outer")
+      .join(broadcast(c0), Seq("k"), "left_outer")
+      .agg(sum(dec(coalesce(col("r"), lit(0L))) *
+        dec(coalesce(col("c"), lit(0L)))).cast(DecimalType(38, 0)).as("src"))
+    val t0 = conf.agg(sum(col("o")).as("n_pairs"),
+      sum(when(col("from_type") === col("to_type"), col("o"))
+        .otherwise(0L)).as("sum_diag"))
+    t0.crossJoin(broadcast(src))
+      .select(col("n_pairs"), col("sum_diag"),
+        col("src").cast(StringType).as("sum_rc"),
+        when(dec(col("n_pairs")) * dec(col("n_pairs")) - col("src") =!= 0,
+          (dec(col("n_pairs")) * dec(col("sum_diag")) - col("src"))
+            .cast(DoubleType) /
+            (dec(col("n_pairs")) * dec(col("n_pairs")) - col("src"))
+              .cast(DoubleType)).as("kappa"))
+  }
+
+  private val q207Sql =
+    """WITH x AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |conf AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS o
+      |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT from_type AS k, CAST(sum(o) AS BIGINT) AS r FROM conf GROUP BY 1),
+      |c AS (SELECT to_type AS k, CAST(sum(o) AS BIGINT) AS c FROM conf GROUP BY 1),
+      |m AS (SELECT CAST(sum(CAST(coalesce(r.r, 0) AS HUGEINT) * coalesce(c.c, 0)) AS HUGEINT) AS src
+      |  FROM r FULL OUTER JOIN c USING (k)),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN from_type = to_type THEN o ELSE 0 END) AS BIGINT) AS sum_diag
+      |  FROM conf)
+      |SELECT t.n_pairs, t.sum_diag, CAST(m.src AS VARCHAR) AS sum_rc,
+      |  CASE WHEN CAST(t.n_pairs AS HUGEINT) * t.n_pairs - m.src <> 0 THEN
+      |    CAST(CAST(t.n_pairs AS HUGEINT) * t.sum_diag - m.src AS DOUBLE) /
+      |    CAST(CAST(t.n_pairs AS HUGEINT) * t.n_pairs - m.src AS DOUBLE)
+      |  END AS kappa
+      |FROM t CROSS JOIN m""".stripMargin
+
+  // ---------- purged / embargoed temporal split census (q208)
+  /** The leakage-free TEMPORAL eval split — the time-series complement
+    * of q133's entity-level leak-free split and q106's random one: test
+    * = the trailing 30 days, train = everything strictly older, and an
+    * EMBARGO gap of 7 days between them is assigned to neither — the
+    * purge that stops look-ahead leakage when features aggregate over
+    * trailing windows (a train row 1 day before the test boundary
+    * carries a 5-order window that overlaps test-period state, q200's
+    * exact feature shape). Cutoffs derive from the corpus max date in
+    * INTEGER days, so membership is exact; the census pins each
+    * split's count, date range, cents mass and customer checksum.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast into a
+    * map-side-combinable 3-group census — two narrow passes, no
+    * shuffle of the fact table. */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("dt"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val bounds = o.agg(max(col("dt")).as("dmax"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("dt") >= date_sub(col("dmax"), 30), "test")
+          .when(col("dt") >= date_sub(col("dmax"), 37), "embargo")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min(col("dt")).cast(StringType).as("d_lo"),
+        max(col("dt")).cast(StringType).as("d_hi"),
+        sum(col("cents")).as("cents"),
+        sum(col("o_custkey")).as("cust_sum"))
+      .sortedOut("split")
+  }
+
+  private val q208Sql =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (SELECT max(dt) AS dmax FROM o)
+      |SELECT CASE WHEN dt >= dmax - 30 THEN 'test'
+      |            WHEN dt >= dmax - 37 THEN 'embargo'
+      |            ELSE 'train' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(dt) AS VARCHAR) AS d_lo,
+      |  CAST(max(dt) AS VARCHAR) AS d_hi,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM o CROSS JOIN b GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---------- gaps-and-islands: longest monthly order streak (q209)
+  /** The sequential-pattern census: each customer's longest run of
+    * CONSECUTIVE calendar months with at least one order — the
+    * gaps-and-islands operator (island id = month-index − dense rank,
+    * constant exactly while months are consecutive) that powers
+    * retention streaks, subscription-lapse detection and "active N
+    * months in a row" cohorts, where q109's cohort matrix only sees
+    * each month independently. Month index `12·year + month` is pure
+    * integer arithmetic; the histogram pins how many customers peak at
+    * each streak length with a checksum of WHO.
+    *
+    * Scale shape: distinct (customer, month) collapses the fact table
+    * first (map-side combinable); both windows ride ONE customer-keyed
+    * shuffle (same-key windows share the partitioning); the histogram
+    * is a ≤|months| rollup. */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wm = Window.partitionBy("c").orderBy("m")
+    val months = t(s, d, "orders")
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("m"))
+      .distinct()
+    val streaks = months
+      .withColumn("island", col("m") - row_number().over(wm))
+      .groupBy("c", "island").agg(count(lit(1)).as("len"))
+      .groupBy("c").agg(max(col("len")).as("max_streak"))
+    streaks.groupBy("max_streak")
+      .agg(count(lit(1)).as("n_customers"), sum(col("c")).as("cust_sum"))
+      .sortedOut("max_streak")
+  }
+
+  private val q209Sql =
+    """WITH months AS (SELECT DISTINCT o_custkey AS c,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      |  FROM orders),
+      |isl AS (SELECT c, m,
+      |    m - row_number() OVER (PARTITION BY c ORDER BY m) AS island
+      |  FROM months),
+      |st AS (SELECT c, CAST(count(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY c, island),
+      |mx AS (SELECT c, max(len) AS max_streak FROM st GROUP BY c)
+      |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(c) AS BIGINT) AS cust_sum
+      |FROM mx GROUP BY 1 ORDER BY max_streak""".stripMargin
+
+  // ---------------- exact weighted median per group (q210)
+  /** The robust-statistics member the percentile family lacks: the
+    * quantity-weighted median price per return flag — "the price at
+    * which half the shipped UNITS are cheaper", which is the robust
+    * location estimate when rows fan out to different volumes (q41's
+    * unweighted percentile answers a different question the moment
+    * weights vary). Lower weighted median: the smallest value v with
+    * 2·cumweight(≤v) ≥ W — pure LONG comparisons on cents and integral
+    * quantities, no interpolation, so the answer is a VALUE FROM THE
+    * DATA and exact on both engines.
+    *
+    * Scale shape: one map-side-combinable (flag, cents) collapse
+    * bounds the windowed frame by the distinct-value count, not the
+    * row count; the per-flag running sum then funnels each flag's
+    * distinct values through one task — fine while the value domain is
+    * bounded (cents here), and the documented 100 TB form for an
+    * unbounded domain is the [[RelationalOps.globalRowNumber]]
+    * range-partition + prefix-offset pass (the q41-style exact twin of
+    * `approx_percentile`'s mergeable sketch). */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        round(col("l_quantity")).cast(LongType).as("qty"))
+      .groupBy("flag", "cents").agg(sum(col("qty")).as("w"))
+    val wc = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("flag")
+    g.withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("wtot", sum(col("w")).over(wt))
+      .withColumn("ndv", count(lit(1)).over(wt))
+      .where(col("cum") * 2 >= col("wtot"))
+      .groupBy("flag")
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("wtot")).as("w_total"), max(col("ndv")).as("n_distinct"))
+      .sortedOut("flag")
+  }
+
+  private val q210Sql =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, cents, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS wtot,
+      |    count(*) OVER (PARTITION BY flag) AS ndv
+      |  FROM g)
+      |SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+      |  CAST(max(wtot) AS BIGINT) AS w_total,
+      |  CAST(max(ndv) AS BIGINT) AS n_distinct
+      |FROM c WHERE cum * 2 >= wtot GROUP BY flag ORDER BY flag""".stripMargin
+
+  // ------------- survival / life table: time to second order (q211)
+  /** Survival analysis' sufficient statistics for the churn question
+    * "how long until a first-time customer returns": per distinct
+    * waiting time t (days between a customer's first and second
+    * DISTINCT order dates), the at-risk count n(t) = #{T ≥ t}, event
+    * count d(t) and right-censored count c(t) (no second order by the
+    * corpus max date — dropping those rows entirely would bias the
+    * curve optimistic, the mistake this operator exists to prevent).
+    * Everything is integer day arithmetic, so the table — from which
+    * Kaplan–Meier S(t) = Π(1 − d/n) follows by one ordered fold the
+    * consumer applies — exact-matches; the fold itself is NOT emitted
+    * because fp product order would make it engine-dependent.
+    *
+    * Scale shape: distinct (customer, date) collapse, one
+    * customer-keyed shuffle for the first-two-dates window, then the
+    * life table lives on ≤|day-domain| rows where the reverse
+    * cumulative at-risk window is domain-bounded (the q204
+    * argument). */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("c").orderBy("dt")
+    val dates = t(s, d, "orders")
+      .select(col("o_custkey").as("c"), col("o_orderdate").cast(DateType).as("dt"))
+      .distinct()
+    val firstTwo = dates
+      .withColumn("rn", row_number().over(wd)).where(col("rn") <= 2)
+      .groupBy("c")
+      .agg(max(when(col("rn") === 1, col("dt"))).as("d1"),
+        max(when(col("rn") === 2, col("dt"))).as("d2"))
+    val dmax = dates.agg(max(col("dt")).as("dmax"))
+    val obs = firstTwo.crossJoin(broadcast(dmax))
+      .select(
+        when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+          .otherwise(datediff(col("dmax"), col("d1")))
+          .cast(LongType).as("t_days"),
+        when(col("d2").isNotNull, 1L).otherwise(0L).as("event"))
+    val g = obs.groupBy("t_days")
+      .agg(sum(col("event")).as("d_events"),
+        sum(lit(1L) - col("event")).as("c_censored"),
+        count(lit(1)).as("removed"))
+    // reverse cumulative at-risk via the distributed prefix scan (the
+    // unpartitioned desc-order window was the single-partition cliff)
+    RelationalOps.globalRunningSum(g, Seq(col("t_days").desc),
+        "removed", "n_at_risk")
+      .select("t_days", "n_at_risk", "d_events", "c_censored")
+      .sortedOut("t_days")
+  }
+
+  private val q211Sql =
+    """WITH dates AS (SELECT DISTINCT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt FROM orders),
+      |ft AS (SELECT c,
+      |    max(CASE WHEN rn = 1 THEN dt END) AS d1,
+      |    max(CASE WHEN rn = 2 THEN dt END) AS d2
+      |  FROM (SELECT c, dt, row_number() OVER (PARTITION BY c ORDER BY dt) AS rn
+      |        FROM dates) WHERE rn <= 2 GROUP BY c),
+      |b AS (SELECT max(dt) AS dmax FROM dates),
+      |obs AS (SELECT
+      |    CAST(CASE WHEN d2 IS NOT NULL THEN d2 - d1 ELSE dmax - d1 END AS BIGINT) AS t_days,
+      |    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+      |  FROM ft CROSS JOIN b),
+      |g AS (SELECT t_days, CAST(sum(event) AS BIGINT) AS d_events,
+      |    CAST(sum(1 - event) AS BIGINT) AS c_censored,
+      |    CAST(count(*) AS BIGINT) AS removed
+      |  FROM obs GROUP BY t_days)
+      |SELECT t_days,
+      |  CAST(sum(removed) OVER (ORDER BY t_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+      |  d_events, c_censored
+      |FROM g ORDER BY t_days""".stripMargin
+
+  // ------- per-source language-mix drift: total variation (q212)
+  /** How far does each feed's language mix sit from the corpus-wide
+    * mix? Total variation distance — ½·Σ|p(lang|source) − p(lang)| —
+    * is the ppm-exact member of the divergence family (KL/JS need
+    * data-dependent logs, which no hash oracle survives): the maximum
+    * probability mass any event (here: language-set) can disagree by,
+    * so `tvd_ppm = 150000` reads directly as "15% of this feed's docs
+    * are language-misallocated vs the corpus profile". Shares are
+    * integer parts-per-million (identical floor division both
+    * engines), absolute differences sum per source over the languages
+    * the source OR the corpus has (full outer on the lang axis — a
+    * language the source lacks still contributes its corpus share).
+    *
+    * Scale shape: one (source, lang) map-side count; everything after
+    * runs on ≤|S|·|L| rows. The always-cheap drift screen beside
+    * q149's windowed anomaly alarm and q121's corpus diff. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val bySrc = cells.groupBy("source").agg(sum(col("o")).as("ns"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val byLang = cells.groupBy("lang").agg(sum(col("o")).as("nl"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_all_ppm", expr("nl * 1000000 div n"))
+    // Σ over ALL langs of the corpus ppm share — the absent-lang arm's
+    // total. The naive |S|×|L| grid (crossJoin + left join) is a
+    // BroadcastNestedLoopJoin (planLint finding); this algebraic split
+    // — present langs contribute |p_s − p_l|, absent langs contribute
+    // exactly p_l, so their sum is P_all − Σ_present p_l — computes the
+    // identical integers with only broadcast-hash equi-joins.
+    val pAll = byLang.agg(sum(col("p_all_ppm")).as("p_all_sum"))
+    cells.join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLang.select("lang", "p_all_ppm")), Seq("lang"))
+      .withColumn("p_src_ppm", expr("o * 1000000 div ns"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_docs"),
+        sum(abs(col("p_src_ppm") - col("p_all_ppm"))).as("present_abs"),
+        sum(col("p_all_ppm")).as("present_all"))
+      .crossJoin(broadcast(pAll))
+      .withColumn("tvd_ppm",
+        expr("(present_abs + p_all_sum - present_all) div 2"))
+      .select("source", "n_docs", "tvd_ppm")
+      .sortedOut("source")
+  }
+
+  private val q212Sql =
+    """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |x AS (SELECT s.source, l.lang, s.ns, l.nl, t.n,
+      |    coalesce(cells.o, 0) AS o
+      |  FROM s CROSS JOIN l
+      |  LEFT JOIN cells ON cells.source = s.source AND cells.lang = l.lang
+      |  CROSS JOIN t)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+      |  CAST(sum(abs(o * 1000000 // ns - nl * 1000000 // n)) // 2 AS BIGINT) AS tvd_ppm
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
+  // ------- two-sample Kolmogorov–Smirnov drift per source (q213)
+  /** The distribution-shape member of the drift family: for each
+    * source, the two-sample KS statistic D = sup|F_src − F_corpus|
+    * over the doc-length distribution — the alarm that fires when a
+    * feed's SHAPE changes (bimodal split, truncation) even though its
+    * mean and language mix (q212's TVD on a categorical axis) look
+    * fine. D is computed EXACTLY: with both ECDFs step functions
+    * jumping only at corpus-distinct lengths, and F_src constant
+    * between a source's own jump points while F_all is monotone there,
+    * sup|F_src − F_all| is attained at one of the two endpoints of
+    * each own-jump gap — so per own length v the candidates are AT v
+    * (cum_src·N − cum_all·n) and JUST BEFORE v (both cums backed off
+    * by their jump), cleared of denominators into DECIMAL(38,0)
+    * integers. The max numerator is exported as canonical digits plus
+    * a floor-division ppm — no fp anywhere.
+    *
+    * Scale shape: one (source, length) map-side count; the corpus
+    * ECDF's unpartitioned running sum spans one row per DISTINCT
+    * length — domain-bounded, the q204/q210 argument — and the
+    * per-source running sum rides a source-keyed window. Everything
+    * downstream of the first count is ≤|S|·|L| rows with
+    * broadcast-only joins. */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = RelationalOps.globalRunningSum(
+      cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+      Seq(col("v").asc), "cnt_all", "cum_all")
+    val bySrc = cells.groupBy("source").agg(sum(col("c")).as("n_src"))
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    val ws = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(byV), Seq("v"))
+      .withColumn("cum_src", sum(col("c")).over(ws))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_at", abs(dec(col("cum_src")) * dec(col("n_all")) -
+        dec(col("cum_all")) * dec(col("n_src"))))
+      .withColumn("d_gap", abs(dec(col("cum_src") - col("c")) * dec(col("n_all")) -
+        dec(col("cum_all") - col("cnt_all")) * dec(col("n_src"))))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_src"), max(col("n_all")).as("n_all"),
+        max(greatest(col("d_at"), col("d_gap"))).as("ksn"))
+      .select(col("source"), col("n_src"), col("n_all"),
+        col("ksn").cast(StringType).as("ks_num"),
+        expr("CAST(ksn * 1000000 div (CAST(n_src AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("ks_ppm"))
+      .sortedOut("source")
+  }
+
+  private val q213Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all FROM cells GROUP BY 1),
+      |bvc AS (SELECT v, cnt_all, CAST(sum(cnt_all) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all FROM bv),
+      |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |j AS (SELECT cells.source, cells.c, bvc.cnt_all, bvc.cum_all, bs.n_src, t.n_all,
+      |    CAST(sum(cells.c) OVER (PARTITION BY cells.source ORDER BY cells.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM cells JOIN bvc USING (v) JOIN bs USING (source) CROSS JOIN t),
+      |k AS (SELECT source, n_src, n_all, greatest(
+      |    abs(CAST(cum_src AS HUGEINT) * n_all - CAST(cum_all AS HUGEINT) * n_src),
+      |    abs(CAST(cum_src - c AS HUGEINT) * n_all - CAST(cum_all - cnt_all AS HUGEINT) * n_src)) AS dm
+      |  FROM j)
+      |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+      |  CAST(max(n_all) AS BIGINT) AS n_all,
+      |  CAST(max(dm) AS VARCHAR) AS ks_num,
+      |  CAST(max(dm) * 1000000 // (CAST(max(n_src) AS HUGEINT) * max(n_all)) AS BIGINT) AS ks_ppm
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ------- Mann–Whitney rank-sum drift per source (q214)
+  /** The rank-based LOCATION drift alarm beside q213's shape alarm:
+    * for each source, the Mann–Whitney U of its doc lengths against
+    * the REST of the corpus — "do this feed's docs run systematically
+    * longer?" — robust where a mean-shift test is wrecked by the heavy
+    * tail. Ranks over the combined sample collapse to per-distinct-
+    * value arithmetic: a value v with corpus count t and c_before
+    * smaller elements carries doubled average rank 2·c_before + t + 1
+    * (doubling keeps tie-averaged half-ranks INTEGER, the q174
+    * min+max trick in closed form), so the source's doubled rank sum
+    * is one broadcast-join aggregate, and 2U = 2R − n(n+1) is exact
+    * DECIMAL(38,0). The common-language effect size
+    * AUC = P(src > rest) + ½P(=) = 2U / (2·n·m) is the single IEEE
+    * division at the end (q203 policy).
+    *
+    * Scale shape: identical to q213 — one map-side (source, length)
+    * count, a domain-bounded corpus ECDF, broadcast joins, and a
+    * per-source fold; no corpus-sized shuffle after the first
+    * aggregate. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = RelationalOps.globalRunningSum(
+        cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+        Seq(col("v").asc), "cnt_all", "cum_before", inclusive = false)
+      .withColumn("cum_before", coalesce(col("cum_before"), lit(0L)))
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    cells
+      .join(broadcast(byV), Seq("v"))
+      .withColumn("r2c", dec(col("c")) *
+        dec(lit(2L) * col("cum_before") + col("cnt_all") + lit(1L)))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_src"),
+        sum(col("r2c")).cast(DecimalType(38, 0)).as("r2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("u2", (col("r2") -
+        dec(col("n_src")) * dec(col("n_src") + lit(1L)))
+        .cast(DecimalType(38, 0)))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        col("r2").cast(StringType).as("rank2_sum"),
+        col("u2").cast(StringType).as("u2"),
+        when(col("n_rest") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_src") * col("n_rest"))).as("auc"))
+      .sortedOut("source")
+  }
+
+  private val q214Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all,
+      |    CAST(coalesce(sum(sum(c)) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM cells GROUP BY v),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src,
+      |    CAST(sum(CAST(c AS HUGEINT) * (2 * cum_before + cnt_all + 1)) AS HUGEINT) AS r2
+      |  FROM cells JOIN bv USING (v) GROUP BY source)
+      |SELECT source, n_src, n_all - n_src AS n_rest,
+      |  CAST(r2 AS VARCHAR) AS rank2_sum,
+      |  CAST(r2 - CAST(n_src AS HUGEINT) * (n_src + 1) AS VARCHAR) AS u2,
+      |  CASE WHEN n_all - n_src > 0 THEN
+      |    CAST(r2 - CAST(n_src AS HUGEINT) * (n_src + 1) AS DOUBLE) /
+      |    (2.0 * n_src * (n_all - n_src)) END AS auc
+      |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+
+  // ------- Kendall tau-b: do two corpus signals agree? (q215)
+  /** The ordinal-agreement member beside q174's Spearman: across
+    * sources, do total character mass (x) and language diversity (y,
+    * distinct langs) RANK the feeds the same way? Tau-b counts
+    * concordant/discordant pairs with explicit tie corrections —
+    * the right statistic when y is a small integer full of ties,
+    * where Spearman's midranks blur. All pair counts are exact
+    * integers; tau_b = (nc − nd)/√((n0−n1)(n0−n2)) is one IEEE
+    * sqrt + division over them (q203 policy — √ is correctly
+    * rounded, so bit-portable).
+    *
+    * The |S|² pair generation is a BroadcastNestedLoopJoin whose
+    * build side goes through [[RelationalOps.boundedRegistry]]: the
+    * source axis is a bounded registry (tens of feeds), the plan-level
+    * limit makes that bound STATIC so planLint's bounded-cohort proof
+    * applies, and a registry past 4096 sources FAILS LOUDLY instead of
+    * silently truncating (wave-12 contract) — the corpus-sized side
+    * never enters the loop (the bruteForceTopK pattern; a literal-key
+    * equi-join does NOT work here because Catalyst constant-folds the
+    * key away and degrades it to the same BNLJ without the bound).
+    *
+    * Scale shape: signals are one map-side aggregate (countDistinct
+    * lang is |S|·|L|-bounded); pairs run over |S|² rows of a
+    * broadcast join — the statistic lives entirely on the reduced
+    * signal table, never the corpus. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(col("n_chars")).as("x"),
+        countDistinct(col("lang")).as("y"))
+    val a = sig.select(col("source").as("sa"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = RelationalOps.boundedRegistry(
+      sig.select(col("source").as("sb"),
+        col("x").as("xb"), col("y").as("yb")), 4096, "q215 source registry")
+    val pairs = a.crossJoin(broadcast(b)).where(col("sa") < col("sb"))
+      .withColumn("prod",
+        signum(col("xa") - col("xb")) * signum(col("ya") - col("yb")))
+    val m = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tied_x"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("tied_y"))
+    m.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n_sources"), col("n0"), col("nc"), col("nd"),
+        col("tied_x"), col("tied_y"),
+        when((col("n0") - col("tied_x")) * (col("n0") - col("tied_y")) > 0,
+          (col("nc") - col("nd")).cast(DoubleType) /
+            sqrt(((col("n0") - col("tied_x")) *
+              (col("n0") - col("tied_y"))).cast(DoubleType))).as("tau_b"))
+  }
+
+  private val q215Sql =
+    """WITH sig AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS y
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT sign(a.x - b.x) * sign(a.y - b.y) AS prod,
+      |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      |  FROM sig a JOIN sig b ON a.source < b.source),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(sum(tx) AS BIGINT) AS tied_x, CAST(sum(ty) AS BIGINT) AS tied_y
+      |  FROM p),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM sig)
+      |SELECT n_sources, n0, nc, nd, tied_x, tied_y,
+      |  CASE WHEN (n0 - tied_x) * (n0 - tied_y) > 0 THEN
+      |    CAST(nc - nd AS DOUBLE) /
+      |    sqrt(CAST((n0 - tied_x) * (n0 - tied_y) AS DOUBLE)) END AS tau_b
+      |FROM m CROSS JOIN s""".stripMargin
+
+  // ------- monthly top-k heavy hitters with rank drift (q216)
+  /** The heavy-hitter DRIFT census: each month's top-5 parts by
+    * shipped units, annotated with the part's rank and volume in the
+    * PREVIOUS month — the "what changed in this batch's head" report
+    * a corpus curator reads before trusting a new crawl snapshot
+    * (q121's corpus diff for the frequency head, made temporal).
+    * A newly-hot part carries NULL prev columns; rank ties break on
+    * part key so the cut is deterministic on both engines.
+    *
+    * Scale shape: one map-side (month, part) rollup off the fact
+    * table, a per-month window for ranks, and a self equi-join on
+    * (month+1, part) — all keyed shuffles on the AGGREGATE, whose
+    * size is months × live parts, not the fact table. */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, d, "lineitem")
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("m"),
+        col("l_partkey").cast(LongType).as("part"),
+        round(col("l_quantity")).cast(LongType).as("qty"))
+      .groupBy("m", "part").agg(sum(col("qty")).as("units"))
+    val ranked = m.withColumn("rnk", row_number().over(
+        Window.partitionBy("m").orderBy(col("units").desc, col("part").asc))
+      .cast(LongType))
+    val prev = ranked.select((col("m") + 1).as("m"), col("part"),
+      col("rnk").as("prev_rnk"), col("units").as("prev_units"))
+    ranked.where(col("rnk") <= 5)
+      .join(prev, Seq("m", "part"), "left_outer")
+      .select("m", "rnk", "part", "units", "prev_rnk", "prev_units")
+      .sortedOutWide("m", "rnk")
+  }
+
+  private val q216Sql =
+    """WITH g AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+      |    l_partkey AS part, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT m, part, units, CAST(row_number() OVER (PARTITION BY m
+      |    ORDER BY units DESC, part ASC) AS BIGINT) AS rnk FROM g)
+      |SELECT a.m, a.rnk, a.part, a.units, b.rnk AS prev_rnk, b.units AS prev_units
+      |FROM r a LEFT JOIN r b ON b.m + 1 = a.m AND b.part = a.part
+      |WHERE a.rnk <= 5 ORDER BY a.m, a.rnk""".stripMargin
+
+  // ------- Luhn checksum audit over fixed-width keys (q217)
+  /** The checksum-validity census — the kernel behind payment-card
+    * PII detection in corpus scrubbing (a digit run that PASSES Luhn
+    * is the signal that turns "16 digits" into "probable card
+    * number"): each order key, zero-padded to a fixed 12-digit
+    * account-number shape, is Luhn-checked with the classic
+    * double-every-second-from-the-right rule. The mod-10 sum unrolls
+    * into 12 codegen-friendly terms (no HOF, no UDF — the interpreted
+    * `aggregate()` lambda planLint would flag); the census per order
+    * status pins the valid count, the full checksum mass, and WHICH
+    * keys validate via a key checksum.
+    *
+    * Scale shape: embarrassingly parallel scan + map-side-combinable
+    * rollup to |status| rows; no shuffle of anything data-sized. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val p = lpad(col("o_orderkey").cast(StringType), 12, "0")
+    val lsum = (1 to 12).map { i =>
+      val dgt = substring(p, i, 1).cast(LongType)
+      if ((12 - i) % 2 == 1) when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2)
+      else dgt
+    }.reduce(_ + _)
+    t(s, d, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+        lsum.as("lsum"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("lsum") % 10 === 0, 1L).otherwise(0L)).as("n_luhn_valid"),
+        sum(col("lsum")).as("luhn_mass"),
+        sum(when(col("lsum") % 10 === 0, col("o_orderkey")).otherwise(0L))
+          .as("valid_key_sum"))
+      .sortedOut("status")
+  }
+
+  private val q217Sql = {
+    val terms = (1 to 12).map { i =>
+      val d = s"CAST(substr(p, $i, 1) AS BIGINT)"
+      if ((12 - i) % 2 == 1)
+        s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH x AS (SELECT o_orderstatus AS status, o_orderkey,
+       |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS p FROM orders),
+       |l AS (SELECT status, o_orderkey, $terms AS lsum FROM x)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(CASE WHEN lsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+       |  CAST(sum(lsum) AS BIGINT) AS luhn_mass,
+       |  CAST(sum(CASE WHEN lsum % 10 = 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS valid_key_sum
+       |FROM l GROUP BY status ORDER BY status""".stripMargin
+  }
+
+  // ------- CUSUM changepoint scan over daily event volume (q218)
+  /** WHERE did each event stream's level shift? The cumulative-sum
+    * changepoint statistic: with daily counts c₁…c_n, the day k
+    * maximizing |S_k| = |n·Σ₁ᵏc − k·Σ₁ⁿc| (the textbook
+    * CUSUM-from-the-mean with denominators cleared — n·mean stays
+    * INTEGER) is the single most likely level-shift point, the
+    * statistic behind "the crawler's feed changed on the 14th"
+    * retrospectives. q149's windowed anomaly alarm asks "is today
+    * weird"; this asks "where is the regime boundary" over the whole
+    * history. Ties on |S| break to the earliest day.
+    *
+    * Scale shape: one map-side (type, day) rollup; every window —
+    * running sum, row number, totals, the argmax pick — rides ONE
+    * type-keyed shuffle over ≤|T|·|days| rows (same-key windows share
+    * the partitioning), domain-bounded like q204/q210. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    val wo = Window.partitionBy("et").orderBy("day")
+    val wt = Window.partitionBy("et")
+    daily
+      .withColumn("k", row_number().over(wo))
+      .withColumn("cum", sum(col("c")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("c")).over(wt))
+      .withColumn("s_k", col("nd") * col("cum") - col("k") * col("tot"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("et").orderBy(abs(col("s_k")).desc, col("day").asc)))
+      .where(col("pick") === 1)
+      .select(col("et").as("event_type"), col("nd").as("n_days"),
+        col("tot").as("total_events"), abs(col("s_k")).as("cusum_max"),
+        col("day").cast(StringType).as("changepoint_day"))
+      .sortedOut("event_type")
+  }
+
+  private val q218Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |w AS (SELECT et, day, c,
+      |    CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(c) OVER (PARTITION BY et ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS nd,
+      |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS tot
+      |  FROM daily),
+      |s AS (SELECT et, day, nd, tot, nd * cum - k * tot AS s_k,
+      |    row_number() OVER (PARTITION BY et ORDER BY abs(nd * cum - k * tot) DESC, day ASC) AS pick
+      |  FROM w)
+      |SELECT et AS event_type, nd AS n_days, tot AS total_events,
+      |  abs(s_k) AS cusum_max, CAST(day AS VARCHAR) AS changepoint_day
+      |FROM s WHERE pick = 1 ORDER BY event_type""".stripMargin
+
+  // ------- Wald–Wolfowitz runs test on daily volume (q219)
+  /** Is each event stream's day-to-day volume RANDOM around its
+    * median, or does it trend/oscillate? The runs test's sufficient
+    * statistics: days flagged above (>) vs at-or-below the stream's
+    * exact lower-median daily count, the observed count of
+    * same-flag RUNS, and n₁/n₂ — against the null expectation
+    * E[R] = 1 + 2n₁n₂/n (the single IEEE division at the end, q203
+    * policy). Far fewer runs than expected = regime clustering (the
+    * q218 changepoint's cheap screening sibling); far more =
+    * oscillation (a load balancer flapping).
+    *
+    * Scale shape: the (type, day) rollup feeds a value-domain-bounded
+    * median pass (q210's gate) and one type-keyed ordered window for
+    * the lag; both ride the same |T|·|days|-row aggregate. */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    val med = daily.groupBy(col("et"), col("c").as("v"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("cumf", sum(col("f")).over(
+        Window.partitionBy("et").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ndays", sum(col("f")).over(Window.partitionBy("et")))
+      .where(col("cumf") * 2 >= col("ndays"))
+      .groupBy("et").agg(min(col("v")).as("med"))
+    daily.join(broadcast(med), Seq("et"))
+      .withColumn("flag", (col("c") > col("med")).cast(LongType))
+      .withColumn("prev", lag(col("flag"), 1).over(
+        Window.partitionBy("et").orderBy("day")))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("median_daily"),
+        sum(col("flag")).as("n_above"),
+        (sum(when(col("prev").isNotNull && col("prev") =!= col("flag"), 1L)
+          .otherwise(0L)) + 1L).as("n_runs"))
+      .withColumn("n_below", col("n_days") - col("n_above"))
+      .withColumn("expected_runs",
+        when(col("n_days") > 0, lit(1.0) +
+          (lit(2.0) * col("n_above") * col("n_below")) /
+            col("n_days").cast(DoubleType)))
+      .select("et", "n_days", "median_daily", "n_above", "n_below",
+        "n_runs", "expected_runs")
+      .withColumnRenamed("et", "event_type")
+      .sortedOut("event_type")
+  }
+
+  private val q219Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |byv AS (SELECT et, c AS v, CAST(count(*) AS BIGINT) AS f FROM daily GROUP BY 1, 2),
+      |cm AS (SELECT et, v,
+      |    CAST(sum(f) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |    CAST(sum(f) OVER (PARTITION BY et) AS BIGINT) AS ndays
+      |  FROM byv),
+      |med AS (SELECT et, CAST(min(v) AS BIGINT) AS med FROM cm
+      |  WHERE cumf * 2 >= ndays GROUP BY et),
+      |fl AS (SELECT daily.et, day, med,
+      |    CASE WHEN c > med THEN 1 ELSE 0 END AS flag,
+      |    lag(CASE WHEN c > med THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY daily.et ORDER BY day) AS prev
+      |  FROM daily JOIN med USING (et)),
+      |g AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(max(med) AS BIGINT) AS median_daily,
+      |    CAST(sum(flag) AS BIGINT) AS n_above,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> flag THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+      |  FROM fl GROUP BY et)
+      |SELECT et AS event_type, n_days, median_daily, n_above,
+      |  n_days - n_above AS n_below, n_runs,
+      |  CASE WHEN n_days > 0 THEN 1.0 + (2.0 * n_above * (n_days - n_above)) / n_days END AS expected_runs
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // ------- importance weights to uniform mix + ESS (q220)
+  /** The mixture-reweighting operator: per-doc importance weights
+    * that would rebalance the corpus to a UNIFORM share per source
+    * (w_s = N/(S·n_s), in exact ppm), and the effective sample size
+    * (Σw)²/Σw² those weights would leave — the number that says
+    * "reweighting this skewed corpus to uniform costs you X% of your
+    * data" BEFORE anyone trains on it. q127's temperature mix picks
+    * sampling fractions; this prices the weighted-loss alternative.
+    * All sums are DECIMAL(38,0) over integer ppm weights, so ESS
+    * num/den export as canonical digits; the ESS itself and its
+    * share of N are the final divisions (q203 policy).
+    *
+    * Scale shape: one map-side source census; everything else is
+    * |S|-row arithmetic behind broadcasts. */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("n_all"),
+      count(lit(1)).as("n_sources"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        expr("n_all * 1000000 div (n_sources * n_docs)"))
+      .withColumn("mass", dec(col("n_docs")) * dec(col("weight_ppm")))
+    val ess = w.agg(
+      sum(col("mass")).cast(DecimalType(38, 0)).as("sw"),
+      sum(col("mass") * dec(col("weight_ppm"))).cast(DecimalType(38, 0))
+        .as("sw2"))
+    w.crossJoin(broadcast(ess))
+      .withColumn("ess_num", (col("sw") * col("sw")).cast(DecimalType(38, 0)))
+      .select(col("source"), col("n_docs"), col("weight_ppm"),
+        col("mass").cast(StringType).as("mass"),
+        col("ess_num").cast(StringType).as("ess_num"),
+        col("sw2").cast(StringType).as("ess_den"),
+        (col("ess_num").cast(DoubleType) / col("sw2").cast(DoubleType))
+          .as("ess"),
+        expr("CAST(ess_num * 1000000 div (sw2 * n_all) AS BIGINT)")
+          .as("ess_share_ppm"))
+      .sortedOut("source")
+  }
+
+  private val q220Sql =
+    """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+      |    CAST(count(*) AS BIGINT) AS n_sources FROM b),
+      |w AS (SELECT source, n_docs,
+      |    CAST(n_all * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm,
+      |    n_all FROM b CROSS JOIN t),
+      |m AS (SELECT source, n_docs, weight_ppm, n_all,
+      |    CAST(n_docs AS HUGEINT) * weight_ppm AS mass FROM w),
+      |e AS (SELECT CAST(sum(mass) AS HUGEINT) AS sw,
+      |    CAST(sum(mass * weight_ppm) AS HUGEINT) AS sw2 FROM m)
+      |SELECT source, n_docs, weight_ppm, CAST(mass AS VARCHAR) AS mass,
+      |  CAST(sw * sw AS VARCHAR) AS ess_num,
+      |  CAST(sw2 AS VARCHAR) AS ess_den,
+      |  CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE) AS ess,
+      |  CAST(sw * sw * 1000000 // (sw2 * n_all) AS BIGINT) AS ess_share_ppm
+      |FROM m CROSS JOIN e ORDER BY source""".stripMargin
+
+  // ------- per-group exact variance census + homogeneity (q221)
+  /** The spread member of the data-card family (q198 stops at
+    * min/max/NDV): per order priority, the EXACT sample variance of
+    * order value via the cleared numerator n·Σx² − (Σx)² on LONG
+    * cents — a DECIMAL(38,0) integer at any scale, order-independent
+    * where a naive fp Welford fold is not — and the homogeneity
+    * ratio max-variance/min-variance across groups (the
+    * Levene-style screen for "is spend volatility itself
+    * segment-dependent"). The per-group variance and mean are single
+    * IEEE divisions from exact integers, so the cross-group max/min
+    * — taken over those bit-identical doubles — is deterministic on
+    * both engines.
+    *
+    * Scale shape: one map-side-combinable rollup to |G| rows; the
+    * ratio attaches via a 1-row broadcast. */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val g = t(s, d, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(dec(col("cents")) * dec(col("cents")))
+          .cast(DecimalType(38, 0)).as("q"))
+      .withColumn("var_num",
+        (dec(col("n")) * col("q") - dec(col("s")) * dec(col("s")))
+          .cast(DecimalType(38, 0)))
+      .withColumn("var_den", col("n") * (col("n") - 1))
+      .withColumn("variance", col("var_num").cast(DoubleType) /
+        col("var_den").cast(DoubleType))
+      .withColumn("mean_cents",
+        col("s").cast(DoubleType) / col("n").cast(DoubleType))
+    val span = g.agg(max(col("variance")).as("var_max"),
+      min(col("variance")).as("var_min"))
+    g.crossJoin(broadcast(span))
+      .select(col("priority"), col("n"), col("s").as("sum_cents"),
+        col("var_num").cast(StringType).as("var_num"), col("var_den"),
+        col("mean_cents"), col("variance"),
+        (col("var_max") / col("var_min")).as("homogeneity_ratio"))
+      .sortedOut("priority")
+  }
+
+  private val q221Sql =
+    """WITH g AS (SELECT o_orderpriority AS priority,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS q
+      |  FROM orders GROUP BY 1),
+      |v AS (SELECT priority, n, s,
+      |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS var_num,
+      |    n * (n - 1) AS var_den FROM g),
+      |w AS (SELECT *, CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE) AS variance,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents FROM v),
+      |sp AS (SELECT max(variance) AS var_max, min(variance) AS var_min FROM w)
+      |SELECT priority, n, s AS sum_cents, CAST(var_num AS VARCHAR) AS var_num,
+      |  var_den, mean_cents, variance, var_max / var_min AS homogeneity_ratio
+      |FROM w CROSS JOIN sp ORDER BY priority""".stripMargin
+
+  // ------- lag-1 autocorrelation of daily volume (q222)
+  /** Is each event stream's daily volume momentum-driven or
+    * mean-reverting? Lag-1 autocorrelation with the mean cleared by
+    * n: r₁ = Σ(n·x_k − T)(n·x_{k+1} − T) / Σ(n·x_k − T)² — numerator
+    * over consecutive day pairs, denominator over all days, BOTH
+    * exact DECIMAL(38,0) integers (n·mean = T stays integral), one
+    * IEEE division at the end. Positive r₁ = trending feed (q218's
+    * changepoint will find where); negative = oscillation (q219's
+    * runs test agrees from the sign side); ≈0 = the i.i.d.-ish
+    * stream a sampler can treat as exchangeable.
+    *
+    * Scale shape: the (type, day) rollup rides one type-keyed
+    * shuffle for lead + totals (shared partitioning); the sums are
+    * |T|-row folds. Consecutive CALENDAR days are not required —
+    * the lag is over successive observed days, documented here. */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val wo = Window.partitionBy("et").orderBy("day")
+    val wt = Window.partitionBy("et")
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("nxt", lead(col("c"), 1).over(wo))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("c")).over(wt))
+      .withColumn("dev", dec(col("nd") * col("c") - col("tot")))
+      .withColumn("devn", dec(col("nd") * col("nxt") - col("tot")))
+      .groupBy("et")
+      .agg(max(col("nd")).as("n_days"), max(col("tot")).as("total_events"),
+        sum(when(col("nxt").isNotNull, col("dev") * col("devn"))
+          .otherwise(lit(0))).cast(DecimalType(38, 0)).as("r1_num"),
+        sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("r1_den"))
+      .select(col("et").as("event_type"), col("n_days"), col("total_events"),
+        col("r1_num").cast(StringType).as("r1_num"),
+        col("r1_den").cast(StringType).as("r1_den"),
+        when(col("r1_den") =!= 0, col("r1_num").cast(DoubleType) /
+          col("r1_den").cast(DoubleType)).as("r1"))
+      .sortedOut("event_type")
+  }
+
+  private val q222Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |w AS (SELECT et, day, c,
+      |    lead(c) OVER (PARTITION BY et ORDER BY day) AS nxt,
+      |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS nd,
+      |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS tot
+      |  FROM daily),
+      |dv AS (SELECT et, nd, tot,
+      |    CAST(nd * c - tot AS HUGEINT) AS dev,
+      |    CAST(nd * nxt - tot AS HUGEINT) AS devn,
+      |    nxt IS NOT NULL AS has_next
+      |  FROM w),
+      |g AS (SELECT et, CAST(max(nd) AS BIGINT) AS n_days,
+      |    CAST(max(tot) AS BIGINT) AS total_events,
+      |    CAST(sum(CASE WHEN has_next THEN dev * devn ELSE 0 END) AS HUGEINT) AS r1_num,
+      |    CAST(sum(dev * dev) AS HUGEINT) AS r1_den
+      |  FROM dv GROUP BY et)
+      |SELECT et AS event_type, n_days, total_events,
+      |  CAST(r1_num AS VARCHAR) AS r1_num, CAST(r1_den AS VARCHAR) AS r1_den,
+      |  CASE WHEN r1_den <> 0 THEN CAST(r1_num AS DOUBLE) / CAST(r1_den AS DOUBLE) END AS r1
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // ------- Fano factor: burstiness census per stream (q223)
+  /** Is a feed's daily volume Poisson-ish (Fano ≈ 1), regular
+    * (< 1), or BURSTY (> 1 — batched uploads, crawler restarts,
+    * syndication storms)? The variance-to-mean ratio with every
+    * denominator cleared: F = n·(n·Σx² − T²) / ((n−1)·n·T) reduces
+    * to num = n·Σx² − T² (the q221 variance numerator) and
+    * den = (n−1)·T, both DECIMAL(38,0)-exact, one IEEE division.
+    * The burstiness triad completes: q218 locates the shift, q219
+    * tests randomness, q222 measures momentum, Fano measures
+    * dispersion — four orthogonal answers from ONE shared
+    * (type, day) rollup shape.
+    *
+    * Scale shape: map-side rollup to |T|·|days| rows, then a
+    * |T|-row fold; no window at all — the cheapest of the four. */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total_events"),
+        sum(dec(col("c")) * dec(col("c"))).cast(DecimalType(38, 0)).as("q"))
+      .withColumn("fano_num",
+        (dec(col("n_days")) * col("q") -
+          dec(col("total_events")) * dec(col("total_events")))
+          .cast(DecimalType(38, 0)))
+      .withColumn("fano_den",
+        (dec(col("n_days") - 1) * dec(col("total_events")))
+          .cast(DecimalType(38, 0)))
+      .select(col("et").as("event_type"), col("n_days"), col("total_events"),
+        col("fano_num").cast(StringType).as("fano_num"),
+        col("fano_den").cast(StringType).as("fano_den"),
+        when(col("fano_den") =!= 0, col("fano_num").cast(DoubleType) /
+          col("fano_den").cast(DoubleType)).as("fano"))
+      .sortedOut("event_type")
+  }
+
+  private val q223Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |g AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(c) AS BIGINT) AS total_events,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      |  FROM daily GROUP BY et),
+      |f AS (SELECT et, n_days, total_events,
+      |    CAST(n_days AS HUGEINT) * q - CAST(total_events AS HUGEINT) * total_events AS fano_num,
+      |    CAST(n_days - 1 AS HUGEINT) * total_events AS fano_den
+      |  FROM g)
+      |SELECT et AS event_type, n_days, total_events,
+      |  CAST(fano_num AS VARCHAR) AS fano_num,
+      |  CAST(fano_den AS VARCHAR) AS fano_den,
+      |  CASE WHEN fano_den <> 0 THEN CAST(fano_num AS DOUBLE) / CAST(fano_den AS DOUBLE) END AS fano
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // ------- quantile normalization across sources (q224)
+  /** The cross-batch calibration operator: replace each doc's length
+    * with the CORPUS value at the same quantile of its own source —
+    * the quantile-normalization step that puts heterogeneous feeds on
+    * one scale before length-matched sampling (q173) can trust the
+    * numbers. Rank r of n_s within the source maps to pooled position
+    * ⌈r·N/n_s⌉; both rankings order by (value, doc_id), so the map is
+    * deterministic and the result is always a VALUE FROM THE CORPUS —
+    * integer-exact, no interpolation. The census pins per source the
+    * total absolute shift, the max shift, and a checksum of WHICH
+    * docs moved.
+    *
+    * Scale shape: per-source ranks ride a source-keyed window; the
+    * POOLED ranking uses [[RelationalOps.globalRowNumber]]
+    * (range-partition + per-partition prefix offsets — the
+    * no-single-task global sort, q174's machinery); the remap is one
+    * equi-join on the pooled position. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      col("source"), col("n_chars").cast(LongType).as("v"))
+    val pooledV = RelationalOps.globalRowNumber(
+      docs.select(col("doc_id").as("p_doc"), col("v").as("pv")),
+      Seq(col("pv").asc, col("p_doc").asc), "pos")
+      .select(col("pos"), col("pv"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("v").asc, col("doc_id").asc))
+        .cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy("source")).cast(LongType))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("pos", expr("(r * n_all + n_src - 1) div n_src"))
+      .join(pooledV, Seq("pos"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v")).as("sum_orig"),
+        sum(col("pv")).as("sum_normalized"),
+        max(abs(col("pv") - col("v"))).as("max_shift"),
+        sum(when(col("pv") =!= col("v"), col("doc_id")).otherwise(0L))
+          .as("shifted_doc_sum"))
+      .sortedOut("source")
+  }
+
+  private val q224Sql =
+    """WITH docs AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |pooled AS (SELECT CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS pos,
+      |    v AS pv FROM docs),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM docs),
+      |r AS (SELECT doc_id, source, v,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM docs),
+      |j AS (SELECT r.source, r.doc_id, r.v, pooled.pv
+      |  FROM r CROSS JOIN t
+      |  JOIN pooled ON pooled.pos = (r.r * t.n_all + r.n_src - 1) // r.n_src)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(v) AS BIGINT) AS sum_orig,
+      |  CAST(sum(pv) AS BIGINT) AS sum_normalized,
+      |  CAST(max(abs(pv - v)) AS BIGINT) AS max_shift,
+      |  CAST(sum(CASE WHEN pv <> v THEN doc_id ELSE 0 END) AS BIGINT) AS shifted_doc_sum
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ------- payload value-domain drift between periods (q225)
+  /** The schema/domain drift screen on the event PAYLOAD: split each
+    * stream's history at the integer midpoint of the corpus date
+    * span, extract the typed payload value (`props.k`), and diff the
+    * early vs late VALUE DOMAINS — values added, removed, kept, with
+    * checksums pinning WHICH. An enum that gained a variant, a sensor
+    * that started emitting -1, a field that silently narrowed: all
+    * surface here before any consumer casts blow up. q121 diffs token
+    * vocabularies across corpora; this diffs payload domains across
+    * TIME within one stream.
+    *
+    * Scale shape: one map-side (type, value, half) rollup collapses
+    * the stream; the set diff is a full-outer self-merge on the
+    * ≤|T|·|V| distinct frame — the label-spine trick (q207) keeps it
+    * broadcastable if |V| explodes. Midpoint derives from a 1-row
+    * bounds aggregate, broadcast. */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("kv"))
+      .where(col("kv").isNotNull)
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) * 2 >= datediff(col("d1"), col("d0")))
+      .groupBy("et", "kv")
+      .agg(max(when(!col("late"), 1L).otherwise(0L)).as("in_old"),
+        max(when(col("late"), 1L).otherwise(0L)).as("in_new"))
+    halves.groupBy("et")
+      .agg(sum(when(col("in_old") === 1 && col("in_new") === 1, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("in_old") === 0, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new") === 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old") === 0, col("kv")).otherwise(0L))
+          .as("added_sum"),
+        sum(when(col("in_new") === 0, col("kv")).otherwise(0L))
+          .as("removed_sum"))
+      .select(col("et").as("event_type"), col("n_kept"), col("n_added"),
+        col("n_removed"), col("added_sum"), col("removed_sum"))
+      .sortedOut("event_type")
+  }
+
+  private val q225Sql =
+    """WITH ev AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |h AS (SELECT et, kv,
+      |    max(CASE WHEN (day - d0) * 2 >= (d1 - d0) THEN 0 ELSE 1 END) AS in_old,
+      |    max(CASE WHEN (day - d0) * 2 >= (d1 - d0) THEN 1 ELSE 0 END) AS in_new
+      |  FROM ev CROSS JOIN b GROUP BY et, kv)
+      |SELECT et AS event_type,
+      |  CAST(sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN in_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN in_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN in_old = 0 THEN kv ELSE 0 END) AS BIGINT) AS added_sum,
+      |  CAST(sum(CASE WHEN in_new = 0 THEN kv ELSE 0 END) AS BIGINT) AS removed_sum
+      |FROM h GROUP BY et ORDER BY event_type""".stripMargin
+
+  // ------- earth-mover distance drift per source (q226)
+  /** The INTEGRAL member of the drift family: 1-Wasserstein distance
+    * between each source's doc-length distribution and the corpus —
+    * W₁ = Σᵢ |F_src(vᵢ) − F_all(vᵢ)|·(vᵢ₊₁ − vᵢ) over corpus-distinct
+    * lengths. q213's KS answers "how far apart at the worst point";
+    * EMD answers "how much mass must MOVE how far" — the number that
+    * prices a length-rebalancing resample (q173) in actual
+    * characters. Cleared to integers: num = Σ|cum_src·N −
+    * cum_all·n_src|·gap with den = n_src·N, exported as canonical
+    * digits plus a milli-char scalar.
+    *
+    * Scale shape: unlike TVD (q212), the gap-weighted running-cum
+    * summand has no algebraic split — the |S|×|L| grid is genuinely
+    * required. It is built as corpus-values STREAMED × sources
+    * BROADCAST through [[RelationalOps.boundedRegistry]] (static
+    * 4096 bound for the planLint proof, LOUD failure on overflow —
+    * wave-12 contract), then one source-keyed window accumulates
+    * F_src at every corpus value. |L| is domain-bounded, so the grid
+    * is |S|·|L| and each per-source window partition is |L| rows —
+    * never data-sized, even under 99%-single-source skew. */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    // distributed prefix scan + lead: same values as the unpartitioned
+    // cum/lead windows, no single-partition funnel on the value grain
+    val byV = RelationalOps.globalLead1(
+        RelationalOps.globalRunningSum(
+          cells.groupBy("v").agg(sum(col("c")).as("cnt_all")),
+          Seq(col("v").asc), "cnt_all", "cum_all"),
+        Seq(col("v").asc), "v", "v_next")
+      .withColumn("gap", coalesce(col("v_next") - col("v"), lit(0L)))
+      .drop("v_next")
+    val bySrc = RelationalOps.boundedRegistry(
+      cells.groupBy("source").agg(sum(col("c")).as("n_src")),
+      4096, "q226 source registry")
+    val tot = cells.agg(sum(col("c")).as("n_all"))
+    byV.crossJoin(broadcast(bySrc))
+      .join(cells, Seq("source", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(dec(col("cum_src")) * dec(col("n_all")) -
+          dec(col("cum_all")) * dec(col("n_src"))) * dec(col("gap")))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_src"), max(col("n_all")).as("n_all"),
+        sum(col("term")).cast(DecimalType(38, 0)).as("emd_num"))
+      .select(col("source"), col("n_src"), col("n_all"),
+        col("emd_num").cast(StringType).as("emd_num"),
+        expr("CAST(emd_num * 1000 div (CAST(n_src AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("emd_millichars"))
+      .sortedOut("source")
+  }
+
+  private val q226Sql =
+    """WITH cells AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt_all FROM cells GROUP BY 1),
+      |bvc AS (SELECT v, cnt_all,
+      |    CAST(sum(cnt_all) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+      |    CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS gap
+      |  FROM bv),
+      |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells),
+      |grid AS (SELECT bs.source, bvc.v, bvc.cnt_all, bvc.cum_all, bvc.gap,
+      |    bs.n_src, coalesce(cells.c, 0) AS c
+      |  FROM bvc CROSS JOIN bs
+      |  LEFT JOIN cells ON cells.source = bs.source AND cells.v = bvc.v),
+      |cs AS (SELECT source, v, cum_all, gap, n_src,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM grid),
+      |g AS (SELECT source, n_src, n_all,
+      |    CAST(sum(abs(CAST(cum_src AS HUGEINT) * n_all -
+      |      CAST(cum_all AS HUGEINT) * n_src) * gap) AS HUGEINT) AS emd_num
+      |  FROM cs CROSS JOIN t GROUP BY source, n_src, n_all)
+      |SELECT source, n_src, n_all, CAST(emd_num AS VARCHAR) AS emd_num,
+      |  CAST(emd_num * 1000 // (CAST(n_src AS HUGEINT) * n_all) AS BIGINT) AS emd_millichars
+      |FROM g ORDER BY source""".stripMargin
+
+  // ------- winsorized totals per group, exact order statistics (q227)
+  /** The tail-robust revenue census: per return flag, the order-value
+    * total AFTER clamping to the exact p05/p95 ORDER STATISTICS
+    * (positions ⌈0.05n⌉ / ⌈0.95n⌉ in the sorted column, pure integer
+    * arithmetic — values FROM THE DATA, the q210 policy, where q83's
+    * approx-percentile trims by a sketch). Winsorized totals are what
+    * a revenue dashboard should chart when single monster orders
+    * would otherwise own the axis; the census also pins how many rows
+    * clamped at each end.
+    *
+    * Scale shape: the (flag, cents) collapse bounds everything by the
+    * distinct-value domain; cutoffs derive from the cum window
+    * (q210's shape) as a 2-row-per-flag broadcast back onto the
+    * value frame — the raw table is touched once. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("v"))
+      .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
+    val cuts = cum
+      .withColumn("lo_pos", expr("(n * 5 + 99) div 100"))
+      .withColumn("hi_pos", expr("(n * 95 + 99) div 100"))
+      .groupBy("flag")
+      .agg(min(when(col("cum") >= col("lo_pos"), col("v"))).as("lo"),
+        min(when(col("cum") >= col("hi_pos"), col("v"))).as("hi"),
+        max(col("n")).as("n"))
+    cum.join(broadcast(cuts.drop("n")), Seq("flag"))
+      .groupBy("flag")
+      .agg(sum(col("cnt")).as("n"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+        sum(col("v") * col("cnt")).as("raw_sum"),
+        sum(greatest(least(col("v"), col("hi")), col("lo")) * col("cnt"))
+          .as("winsorized_sum"),
+        sum(when(col("v") < col("lo"), col("cnt")).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), col("cnt")).otherwise(0L))
+          .as("n_clamped_hi"))
+      .sortedOut("flag")
+  }
+
+  private val q227Sql =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+      |  FROM g),
+      |cuts AS (SELECT flag,
+      |    CAST(min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS BIGINT) AS lo,
+      |    CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS hi
+      |  FROM c GROUP BY flag)
+      |SELECT c.flag, CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(max(lo) AS BIGINT) AS p05, CAST(max(hi) AS BIGINT) AS p95,
+      |  CAST(sum(v * cnt) AS BIGINT) AS raw_sum,
+      |  CAST(sum(greatest(least(v, hi), lo) * cnt) AS BIGINT) AS winsorized_sum,
+      |  CAST(sum(CASE WHEN v < lo THEN cnt ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(CASE WHEN v > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_clamped_hi
+      |FROM c JOIN cuts ON cuts.flag = c.flag
+      |GROUP BY c.flag ORDER BY c.flag""".stripMargin
+
+  // ------- trade-graph reciprocity + degree assortativity (q228)
+  /** Two one-number health checks on the directed nation trade graph
+    * (q117's edge set): RECIPROCITY — what fraction of trade
+    * relationships flow both ways, unweighted (edge-reverse-exists,
+    * exact ppm) and weighted (Σ min(w,w_rev)/Σw, the mass that could
+    * pair up) — and STRENGTH assortativity, the Pearson correlation
+    * between source out-strength and destination in-strength
+    * (weighted degrees — plain edge-count degrees are constant on
+    * the complete small-SF nation graph and would null the
+    * statistic) across edges: negative = hub-and-spoke (big
+    * exporters sell to small importers — the shape that makes q64's
+    * salting necessary), positive = core-periphery. Every sum is an
+    * exact integer; the correlation is sqrt+divide over them (q174's
+    * policy), NULLed on zero variance rather than divided by it.
+    *
+    * Scale shape: the fact-table joins are q117's (broadcast dims,
+    * one orderkey shuffle); everything after runs on the ≤|N|²
+    * distinct-edge frame — degree joins, the reverse-edge self-join,
+    * the 1-row moment fold. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast(LongType).as("src"),
+        col("s_nationkey").cast(LongType).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("w").as("w_rev"))
+    val paired = edges.join(rev, Seq("src", "dst"), "left_outer")
+      .na.fill(0L, Seq("w_rev"))
+    val outdeg = edges.groupBy("src").agg(sum(col("w")).as("j"))
+    val indeg = edges.groupBy("dst").agg(sum(col("w")).as("k"))
+    val jk = edges.join(broadcast(outdeg), Seq("src"))
+      .join(broadcast(indeg), Seq("dst"))
+    val recip = paired.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(col("w_rev") > 0, 1L).otherwise(0L)).as("n_recip"),
+      sum(col("w")).as("w_total"),
+      sum(least(col("w"), col("w_rev"))).as("w_paired"))
+    val moments = jk.agg(count(lit(1)).as("m"),
+      sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+      sum(col("j") * col("k")).as("sjk"),
+      sum(col("j") * col("j")).as("sjj"),
+      sum(col("k") * col("k")).as("skk"))
+    recip.crossJoin(broadcast(moments))
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip * 1000000 div n_edges").as("recip_ppm"),
+        col("w_total"), col("w_paired"),
+        expr("w_paired * 1000000 div w_total").as("w_recip_ppm"),
+        // a regular graph (all degrees equal — the complete nation
+        // graph at small SF) has zero degree variance: correlation
+        // undefined → NULL, never a divide-by-zero (q207's guard)
+        when((dec(col("m")) * dec(col("sjj")) - dec(col("sj")) * dec(col("sj"))) > 0 &&
+             (dec(col("m")) * dec(col("skk")) - dec(col("sk")) * dec(col("sk"))) > 0,
+          (dec(col("m")) * dec(col("sjk")) - dec(col("sj")) * dec(col("sk")))
+            .cast(DoubleType) /
+            (sqrt((dec(col("m")) * dec(col("sjj")) - dec(col("sj")) * dec(col("sj")))
+              .cast(DoubleType)) *
+             sqrt((dec(col("m")) * dec(col("skk")) - dec(col("sk")) * dec(col("sk")))
+              .cast(DoubleType)))).as("assortativity"))
+  }
+
+  private val q228Sql =
+    """WITH e AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+      |    CAST(s.s_nationkey AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+      |p AS (SELECT a.src, a.dst, a.w, coalesce(b.w, 0) AS w_rev
+      |  FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src),
+      |od AS (SELECT src, CAST(sum(w) AS BIGINT) AS j FROM e GROUP BY 1),
+      |id AS (SELECT dst, CAST(sum(w) AS BIGINT) AS k FROM e GROUP BY 1),
+      |jk AS (SELECT e.src, e.dst, od.j, id.k FROM e
+      |  JOIN od USING (src) JOIN id USING (dst)),
+      |r AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |    CAST(sum(CASE WHEN w_rev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+      |    CAST(sum(w) AS BIGINT) AS w_total,
+      |    CAST(sum(least(w, w_rev)) AS BIGINT) AS w_paired FROM p),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(j) AS BIGINT) AS sj,
+      |    CAST(sum(k) AS BIGINT) AS sk, CAST(sum(j * k) AS BIGINT) AS sjk,
+      |    CAST(sum(j * j) AS BIGINT) AS sjj, CAST(sum(k * k) AS BIGINT) AS skk
+      |  FROM jk)
+      |SELECT n_edges, n_recip,
+      |  CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_ppm,
+      |  w_total, w_paired,
+      |  CAST(w_paired * 1000000 // w_total AS BIGINT) AS w_recip_ppm,
+      |  CASE WHEN CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj > 0
+      |        AND CAST(m AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk > 0 THEN
+      |    CAST(CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk AS DOUBLE) /
+      |      (sqrt(CAST(CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj AS DOUBLE)) *
+      |       sqrt(CAST(CAST(m AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk AS DOUBLE)))
+      |  END AS assortativity
+      |FROM r CROSS JOIN m""".stripMargin
+
+  // ------- weekday seasonality profile per stream (q229)
+  /** The calendar-structure census: each event stream's volume share
+    * by ISO weekday (ppm-exact) with the peak day flagged — the
+    * profile that decides whether a training snapshot cut on a
+    * Tuesday under-represents weekend behavior, and the baseline
+    * q218/q219 should be read against (a 7-day cycle is the most
+    * common "false changepoint"). Spark's `weekday()` (0 = Monday)
+    * shifted to ISO 1–7 matches DuckDB's `isodow` exactly; the peak
+    * flag is a rank over (n DESC, dow ASC) — deterministic under
+    * ties.
+    *
+    * Scale shape: one map-side (type, dow) rollup — 7 rows per
+    * stream; the share and peak derive from windows over those. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("event_type").as("event_type"),
+        (weekday(col("ts")) + 1).cast(LongType).as("isodow"))
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy("event_type")))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("is_peak", (row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("isodow").asc)) === 1))
+      .select("event_type", "isodow", "n", "share_ppm", "is_peak")
+      .sortedOutWide("event_type", "isodow")
+  }
+
+  private val q229Sql =
+    """WITH g AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, isodow, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY n DESC, isodow ASC) AS rk
+      |  FROM g)
+      |SELECT event_type, isodow, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |  rk = 1 AS is_peak
+      |FROM w ORDER BY event_type, isodow""".stripMargin
+
+  // ------- cohort lifetime-value curve (q230)
+  /** The monetized companion to q109's retention matrix: customers
+    * cohorted by FIRST-order month, and per (cohort, age-in-months)
+    * the active-customer count, the cents spent at that age, and the
+    * RUNNING cumulative — the LTV curve whose flattening point tells
+    * a data buyer how many months of history are worth licensing.
+    * Month index 12y+m keeps ages integral; everything is LONG cents
+    * and counts.
+    *
+    * Scale shape: the first-order month is one customer-keyed
+    * aggregate joined back on the same key (one shuffle partitioning
+    * reused); the curve and its cumulative window live on
+    * ≤|cohorts|·|ages| rows. */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, d, "orders")
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("m"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val cohort = o.groupBy("c").agg(min(col("m")).as("m0"))
+    o.join(cohort, Seq("c"))
+      .withColumn("age", col("m") - col("m0"))
+      .groupBy(col("m0").as("cohort_m"), col("age"))
+      .agg(countDistinct(col("c")).as("n_active"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.partitionBy("cohort_m").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .sortedOutWide("cohort_m", "age")
+  }
+
+  private val q230Sql =
+    """WITH o AS (SELECT o_custkey AS c,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |coh AS (SELECT c, min(m) AS m0 FROM o GROUP BY c),
+      |g AS (SELECT m0 AS cohort_m, m - m0 AS age,
+      |    CAST(count(DISTINCT c) AS BIGINT) AS n_active,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM o JOIN coh USING (c) GROUP BY 1, 2)
+      |SELECT cohort_m, age, n_active, n_orders, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |FROM g ORDER BY cohort_m, age""".stripMargin
+
+  // ------- market-basket affinity: top part pairs by support (q231)
+  /** The basket-level co-occurrence operator (q120 is its
+    * user-session sibling): part pairs appearing in the same ORDER,
+    * ranked by support with exact ppm lift = support·N/(n_a·n_b) —
+    * lift > 1e6 means the pair co-sells beyond independence. Parts
+    * dedup within an order first (two lines of one part are one
+    * basket membership); the top-20 cut orders by (support DESC,
+    * a, b) so the boundary is deterministic, and `orderBy().limit()`
+    * plans as TakeOrderedAndProject — no global sort.
+    *
+    * Scale shape: the self-join explodes each order into
+    * basket-size² pairs — bounded by the schema's small basket (≤7
+    * lines); a monster-basket corpus would cap per-order pairs the
+    * way [[graft.dedup.Dedup]] caps LSH buckets (documented knob,
+    * not needed here). Support counting is map-side combinable; the
+    * per-part totals broadcast back onto the pair frame. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val items = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+      .distinct()
+    val nOrders = items.select("o").distinct().agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy("p").agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a").join(items.as("b"), Seq("o"))
+      .where(col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(perPart.select(col("p").as("pa"), col("n_part").as("na"))), Seq("pa"))
+      .join(broadcast(perPart.select(col("p").as("pb"), col("n_part").as("nb"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_ppm",
+        expr("support * n_orders * 1000000 div (na * nb)"))
+      .select("pa", "pb", "support", "na", "nb", "lift_ppm")
+      .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  private val q231Sql =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |t AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+      |pp AS (SELECT p, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY p),
+      |pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, support, na.n_part AS na, nb.n_part AS nb,
+      |  CAST(support * t.n_orders * 1000000 // (na.n_part * nb.n_part) AS BIGINT) AS lift_ppm
+      |FROM pr JOIN pp na ON na.p = pr.pa JOIN pp nb ON nb.p = pr.pb
+      |CROSS JOIN t
+      |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin
+
+  // ------- transition latency percentiles (q232)
+  /** q148 counts WHICH transitions happen; this measures HOW FAST:
+    * per (from_type → to_type) consecutive-event pair, the exact
+    * lower-median and p90 of the gap in seconds (order statistics
+    * from the data — the ≥-gate of q210 at cum·2 ≥ n and
+    * cum·10 ≥ 9n) plus the exact mean as one division. The funnel
+    * question "users click→purchase, but how long does that take"
+    * is this row.
+    *
+    * Scale shape: one user-keyed shuffle for the lead (q148's
+    * partitioning), a map-side (pair, gap) collapse, then per-pair
+    * value windows. Gap values are corpus-timespan-bounded; at an
+    * unbounded domain the documented fallback is the
+    * [[RelationalOps.globalRowNumber]] per-group range partition
+    * (q210's note). */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        (unix_millis(col("ts")).cast(LongType)).as("ms"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("to_ms", lead(col("ms"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type"),
+        ((col("to_ms") - col("ms")) / 1000).cast(LongType).as("gap_s"))
+      .groupBy("from_type", "to_type", "gap_s").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("from_type", "to_type").orderBy("gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("from_type", "to_type")
+    gaps
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wt))
+      .withColumn("sum_gap", sum(col("gap_s") * col("cnt")).over(wt))
+      .groupBy("from_type", "to_type")
+      .agg(max(col("n")).as("n_transitions"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_s"))).as("median_gap_s"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).as("p90_gap_s"),
+        (max(col("sum_gap")).cast(DoubleType) / max(col("n")))
+          .as("mean_gap_s"))
+      .sortedOutWide("from_type", "to_type")
+  }
+
+  private val q232Sql =
+    """WITH x AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+      |    CAST((epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_ms(ts)) // 1000 AS BIGINT) AS gap_s
+      |  FROM events),
+      |g AS (SELECT from_type, to_type, gap_s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+      |c AS (SELECT from_type, to_type, gap_s, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY from_type, to_type ORDER BY gap_s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY from_type, to_type) AS BIGINT) AS n,
+      |    CAST(sum(gap_s * cnt) OVER (PARTITION BY from_type, to_type) AS BIGINT) AS sum_gap
+      |  FROM g)
+      |SELECT from_type, to_type, CAST(max(n) AS BIGINT) AS n_transitions,
+      |  CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS median_gap_s,
+      |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_gap_s,
+      |  CAST(max(sum_gap) AS DOUBLE) / max(n) AS mean_gap_s
+      |FROM c GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  // ------- MAD-based robust outlier census (q233)
+  /** The robust twin of q200's mean/std windowed z-score: per event
+    * stream, flag days where |count − median| > 3·MAD — median and
+    * MAD both exact lower order statistics, so the gate is pure
+    * integer comparison and NO outlier can poison the scale it is
+    * judged against (the exact failure q200's wave-8 contaminated-dip
+    * pin documents for trailing mean/std). A zero-MAD stream (over
+    * half the days identical) flags every deviating day — the
+    * documented degenerate convention.
+    *
+    * Scale shape: (type, day) rollup; two value-domain median passes
+    * (q210's gate) and one broadcast join back; no data-sized
+    * window. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+    def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame =
+      df.groupBy(col("et"), col(vCol).as("v")).agg(count(lit(1)).as("f"))
+        .withColumn("cumf", sum(col("f")).over(
+          Window.partitionBy("et").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", sum(col("f")).over(Window.partitionBy("et")))
+        .where(col("cumf") * 2 >= col("nd"))
+        .groupBy("et").agg(min(col("v")).as(out))
+    val med = lowerMedian(daily, "c", "med")
+    val withDev = daily.join(broadcast(med), Seq("et"))
+      .withColumn("adev", abs(col("c") - col("med")))
+    val mad = lowerMedian(withDev, "adev", "mad")
+    withDev.join(broadcast(mad), Seq("et"))
+      .withColumn("is_out", col("adev") > col("mad") * 3)
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("median_daily"),
+        max(col("mad")).as("mad"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("day")).otherwise(lit(null)))
+          .cast(StringType).as("first_outlier_day"),
+        sum(when(col("is_out"), col("c")).otherwise(0L)).as("outlier_mass"))
+      .select(col("et").as("event_type"), col("n_days"), col("median_daily"),
+        col("mad"), col("n_outliers"), col("first_outlier_day"),
+        col("outlier_mass"))
+      .sortedOut("event_type")
+  }
+
+  private val q233Sql =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |m1 AS (SELECT et, CAST(min(v) AS BIGINT) AS med FROM (
+      |    SELECT et, c AS v,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et ORDER BY c
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et) AS BIGINT) AS nd
+      |    FROM daily GROUP BY et, c)
+      |  WHERE cumf * 2 >= nd GROUP BY et),
+      |dv AS (SELECT daily.et, day, c, med, abs(c - med) AS adev
+      |  FROM daily JOIN m1 USING (et)),
+      |m2 AS (SELECT et, CAST(min(v) AS BIGINT) AS mad FROM (
+      |    SELECT et, adev AS v,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et ORDER BY adev
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |      CAST(sum(count(*)) OVER (PARTITION BY et) AS BIGINT) AS nd
+      |    FROM dv GROUP BY et, adev)
+      |  WHERE cumf * 2 >= nd GROUP BY et)
+      |SELECT dv.et AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(max(med) AS BIGINT) AS median_daily, CAST(max(mad) AS BIGINT) AS mad,
+      |  CAST(sum(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN adev > mad * 3 THEN day END) AS VARCHAR) AS first_outlier_day,
+      |  CAST(sum(CASE WHEN adev > mad * 3 THEN c ELSE 0 END) AS BIGINT) AS outlier_mass
+      |FROM dv JOIN m2 USING (et) GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ------- two-proportion A/B test, cleared z² (q234)
+  /** The experiment-readout operator: users split A/B by parity of
+    * their id (the deterministic assignment a real platform hashes),
+    * outcome = purchase share of events; the readout is the exact
+    * contingency (n_a, x_a, n_b, x_b), the difference in ppm, and
+    * the pooled two-proportion z² with EVERY denominator cleared:
+    * z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)) — numerator and
+    * denominator DECIMAL(38,0) integers exported as digits, the
+    * statistic one IEEE division (q205's χ² discipline; z² IS the
+    * 2×2 χ², so the engines cross-check). z² > 3.84 ⇒ p < .05.
+    *
+    * Scale shape: one map-side rollup to (arm, outcome) counts —
+    * four numbers; everything else is scalar arithmetic on a 1-row
+    * frame. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val arms = Tables.events(s, d)
+      .select((col("user_id") % 2 === 0).as("arm_a"),
+        (col("event_type") === "purchase").as("hit"))
+      .agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm_a") && col("hit"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("arm_a") && col("hit"), 1L).otherwise(0L)).as("x_b"))
+    arms
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("x", col("x_a") + col("x_b"))
+      .withColumn("rate_a_ppm", expr("x_a * 1000000 div n_a"))
+      .withColumn("rate_b_ppm", expr("x_b * 1000000 div n_b"))
+      .withColumn("d0", dec(col("x_a")) * dec(col("n_b")) -
+        dec(col("x_b")) * dec(col("n_a")))
+      .withColumn("z2_num", (col("d0") * col("d0") * dec(col("n")))
+        .cast(DecimalType(38, 0)))
+      .withColumn("z2_den", (dec(col("n_a")) * dec(col("n_b")) *
+        dec(col("x")) * dec(col("n") - col("x"))).cast(DecimalType(38, 0)))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"),
+        col("z2_num").cast(StringType).as("z2_num"),
+        col("z2_den").cast(StringType).as("z2_den"),
+        when(col("z2_den") =!= 0,
+          col("z2_num").cast(DoubleType) / col("z2_den").cast(DoubleType))
+          .as("z_squared"))
+  }
+
+  private val q234Sql =
+    """WITH a AS (SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM events),
+      |b AS (SELECT *, n_a + n_b AS n, x_a + x_b AS x,
+      |    CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a AS d0
+      |  FROM a)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |  CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |  CAST(d0 * d0 * n AS VARCHAR) AS z2_num,
+      |  CAST(CAST(n_a AS HUGEINT) * n_b * x * (n - x) AS VARCHAR) AS z2_den,
+      |  CASE WHEN CAST(n_a AS HUGEINT) * n_b * x * (n - x) <> 0 THEN
+      |    CAST(d0 * d0 * n AS DOUBLE) /
+      |    CAST(CAST(n_a AS HUGEINT) * n_b * x * (n - x) AS DOUBLE) END AS z_squared
+      |FROM b""".stripMargin
+
+  // ------- source concentration: HHI census (q235)
+  /** The one-number answer to "is this corpus a monoculture": the
+    * Herfindahl–Hirschman index of source shares, exact —
+    * hhi_ppm = Σn_s²·10⁶ div N² (1e6 = single source, 1e6/S =
+    * perfectly balanced) — plus the top-source share and the
+    * effective number of sources 1/HHI (one IEEE division), the
+    * diversity number a mixture designer compares against the
+    * nominal source count before q220's reweighting is even worth
+    * pricing. Gini (q165) orders the whole Lorenz curve; HHI is the
+    * screening scalar.
+    *
+    * Scale shape: one map-side census, |S|-row arithmetic, 1-row
+    * output. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    bySrc.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_docs")).as("n_all"),
+        max(col("n_docs")).as("top_docs"),
+        sum(dec(col("n_docs")) * dec(col("n_docs")))
+          .cast(DecimalType(38, 0)).as("sq"))
+      .select(col("n_sources"), col("n_all"), col("top_docs"),
+        expr("top_docs * 1000000 div n_all").as("top_share_ppm"),
+        expr("CAST(sq * 1000000 div (CAST(n_all AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("hhi_ppm"),
+        ((dec(col("n_all")) * dec(col("n_all"))).cast(DoubleType) /
+          col("sq").cast(DoubleType)).as("effective_sources"))
+  }
+
+  private val q235Sql =
+    """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_all,
+      |  CAST(max(n_docs) AS BIGINT) AS top_docs,
+      |  CAST(max(n_docs) * 1000000 // sum(n_docs) AS BIGINT) AS top_share_ppm,
+      |  CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) * 1000000 //
+      |    (CAST(sum(n_docs) AS HUGEINT) * sum(n_docs)) AS BIGINT) AS hhi_ppm,
+      |  CAST(CAST(sum(n_docs) AS HUGEINT) * sum(n_docs) AS DOUBLE) /
+      |    CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) AS DOUBLE) AS effective_sources
+      |FROM b""".stripMargin
+
+  // ------- head coverage: docs needed for X% of char mass (q236)
+  /** How head-heavy is the corpus? For each coverage target (50 / 90
+    * / 99% of total character mass), the number of LONGEST docs that
+    * reach it and the length threshold where the target crosses —
+    * the curve that decides whether "train on the biggest documents
+    * first" covers most tokens with a fraction of the rows.
+    * Evaluated at distinct-length granularity (every reported
+    * threshold is a value from the data; ties are counted whole, the
+    * documented convention), so every number is exact.
+    *
+    * Scale shape: the (length → count, mass) collapse is map-side;
+    * the descending cumulative rides one window over the
+    * domain-bounded distinct-length frame (q204's argument) — the
+    * raw corpus is never sorted. */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("len"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("mass"))
+    // descending cumulatives via the distributed prefix scan; totals
+    // as a 1-row broadcast (the old Window.partitionBy(lit(1)) was a
+    // disguised single-partition window)
+    val tot = byLen.agg(sum(col("mass")).as("m_total"),
+      sum(col("cnt")).as("n_total"))
+    val cum = RelationalOps.globalRunningSum(
+        RelationalOps.globalRunningSum(byLen,
+          Seq(col("len").desc), "cnt", "docs_ge"),
+        Seq(col("len").desc), "mass", "mass_ge")
+      .crossJoin(broadcast(tot))
+    val targets = Seq(50L, 90L, 99L)
+    targets.map { pct =>
+      cum.where(col("mass_ge") * 100 >= col("m_total") * pct)
+        .agg(lit(pct).as("target_pct"),
+          min(col("docs_ge")).as("n_docs_needed"),
+          max(col("len")).as("len_threshold"),
+          max(col("n_total")).as("n_total"),
+          max(col("m_total")).as("mass_total"))
+    }.reduce(_ unionByName _)
+      .withColumn("doc_share_ppm", expr("n_docs_needed * 1000000 div n_total"))
+      .sortedOut("target_pct")
+  }
+
+  private val q236Sql =
+    """WITH bl AS (SELECT CAST(n_chars AS BIGINT) AS len,
+      |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1),
+      |c AS (SELECT len,
+      |    CAST(sum(cnt) OVER (ORDER BY len DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_ge,
+      |    CAST(sum(mass) OVER (ORDER BY len DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mass_ge,
+      |    CAST(sum(mass) OVER () AS BIGINT) AS m_total,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+      |  FROM bl),
+      |t(target_pct) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT)))
+      |SELECT target_pct,
+      |  CAST(min(docs_ge) AS BIGINT) AS n_docs_needed,
+      |  CAST(max(len) AS BIGINT) AS len_threshold,
+      |  CAST(max(n_total) AS BIGINT) AS n_total,
+      |  CAST(max(m_total) AS BIGINT) AS mass_total,
+      |  CAST(min(docs_ge) * 1000000 // max(n_total) AS BIGINT) AS doc_share_ppm
+      |FROM c CROSS JOIN t
+      |WHERE mass_ge * 100 >= m_total * target_pct
+      |GROUP BY target_pct ORDER BY target_pct""".stripMargin
+
+  // ------- calendar completeness: zero-day gap census (q237)
+  /** The stream-completeness audit: per event type, how many calendar
+    * days inside the stream's own [min, max] span have ZERO events,
+    * and the longest silent stretch with its start date — the
+    * ingestion-outage detector (a feed that "looks fine" by volume
+    * can still be missing whole days, and q218's changepoint will NOT
+    * flag a gap the daily rollup never materializes). All integer
+    * date arithmetic: missing = span − observed, longest gap from the
+    * lead() diff over observed days.
+    *
+    * Scale shape: (type, day) distinct collapse, one type-keyed
+    * window for the lead, a |T|-row fold. */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .distinct()
+    val wo = Window.partitionBy("et").orderBy("day")
+    days
+      .withColumn("nxt", lead(col("day"), 1).over(wo))
+      .withColumn("gap", datediff(col("nxt"), col("day")) - 1)
+      .withColumn("mg", max(col("gap")).over(Window.partitionBy("et")))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_observed_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast(LongType)
+          .as("span_days"),
+        max(col("gap")).cast(LongType).as("longest_gap_days"),
+        min(when(col("gap") === col("mg"), col("day"))).cast(StringType)
+          .as("longest_gap_after"))
+      .withColumn("n_missing_days",
+        col("span_days") - col("n_observed_days"))
+      .select(col("et").as("event_type"), col("n_observed_days"),
+        col("span_days"), col("n_missing_days"),
+        col("longest_gap_days"), col("longest_gap_after"))
+      .sortedOut("event_type")
+  }
+
+  private val q237Sql =
+    """WITH days AS (SELECT DISTINCT event_type AS et, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |w AS (SELECT et, day,
+      |    lead(day) OVER (PARTITION BY et ORDER BY day) AS nxt
+      |  FROM days),
+      |g AS (SELECT et, day, CAST(nxt - day - 1 AS BIGINT) AS gap FROM w),
+      |mx AS (SELECT et, max(gap) AS mg FROM g GROUP BY et)
+      |SELECT g.et AS event_type,
+      |  CAST(count(*) AS BIGINT) AS n_observed_days,
+      |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+      |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS n_missing_days,
+      |  CAST(max(mg) AS BIGINT) AS longest_gap_days,
+      |  CAST(min(CASE WHEN gap = mg THEN day END) AS VARCHAR) AS longest_gap_after
+      |FROM g JOIN mx ON mx.et = g.et
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q152_trade_triangles", q152 _, Some(q152Sql)),
+    ("q165_user_gini",       q165 _, Some(q165Sql)),
+    ("q181_fk_integrity",    q181 _, Some(q181Sql)),
+    ("q204_pareto_frontier", q204 _, Some(q204Sql)),
+    ("q205_chisq_independence", q205 _, Some(q205Sql)),
+    ("q206_grid_proximity_join", q206 _, Some(q206Sql)),
+    ("q207_transition_kappa", q207 _, Some(q207Sql)),
+    ("q208_embargo_split",   q208 _, Some(q208Sql)),
+    ("q209_monthly_streaks", q209 _, Some(q209Sql)),
+    ("q210_weighted_median", q210 _, Some(q210Sql)),
+    ("q211_survival_table",  q211 _, Some(q211Sql)),
+    ("q212_langmix_tvd",     q212 _, Some(q212Sql)),
+    ("q213_ks_drift",        q213 _, Some(q213Sql)),
+    ("q214_ranksum_drift",   q214 _, Some(q214Sql)),
+    ("q215_kendall_signals", q215 _, Some(q215Sql)),
+    ("q216_topk_drift",      q216 _, Some(q216Sql)),
+    ("q217_luhn_audit",      q217 _, Some(q217Sql)),
+    ("q218_cusum_changepoint", q218 _, Some(q218Sql)),
+    ("q219_runs_test",       q219 _, Some(q219Sql)),
+    ("q220_importance_weights", q220 _, Some(q220Sql)),
+    ("q221_group_variance",  q221 _, Some(q221Sql)),
+    ("q222_lag1_autocorr",   q222 _, Some(q222Sql)),
+    ("q223_fano_burstiness", q223 _, Some(q223Sql)),
+    ("q224_quantile_norm",   q224 _, Some(q224Sql)),
+    ("q225_payload_drift",   q225 _, Some(q225Sql)),
+    ("q226_emd_drift",       q226 _, Some(q226Sql)),
+    ("q227_winsorized_totals", q227 _, Some(q227Sql)),
+    ("q228_graph_mixing",    q228 _, Some(q228Sql)),
+    ("q229_weekday_profile", q229 _, Some(q229Sql)),
+    ("q230_cohort_ltv",      q230 _, Some(q230Sql)),
+    ("q231_basket_affinity", q231 _, Some(q231Sql)),
+    ("q232_transition_latency", q232 _, Some(q232Sql)),
+    ("q233_mad_outliers",    q233 _, Some(q233Sql)),
+    ("q234_proportion_ab",   q234 _, Some(q234Sql)),
+    ("q235_concentration",   q235 _, Some(q235Sql)),
+    ("q236_head_coverage",   q236 _, Some(q236Sql)),
+    ("q237_gap_census",      q237 _, Some(q237Sql)))
+}

@@ -285,4 +285,34 @@ class DedupSpec extends SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((10L, 1L))
     pairs.head.getDouble(2) shouldBe 1.0
   }
+
+  test("dupSpans: whole-doc duplicates, overlapping seeds merged, disjoint spans kept apart") {
+    // vocabulary: wN tokens are the shared template, uN/vN/xN are unique
+    val w = (0 until 20).map(i => s"w$i")
+    val doc1 = w.mkString(" ")                                   // 20 tokens
+    val doc2 = doc1                                              // exact whole-doc dup
+    val doc3 = ((0 until 5).map(i => s"u$i") ++ w.take(10) ++
+      (0 until 5).map(i => s"v$i")).mkString(" ")                // shared run at 5..14
+    val doc4 = (w.take(10) ++ (0 until 10).map(i => s"x$i") ++
+      w.drop(10)).mkString(" ")                                  // two runs split by noise
+    val out = Dedup.dupSpans(
+        docsDF(1L -> doc1, 2L -> doc2, 3L -> doc3, 4L -> doc4), minLen = 8)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1/doc2: ONE span covering every position (whole-doc duplicate),
+    // 13 windows each — never 13 fragment rows. doc3: the 3 overlapping
+    // seed windows inside w0..w9 coalesce into one 10-token span at
+    // position 5. doc4: two maximal spans (w0..w9 at 0, w10..w19 at 20)
+    // stay SEPARATE across the 10-token unique gap.
+    out shouldBe Array(
+      (1L, 0L, 20L, 13L), (2L, 0L, 20L, 13L),
+      (3L, 5L, 10L, 3L),
+      (4L, 0L, 10L, 3L), (4L, 20L, 10L, 3L))
+    // sub-minLen shared runs are invisible: two docs sharing only 7
+    // tokens produce no 8-token window and therefore no span
+    val short = Dedup.dupSpans(docsDF(
+      1L -> (w.take(7) ++ Seq("aa")).mkString(" "),
+      2L -> (w.take(7) ++ Seq("bb")).mkString(" ")), minLen = 8)
+    short.count() shouldBe 0L
+  }
 }

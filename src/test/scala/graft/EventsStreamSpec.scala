@@ -760,4 +760,62 @@ class EventsStreamSpec extends SparkSpec {
       gotC.count(_.event_type == "zzz") shouldBe 0
     } finally { qc.stop(); qm.stop() }
   }
+
+  test("q259 watermark advisor closed loop: a 5-minute-watermark stream loses EXACTLY " +
+      "the rows the advisor's band census prices (VERDICT r11 #5)") {
+    // 15 events, one micro-batch each, so the stream's watermark (max
+    // event time − delay, updated per batch) tracks the advisor's
+    // per-arrival high-water-mark model step for step. Lateness mix:
+    // on-time, ≤1 min (band b), ≤5 min (band c, still inside the
+    // watermark), 21 min (band d, dropped), 201/250 min (band e,
+    // dropped). No event sits exactly ON the 5-minute boundary, so the
+    // drop set is the same whichever side Spark's strict/inclusive
+    // late-row predicate takes.
+    val evs = Seq(
+      ev(1, 0), ev(2, 10, typ = "view"), ev(3, 8), ev(4, 20, typ = "view"),
+      ev(5, 16), ev(6, 30, typ = "view"), ev(7, 9), ev(8, 40, typ = "view"),
+      ev(9, 39), ev(10, 300, typ = "view"), ev(11, 50), ev(12, 301, typ = "view"),
+      ev(13, 299), ev(14, 100, typ = "view"), ev(15, 310))
+
+    // ---- advisor side: q259 on the same 15 rows, via a planted fixture
+    val dir = java.nio.file.Files.createTempDirectory("wm-advisor").toString
+    evs.toDF().select(col("event_id"), col("event_type"), col("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val census = SparkEntry.queries("q259_watermark_advisor")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("band")) ->
+        r.getAs[Long]("n")).toMap.withDefaultValue(0L)
+    def advisorLost(typ: String): Long =
+      census((typ, "d_1hour")) + census((typ, "e_beyond"))
+    def advisorTotal(typ: String): Long =
+      Seq("a_ontime", "b_1min", "c_5min", "d_1hour", "e_beyond")
+        .map(b => census((typ, b))).sum
+    // hand-checked: clicks lose ids 7 (21 min) and 11 (250 min); views
+    // lose id 14 (201 min); bands ≤ 5 min (ids 3, 5, 9, 13) survive
+    advisorLost("click") shouldBe 2L
+    advisorLost("view") shouldBe 1L
+    advisorTotal("click") shouldBe 8L
+    advisorTotal("view") shouldBe 7L
+
+    // ---- stream side: per-event micro-batches through streamingDedup
+    // (row-grain lateness: unique event_ids mean every suppressed row
+    // was suppressed by the watermark, not by deduplication)
+    val mem = MemoryStream[Event]
+    val out = EventsStream.streamingDedup(mem.toDF(), Seq("event_id"),
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wmloop")
+      .outputMode("append").start()
+    try {
+      evs.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val kept = spark.table("wmloop").groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val observedLost = Map(
+        "click" -> (8L - kept("click")), "view" -> (7L - kept("view")))
+      observedLost("click") shouldBe advisorLost("click")
+      observedLost("view") shouldBe advisorLost("view")
+      // the ppm the advisor prints is the ppm the stream actually loses
+      def ppm(lost: Long, total: Long): Long = lost * 1000000L / total
+      ppm(observedLost("click"), 8L) shouldBe ppm(advisorLost("click"), advisorTotal("click"))
+      ppm(observedLost("view"), 7L) shouldBe ppm(advisorLost("view"), advisorTotal("view"))
+    } finally q.stop()
+  }
 }

@@ -2299,6 +2299,54 @@ object AdvSweep {
         head.getAs[Long]("oov_ppm") == 333333L).toString
     }
 
+    // ==== wave 15 (round-12: the exact-substring span family) ==========
+
+    // ---- hot template: 5,000 docs sharing ONE 40-token text -------------
+    // The boilerplate worst case for span dedup: every window hash is
+    // held by all 5,000 docs. The census must stay ONE row per gram
+    // (never a pair set — at this breadth a pairwise formulation would
+    // be 12.5M pairs), islands must merge to exactly one whole-doc span
+    // per doc, and q279's breadth census must price the template at
+    // max_breadth = 5,000 in the 5plus band.
+    step("span_hot_template") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-span").toString
+      val template = (0 until 40).map(i => s"tw$i").mkString(" ")
+      spark.range(5000).selectExpr("id AS doc_id", "'en' AS lang", "'s' AS source")
+        .withColumn("text", lit(template))
+        .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val spans = SparkEntry.queries("q277_dup_spans")(spark, dir).persist()
+      stats("span_one_per_doc") = (spans.count() == 5000L).toString
+      stats("span_whole_doc") = (spans
+        .where(col("span_start") === 0 && col("span_len") === 40 &&
+          col("n_windows") === 33).count() == 5000L).toString
+      val breadth = SparkEntry.queries("q279_template_breadth")(spark, dir)
+        .collect().map(r => r.getAs[String]("breadth_band") -> r).toMap
+      stats("span_breadth_hot") = (breadth.size == 1 &&
+        breadth("c_5plus").getAs[Long]("max_breadth") == 5000L &&
+        breadth("c_5plus").getAs[Long]("n_templates") == 33L).toString
+      spans.unpersist()
+    }
+
+    // ---- decontamination with an EMPTY shard / an empty corpus ---------
+    // q280's batch split (doc_id % 10) on fixtures where one side is
+    // empty: an all-corpus fixture (no doc_id divisible by 10) and an
+    // all-batch fixture (every doc_id divisible by 10) must both yield
+    // 0 rows without error — the routine empty-partition-day at 100 TB.
+    step("span_decontam_empty_sides") {
+      val txt = (0 until 12).map(i => s"dw$i").mkString(" ")
+      def plant(ids: Seq[Long]): String = {
+        val dir = java.nio.file.Files.createTempDirectory("adv-span-e").toString
+        import spark.implicits._
+        ids.map(i => (i, "en", "s", txt)).toDF("doc_id", "lang", "source", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      val noBatch = SparkEntry.queries("q280_span_decontam")(spark, plant(Seq(1L, 2L, 3L)))
+      val noCorpus = SparkEntry.queries("q280_span_decontam")(spark, plant(Seq(10L, 20L, 30L)))
+      stats("span_decontam_no_batch") = (noBatch.count() == 0L).toString
+      stats("span_decontam_no_corpus") = (noCorpus.count() == 0L).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

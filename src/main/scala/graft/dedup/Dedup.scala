@@ -667,6 +667,39 @@ object Dedup {
       .where(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
 
+  /** Incremental twin of [[dupSpans]]: maximal ≥ `minLen`-token spans
+    * in `batch` documents that already exist VERBATIM anywhere in
+    * `corpus` — the arriving-shard question ("which parts of the new
+    * crawl are already in the training set", the span-grain analogue
+    * of [[dedupIncremental]] and the exact-substring complement of the
+    * n-gram decontamination screen). Only the batch side is windowed
+    * into islands; the corpus contributes ONE distinct-gram set that
+    * the batch grams left-semi join against — corpus text never
+    * shuffles, and re-probing a new batch never re-shuffles the
+    * corpus (pair it with a standing gram index for repeated probes).
+    */
+  def dupSpansAgainst(batch: DataFrame, corpus: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val L = minLen
+    def gramsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - L),
+        i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))
+      .toDF("doc_id", "pos", "gram")
+    val corpusGrams = gramsOf(corpus).select(col("gram")).distinct()
+    gramsOf(batch).join(corpusGrams, Seq("gram"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + L).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
   /** Exact-substring duplicated spans (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): the VARIABLE-LENGTH
     * complement of the fixed-window chunk hashing — every maximal token

@@ -2345,6 +2345,143 @@ object TextAnalysisQueries {
       |  CAST(count(*) AS BIGINT) AS n_windows
       |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 
+  // ------- per-document span-dedup exposure census (q278)
+  /** What q277's spans COST per document: for every doc carrying at
+    * least one duplicated span, the span count, duplicated-token total
+    * (Σ span_len — spans are maximal and disjoint by construction, so
+    * the sum never double-counts), the doc's token count, and the
+    * duplicated share in exact ppm. The per-doc number a span-level
+    * scrubbing pass (cut the spans, keep the rest) budgets with —
+    * doc-grain where q242 prices doc-DROPPING policies.
+    *
+    * Scale shape: q277's plan plus one doc-grain rollup and a join to
+    * the token-count projection — nothing new shuffles text. */
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val spans = Dedup.dupSpans(docs0(s, d), minLen = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_tokens"))
+    val nTok = docs0(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    spans.join(nTok, Seq("doc_id"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000 div n_tokens"))
+      .sortedOut("doc_id")
+  }
+
+  private val q278Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |s AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM g JOIN d USING (gram)),
+      |sp AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_len
+      |  FROM s GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(span_len) AS BIGINT) AS dup_tokens
+      |  FROM sp GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_spans, a.dup_tokens,
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(a.dup_tokens * 1000000 // len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS dup_ppm
+      |FROM agg a JOIN documents USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------- template-breadth census (q279)
+  /** HOW WIDESPREAD is each duplicated 8-token template? Census of
+    * q277's window hashes by document breadth: templates shared by
+    * exactly 2 docs vs 3–4 vs 5+, with the template count, total
+    * occurrences, and the widest template's breadth per band. The
+    * boilerplate-vs-pairwise-copy diagnostic: a license header shared
+    * by a million docs and a single plagiarized paragraph are both
+    * "duplicated spans" — this is the operator that tells them apart
+    * (and the pre-flight for exempting boilerplate from span
+    * scrubbing, the Lee et al. practical note).
+    *
+    * Scale shape: the same ONE gram census as q277 — breadth bands are
+    * a second map-side rollup over (gram, n_docs, n_occ) rows; output
+    * is ≤ 3 rows. */
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    val grams = docs0(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - 8),
+        i => md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")))).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .groupBy(expr(
+        """CASE WHEN n_docs = 2 THEN 'a_pair'
+          |  WHEN n_docs <= 4 THEN 'b_3_4'
+          |  ELSE 'c_5plus' END""".stripMargin).as("breadth_band"))
+      .agg(count(lit(1)).as("n_templates"), sum(col("n_occ")).as("n_occurrences"),
+        max(col("n_docs")).as("max_breadth"))
+      .sortedOut("breadth_band")
+  }
+
+  private val q279Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |c AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT CASE WHEN n_docs = 2 THEN 'a_pair'
+      |    WHEN n_docs <= 4 THEN 'b_3_4'
+      |    ELSE 'c_5plus' END AS breadth_band,
+      |  CAST(count(*) AS BIGINT) AS n_templates,
+      |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+      |  CAST(max(n_docs) AS BIGINT) AS max_breadth
+      |FROM c GROUP BY 1 ORDER BY breadth_band""".stripMargin
+
+  // ------- incremental span decontamination (q280)
+  /** [[graft.dedup.Dedup.dupSpansAgainst]] on the fixture's batch
+    * convention: docs with doc_id % 10 == 0 are the ARRIVING shard,
+    * the rest the standing corpus; every maximal ≥ 8-token span of the
+    * shard that already exists verbatim in the corpus is reported —
+    * the exact-substring decontamination screen run before a new crawl
+    * shard joins the training set (q74/q102's n-gram screens answer
+    * "does it overlap"; this answers "exactly WHERE and HOW MUCH").
+    *
+    * Scale shape: corpus text never shuffles — it collapses to ONE
+    * distinct-gram set the shard left-semi joins against; islands
+    * merge per shard doc. */
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    Dedup.dupSpansAgainst(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0), minLen = 8)
+      .sortedOut("doc_id", "span_start")
+  }
+
+  private val q280Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+      |s AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM g JOIN cg USING (gram) WHERE doc_id % 10 = 0)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2440,5 +2577,8 @@ object TextAnalysisQueries {
     ("q275_oov_census", q275 _, Some(q275Sql)),
     ("q276_hash_collision_audit", q276 _, Some(q276Sql)),
     ("q277_dup_spans", q277 _, Some(q277Sql)),
+    ("q278_span_census", q278 _, Some(q278Sql)),
+    ("q279_template_breadth", q279 _, Some(q279Sql)),
+    ("q280_span_decontam", q280 _, Some(q280Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -315,4 +315,20 @@ class DedupSpec extends SparkSpec {
       2L -> (w.take(7) ++ Seq("bb")).mkString(" ")), minLen = 8)
     short.count() shouldBe 0L
   }
+
+  test("dupSpansAgainst: shard spans report only corpus-backed text, not shard-internal dups") {
+    val w = (0 until 20).map(i => s"w$i")
+    val corpus = docsDF(100L -> w.mkString(" "))            // holds the template
+    val batch = docsDF(
+      10L -> ((0 until 5).map(i => s"u$i") ++ w.take(10)).mkString(" "), // tail backed by corpus
+      20L -> (0 until 15).map(i => s"z$i").mkString(" "),   // clean
+      30L -> (0 until 15).map(i => s"z$i").mkString(" "))   // dup of 20 — but NOT in corpus
+    val out = Dedup.dupSpansAgainst(batch, corpus, minLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only doc 10's corpus-backed span appears: shard-internal duplicates
+    // (docs 20/30) are dedupIncremental's job, not decontamination's —
+    // and the corpus doc itself is never emitted
+    out shouldBe Array((10L, 5L, 10L, 3L))
+  }
 }

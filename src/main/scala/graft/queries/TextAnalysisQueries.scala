@@ -2482,6 +2482,44 @@ object TextAnalysisQueries {
       |  CAST(count(*) AS BIGINT) AS n_windows
       |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 
+  // ------- tokenizer fertility census (q281)
+  /** How many SUBWORD units does each stratum cost per whitespace
+    * word? Per (lang, source): whitespace tokens, BPE-style pretokens
+    * (letter runs | digit runs | single symbols — the q66 units), and
+    * fertility in exact milli-units (pretokens·1000 div words) plus
+    * the character payload per pretoken. THE number a token-budget
+    * planner reads per stratum: two corpora with equal word counts can
+    * differ 2× in model tokens, and fertility is where that shows
+    * before any tokenizer is trained — the stratum-grain companion to
+    * q66's per-doc ratio and q71's mixture weights.
+    *
+    * Scale shape: one documents pass, all counters map-side
+    * combinable into a ≤|lang×source| rollup; nothing but the
+    * bounded census shuffles. */
+  private def q281(s: SparkSession, d: String): DataFrame =
+    docs0(s, d)
+      .select(col("lang"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ws"),
+        size(TextFunctions.bpeTokens(col("text"))).cast("long").as("bpe"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_pretokens"), sum(col("chars")).as("n_chars"))
+      .withColumn("fertility_milli", expr("n_pretokens * 1000 div n_words"))
+      .withColumn("chars_per_pretoken_milli", expr("n_chars * 1000 div n_pretokens"))
+      .sortedOut("lang", "source")
+
+  private val q281Sql =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS n_words,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_pretokens,
+      |  CAST(sum(length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_chars,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1000
+      |    // sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS fertility_milli,
+      |  CAST(sum(length(regexp_replace(text, '\s', '', 'g'))) * 1000
+      |    // NULLIF(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 0) AS BIGINT) AS chars_per_pretoken_milli
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2580,5 +2618,6 @@ object TextAnalysisQueries {
     ("q278_span_census", q278 _, Some(q278Sql)),
     ("q279_template_breadth", q279 _, Some(q279Sql)),
     ("q280_span_decontam", q280 _, Some(q280Sql)),
+    ("q281_bpe_fertility", q281 _, Some(q281Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -667,6 +667,61 @@ object Dedup {
       .where(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
 
+  /** The SCRUB transform the span census prices: remove every
+    * duplicated ≥ `minLen`-token span from every document EXCEPT one
+    * canonical copy — the Lee et al. dedup applied at span grain
+    * instead of doc grain. Ownership is doc-deterministic: each
+    * duplicated window hash is owned by the MINIMUM doc_id holding it,
+    * a non-owner position covered by any such window is removed, and
+    * the owner keeps its copy (so the corpus retains exactly one copy
+    * of every template; a doc holding the same window twice keeps
+    * both — ownership is doc-grain, the rule that needs no global
+    * occurrence order and therefore no corpus-wide sort at 100 TB).
+    *
+    * Returns one row per SCRUBBED doc (n_removed > 0): token count,
+    * removed count, kept share ppm, and the md5 of the space-joined
+    * kept tokens — the full rewrite semantics hashed without shipping
+    * the scrubbed text anywhere.
+    *
+    * Scale shape: gram census + owner min (one shuffle), covering
+    * positions explode ≤ L per seed, and ONE doc-grain rollup that
+    * rebuilds each kept sequence via array_sort(collect_list) — a
+    * per-doc buffer bounded by document length, the same bound any
+    * corpus rewrite pays. */
+  def spanScrub(docs: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val L = minLen
+    val toked = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    val toks = toked.select(col("doc_id"), posexplode(col("ts")))
+      .toDF("doc_id", "pos", "tok")
+    val grams = toked.where(size(col("ts")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - L),
+        i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))
+      .toDF("doc_id", "pos", "gram")
+    val owners = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .where(col("nd") >= 2).select(col("gram"), col("owner"))
+    val removed = grams.join(owners, Seq("gram"))
+      .where(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("pos"))
+      .distinct()
+    toks.join(removed.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+            array_sort(collect_list(when(col("rm").isNull,
+              struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").cast("binary")).as("scrubbed_hash"))
+      .where(col("n_removed") > 0)
+      .withColumn("kept_ppm", expr("(n_tokens - n_removed) * 1000000 div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("kept_ppm"), col("scrubbed_hash"))
+  }
+
   /** Incremental twin of [[dupSpans]]: maximal ≥ `minLen`-token spans
     * in `batch` documents that already exist VERBATIM anywhere in
     * `corpus` — the arriving-shard question ("which parts of the new

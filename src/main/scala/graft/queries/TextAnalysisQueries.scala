@@ -2520,6 +2520,43 @@ object TextAnalysisQueries {
       |    // NULLIF(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 0) AS BIGINT) AS chars_per_pretoken_milli
       |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  // ------- span scrubbing, one canonical copy kept (q282)
+  /** [[graft.dedup.Dedup.spanScrub]] at minLen = 8: the REWRITE the
+    * q277/q278 censuses price — duplicated spans removed from every
+    * doc except the minimum-doc_id owner of each window template, one
+    * row per scrubbed doc with the kept share and the md5 of the
+    * scrubbed token sequence (full rewrite semantics, hashed). */
+  private def q282(s: SparkSession, d: String): DataFrame =
+    Dedup.spanScrub(docs0(s, d), minLen = 8).sortedOut("doc_id")
+
+  private val q282Sql =
+    """WITH toks0 AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |tok AS MATERIALIZED (SELECT doc_id, i AS pos, ts[CAST(i + 1 AS INTEGER)] AS tok
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks0) u),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks0 WHERE len(ts) >= 8) u),
+      |o AS (SELECT gram, min(doc_id) AS owner FROM g
+      |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |rm AS (SELECT DISTINCT s.doc_id, s.pos + ofs AS pos
+      |  FROM (SELECT g.doc_id, g.pos FROM g JOIN o USING (gram)
+      |        WHERE g.doc_id <> o.owner) s,
+      |       (SELECT unnest(range(8)) AS ofs) off),
+      |agg AS (SELECT t.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN rm.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    md5(coalesce(string_agg(CASE WHEN rm.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '')) AS scrubbed_hash
+      |  FROM tok t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, n_removed,
+      |  CAST((n_tokens - n_removed) * 1000000 // n_tokens AS BIGINT) AS kept_ppm,
+      |  scrubbed_hash
+      |FROM agg WHERE n_removed > 0 ORDER BY doc_id""".stripMargin
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2619,5 +2656,6 @@ object TextAnalysisQueries {
     ("q279_template_breadth", q279 _, Some(q279Sql)),
     ("q280_span_decontam", q280 _, Some(q280Sql)),
     ("q281_bpe_fertility", q281 _, Some(q281Sql)),
+    ("q282_span_scrub", q282 _, Some(q282Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -331,4 +331,29 @@ class DedupSpec extends SparkSpec {
     // and the corpus doc itself is never emitted
     out shouldBe Array((10L, 5L, 10L, 3L))
   }
+
+  test("spanScrub: owner keeps its copy, non-owners lose exactly the covered positions") {
+    val w = (0 until 20).map(i => s"w$i")
+    val df = docsDF(
+      1L -> w.mkString(" "),                                   // owner of every template
+      2L -> w.mkString(" "),                                   // whole-doc dup -> fully scrubbed
+      3L -> ((0 until 5).map(i => s"u$i") ++ w.take(10)).mkString(" ")) // loses the 10-token tail
+    val out = Dedup.spanScrub(df, minLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 1 (min id) owns every duplicated window: NOT in the output at
+    // all — the corpus keeps exactly one copy of the template. doc 2
+    // loses all 20 tokens (hash of the empty string pins the
+    // fully-scrubbed rewrite); doc 3 keeps its 5 unique tokens.
+    out.map(_._1) shouldBe Array(2L, 3L)
+    out(0) shouldBe ((2L, 20L, 20L, 0L,
+      "d41d8cd98f00b204e9800998ecf8427e")) // md5("")
+    val d3 = out(1)
+    (d3._2, d3._3, d3._4) shouldBe ((15L, 10L, 333333L))
+    // the kept rewrite is exactly the 5-token unique prefix
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("u0 u1 u2 u3 u4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    d3._5 shouldBe expect
+  }
 }

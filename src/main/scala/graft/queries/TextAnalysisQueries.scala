@@ -2557,6 +2557,24 @@ object TextAnalysisQueries {
       |  scrubbed_hash
       |FROM agg WHERE n_removed > 0 ORDER BY doc_id""".stripMargin
 
+  // ------- standing gram-index span probe (q283)
+  /** q280's spans served from the STANDING [[graft.dedup.GramIndex]]:
+    * the corpus's distinct gram set is materialized ONCE as a bucketed
+    * table and every arriving shard probes it with an exchange-free
+    * semi-join — probe cost proportional to the SHARD, never the
+    * corpus (the q86 serving contract applied to exact-substring
+    * decontamination). Same split, same output contract, same ORACLE
+    * as q280 — the driver's compare pins index-served ≡ recomputed. */
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q283_gramidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+    graft.dedup.GramIndex.probe(s, docs.where(col("doc_id") % 10 === 0), name, spec)
+      .sortedOut("doc_id", "span_start")
+  }
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2657,5 +2675,6 @@ object TextAnalysisQueries {
     ("q280_span_decontam", q280 _, Some(q280Sql)),
     ("q281_bpe_fertility", q281 _, Some(q281Sql)),
     ("q282_span_scrub", q282 _, Some(q282Sql)),
+    ("q283_gram_index_probe", q283 _, Some(q280Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

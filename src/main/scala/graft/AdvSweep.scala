@@ -2325,6 +2325,18 @@ object AdvSweep {
         breadth("c_5plus").getAs[Long]("max_breadth") == 5000L &&
         breadth("c_5plus").getAs[Long]("n_templates") == 33L).toString
       spans.unpersist()
+      // the scrub on the same 5,000-doc hot family: the minimum doc_id
+      // owns every template, so EXACTLY 4,999 docs are scrubbed — all
+      // fully (kept 0 ppm, md5 of the empty rewrite), owner absent
+      val scrub = SparkEntry.queries("q282_span_scrub")(spark, dir).persist()
+      stats("scrub_hot_4999_docs") = (scrub.count() == 4999L).toString
+      stats("scrub_hot_full_removal") = (scrub
+        .where(col("n_removed") === 40 && col("kept_ppm") === 0 &&
+          col("scrubbed_hash") === "d41d8cd98f00b204e9800998ecf8427e")
+        .count() == 4999L).toString
+      stats("scrub_hot_owner_kept") =
+        (scrub.where(col("doc_id") === 0).count() == 0L).toString
+      scrub.unpersist()
     }
 
     // ---- decontamination with an EMPTY shard / an empty corpus ---------

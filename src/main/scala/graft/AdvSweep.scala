@@ -2207,6 +2207,18 @@ object AdvSweep {
       stats("sen_alltied_zero_slope") =
         (sen("tied").getAs[Long]("sen_slope_micro") == 0L &&
           sen("tied").getAs[Long]("n_pairs") == 780L).toString
+      // q284 on the same degenerates: the all-tied series has var18 = 0
+      // → C = 0 → the band collapses to [0, 0] around the zero slope
+      // (ranks ⌊np/2⌋ and ⌈np/2⌉+1, both selecting slope 0); the
+      // single-day type drops here too (no pairs, no band)
+      val ci = SparkEntry.queries("q284_sen_ci")(spark, dir)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      stats("sen_ci_single_day_dropped") = (!ci.contains("single")).toString
+      val tci = ci("tied")
+      stats("sen_ci_alltied_collapses") = (tci.getAs[Long]("var18") == 0L &&
+        tci.getAs[Long]("lo_rank") == 390L && tci.getAs[Long]("hi_rank") == 391L &&
+        tci.getAs[Long]("sen_lo_micro") == 0L &&
+        tci.getAs[Long]("sen_hi_micro") == 0L).toString
     }
 
     // ---- q274 zero-overlap vocabulary pair ------------------------------

@@ -1888,6 +1888,95 @@ object ExtendedStatsQueries {
       |  min_slope_micro, max_slope_micro
       |FROM med JOIN ext USING (et) JOIN nd USING (et) ORDER BY event_type""".stripMargin
 
+  // ------- Sen-slope confidence band (q284)
+  /** The confidence interval around q273's Sen slope (Gilbert 1987):
+    * C = z·√(Var S) with the same tie-corrected integer var18 as q272
+    * (Var S = var18/18), lower/upper band = the slopes at ranks
+    * max(1, ⌊(N−C)/2⌋) and min(N, ⌈(N+C)/2⌉+1) among the N pairwise
+    * slopes — rank selection by the q233/q273 cumulative-census gate,
+    * never a sort-the-world. z = 1.96 and the √ are the only IEEE
+    * steps; both engines compute the identical correctly-rounded
+    * doubles, so the integer ranks — and therefore the integer band
+    * endpoints — are bit-equal. A band excluding 0 is the
+    * estimate-side read of q272's significance screen; the width is
+    * what a capacity planner propagates.
+    *
+    * Scale shape: the same domain-bounded O(d²/type) day-pair join as
+    * q272/q273; the rank census is value-grain (≤ pairs/type rows). */
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .groupBy("et", "day").agg(count(lit(1)).as("c"))
+      .persistT
+    val v18 = daily.groupBy(col("et"), col("c")).agg(count(lit(1)).as("tk"))
+      .groupBy(col("et"))
+      .agg(sum(col("tk")).as("n_days"),
+        sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tie_term"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .select(col("et"), col("var18"))
+    val b = daily.select(col("et").as("et2"), col("day").as("d2"),
+      col("c").as("c2"))
+    val cen = daily
+      .join(b, col("et") === col("et2") && col("day") < col("d2"))
+      .select(col("et"),
+        expr("((c2 - c) * 1000000) div datediff(d2, day)").as("v"))
+      .groupBy(col("et"), col("v")).agg(count(lit(1)).as("f"))
+      .withColumn("cumf", sum(col("f")).over(
+        Window.partitionBy("et").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("np", sum(col("f")).over(Window.partitionBy("et")))
+      .persistT
+    val cAlpha = lit(1.96) * sqrt(col("var18").cast("double") / 18.0)
+    val rk = cen.select(col("et"), col("np")).distinct()
+      .join(v18, Seq("et"))
+      .withColumn("lo_rank", greatest(lit(1L),
+        floor((col("np") - cAlpha) / 2).cast("long")))
+      .withColumn("hi_rank", least(col("np"),
+        ceil((col("np") + cAlpha) / 2).cast("long") + 1))
+    val lo = cen.join(rk.select(col("et"), col("lo_rank")), Seq("et"))
+      .where(col("cumf") >= col("lo_rank"))
+      .groupBy("et").agg(min(col("v")).as("sen_lo_micro"))
+    val hi = cen.join(rk.select(col("et"), col("hi_rank")), Seq("et"))
+      .where(col("cumf") >= col("hi_rank"))
+      .groupBy("et").agg(min(col("v")).as("sen_hi_micro"))
+    rk.join(lo, Seq("et")).join(hi, Seq("et"))
+      .select(col("et").as("event_type"), col("np").as("n_pairs"),
+        col("var18"), col("lo_rank"), col("hi_rank"),
+        col("sen_lo_micro"), col("sen_hi_micro"))
+      .sortedOut("event_type")
+  }
+
+  private val q284Sql =
+    """WITH daily AS MATERIALIZED (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |t AS (SELECT et, CAST(sum(tk) AS BIGINT) AS n_days,
+      |    CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT et, c, CAST(count(*) AS BIGINT) AS tk FROM daily GROUP BY 1, 2) g
+      |  GROUP BY 1),
+      |v18 AS (SELECT et, n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18 FROM t),
+      |cen AS (SELECT et, v, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT a.et, ((b.c - a.c) * 1000000) // date_diff('day', a.day, b.day) AS v
+      |    FROM daily a JOIN daily b ON a.et = b.et AND a.day < b.day) pr
+      |  GROUP BY 1, 2),
+      |cum AS MATERIALIZED (SELECT et, v, f,
+      |    CAST(sum(f) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+      |    CAST(sum(f) OVER (PARTITION BY et) AS BIGINT) AS np FROM cen),
+      |rk AS (SELECT n.et, np, var18,
+      |    CAST(greatest(1, CAST(floor((np - 1.96 * sqrt(CAST(var18 AS DOUBLE) / 18.0)) / 2) AS BIGINT)) AS BIGINT) AS lo_rank,
+      |    CAST(least(np, CAST(ceil((np + 1.96 * sqrt(CAST(var18 AS DOUBLE) / 18.0)) / 2) AS BIGINT) + 1) AS BIGINT) AS hi_rank
+      |  FROM (SELECT DISTINCT et, np FROM cum) n JOIN v18 USING (et)),
+      |lo AS (SELECT c.et, CAST(min(v) AS BIGINT) AS sen_lo_micro
+      |  FROM cum c JOIN rk ON c.et = rk.et AND c.cumf >= rk.lo_rank GROUP BY 1),
+      |hi AS (SELECT c.et, CAST(min(v) AS BIGINT) AS sen_hi_micro
+      |  FROM cum c JOIN rk ON c.et = rk.et AND c.cumf >= rk.hi_rank GROUP BY 1)
+      |SELECT rk.et AS event_type, np AS n_pairs, var18, lo_rank, hi_rank,
+      |  sen_lo_micro, sen_hi_micro
+      |FROM rk JOIN lo ON lo.et = rk.et JOIN hi ON hi.et = rk.et
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q238_gini_spend",      q238 _, Some(q238Sql)),
     ("q239_time_weighted_value", q239 _, Some(q239Sql)),
@@ -1917,5 +2006,6 @@ object ExtendedStatsQueries {
     ("q270_bucket_balance",  q270 _, Some(q270Sql)),
     ("q271_share_rollup",    q271 _, Some(q271Sql)),
     ("q272_mann_kendall",    q272 _, Some(q272Sql)),
-    ("q273_sen_slope",       q273 _, Some(q273Sql)))
+    ("q273_sen_slope",       q273 _, Some(q273Sql)),
+    ("q284_sen_ci",          q284 _, Some(q284Sql)))
 }

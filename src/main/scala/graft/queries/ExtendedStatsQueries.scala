@@ -1977,6 +1977,93 @@ object ExtendedStatsQueries {
       |FROM rk JOIN lo ON lo.et = rk.et JOIN hi ON hi.et = rk.et
       |ORDER BY event_type""".stripMargin
 
+  // ------- join-order advisor (q285)
+  /** The ORDER member of the advisor family (q256 skew, q264
+    * broadcast, q269 cardinality, q259 watermark): for the 3-table
+    * chain customer'(BUILDING) — orders — lineitem'(returnflag R),
+    * estimate both candidate first-join intermediates from 256-bucket
+    * equi-width key histograms (the q269 arithmetic: Σ a_b·b_b div
+    * width), pick the smaller, and price the pick against the EXACT
+    * intermediate counts — did the histogram arithmetic choose the
+    * order a CBO should? Ties break toward order a (≤), identically
+    * in both engines; every estimate is the q269 integer form, so the
+    * advisor's decision is bit-reproducible.
+    *
+    * Scale shape: two histogram aggregates per candidate (map-side
+    * combinable, ≤256 rows each) + the two exact joins it audits;
+    * driver holds only four scalars. In production the exact legs
+    * drop and the advisor is pure metadata arithmetic. */
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    val B = 256L
+    val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).persistT
+    val ordC = t(s, d, "orders").select(col("o_custkey").as("k")).persistT
+    val ordO = t(s, d, "orders").select(col("o_orderkey").as("k")).persistT
+    val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k")).persistT
+    def estExact(a: DataFrame, b: DataFrame): (Long, Long) = {
+      val r = a.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = (hi - lo + B) / B
+      def hist(df: DataFrame, c: String) =
+        df.where(col("k").between(lo, hi))
+          .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+          .agg(count(lit(1)).as(c))
+      val est = hist(a, "ab").join(hist(b, "bb"), Seq("bucket"))
+        .agg(coalesce(sum(expr(s"ab * bb div $width")), lit(0L)))
+        .collect()(0).getLong(0)
+      (est, a.join(b, Seq("k")).count())
+    }
+    val (estA, exactA) = estExact(cust, ordC)
+    val (estB, exactB) = estExact(ordO, li)
+    val pickA = estA <= estB
+    val correct = pickA == (exactA <= exactB)
+    import s.implicits._
+    Seq(
+      ("a_cust_orders_first", estA, exactA, pickA, correct),
+      ("b_orders_lineitem_first", estB, exactB, !pickA, correct))
+      .toDF("join_order", "est_rows", "exact_rows", "picked", "pick_correct")
+      .sortedOut("join_order")
+  }
+
+  private val q285Sql =
+    """WITH ra AS (SELECT min(c_custkey) AS lo,
+      |    (max(c_custkey) - min(c_custkey) + 256) // 256 AS w,
+      |    max(c_custkey) AS hi
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |ca AS (SELECT (c_custkey - ra.lo) // ra.w AS bucket, CAST(count(*) AS BIGINT) AS ab
+      |  FROM customer CROSS JOIN ra WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      |oa AS (SELECT (o_custkey - ra.lo) // ra.w AS bucket, CAST(count(*) AS BIGINT) AS bb
+      |  FROM orders CROSS JOIN ra WHERE o_custkey BETWEEN ra.lo AND ra.hi GROUP BY 1),
+      |ea AS (SELECT CAST(coalesce(sum(ab * bb // ra.w), 0) AS BIGINT) AS est
+      |  FROM ca JOIN oa USING (bucket) CROSS JOIN ra),
+      |xa AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM customer c
+      |  JOIN orders o ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'),
+      |rb AS (SELECT min(o_orderkey) AS lo,
+      |    (max(o_orderkey) - min(o_orderkey) + 256) // 256 AS w,
+      |    max(o_orderkey) AS hi FROM orders),
+      |ob AS (SELECT (o_orderkey - rb.lo) // rb.w AS bucket, CAST(count(*) AS BIGINT) AS ab
+      |  FROM orders CROSS JOIN rb GROUP BY 1),
+      |lb AS (SELECT (l_orderkey - rb.lo) // rb.w AS bucket, CAST(count(*) AS BIGINT) AS bb
+      |  FROM lineitem CROSS JOIN rb
+      |  WHERE l_returnflag = 'R' AND l_orderkey BETWEEN rb.lo AND rb.hi GROUP BY 1),
+      |eb AS (SELECT CAST(coalesce(sum(ab * bb // rb.w), 0) AS BIGINT) AS est
+      |  FROM ob JOIN lb USING (bucket) CROSS JOIN rb),
+      |xb AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM orders o
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_returnflag = 'R')
+      |SELECT 'a_cust_orders_first' AS join_order, ea.est AS est_rows,
+      |  xa.exact AS exact_rows, ea.est <= eb.est AS picked,
+      |  (ea.est <= eb.est) = (xa.exact <= xb.exact) AS pick_correct
+      |FROM ea, eb, xa, xb
+      |UNION ALL
+      |SELECT 'b_orders_lineitem_first', eb.est, xb.exact,
+      |  NOT (ea.est <= eb.est),
+      |  (ea.est <= eb.est) = (xa.exact <= xb.exact)
+      |FROM ea, eb, xa, xb
+      |ORDER BY join_order""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q238_gini_spend",      q238 _, Some(q238Sql)),
     ("q239_time_weighted_value", q239 _, Some(q239Sql)),
@@ -2007,5 +2094,6 @@ object ExtendedStatsQueries {
     ("q271_share_rollup",    q271 _, Some(q271Sql)),
     ("q272_mann_kendall",    q272 _, Some(q272Sql)),
     ("q273_sen_slope",       q273 _, Some(q273Sql)),
-    ("q284_sen_ci",          q284 _, Some(q284Sql)))
+    ("q284_sen_ci",          q284 _, Some(q284Sql)),
+    ("q285_join_order_advisor", q285 _, Some(q285Sql)))
 }

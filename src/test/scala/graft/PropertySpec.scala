@@ -263,4 +263,36 @@ class PropertySpec extends SparkSpec {
     }
     check("group-split", prop, n = 25)
   }
+
+  test("dupSpans equals a brute-force reference on random tiny corpora") {
+    // tiny vocab so cross-doc window collisions are dense; L = 3
+    val docGen: Gen[List[String]] = Gen.choose(2, 6).flatMap(nd =>
+      Gen.listOfN(nd, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))))
+    def brute(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+")
+        (0 to ts.length - L).map(p => (id, p, ts.slice(p, p + L).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+")
+        val seeds = (0 to ts.length - L)
+          .filter(p => dup(ts.slice(p, p + L).mkString(" "))).toList
+        // merge consecutive seed positions into maximal islands
+        seeds.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: rest), p) if h.head == p - 1 => (p :: h) :: rest
+          case (acc, p) => List(p) :: acc
+        }.map(isl => (id, isl.min.toLong,
+          (isl.max - isl.min + L).toLong, isl.size.toLong))
+      }.toSet
+    }
+    val prop = Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.dedup.Dedup.dupSpans(docs.toDF("doc_id", "text"), minLen = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == brute(docs, 3)
+    }
+    check("dup-spans-brute", prop, n = 15)
+  }
 }

@@ -2351,6 +2351,31 @@ object AdvSweep {
       scrub.unpersist()
     }
 
+    // ---- q285 with fully DISJOINT join keys ------------------------------
+    // Both candidate intermediates are empty: the bucket-histogram join
+    // matches nothing, so the estimate must come out 0 through the
+    // coalesce (not NULL, not an error), exact counts are 0, and the
+    // tie breaks deterministically toward order a with pick_correct
+    // true (0 ≤ 0 on both sides).
+    step("join_order_disjoint_keys") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-joinorder").toString
+      spark.range(1, 11).selectExpr("id AS c_custkey", "'BUILDING' AS c_mktsegment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      spark.range(1, 21).selectExpr("id AS o_orderkey", "id + 100 AS o_custkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      spark.range(1, 31).selectExpr("id + 500 AS l_orderkey", "'R' AS l_returnflag")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = SparkEntry.queries("q285_join_order_advisor")(spark, dir)
+        .collect().map(r => r.getAs[String]("join_order") -> r).toMap
+      stats("join_order_empty_est_zero") = (out.size == 2 &&
+        out.values.forall(r => r.getAs[Long]("est_rows") == 0L &&
+          r.getAs[Long]("exact_rows") == 0L)).toString
+      stats("join_order_tie_to_a") =
+        (out("a_cust_orders_first").getAs[Boolean]("picked") &&
+          !out("b_orders_lineitem_first").getAs[Boolean]("picked") &&
+          out.values.forall(_.getAs[Boolean]("pick_correct"))).toString
+    }
+
     // ---- decontamination with an EMPTY shard / an empty corpus ---------
     // q280's batch split (doc_id % 10) on fixtures where one side is
     // empty: an all-corpus fixture (no doc_id divisible by 10) and an

@@ -49,7 +49,10 @@ object ScaleProbe {
     "q196_ppjoin_exact", "q95_dup_graph_degrees", "q60_curation_pipeline",
     "q48_neardup_dedup", "q57_incremental_dedup", "q86_sig_index_probe",
     "q183_syndication_communities", "q164_dupgraph_transitivity",
-    "q136_trade_hits", "q154_minhash_calibration")
+    "q136_trade_hits", "q154_minhash_calibration",
+    // round-12 addition: the exact-substring span census — the gram
+    // shuffle is the volume term, so its exponent is the design claim
+    "q277_dup_spans")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three

@@ -2506,7 +2506,11 @@ object TextAnalysisQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_words"),
         sum(col("bpe")).as("n_pretokens"), sum(col("chars")).as("n_chars"))
       .withColumn("fertility_milli", expr("n_pretokens * 1000 div n_words"))
-      .withColumn("chars_per_pretoken_milli", expr("n_chars * 1000 div n_pretokens"))
+      // nullif: an all-empty stratum has ZERO pretokens, and ANSI-mode
+      // `div` throws on 0 — the ratio must be NULL there (oracle NULLIF
+      // twin; EdgeCasesSpec pins it)
+      .withColumn("chars_per_pretoken_milli",
+        expr("n_chars * 1000 div nullif(n_pretokens, 0)"))
       .sortedOut("lang", "source")
 
   private val q281Sql =

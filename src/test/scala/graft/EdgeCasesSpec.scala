@@ -212,4 +212,25 @@ class EdgeCasesSpec extends SparkSpec {
     ShufflePolicy.partitionsFor("/x/sf10", 32) shouldBe 1280
     ShufflePolicy.partitionsFor("/x/unnamed", 32) shouldBe 32
   }
+
+  test("q281 fertility on an empty-text stratum: zero pretokens yield NULL, not an error") {
+    // an all-empty stratum has ws = 1 per doc (split of '' is ['']) but
+    // ZERO pretokens — the chars-per-pretoken ratio must come out NULL
+    // through the integer div (Spark) / NULLIF (DuckDB), never a
+    // divide-by-zero, and fertility must be exactly 0
+    val dir = java.nio.file.Files.createTempDirectory("fert-empty").toString
+    spark.range(3).selectExpr("id AS doc_id", "'xx' AS lang", "'void' AS source",
+        "'' AS text")
+      .unionAll(spark.range(2).selectExpr("id + 10 AS doc_id", "'en' AS lang",
+        "'ok' AS source", "'alpha beta' AS text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q281_bpe_fertility")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val v = out("void")
+    v.getAs[Long]("n_words") shouldBe 3L
+    v.getAs[Long]("n_pretokens") shouldBe 0L
+    v.getAs[Long]("fertility_milli") shouldBe 0L
+    v.isNullAt(v.fieldIndex("chars_per_pretoken_milli")) shouldBe true
+    out("ok").getAs[Long]("fertility_milli") shouldBe 1000L
+  }
 }

@@ -295,4 +295,46 @@ class PropertySpec extends SparkSpec {
     }
     check("dup-spans-brute", prop, n = 15)
   }
+
+  test("spanScrub equals a brute-force reference on random tiny corpora") {
+    val docGen: Gen[List[String]] = Gen.choose(2, 6).flatMap(nd =>
+      Gen.listOfN(nd, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, Long, String)] = {
+      val grams = docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+")
+        (0 to ts.length - L).map(p => (id, p, ts.slice(p, p + L).mkString(" ")))
+      }
+      val owner = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2)
+        .map { case (g, occ) => g -> occ.map(_._1).min }
+      docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+")
+        val removed = (0 to ts.length - L)
+          .filter { p =>
+            val o = owner.get(ts.slice(p, p + L).mkString(" "))
+            o.exists(_ != id)
+          }
+          .flatMap(p => p until p + L).toSet
+        if (removed.isEmpty) None
+        else {
+          val kept = ts.indices.filterNot(removed).map(ts)
+          Some((id, ts.length.toLong, removed.size.toLong,
+            (ts.length - removed.size).toLong * 1000000L / ts.length,
+            md5hex(kept.mkString(" "))))
+        }
+      }.toSet
+    }
+    val prop = Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.dedup.Dedup.spanScrub(docs.toDF("doc_id", "text"), minLen = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Long]("kept_ppm"), r.getAs[String]("scrubbed_hash"))).toSet
+      got == brute(docs, 3)
+    }
+    check("span-scrub-brute", prop, n = 15)
+  }
 }

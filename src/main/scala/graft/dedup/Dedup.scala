@@ -673,10 +673,14 @@ object Dedup {
     * instead of doc grain. Ownership is doc-deterministic: each
     * duplicated window hash is owned by the MINIMUM doc_id holding it,
     * a non-owner position covered by any such window is removed, and
-    * the owner keeps its copy (so the corpus retains exactly one copy
-    * of every template; a doc holding the same window twice keeps
-    * both — ownership is doc-grain, the rule that needs no global
-    * occurrence order and therefore no corpus-wide sort at 100 TB).
+    * the owner keeps its copy. Ownership preserves one copy per
+    * template EXCEPT where templates with different owners overlap
+    * inside the owner doc: if the min-doc_id owner of template G also
+    * carries an overlapping duplicated window H owned by a lower
+    * doc_id, removing H's positions clips the owner's canonical copy
+    * of G. A doc holding the same window twice keeps both — ownership
+    * is doc-grain, the rule that needs no global occurrence order and
+    * therefore no corpus-wide sort at 100 TB.
     *
     * Returns one row per SCRUBBED doc (n_removed > 0): token count,
     * removed count, kept share ppm, and the md5 of the space-joined
@@ -685,9 +689,11 @@ object Dedup {
     *
     * Scale shape: gram census + owner min (one shuffle), covering
     * positions explode ≤ L per seed, and ONE doc-grain rollup that
-    * rebuilds each kept sequence via array_sort(collect_list) — a
-    * per-doc buffer bounded by document length, the same bound any
-    * corpus rewrite pays. */
+    * rebuilds each kept sequence via array_sort(collect_list) —
+    * RESTRICTED by a left-semi join to the scrubbed docs first, so at
+    * 100 TB with ~1% of docs affected, ~99% of the corpus's tokens
+    * never enter the rollup shuffle; the per-doc buffer is bounded by
+    * document length, the bound any rewrite of an affected doc pays. */
   def spanScrub(docs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val L = minLen
@@ -708,7 +714,25 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + L - 1)).as("pos"))
       .distinct()
-    toks.join(removed.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+      .persistT // consumed twice: the doc-prune semi-join and the position mark
+    scrubRollup(toks, removed)
+  }
+
+  /** The doc-grain rewrite shared by [[spanScrub]] and
+    * [[GramIndex.scrubProbe]]: given the token table (doc_id, pos, tok)
+    * and the distinct removed positions (doc_id, pos), rebuild each
+    * AFFECTED doc's kept sequence and report (doc_id, n_tokens,
+    * n_removed, kept_ppm, scrubbed_hash).
+    *
+    * Prunes BEFORE the rollup (VERDICT r12 #2): `removed` already names
+    * exactly the affected docs, so a left-semi join restricts the
+    * collect_list rebuild to them — without it every UNscrubbed doc's
+    * tokens would shuffle into a per-doc sort only to be discarded by
+    * the n_removed > 0 filter (~99% of the corpus at a 1% scrub rate).
+    * `removed` must be persisted by the caller (consumed twice here). */
+  private[dedup] def scrubRollup(toks: DataFrame, removed: DataFrame): DataFrame =
+    toks.join(removed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(removed.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
@@ -720,7 +744,6 @@ object Dedup {
       .withColumn("kept_ppm", expr("(n_tokens - n_removed) * 1000000 div n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         col("kept_ppm"), col("scrubbed_hash"))
-  }
 
   /** Incremental twin of [[dupSpans]]: maximal ≥ `minLen`-token spans
     * in `batch` documents that already exist VERBATIM anywhere in
@@ -732,6 +755,9 @@ object Dedup {
     * the batch grams left-semi join against — corpus text never
     * shuffles, and re-probing a new batch never re-shuffles the
     * corpus (pair it with a standing gram index for repeated probes).
+    * Per-window guarantee, as in [[dupSpans]]: each L-window of a
+    * reported span exists in the corpus, but a span may chain across
+    * different corpus documents.
     */
   def dupSpansAgainst(batch: DataFrame, corpus: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
@@ -775,6 +801,13 @@ object Dedup {
     * Only 16-byte window hashes ever shuffle; text stays in the scan
     * stage. Overlapping seeds coalesce into one span; a whole-doc
     * duplicate yields exactly one span covering every position.
+    *
+    * Guarantee is PER-WINDOW, not per-span: every L-window of a
+    * reported span is held by ≥ 2 docs, but consecutive windows may be
+    * backed by DIFFERENT partner docs, so a coalesced span need not
+    * appear verbatim in any single other document (the chaining caveat
+    * of the sliding-window formulation; [[dupSpansAgainst]] and
+    * [[GramIndex.probe]] share it).
     */
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")

@@ -113,7 +113,9 @@ object SignatureIndex {
   def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
     def rewrite(table: String, bucketCols: Seq[String]): Unit = {
       val tmp = s"${table}_compact"
+      val old = s"${table}_old"
       dropStale(spark, tmp)
+      dropStale(spark, old)
       // Read the FILES, not the bucketed table: a bucketed scan reports
       // HashPartitioning(bucketCols) so Catalyst elides the repartition
       // as redundant — and the writer then emits one file per (task ×
@@ -130,8 +132,14 @@ object SignatureIndex {
         .bucketBy(spec.buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE `$table`")
+      // Crash-safe swap (ADVICE r12 #3): rename the standing table ASIDE
+      // first so no instant has zero recoverable copies — a crash between
+      // the renames leaves `_old` AND `_compact` (both full data; recovery
+      // = rename either back); a crash after the second rename leaves the
+      // live table plus a stale `_old` the next compact's dropStale clears.
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      spark.sql(s"DROP TABLE `$old`")
     }
     rewrite(bandedName(name), Seq("band", "bh"))
     rewrite(sigsName(name), Seq("doc_id"))

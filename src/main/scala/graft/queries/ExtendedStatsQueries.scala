@@ -2003,16 +2003,23 @@ object ExtendedStatsQueries {
       .select(col("l_orderkey").as("k")).persistT
     def estExact(a: DataFrame, b: DataFrame): (Long, Long) = {
       val r = a.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect()(0)
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
-      val width = (hi - lo + B) / B
-      def hist(df: DataFrame, c: String) =
-        df.where(col("k").between(lo, hi))
-          .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
-          .agg(count(lit(1)).as(c))
-      val est = hist(a, "ab").join(hist(b, "bb"), Seq("bucket"))
-        .agg(coalesce(sum(expr(s"ab * bb div $width")), lit(0L)))
-        .collect()(0).getLong(0)
-      (est, a.join(b, Seq("k")).count())
+      // empty filtered side (ADVICE r12 #4): min/max aggregate to NULL
+      // and getLong would throw — est and exact are both 0, matching
+      // the oracle's NULL-bucket algebra (NULL buckets join nothing,
+      // coalesce(est) = 0, and the exact join of an empty side is 0)
+      if (r.isNullAt(0)) (0L, 0L)
+      else {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val width = (hi - lo + B) / B
+        def hist(df: DataFrame, c: String) =
+          df.where(col("k").between(lo, hi))
+            .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+            .agg(count(lit(1)).as(c))
+        val est = hist(a, "ab").join(hist(b, "bb"), Seq("bucket"))
+          .agg(coalesce(sum(expr(s"ab * bb div $width")), lit(0L)))
+          .collect()(0).getLong(0)
+        (est, a.join(b, Seq("k")).count())
+      }
     }
     val (estA, exactA) = estExact(cust, ordC)
     val (estB, exactB) = estExact(ordO, li)

@@ -1236,375 +1236,6 @@ object TextAnalysisQueries {
        |FROM l4 CROSS JOIN tm CROSS JOIN num ORDER BY source""".stripMargin
   }
 
-  // ------------- URL canonicalization + per-domain census (q185)
-  /** The crawl-pipeline step BEFORE URL-keyed dedup or per-domain
-    * budgeting can work: collapse tracking-junk/fragment/case/www
-    * variants of the same page to one canonical key
-    * ([[graft.text.UrlOps.canonicalize]] — RE2-portable regex rules,
-    * so both engines can run them identically). The fixture has no URL
-    * column, so URLs are SYNTHESIZED deterministically (the q182
-    * discipline) with doc_id-rotated variants: %4 plants an uppercase
-    * `WWW.` host, %3 rotates {all-utm query | mixed query + fragment |
-    * bare}; 50 docs share each base page so canonicalization actually
-    * collapses. Census per domain: url count, canonical count, max
-    * variants per canonical page.
-    *
-    * The ORACLE does not re-run the regexes — it states what canonical
-    * form the rules MUST produce by direct construction, so a regex
-    * bug on either side breaks the match (stronger than a mirrored
-    * implementation). Scale shape: pure per-row regexp work in the
-    * scan stage; one (domain, canonical) aggregate, map-side combined,
-    * then a |domains|-row rollup. */
-  private def q185(s: SparkSession, d: String): DataFrame = {
-    val id = col("doc_id")
-    val raw = concat(
-      when(id % 4 === 0, lit("https://WWW.")).otherwise(lit("https://")),
-      col("source"), lit(".example.com/"), col("lang"), lit("/post/"),
-      (id % 50).cast("string"),
-      when(id % 3 === 0, lit("?utm_source=feed&utm_medium=rss"))
-        .when(id % 3 === 1, lit("?page=2&utm_campaign=x#top"))
-        .otherwise(lit("")))
-    val canon = docs0(s, d)
-      .select(graft.text.UrlOps.canonicalize(raw).as("canonical"))
-      .select(col("canonical"),
-        graft.text.UrlOps.domainOf(col("canonical")).as("domain"))
-    canon.groupBy("domain", "canonical").agg(count(lit(1)).as("n"))
-      .groupBy("domain")
-      .agg(sum(col("n")).as("n_urls"), count(lit(1)).as("n_canonical"),
-        max(col("n")).as("max_variants"))
-      .sortedOut("domain")
-  }
-
-  private val q185Sql =
-    """WITH c AS (SELECT source || '.example.com' AS domain,
-      |    'https://' || source || '.example.com/' || lang || '/post/'
-      |      || CAST(doc_id % 50 AS VARCHAR)
-      |      || CASE WHEN doc_id % 3 = 1 THEN '?page=2' ELSE '' END AS canonical
-      |  FROM documents),
-      |per AS (SELECT domain, canonical, CAST(count(*) AS BIGINT) AS n
-      |  FROM c GROUP BY 1, 2)
-      |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
-      |  CAST(count(*) AS BIGINT) AS n_canonical, max(n) AS max_variants
-      |FROM per GROUP BY domain ORDER BY domain""".stripMargin
-
-  // ------------- WARC ingestion census (q187)
-  /** Parse the crawl-archive container itself: each document's fetch is
-    * materialized as deterministic WARC bytes (warcinfo + request +
-    * response triple, [[graft.sources.Warc.warcForDoc]] — the q184
-    * bytes-first planting discipline, since the fixture has no WARC
-    * column) and the census reports what the PARSER recovered: record
-    * count, response count, target URI, HTTP status, salvaged body
-    * length/md5 and the truncated/gzipped observations. Two planted
-    * hard cases rotate through the corpus: doc_id%13==5 chops the last
-    * 10 bytes of the stream (interrupted transfer — the parser must
-    * salvage `len(text)-6` body bytes and flag truncated, NOT throw),
-    * and doc_id%7==3 (when not truncated) writes the real `.warc.gz`
-    * layout (one gzip member per record) the parser must inflate.
-    * The oracle never parses bytes — it states what the parse MUST
-    * recover directly from the source columns, so a kernel bug on
-    * either side breaks the match (the q185 direct-construction rule).
-    *
-    * Scale shape: synthesize+parse is one narrow map in the scan stage
-    * (at 100 TB the same kernel runs per `.warc.gz` FILE via
-    * [[graft.sources.Warc.scan]] — the Common-Crawl unit of
-    * parallelism); only the |docs|-row census reaches the output sort,
-    * and the body bytes are hashed BEFORE it. */
-  private def q187(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val parsed = docs0(s, d)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .as[(Long, String, String, String)]
-      .map { case (id, src, lang, text) =>
-        val trunc = id % 13 == 5
-        val gz = !trunc && id % 7 == 3
-        val bytes = graft.sources.Warc.warcForDoc(id, src, lang, text,
-          truncateTail = if (trunc) 10 else 0, gzipPerRecord = gz)
-        val recs = graft.sources.Warc.parse(bytes)
-        val resp = recs.find(_.warcType == "response")
-        val (status, body) = resp.map(r => graft.sources.Warc.httpBody(r.payload))
-          .getOrElse((0L, Array.emptyByteArray))
-        (id, recs.length.toLong, recs.count(_.warcType == "response").toLong,
-          resp.map(_.targetUri).getOrElse(""), status, body.length.toLong,
-          body, recs.exists(_.truncated), graft.sources.Warc.isGzip(bytes))
-      }
-      .toDF("doc_id", "n_records", "n_response", "target_uri", "http_status",
-        "body_len", "body", "truncated", "gzipped")
-    parsed
-      .select(col("doc_id"), col("n_records"), col("n_response"),
-        col("target_uri"), col("http_status"), col("body_len"),
-        md5(col("body")).as("body_md5"), col("truncated"), col("gzipped"))
-      .sortedOutWide("doc_id")
-  }
-
-  private val q187Sql =
-    """SELECT doc_id,
-      | CAST(3 AS BIGINT) AS n_records, CAST(1 AS BIGINT) AS n_response,
-      | 'https://' || source || '.example.com/' || lang || '/post/'
-      |   || CAST(doc_id % 50 AS VARCHAR) AS target_uri,
-      | CAST(200 AS BIGINT) AS http_status,
-      | CAST(CASE WHEN doc_id % 13 = 5 THEN length(text) - 6
-      |           ELSE length(text) END AS BIGINT) AS body_len,
-      | md5(CASE WHEN doc_id % 13 = 5 THEN substr(text, 1, length(text) - 6)
-      |          ELSE text END) AS body_md5,
-      | doc_id % 13 = 5 AS truncated,
-      | doc_id % 7 = 3 AND doc_id % 13 <> 5 AS gzipped
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // ------------- Unicode NFC normalization census (q188)
-  /** The hygiene pass BEFORE any hash-keyed operator: composed and
-    * decomposed forms of the same visible text must collapse or exact
-    * dedup (q23), shingles (q29) and vocab ids (q79) silently treat
-    * them as different documents. [[graft.text.Nfc]] (native JDK
-    * Normalizer expression, real doGenCode) normalizes; the census
-    * reports changed-flag, char counts before/after, combining-mark
-    * count and the normalized text's md5. The fixture text is pure
-    * ASCII, so non-NFC input is PLANTED (q182 discipline), rotating
-    * the canonical cases: %4==0 appends combining-acute 'e'+U+0301
-    * (composes to é, one char shorter), %4==1 appends the Angstrom
-    * SIGN U+212B (composes to Å, same length — a singleton mapping,
-    * not a mark), %4==2 appends precomposed é (already NFC — must NOT
-    * change), %4==3 stays bare ASCII.
-    *
-    * The oracle runs DuckDB's `nfc_normalize` — an INDEPENDENT UAX#15
-    * implementation (utf8proc) — on identically-constructed input:
-    * both engines must produce byte-identical normal forms for the
-    * hash to match, a stronger pin than any mirrored formula; NfcSpec
-    * adds direct-construction pins (incl. Hangul jamo composition).
-    *
-    * Scale shape: pure narrow per-row work; the ASCII/already-NFC
-    * fast path (isNormalized quick-check) never allocates. */
-  private def q188(s: SparkSession, d: String): DataFrame = {
-    val raw = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" Cafe\u0301")))
-      .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" \u212B")))
-      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" \u00E9")))
-      .otherwise(col("text"))
-    docs0(s, d)
-      .select(col("doc_id"), raw.as("raw"))
-      .select(col("doc_id"), col("raw"), graft.text.Nfc.nfc(col("raw")).as("nf"))
-      .select(col("doc_id"),
-        (col("nf") =!= col("raw")).as("changed"),
-        length(col("raw")).cast(LongType).as("n_chars_raw"),
-        length(col("nf")).cast(LongType).as("n_chars_nfc"),
-        (length(col("raw")) -
-          length(regexp_replace(col("raw"), "[\\x{0300}-\\x{036F}]", "")))
-          .cast(LongType).as("n_marks_raw"),
-        md5(col("nf").cast("binary")).as("nfc_md5"))
-      .sortedOutWide("doc_id")
-  }
-
-  private val q188Sql =
-    """WITH r AS (SELECT doc_id,
-      |    CASE WHEN doc_id % 4 = 0 THEN text || ' Cafe' || chr(769)
-      |         WHEN doc_id % 4 = 1 THEN text || ' ' || chr(8491)
-      |         WHEN doc_id % 4 = 2 THEN text || ' ' || chr(233)
-      |         ELSE text END AS raw
-      |  FROM documents),
-      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nf FROM r)
-      |SELECT doc_id, nf <> raw AS changed,
-      |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
-      |  CAST(length(nf) AS BIGINT) AS n_chars_nfc,
-      |  CAST(length(raw) - length(regexp_replace(raw, '[\x{0300}-\x{036F}]', '', 'g')) AS BIGINT) AS n_marks_raw,
-      |  md5(nf) AS nfc_md5
-      |FROM n ORDER BY doc_id""".stripMargin
-
-  // ------------- WARC landing-directory census (q190)
-  /** [[graft.sources.Warc.scan]] end-to-end at the FILE grain — the
-    * Common-Crawl landing shape: a directory of multi-record
-    * `.warc.gz` files, one binaryFile task per file, records
-    * flat-mapped by the content-length kernel. The landing dir is
-    * PLANTED from the documents fixture (one gzip-per-record file per
-    * (source, lang), docs in id order — the q187 bytes-first
-    * discipline at directory scale; the local tmp write is fixture
-    * scaffolding, the operator under test is the scan). The census
-    * aggregates per file: record/response counts and the exact
-    * response-payload byte total, which the oracle reconstructs from
-    * the documents table alone — every payload byte is
-    * `78 + digits(len) + len` of the fixture HTTP head, so a parser
-    * or builder drift of ONE byte anywhere fails the match.
-    *
-    * Scale shape: the scan is one task per file and nothing but the
-    * (path-grain) census leaves the scan stage. The PLANTING pass is
-    * a DRIVER-side collected loop (ADVICE r9: the earlier
-    * executor-side `mapGroups` write into a driver tmp dir was
-    * correct only in local mode — on a cluster the scan would see
-    * missing files), and the tmp landing dir is deleted once the
-    * census has materialized, so repeated runs leak nothing; a real
-    * deployment points [[graft.sources.Warc.scan]] at a shared-FS
-    * landing dir and skips planting entirely. */
-  private def q190(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-warc-landing")
-    try {
-      docs0(s, d).select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-        .groupBy { case (_, src, lang, _) => (src, lang) }
-        .foreach { case ((src, lang), docs) =>
-          val bytes = docs.sortBy(_._1).map { case (id, _, _, text) =>
-            graft.sources.Warc.warcForDoc(id, src, lang, text, gzipPerRecord = true)
-          }.reduce(_ ++ _)
-          java.nio.file.Files.write(dir.resolve(s"$src-$lang.warc.gz"), bytes)
-        }
-      val census = graft.sources.Warc.scan(s, dir.toString + "/*.warc.gz")
-        .select(
-          regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 1).as("source"),
-          regexp_extract(col("path"), "([a-z0-9]+)-([a-z]+)\\.warc\\.gz$", 2).as("lang"),
-          col("warc_type"), col("payload_length"), col("truncated"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_records"),
-          sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_response"),
-          sum(when(col("warc_type") === "request", 1L).otherwise(0L)).as("n_request"),
-          sum(when(col("warc_type") === "response", col("payload_length"))
-            .otherwise(0L)).as("resp_payload_bytes"),
-          sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
-        .sortedOut("source", "lang")
-      // materialize BEFORE the finally-block removes the landing dir;
-      // the returned frame is the (tiny, per-file-grain) census itself
-      val rows = java.util.Arrays.asList(census.collect(): _*)
-      s.createDataFrame(rows, census.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      val paths = try walk.iterator().asScala.toVector finally walk.close()
-      paths.sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
-
-  private val q190Sql =
-    """SELECT source, lang,
-      | CAST(3 * count(*) AS BIGINT) AS n_records,
-      | CAST(count(*) AS BIGINT) AS n_response,
-      | CAST(count(*) AS BIGINT) AS n_request,
-      | CAST(sum(78 + length(CAST(length(text) AS VARCHAR)) + length(text)) AS BIGINT)
-      |   AS resp_payload_bytes,
-      | CAST(0 AS BIGINT) AS n_truncated
-      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
-
-  // ------------- robots.txt politeness census (q191)
-  /** The crawl-POLITENESS gate before [[graft.sources.Warc]] ingestion
-    * ever fetches a byte — and the takedown-hygiene audit after: which
-    * of the corpus URLs would each host's robots.txt allow the crawler
-    * to hold? [[graft.sources.Robots]] implements the RFC 9309 kernel
-    * (agent-group selection, longest-match precedence, Allow
-    * tie-break, `*`/`$` patterns); the fixture plants a deterministic
-    * robots.txt per source that exercises ALL of it: sources i%4<2
-    * carry a graftbot-specific group (so the `*` group must NOT
-    * apply), i%2==0 adds a longest-match Allow carve-out whose PREFIX
-    * nature also admits posts 10-19, and the fallback `*` group uses a
-    * wildcard-anchored pattern. The oracle never parses robots.txt —
-    * it states the decision in closed form over (source index, lang,
-    * post id), so any kernel deviation (group choice, tie-break,
-    * anchor) breaks the match (the q187 discipline).
-    *
-    * Scale shape: one narrow map in the scan stage (per-row parse of a
-    * host-sized robots.txt; a frontier at 100 TB parses once per HOST
-    * and broadcasts the rule sets — same kernel, different caching);
-    * only the per-source census reaches the sort. */
-  private def q191(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs0(s, d).select(col("doc_id"), col("source"), col("lang"))
-      .as[(Long, String, String)]
-      .map { case (id, src, lang) =>
-        val i = src.stripPrefix("src").toInt
-        val robots =
-          (if (i % 4 < 2)
-            "User-agent: graftbot\nDisallow: /zh/\n" +
-              (if (i % 2 == 0) "Allow: /zh/post/1\n" else "")
-          else "") +
-            "User-agent: *\nDisallow: /*/post/49$\nDisallow: /de/\n"
-        val path = s"/$lang/post/${id % 50}"
-        (src, if (graft.sources.Robots.isAllowed(robots, "graftbot", path)) 1L else 0L)
-      }
-      .toDF("source", "allowed")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_urls"),
-        sum(col("allowed")).as("n_allowed"),
-        (count(lit(1)) - sum(col("allowed"))).as("n_blocked"))
-      .sortedOut("source")
-  }
-
-  private val q191Sql =
-    """WITH u AS (SELECT source,
-      |    CAST(substr(source, 4) AS INT) AS i, lang, doc_id % 50 AS post
-      |  FROM documents),
-      |dec AS (SELECT source,
-      |    CASE WHEN i % 4 < 2
-      |         THEN (lang = 'zh' AND NOT (i % 2 = 0 AND (post = 1 OR post BETWEEN 10 AND 19)))
-      |         ELSE (lang = 'de' OR post = 49) END AS blocked
-      |  FROM u)
-      |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
-      |  CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed,
-      |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
-      |FROM dec GROUP BY source ORDER BY source""".stripMargin
-
-  // ------------- script-mix / homoglyph census (q192)
-  /** The script-level hygiene pass beside NFC (q188): real crawl text
-    * mixes writing systems both legitimately (quoted names) and
-    * maliciously (Cyrillic homoglyphs inside Latin words — the
-    * classic "p\u0430yp\u0430l" spoof that survives NFC unchanged and
-    * poisons exact dedup, URL keys and vocabularies). Counts
-    * codepoints per EXPLICIT range class (Latin letters, Cyrillic
-    * U+0400-U+04FF, Han U+4E00-U+9FFF, Arabic U+0600-U+06FF — literal
-    * ranges, not \p{Script}, so both engines' regexes mean the same
-    * thing regardless of their Unicode versions), flags doc-level
-    * mixing, and counts WORD-level spoofs (a whitespace token holding
-    * both Latin and Cyrillic). Planted forms rotate through the ASCII
-    * fixture via \u escapes (q188 source-hygiene rule); the oracle
-    * runs the IDENTICAL RE2-portable regexes on identically-
-    * constructed input.
-    *
-    * Scale shape: pure narrow per-row regex work in the scan stage. */
-  private def q192(s: SparkSession, d: String): DataFrame = {
-    val raw = when(col("doc_id") % 5 === 1,
-        concat(col("text"), lit(" \u041C\u043E\u0441\u043A\u0432\u0430")))
-      .when(col("doc_id") % 5 === 2,
-        concat(col("text"), lit(" \u5317\u4EAC\u5927\u5B66")))
-      .when(col("doc_id") % 5 === 3,
-        concat(col("text"), lit(" \u0645\u0631\u062D\u0628\u0627")))
-      .when(col("doc_id") % 5 === 4,
-        concat(col("text"), lit(" p\u0430yp\u0430l")))
-      .otherwise(col("text"))
-    def nOf(c: Column, cls: String): Column =
-      (length(c) - length(regexp_replace(c, cls, ""))).cast(LongType)
-    val spoofRe =
-      "[^ ]*([A-Za-z][^ ]*[\\x{0400}-\\x{04FF}]|[\\x{0400}-\\x{04FF}][^ ]*[A-Za-z])[^ ]*"
-    docs0(s, d)
-      .select(col("doc_id"), raw.as("raw"))
-      .select(col("doc_id"),
-        nOf(col("raw"), "[A-Za-z]").as("n_latin"),
-        nOf(col("raw"), "[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
-        nOf(col("raw"), "[\\x{4E00}-\\x{9FFF}]").as("n_han"),
-        nOf(col("raw"), "[\\x{0600}-\\x{06FF}]").as("n_arabic"),
-        size(regexp_extract_all(col("raw"), lit(spoofRe), lit(0)))
-          .cast(LongType).as("n_spoof_words"))
-      .withColumn("doc_mixed",
-        col("n_latin") > 0 &&
-          (col("n_cyrillic") + col("n_han") + col("n_arabic")) > 0)
-      .sortedOutWide("doc_id")
-  }
-
-  private val q192Sql = {
-    val spoofRe =
-      "[^ ]*([A-Za-z][^ ]*[\\x{0400}-\\x{04FF}]|[\\x{0400}-\\x{04FF}][^ ]*[A-Za-z])[^ ]*"
-    s"""WITH r AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 5 = 1 THEN text || ' ' || chr(1052)||chr(1086)||chr(1089)||chr(1082)||chr(1074)||chr(1072)
-       |         WHEN doc_id % 5 = 2 THEN text || ' ' || chr(21271)||chr(20140)||chr(22823)||chr(23398)
-       |         WHEN doc_id % 5 = 3 THEN text || ' ' || chr(1605)||chr(1585)||chr(1581)||chr(1576)||chr(1575)
-       |         WHEN doc_id % 5 = 4 THEN text || ' p'||chr(1072)||'yp'||chr(1072)||'l'
-       |         ELSE text END AS raw
-       |  FROM documents),
-       |c AS (SELECT doc_id,
-       |  CAST(length(raw) - length(regexp_replace(raw, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
-       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
-       |  CAST(length(raw) - length(regexp_replace(raw, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
-       |  CAST(len(regexp_extract_all(raw, '$spoofRe', 0)) AS BIGINT) AS n_spoof_words
-       |  FROM r)
-       |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_spoof_words,
-       |  n_latin > 0 AND (n_cyrillic + n_han + n_arabic) > 0 AS doc_mixed
-       |FROM c ORDER BY doc_id""".stripMargin
-  }
-
   // --------------------- exact Jaccard join by prefix filtering (q196)
   /** EXACT set-similarity self-join via the PPJoin prefix-filter
     * principle (Xiao et al. 2008) — the exact counterpart of the
@@ -2579,6 +2210,39 @@ object TextAnalysisQueries {
       .sortedOut("doc_id", "span_start")
   }
 
+  // ------- incremental span scrubbing against the standing index (q286)
+  /** q282's REWRITE served incrementally: an arriving shard (doc_id %
+    * 10 == 0) is scrubbed against the standing corpus WITHOUT re-
+    * shuffling the corpus — [[graft.dedup.GramIndex.scrubProbe]], the
+    * (gram, owner) index's reason to exist (VERDICT r12 #4: bare grams
+    * can census a shard, q280/q283, but cannot SCRUB one, because
+    * ownership would need a full corpus re-derivation). Semantics are
+    * pinned two ways: GramIndexSpec proves scrubProbe ≡ spanScrub on
+    * the union restricted to batch docs, and the ORACLE here is
+    * exactly the q282 oracle with the batch restriction — so the
+    * incremental path must reproduce the batch rows of the full
+    * rewrite bit-for-bit (owners min-merged across index appends).
+    *
+    * Scale shape: shard gram'd and censused (∝ shard); index owners
+    * fetched by a bucket-layout semi-restriction (∝ matched rows);
+    * rollup pruned to affected docs ([[graft.dedup.Dedup.scrubRollup]]). */
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q286_scrubidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+    graft.dedup.GramIndex.scrubProbe(s, docs.where(col("doc_id") % 10 === 0), name, spec)
+      .sortedOut("doc_id")
+  }
+
+  /** q282's oracle restricted to the batch docs — the union-vs-
+    * incremental equivalence IS the tested contract, so the SQL is the
+    * q282 text with the shard filter on the final projection. */
+  private val q286Sql = q282Sql.replace(
+    "FROM agg WHERE n_removed > 0 ORDER BY doc_id",
+    "FROM agg WHERE n_removed > 0 AND doc_id % 10 = 0 ORDER BY doc_id")
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2658,12 +2322,6 @@ object TextAnalysisQueries {
     ("q180_sparse_cosine_join", q180 _, Some(q180Sql)),
     ("q182_boilerplate_extract", q182 _, Some(q182Sql)),
     ("q183_syndication_communities", q183 _, Some(q183Sql)),
-    ("q185_url_canonical", q185 _, Some(q185Sql)),
-    ("q187_warc_census", q187 _, Some(q187Sql)),
-    ("q188_nfc_census", q188 _, Some(q188Sql)),
-    ("q190_warc_landing", q190 _, Some(q190Sql)),
-    ("q191_robots_census", q191 _, Some(q191Sql)),
-    ("q192_script_census", q192 _, Some(q192Sql)),
     ("q196_ppjoin_exact", q196 _, Some(q196Sql)),
     ("q201_typo_join", q201 _, Some(q201Sql)),
     ("q245_split_leakage", q245 _, Some(q245Sql)),
@@ -2680,5 +2338,6 @@ object TextAnalysisQueries {
     ("q281_bpe_fertility", q281 _, Some(q281Sql)),
     ("q282_span_scrub", q282 _, Some(q282Sql)),
     ("q283_gram_index_probe", q283 _, Some(q280Sql)),
+    ("q286_incremental_scrub", q286 _, Some(q286Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -53,6 +53,68 @@ class GramIndexSpec extends SparkSpec {
       spark.table("gramidx_a_grams").distinct().count()
   }
 
+  private def scrubRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+
+  test("scrubProbe equals spanScrub on the union restricted to batch docs") {
+    // owners interleave on purpose: batch ids sit both below (1, 2, 7, 9)
+    // and above (300) the corpus ids, and one template is batch-only
+    val p = (0 until 9).map(i => s"p$i").mkString(" ")
+    val corpusU = corpus.unionByName(docsDF(
+      200L -> (0 until 15).map(i => s"z$i").mkString(" ")))
+    val batchU = docsDF(
+      1L -> ((0 until 4).map(i => s"b$i") ++ w.take(10)).mkString(" "),
+      2L -> (0 until 15).map(i => s"z$i").mkString(" "),
+      300L -> w.take(12).mkString(" "),
+      7L -> p,
+      9L -> (Seq("y0", "y1") ++ (0 until 9).map(i => s"p$i")).mkString(" "))
+    GramIndex.write(corpusU, "gramidx_s", spec)
+    val viaIndex = scrubRows(GramIndex.scrubProbe(spark, batchU, "gramidx_s", spec))
+    val reference = scrubRows(
+      Dedup.spanScrub(corpusU.unionByName(batchU), minLen = 8)
+        .join(batchU.select("doc_id"), Seq("doc_id"), "left_semi"))
+    viaIndex shouldBe reference
+    // sanity on the fixture's intent: 300 fully scrubbed (corpus-owned
+    // grams), 9 partially scrubbed (batch-only template owned by 7);
+    // 1, 2 and 7 own their templates (min doc_id) and are untouched
+    viaIndex.map(_._1) shouldBe Seq(9L, 300L)
+    val d300 = viaIndex.find(_._1 == 300L).get
+    (d300._2, d300._3, d300._4) shouldBe ((12L, 12L, 0L))
+    val d9 = viaIndex.find(_._1 == 9L).get
+    (d9._2, d9._3) shouldBe ((11L, 9L))
+  }
+
+  test("append min-merges owners at probe time; compact preserves minima") {
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> shared), "gramidx_o", spec)
+    // standing owner 100: a larger batch doc scrubs, a smaller one owns
+    GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_o", spec)
+      .count() shouldBe 1
+    GramIndex.scrubProbe(spark, docsDF(5L -> shared), "gramidx_o", spec)
+      .count() shouldBe 0
+    // append introduces a SMALLER owner (50) for the same grams: the
+    // un-compacted table now holds duplicate gram rows with owners
+    // {100, 50}; the probe's min-merge must already see 50
+    GramIndex.append(docsDF(50L -> shared), "gramidx_o", spec)
+    GramIndex.scrubProbe(spark, docsDF(70L -> shared), "gramidx_o", spec)
+      .count() shouldBe 1 // 70 > 50: scrubbed
+    GramIndex.scrubProbe(spark, docsDF(40L -> shared), "gramidx_o", spec)
+      .count() shouldBe 0 // 40 < 50: owns
+    // compact folds the min-merge into the table: one row per gram,
+    // owner = 50, probe behavior unchanged
+    GramIndex.compact(spark, "gramidx_o", spec)
+    spark.table("gramidx_o_grams").count() shouldBe
+      spark.table("gramidx_o_grams").select("gram").distinct().count()
+    spark.table("gramidx_o_grams").agg(max(col("owner"))).collect()(0)
+      .getLong(0) shouldBe 50L
+    GramIndex.scrubProbe(spark, docsDF(70L -> shared), "gramidx_o", spec)
+      .count() shouldBe 1
+    GramIndex.scrubProbe(spark, docsDF(40L -> shared), "gramidx_o", spec)
+      .count() shouldBe 0
+  }
+
   test("probe plan: index read bucketed, no corpus-side exchange") {
     GramIndex.write(corpus, "gramidx_p", spec)
     val plan = GramIndex.probe(spark, batch, "gramidx_p", spec)

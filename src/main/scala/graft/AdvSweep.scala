@@ -2396,6 +2396,78 @@ object AdvSweep {
       stats("span_decontam_no_corpus") = (noCorpus.count() == 0L).toString
     }
 
+    // ==== wave 16 (round-13: advisor honesty + incremental scrub) ======
+
+    // ---- q285 on ANTI-CORRELATED histograms: the advisor must say it
+    // was wrong. Candidate A's sides interleave even/odd keys in the
+    // same buckets (histogram product large, true intersection EMPTY);
+    // candidate B's sides share one hot key under a stretched range
+    // (integer-div washes the estimate down ~width×, true join huge).
+    // The estimate ranks B < A, so the advisor picks B — but A's exact
+    // intermediate (0 rows) was the right first join. pick_correct
+    // must read FALSE on both rows: the advisor's honesty contract is
+    // that a wrong pick is REPORTED wrong, never laundered (VERDICT
+    // r12 #7).
+    step("join_order_anticorrelated_wrong_pick") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-joinorder-ac").toString
+      import spark.implicits._
+      // customer: 256 even custkeys (2..512) × 10 copies
+      spark.range(2560).selectExpr("2 * ((id % 256) + 1) AS c_custkey",
+          "'BUILDING' AS c_mktsegment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      // orders: 255 odd custkeys (3..511) × 10 copies, all on ONE hot
+      // o_orderkey, plus a stretch row widening the orderkey range so
+      // B's bucket width is ~101
+      spark.range(2550).selectExpr("CAST(1 AS BIGINT) AS o_orderkey",
+          "3 + 2 * (id % 255) AS o_custkey")
+        .unionAll(Seq((25600L, 1001L)).toDF("o_orderkey", "o_custkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      spark.range(100).selectExpr("CAST(1 AS BIGINT) AS l_orderkey",
+          "'R' AS l_returnflag")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = SparkEntry.queries("q285_join_order_advisor")(spark, dir)
+        .collect().map(r => r.getAs[String]("join_order") -> r).toMap
+      val a = out("a_cust_orders_first"); val b = out("b_orders_lineitem_first")
+      // anti-correlation inflates A (est 12,750 vs exact 0); the hot key
+      // under a stretched range deflates B (est ~2,524 vs exact 255,000)
+      stats("join_order_ac_est_inverted") =
+        (a.getAs[Long]("est_rows") > b.getAs[Long]("est_rows") &&
+          a.getAs[Long]("exact_rows") < b.getAs[Long]("exact_rows") &&
+          a.getAs[Long]("exact_rows") == 0L &&
+          b.getAs[Long]("exact_rows") == 255000L).toString
+      stats("join_order_ac_reported_wrong") =
+        (!a.getAs[Boolean]("picked") && b.getAs[Boolean]("picked") &&
+          !a.getAs[Boolean]("pick_correct") && !b.getAs[Boolean]("pick_correct")).toString
+    }
+
+    // ---- q286 incremental scrub: empty shard / empty standing corpus ----
+    // The routine empty-partition-day postures, plus the batch-internal
+    // branch: with an EMPTY standing index, two identical batch docs
+    // must still scrub (nd_b >= 2 path — the union semantics don't need
+    // the corpus to hold the template), lower doc_id keeping its copy.
+    step("incremental_scrub_edge_sides") {
+      val txt = (0 until 12).map(i => s"iw$i").mkString(" ")
+      def plant(ids: Seq[Long]): String = {
+        val dir = java.nio.file.Files.createTempDirectory("adv-iscrub").toString
+        import spark.implicits._
+        ids.map(i => (i, "en", "s", txt)).toDF("doc_id", "lang", "source", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      // all-corpus fixture: no doc_id % 10 == 0 → empty shard, 0 rows
+      val noBatch = SparkEntry.queries("q286_incremental_scrub")(spark, plant(Seq(1L, 2L, 3L)))
+      stats("iscrub_empty_shard") = (noBatch.count() == 0L).toString
+      // all-batch fixture: empty standing corpus; docs 10 and 20 share
+      // the text → 20 scrubbed fully via the batch-internal census, 10
+      // (the minimum) keeps its copy
+      val noCorpus = SparkEntry.queries("q286_incremental_scrub")(spark, plant(Seq(10L, 20L)))
+        .collect()
+      stats("iscrub_batch_internal_dup") = (noCorpus.length == 1 &&
+        noCorpus(0).getAs[Long]("doc_id") == 20L &&
+        noCorpus(0).getAs[Long]("n_removed") == 12L &&
+        noCorpus(0).getAs[Long]("kept_ppm") == 0L).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

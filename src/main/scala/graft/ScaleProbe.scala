@@ -52,13 +52,25 @@ object ScaleProbe {
     "q136_trade_hits", "q154_minhash_calibration",
     // round-12 addition: the exact-substring span census — the gram
     // shuffle is the volume term, so its exponent is the design claim
-    "q277_dup_spans")
+    "q277_dup_spans",
+    // round-13 additions (VERDICT r12 #5): the span family's heavy
+    // REWRITE member and the standing-index probe leg
+    "q282_span_scrub", "q283_gram_index_probe")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
     * scales spanning 1.5 decades, not a single two-point ratio.
+    * r12 #5 adds the span family's two committed-exponent gaps.
     */
-  private val sf3Queries = Set("q196_ppjoin_exact", "q164_dupgraph_transitivity")
+  private val sf3Queries = Set("q196_ppjoin_exact", "q164_dupgraph_transitivity",
+    "q282_span_scrub", "q283_gram_index_probe")
+
+  /** Queries that materialize a standing index on FIRST run at a given
+    * fixture dir: the build pass is ∝ corpus by design and must not be
+    * inside the timed probe (it would read as a fake ~1.0 exponent and
+    * mask the probe leg the query exists to measure) — run once
+    * untimed per scale, so the timed run serves from the index. */
+  private val indexQueries = Set("q283_gram_index_probe")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")
@@ -199,9 +211,14 @@ object ScaleProbe {
 
     val rows = probed.map { name =>
       val fn = qmap(name)
+      // standing-index queries: untimed first call per scale builds the
+      // index, so the timed run measures the PROBE (the sf0.1 min-of-2
+      // already had this property implicitly; sf1/sf3 are single runs)
+      if (indexQueries(name)) { once(fn, srcDir); once(fn, outDir) }
       val t01 = math.min(once(fn, srcDir), once(fn, srcDir))
       val t1 = once(fn, outDir)
       if (wantSf3 && sf3Queries(name)) {
+        if (indexQueries(name)) once(fn, outDir3)
         val t3 = once(fn, outDir3)
         val expn = fit(Seq((0.1, t01), (1.0, t1), (3.0, t3)))
         println(f"PROBE $name%-30s sf0.1 ${t01}%8.3f s   sf1 ${t1}%8.3f s   sf3 ${t3}%8.3f s   exponent(fit) ${expn}%5.2f")
@@ -212,7 +229,12 @@ object ScaleProbe {
         s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"exponent":${r3(expn)}}"""
       }
     }
-    val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":10,\"src\":\"" + srcDir + "\"}")
+    // per-rung replica counts (ADVICE r12 #5): sf1 rows are 10-replica
+    // fixtures, sf3 rows 30-replica — the flat "replicas":10 misdescribed
+    // the sf3 evidence
+    val replicasJson =
+      if (wantSf3) "{\"sf1\":10,\"sf3\":30}" else "{\"sf1\":10}"
+    val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":" + replicasJson + ",\"src\":\"" + srcDir + "\"}")
     println(line)
     if (only.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), line + "\n")

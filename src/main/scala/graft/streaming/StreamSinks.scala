@@ -152,6 +152,48 @@ object StreamSinks {
       }
     }
 
+  /** Streaming exact-substring decontamination + scrub — the crawl-
+    * pipeline form of [[graft.dedup.GramIndex.scrubProbe]]: every
+    * arriving micro-batch of documents is scrubbed against the corpus-
+    * so-far (the standing index plus all prior batches), the scrub
+    * report lands exactly-once in the `batch=<id>` layout, and the
+    * batch's own grams are appended so the NEXT shard dedups against
+    * this one — the span-grain analogue of [[dedupAppendSink]].
+    *
+    * Append-BEFORE-probe, which is both the crash-safe order and a
+    * semantic no-op: probing a batch against an index that already
+    * contains the batch's own grams returns EXACTLY the pre-append
+    * scrub — a gram held only by one batch doc arrives owner=itself
+    * (kept, unreported), a batch-internal duplicate arrives
+    * owner=min batch holder (same as the nd_b >= 2 path), and a
+    * corpus-standing gram min-merges identically (StreamScrubSpec pins
+    * probe-after-append ≡ probe-then-append). Replay therefore cannot
+    * change results: a crash between append and report commit replays
+    * into duplicate (gram, owner) rows that min-merge to the same
+    * owners — observably idempotent, reclaimed by the next
+    * [[graft.dedup.GramIndex.compact]]; a replay of a COMMITTED batch
+    * drains and writes nothing. Single writer per index name, as
+    * everywhere in the index family.
+    *
+    * 100 TB shape: per micro-batch, gram+census cost ∝ shard, index
+    * side consumed in its bucket layout (no corpus exchange), report
+    * rollup pruned to affected docs — the standing corpus is never
+    * re-shuffled no matter how many shards stream in. */
+  def spanScrubSink(indexName: String, spec: graft.dedup.GramIndex.Spec,
+                    dir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, dir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        val batch = df.persist()
+        try {
+          graft.dedup.GramIndex.append(batch, indexName, spec)
+          graft.dedup.GramIndex.scrubProbe(batch.sparkSession, batch, indexName, spec)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        } finally batch.unpersist()
+      }
+    }
+
   /** Latest committed state written by [[aggStateSink]]. */
   def readAggState(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val root = new Path(dir)

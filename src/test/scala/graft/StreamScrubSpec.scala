@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.dedup.GramIndex
+import graft.streaming.StreamSinks
+
+/** Streaming span scrub ([[StreamSinks.spanScrubSink]]): arriving
+  * shards scrubbed against the corpus-so-far with exactly-once
+  * reports, pinned against the sequential probe-then-append batch
+  * fold — which simultaneously pins the append-before-probe
+  * commutation the sink's crash story relies on.
+  */
+class StreamScrubSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val w = (0 until 30).map(i => s"sw$i")
+  private val spec = GramIndex.Spec(minLen = 8, buckets = 4)
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+
+  private def scrubRows(d: DataFrame) =
+    d.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+
+  test("two shards stream against a standing corpus ≡ sequential batch fold; cross-shard dedup; exactly-once") {
+    val corpus = df(Seq(
+      100L -> w.mkString(" "),
+      101L -> (0 until 12).map(i => s"cc$i").mkString(" ")))
+    GramIndex.write(corpus, "stream_scrub", spec)
+    GramIndex.write(corpus, "stream_scrub_twin", spec)
+    val dir = java.nio.file.Files.createTempDirectory("stream-scrub").toString
+
+    // shard 1: doc 300 fully corpus-backed (scrubs), doc 7 novel (kept)
+    val b1 = Seq(300L -> w.take(12).mkString(" "),
+      7L -> (0 until 9).map(i => s"pp$i").mkString(" "))
+    // shard 2: doc 9 repeats SHARD 1's doc-7 template (cross-shard
+    // dedup — only visible if batch 1's grams advanced the index),
+    // doc 400 novel
+    val b2 = Seq(9L -> (Seq("y0", "y1") ++ (0 until 9).map(i => s"pp$i")).mkString(" "),
+      400L -> (0 until 10).map(i => s"zz$i").mkString(" "))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(StreamSinks.spanScrubSink("stream_scrub", spec, dir))
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the batch twin: probe THEN append, per shard, on a second index
+    val twin1 = scrubRows(GramIndex.scrubProbe(spark, df(b1), "stream_scrub_twin", spec))
+    GramIndex.append(df(b1), "stream_scrub_twin", spec)
+    val twin2 = scrubRows(GramIndex.scrubProbe(spark, df(b2), "stream_scrub_twin", spec))
+
+    val out1 = scrubRows(spark.read.parquet(s"$dir/batch=0"))
+    val out2 = scrubRows(spark.read.parquet(s"$dir/batch=1"))
+    out1 shouldBe twin1
+    out2 shouldBe twin2
+    // fixture intent: 300 scrubbed by the standing corpus; 9 scrubbed
+    // by SHARD 1's doc 7 (owner 7 < 9, cross-shard); 7 and 400 never
+    // reported (novel templates, they own them)
+    out1.map(_._1) shouldBe Seq(300L)
+    out1.head._3 shouldBe 12L // all 12 tokens removed
+    out2.map(_._1) shouldBe Seq(9L)
+    (out2.head._2, out2.head._3) shouldBe ((11L, 9L)) // keeps "y0 y1"
+
+    // exactly-once: replaying a COMMITTED batch drains and rewrites
+    // nothing (marker mtime unchanged), and a spurious re-append of the
+    // same shard cannot change a later probe (owners min-merge)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/batch=1/_SUCCESS")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    StreamSinks.spanScrubSink("stream_scrub", spec, dir)(df(b2), 1L)
+    fs.getFileStatus(marker).getModificationTime shouldBe mtime
+    GramIndex.append(df(b1), "stream_scrub", spec) // crash-replay double append
+    scrubRows(GramIndex.scrubProbe(spark, df(b2), "stream_scrub", spec)) shouldBe out2
+  }
+}

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Bench-regression gate (VERDICT r12 #3): diff a fresh BENCH_FULL.json
+against the last COMMITTED one and fail on unexplained per-query
+regressions, so a close-out can never again claim "no regression"
+without the diff that proves it (r12 shipped q57 at 1.8x under exactly
+that claim).
+
+Usage:
+    tools/bench_diff.py [--new BENCH_FULL.json] [--base <ref>]
+                        [--allow q_name=reason ...]
+
+  --base   git ref holding the reference BENCH_FULL.json
+           (default: HEAD — the last committed full battery)
+  --new    fresh battery JSON (default: ./BENCH_FULL.json, which a
+           just-finished full `graft.Bench` run leaves in the cwd)
+  --allow  exempt a named query WITH a justification; every allowance
+           is printed, so the snapshot commit quotes it
+
+Compares the `queries_median` maps (medians, not mins: a min hides a
+regression behind one lucky iteration). A query FAILS if
+  new/old > 1.30  AND  new - old > 0.10 s
+(the absolute floor keeps sub-100 ms noise on tiny queries out of the
+gate; they are still REPORTED). Exit 1 on any unallowed failure.
+New/removed queries and the r1-comparable subtotal ratio are reported
+for the close-out note.
+"""
+import argparse
+import json
+import subprocess
+import sys
+
+RATIO = 1.30
+ABS_FLOOR = 0.10
+
+
+def load_base(ref: str) -> dict:
+    out = subprocess.run(["git", "show", f"{ref}:BENCH_FULL.json"],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.exit(f"bench_diff: cannot read BENCH_FULL.json at {ref}: {out.stderr.strip()}")
+    return json.loads(out.stdout)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new", default="BENCH_FULL.json")
+    ap.add_argument("--base", default="HEAD")
+    ap.add_argument("--allow", action="append", default=[],
+                    metavar="QUERY=REASON")
+    args = ap.parse_args()
+
+    allow = {}
+    for a in args.allow:
+        if "=" not in a:
+            sys.exit(f"bench_diff: --allow needs q_name=reason, got {a!r}")
+        q, reason = a.split("=", 1)
+        if not reason.strip():
+            sys.exit(f"bench_diff: --allow {q} has an EMPTY reason — name it")
+        allow[q] = reason.strip()
+
+    new = json.load(open(args.new))
+    base = load_base(args.base)
+    nq, bq = new["queries_median"], base["queries_median"]
+
+    added = sorted(set(nq) - set(bq))
+    removed = sorted(set(bq) - set(nq))
+    if added:
+        print(f"new queries ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"REMOVED queries ({len(removed)}): {', '.join(removed)}")
+
+    rows = []
+    for q in sorted(set(nq) & set(bq)):
+        o, n = bq[q], nq[q]
+        if o <= 0 or n <= 0:
+            continue  # errored runs carry -1; n_failed is its own gate
+        rows.append((n / o, n - o, q, o, n))
+
+    failures, noted = [], []
+    for ratio, delta, q, o, n in sorted(rows, reverse=True):
+        if ratio > RATIO and delta > ABS_FLOOR:
+            (noted if q in allow else failures).append((ratio, q, o, n))
+        elif ratio > RATIO:
+            print(f"  note  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x, "
+                  f"+{delta*1000:.0f} ms — under the {ABS_FLOOR*1000:.0f} ms floor)")
+
+    for ratio, q, o, n in noted:
+        print(f"  ALLOW {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x) — {allow[q]}")
+    for ratio, q, o, n in failures:
+        print(f"  FAIL  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x)")
+
+    sub_o = base.get("baseline_comparable_r1_query_subtotal")
+    sub_n = new.get("baseline_comparable_r1_query_subtotal")
+    if sub_o and sub_n:
+        print(f"r1-comparable subtotal: {sub_o:.2f} -> {sub_n:.2f} s "
+              f"({sub_n / sub_o:.3f}x round-over-round)")
+    med = sorted(r for r, *_ in rows)
+    if med:
+        print(f"median per-query ratio over {len(med)} shared queries: "
+              f"{med[len(med) // 2]:.3f}")
+
+    if failures:
+        print(f"bench_diff: {len(failures)} regression(s) >{RATIO}x "
+              f"(+>{ABS_FLOOR}s) — justify with --allow or fix before committing")
+        return 1
+    print("bench_diff: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

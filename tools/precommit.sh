@@ -24,4 +24,12 @@ if [ -n "$QS" ]; then
   python3 tools/check.py /root/testdata/sf0.01 target/precommit_out
   sbt -batch "runMain graft.LintNew $QS"
 fi
+# 3. Bench-regression gate (VERDICT r12 #3): a fresh full battery in the
+#    working tree must diff clean (>1.3x per-query regressions need a
+#    named --allow) against the last committed one BEFORE it is
+#    committed. Allowances: rerun by hand with --allow and quote the
+#    output in the snapshot commit.
+if ! git diff --quiet -- BENCH_FULL.json 2>/dev/null; then
+  python3 tools/bench_diff.py --new BENCH_FULL.json --base HEAD
+fi
 echo "PRECOMMIT OK"

@@ -118,6 +118,33 @@ object IndexBench {
       batchSigs.unpersist(); sigs.unpersist()
     }
 
+    // ---------------- gram index (exact-substring scrub probe) ---------
+    // The span-dedup serving path (VERDICT r12 #8): probe = scrubProbe
+    // of a FIXED shard while the index absorbs appends — a flat curve
+    // is the "probe cost ∝ shard, never corpus" claim with numbers;
+    // compact reclaims the append small-files and min-merges owners.
+    {
+      val name = "ibench_gram"
+      val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 64)
+      val docs = Tables.documents(spark, sfDir).persist()
+      val nd = docs.count()
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+      val shard = docs.where(col("doc_id") % 10 === 0 && col("doc_id") < 2000).persist()
+      shard.count()
+      def probe(): Long =
+        graft.dedup.GramIndex.scrubProbe(spark, shard, name, spec).count()
+      times("gram_a0") = minOf3(probe())
+      for (b <- 1 to nAppends) {
+        val batch = docs.where(col("doc_id") >= nd - 500)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L * b))
+        graft.dedup.GramIndex.append(batch, name, spec)
+        if (checkpoints.contains(b)) times(s"gram_a$b") = minOf3(probe())
+      }
+      graft.dedup.GramIndex.compact(spark, name, spec)
+      times("gram_compacted") = minOf3(probe())
+      shard.unpersist(); docs.unpersist()
+    }
+
     // ---------------- text index (bucketed BM25 postings) --------------
     {
       val name = "ibench_text"

@@ -47,7 +47,20 @@ def main() -> int:
     ap.add_argument("--base", default="HEAD")
     ap.add_argument("--allow", action="append", default=[],
                     metavar="QUERY=REASON")
+    ap.add_argument("--allow-file", default=None,
+                    help="file of QUERY=REASON lines (committed alongside the "
+                         "battery so the justification is part of the record); "
+                         "'#' comments and blank lines ignored; missing file ok")
     args = ap.parse_args()
+
+    if args.allow_file:
+        try:
+            for ln in open(args.allow_file):
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    args.allow.append(ln)
+        except FileNotFoundError:
+            pass
 
     allow = {}
     for a in args.allow:

@@ -26,10 +26,13 @@ if [ -n "$QS" ]; then
 fi
 # 3. Bench-regression gate (VERDICT r12 #3): a fresh full battery in the
 #    working tree must diff clean (>1.3x per-query regressions need a
-#    named --allow) against the last committed one BEFORE it is
-#    committed. Allowances: rerun by hand with --allow and quote the
-#    output in the snapshot commit.
+#    named allowance) against the last committed one BEFORE it is
+#    committed. Allowances live in tools/bench_allow.txt (QUERY=REASON
+#    lines, committed with the battery so the justification is part of
+#    the record; rewrite it per battery — stale entries mask real
+#    regressions). The gate output must be quoted in the snapshot commit.
 if ! git diff --quiet -- BENCH_FULL.json 2>/dev/null; then
-  python3 tools/bench_diff.py --new BENCH_FULL.json --base HEAD
+  python3 tools/bench_diff.py --new BENCH_FULL.json --base HEAD \
+    --allow-file tools/bench_allow.txt
 fi
 echo "PRECOMMIT OK"

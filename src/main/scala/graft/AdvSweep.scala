@@ -2468,6 +2468,25 @@ object AdvSweep {
         noCorpus(0).getAs[Long]("kept_ppm") == 0L).toString
     }
 
+    // ---- q287 distributed BPE training on a degenerate corpus -----------
+    // One repeated word: round 1 ties (a,b)=(b,c)=1000 and must break
+    // lexicographically to (a,b); round 2 merges (ab,c); then the word
+    // is a single symbol — the census is EMPTY and training must stop
+    // at 2 merges despite numMerges=8 (the early-stop contract the
+    // driver-side trainFromCounts has always had).
+    step("bpe_hot_word_early_stop") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-bpe").toString
+      import spark.implicits._
+      (0 until 1000).map(i => (i.toLong, "en", "s", "abc"))
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q287_bpe_merge_table")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      stats("bpe_hot_word_merges") = (out == Seq(
+        (1L, "a", "b", "ab", 1000L), (2L, "ab", "c", "abc", 1000L))).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

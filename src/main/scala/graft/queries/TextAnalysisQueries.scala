@@ -2243,6 +2243,59 @@ object TextAnalysisQueries {
     "FROM agg WHERE n_removed > 0 ORDER BY doc_id",
     "FROM agg WHERE n_removed > 0 AND doc_id % 10 = 0 ORDER BY doc_id")
 
+  // ------- distributed BPE merge training (q287)
+  /** The first 8 BPE merges learned fully DISTRIBUTED
+    * ([[graft.text.Bpe.fitDistributedTable]]): one corpus pass builds
+    * the pretoken-type vocabulary, then each round is a vocabulary-
+    * bounded pair census + 1-row argmax + map-side fold — the type
+    * table is never collected (the 100 TB twin of `Bpe.fit`, whose
+    * driver loop feeds q104's encoder; BpeSpec pins the two merge
+    * tables equal). The ORACLE replays the whole training loop: 8
+    * unrolled census→argmax→merge rounds over a control-character-
+    * delimited symbol string, where `replace` performs exactly the
+    * left-to-right non-overlapping merge the engine's fold does — the
+    * merge LOOP itself is exact-verified, not just the final encoding
+    * invariants. */
+  private def q287(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.fitDistributedTable(docs0(s, d), numMerges = 8)
+      .sortedOut("merge_step")
+
+  private val q287Sql = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pre AS MATERIALIZED (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS t
+        |    FROM documents) u
+        |  WHERE length(t) <= 256 GROUP BY t),
+        |s0 AS MATERIALIZED (
+        |  SELECT chr(1) || array_to_string(list_transform(range(1, length(t) + 1),
+        |    i -> substr(t, CAST(i AS INT), 1)), chr(2) || chr(1)) || chr(2) AS s, cnt
+        |  FROM pre)""".stripMargin)
+    for (j <- 1 to k) {
+      val prev = s"s${j - 1}"
+      sb.append(s""",
+        |c$j AS (
+        |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS pc
+        |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms, cnt
+        |        FROM $prev) v, unnest(range(1, len(syms))) AS u(i)
+        |  GROUP BY 1, 2),
+        |w$j AS MATERIALIZED (SELECT l, r, pc FROM c$j WHERE pc >= 2
+        |  ORDER BY pc DESC, l, r LIMIT 1),
+        |s$j AS MATERIALIZED (
+        |  SELECT replace(s, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+        |    chr(1) || l || r || chr(2)) AS s, cnt
+        |  FROM $prev, w$j)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS merge_step, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, pc AS pair_count FROM w$j")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_step"))
+    sb.toString
+  }
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2339,5 +2392,6 @@ object TextAnalysisQueries {
     ("q282_span_scrub", q282 _, Some(q282Sql)),
     ("q283_gram_index_probe", q283 _, Some(q280Sql)),
     ("q286_incremental_scrub", q286 _, Some(q286Sql)),
+    ("q287_bpe_merge_table", q287 _, Some(q287Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -123,6 +123,83 @@ object Bpe {
     trainFromCounts(counts, numMerges)
   }
 
+  /** Fully DISTRIBUTED merge training — the 100 TB twin of [[fit]].
+    * [[fit]] collects the pretoken-TYPE table and loops on the driver,
+    * which is right while that table fits one machine (MBs for natural
+    * language); on adversarially diverse text (web garbage, code
+    * identifiers, URLs) the type table itself stops fitting, and this
+    * variant never collects it: the one corpus pass builds the
+    * distributed (symbols, count) vocabulary, then each round is a
+    * vocabulary-bounded adjacent-pair census (map-side combined) + a
+    * ONE-ROW argmax collect (the union-find convergence-probe
+    * discipline) + a map-side fold applying the merge — lineage cut
+    * per round, so the plan never deepens.
+    *
+    * Semantics are EXACTLY [[trainFromCounts]] on the same counts
+    * (BpeSpec pins the two merge tables row-for-row): ties break to
+    * the lexicographically smallest pair, training stops early once no
+    * pair occurs twice, the left-to-right non-overlapping fold equals
+    * the driver loop's mergePair (a greedy fold cannot re-consume a
+    * token it just merged, because the comparison is against the
+    * MERGED symbol).
+    *
+    * Returns the merge table itself — (merge_step, lhs, rhs, merged,
+    * pair_count) — which is also what makes the whole training loop
+    * exactly oracle-able in SQL (q287), where [[fit]]'s collected loop
+    * never was. */
+  def fitDistributedTable(docs: DataFrame, numMerges: Int,
+                          textCol: String = "text", maxWordLen: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val chain = graft.ops.Lineage.newChain("bpefit")
+    try {
+      var vocab = graft.ops.Lineage.cut(
+        docs.select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+          .where(length(col("w")) <= maxWordLen) // fit's garbage guard
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms"), col("cnt")),
+        chain)
+      val rows = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var step = 1
+      var continue = true
+      while (continue && step <= numMerges) {
+        val top = vocab.where(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"), col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(2) < 2) continue = false
+        else {
+          val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          rows += ((step.toLong, l, r, l + r, pc))
+          val li = lit(l); val ri = lit(r)
+          // left-to-right non-overlapping merge as a fold: append x, or
+          // replace the accumulator's tail with the merged symbol when
+          // (tail, x) is the winning pair (literals via Column, never a
+          // SQL string — symbols can contain quotes)
+          vocab = graft.ops.Lineage.cut(
+            vocab.select(
+              aggregate(col("syms"), array().cast("array<string>"),
+                // size guard FIRST: ANSI element_at throws on an empty
+                // array (And short-circuits in eval, so the guard is real)
+                (acc, x) => when(size(acc) > 0 &&
+                    element_at(acc, -1) === li && x === ri,
+                    concat(slice(acc, lit(1), size(acc) - 1), array(concat(li, ri))))
+                  .otherwise(concat(acc, array(x)))).as("syms"),
+              col("cnt")),
+            chain)
+          step += 1
+        }
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("merge_step", "lhs", "rhs", "merged", "pair_count")
+    } finally graft.ops.Lineage.endChain(spark, chain, deleteLast = false)
+  }
+
   /** Greedy rank-order encode of ONE pretoken: start from characters,
     * repeatedly merge the adjacent pair with the lowest merge rank
     * until none applies. */

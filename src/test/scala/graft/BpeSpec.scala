@@ -28,6 +28,29 @@ class BpeSpec extends SparkSpec {
     Bpe.trainFromCounts(Seq("zy" -> 2L, "ab" -> 2L), 1) shouldBe Seq(("a", "b"))
   }
 
+  test("fitDistributedTable equals the driver-side trainFromCounts, merge for merge") {
+    // textbook corpus as documents: one doc per word occurrence would be
+    // 36 rows; weight via repetition inside one text column instead
+    val docs = textbook.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val table = Bpe.fitDistributedTable(docs, numMerges = 3)
+      .orderBy("merge_step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    table shouldBe Bpe.trainFromCounts(textbook, numMerges = 3)
+    // early stop mirrors the driver loop: singleton-only corpus learns none
+    Bpe.fitDistributedTable(
+      Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text"), numMerges = 10)
+      .count() shouldBe 0L
+    // pair_count at merge time matches the classic hand counts
+    val full = Bpe.fitDistributedTable(docs, numMerges = 3)
+      .orderBy("merge_step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    full.toSeq shouldBe Seq(
+      (1L, "u", "g", "ug", 20L), (2L, "u", "n", "un", 16L), (3L, "h", "ug", "hug", 15L))
+  }
+
   test("applyMerges encodes known words under the textbook merges") {
     val ranks = Seq(("u", "g"), ("u", "n"), ("h", "ug")).zipWithIndex.toMap
     Bpe.applyMerges("hugs", ranks).toSeq shouldBe Seq("hug", "s")

@@ -383,7 +383,83 @@ object TextIngestQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ------------- windowed code-switching census (q288)
+  /** Segment-grain language ID — the census doc-grain lang-id (q27)
+    * cannot see: a half-English half-Spanish page classifies as ONE
+    * language at doc grain and then poisons whichever monolingual
+    * bucket wins. Fixed 20-token windows (the q90 chunk grain) each
+    * classify under the q27 marker heuristic; per doc: window count,
+    * SWITCH count between consecutive windows, and the dominant window
+    * language with its share in exact ppm. The router's number at
+    * ingest — per-language tokenizers, per-language quality gates, and
+    * mixture accounting all read the dominant-share, and a high switch
+    * count is the code-switching flag that doc-grain ID launders.
+    *
+    * Scale shape: windowing is a pure projection (transform over the
+    * token array — no shuffle, text never leaves the scan); everything
+    * after is doc-grain windows over ≤ |doc|/20 rows and a
+    * (doc × ≤3 langs) rollup. The lag and the dominant rank are both
+    * PARTITIONED windows. Integer heuristic end-to-end — bit-portable
+    * to the oracle. */
+  private def q288(s: SparkSession, d: String): DataFrame = {
+    val W = 20
+    val wins = docs0(s, d)
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ts) - 1) div $W), i -> slice(ts, i * $W + 1, $W))")))
+      .toDF("doc_id", "w", "chunk")
+      .select(col("doc_id"), col("w"),
+        graft.text.TextFunctions.langId(col("chunk")).as("wlang"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sw = wins
+      .withColumn("prev", lag(col("wlang"), 1).over(byDoc.orderBy("w")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("wlang"), 1L)
+          .otherwise(0L)).as("n_switches"))
+    val dom = wins.groupBy(col("doc_id"), col("wlang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("cnt").desc, col("wlang"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("wlang").as("dom_lang"), col("cnt"))
+    sw.join(dom, Seq("doc_id"))
+      .withColumn("dom_ppm", expr("cnt * 1000000 div n_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_switches"),
+        col("dom_lang"), col("dom_ppm"))
+      .sortedOut("doc_id")
+  }
+
+  private val q288Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |w AS (SELECT doc_id, i AS w, tk[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)] AS chunk
+      |      FROM (SELECT doc_id, tk, unnest(range((len(tk) - 1) // 20 + 1)) AS i
+      |            FROM t WHERE len(tk) >= 1) u),
+      |l AS (SELECT doc_id, w,
+      |        CASE WHEN en >= es AND en >= de THEN 'en'
+      |             WHEN es >= de THEN 'es' ELSE 'de' END AS wlang
+      |      FROM (SELECT doc_id, w,
+      |              len(list_filter(chunk, x -> x IN ('the', 'a', 'is'))) AS en,
+      |              len(list_filter(chunk, x -> x IN ('data', 'row', 'table'))) AS es,
+      |              len(list_filter(chunk, x -> x IN ('join', 'merge', 'hash'))) AS de
+      |            FROM w) h),
+      |sw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> wlang THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+      |       FROM (SELECT doc_id, wlang,
+      |               lag(wlang) OVER (PARTITION BY doc_id ORDER BY w) AS prev FROM l) x
+      |       GROUP BY doc_id),
+      |dom AS (SELECT doc_id, wlang AS dom_lang, cnt FROM (
+      |          SELECT doc_id, wlang, CAST(count(*) AS BIGINT) AS cnt,
+      |                 row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, wlang) AS rn
+      |          FROM l GROUP BY doc_id, wlang) d WHERE rn = 1)
+      |SELECT sw.doc_id AS doc_id, n_windows, n_switches, dom_lang,
+      |       CAST(cnt * 1000000 // n_windows AS BIGINT) AS dom_ppm
+      |FROM sw JOIN dom ON sw.doc_id = dom.doc_id
+      |ORDER BY sw.doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q288_code_switch", q288 _, Some(q288Sql)),
     ("q185_url_canonical", q185 _, Some(q185Sql)),
     ("q187_warc_census", q187 _, Some(q187Sql)),
     ("q188_nfc_census", q188 _, Some(q188Sql)),

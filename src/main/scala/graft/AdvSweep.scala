@@ -2468,6 +2468,28 @@ object AdvSweep {
         noCorpus(0).getAs[Long]("kept_ppm") == 0L).toString
     }
 
+    // ---- q289 attribution under a hot template: capped, counted, NULL ---
+    // 5,000 docs sharing one 40-token text: every matched gram stands in
+    // 4,500 corpus docs — far over the 100-doc attribution cap, so the
+    // 500×4,500 potential pair set must NEVER materialize. Every batch
+    // doc still appears: contaminator NULL, n_shared 0, and all 33
+    // windows counted as matched AND wide (contamination is capped out
+    // of attribution, never silently dropped).
+    step("leak_attribution_hot_template") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-leak").toString
+      val template = (0 until 40).map(i => s"lw$i").mkString(" ")
+      spark.range(5000).selectExpr("id AS doc_id", "'en' AS lang", "'s' AS source")
+        .withColumn("text", lit(template))
+        .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q289_leak_attribution")(spark, dir).persist()
+      stats("leak_hot_all_batch_docs") = (out.count() == 500L).toString
+      stats("leak_hot_capped_not_dropped") = (out
+        .where(col("contaminator").isNull && col("n_shared") === 0 &&
+          col("n_matched_windows") === 33 && col("n_wide_windows") === 33)
+        .count() == 500L).toString
+      out.unpersist()
+    }
+
     // ---- q287 distributed BPE training on a degenerate corpus -----------
     // One repeated word: round 1 ties (a,b)=(b,c)=1000 and must break
     // lexicographically to (a,b); round 2 merges (ab,c); then the word

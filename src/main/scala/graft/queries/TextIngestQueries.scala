@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TrackedCache.TrackOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -458,7 +459,96 @@ object TextIngestQueries {
       |FROM sw JOIN dom ON sw.doc_id = dom.doc_id
       |ORDER BY sw.doc_id""".stripMargin
 
+  // ------------- eval-leak ATTRIBUTION (q289)
+  /** q280 answers WHERE an arriving shard overlaps the corpus and HOW
+    * MUCH; this answers WHO — per shard doc (doc_id % 10 == 0), the
+    * corpus document sharing the most 8-token windows with it (ties to
+    * the smaller doc_id), plus the doc's total matched and over-cap
+    * window counts. The leak-triage operator: "my eval doc is
+    * contaminated — which training doc do I pull."
+    *
+    * The skew guard IS the design: attribution joins batch windows to
+    * (gram, corpus doc) pairs, and a boilerplate gram standing in a
+    * million corpus docs would explode that join quadratically — so
+    * grams are breadth-censused on the MATCHED subset first and only
+    * grams held by ≤ 100 corpus docs attribute (the LSH bucketCap
+    * discipline at gram grain). Over-cap windows are still COUNTED per
+    * shard doc (n_wide_windows — contamination never silently
+    * disappears, the q279 breadth census names the templates), and a
+    * doc whose every match is over-cap reports a NULL contaminator
+    * rather than vanishing.
+    *
+    * Scale shape: corpus grams semi-restricted to the shard's gram set
+    * before anything joins (∝ matches, never corpus); breadth census
+    * and per-pair rollup are gram/pair-grain aggregates; the top-1
+    * rank is a doc-partitioned window. */
+  private def q289(s: SparkSession, d: String): DataFrame = {
+    val L = 8; val C = 100
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ts) - $L), i -> md5(array_join(slice(ts, i + 1, $L), ' ')))")))
+      .toDF("doc_id", "pos", "gram")
+    val docs = docs0(s, d)
+    val bg = gramsOf(docs.where(col("doc_id") % 10 === 0)).persistT
+    val cg = gramsOf(docs.where(col("doc_id") % 10 =!= 0))
+      .select(col("gram"), col("doc_id").as("c")).distinct()
+    val matched = cg.join(bg.select("gram").distinct(), Seq("gram"), "left_semi").persistT
+    val breadth = matched.groupBy("gram").agg(count(lit(1)).as("nd_c")).persistT
+    val pairs = bg.join(matched, Seq("gram"))
+      .join(breadth.where(col("nd_c") <= C).select("gram"), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("n_shared"))
+    val top = pairs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_shared").desc, col("c"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("c").as("contaminator"), col("n_shared"))
+    val tot = bg.join(breadth, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_windows"),
+        sum(when(col("nd_c") > C, 1L).otherwise(0L)).as("n_wide_windows"))
+    tot.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contaminator"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_matched_windows"), col("n_wide_windows"))
+      .sortedOut("doc_id")
+  }
+
+  private val q289Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |bg AS (SELECT doc_id, pos, gram FROM g WHERE doc_id % 10 = 0),
+      |m AS MATERIALIZED (
+      |  SELECT DISTINCT cg.gram, cg.doc_id AS c
+      |  FROM g cg JOIN (SELECT DISTINCT gram FROM bg) bgr USING (gram)
+      |  WHERE cg.doc_id % 10 <> 0),
+      |br AS (SELECT gram, CAST(count(*) AS BIGINT) AS nd_c FROM m GROUP BY gram),
+      |ps AS (SELECT bg.doc_id AS b, m.c, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM bg JOIN m USING (gram) JOIN br USING (gram)
+      |       WHERE br.nd_c <= 100 GROUP BY 1, 2),
+      |top AS (SELECT b, c, n_shared FROM (
+      |          SELECT b, c, n_shared,
+      |            row_number() OVER (PARTITION BY b ORDER BY n_shared DESC, c) AS rn
+      |          FROM ps) r WHERE rn = 1),
+      |tot AS (SELECT bg.doc_id AS b, CAST(count(*) AS BIGINT) AS n_matched_windows,
+      |          CAST(sum(CASE WHEN br.nd_c > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide_windows
+      |        FROM bg JOIN br USING (gram) GROUP BY 1)
+      |SELECT tot.b AS doc_id, top.c AS contaminator,
+      |  CAST(coalesce(top.n_shared, 0) AS BIGINT) AS n_shared,
+      |  n_matched_windows, n_wide_windows
+      |FROM tot LEFT JOIN top ON top.b = tot.b
+      |ORDER BY tot.b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q289_leak_attribution", q289 _, Some(q289Sql)),
     ("q288_code_switch", q288 _, Some(q288Sql)),
     ("q185_url_canonical", q185 _, Some(q185Sql)),
     ("q187_warc_census", q187 _, Some(q187Sql)),

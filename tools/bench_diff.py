@@ -89,18 +89,36 @@ def main() -> int:
             continue  # errored runs carry -1; n_failed is its own gate
         rows.append((n / o, n - o, q, o, n))
 
+    # Session-drift correction (round-13 finding: three same-code
+    # batteries in one afternoon read battery-median ratios 1.000 /
+    # 1.048 / 1.072 with a 1.3-1.5x tail on sub-second queries — host
+    # conditions move the WHOLE battery, invisibly from in-guest). A
+    # query fails only if it regressed >1.3x BOTH raw and relative to
+    # the battery's own median ratio: a code regression is an OUTLIER
+    # against the session's drift, not a rider on it.
+    med_ratio = sorted(r for r, *_ in rows)[len(rows) // 2] if rows else 1.0
+    if abs(med_ratio - 1.0) > 0.03:
+        print(f"session drift: battery median ratio {med_ratio:.3f} — "
+              f"per-query failures below are drift-corrected by it")
+
     failures, noted = [], []
     for ratio, delta, q, o, n in sorted(rows, reverse=True):
-        if ratio > RATIO and delta > ABS_FLOOR:
-            (noted if q in allow else failures).append((ratio, q, o, n))
+        corrected = ratio / med_ratio
+        if ratio > RATIO and corrected > RATIO and delta > ABS_FLOOR:
+            (noted if q in allow else failures).append((ratio, corrected, q, o, n))
+        elif ratio > RATIO and delta > ABS_FLOOR:
+            print(f"  note  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x raw, "
+                  f"{corrected:.2f}x drift-corrected — moved with the battery)")
         elif ratio > RATIO:
             print(f"  note  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x, "
                   f"+{delta*1000:.0f} ms — under the {ABS_FLOOR*1000:.0f} ms floor)")
 
-    for ratio, q, o, n in noted:
-        print(f"  ALLOW {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x) — {allow[q]}")
-    for ratio, q, o, n in failures:
-        print(f"  FAIL  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x)")
+    for ratio, corrected, q, o, n in noted:
+        print(f"  ALLOW {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x raw, "
+              f"{corrected:.2f}x corrected) — {allow[q]}")
+    for ratio, corrected, q, o, n in failures:
+        print(f"  FAIL  {q}: {o:.3f} -> {n:.3f} s ({ratio:.2f}x raw, "
+              f"{corrected:.2f}x drift-corrected)")
 
     sub_o = base.get("baseline_comparable_r1_query_subtotal")
     sub_n = new.get("baseline_comparable_r1_query_subtotal")

@@ -115,6 +115,31 @@ class GramIndexSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("compact crash window is recoverable: _old and _compact both hold full data") {
+    // Simulate the crash BETWEEN the two renames of the crash-safe swap
+    // (ADVICE r12 #3): live table absent, `_old` (full standing data)
+    // and `_compact` (full rewrite) both present. Recovery = rename
+    // either back; results must be unchanged.
+    val shared = (0 until 10).map(i => s"r$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> shared), "gramidx_r", spec)
+    val before = scrubRows(GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_r", spec))
+    // reproduce compact's state at the crash point by hand
+    spark.sql("DROP TABLE IF EXISTS `gramidx_r_grams_compact`")
+    spark.sql("CREATE TABLE `gramidx_r_grams_compact` AS SELECT * FROM `gramidx_r_grams`")
+    spark.sql("ALTER TABLE `gramidx_r_grams` RENAME TO `gramidx_r_grams_old`")
+    // crash here: no live table — both recovery candidates exist
+    spark.catalog.tableExists("gramidx_r_grams") shouldBe false
+    spark.sql("ALTER TABLE `gramidx_r_grams_old` RENAME TO `gramidx_r_grams`")
+    scrubRows(GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_r", spec)) shouldBe before
+    // the OTHER recovery path (promote the rewrite) is equivalent
+    spark.sql("ALTER TABLE `gramidx_r_grams` RENAME TO `gramidx_r_grams_old2`")
+    spark.sql("ALTER TABLE `gramidx_r_grams_compact` RENAME TO `gramidx_r_grams`")
+    scrubRows(GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_r", spec)) shouldBe before
+    // and the next compact clears the stale side table
+    GramIndex.compact(spark, "gramidx_r", spec)
+    scrubRows(GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_r", spec)) shouldBe before
+  }
+
   test("probe plan: index read bucketed, no corpus-side exchange") {
     GramIndex.write(corpus, "gramidx_p", spec)
     val plan = GramIndex.probe(spark, batch, "gramidx_p", spec)

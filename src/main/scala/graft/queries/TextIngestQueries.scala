@@ -547,7 +547,60 @@ object TextIngestQueries {
       |FROM tot LEFT JOIN top ON top.b = tot.b
       |ORDER BY tot.b""".stripMargin
 
+  // ------------- cross-source span affinity (q290)
+  /** Which SOURCES syndicate each other, at exact-substring grain: for
+    * every source pair, the number of distinct 8-token window
+    * templates both carry and the total occurrence mass behind them —
+    * q248's duplication-affinity matrix re-grounded from LSH estimate
+    * to verbatim text, and the provenance view of the q277–q289 span
+    * family (q279 asks "how broad is a template", this asks "between
+    * WHOM"). The wire-copy detector: a feed syndicated between two
+    * sources lights one cell; license boilerplate lights every cell.
+    *
+    * Scale shape: one (gram, source) rollup (the only corpus-volume
+    * shuffle — 16-byte hashes, text stays in the scan); the pair join
+    * is per-gram over ≤ |sources| rows, fan-out bounded by
+    * C(|sources|, 2) — a DIMENSION-bounded self-join, never doc-grain
+    * quadratic; output is ≤ |sources|² rows. */
+  private def q290(s: SparkSession, d: String): DataFrame = {
+    val L = 8
+    val gs = docs0(s, d)
+      .select(col("source"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ts) - $L), i -> md5(array_join(slice(ts, i + 1, $L), ' ')))"))
+        .as("gram"))
+      .groupBy(col("gram"), col("source"))
+      .agg(count(lit(1)).as("n_occ"))
+      .persistT // both sides of the pair join
+    gs.select(col("gram"), col("source").as("source_a"), col("n_occ").as("occ_a"))
+      .join(gs.select(col("gram"), col("source").as("source_b"), col("n_occ").as("occ_b")),
+        Seq("gram"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_templates"),
+        sum(col("occ_a") + col("occ_b")).as("n_occurrences"))
+      .sortedOut("source_a", "source_b")
+  }
+
+  private val q290Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS (SELECT source,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT source, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |gs AS MATERIALIZED (SELECT gram, source, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM g GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_templates,
+      |  CAST(sum(a.n_occ + b.n_occ) AS BIGINT) AS n_occurrences
+      |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q290_source_span_affinity", q290 _, Some(q290Sql)),
     ("q289_leak_attribution", q289 _, Some(q289Sql)),
     ("q288_code_switch", q288 _, Some(q288Sql)),
     ("q185_url_canonical", q185 _, Some(q185Sql)),

@@ -2296,6 +2296,60 @@ object TextAnalysisQueries {
     sb.toString
   }
 
+  // ------- span-scrub savings curve (q291)
+  /** The THRESHOLD-TUNING table for span dedup — q242's policy curve
+    * at span grain: for minimum span lengths 8 / 16 / 32, how many
+    * documents carry duplicated spans, how many tokens a scrub at that
+    * grain reclaims (Σ span_len over [[graft.dedup.Dedup.dupSpans]]'s
+    * maximal disjoint islands), and the corpus share in exact ppm.
+    * Lee et al. tune exactly this knob: too short scrubs idiom, too
+    * long misses templates — this is the table that choice reads.
+    *
+    * Scale shape: one q277-shaped census per threshold (window hashes
+    * only shuffle; islands per doc), each collapsing to a 1-row
+    * aggregate — 3× the span census, nothing new. Empty thresholds
+    * coalesce to 0 (a corpus with no 32-token templates is routine). */
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val total = docs.agg(
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("corpus_tokens"))
+    Seq(8, 16, 32).map { L =>
+      Dedup.dupSpans(docs, L)
+        .agg(countDistinct(col("doc_id")).as("n_docs_affected"),
+          coalesce(sum(col("span_len")), lit(0L)).as("dup_tokens"))
+        .crossJoin(total)
+        .select(lit(L.toLong).as("min_len"), col("n_docs_affected"),
+          col("dup_tokens"), col("corpus_tokens"),
+          expr("dup_tokens * 1000000 div corpus_tokens").as("dup_ppm"))
+    }.reduce(_ unionByName _).sortedOut("min_len")
+  }
+
+  private val q291Sql = {
+    def leg(l: Int): String =
+      s"""g$l AS (SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(ts, i + 1, i + $l), ' ')) AS gram
+         |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - $l + 1)) AS i
+         |        FROM toks WHERE len(ts) >= $l) u),
+         |d$l AS (SELECT gram FROM g$l GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |s$l AS (SELECT doc_id, max(pos) - min(pos) + $l AS span_len FROM (
+         |    SELECT doc_id, pos,
+         |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |    FROM g$l JOIN d$l USING (gram)) i GROUP BY doc_id, grp),
+         |sv$l AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+         |    CAST(coalesce(sum(span_len), 0) AS BIGINT) AS dup_tokens FROM s$l)""".stripMargin
+    def row(l: Int): String =
+      s"""SELECT CAST($l AS BIGINT) AS min_len, n_docs_affected, dup_tokens,
+         |  corpus_tokens, CAST(dup_tokens * 1000000 // corpus_tokens AS BIGINT) AS dup_ppm
+         |FROM sv$l, tot""".stripMargin
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS corpus_tokens FROM toks),
+       |${Seq(8, 16, 32).map(leg).mkString(",\n")}
+       |${Seq(8, 16, 32).map(row).mkString("\nUNION ALL\n")}
+       |ORDER BY min_len""".stripMargin
+  }
+
   // ------- dedup-threshold savings curve (q242)
   /** The POLICY-TUNING view of the near-dup family: for candidate
     * Jaccard thresholds 0.5 / 0.7 / 0.9, how many candidate pairs
@@ -2393,5 +2447,6 @@ object TextAnalysisQueries {
     ("q283_gram_index_probe", q283 _, Some(q280Sql)),
     ("q286_incremental_scrub", q286 _, Some(q286Sql)),
     ("q287_bpe_merge_table", q287 _, Some(q287Sql)),
+    ("q291_span_savings_curve", q291 _, Some(q291Sql)),
     ("q268_cluster_purity", q268 _, Some(q268Sql)))
 }

@@ -76,6 +76,29 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}")
       }
 
+    // Per-run task-metric accumulation (VERDICT r13 #1): the q57
+    // intra-battery 3x spread could not be diagnosed from committed
+    // evidence because only the per-query median survived. The
+    // listener sums spill bytes across tasks; a bus drain after each
+    // timed run pins the snapshot to that run.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    // Storage-pool residue AFTER a run (before clearCaches): lingering
+    // persisted/localCheckpoint blocks are the prime suspect for
+    // mid-battery eviction variance — record them per run so the
+    // committed battery shows which query left blocks behind.
+    def storageResidueMb(): Double =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / 1e6
+
     // optional comma-separated name filter for local A/B runs, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q57_incremental_dedup,q58_cosine_neardup
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -86,22 +109,31 @@ object Bench {
     defs.foreach { case (_, fn) => run(fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per query: (min, median, all run times, per-run [spillMB, residualMB])
+    val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double)]]()
     val results = defs.map { case (name, fn) =>
       // One GC per QUERY (not per iteration — 543 full GCs would cost
       // more than they save): lets the ContextCleaner reclaim broadcast
       // blocks accumulated by earlier queries' guarded-broadcast joins,
       // which clearCaches can't reach by handle.
       clearCaches(); System.gc()
-      val times = (1 to iters).flatMap { _ =>
+      val runs = (1 to iters).flatMap { _ =>
         clearCaches()
+        org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
+        val sm0 = spillMem.get(); val sd0 = spillDisk.get()
         run(fn) match {
-          case Right(t) => Some(t)
+          case Right(t) =>
+            org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
+            val spillMb = (spillMem.get() - sm0 + spillDisk.get() - sd0) / 1e6
+            Some((t, spillMb, storageResidueMb()))
           case Left(err) =>
             errors(name) = err
             System.err.println(s"BENCH FAIL $name: $err")
             None
         }
       }
+      runDetail(name) = runs
+      val times = runs.map(_._1)
       if (times.isEmpty) name -> (-1.0, -1.0)
       else {
         val sorted = times.sorted
@@ -120,6 +152,19 @@ object Bench {
     val qs = results.map { case (k, (mn, _)) => jstr(k) + ":" + r3(mn) }.mkString("{", ",", "}")
     val med = results.map { case (k, (_, md)) => jstr(k) + ":" + r3(md) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }.mkString("{", ",", "}")
+    // Every individual sample (VERDICT r13 #1): intra-battery variance
+    // must be diagnosable from the committed battery alone.
+    val runsJson = runDetail.map { case (k, rs) =>
+      jstr(k) + ":[" + rs.map(r => r3(r._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Spill / post-run storage residue, only where nonzero (whole-battery
+    // maps of zeros would double the line for no signal).
+    val spillJson = runDetail.collect { case (k, rs) if rs.exists(_._2 >= 0.5) =>
+      jstr(k) + ":[" + rs.map(r => r3(r._2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val residJson = runDetail.collect { case (k, rs) if rs.exists(_._3 >= 0.5) =>
+      jstr(k) + ":[" + rs.map(r => r3(r._3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // the subtotal over the 54 queries recorded in BENCH_r01 keeps
     // round-over-round totals comparable as the query surface grows.
@@ -151,7 +196,7 @@ object Bench {
     // Headline scalars LAST: the driver's 2000-char stdout tail keeps
     // the END of this line, so totals/n_failed must sit there — a
     // front-loaded "value" was truncated away in every prior round.
-    val line = s"""{"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
+    val line = s"""{"queries_runs":$runsJson,"queries_spill_mb":$spillJson,"queries_residual_mb":$residJson,"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
     println(line)
     // Full untruncated copy for the judge (driver auto-commits stray
     // repo files at round end; 2000-char stdout tail can't hold ~240

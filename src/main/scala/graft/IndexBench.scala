@@ -140,7 +140,17 @@ object IndexBench {
         graft.dedup.GramIndex.append(batch, name, spec)
         if (checkpoints.contains(b)) times(s"gram_a$b") = minOf3(probe())
       }
-      graft.dedup.GramIndex.compact(spark, name, spec)
+      // Tiered compaction costs (VERDICT r13 #3): the MINOR fold touches
+      // only the appended delta segments — its time must track delta
+      // size, not corpus size — while the MAJOR fold rewrites the base.
+      def timeOnce(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      times("gram_compact_minor_sec") =
+        timeOnce(graft.dedup.GramIndex.compactDelta(spark, name, spec))
+      times("gram_minor_compacted") = minOf3(probe())
+      times("gram_compact_major_sec") =
+        timeOnce(graft.dedup.GramIndex.compact(spark, name, spec))
       times("gram_compacted") = minOf3(probe())
       shard.unpersist(); docs.unpersist()
     }

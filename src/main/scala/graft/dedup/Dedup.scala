@@ -524,6 +524,12 @@ object Dedup {
     // Its runtime size (≤ |batch| ids) lets AQE broadcast the anti
     // joins; unpersist falls to the ContextCleaner (lazy plan).
     val dupIds = vsCorpus.select(col("doc_a").as("doc_id")).distinct().persistT
+    // Materialize EAGERLY (VERDICT r13 #1 hardening): both anti joins
+    // must plan against a fully-known InMemoryRelation size, not a race
+    // between AQE's estimate and the fill state of a cache the first
+    // consumer happens to be mid-way through populating — the
+    // deterministic order costs one count over the (small) id set.
+    dupIds.count()
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
     val survivorSigs = batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
     val within = minhashCandidatePairs(

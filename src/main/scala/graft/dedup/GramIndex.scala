@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TrackedCache.TrackOps
@@ -11,25 +11,53 @@ import graft.text.TextFunctions
   * and re-shuffles the corpus on every probe; a production training set
   * is indexed ONCE and probed by every arriving shard).
   *
-  * One bucketed table, `{name}_grams` (gram, owner), bucketed AND
-  * sorted by gram: a probe's join hash-partitions by gram, so the
-  * index side is consumed in its bucket layout with NO exchange — only
-  * the (small) arriving shard shuffles, into the index's bucketing.
-  * Probe cost is proportional to the SHARD, never the corpus.
+  * Layout: a size-tiered family of bucketed tables, all bucketed AND
+  * sorted by gram —
+  *   - the BASE `{name}_grams`, the bulk of the corpus;
+  *   - zero or more DELTA segments `{name}_grams_d<a>_<b>`, one per
+  *     append (a = b = the append's id) or per minor compaction (the
+  *     merged id range [a, b]).
+  * A probe hash-partitions only the (small) arriving shard into each
+  * segment's bucket layout — the index side is consumed as stored with
+  * NO exchange, so probe cost is proportional to the SHARD (times the
+  * segment count, which [[compactDelta]] bounds), never the corpus.
   *
-  * `owner` is the minimum doc_id holding the gram — the ownership seed
-  * for incremental span SCRUBBING ([[scrubProbe]], the batch-grain
-  * [[Dedup.spanScrub]]): without it an arriving shard could only be
-  * censused ([[probe]]), not scrubbed, because ownership would need a
-  * full corpus re-shuffle to re-derive (VERDICT r12 gap #1).
-  * Existence-only probes ignore the column (pruned at scan).
+  * Row grain is (gram, source): `owner` is the minimum doc_id holding
+  * the gram (within the row's source — readers min-merge across rows,
+  * so the corpus-wide minimum always wins), the ownership seed for
+  * incremental span SCRUBBING ([[scrubProbe]]); `n_docs` / `n_occ` are
+  * the per-source document and occurrence counts that let the span
+  * family's derived analyses (the q290 syndication matrix, breadth
+  * censuses) be SERVED from the index instead of re-deriving grams
+  * from text (VERDICT r13 #2 — [[sourceAffinity]]). Corpora without a
+  * `source` column index under source = "" (grain degrades to gram).
+  * Existence-only probes prune everything but `gram` at scan.
   *
-  * Appends are bucketed appends (new files in the existing layout;
-  * standing data untouched). Appending may re-add grams already
-  * present — possibly with a DIFFERENT owner; both [[scrubProbe]]'s
-  * lookup and [[compact]] min-merge owners, so the corpus-wide minimum
-  * always wins regardless of compaction state. Single writer per index
-  * name, as with [[SignatureIndex]].
+  * Compaction is tiered so its cost tracks what was APPENDED, not the
+  * corpus (VERDICT r13 #3 — the old whole-table rewrite at every
+  * reclaim is a non-starter for an append-heavy 100 TB index):
+  *   - [[compactDelta]] merges only the delta segments — O(appended);
+  *   - [[compact]] folds base + deltas into a fresh base — the full
+  *     rewrite, now needed only rarely.
+  * Both are crash-safe by CATALOG-ATOMIC steps (single-table renames):
+  * a merged delta's name encodes the id range it subsumes, so readers
+  * ignore covered segments whether or not the post-rename drops ran;
+  * the rewritten base carries a `graft.coversDeltaTo` table property
+  * that hides every delta it folded in. Readers also SELF-HEAL the
+  * major compact's rename window (ADVICE r13 #5): if the base is
+  * missing but `{base}_old` / `{base}_compact` survives, it is renamed
+  * back before reading.
+  *
+  * Concurrency contract (ADVICE r13 #5): single WRITER per index name
+  * — appends, compactDelta and compact must not race each other.
+  * [[graft.streaming.StreamSinks.spanScrubSink]] is such a writer: do
+  * not run an out-of-band [[compact]] while the sink is active (the
+  * sink runs its own [[compactDelta]], which never touches the base).
+  * Stats columns assume each document is indexed ONCE; a crash-replay
+  * double-append min-merges to the same scrub results (the exactly-
+  * once proof in StreamScrubSpec) but double-counts n_docs/n_occ until
+  * the affected docs are re-indexed — scrub correctness never depends
+  * on the stats columns.
   */
 object GramIndex {
 
@@ -38,82 +66,259 @@ object GramIndex {
     * matches nothing — grams of different lengths never collide). */
   case class Spec(minLen: Int = 8, buckets: Int = 64)
 
-  private def tableName(name: String) = s"${name}_grams"
+  private def tableName(name: String) = s"${name}_grams".toLowerCase
+
+  private val CoversProp = "graft.coversDeltaTo"
+
+  // ------------------------------------------------------------------
+  // catalog plumbing
+  // ------------------------------------------------------------------
+
+  private def ident(spark: SparkSession, table: String) =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
+  private case class Delta(table: String, a: Long, b: Long)
+
+  private def coversTo(spark: SparkSession, base: String): Long =
+    if (!spark.catalog.tableExists(base)) 0L
+    else spark.sessionState.catalog.getTableMetadata(ident(spark, base))
+      .properties.get(CoversProp).map(_.toLong).getOrElse(0L)
+
+  /** Every delta segment on disk, INCLUDING subsumed garbage. */
+  private def allDeltas(spark: SparkSession, base: String): Seq[Delta] = {
+    val re = (java.util.regex.Pattern.quote(base) + "_d(\\d+)_(\\d+)").r
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"${base}_d*")
+      .map(_.table)
+      .flatMap { t =>
+        re.findFirstMatchIn(t).filter(m => m.start == 0 && m.end == t.length)
+          .map(m => Delta(t, m.group(1).toLong, m.group(2).toLong))
+      }
+  }
+
+  /** The LIVE delta cover: drop segments folded into the base
+    * (id ≤ coversDeltaTo) and segments contained in a wider merged
+    * segment — the name-range subsumption that makes every compaction
+    * step crash-safe (the merged table is committed by ONE rename;
+    * whether the subsequent drops ran only changes how much garbage
+    * the next compaction sweeps). */
+  private def liveDeltas(spark: SparkSession, base: String): Seq[Delta] = {
+    val covered = coversTo(spark, base)
+    val live = allDeltas(spark, base).filter(_.b > covered)
+    live.filterNot(d => live.exists(o =>
+      o.table != d.table && o.a <= d.a && d.b <= o.b)).sortBy(_.a)
+  }
+
+  /** Self-heal the major compact's rename window (ADVICE r13 #5): no
+    * instant of [[compact]] has zero recoverable copies, but between
+    * its two renames there is no LIVE table — a concurrent-with-crash
+    * probe (or a streaming micro-batch after driver restart) recovers
+    * by renaming a surviving copy back instead of failing. `_old` is
+    * preferred (the pre-compact base, consistent with still-visible
+    * deltas); `_compact` (the rewrite, whose covers-property hides
+    * those deltas) is equivalent when `_old` is already gone. */
+  private def heal(spark: SparkSession, base: String): Unit =
+    if (!spark.catalog.tableExists(base)) {
+      if (spark.catalog.tableExists(s"${base}_old"))
+        spark.sql(s"ALTER TABLE `${base}_old` RENAME TO `$base`")
+      else if (spark.catalog.tableExists(s"${base}_compact"))
+        spark.sql(s"ALTER TABLE `${base}_compact` RENAME TO `$base`")
+    }
+
+  /** Base + live deltas, healing first — every reader goes through
+    * this. */
+  private def segmentTables(spark: SparkSession, name: String): Seq[String] = {
+    val base = tableName(name)
+    heal(spark, base)
+    base +: liveDeltas(spark, base).map(_.table)
+  }
+
+  // ------------------------------------------------------------------
+  // building
+  // ------------------------------------------------------------------
 
   /** The L-token window hashes of a corpus, one row per (doc, window):
     * a pure projection over the token array — no shuffle until the
-    * caller aggregates or writes. */
-  private[dedup] def gramsOf(docs: DataFrame, L: Int): DataFrame =
-    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    * caller aggregates or writes. Carries the corpus's `source` column
+    * when present ("" otherwise) so segment rows can keep per-source
+    * stats. */
+  private[dedup] def gramsOf(docs: DataFrame, L: Int): DataFrame = {
+    val src = if (docs.columns.contains("source")) col("source") else lit("")
+    docs.select(col("doc_id"), src.as("source"),
+        TextFunctions.tokens(col("text")).as("ts"))
       .where(size(col("ts")) >= L)
-      .select(col("doc_id"), posexplode(transform(
+      .select(col("doc_id"), col("source"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - L),
         i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))
-      .toDF("doc_id", "pos", "gram")
-
-  /** Materialize (or replace) the index: one row per distinct gram with
-    * its min-doc_id owner, one bucketed write. */
-  def write(corpus: DataFrame, name: String, spec: Spec = Spec(),
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
-    if (mode == SaveMode.Overwrite)
-      SignatureIndex.dropStale(corpus.sparkSession, tableName(name))
-    gramsOf(corpus, spec.minLen)
-      .groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
-      .write.mode(mode)
-      .bucketBy(spec.buckets, "gram").sortBy("gram")
-      .saveAsTable(tableName(name))
+      .toDF("doc_id", "source", "pos", "gram")
   }
 
-  /** Add newly-accepted documents' grams to the standing index —
-    * bucketed append, batch-grain owner minimum only. A gram already
-    * standing may gain a second row, possibly with a smaller owner;
-    * cross-append min-merge is the reader's job ([[scrubProbe]]) until
-    * [[compact]] folds it into the table. */
-  def append(newDocs: DataFrame, name: String, spec: Spec = Spec()): Unit =
-    write(newDocs, name, spec, SaveMode.Append)
+  /** One segment's rows: (gram, source) grain with the min-doc owner
+    * and the per-source doc/occurrence counts. */
+  private def segmentRows(corpus: DataFrame, L: Int): DataFrame =
+    gramsOf(corpus, L)
+      .groupBy(col("gram"), col("source"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .select("gram", "owner", "source", "n_docs", "n_occ")
 
-  /** Rewrite the table with one row per gram (owners min-merged) and
-    * one file per bucket (same spec), reclaiming append small-files
-    * and duplicate gram rows; catalog-rename swap, probe plan
-    * unchanged.
-    *
-    * Swap order is crash-safe (ADVICE r12 #3): the standing table is
-    * renamed ASIDE first, so no instant has zero recoverable copies —
-    * a crash between the two renames leaves `{table}_old` (full data)
-    * and `{table}_compact` (full data); recovery = rename either back.
-    * A crash after the second rename leaves the live table plus a
-    * stale `_old` that the next compact's dropStale clears. */
-  def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
-    val table = tableName(name)
-    val tmp = s"${table}_compact"
-    val old = s"${table}_old"
-    SignatureIndex.dropStale(spark, tmp)
-    SignatureIndex.dropStale(spark, old)
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    spark.read.schema(spark.table(table).schema)
-      .parquet(meta.location.toString)
-      .groupBy(col("gram")).agg(min(col("owner")).as("owner"))
-      .repartition(spec.buckets, col("gram"))
+  private def writeSegment(rows: DataFrame, table: String, spec: Spec): Unit =
+    rows.repartition(spec.buckets, col("gram"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(spec.buckets, "gram").sortBy("gram")
-      .saveAsTable(tmp)
-    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    spark.sql(s"DROP TABLE `$old`")
+      .saveAsTable(table)
+
+  /** Materialize (or replace) the index: a fresh base segment; any
+    * leftover deltas/side tables of the same name are dropped. */
+  def write(corpus: DataFrame, name: String, spec: Spec = Spec(),
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    if (mode == SaveMode.Append) append(corpus, name, spec)
+    else {
+      val spark = corpus.sparkSession
+      val base = tableName(name)
+      SignatureIndex.dropStale(spark, base)
+      allDeltas(spark, base).foreach(d =>
+        spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+      Seq("_old", "_compact", "_dtmp").foreach(s =>
+        SignatureIndex.dropStale(spark, s"$base$s"))
+      writeSegment(segmentRows(corpus, spec.minLen), base, spec)
+    }
+
+  /** Add newly-accepted documents' grams to the standing index — ONE
+    * new delta segment (the standing tables are untouched, so an
+    * append costs O(new docs) regardless of corpus size). A gram
+    * already standing may reappear here, possibly with a smaller
+    * owner; readers min-merge, [[compactDelta]]/[[compact]] fold. */
+  def append(newDocs: DataFrame, name: String, spec: Spec = Spec()): Unit = {
+    val spark = newDocs.sparkSession
+    val base = tableName(name)
+    heal(spark, base)
+    val next = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max + 1
+    writeSegment(segmentRows(newDocs, spec.minLen),
+      s"${base}_d${next}_${next}", spec)
   }
+
+  // ------------------------------------------------------------------
+  // compaction
+  // ------------------------------------------------------------------
+
+  /** UNION-OF-BUCKETED-TABLES HAZARD, load-bearing for every reader
+    * below: under `spark.sql.unionOutputPartitioning` (default TRUE in
+    * Spark 4.1), a Union whose children all report the same
+    * HashPartitioning CLAIMS that partitioning — but UnionExec
+    * CONCATENATES child partitions rather than zipping them, so equal
+    * keys from two same-bucketed segment tables sit in different
+    * output partitions while the planner elides the exchange a keyed
+    * aggregate needs — and an EXPLICIT same-key repartition is elided
+    * too (redundant-shuffle removal trusts the claim). Measured here:
+    * groupBy(gram, source) over base ∪ delta returned BOTH pre-merge
+    * rows, with or without `.repartition(col("gram"))` (GramIndexSpec's
+    * count-vs-distinct pins the regression). Multi-segment readers are
+    * therefore built so no union's claim is ever load-bearing:
+    * segment-scan unions read the files by LOCATION (an unbucketed
+    * scan claims nothing, so the planner inserts the real exchange),
+    * and same-key re-aggregations use per-gram JOINS (whose
+    * co-partitioned zip IS valid) instead of a union. */
+  private def readUnbucketed(spark: SparkSession, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
+    spark.read.schema(spark.table(table).schema).parquet(meta.location.toString)
+  }
+
+  private def mergeSegments(spark: SparkSession, tables: Seq[String]): DataFrame =
+    tables.map(readUnbucketed(spark, _)).reduce(_ unionByName _)
+      .groupBy(col("gram"), col("source"))
+      .agg(min(col("owner")).as("owner"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_occ")).cast("long").as("n_occ"))
+      .select("gram", "owner", "source", "n_docs", "n_occ")
+
+  private def dropGarbageDeltas(spark: SparkSession, base: String): Unit = {
+    val live = liveDeltas(spark, base).map(_.table).toSet
+    allDeltas(spark, base).filterNot(d => live.contains(d.table))
+      .foreach(d => spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+  }
+
+  /** MINOR compaction — merge the delta segments into one, leaving the
+    * base untouched: cost is O(appended since the last fold), never
+    * O(corpus) (VERDICT r13 #3). Commit is the single rename of the
+    * merged table to its range name `d<min>_<max>`, which subsumes the
+    * inputs by construction; dropping them afterwards is cleanup that
+    * any later compaction re-sweeps. No-op with fewer than two live
+    * deltas (beyond garbage sweeping). */
+  def compactDelta(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
+    val base = tableName(name)
+    heal(spark, base)
+    val ds = liveDeltas(spark, base)
+    if (ds.size >= 2) {
+      val tmp = s"${base}_dtmp"
+      SignatureIndex.dropStale(spark, tmp)
+      writeSegment(mergeSegments(spark, ds.map(_.table)), tmp, spec)
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${base}_d${ds.map(_.a).min}_${ds.map(_.b).max}`")
+      ds.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+    }
+    dropGarbageDeltas(spark, base)
+  }
+
+  /** MAJOR compaction — rewrite base + deltas as one fresh base with
+    * one file per bucket, reclaiming append small-files and duplicate
+    * gram rows; catalog-rename swap, probe plan unchanged.
+    *
+    * Swap order is crash-safe (ADVICE r12 #3): the standing base is
+    * renamed ASIDE first, so no instant has zero recoverable copies —
+    * a crash between the two renames leaves `{base}_old` (full
+    * pre-compact data, consistent with the still-visible deltas) and
+    * `{base}_compact` (full rewrite whose covers-property hides those
+    * deltas); readers [[heal]] from either. The covers-property also
+    * closes the r13 gap a delta-aware compact would otherwise open: a
+    * crash after the swap but before the delta drops must not leave
+    * the folded deltas double-counted. */
+  def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
+    val base = tableName(name)
+    heal(spark, base)
+    val ds = liveDeltas(spark, base)
+    val covers = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max
+    val tmp = s"${base}_compact"
+    val old = s"${base}_old"
+    SignatureIndex.dropStale(spark, tmp)
+    SignatureIndex.dropStale(spark, old)
+    writeSegment(mergeSegments(spark, base +: ds.map(_.table)), tmp, spec)
+    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ('$CoversProp' = '$covers')")
+    spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
+    spark.sql(s"DROP TABLE `$old`")
+    allDeltas(spark, base).foreach(d =>
+      spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+  }
+
+  // ------------------------------------------------------------------
+  // probing
+  // ------------------------------------------------------------------
 
   /** Maximal ≥ minLen-token spans of `batch` documents already present
     * verbatim in the indexed corpus — [[Dedup.dupSpansAgainst]]'s
     * output contract ((doc_id, span_start, span_len, n_windows)), with
-    * the corpus side read bucketed, exchange-free. Per-window
+    * every index segment read bucketed, exchange-free. Per-window
     * guarantee, as in [[Dedup.dupSpans]]: a span may chain across
     * different corpus documents. */
   def probe(spark: SparkSession, batch: DataFrame,
             name: String, spec: Spec = Spec()): DataFrame = {
     val L = spec.minLen
-    gramsOf(batch, L)
-      .join(spark.table(tableName(name)), Seq("gram"), "left_semi")
+    val segs = segmentTables(spark, name)
+    val bg0 = gramsOf(batch, L)
+    val bg = if (segs.size == 1) bg0 else bg0.persistT // one gram pass, N semi joins
+    val matched =
+      if (segs.size == 1) bg.join(spark.table(segs.head), Seq("gram"), "left_semi")
+      // repartition by doc_id before the dedup: the union's children all
+      // claim hash(gram) (see hazard note), and a distinct on top would
+      // be planned exchange-free and keep cross-segment duplicates — a
+      // DIFFERENT-key repartition is not elidable, forces the real
+      // shuffle, and is the partitioning the island window wants next
+      else segs.map(t => bg.join(spark.table(t), Seq("gram"), "left_semi"))
+        .reduce(_ unionByName _)
+        .repartition(col("doc_id"))
+        .distinct() // a gram standing in two segments matches twice
+    matched
       .withColumn("grp", col("pos") - row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")))
@@ -134,16 +339,17 @@ object GramIndex {
     * batch docs) and whose union-wide owner — min doc_id across the
     * indexed owner and the batch's own minimum — is another doc.
     *
-    * Scale shape: the batch is gram'd and censused (cost ∝ shard); the
-    * index contributes owners only for the batch's grams via a
+    * Scale shape: the batch is gram'd and censused (cost ∝ shard); each
+    * index segment contributes owners only for the batch's grams via a
     * bucket-layout semi-restriction followed by a min-merge (append-
-    * safe: duplicate gram rows from appends collapse to the true
+    * safe: duplicate gram rows across segments collapse to the true
     * minimum), so index-side cost is the matched rows, never the
     * corpus; the rollup is [[Dedup.scrubRollup]], pruned to affected
     * docs. */
   def scrubProbe(spark: SparkSession, batch: DataFrame,
                  name: String, spec: Spec = Spec()): DataFrame = {
     val L = spec.minLen
+    val segs = segmentTables(spark, name)
     val toked = batch
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
     val toks = toked.select(col("doc_id"), posexplode(col("ts")))
@@ -154,11 +360,21 @@ object GramIndex {
     val batchCensus = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd_b"), min(col("doc_id")).as("min_b"))
     // Corpus owners for the batch's grams ONLY: the semi-restriction
-    // keeps the index side in its bucket layout (no corpus exchange);
-    // min() makes the lookup correct across un-compacted appends.
-    val idxOwners = spark.table(tableName(name))
-      .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
-      .groupBy(col("gram")).agg(min(col("owner")).as("owner_c"))
+    // keeps each segment in its bucket layout (no corpus exchange);
+    // the per-segment min + cross-segment min-merge makes the lookup
+    // correct across un-compacted appends.
+    val idxOwners0 = segs.map(t =>
+        spark.table(t)
+          .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
+          .groupBy(col("gram")).agg(min(col("owner")).as("owner_c")))
+    // cross-segment min-merge as a FULL-OUTER join fold, not a union:
+    // per-gram joins of co-partitioned segments zip partitions validly
+    // (see the union hazard note above); least() skips nulls
+    val idxOwners = idxOwners0.reduce { (a, b) =>
+      a.withColumnRenamed("owner_c", "oa")
+        .join(b.withColumnRenamed("owner_c", "ob"), Seq("gram"), "full")
+        .select(col("gram"), least(col("oa"), col("ob")).as("owner_c"))
+    }
     // duplicated in the union ⟺ standing in the corpus OR ≥ 2 batch
     // docs; union owner = min(corpus owner, batch min)
     val owned = batchCensus.join(idxOwners, Seq("gram"), "left")
@@ -172,5 +388,58 @@ object GramIndex {
       .distinct()
       .persistT // consumed twice inside the rollup (doc prune + mark)
     Dedup.scrubRollup(toks, removed)
+  }
+
+  // ------------------------------------------------------------------
+  // index-served span analytics (VERDICT r13 #2)
+  // ------------------------------------------------------------------
+
+  /** The standing (gram, source) statistics, segments merged: per-
+    * source distinct-doc and occurrence counts for every indexed gram.
+    * With a compacted index this is the base table read as stored (no
+    * exchange); live deltas add a gram-partitioned min/sum-merge over
+    * their (small) rows. The text is never touched — that is the point:
+    * every derived span analysis (breadth censuses, the syndication
+    * matrix) starts from 16-byte rows instead of re-tokenizing the
+    * corpus. */
+  def sourceStats(spark: SparkSession, name: String): DataFrame = {
+    val segs = segmentTables(spark, name)
+    if (segs.size == 1)
+      spark.table(segs.head)
+        .select("gram", "source", "n_docs", "n_occ")
+    else
+      segs.map(readUnbucketed(spark, _)).reduce(_ unionByName _)
+        .groupBy(col("gram"), col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_occ")).cast("long").as("n_occ"))
+  }
+
+  /** The cross-source span-affinity matrix SERVED from the index — the
+    * q290 semantics (per source pair: distinct shared gram templates
+    * and the occurrence mass behind them, grams broader than
+    * `maxSources` excluded from the pair join but counted in
+    * `n_wide_templates`) computed without re-reading any text. On a
+    * compacted single-segment index the whole derivation up to the
+    * pair-grain rollup runs in the base table's bucket layout: breadth
+    * census, cap filter and the per-gram pair join all key on `gram`,
+    * so the only exchanges are the ≤ |sources|²-row final aggregate
+    * and the 1-row wide-template census (GramIndexSpec pins the plan).
+    */
+  def sourceAffinity(spark: SparkSession, name: String,
+                     maxSources: Int = 16): DataFrame = {
+    val gs = sourceStats(spark, name)
+    val breadth = gs.groupBy(col("gram")).agg(count(lit(1)).as("ns"))
+    val narrow = gs.join(
+      breadth.where(col("ns") <= maxSources).select("gram"), Seq("gram"), "left_semi")
+    val wide = breadth.where(col("ns") > maxSources)
+      .agg(count(lit(1)).cast("long").as("n_wide_templates"))
+    narrow.select(col("gram"), col("source").as("source_a"), col("n_occ").as("occ_a"))
+      .join(narrow.select(col("gram"), col("source").as("source_b"), col("n_occ").as("occ_b")),
+        Seq("gram"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_templates"),
+        sum(col("occ_a") + col("occ_b")).cast("long").as("n_occurrences"))
+      .crossJoin(broadcast(wide))
   }
 }

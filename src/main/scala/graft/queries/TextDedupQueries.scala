@@ -256,7 +256,13 @@ object TextDedupQueries {
     // explode+aggregate instead of two (the oracle does the same); in
     // production corpusSigs is a standing materialized index instead.
     // Unpersist falls to the ContextCleaner (plan is returned lazily).
+    // Materialized EAGERLY (the r13 variance autopsy): every downstream
+    // consumer — both probe sides and the survivor anti join — then
+    // plans against the same fully-built cache with exact stats, so
+    // AQE's broadcast decisions cannot differ run to run with the
+    // fill state the first consumer left the cache in.
     val sigs = Dedup.minhashSignatures(docs, k = 32).persistT
+    sigs.count()
     // persistInputs=false: both probe sides are filters of the one
     // persisted table above — re-persisting them only stacked extra
     // materialization barriers (the r3 bench-variance finding)

@@ -190,6 +190,15 @@ object StreamSinks {
           graft.dedup.GramIndex.append(batch, indexName, spec)
           graft.dedup.GramIndex.scrubProbe(batch.sparkSession, batch, indexName, spec)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+          // Segment hygiene: every append lands one delta segment, and
+          // probe read-amplification grows with segment count — fold the
+          // deltas every 8 batches (MINOR compaction: cost ∝ appended
+          // data, the base is untouched, and the fold is a semantic
+          // no-op, so it composes with replay idempotence). The sink is
+          // the index's single writer — an out-of-band major compact
+          // must not run while the stream is active.
+          if (batchId % 8 == 7)
+            graft.dedup.GramIndex.compactDelta(batch.sparkSession, indexName, spec)
         } finally batch.unpersist()
       }
     }

@@ -62,7 +62,7 @@ object Bpe {
   def trainFromCounts(wordCounts: Seq[(String, Long)],
                       numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = wordCounts
-      .map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+      .map { case (w, n) => (cpSplit(w), n) }.toArray
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.length < numMerges) {
@@ -91,8 +91,47 @@ object Bpe {
     merges.toSeq
   }
 
-  private def pairLe(a: (String, String), b: (String, String)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+  /** Code-POINT symbol split — what the distributed fold's
+    * `substring(w, i, 1)` does (UTF8String counts code points). The
+    * old `w.map(_.toString)` split by UTF-16 code UNIT, which broke
+    * every supplementary-plane pretoken (an emoji) into two lone
+    * surrogate halves: un-mergeable, and not even valid strings on
+    * their own (ADVICE r13 #3's root cause, one level below the
+    * tie-break it flagged). */
+  private[graft] def cpSplit(w: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Code-POINT lexicographic compare — the order Spark's UTF8String
+    * `orderBy` uses (UTF-8 byte order ≡ code-point order). A plain
+    * `String.compareTo` is UTF-16 code-UNIT order, which sorts every
+    * supplementary-plane symbol (emoji — routine in the adversarially
+    * diverse web text [[fitDistributedTable]] targets, surrogates
+    * 0xD800–0xDFFF) BEFORE the BMP tail (0xE000–0xFFFF), so a count
+    * tie between such symbols would break the pinned row-for-row
+    * driver ≡ distributed equivalence (ADVICE r13 #3; BpeSpec pins the
+    * emoji-vs-U+FFFD tie). */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def pairLe(a: (String, String), b: (String, String)): Boolean = {
+    val c = cpCompare(a._1, b._1)
+    c < 0 || (c == 0 && cpCompare(a._2, b._2) <= 0)
+  }
 
   private def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
@@ -197,14 +236,17 @@ object Bpe {
       }
       import spark.implicits._
       rows.toSeq.toDF("merge_step", "lhs", "rhs", "merged", "pair_count")
-    } finally graft.ops.Lineage.endChain(spark, chain, deleteLast = false)
+      // deleteLast = true (ADVICE r13 #4): the returned frame is built
+      // from the collected merge rows, so the final vocab checkpoint is
+      // never read again — keeping it leaked one directory per run.
+    } finally graft.ops.Lineage.endChain(spark, chain, deleteLast = true)
   }
 
   /** Greedy rank-order encode of ONE pretoken: start from characters,
     * repeatedly merge the adjacent pair with the lowest merge rank
     * until none applies. */
   def applyMerges(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = cpSplit(word)
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue

@@ -51,6 +51,28 @@ class BpeSpec extends SparkSpec {
       (1L, "u", "g", "ug", 20L), (2L, "u", "n", "un", 16L), (3L, "h", "ug", "hug", 15L))
   }
 
+  test("supplementary-plane symbols: code-point split and code-point tie-break") {
+    // ADVICE r13 #3: the driver loop must order ties the way the
+    // distributed fold's orderBy(l, r) does — UTF8String binary order,
+    // i.e. CODE-POINT order. UTF-16 code-unit order would put the
+    // emoji (U+1F600, lead surrogate 0xD83D) before U+FFFD and pick
+    // the other merge.
+    val emoji = "😀" // 😀 U+1F600
+    Bpe.cpCompare(emoji, "�") should be > 0 // code points: 0x1F600 > 0xFFFD
+    emoji.compareTo("�") should be < 0 // what String order wrongly says
+    // two pair types tied at count 2 → merge must be (x, U+FFFD)
+    Bpe.trainFromCounts(Seq("x" + emoji -> 2L, "x�" -> 2L), 1) shouldBe
+      Seq(("x", "�"))
+    // symbol split is by code point: an emoji is ONE mergeable symbol,
+    // never two lone surrogate halves (which are not even valid
+    // strings on their own)
+    Bpe.cpSplit("a" + emoji + "b").toSeq shouldBe Seq("a", emoji, "b")
+    Bpe.trainFromCounts(Seq(emoji + emoji -> 3L), 1) shouldBe Seq((emoji, emoji))
+    // and the encoder merges it whole
+    Bpe.applyMerges(emoji + emoji, Map((emoji, emoji) -> 0)).toSeq shouldBe
+      Seq(emoji + emoji)
+  }
+
   test("applyMerges encodes known words under the textbook merges") {
     val ranks = Seq(("u", "g"), ("u", "n"), ("h", "ug")).zipWithIndex.toMap
     Bpe.applyMerges("hugs", ranks).toSeq shouldBe Seq("hug", "s")

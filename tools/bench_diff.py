@@ -31,6 +31,14 @@ import sys
 
 RATIO = 1.30
 ABS_FLOOR = 0.10
+# ADVICE r13 #1: the drift correction normalizes per-query ratios by the
+# battery median, which makes the per-query gate blind to a UNIFORM real
+# regression (slow everything 1.5x and every corrected ratio is 1.0).
+# The battery median itself is therefore gated too: above this, the diff
+# fails unless an explicit --battery-allow names the battery-level cause
+# (the measured r13 host-drift series topped out at 1.119 same-code;
+# 1.15 leaves headroom for that without waving through a real 1.2x).
+BATTERY_RATIO = 1.15
 
 
 def load_base(ref: str) -> dict:
@@ -50,17 +58,43 @@ def main() -> int:
     ap.add_argument("--allow-file", default=None,
                     help="file of QUERY=REASON lines (committed alongside the "
                          "battery so the justification is part of the record); "
-                         "'#' comments and blank lines ignored; missing file ok")
+                         "'#' comments and blank lines ignored; missing file ok. "
+                         "Must carry a '# base: <commit>' stamp matching --base "
+                         "(ADVICE r13 #2): allowances are per-battery, and a "
+                         "stale file must fail loudly, not exempt silently.")
+    ap.add_argument("--battery-allow", default=None, metavar="REASON",
+                    help="accept a battery-median ratio above the "
+                         f"{BATTERY_RATIO}x gate WITH a named battery-level "
+                         "cause (quoted in the close-out note)")
     args = ap.parse_args()
 
     if args.allow_file:
         try:
-            for ln in open(args.allow_file):
-                ln = ln.strip()
-                if ln and not ln.startswith("#"):
-                    args.allow.append(ln)
+            lines = open(args.allow_file).read().splitlines()
         except FileNotFoundError:
-            pass
+            lines = None
+        if lines is not None:
+            # Stamp check (ADVICE r13 #2): the file names the base commit
+            # its allowances were measured against. A mismatch means the
+            # file is left over from an older battery — entries then fail
+            # as if unallowed instead of rubber-stamping a new regression.
+            stamps = [ln.split(":", 1)[1].strip() for ln in lines
+                      if ln.replace(" ", "").lower().startswith("#base:")]
+            want = subprocess.run(["git", "rev-parse", "--short", args.base],
+                                  capture_output=True, text=True).stdout.strip()
+            if not stamps:
+                sys.exit(f"bench_diff: {args.allow_file} has no '# base: <commit>' "
+                         f"stamp — stamp it with the battery it was measured "
+                         f"against (currently {want})")
+            if want and stamps[0] != want:
+                print(f"bench_diff: STALE allow file {args.allow_file} "
+                      f"(stamped base {stamps[0]}, diffing against {want}) — "
+                      f"ignoring its {sum(1 for ln in lines if ln.strip() and not ln.strip().startswith('#'))} entries")
+            else:
+                for ln in lines:
+                    ln = ln.strip()
+                    if ln and not ln.startswith("#"):
+                        args.allow.append(ln)
 
     allow = {}
     for a in args.allow:
@@ -100,6 +134,12 @@ def main() -> int:
     if abs(med_ratio - 1.0) > 0.03:
         print(f"session drift: battery median ratio {med_ratio:.3f} — "
               f"per-query failures below are drift-corrected by it")
+    # Whole-battery gate (ADVICE r13 #1): a uniform regression moves the
+    # median itself, which the per-query drift correction cannot see.
+    battery_fail = med_ratio > BATTERY_RATIO and not args.battery_allow
+    if med_ratio > BATTERY_RATIO and args.battery_allow:
+        print(f"  ALLOW battery: median ratio {med_ratio:.3f} > {BATTERY_RATIO} "
+              f"— {args.battery_allow}")
 
     failures, noted = [], []
     for ratio, delta, q, o, n in sorted(rows, reverse=True):
@@ -130,9 +170,14 @@ def main() -> int:
         print(f"median per-query ratio over {len(med)} shared queries: "
               f"{med[len(med) // 2]:.3f}")
 
+    if battery_fail:
+        print(f"bench_diff: BATTERY median ratio {med_ratio:.3f} > {BATTERY_RATIO} "
+              f"— a whole-battery regression (or name the battery-level cause "
+              f"with --battery-allow)")
     if failures:
         print(f"bench_diff: {len(failures)} regression(s) >{RATIO}x "
               f"(+>{ABS_FLOOR}s) — justify with --allow or fix before committing")
+    if failures or battery_fail:
         return 1
     print("bench_diff: OK")
     return 0

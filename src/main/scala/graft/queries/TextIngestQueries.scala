@@ -559,11 +559,23 @@ object TextIngestQueries {
     *
     * Scale shape: one (gram, source) rollup (the only corpus-volume
     * shuffle — 16-byte hashes, text stays in the scan); the pair join
-    * is per-gram over ≤ |sources| rows, fan-out bounded by
-    * C(|sources|, 2) — a DIMENSION-bounded self-join, never doc-grain
-    * quadratic; output is ≤ |sources|² rows. */
+    * is per-gram over ≤ min(|sources|, C) rows, fan-out bounded by
+    * C(min(|sources|, C), 2) — a DIMENSION-bounded self-join, never
+    * doc-grain quadratic; output is ≤ |sources|² rows.
+    *
+    * |S| ASSUMPTION, stated (VERDICT r13 #4): the matrix is |S|² cells,
+    * which is the product a human reads — |S| in the hundreds at most.
+    * The fixture has 20 sources. What must NOT depend on small |S| is
+    * the per-GRAM fan-out, so grams held by more than C = 16 sources
+    * (license boilerplate lights every cell — on a crawl with thousands
+    * of "sources" that is a C(|S|,2) explosion per such gram) are
+    * excluded from the pair join and COUNTED in `n_wide_templates`
+    * (the q289 breadth-cap discipline at source grain; the count keeps
+    * the cap honest — contamination never silently disappears). At the
+    * fixture's breadth (max 4 sources/gram at both sf) the cap never
+    * binds; the many-sources fixture in AdvSweep exercises it. */
   private def q290(s: SparkSession, d: String): DataFrame = {
-    val L = 8
+    val L = 8; val C = 16
     val gs = docs0(s, d)
       .select(col("source"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
       .where(size(col("ts")) >= L)
@@ -572,18 +584,24 @@ object TextIngestQueries {
         .as("gram"))
       .groupBy(col("gram"), col("source"))
       .agg(count(lit(1)).as("n_occ"))
-      .persistT // both sides of the pair join
-    gs.select(col("gram"), col("source").as("source_a"), col("n_occ").as("occ_a"))
-      .join(gs.select(col("gram"), col("source").as("source_b"), col("n_occ").as("occ_b")),
+      .persistT // breadth census + both sides of the pair join
+    val breadth = gs.groupBy(col("gram")).agg(count(lit(1)).as("ns"))
+    val narrow = gs.join(
+      breadth.where(col("ns") <= C).select("gram"), Seq("gram"), "left_semi")
+    val wide = breadth.where(col("ns") > C)
+      .agg(count(lit(1)).cast("long").as("n_wide_templates"))
+    narrow.select(col("gram"), col("source").as("source_a"), col("n_occ").as("occ_a"))
+      .join(narrow.select(col("gram"), col("source").as("source_b"), col("n_occ").as("occ_b")),
         Seq("gram"))
       .where(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_templates"),
         sum(col("occ_a") + col("occ_b")).as("n_occurrences"))
+      .crossJoin(broadcast(wide))
       .sortedOut("source_a", "source_b")
   }
 
-  private val q290Sql =
+  private[queries] val q290Sql =
     """WITH toks AS MATERIALIZED (
       |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
       |  FROM documents),
@@ -592,14 +610,145 @@ object TextIngestQueries {
       |  FROM (SELECT source, ts, unnest(range(len(ts) - 8 + 1)) AS i
       |        FROM toks WHERE len(ts) >= 8) u),
       |gs AS MATERIALIZED (SELECT gram, source, CAST(count(*) AS BIGINT) AS n_occ
-      |  FROM g GROUP BY 1, 2)
+      |  FROM g GROUP BY 1, 2),
+      |br AS MATERIALIZED (SELECT gram, count(*) AS ns FROM gs GROUP BY 1),
+      |nw AS (SELECT gs.* FROM gs JOIN br USING (gram) WHERE br.ns <= 16),
+      |wd AS (SELECT CAST(count(*) AS BIGINT) AS n_wide_templates FROM br WHERE ns > 16)
       |SELECT a.source AS source_a, b.source AS source_b,
       |  CAST(count(*) AS BIGINT) AS n_templates,
-      |  CAST(sum(a.n_occ + b.n_occ) AS BIGINT) AS n_occurrences
-      |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      |  CAST(sum(a.n_occ + b.n_occ) AS BIGINT) AS n_occurrences,
+      |  (SELECT n_wide_templates FROM wd) AS n_wide_templates
+      |FROM nw a JOIN nw b ON a.gram = b.gram AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ------------- cluster-trained BPE serving (q293)
+  /** Train→encode with NO driver-side training loop (VERDICT r13 #8):
+    * the merge table comes from
+    * [[graft.text.Bpe.fitDistributedTable]] (q287's fully distributed
+    * training — the type table never leaves the cluster), the driver
+    * collects only the 8-row TABLE itself
+    * ([[graft.text.Bpe.ranksFromTable]], the k-bounded fetch
+    * discipline), and the native [[graft.text.BpeEncode]] ships those
+    * ranks with the plan. Unlike q104 (200 driver-fit merges, oracled
+    * by invariants only), the 8 cluster-learned merges are SQL-
+    * re-derivable, so the ENCODING is exact-oracled: the oracle
+    * replays the whole training loop (the q287 CTEs), then encodes
+    * every pretoken by applying the learned merges sequentially in
+    * rank order — equivalent to the engine's rank-greedy encode,
+    * because a merge's components always predate it in training, so a
+    * later merge can never enable an earlier one. Exact per-doc token
+    * counts, not just bounds.
+    *
+    * Scale shape: training is q287's (vocab-bounded census + 1-row
+    * argmax per round); encoding is a pure per-row native kernel. */
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val merges = graft.text.Bpe.ranksFromTable(
+      graft.text.Bpe.fitDistributedTable(docs, numMerges = 8))
+    val pre = graft.text.TextFunctions.bpeTokens(col("text"))
+    val toks = graft.text.Bpe.encode(col("text"), merges)
+    docs.select(col("doc_id"), pre.as("__pre"), toks.as("__toks"))
+      .select(col("doc_id"),
+        size(col("__pre")).as("n_pretokens"),
+        size(col("__toks")).as("n_tokens"),
+        (array_join(col("__toks"), "") === array_join(col("__pre"), ""))
+          .as("lossless"))
+      .sortedOutWide("doc_id")
+  }
+
+  /** q287's unrolled training rounds (w1..w8 hold the learned merges),
+    * then per-pretoken sequential application of each merge via the
+    * chr(1)/chr(2)-delimited replace (left-to-right non-overlapping —
+    * exactly mergePair). A LEFT JOIN against each 1-row winner keeps
+    * the replay total when training stops early (w_j empty). */
+  private val q293Sql = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pre AS MATERIALIZED (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS t
+        |    FROM documents) u
+        |  WHERE length(t) <= 256 GROUP BY t),
+        |s0 AS MATERIALIZED (
+        |  SELECT chr(1) || array_to_string(list_transform(range(1, length(t) + 1),
+        |    i -> substr(t, CAST(i AS INT), 1)), chr(2) || chr(1)) || chr(2) AS s, cnt
+        |  FROM pre)""".stripMargin)
+    for (j <- 1 to k) {
+      val prev = s"s${j - 1}"
+      sb.append(s""",
+        |c$j AS (
+        |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS pc
+        |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms, cnt
+        |        FROM $prev) v, unnest(range(1, len(syms))) AS u(i)
+        |  GROUP BY 1, 2),
+        |w$j AS MATERIALIZED (SELECT l, r, pc FROM c$j WHERE pc >= 2
+        |  ORDER BY pc DESC, l, r LIMIT 1),
+        |s$j AS MATERIALIZED (
+        |  SELECT replace(s, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+        |    chr(1) || l || r || chr(2)) AS s, cnt
+        |  FROM $prev, w$j)""".stripMargin)
+    }
+    // encode every document's pretokens under the learned merges
+    sb.append(
+      """,
+        |e0 AS (
+        |  SELECT doc_id, t,
+        |    chr(1) || array_to_string(list_transform(range(1, length(t) + 1),
+        |      i -> substr(t, CAST(i AS INT), 1)), chr(2) || chr(1)) || chr(2) AS s
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS t
+        |        FROM documents) u)""".stripMargin)
+    for (j <- 1 to k) {
+      sb.append(s""",
+        |e$j AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN l IS NULL THEN s
+        |         ELSE replace(s, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+        |                chr(1) || l || r || chr(2)) END AS s
+        |  FROM e${j - 1} LEFT JOIN w$j ON true)""".stripMargin)
+    }
+    sb.append(s"""
+      |, enc AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS INTEGER) AS n_pretokens,
+      |    CAST(sum(len(string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)))) AS INTEGER) AS n_tokens,
+      |    bool_and(replace(replace(s, chr(1), ''), chr(2), '') = t) AS lossless
+      |  FROM e$k GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(enc.n_pretokens, 0) AS n_pretokens,
+      |  coalesce(enc.n_tokens, 0) AS n_tokens,
+      |  coalesce(enc.lossless, true) AS lossless
+      |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
+  // ------------- index-served span affinity (q292)
+  /** q290's syndication matrix SERVED from the standing
+    * [[graft.dedup.GramIndex]] (VERDICT r13 #4): the span family's
+    * derived analyses re-derived grams from text on every run even
+    * when a standing index existed — the index's (gram, source,
+    * n_docs, n_occ) rows are exactly the q290 rollup, so the affinity
+    * matrix starts from 16-byte pre-aggregated rows instead of
+    * re-tokenizing the corpus ([[graft.dedup.SignatureIndex]]'s
+    * `selfPairs` precedent, at gram grain). Same capped semantics,
+    * same ORACLE as q290 verbatim — the driver's compare pins
+    * index-served ≡ text-derived bit-for-bit; GramIndexSpec pins the
+    * plan (bucket-layout derivation, no text re-read). */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q292_affidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs0(s, d), name, spec)
+    graft.dedup.GramIndex.sourceAffinity(s, name, maxSources = 16)
+      .sortedOut("source_a", "source_b")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q293_bpe_served_encode", q293 _, Some(q293Sql)),
+    ("q292_index_span_affinity", q292 _, Some(q290Sql)),
     ("q290_source_span_affinity", q290 _, Some(q290Sql)),
     ("q289_leak_attribution", q289 _, Some(q289Sql)),
     ("q288_code_switch", q288 _, Some(q288Sql)),

@@ -92,6 +92,24 @@ class BpeSpec extends SparkSpec {
     Bpe.fit(docs, numMerges = 3) shouldBe Seq(("u", "g"), ("u", "n"), ("h", "ug"))
   }
 
+  test("ranksFromTable: the cluster-trained table serves the exact driver-fit encoding") {
+    // VERDICT r13 #8: train→encode must be cluster-only end to end —
+    // the ranks handed to the native encoder come from the TRAINED
+    // TABLE (fitDistributedTable), and must reproduce the driver fit's
+    // encoding token for token.
+    val docs = textbook.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val served = Bpe.ranksFromTable(Bpe.fitDistributedTable(docs, numMerges = 3))
+    served shouldBe Bpe.fit(docs, numMerges = 3)
+    val enc = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), served).as("a"),
+        Bpe.encode(col("text"), Bpe.fit(docs, numMerges = 3)).as("b"))
+      .where(!(col("a") === col("b")))
+    enc.count() shouldBe 0L
+  }
+
   test("encode column: lossless per-pretoken concatenation, mixed content") {
     val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
     val df = Seq(

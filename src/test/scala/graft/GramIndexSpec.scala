@@ -140,6 +140,183 @@ class GramIndexSpec extends SparkSpec {
     scrubRows(GramIndex.scrubProbe(spark, docsDF(500L -> shared), "gramidx_r", spec)) shouldBe before
   }
 
+  test("tiered segments: probe/scrub read base+deltas; minor compact ≡ major compact") {
+    val t1 = (0 until 10).map(i => s"ta$i").mkString(" ")
+    val t2 = (0 until 10).map(i => s"tb$i").mkString(" ")
+    val t3 = (0 until 10).map(i => s"tc$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> t1), "gramidx_t", spec)
+    GramIndex.append(docsDF(200L -> t2), "gramidx_t", spec)
+    GramIndex.append(docsDF(300L -> t3), "gramidx_t", spec)
+    // two delta segments stand beside the base
+    spark.catalog.tableExists("gramidx_t_grams_d1_1") shouldBe true
+    spark.catalog.tableExists("gramidx_t_grams_d2_2") shouldBe true
+    // a batch hitting all three segments scrubs identically at every
+    // compaction state
+    val batch = docsDF(900L -> t1, 901L -> t2, 902L -> t3)
+    val before = scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_t", spec))
+    before.map(_._1) shouldBe Seq(900L, 901L, 902L) // all corpus-owned
+    // MINOR compact: deltas fold into one range-named segment, base
+    // untouched, results unchanged
+    GramIndex.compactDelta(spark, "gramidx_t", spec)
+    spark.catalog.tableExists("gramidx_t_grams_d1_2") shouldBe true
+    spark.catalog.tableExists("gramidx_t_grams_d1_1") shouldBe false
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_t", spec)) shouldBe before
+    // append after the fold picks a fresh id ABOVE the merged range
+    GramIndex.append(docsDF(400L -> t1), "gramidx_t", spec)
+    spark.catalog.tableExists("gramidx_t_grams_d3_3") shouldBe true
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_t", spec)) shouldBe before
+    // MAJOR compact: one base, no deltas, one row per (gram, source)
+    GramIndex.compact(spark, "gramidx_t", spec)
+    spark.catalog.tableExists("gramidx_t_grams_d1_2") shouldBe false
+    spark.catalog.tableExists("gramidx_t_grams_d3_3") shouldBe false
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_t", spec)) shouldBe before
+    spark.table("gramidx_t_grams").count() shouldBe
+      spark.table("gramidx_t_grams").select("gram", "source").distinct().count()
+  }
+
+  test("compaction crash windows: merged-segment subsumption and covers-property") {
+    val t1 = (0 until 10).map(i => s"ua$i").mkString(" ")
+    val t2 = (0 until 10).map(i => s"ub$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> t1), "gramidx_u", spec)
+    GramIndex.append(docsDF(200L -> t1), "gramidx_u", spec) // dup grams, larger owner
+    GramIndex.append(docsDF(300L -> t2), "gramidx_u", spec)
+    val batch = docsDF(900L -> t1, 901L -> t2)
+    val before = scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_u", spec))
+    // simulate a minor-compact crash AFTER the merged segment's rename
+    // but BEFORE the input drops: d1_2 exists alongside d1_1 and d2_2 —
+    // readers must use the merged segment and ignore the contained ones
+    // (double-reading would double n_occ and is pinned by sourceStats)
+    spark.sql("CREATE TABLE `gramidx_u_grams_d1_2` AS " +
+      "SELECT gram, min(owner) AS owner, source, " +
+      "CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(n_occ) AS BIGINT) AS n_occ " +
+      "FROM (SELECT * FROM `gramidx_u_grams_d1_1` UNION ALL SELECT * FROM `gramidx_u_grams_d2_2`) u " +
+      "GROUP BY gram, source")
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_u", spec)) shouldBe before
+    val occTotal = GramIndex.sourceStats(spark, "gramidx_u")
+      .agg(sum(col("n_occ"))).collect()(0).getLong(0)
+    // 3 docs x 10 tokens x minLen 8 = 3 windows x ... : just pin that the
+    // subsumed segments are not double-counted vs a fresh rebuild
+    GramIndex.write(docsDF(100L -> t1, 200L -> t1, 300L -> t2), "gramidx_u2", spec)
+    GramIndex.sourceStats(spark, "gramidx_u2")
+      .agg(sum(col("n_occ"))).collect()(0).getLong(0) shouldBe occTotal
+    // simulate a MAJOR-compact crash after the swap but before the
+    // delta drops: the covers-property must hide the folded deltas
+    GramIndex.compact(spark, "gramidx_u", spec)
+    spark.sql("CREATE TABLE `gramidx_u_grams_d1_1` AS SELECT * FROM `gramidx_u_grams` LIMIT 0")
+    // an empty stale delta is harmless either way; a FULL stale copy is
+    // the dangerous one — plant the pre-compact delta content back
+    spark.sql("DROP TABLE `gramidx_u_grams_d1_1`")
+    spark.sql("CREATE TABLE `gramidx_u_grams_d1_2` AS SELECT * FROM `gramidx_u_grams`")
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_u", spec)) shouldBe before
+    GramIndex.sourceStats(spark, "gramidx_u")
+      .agg(sum(col("n_occ"))).collect()(0).getLong(0) shouldBe occTotal
+    // the next compaction sweeps the stale segment
+    GramIndex.compactDelta(spark, "gramidx_u", spec)
+    spark.catalog.tableExists("gramidx_u_grams_d1_2") shouldBe false
+  }
+
+  test("readers self-heal the major-compact rename window") {
+    val shared = (0 until 10).map(i => s"h$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> shared), "gramidx_h", spec)
+    val batch = docsDF(500L -> shared)
+    val before = scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_h", spec))
+    // crash between the two renames: no live table, `_old` survives —
+    // a probe must recover by itself instead of failing (ADVICE r13 #5)
+    spark.sql("ALTER TABLE `gramidx_h_grams` RENAME TO `gramidx_h_grams_old`")
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_h", spec)) shouldBe before
+    spark.catalog.tableExists("gramidx_h_grams") shouldBe true
+    // same for the `_compact`-only state (old already promoted+dropped)
+    spark.sql("ALTER TABLE `gramidx_h_grams` RENAME TO `gramidx_h_grams_compact`")
+    scrubRows(GramIndex.scrubProbe(spark, batch, "gramidx_h", spec)) shouldBe before
+    // and APPEND heals too before allocating its segment id
+    GramIndex.write(docsDF(100L -> shared), "gramidx_h2", spec)
+    spark.sql("ALTER TABLE `gramidx_h2_grams` RENAME TO `gramidx_h2_grams_old`")
+    GramIndex.append(docsDF(50L -> shared), "gramidx_h2", spec)
+    GramIndex.scrubProbe(spark, docsDF(70L -> shared), "gramidx_h2", spec)
+      .count() shouldBe 1
+  }
+
+  test("union-of-bucketed-segments hazard stays fixed: merged stats never double") {
+    // Regression pin for the Spark 4.1 unionOutputPartitioning hazard:
+    // a Union of same-bucketed segment tables claims its children's
+    // hash partitioning while CONCATENATING partitions, so a keyed
+    // aggregate planned on top loses the exchange and emits duplicate
+    // groups (observed: groupBy(gram, source) over base ∪ delta
+    // returned both pre-merge rows; an explicit same-key repartition
+    // was elided too). GramIndex readers avoid union claims
+    // structurally — this pins the user-visible contracts.
+    val shared = (0 until 12).map(i => s"z$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> shared), "gramidx_z", spec)
+    GramIndex.append(docsDF(50L -> shared), "gramidx_z", spec)
+    // sourceStats: ONE row per (gram, source) with summed counts
+    val st = GramIndex.sourceStats(spark, "gramidx_z")
+    st.count() shouldBe st.select("gram", "source").distinct().count()
+    st.agg(min(col("n_docs")), max(col("n_docs"))).collect()(0).toSeq shouldBe Seq(2L, 2L)
+    // scrubProbe owner min-merge across segments: 70 > 50 scrubs, 40 < 50 owns
+    GramIndex.scrubProbe(spark, docsDF(70L -> shared), "gramidx_z", spec)
+      .count() shouldBe 1
+    GramIndex.scrubProbe(spark, docsDF(40L -> shared), "gramidx_z", spec)
+      .count() shouldBe 0
+    // minor compact folds to the same stats
+    GramIndex.append(docsDF(60L -> shared), "gramidx_z", spec)
+    GramIndex.compactDelta(spark, "gramidx_z", spec)
+    val st2 = GramIndex.sourceStats(spark, "gramidx_z")
+    st2.count() shouldBe st2.select("gram", "source").distinct().count()
+    st2.agg(min(col("n_docs")), max(col("n_docs"))).collect()(0).toSeq shouldBe Seq(3L, 3L)
+  }
+
+  test("sourceAffinity serves the q290 matrix from the index, cap honest") {
+    val tpl = (0 until 9).map(i => s"af$i").mkString(" ")   // 3-source template
+    val tpl2 = (0 until 9).map(i => s"ah$i").mkString(" ")  // a+b-only template
+    val solo = (0 until 9).map(i => s"ag$i").mkString(" ")  // source-a only
+    val corpus = Seq(
+      (1L, tpl, "src_a"), (2L, tpl, "src_b"), (3L, tpl + " " + tpl, "src_c"),
+      (4L, solo, "src_a"), (5L, tpl2, "src_a"), (6L, tpl2, "src_b"))
+      .toDF("doc_id", "text", "source")
+    GramIndex.write(corpus, "gramidx_af", spec)
+    val aff = GramIndex.sourceAffinity(spark, "gramidx_af", maxSources = 16)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // each 9-token template is 2 windows of 8; doc 3 carries tpl twice
+    aff.map(t => (t._1, t._2)) shouldBe Seq(
+      ("src_a", "src_b"), ("src_a", "src_c"), ("src_b", "src_c"))
+    // (a,b) share tpl AND tpl2 = 4 templates; the others share tpl = 2
+    aff.map(_._3) shouldBe Seq(4L, 2L, 2L)
+    // occurrence mass: src_c holds each tpl window twice (doc 3 repeats)
+    aff.map(_._4) shouldBe Seq(8L, 6L, 6L)
+    aff.foreach { t => t._5 shouldBe 0L } // no over-cap grams at 16
+    // a cap BELOW tpl's breadth excludes it from the matrix but counts
+    // it: cap=2 -> tpl's 2 windows (3 sources) are wide; only the
+    // (a,b)-pair survives, carried by tpl2, and reports them
+    val capped = GramIndex.sourceAffinity(spark, "gramidx_af", maxSources = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    capped.toSeq shouldBe Seq(("src_a", "src_b", 2L, 2L))
+  }
+
+  test("sourceAffinity plan: derived from index rows only, no gram-side exchange") {
+    // VERDICT r13 #4's done-bar: the index-served affinity must never
+    // re-read text — every scan is the bucketed `{name}_grams` table —
+    // and the only hash exchange is the ≤|sources|²-row pair-grain
+    // aggregate (plus the 1-row wide-template census): the gram-grain
+    // breadth/cap/pair derivation all run in the index's bucket layout.
+    val tpl = (0 until 9).map(i => s"pp$i").mkString(" ")
+    GramIndex.write(
+      Seq((1L, tpl, "sa"), (2L, tpl, "sb")).toDF("doc_id", "text", "source"),
+      "gramidx_pp", spec)
+    val plan = GramIndex.sourceAffinity(spark, "gramidx_pp", 16)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "documents"
+      plan should not include "text#"
+      "Bucketed: true".r.findAllIn(plan).size should be >= 4 // every index scan
+      // pair-grain rollup is the ONLY keyed exchange; everything at
+      // gram grain stays in the bucket layout
+      val keyed = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      keyed.filterNot(_.contains("source_a")) shouldBe empty
+    }
+  }
+
   test("probe plan: index read bucketed, no corpus-side exchange") {
     GramIndex.write(corpus, "gramidx_p", spec)
     val plan = GramIndex.probe(spark, batch, "gramidx_p", spec)

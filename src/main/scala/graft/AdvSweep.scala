@@ -2509,6 +2509,99 @@ object AdvSweep {
         (1L, "a", "b", "ab", 1000L), (2L, "ab", "c", "abc", 1000L))).toString
     }
 
+    // ==== wave 17 (round-14: capped affinity + index twins + BPE serving) =
+
+    // ---- q290/q292 with a template standing in 30 sources ---------------
+    // The boilerplate worst case at SOURCE grain (VERDICT r13 #7): one
+    // 9-token template carried by 30 sources would contribute
+    // C(30,2) = 435 pair rows per gram to an uncapped matrix — at
+    // thousands of crawl sources, the q289-style explosion. Both the
+    // text-derived matrix (q290) and the index-served twin (q292) must
+    // exclude it from the pair join (cap 16), COUNT it in
+    // n_wide_templates, and keep the narrow pair that remains. The two
+    // surfaces must agree row for row on the same fixture.
+    step("affinity_wide_template") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-aff").toString
+      val tpl = (0 until 9).map(i => s"aw$i").mkString(" ")   // 30-source wide
+      val tpl2 = (0 until 9).map(i => s"ax$i").mkString(" ")  // 2-source narrow
+      spark.range(30).selectExpr("id AS doc_id", "'en' AS lang",
+          "concat('src', CAST(id AS STRING)) AS source")
+        .withColumn("text", lit(tpl))
+        .unionByName(spark.range(2).selectExpr("id + 100 AS doc_id",
+          "'en' AS lang", "concat('src', CAST(id AS STRING)) AS source")
+          .withColumn("text", lit(tpl2)))
+        .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def rows(q: String) = SparkEntry.queries(q)(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      val text = rows("q290_source_span_affinity")
+      val served = rows("q292_index_span_affinity")
+      // the wide template's 2 windows are counted, not paired: only the
+      // (src0, src1) narrow pair survives, carried by tpl2's 2 windows
+      stats("affinity_wide_capped_counted") = (text == Seq(
+        ("src0", "src1", 2L, 4L, 2L))).toString
+      stats("affinity_index_twin_equal") = (served == text).toString
+      stats("affinity_uncapped_pair_rows_would_be") = (30L * 29 / 2 * 2).toString
+    }
+
+    // ---- q292 affinity across index segment churn ------------------------
+    // The index-served matrix must be invariant across append/compaction
+    // states: a fresh pair added by an APPEND shows up through the
+    // multi-segment stats merge, and folding the segments (minor, then
+    // major compaction) changes nothing — the crash-window subsumption
+    // rules are what make this hold mid-compaction too (GramIndexSpec
+    // pins those; this exercises the live query surface on top).
+    step("affinity_segment_churn") {
+      import graft.dedup.GramIndex
+      val tpl = (0 until 9).map(i => s"cg$i").mkString(" ")
+      import spark.implicits._
+      val spec = GramIndex.Spec(minLen = 8, buckets = 8)
+      GramIndex.write(Seq((1L, tpl, "sa"), (2L, tpl, "sb"))
+        .toDF("doc_id", "text", "source"), "adv_churn", spec)
+      def aff() = GramIndex.sourceAffinity(spark, "adv_churn", 16)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      val base = aff()
+      stats("churn_base_pair") = (base == Seq(("sa", "sb", 2L, 4L, 0L))).toString
+      GramIndex.append(Seq((3L, tpl, "sc")).toDF("doc_id", "text", "source"),
+        "adv_churn", spec)
+      GramIndex.append(Seq((4L, tpl, "sc")).toDF("doc_id", "text", "source"),
+        "adv_churn", spec)
+      val appended = aff()
+      // sc joins both pairs; its n_occ = 2 (docs 3 and 4) via the
+      // cross-segment stats sum
+      stats("churn_append_visible") = (appended == Seq(
+        ("sa", "sb", 2L, 4L, 0L), ("sa", "sc", 2L, 6L, 0L),
+        ("sb", "sc", 2L, 6L, 0L))).toString
+      GramIndex.compactDelta(spark, "adv_churn", spec)
+      stats("churn_minor_compact_invariant") = (aff() == appended).toString
+      GramIndex.compact(spark, "adv_churn", spec)
+      stats("churn_major_compact_invariant") = (aff() == appended).toString
+    }
+
+    // ---- q293 served encode when training early-stops --------------------
+    // A corpus of single-character words has NO adjacent symbol pairs at
+    // all (the census is empty on round 1): training learns zero merges
+    // and the served encoder must degrade to the pretokenizer exactly —
+    // n_tokens == n_pretokens everywhere, lossless — rather than fail on
+    // an empty merge table. (Multi-char "unique" words are NOT a valid
+    // fixture here: u1, u10…u19 share the (u,1) pair — the first sweep
+    // of this case proved that the hard way.)
+    step("bpe_served_no_merges") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-bpes").toString
+      import spark.implicits._
+      (0 until 50).map(i => (i.toLong, "en", "s",
+          s"${('a' + i % 26).toChar} ${('a' + (i + 7) % 26).toChar}"))
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q293_bpe_served_encode")(spark, dir).persist()
+      stats("bpe_served_degrades_to_pretokens") = (out
+        .where(col("n_tokens") === col("n_pretokens") && col("lossless"))
+        .count() == 50L).toString
+      stats("bpe_served_all_docs") = (out.count() == 50L).toString
+      out.unpersist()
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

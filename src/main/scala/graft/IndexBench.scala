@@ -152,6 +152,18 @@ object IndexBench {
       times("gram_compact_major_sec") =
         timeOnce(graft.dedup.GramIndex.compact(spark, name, spec))
       times("gram_compacted") = minOf3(probe())
+      // the cost-∝-delta claim needs a SMALL delta on the now-LARGER
+      // base: two fresh appends onto the fully-compacted index, then a
+      // minor fold — its cost must track the 2-append delta, not the
+      // (base + 12 appends)-sized corpus the major rewrite above paid
+      for (b <- nAppends + 1 to nAppends + 2) {
+        val batch = docs.where(col("doc_id") >= nd - 500)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L * b))
+        graft.dedup.GramIndex.append(batch, name, spec)
+      }
+      times("gram_compact_minor_small_delta_sec") =
+        timeOnce(graft.dedup.GramIndex.compactDelta(spark, name, spec))
+      times("gram_small_delta_compacted") = minOf3(probe())
       shard.unpersist(); docs.unpersist()
     }
 

@@ -55,7 +55,13 @@ object ScaleProbe {
     "q277_dup_spans",
     // round-13 additions (VERDICT r12 #5): the span family's heavy
     // REWRITE member and the standing-index probe leg
-    "q282_span_scrub", "q283_gram_index_probe")
+    "q282_span_scrub", "q283_gram_index_probe",
+    // round-14 additions (VERDICT r13 #6): the gram-family heavies whose
+    // skew guards were claims without measured exponents — q289's
+    // breadth-capped attribution join and q290's |S|-bounded pair join —
+    // plus the index-SERVED affinity twin (probe leg only; build untimed)
+    "q289_leak_attribution", "q290_source_span_affinity",
+    "q292_index_span_affinity")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
@@ -70,7 +76,7 @@ object ScaleProbe {
     * inside the timed probe (it would read as a fake ~1.0 exponent and
     * mask the probe leg the query exists to measure) — run once
     * untimed per scale, so the timed run serves from the index. */
-  private val indexQueries = Set("q283_gram_index_probe")
+  private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")

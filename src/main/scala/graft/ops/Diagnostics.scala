@@ -154,6 +154,73 @@ object Diagnostics {
       }
     }
 
+    // Keyed operator fed by a UNION with no exchange in between — the
+    // Spark 4.1 `spark.sql.unionOutputPartitioning` hazard (default
+    // true): a Union whose children all report the same hash
+    // partitioning CLAIMS it while CONCATENATING child partitions, so
+    // equal keys from different children never co-locate, the planner
+    // elides the exchange a final aggregate / partitioned window needs
+    // (an explicit same-key repartition is elided too), and the
+    // operator silently emits duplicate groups. Measured in this
+    // engine: groupBy(gram, source) over base ∪ delta of two
+    // same-bucketed index tables returned both pre-merge rows
+    // (GramIndexSpec pins the operator-level regression; readers now
+    // avoid load-bearing union claims structurally). Any plan where a
+    // final keyed aggregate or a partitioned window reaches a
+    // multi-child Union without crossing a shuffle is wrong results
+    // waiting to happen → error.
+    {
+      def unionBeforeExchange(start: SparkPlan): (Boolean, Int) = {
+        var cur: SparkPlan = start.children.headOption.orNull
+        var aggsBetween = 0
+        var hops = 0
+        while (cur != null && hops < 64) {
+          cur match {
+            case u: UnionExec =>
+              return (u.children.size > 1, aggsBetween)
+            case _: exchange.ShuffleExchangeLike => return (false, 0)
+            case _: adaptive.QueryStageExec => return (false, 0)
+            case _: adaptive.AQEShuffleReadExec => return (false, 0)
+            case a: aggregate.BaseAggregateExec =>
+              if (a.groupingExpressions.nonEmpty) aggsBetween += 1
+              cur = a.child
+            case p if p.children.size == 1 => cur = p.children.head
+            case _ => return (false, 0)
+          }
+          hops += 1
+        }
+        (false, 0)
+      }
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+      helper.collect(plan) { case a: aggregate.BaseAggregateExec => a }.foreach { a =>
+        if (a.groupingExpressions.nonEmpty) {
+          val finalModes = a.aggregateExpressions
+            .exists(ae => ae.mode == Final || ae.mode == Complete)
+          val (hitsUnion, aggsBetween) = unionBeforeExchange(a)
+          // function-less (pure distinct) nodes can't be told partial
+          // from final by mode: the FINAL one is the node with its
+          // partial twin between it and the union; a bare partial over
+          // a union is legal and its final parent is flagged instead
+          if (hitsUnion && (finalModes || aggsBetween >= 1))
+            out += LintFinding("keyed-agg-over-union", a.nodeName,
+              "final keyed aggregate reaches a multi-child Union with no " +
+                "shuffle in between: union partition concatenation means " +
+                "equal keys never meet (unionOutputPartitioning hazard) — " +
+                "break the union's partitioning claim (location read / " +
+                "different-key repartition / per-key join fold)")
+        }
+      }
+      helper.collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        if (w.partitionSpec.nonEmpty && unionBeforeExchange(w)._1)
+          out += LintFinding("window-over-union", w.nodeName,
+            "partitioned window reaches a multi-child Union with no shuffle " +
+              "in between (unionOutputPartitioning hazard): frames split " +
+              "across union children never meet")
+      }
+    }
+
     if (threshold > 0) helper.collect(plan) {
       case j: joins.SortMergeJoinExec => j
     }.foreach { j =>

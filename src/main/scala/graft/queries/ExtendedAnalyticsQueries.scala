@@ -379,8 +379,16 @@ object ExtendedAnalyticsQueries {
     // two broadcast LEFT joins: Spark cannot broadcast-hash a FULL
     // OUTER join, so the direct form sort-merges two |T|-row frames
     // through an exchange (planLint finding); the spine form is
-    // value-identical and stays broadcast.
-    val labels = r.select("k").union(c0.select("k")).distinct()
+    // value-identical and stays broadcast. The spine comes from ONE
+    // explode over the confusion matrix, NOT `r.select("k") union
+    // c0.select("k")` then distinct: r and c0 are same-shuffled
+    // aggregates, so that union claims their common hash partitioning
+    // (the unionOutputPartitioning hazard — keyed-agg-over-union lint)
+    // and whether the distinct dedups then depends on where AQE's
+    // stage boundaries happen to land. A label-duplicated spine would
+    // double-count ΣRC silently.
+    val labels = conf.select(explode(array(col("from_type"), col("to_type"))).as("k"))
+      .distinct()
     val src = labels
       .join(broadcast(r), Seq("k"), "left_outer")
       .join(broadcast(c0), Seq("k"), "left_outer")

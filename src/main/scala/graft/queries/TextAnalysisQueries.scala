@@ -2056,7 +2056,7 @@ object TextAnalysisQueries {
       .sortedOut("breadth_band")
   }
 
-  private val q279Sql =
+  private[queries] val q279Sql =
     """WITH toks AS MATERIALIZED (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
       |  FROM documents),

@@ -746,7 +746,109 @@ object TextIngestQueries {
       .sortedOut("source_a", "source_b")
   }
 
+  // ------------- index-served template-breadth census (q294)
+  /** q279's breadth census served from the SAME standing index q292
+    * reads (one index, many analytics — the point of paying the build
+    * once): per gram, the index's per-source `n_docs` sum IS the
+    * distinct-document breadth (a document has one source and is
+    * indexed once), so the band rollup runs over pre-aggregated
+    * 16-byte rows with the text never re-read. Oracle = q279's SQL
+    * verbatim: index-served ≡ text-derived, bit for bit. On a
+    * compacted index the per-gram rollup runs in the bucket layout —
+    * the only exchange is the ≤3-row band aggregate. */
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q292_affidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs0(s, d), name, spec)
+    graft.dedup.GramIndex.sourceStats(s, name)
+      .groupBy(col("gram"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_occ")).cast("long").as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .groupBy(expr(
+        """CASE WHEN n_docs = 2 THEN 'a_pair'
+          |  WHEN n_docs <= 4 THEN 'b_3_4'
+          |  ELSE 'c_5plus' END""".stripMargin).as("breadth_band"))
+      .agg(count(lit(1)).as("n_templates"), sum(col("n_occ")).as("n_occurrences"),
+        max(col("n_docs")).as("max_breadth"))
+      .sortedOut("breadth_band")
+  }
+
+  // ------------- shard-vs-standing source affinity (q295)
+  /** WHO does an ARRIVING shard syndicate with? q290 maps standing
+    * source pairs; this is its probe-shaped twin for ingest: the shard
+    * (doc_id % 10 == 0) is gram'd and rolled up (cost ∝ shard), the
+    * STANDING side comes from the corpus gram index semi-restricted to
+    * the shard's gram set (the scrubProbe discipline — matched rows
+    * only, bucket layout, corpus text never re-read or re-shuffled),
+    * and the output is (standing source × shard source) cells with
+    * shared-template counts and occurrence mass. Same honesty cap as
+    * q290: standing-breadth > 16 grams are excluded from the pair join
+    * and counted in `n_wide_templates`. The pre-accept provenance
+    * screen: "this crawl shard is 90% wire-copy of source X" before it
+    * joins the training set. */
+  private def q295(s: SparkSession, d: String): DataFrame = {
+    val L = 8; val C = 16
+    val spec = graft.dedup.GramIndex.Spec(minLen = L, buckets = 8)
+    val name = "q295_corpusidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = docs0(s, d)
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+    val sg = docs.where(col("doc_id") % 10 === 0)
+      .select(col("source"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ts) - $L), i -> md5(array_join(slice(ts, i + 1, $L), ' ')))"))
+        .as("gram"))
+      .groupBy(col("gram"), col("source"))
+      .agg(count(lit(1)).as("occ_s"))
+      .persistT // gram set restriction + pair-join side
+    val idx = graft.dedup.GramIndex.sourceStats(s, name)
+      .join(sg.select("gram").distinct(), Seq("gram"), "left_semi")
+      .persistT // matched standing rows: breadth census + pair-join side
+    val breadth = idx.groupBy(col("gram")).agg(count(lit(1)).as("ns"))
+    val wide = breadth.where(col("ns") > C)
+      .agg(count(lit(1)).cast("long").as("n_wide_templates"))
+    val narrow = idx.join(
+      breadth.where(col("ns") <= C).select("gram"), Seq("gram"), "left_semi")
+    narrow.select(col("gram"), col("source").as("source_corpus"), col("n_occ").as("occ_c"))
+      .join(sg.select(col("gram"), col("source").as("source_shard"), col("occ_s")),
+        Seq("gram"))
+      .groupBy(col("source_corpus"), col("source_shard"))
+      .agg(count(lit(1)).as("n_templates"),
+        sum(col("occ_c") + col("occ_s")).cast("long").as("n_occurrences"))
+      .crossJoin(broadcast(wide))
+      .sortedOut("source_corpus", "source_shard")
+  }
+
+  private val q295Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, source, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |gs_c AS MATERIALIZED (SELECT gram, source, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM g WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |gs_s AS MATERIALIZED (SELECT gram, source, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM g WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+      |m AS MATERIALIZED (
+      |  SELECT gs_c.* FROM gs_c JOIN (SELECT DISTINCT gram FROM gs_s) sg USING (gram)),
+      |br AS MATERIALIZED (SELECT gram, count(*) AS ns FROM m GROUP BY 1),
+      |wd AS (SELECT CAST(count(*) AS BIGINT) AS n_wide_templates FROM br WHERE ns > 16),
+      |nw AS (SELECT m.* FROM m JOIN br USING (gram) WHERE br.ns <= 16)
+      |SELECT c.source AS source_corpus, s.source AS source_shard,
+      |  CAST(count(*) AS BIGINT) AS n_templates,
+      |  CAST(sum(c.n_occ + s.n_occ) AS BIGINT) AS n_occurrences,
+      |  (SELECT n_wide_templates FROM wd) AS n_wide_templates
+      |FROM nw c JOIN gs_s s USING (gram)
+      |GROUP BY 1, 2 ORDER BY source_corpus, source_shard""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q295_shard_source_affinity", q295 _, Some(q295Sql)),
+    ("q294_index_breadth_census", q294 _, Some(TextAnalysisQueries.q279Sql)),
     ("q293_bpe_served_encode", q293 _, Some(q293Sql)),
     ("q292_index_span_affinity", q292 _, Some(q290Sql)),
     ("q290_source_span_affinity", q290 _, Some(q290Sql)),

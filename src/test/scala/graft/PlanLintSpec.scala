@@ -69,6 +69,43 @@ class PlanLintSpec extends SparkSpec {
     Diagnostics.schemaDrift(v1, v1) shouldBe empty
   }
 
+  test("final keyed aggregate over an exchange-free union flags the partitioning hazard") {
+    // The Spark 4.1 unionOutputPartitioning hazard, reproduced exactly
+    // as measured: two tables bucketed identically on the group key,
+    // unioned, aggregated — the planner claims the union carries the
+    // children's partitioning and elides the exchange, so the final
+    // aggregate emits duplicate groups. The lint must catch the shape.
+    spark.sql("DROP TABLE IF EXISTS lint_bk_a")
+    spark.sql("DROP TABLE IF EXISTS lint_bk_b")
+    Seq((1L, "k1"), (2L, "k2")).toDF("v", "k").write
+      .bucketBy(4, "k").sortBy("k").saveAsTable("lint_bk_a")
+    Seq((3L, "k1"), (4L, "k3")).toDF("v", "k").write
+      .bucketBy(4, "k").sortBy("k").saveAsTable("lint_bk_b")
+    val u = spark.table("lint_bk_a").unionByName(spark.table("lint_bk_b"))
+    val agg = u.groupBy("k").agg(sum(col("v")).as("s"))
+    val findings = lint(agg)
+    // guard the guard: only assert the finding when the hazard actually
+    // fired (the exchange was elided); if a future Spark fixes the
+    // union claim the plan gets its exchange back and the lint must
+    // stay silent
+    val planStr = agg.queryExecution.executedPlan.toString
+    if (!planStr.contains("Exchange hashpartitioning")) {
+      findings.map(_.rule) should contain("keyed-agg-over-union")
+      // and the duplicate groups are REAL — the lint flags wrong results
+      agg.collect().map(_.getString(0)).groupBy(identity)
+        .values.map(_.size).max should be > 1
+    }
+    // negative: a different-key repartition breaks the claim — exchange
+    // present, no finding
+    val fixed = u.repartition(col("v")).groupBy("k").agg(sum(col("v")).as("s"))
+    lint(fixed).map(_.rule) should not contain "keyed-agg-over-union"
+    // negative: union of unbucketed frames plans its exchange normally
+    val plain = Seq((1L, "k1")).toDF("v", "k")
+      .unionByName(Seq((2L, "k1")).toDF("v", "k"))
+      .groupBy("k").agg(sum(col("v")).as("s"))
+    lint(plain).map(_.rule) should not contain "keyed-agg-over-union"
+  }
+
   test("CodegenFallback expression in a projection flags interpreted-expression") {
     val winnow = org.apache.spark.sql.GraftSqlShim.column(
       graft.text.WinnowFingerprint(

@@ -30,7 +30,14 @@ object AdvSweep {
   private val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
   private val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+  // SPARK_GRAFT_STEP_ONLY=name1,name2 → run only those steps (local
+  // iteration aid; the committed ADVSWEEP.json always comes from a
+  // full unfiltered sweep — partial output is stdout-only evidence)
+  private val onlySteps = sys.env.get("SPARK_GRAFT_STEP_ONLY")
+    .map(_.split(",").map(_.trim).toSet)
+
   private def step[A](name: String)(body: => A): Option[A] = {
+    if (!onlySteps.forall(_.contains(name))) return None
     val t0 = System.nanoTime()
     try {
       val r = body
@@ -2600,6 +2607,38 @@ object AdvSweep {
         .count() == 50L).toString
       stats("bpe_served_all_docs") = (out.count() == 50L).toString
       out.unpersist()
+    }
+
+    // ==== wave 18 (round-14: index-served leak attribution) ============
+    // ---- q296/q297 under the hot template: the two grains' different
+    // skew stories. Source-grain attribution (q296) relies on the
+    // breadth CAP: every gram stands in 4,500 corpus docs, so all 500
+    // batch docs must report NULL source with all 33 windows counted
+    // matched AND wide — the 500×4,500 join never materializes.
+    // Owner-grain attribution (q297) needs NO cap — the index's owner
+    // column fans each gram out to exactly ONE row regardless of
+    // breadth — so under the same flood every batch doc except the
+    // union-wide owner itself attributes all 33 windows to doc 0.
+    step("index_attribution_hot_template") {
+      val dir = java.nio.file.Files.createTempDirectory("adv-attr").toString
+      val template = (0 until 40).map(i => s"aw$i").mkString(" ")
+      spark.range(5000).selectExpr("id AS doc_id", "'en' AS lang", "'s' AS source")
+        .withColumn("text", lit(template))
+        .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val src = SparkEntry.queries("q296_index_leak_sources")(spark, dir).persist()
+      stats("attr_src_hot_all_batch_docs") = (src.count() == 500L).toString
+      stats("attr_src_hot_capped_not_dropped") = (src
+        .where(col("contaminating_source").isNull && col("n_shared") === 0 &&
+          col("n_matched_windows") === 33 && col("n_wide_windows") === 33)
+        .count() == 500L).toString
+      src.unpersist()
+      val own = SparkEntry.queries("q297_scrub_provenance")(spark, dir).persist()
+      stats("attr_own_hot_uncapped_exact") = (own
+        .where(col("owner_doc") === 0 && col("n_shared") === 33 &&
+          col("n_foreign_windows") === 33)
+        .count() == 499L && own.count() == 499L).toString
+      own.unpersist()
+      graft.ops.TrackedCache.release(spark)
     }
 
     def obj(m: Iterable[(String, String)]): String =

@@ -61,7 +61,11 @@ object ScaleProbe {
     // breadth-capped attribution join and q290's |S|-bounded pair join —
     // plus the index-SERVED affinity twin (probe leg only; build untimed)
     "q289_leak_attribution", "q290_source_span_affinity",
-    "q292_index_span_affinity")
+    "q292_index_span_affinity",
+    // round-14: index-served source attribution — probe leg only (build
+    // untimed); shard and corpus both scale with sf, so ≤1.0 says the
+    // semi-restricted stats join and capped fan-out hold at volume
+    "q296_index_leak_sources")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
@@ -76,7 +80,8 @@ object ScaleProbe {
     * inside the timed probe (it would read as a fake ~1.0 exponent and
     * mask the probe leg the query exists to measure) — run once
     * untimed per scale, so the timed run serves from the index. */
-  private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity")
+  private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity",
+    "q296_index_leak_sources")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")

@@ -359,28 +359,7 @@ object GramIndex {
     val grams = gramsOf(batch, L).persistT
     val batchCensus = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd_b"), min(col("doc_id")).as("min_b"))
-    // Corpus owners for the batch's grams ONLY: the semi-restriction
-    // keeps each segment in its bucket layout (no corpus exchange);
-    // the per-segment min + cross-segment min-merge makes the lookup
-    // correct across un-compacted appends.
-    val idxOwners0 = segs.map(t =>
-        spark.table(t)
-          .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
-          .groupBy(col("gram")).agg(min(col("owner")).as("owner_c")))
-    // cross-segment min-merge as a FULL-OUTER join fold, not a union:
-    // per-gram joins of co-partitioned segments zip partitions validly
-    // (see the union hazard note above); least() skips nulls
-    val idxOwners = idxOwners0.reduce { (a, b) =>
-      a.withColumnRenamed("owner_c", "oa")
-        .join(b.withColumnRenamed("owner_c", "ob"), Seq("gram"), "full")
-        .select(col("gram"), least(col("oa"), col("ob")).as("owner_c"))
-    }
-    // duplicated in the union ⟺ standing in the corpus OR ≥ 2 batch
-    // docs; union owner = min(corpus owner, batch min)
-    val owned = batchCensus.join(idxOwners, Seq("gram"), "left")
-      .where(col("owner_c").isNotNull || col("nd_b") >= 2)
-      .select(col("gram"),
-        least(coalesce(col("owner_c"), col("min_b")), col("min_b")).as("owner"))
+    val owned = unionOwned(spark, segs, batchCensus)
     val removed = grams.join(owned, Seq("gram"))
       .where(col("doc_id") =!= col("owner"))
       .select(col("doc_id"),
@@ -388,6 +367,150 @@ object GramIndex {
       .distinct()
       .persistT // consumed twice inside the rollup (doc prune + mark)
     Dedup.scrubRollup(toks, removed)
+  }
+
+  /** UNION-wide ownership of a batch's grams — the shared kernel of
+    * [[scrubProbe]] and [[ownerAttribution]]. `batchCensus` is the
+    * batch-side (gram, nd_b, min_b) census; the result is one row per
+    * gram that is duplicated in (corpus ∪ batch) — standing in the
+    * corpus, or held by ≥ 2 batch docs — with the union-wide owner
+    * (min doc_id across the indexed owners and the batch minimum).
+    *
+    * Corpus owners come from each segment's rows SEMI-restricted to
+    * the batch's grams (bucket layout kept — no corpus exchange); the
+    * cross-segment min-merge is a FULL-OUTER join fold, not a union:
+    * per-gram joins of co-partitioned segments zip partitions validly
+    * (see the union hazard note above); least() skips nulls. */
+  private def unionOwned(spark: SparkSession, segs: Seq[String],
+                         batchCensus: DataFrame): DataFrame = {
+    val idxOwners0 = segs.map(t =>
+        spark.table(t)
+          .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
+          .groupBy(col("gram")).agg(min(col("owner")).as("owner_c")))
+    val idxOwners = idxOwners0.reduce { (a, b) =>
+      a.withColumnRenamed("owner_c", "oa")
+        .join(b.withColumnRenamed("owner_c", "ob"), Seq("gram"), "full")
+        .select(col("gram"), least(col("oa"), col("ob")).as("owner_c"))
+    }
+    batchCensus.join(idxOwners, Seq("gram"), "left")
+      .where(col("owner_c").isNotNull || col("nd_b") >= 2)
+      .select(col("gram"),
+        least(coalesce(col("owner_c"), col("min_b")), col("min_b")).as("owner"))
+  }
+
+  // ------------------------------------------------------------------
+  // index-served leak attribution
+  // ------------------------------------------------------------------
+
+  /** Source-grain leak attribution SERVED from the standing index —
+    * WHO (which corpus SOURCE) leaked into each arriving eval doc.
+    * The q289 triage re-grounded to what a 100 TB index can answer
+    * without (gram, doc) rows: per batch doc, the corpus source
+    * sharing the most L-token windows with it (ties to the smaller
+    * source string), the doc's total matched-window count, and its
+    * over-cap window count.
+    *
+    * Breadth-cap discipline, exactly q289's at the index's grain: a
+    * gram's corpus-doc breadth is the per-source `n_docs` summed over
+    * sources (a document has one source and is indexed once), and only
+    * grams with breadth ≤ `maxDocs` attribute — boilerplate held by a
+    * million docs must not fan the attribution join out. Over-cap
+    * windows are still COUNTED per doc (n_wide_windows — contamination
+    * never silently disappears), and a doc whose every match is
+    * over-cap reports a NULL source rather than vanishing.
+    *
+    * Scale shape: the batch is gram'd once (cost ∝ shard); each
+    * segment's (gram, source, n_docs, n_occ) rows are semi-restricted
+    * to the batch's grams in their bucket layout (index-side cost ∝
+    * matches, never corpus), cross-segment stats sum-merge as a join
+    * fold (union hazard note above); the attribution join fans each
+    * batch window out to at most min(|sources|, maxDocs) source rows;
+    * the top-1 rank is a doc-partitioned window over ≤ |batch|·|S|
+    * rows. Stats caveat as documented on the object: a crash-replay
+    * double-append inflates n_docs until compaction re-folds — scrub
+    * correctness never depends on the stats columns, attribution
+    * breadth caps do (an inflated count can only make the cap FIRE
+    * early, never explode the join). */
+  def attributeSources(spark: SparkSession, batch: DataFrame,
+                       name: String, spec: Spec = Spec(),
+                       maxDocs: Int = 100): DataFrame = {
+    val segs = segmentTables(spark, name)
+    val bg = gramsOf(batch, spec.minLen)
+      .select("doc_id", "pos", "gram").persistT // gram-set + 2 rollups
+    val bgrams = bg.select("gram").distinct()
+    val statsSegs = segs.map(t =>
+      spark.table(t).join(bgrams, Seq("gram"), "left_semi")
+        .select(col("gram"), col("source"), col("n_docs"), col("n_occ")))
+    val stats = statsSegs.reduce { (a, b) =>
+      a.withColumnsRenamed(Map("n_docs" -> "da", "n_occ" -> "oa"))
+        .join(b.withColumnsRenamed(Map("n_docs" -> "db", "n_occ" -> "ob")),
+          Seq("gram", "source"), "full")
+        .select(col("gram"), col("source"),
+          (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("n_docs"),
+          (coalesce(col("oa"), lit(0L)) + coalesce(col("ob"), lit(0L))).as("n_occ"))
+    }.persistT // breadth census + narrow side of the attribution join
+    val breadth = stats.groupBy(col("gram"))
+      .agg(sum(col("n_docs")).cast("long").as("nd_c")).persistT
+    val narrow = stats.join(
+      breadth.where(col("nd_c") <= maxDocs).select("gram"), Seq("gram"), "left_semi")
+    val pairs = bg.join(narrow.select("gram", "source"), Seq("gram"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+    val top = pairs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_shared").desc, col("source"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("contaminating_source"),
+        col("n_shared"))
+    val tot = bg.join(breadth, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched_windows"),
+        sum(when(col("nd_c") > maxDocs, 1L).otherwise(0L)).as("n_wide_windows"))
+    tot.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contaminating_source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_matched_windows"), col("n_wide_windows"))
+  }
+
+  /** Doc-grain scrub PROVENANCE served from the standing index — for
+    * each batch doc that [[scrubProbe]] would cut, the document that
+    * OWNS the templates cutting it ("my doc was scrubbed — which
+    * training doc do I pull"). Exact q289-style attribution needs
+    * (gram, doc) rows the index deliberately does not keep; ownership
+    * is what it does keep, and owner-grain is the answer the SCRUB
+    * itself acts on — a window is removed iff its union-wide owner is
+    * another doc, so attributing removals to owners accounts for every
+    * removed window exactly.
+    *
+    * Output, one row per batch doc with ≥ 1 foreign-owned window:
+    * (doc_id, owner_doc = the owner holding the most such windows
+    * (ties to the smaller owner id), n_shared = that owner's window
+    * count, n_foreign_windows = the doc's total). Union semantics
+    * match [[scrubProbe]]: batch-internal duplicates attribute to the
+    * batch's own min holder, so the report covers intra-shard
+    * plagiarism too, not just corpus hits. Cost ∝ shard + matches, as
+    * in [[unionOwned]]. */
+  def ownerAttribution(spark: SparkSession, batch: DataFrame,
+                       name: String, spec: Spec = Spec()): DataFrame = {
+    val segs = segmentTables(spark, name)
+    val grams = gramsOf(batch, spec.minLen)
+      .select("doc_id", "pos", "gram").persistT // census + foreign join
+    val batchCensus = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd_b"), min(col("doc_id")).as("min_b"))
+    val foreign = grams.join(unionOwned(spark, segs, batchCensus), Seq("gram"))
+      .where(col("doc_id") =!= col("owner"))
+      .persistT // per-owner rollup + per-doc total
+    val top = foreign.groupBy(col("doc_id"), col("owner"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_shared").desc, col("owner"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("owner").as("owner_doc"), col("n_shared"))
+    foreign.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_foreign_windows"))
+      .join(top, Seq("doc_id"))
+      .select("doc_id", "owner_doc", "n_shared", "n_foreign_windows")
   }
 
   // ------------------------------------------------------------------

@@ -846,7 +846,127 @@ object TextIngestQueries {
       |FROM nw c JOIN gs_s s USING (gram)
       |GROUP BY 1, 2 ORDER BY source_corpus, source_shard""".stripMargin
 
+  // ------------- index-served leak-source attribution (q296)
+  /** q289's leak triage served from the standing gram index — WHO
+    * (which corpus SOURCE) leaked into each eval doc, with the corpus
+    * text never re-read ([[graft.dedup.GramIndex.attributeSources]]).
+    * q289 answers at document grain by joining batch windows to
+    * (gram, corpus doc) pairs it derives from text on every run; the
+    * index keeps (gram, source, n_docs, n_occ), so the served answer
+    * is at source grain — which is the grain the triage DECISION
+    * (pull the feed / renegotiate the license / drop the source)
+    * is taken at. Same breadth-cap discipline as q289 (a gram's
+    * corpus-doc breadth is its per-source n_docs summed; > 100 is
+    * excluded from attribution but counted in n_wide_windows), same
+    * index as q295 — one standing index, four analytics (scrub q286,
+    * shard affinity q295, this, q297).
+    *
+    * Scale shape: batch gram'd once (∝ shard); index side
+    * semi-restricted in bucket layout (∝ matches); attribution
+    * fan-out ≤ min(|sources|, cap) per window; top-1 is a
+    * doc-partitioned window. */
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q295_corpusidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = docs0(s, d)
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+    graft.dedup.GramIndex.attributeSources(
+        s, docs.where(col("doc_id") % 10 === 0), name, spec, maxDocs = 100)
+      .sortedOut("doc_id")
+  }
+
+  private val q296Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, source, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, source, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |bg AS (SELECT doc_id, pos, gram FROM g WHERE doc_id % 10 = 0),
+      |cs AS MATERIALIZED (
+      |  SELECT gram, source, count(DISTINCT doc_id) AS nd
+      |  FROM g WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |m AS MATERIALIZED (
+      |  SELECT cs.* FROM cs JOIN (SELECT DISTINCT gram FROM bg) b USING (gram)),
+      |br AS MATERIALIZED (SELECT gram, CAST(sum(nd) AS BIGINT) AS nd_c FROM m GROUP BY 1),
+      |ps AS (SELECT bg.doc_id AS b, m.source, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM bg JOIN m USING (gram) JOIN br USING (gram)
+      |       WHERE br.nd_c <= 100 GROUP BY 1, 2),
+      |top AS (SELECT b, source, n_shared FROM (
+      |          SELECT b, source, n_shared,
+      |            row_number() OVER (PARTITION BY b ORDER BY n_shared DESC, source) AS rn
+      |          FROM ps) r WHERE rn = 1),
+      |tot AS (SELECT bg.doc_id AS b, CAST(count(*) AS BIGINT) AS n_matched_windows,
+      |          CAST(sum(CASE WHEN br.nd_c > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide_windows
+      |        FROM bg JOIN br USING (gram) GROUP BY 1)
+      |SELECT tot.b AS doc_id, top.source AS contaminating_source,
+      |  CAST(coalesce(top.n_shared, 0) AS BIGINT) AS n_shared,
+      |  n_matched_windows, n_wide_windows
+      |FROM tot LEFT JOIN top ON top.b = tot.b
+      |ORDER BY tot.b""".stripMargin
+
+  // ------------- index-served scrub provenance (q297)
+  /** WHICH DOC scrubbed me — [[graft.dedup.GramIndex.ownerAttribution]]
+    * over the same standing index: for each shard doc with ≥ 1 window
+    * whose union-wide owner is another doc (exactly the windows
+    * [[graft.dedup.GramIndex.scrubProbe]] removes), the owner holding
+    * the most such windows, its window count, and the doc's total.
+    * Owner-grain is what the index can answer without (gram, doc) rows
+    * AND what the scrub acts on, so every removed window is attributed
+    * exactly once; union semantics cover intra-shard plagiarism too
+    * (batch-internal duplicates attribute to the batch's min holder —
+    * the nd_b ≥ 2 path). Scale shape: [[q296]]'s. */
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q295_corpusidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = docs0(s, d)
+    if (!s.catalog.tableExists(name + "_grams"))
+      graft.dedup.GramIndex.write(docs.where(col("doc_id") % 10 =!= 0), name, spec)
+    graft.dedup.GramIndex.ownerAttribution(
+        s, docs.where(col("doc_id") % 10 === 0), name, spec)
+      .sortedOut("doc_id")
+  }
+
+  private val q297Sql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 8 + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 8) u),
+      |bg AS (SELECT doc_id, pos, gram FROM g WHERE doc_id % 10 = 0),
+      |bu AS MATERIALIZED (
+      |  SELECT gram, count(DISTINCT doc_id) AS nd_b, min(doc_id) AS min_b
+      |  FROM bg GROUP BY 1),
+      |co AS MATERIALIZED (
+      |  SELECT gram, min(doc_id) AS own_c FROM g WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |owned AS MATERIALIZED (
+      |  SELECT bu.gram, least(coalesce(own_c, min_b), min_b) AS owner
+      |  FROM bu LEFT JOIN co USING (gram)
+      |  WHERE own_c IS NOT NULL OR nd_b >= 2),
+      |fr AS MATERIALIZED (
+      |  SELECT bg.doc_id, owner FROM bg JOIN owned USING (gram)
+      |  WHERE bg.doc_id <> owner),
+      |ps AS (SELECT doc_id, owner, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM fr GROUP BY 1, 2),
+      |top AS (SELECT doc_id, owner, n_shared FROM (
+      |          SELECT doc_id, owner, n_shared,
+      |            row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, owner) AS rn
+      |          FROM ps) r WHERE rn = 1),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_foreign_windows
+      |        FROM fr GROUP BY 1)
+      |SELECT tot.doc_id, top.owner AS owner_doc, top.n_shared, n_foreign_windows
+      |FROM tot JOIN top USING (doc_id)
+      |ORDER BY tot.doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q297_scrub_provenance", q297 _, Some(q297Sql)),
+    ("q296_index_leak_sources", q296 _, Some(q296Sql)),
     ("q295_shard_source_affinity", q295 _, Some(q295Sql)),
     ("q294_index_breadth_census", q294 _, Some(TextAnalysisQueries.q279Sql)),
     ("q293_bpe_served_encode", q293 _, Some(q293Sql)),

@@ -203,6 +203,44 @@ object StreamSinks {
       }
     }
 
+  /** Streaming eval-leak attribution — the monitoring form of
+    * [[graft.dedup.GramIndex.attributeSources]]: every arriving
+    * micro-batch of EVAL documents is attributed against the standing
+    * corpus index (which corpus source leaked into each eval doc, how
+    * many windows matched, how many hit the breadth cap), and the
+    * report lands exactly-once in the `batch=<id>` layout.
+    *
+    * READ-ONLY on the index, by design — eval docs must never enter
+    * the training corpus, so unlike [[spanScrubSink]] there is no
+    * append: a replayed batch recomputes the identical report from the
+    * identical standing index (per-doc grain, no cross-batch state),
+    * and the `_SUCCESS`-gated overwrite makes the landing idempotent
+    * either way. The single-writer contract is therefore the CORPUS
+    * writer's concern, not this sink's; concurrent minor compaction by
+    * that writer is invisible here (readers min-merge segments), and
+    * the major-compact rename window self-heals on read.
+    *
+    * 100 TB shape: per micro-batch, gram cost ∝ batch, index side
+    * semi-restricted in its bucket layout (cost ∝ matches, the corpus
+    * is never re-shuffled), attribution fan-out breadth-capped. */
+  def leakAttributionSink(indexName: String, spec: graft.dedup.GramIndex.Spec,
+                          dir: String, maxDocs: Int = 100): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, dir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        val batch = df.persist()
+        try {
+          graft.dedup.GramIndex
+            .attributeSources(batch.sparkSession, batch, indexName, spec, maxDocs)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        } finally batch.unpersist() // tracked probe persists fall to the
+        // harness's TrackedCache.release, as in spanScrubSink — an
+        // in-sink session-wide release could yank a CONCURRENT query's
+        // tracked frames mid-plan
+      }
+    }
+
   /** Latest committed state written by [[aggStateSink]]. */
   def readAggState(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val root = new Path(dir)

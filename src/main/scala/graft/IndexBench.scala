@@ -133,13 +133,23 @@ object IndexBench {
       shard.count()
       def probe(): Long =
         graft.dedup.GramIndex.scrubProbe(spark, shard, name, spec).count()
+      // round-14: the attribution probe shares the index — its curve
+      // must stay flat under appends for the same reason (stats rows
+      // semi-restricted per segment, merged by join fold)
+      def attrProbe(): Long = {
+        val n = graft.dedup.GramIndex
+          .attributeSources(spark, shard, name, spec).count()
+        graft.ops.TrackedCache.release(spark); n
+      }
       times("gram_a0") = minOf3(probe())
+      times("gram_attr_a0") = minOf3(attrProbe())
       for (b <- 1 to nAppends) {
         val batch = docs.where(col("doc_id") >= nd - 500)
           .withColumn("doc_id", col("doc_id") + lit(1000000L * b))
         graft.dedup.GramIndex.append(batch, name, spec)
         if (checkpoints.contains(b)) times(s"gram_a$b") = minOf3(probe())
       }
+      times(s"gram_attr_a$nAppends") = minOf3(attrProbe())
       // Tiered compaction costs (VERDICT r13 #3): the MINOR fold touches
       // only the appended delta segments — its time must track delta
       // size, not corpus size — while the MAJOR fold rewrites the base.
@@ -152,6 +162,7 @@ object IndexBench {
       times("gram_compact_major_sec") =
         timeOnce(graft.dedup.GramIndex.compact(spark, name, spec))
       times("gram_compacted") = minOf3(probe())
+      times("gram_attr_compacted") = minOf3(attrProbe())
       // the cost-∝-delta claim needs a SMALL delta on the now-LARGER
       // base: two fresh appends onto the fully-compacted index, then a
       // minor fold — its cost must track the 2-append delta, not the

@@ -180,6 +180,8 @@ object GramIndex {
       SignatureIndex.dropStale(spark, base)
       allDeltas(spark, base).foreach(d =>
         spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+      tombstones(spark, base).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")) // rebuild clears takedowns
       Seq("_old", "_compact", "_dtmp").foreach(s =>
         SignatureIndex.dropStale(spark, s"$base$s"))
       writeSegment(segmentRows(corpus, spec.minLen), base, spec)
@@ -197,6 +199,72 @@ object GramIndex {
     val next = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max + 1
     writeSegment(segmentRows(newDocs, spec.minLen),
       s"${base}_d${next}_${next}", spec)
+  }
+
+  // ------------------------------------------------------------------
+  // retraction (takedown without rebuild)
+  // ------------------------------------------------------------------
+
+  /** Tombstone segments `{base}_t<n>` written by [[retract]]. They are
+    * NOT deltas: [[liveDeltas]] never lists them, so compactions never
+    * fold them — they stand until the index is rebuilt. */
+  private def tombstones(spark: SparkSession, base: String): Seq[String] = {
+    val re = (java.util.regex.Pattern.quote(base) + "_t(\\d+)").r
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"${base}_t*")
+      .map(_.table)
+      .filter(t => re.findFirstMatchIn(t).exists(m => m.start == 0 && m.end == t.length))
+  }
+
+  /** Owner-dependent operations are UNSUPPORTED after [[retract]]:
+    * stored owners may be retracted documents, and the index keeps no
+    * (gram, doc) rows to repair them from — silently serving a stale
+    * owner would mis-scrub. Fail loudly instead. */
+  private def requireNoTombstones(spark: SparkSession, name: String, op: String): Unit = {
+    val ts = tombstones(spark, tableName(name))
+    require(ts.isEmpty,
+      s"$op on gram index '$name' is owner-dependent and unsupported after retract(): " +
+        s"tombstone segment(s) ${ts.mkString(", ")} may invalidate stored owners and the " +
+        "index keeps no (gram, doc) rows to repair them from. Rebuild with write() " +
+        s"(or re-index the affected documents) before $op.")
+  }
+
+  /** REMOVE documents from the standing index without a rebuild — the
+    * takedown path (DMCA, consent withdrawal, a poisoned source): one
+    * tombstone segment carrying the retracted documents' grams with
+    * NEGATED stats, so every stats-served analytic nets them out
+    * exactly. Cost ∝ retracted docs, never corpus.
+    *
+    * Contract:
+    *  - pass exactly the documents as indexed, each retracted ONCE —
+    *    the caller has them (a takedown names its targets); retracting
+    *    a never-indexed doc drives nets negative and silently hides
+    *    legitimate rows (net ≤ 0 is filtered).
+    *  - EXACT after retraction (spec-pinned ≡ rebuild-without-docs):
+    *    [[sourceStats]], [[sourceAffinity]], [[attributeSources]] and
+    *    everything built on them — they consume only the summable
+    *    (n_docs, n_occ) columns, and a (gram, source) whose net doc
+    *    count reaches 0 disappears.
+    *  - REFUSED after retraction (fail-loud, [[requireNoTombstones]]):
+    *    [[probe]], [[scrubProbe]], [[ownerAttribution]], [[compact]] —
+    *    all consume `owner`, which cannot be repaired without
+    *    (gram, doc) rows. [[compactDelta]] stays available (it folds
+    *    only `_d` segments; tombstones net the same against the folded
+    *    rows). [[append]] stays available (new docs, additive stats).
+    *  - tombstones stand until the next [[write]] rebuild; each probe
+    *    pays O(tombstone rows) to net them, so rebuild when takedowns
+    *    accumulate — honest economics, stated rather than hidden. */
+  def retract(docs: DataFrame, name: String, spec: Spec = Spec()): Unit = {
+    val spark = docs.sparkSession
+    val base = tableName(name)
+    heal(spark, base)
+    val next = (0L +: tombstones(spark, base)
+      .map(_.stripPrefix(s"${base}_t").toLong)).max + 1
+    writeSegment(
+      segmentRows(docs, spec.minLen)
+        .select(col("gram"), col("owner"), col("source"),
+          (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ")),
+      s"${base}_t$next", spec)
   }
 
   // ------------------------------------------------------------------
@@ -274,6 +342,7 @@ object GramIndex {
     * crash after the swap but before the delta drops must not leave
     * the folded deltas double-counted. */
   def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
+    requireNoTombstones(spark, name, "compact")
     val base = tableName(name)
     heal(spark, base)
     val ds = liveDeltas(spark, base)
@@ -303,6 +372,7 @@ object GramIndex {
     * different corpus documents. */
   def probe(spark: SparkSession, batch: DataFrame,
             name: String, spec: Spec = Spec()): DataFrame = {
+    requireNoTombstones(spark, name, "probe")
     val L = spec.minLen
     val segs = segmentTables(spark, name)
     val bg0 = gramsOf(batch, L)
@@ -348,6 +418,7 @@ object GramIndex {
     * docs. */
   def scrubProbe(spark: SparkSession, batch: DataFrame,
                  name: String, spec: Spec = Spec()): DataFrame = {
+    requireNoTombstones(spark, name, "scrubProbe")
     val L = spec.minLen
     val segs = segmentTables(spark, name)
     val toked = batch
@@ -434,21 +505,25 @@ object GramIndex {
   def attributeSources(spark: SparkSession, batch: DataFrame,
                        name: String, spec: Spec = Spec(),
                        maxDocs: Int = 100): DataFrame = {
-    val segs = segmentTables(spark, name)
+    val segs = segmentTables(spark, name) ++ tombstones(spark, tableName(name))
     val bg = gramsOf(batch, spec.minLen)
       .select("doc_id", "pos", "gram").persistT // gram-set + 2 rollups
     val bgrams = bg.select("gram").distinct()
     val statsSegs = segs.map(t =>
       spark.table(t).join(bgrams, Seq("gram"), "left_semi")
         .select(col("gram"), col("source"), col("n_docs"), col("n_occ")))
-    val stats = statsSegs.reduce { (a, b) =>
+    val statsMerged = statsSegs.reduce { (a, b) =>
       a.withColumnsRenamed(Map("n_docs" -> "da", "n_occ" -> "oa"))
         .join(b.withColumnsRenamed(Map("n_docs" -> "db", "n_occ" -> "ob")),
           Seq("gram", "source"), "full")
         .select(col("gram"), col("source"),
           (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("n_docs"),
           (coalesce(col("oa"), lit(0L)) + coalesce(col("ob"), lit(0L))).as("n_occ"))
-    }.persistT // breadth census + narrow side of the attribution join
+    }
+    // tombstones net through the same fold; fully-retracted rows vanish
+    val stats = (if (segs.size == 1) statsMerged
+      else statsMerged.where(col("n_docs") > 0))
+      .persistT // breadth census + narrow side of the attribution join
     val breadth = stats.groupBy(col("gram"))
       .agg(sum(col("n_docs")).cast("long").as("nd_c")).persistT
     val narrow = stats.join(
@@ -492,6 +567,7 @@ object GramIndex {
     * in [[unionOwned]]. */
   def ownerAttribution(spark: SparkSession, batch: DataFrame,
                        name: String, spec: Spec = Spec()): DataFrame = {
+    requireNoTombstones(spark, name, "ownerAttribution")
     val segs = segmentTables(spark, name)
     val grams = gramsOf(batch, spec.minLen)
       .select("doc_id", "pos", "gram").persistT // census + foreign join
@@ -527,14 +603,19 @@ object GramIndex {
     * corpus. */
   def sourceStats(spark: SparkSession, name: String): DataFrame = {
     val segs = segmentTables(spark, name)
-    if (segs.size == 1)
+    val ts = tombstones(spark, tableName(name))
+    if (segs.size == 1 && ts.isEmpty)
       spark.table(segs.head)
         .select("gram", "source", "n_docs", "n_occ")
     else
-      segs.map(readUnbucketed(spark, _)).reduce(_ unionByName _)
+      // tombstone rows carry NEGATED stats ([[retract]]): the sum-merge
+      // nets them and the filter drops fully-retracted (gram, source)
+      // rows — exact ≡ rebuild-without-docs (RetractionSpec)
+      (segs ++ ts).map(readUnbucketed(spark, _)).reduce(_ unionByName _)
         .groupBy(col("gram"), col("source"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_occ")).cast("long").as("n_occ"))
+        .where(col("n_docs") > 0)
   }
 
   /** The cross-source span-affinity matrix SERVED from the index — the

@@ -964,7 +964,66 @@ object TextIngestQueries {
       |FROM tot JOIN top USING (doc_id)
       |ORDER BY tot.doc_id""".stripMargin
 
+  // ------------- retraction: takedown without rebuild (q298, q299)
+  /** The takedown path ([[graft.dedup.GramIndex.retract]]): documents
+    * leave the standing index as ONE tombstone segment with negated
+    * stats — cost ∝ retracted docs, never corpus — and every
+    * stats-served analytic nets them out EXACTLY. q298 is the q290/q292
+    * syndication matrix after retracting doc_id % 9 == 4; its oracle is
+    * q290's SQL over `documents` WITH THE RETRACTED DOCS FILTERED —
+    * the driver's compare pins retract ≡ rebuild-without-docs, bit for
+    * bit, including (gram, source) rows whose net count reaches zero
+    * disappearing from the breadth census and the cap decision.
+    * Owner-dependent paths (probe/scrub/provenance/major compact)
+    * REFUSE after retraction — stored owners may name retracted docs
+    * and the index keeps no (gram, doc) rows to repair from
+    * (RetractionSpec pins the fail-loud contract). */
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q298_retractidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = docs0(s, d)
+    if (!s.catalog.tableExists(name + "_grams")) {
+      graft.dedup.GramIndex.write(docs, name, spec)
+      graft.dedup.GramIndex.retract(docs.where(col("doc_id") % 9 === 4), name, spec)
+    }
+    graft.dedup.GramIndex.sourceAffinity(s, name, maxSources = 16)
+      .sortedOut("source_a", "source_b")
+  }
+
+  private val q298Sql =
+    q290Sql.replace("FROM documents)", "FROM documents WHERE doc_id % 9 <> 4)")
+
+  /** q294's breadth census on the SAME retracted index — the second
+    * stats-served analytic proving one tombstone segment serves them
+    * all; oracle = q279's SQL with the retracted docs filtered. */
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q298_retractidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = docs0(s, d)
+    if (!s.catalog.tableExists(name + "_grams")) {
+      graft.dedup.GramIndex.write(docs, name, spec)
+      graft.dedup.GramIndex.retract(docs.where(col("doc_id") % 9 === 4), name, spec)
+    }
+    graft.dedup.GramIndex.sourceStats(s, name)
+      .groupBy(col("gram"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_occ")).cast("long").as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .groupBy(expr(
+        """CASE WHEN n_docs = 2 THEN 'a_pair'
+          |  WHEN n_docs <= 4 THEN 'b_3_4'
+          |  ELSE 'c_5plus' END""".stripMargin).as("breadth_band"))
+      .agg(count(lit(1)).as("n_templates"), sum(col("n_occ")).as("n_occurrences"),
+        max(col("n_docs")).as("max_breadth"))
+      .sortedOut("breadth_band")
+  }
+
+  private val q299Sql = TextAnalysisQueries.q279Sql
+    .replace("FROM documents)", "FROM documents WHERE doc_id % 9 <> 4)")
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q299_retract_breadth", q299 _, Some(q299Sql)),
+    ("q298_retract_affinity", q298 _, Some(q298Sql)),
     ("q297_scrub_provenance", q297 _, Some(q297Sql)),
     ("q296_index_leak_sources", q296 _, Some(q296Sql)),
     ("q295_shard_source_affinity", q295 _, Some(q295Sql)),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.GramIndex
+
+/** Index retraction ([[GramIndex.retract]]) — takedown without rebuild:
+  * stats-served analytics after retraction are pinned row-for-row
+  * against a fresh index built WITHOUT the retracted docs; fully-
+  * retracted rows vanish; owner-dependent paths refuse loudly; the
+  * delta fold stays available and nets identically.
+  */
+class RetractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = (0 until 12).map(i => s"rw$i") // shared template, 5 windows
+  private val u = (0 until 10).map(i => s"ru$i") // second template, 3 windows
+  private val spec = GramIndex.Spec(minLen = 8, buckets = 4)
+
+  private def df(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+
+  // docs 10/20 share w across two sources; 30 alone holds u; 40 holds w
+  // in source "c" — retracting 20 and 30 must: drop u entirely (sole
+  // holder gone), drop (w, "b")'s row (its only doc gone), keep (w, "a")
+  // and (w, "c")
+  private val corpus = Seq(
+    (10L, w.mkString(" "), "a"),
+    (20L, w.mkString(" "), "b"),
+    (30L, u.mkString(" "), "a"),
+    (40L, w.mkString(" "), "c"))
+  private val gone = corpus.filter(r => r._1 == 20L || r._1 == 30L)
+  private val kept = corpus.filterNot(r => r._1 == 20L || r._1 == 30L)
+
+  private def statRows(d: DataFrame) =
+    d.orderBy("gram", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("retract ≡ rebuild-without-docs for sourceStats / sourceAffinity / attributeSources") {
+    GramIndex.write(df(corpus), "ret_a", spec)
+    GramIndex.retract(df(gone), "ret_a", spec)
+    GramIndex.write(df(kept), "ret_ref", spec)
+
+    val got = statRows(GramIndex.sourceStats(spark, "ret_a")
+      .select("gram", "source", "n_docs", "n_occ"))
+    got shouldBe statRows(GramIndex.sourceStats(spark, "ret_ref")
+      .select("gram", "source", "n_docs", "n_occ"))
+    // u's grams (sole holder retracted) are gone; w keeps sources a, c
+    got.map(_._2).distinct.sorted shouldBe Seq("a", "c")
+
+    def aff(n: String) = GramIndex.sourceAffinity(spark, n, maxSources = 16)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    aff("ret_a") shouldBe aff("ret_ref")
+    aff("ret_a") shouldBe Seq(("a", "c", 5L, 10L, 0L)) // w's 5 templates, 1 occ each side
+
+    val batch = df(Seq((900L, w.mkString(" "), "evals"), (901L, u.mkString(" "), "evals")))
+    def attr(n: String) = GramIndex.attributeSources(spark, batch, n, spec)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSeq
+    attr("ret_a") shouldBe attr("ret_ref")
+    // 901 (u, whose only holder was retracted) matches nothing at all
+    attr("ret_a").map(_._1) shouldBe Seq(900L)
+  }
+
+  test("retraction nets identically across un-folded appends and after compactDelta") {
+    GramIndex.write(df(corpus.take(2)), "ret_b", spec)
+    GramIndex.append(df(corpus.slice(2, 3)), "ret_b", spec)
+    GramIndex.append(df(corpus.drop(3)), "ret_b", spec)
+    GramIndex.retract(df(gone), "ret_b", spec)
+    GramIndex.write(df(kept), "ret_b_ref", spec)
+    val want = statRows(GramIndex.sourceStats(spark, "ret_b_ref")
+      .select("gram", "source", "n_docs", "n_occ"))
+    statRows(GramIndex.sourceStats(spark, "ret_b")
+      .select("gram", "source", "n_docs", "n_occ")) shouldBe want
+    // the delta fold stays available with tombstones standing and
+    // changes nothing (it folds only _d segments)
+    GramIndex.compactDelta(spark, "ret_b", spec)
+    statRows(GramIndex.sourceStats(spark, "ret_b")
+      .select("gram", "source", "n_docs", "n_occ")) shouldBe want
+  }
+
+  test("owner-dependent paths refuse after retract; rebuild clears tombstones") {
+    GramIndex.write(df(corpus), "ret_c", spec)
+    GramIndex.retract(df(gone), "ret_c", spec)
+    val batch = df(Seq((900L, w.mkString(" "), "evals")))
+    val e1 = intercept[IllegalArgumentException](
+      GramIndex.probe(spark, batch, "ret_c", spec))
+    e1.getMessage should include("unsupported after retract")
+    intercept[IllegalArgumentException](
+      GramIndex.scrubProbe(spark, batch, "ret_c", spec))
+    intercept[IllegalArgumentException](
+      GramIndex.ownerAttribution(spark, batch, "ret_c", spec))
+    intercept[IllegalArgumentException](
+      GramIndex.compact(spark, "ret_c", spec))
+    // a rebuild drops the tombstones and re-enables everything
+    GramIndex.write(df(kept), "ret_c", spec)
+    GramIndex.probe(spark, batch, "ret_c", spec).count() shouldBe 1L
+    graft.ops.TrackedCache.release(spark)
+  }
+}

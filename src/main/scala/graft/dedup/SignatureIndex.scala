@@ -36,6 +36,7 @@ object SignatureIndex {
 
   private def bandedName(name: String) = s"${name}_banded"
   private def sigsName(name: String) = s"${name}_sigs"
+  private def retractedName(name: String) = s"${name}_retracted"
 
   /** A REPLACE must also clear a previous SESSION's leftovers: the
     * managed-table directory under the warehouse survives the
@@ -83,6 +84,7 @@ object SignatureIndex {
     if (mode == SaveMode.Overwrite) {
       dropStale(sigs.sparkSession, bandedName(name))
       dropStale(sigs.sparkSession, sigsName(name))
+      dropStale(sigs.sparkSession, retractedName(name)) // rebuild clears takedowns
     }
     Dedup.bandedOf(sigs, spec.bands, spec.rowsPerBand)
       .write.mode(mode)
@@ -99,6 +101,39 @@ object SignatureIndex {
     * data is not rewritten. */
   def append(sigs: DataFrame, name: String, spec: Spec = Spec()): Unit =
     write(sigs, name, spec, SaveMode.Append)
+
+  // ------------------------------------------------------------------
+  // retraction (takedown without rebuild)
+  // ------------------------------------------------------------------
+
+  /** REMOVE documents from the standing index without a rebuild — the
+    * takedown path. Unlike the gram index (stats-grain rows, owner
+    * unrepairable), signature rows are PER-DOCUMENT, so retraction
+    * here is FULLY exact for every operation: [[retract]] appends the
+    * ids to a side table, every reader anti-joins them out BEFORE the
+    * bucket-size census (so skew caps and star anchors are decided on
+    * the post-takedown corpus, exactly as a rebuild would), and
+    * [[compact]] physically drops the rows and clears the side table —
+    * complete reclamation, not just masking. Cost: O(retracted ids)
+    * per retract; a broadcast anti-join per read (the ids are the
+    * takedown list — small; [[graft.ops.Hints.guardedBroadcast]]
+    * degrades gracefully if not); zero until the first retraction
+    * (the side table doesn't exist, readers pass through untouched).
+    * Retraction is idempotent: the reader distincts the id list, so a
+    * crash-replayed retract of the same ids changes nothing. */
+  def retract(spark: SparkSession, name: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id").cast("long"))
+      .write.mode(SaveMode.Append).saveAsTable(retractedName(name))
+
+  /** Anti-join a reader's index-side rows against the retracted-id
+    * table; pass-through when no retraction ever happened. */
+  private def notRetracted(spark: SparkSession, name: String,
+                           df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(retractedName(name))) df
+    else df.join(
+      graft.ops.Hints.guardedBroadcast(
+        spark.table(retractedName(name)).select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
 
   /** Lifecycle: every [[append]] adds one file per (task × touched
     * bucket), so a long-lived index accretes small files per bucket.
@@ -125,8 +160,12 @@ object SignatureIndex {
       // exactly bucket i and writes exactly ONE file per bucket.
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
-      spark.read.schema(spark.table(table).schema)
-        .parquet(meta.location.toString)
+      // retracted rows are physically dropped here — compaction is the
+      // full-reclamation point of the takedown path (the side table is
+      // cleared after both rewrites; a crash between leaves a re-run
+      // anti-joining ids that no longer match anything — idempotent)
+      notRetracted(spark, name, spark.read.schema(spark.table(table).schema)
+        .parquet(meta.location.toString))
         .repartition(spec.buckets, bucketCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .bucketBy(spec.buckets, bucketCols.head, bucketCols.tail: _*)
@@ -143,6 +182,7 @@ object SignatureIndex {
     }
     rewrite(bandedName(name), Seq("band", "bh"))
     rewrite(sigsName(name), Seq("doc_id"))
+    dropStale(spark, retractedName(name))
   }
 
   /** Candidate near-dup pairs of an arriving batch AGAINST the index —
@@ -160,7 +200,9 @@ object SignatureIndex {
     // (same policy as minhashCandidatePairsBetween; unpersist falls
     // to the ContextCleaner)
     val batchSigs = batchSigsIn.persistT
-    val bb = spark.table(bandedName(name))
+    // retracted docs leave BEFORE the census: bucket sizes, caps and
+    // anchors are decided on the post-takedown corpus, ≡ a rebuild
+    val bb = notRetracted(spark, name, spark.table(bandedName(name)))
     // bucket-size skew cap: groupBy (band, bh) matches the table's
     // bucketing, so this aggregate plans with no exchange
     val sizedB = bb.groupBy("band", "bh")
@@ -213,7 +255,10 @@ object SignatureIndex {
   def selfPairs(spark: SparkSession, name: String, spec: Spec = Spec(),
                 minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val k = spec.bands * spec.rowsPerBand
-    val banded = spark.table(bandedName(name))
+    // retraction filter first, census second (see probe); the sigs
+    // lookups below need no filter — every doc id they see came
+    // through this frame
+    val banded = notRetracted(spark, name, spark.table(bandedName(name)))
     // matches the table's bucketing: aggregates without an exchange
     val sized = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))

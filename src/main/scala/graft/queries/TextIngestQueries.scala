@@ -1021,7 +1021,57 @@ object TextIngestQueries {
   private val q299Sql = TextAnalysisQueries.q279Sql
     .replace("FROM documents)", "FROM documents WHERE doc_id % 9 <> 4)")
 
+  // ------------- signature-index retraction probe (q300)
+  /** The takedown path on the SECOND standing-index family
+    * ([[graft.dedup.SignatureIndex.retract]]): q86's corpus-vs-batch
+    * candidate probe, after retracting doc_id % 9 == 4 from the
+    * standing index. Signature rows are per-document, so unlike the
+    * gram index (q298's stats-only contract) retraction here is FULLY
+    * exact for every operation: the retracted ids anti-join out
+    * BEFORE the bucket-size census, so skew caps and star anchors are
+    * decided on the post-takedown corpus exactly as a rebuild would —
+    * and the oracle proves it by building the banded/sig CTEs over the
+    * corpus WITHOUT the retracted docs. Compaction physically reclaims
+    * (RetractionSpec); until then each probe pays one broadcast
+    * anti-join over the takedown list. */
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val sigs = graft.dedup.Dedup.minhashSignatures(docs, k = 32).persistT
+    val spec = graft.dedup.SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 8)
+    val name = "q300_sigretidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_banded") || !s.catalog.tableExists(name + "_sigs")) {
+      graft.dedup.SignatureIndex.write(sigs.where(col("doc_id") % 20 =!= 0), name, spec)
+      graft.dedup.SignatureIndex.retract(s, name,
+        docs.where(col("doc_id") % 20 =!= 0 && col("doc_id") % 9 === 4).select("doc_id"))
+    }
+    ParityQueries.sortedOut(
+      graft.dedup.SignatureIndex.probe(s, sigs.where(col("doc_id") % 20 === 0),
+        name, spec, minEst = 0.9),
+      col("doc_a"), col("doc_b"))
+  }
+
+  private val q300Sql =
+    s"""WITH ${minhashOracleCtes(32, 4, 8, 1000)},
+       |bb AS (SELECT * FROM banded WHERE doc_id % 20 != 0 AND doc_id % 9 != 4),
+       |ba AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
+       |szb AS (SELECT b, bh, count(*) AS n, min(doc_id) AS anchor FROM bb GROUP BY b, bh),
+       |smallb AS (SELECT b, bh FROM szb WHERE n <= 1000),
+       |candc AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM ba x JOIN (SELECT bb.* FROM bb JOIN smallb USING (b, bh)) y USING (b, bh)
+       |    UNION ALL
+       |    SELECT x.doc_id AS doc_a, szb.anchor AS doc_b
+       |    FROM ba x JOIN szb USING (b, bh) WHERE szb.n > 1000)),
+       |estc AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM candc JOIN sigs sa ON sa.doc_id = candc.doc_a JOIN sigs sb ON sb.doc_id = candc.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM estc WHERE est_jaccard >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q300_sig_retract_probe", q300 _, Some(q300Sql)),
     ("q299_retract_breadth", q299 _, Some(q299Sql)),
     ("q298_retract_affinity", q298 _, Some(q298Sql)),
     ("q297_scrub_provenance", q297 _, Some(q297Sql)),

@@ -99,4 +99,49 @@ class RetractionSpec extends SparkSpec {
     GramIndex.probe(spark, batch, "ret_c", spec).count() shouldBe 1L
     graft.ops.TrackedCache.release(spark)
   }
+
+  // ---- signature index: per-doc rows make retraction FULLY exact ----
+
+  private def pairRows(d: DataFrame) =
+    d.orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("signature index: retract ≡ rebuild-without for probe and selfPairs; compact reclaims") {
+    import graft.dedup.{Dedup, SignatureIndex}
+    // three near-identical doc families so banding actually collides
+    val t1 = (0 until 30).map(i => s"sa$i")
+    val docs = df(Seq(
+      (1L, t1.mkString(" "), "x"),
+      (2L, t1.updated(0, "zz").mkString(" "), "x"),   // near-dup of 1
+      (3L, t1.updated(1, "yy").mkString(" "), "x"),   // near-dup of 1, 2
+      (4L, (0 until 30).map(i => s"sb$i").mkString(" "), "x")))
+    val sigs = Dedup.minhashSignatures(docs, k = 32)
+    val sspec = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 4)
+    val batch = Dedup.minhashSignatures(
+      df(Seq((100L, t1.mkString(" "), "x"))), k = 32)
+
+    SignatureIndex.write(sigs, "sret_a", sspec)
+    SignatureIndex.retract(spark, "sret_a", Seq(2L).toDF("doc_id"))
+    SignatureIndex.write(sigs.where(col("doc_id") =!= 2L), "sret_ref", sspec)
+
+    val got = pairRows(SignatureIndex.probe(spark, batch, "sret_a", sspec, minEst = 0.8))
+    got shouldBe pairRows(SignatureIndex.probe(spark, batch, "sret_ref", sspec, minEst = 0.8))
+    got.map(_._2) should not contain 2L
+    got.map(_._2) should contain(1L) // the kept near-dups still match
+
+    pairRows(SignatureIndex.selfPairs(spark, "sret_a", sspec, minEst = 0.8)) shouldBe
+      pairRows(SignatureIndex.selfPairs(spark, "sret_ref", sspec, minEst = 0.8))
+
+    // double-retract of the same id is a no-op (reader distincts)
+    SignatureIndex.retract(spark, "sret_a", Seq(2L).toDF("doc_id"))
+    pairRows(SignatureIndex.probe(spark, batch, "sret_a", sspec, minEst = 0.8)) shouldBe got
+
+    // compact physically reclaims: side table gone, results unchanged,
+    // and the banded table no longer holds the retracted rows at all
+    SignatureIndex.compact(spark, "sret_a", sspec)
+    spark.catalog.tableExists("sret_a_retracted") shouldBe false
+    spark.table("sret_a_banded").where(col("doc_id") === 2L).count() shouldBe 0L
+    pairRows(SignatureIndex.probe(spark, batch, "sret_a", sspec, minEst = 0.8)) shouldBe got
+    graft.ops.TrackedCache.release(spark)
+  }
 }

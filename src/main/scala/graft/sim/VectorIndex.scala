@@ -23,6 +23,12 @@ object VectorIndex {
 
   private def cellsDir(dir: String) = s"$dir/cells"
   private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def retractedDir(dir: String) = s"$dir/retracted"
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 
   /** Materialize (or replace) the index: assign every corpus vector to
     * its cell (one narrow literal-centroid projection — see
@@ -44,6 +50,65 @@ object VectorIndex {
     val cents = readCentroids(corpus.sparkSession, dir)
     index.assignWith(corpus, cents)
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(cellsDir(dir))
+  }
+
+  /** Takedown without rebuild, third standing-index family — and like
+    * [[graft.dedup.SignatureIndex.retract]] (per-row layout), FULLY
+    * exact for every operation, unlike the gram index's stats-only
+    * contract. The caller passes the VECTORS being taken down (a
+    * takedown names its targets): re-assigning them recovers their
+    * cells, so the tombstone carries (vec_id, cell) and [[reclaim]]
+    * later rewrites ONLY the affected cell partitions — O(affected
+    * cells), never the index. Until reclamation, [[topK]] anti-joins
+    * the (small, broadcast) id list out of the cell scan — zero cost
+    * before the first retraction (no tombstone dir → pass-through,
+    * existing plan-pinned specs unchanged), and the dynamic partition
+    * pruning on `cell` is untouched (the filter is on vec_id).
+    * Crash-replay idempotent: duplicate tombstone rows distinct away;
+    * a re-run reclaim anti-joins ids that no longer match anything. */
+  def retract(vectors: DataFrame, dir: String, index: IvfIndex): Unit = {
+    val cents = readCentroids(vectors.sparkSession, dir)
+    index.assignWith(vectors, cents).select("vec_id", "cell")
+      .write.mode(SaveMode.Append).parquet(retractedDir(dir))
+  }
+
+  private def notRetracted(spark: SparkSession, dir: String,
+                           cells: DataFrame): DataFrame =
+    if (!pathExists(spark, retractedDir(dir))) cells
+    else cells.join(
+      graft.ops.Hints.guardedBroadcast(
+        spark.read.parquet(retractedDir(dir)).select("vec_id").distinct()),
+      Seq("vec_id"), "left_anti")
+
+  /** Physically drop retracted rows — partition-pruned to the cells the
+    * tombstones name: each affected cell is rewritten without the ids
+    * (dynamic partition overwrite), cells emptied entirely are deleted,
+    * untouched cells are never read or written, and the tombstone dir
+    * is cleared last (a crash before that leaves a no-op re-run). */
+  def reclaim(spark: SparkSession, dir: String): Unit = {
+    if (!pathExists(spark, retractedDir(dir))) return
+    val t = spark.read.parquet(retractedDir(dir))
+    val affected = t.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nCells ints, driver-held by design
+    val kept = notRetracted(spark, dir,
+      spark.read.parquet(cellsDir(dir)).where(col("cell").isin(affected.map(Integer.valueOf): _*)))
+      .persist()
+    val keptCells = kept.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsDir(dir))
+    finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      kept.unpersist()
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dynamic overwrite replaces only partitions PRESENT in the output:
+    // a cell whose every row was retracted writes nothing — delete it
+    affected.filterNot(keptCells).foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${cellsDir(dir)}/cell=$c"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(retractedDir(dir)), true)
   }
 
   /** Lifecycle: after N appends each cell holds N small files; rewrite
@@ -70,7 +135,7 @@ object VectorIndex {
   def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
            index: IvfIndex): DataFrame = {
     val cents = readCentroids(spark, dir)
-    val cells = spark.read.parquet(cellsDir(dir))
+    val cells = notRetracted(spark, dir, spark.read.parquet(cellsDir(dir)))
     index.searchAssigned(cells, queries, k, cents)
   }
 }

@@ -144,4 +144,47 @@ class RetractionSpec extends SparkSpec {
     pairRows(SignatureIndex.probe(spark, batch, "sret_a", sspec, minEst = 0.8)) shouldBe got
     graft.ops.TrackedCache.release(spark)
   }
+
+  // ---- vector index: per-row cells, partition-pruned reclamation ----
+
+  test("vector index: retract ≡ rebuild-without for topK; reclaim rewrites only affected cells") {
+    import graft.sim.{IvfIndex, VectorIndex}
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vret").toString
+    val goneIds = Seq(10L, 11L, 12L, 13L)
+    val gone = e.where(col("vec_id").isin(goneIds: _*))
+    VectorIndex.write(e, s"$tmp/a", ivf, cents)
+    VectorIndex.write(e.where(!col("vec_id").isin(goneIds: _*)), s"$tmp/ref", ivf, cents)
+
+    val queries = e.where(col("vec_id") < 5)
+    def rows(d: String) = VectorIndex.topK(spark, d, queries, 5, ivf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val before = rows(s"$tmp/a")
+    VectorIndex.retract(gone, s"$tmp/a", ivf)
+    val after = rows(s"$tmp/a")
+    after shouldBe rows(s"$tmp/ref")
+    after should not be before // the fixture's near ids actually ranked
+    after.map(_._2).intersect(goneIds.toSet) shouldBe empty
+
+    // reclaim: results unchanged, tombstones gone, UNAFFECTED cell
+    // directories untouched (partition-pruned rewrite)
+    val affected = spark.read.parquet(s"$tmp/a/retracted")
+      .select(col("cell").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val untouchedCell = (0 until 8).filterNot(affected.contains).head
+    val probePath = new org.apache.hadoop.fs.Path(s"$tmp/a/cells/cell=$untouchedCell")
+    val mtimeBefore = fs.listStatus(probePath).map(_.getModificationTime).max
+    VectorIndex.reclaim(spark, s"$tmp/a")
+    rows(s"$tmp/a") shouldBe after
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/retracted")) shouldBe false
+    fs.listStatus(probePath).map(_.getModificationTime).max shouldBe mtimeBefore
+    // a second reclaim with no tombstones is a no-op
+    VectorIndex.reclaim(spark, s"$tmp/a")
+    rows(s"$tmp/a") shouldBe after
+  }
 }

@@ -1400,6 +1400,36 @@ object TextDedupQueries {
         "tf2" -> "tf_vector"))
   }
 
+  // ------------- text-index retraction probe (q301)
+  /** The takedown path on the FOURTH standing-index family
+    * ([[graft.text.TextIndex.retract]]): q113's BM25 probe after
+    * retracting doc_id % 9 == 4 from the standing index. Posting rows
+    * are per-(term, doc), so retraction is FULLY exact — and the probe
+    * must get the STATISTICS right, not just the row filter: df and
+    * N/avgdl both change when docs leave, and BM25 re-ranks the
+    * SURVIVORS (a doc's score moves when its terms' df moves). The
+    * oracle proves exactly that: q63's SQL over the corpus WITHOUT the
+    * retracted docs, recomputing df/N from scratch. Until [[compact]]
+    * reclaims, the probe pays one broadcast anti-join plus a
+    * bucket-pruned df correction; the build is once-per-(session, sf)
+    * — the timed surface is the probe (q113 discipline). */
+  private def q301(s: SparkSession, d: String): DataFrame = {
+    val name = "q301_textretidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val spec = graft.text.TextIndex.Spec(buckets = 64)
+    if (!Seq("_postings", "_termstats", "_stats")
+          .forall(sfx => s.catalog.tableExists(name + sfx)))
+      graft.text.TextIndex.write(docs0(s, d), name, spec)
+    if (!s.catalog.tableExists(name + "_retracted"))
+      graft.text.TextIndex.retract(s, name,
+        docs0(s, d).where(col("doc_id") % 9 === 4).select("doc_id"))
+    graft.text.TextIndex.probe(s, name, Seq("join", "stream", "vector"), k = 20)
+      .withColumnsRenamed(Map("tf0" -> "tf_join", "tf1" -> "tf_stream",
+        "tf2" -> "tf_vector"))
+  }
+
+  private val q301Sql =
+    q63Sql.replace("FROM documents)", "FROM documents WHERE doc_id % 9 <> 4)")
+
   // ------------------------------------ per-domain quota cap (q115)
   /** Crawl-curation domain cap: keep at most 10 docs per source, chosen
     * by md5-60 priority — [[graft.ops.Sampling.domainCap]] riding the
@@ -2432,6 +2462,7 @@ object TextDedupQueries {
     ("q106_group_split",       q106 _, Some(q106Sql)),
     ("q112_quality_classifier", q112 _, Some(q112Sql)),
     ("q113_text_index_topk",   q113 _, Some(q63Sql)),
+    ("q301_text_retract_probe", q301 _, Some(q301Sql)),
     ("q115_domain_cap",        q115 _, Some(q115Sql)),
     ("q116_bigram_lm",         q116 _, Some(q116Sql)),
     ("q119_containment_pairs", q119 _, Some(q119Sql)),

@@ -328,6 +328,38 @@ object VectorQueries {
       .sortedOut("query_id", "rank")
   }
 
+  // -------------------------- PQ-index retraction probe (q302)
+  /** The takedown path on the FIFTH standing-index family
+    * ([[graft.sim.PqVectorIndex.retract]]): q87's cell-gated ADC probe
+    * after retracting vec_id % 9 == 4 from the standing code table.
+    * The tombstone carries IDS ONLY — the index stores codes, not
+    * vectors, and a takedown typically has neither; reclaim derives
+    * the affected cells from the index itself (the ADVICE r14 #2
+    * stale-assignment hazard cannot occur). Until reclamation the ADC
+    * scan pays one broadcast anti-join; the oracle rebuilds q84's
+    * corpus-side assignment WITHOUT the retracted vectors (quantizer
+    * and codebook unchanged — retraction never refits). */
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ivf = new graft.sim.IvfIndex(nCells = 16, nProbe = 4)
+    val pq = new graft.sim.PqIndex(dim = 64, m = 8, ksub = 16)
+    val dir = s"target/indexes/pqvecret_${new java.io.File(d).getName}"
+    val marker = "q302_built_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(marker)) {
+      graft.sim.PqVectorIndex.write(e, dir, ivf, ivf.centroidsOf(e), pq, pq.codebookOf(e))
+      graft.sim.PqVectorIndex.retract(s, dir,
+        e.where(col("vec_id") % 9 === 4).select("vec_id"))
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    graft.sim.PqVectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf, pq)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .sortedOut("query_id", "rank")
+  }
+
+  private val q302Sql = q84Sql.replace(
+    "FROM embeddings e CROSS JOIN icents c) WHERE rn = 1)",
+    "FROM embeddings e CROSS JOIN icents c WHERE e.vec_id % 9 <> 4) WHERE rn = 1)")
+
   // ---------------- embedding near-dup corpus dedup, end to end (q88)
   /** The embedding member of the corpus-dedup family (q48 is the text
     * twin): hyperplane-LSH candidate pairs → exact-cosine verify →
@@ -1722,6 +1754,7 @@ object VectorQueries {
     ("q78_pq_ann_topk",       q78 _, Some(q78Sql)),
     ("q84_ivfpq_ann_topk",    q84 _, Some(q84Sql)),
     ("q87_pq_index_topk",     q87 _, Some(q84Sql)),
+    ("q302_pq_retract_probe", q302 _, Some(q302Sql)),
     ("q88_embed_corpus_dedup", q88 _, Some(q88Sql)),
     ("q92_hybrid_rrf",        q92 _, Some(q92Sql)),
     ("q94_ann_recall",        q94 _, Some(q94Sql)),

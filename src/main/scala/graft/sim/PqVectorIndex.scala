@@ -36,6 +36,8 @@ object PqVectorIndex {
             codebook: Array[Array[Array[Float]]],
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = corpus.sparkSession
+    if (mode == SaveMode.Overwrite)
+      VectorIndex.clearRetracted(spark, dir) // rebuild clears takedowns
     ivf.assignWith(corpus, cents)
       .select(col("vec_id"), col("cell"),
         org.apache.spark.sql.GraftSqlShim.column(PqEncode(
@@ -70,6 +72,46 @@ object PqVectorIndex {
     * read path, deliberately shared. */
   def readCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
     VectorIndex.readCentroids(spark, dir)
+
+  // ------------------------------------------------------------------
+  // retraction (takedown without rebuild) — fifth standing-index family
+  // ------------------------------------------------------------------
+
+  /** REMOVE vectors from the standing index without a rebuild —
+    * [[VectorIndex.retract]]'s pattern transferred to the PQ codes
+    * layout (codes are per-vector rows, so retraction is FULLY exact).
+    * One deliberate difference: the caller names vec_ids, NOT vectors —
+    * the index stores only 1-byte/sub-vector codes, a takedown
+    * typically no longer has the raw embedding, and recomputing the
+    * cell from caller-supplied vectors is exactly the stale-assignment
+    * resurface hazard ADVICE r14 #2 called out on VectorIndex. The
+    * tombstone therefore carries ids only; [[reclaim]] derives the
+    * affected cells from the index itself. Until reclamation, [[topK]]
+    * anti-joins the (small, broadcast) id list out of the pruned ADC
+    * scan — zero cost before the first retraction (no tombstone dir →
+    * pass-through, PqVectorIndexSpec's plan pins unchanged).
+    * Crash-replay idempotent: duplicate tombstone rows distinct away. */
+  def retract(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(VectorIndex.retractedDir(dir))
+
+  private def notRetracted(spark: SparkSession, dir: String,
+                           cells: DataFrame): DataFrame =
+    if (!VectorIndex.pathExists(spark, VectorIndex.retractedDir(dir))) cells
+    else cells.join(
+      graft.ops.Hints.guardedBroadcast(
+        spark.read.parquet(VectorIndex.retractedDir(dir))
+          .select("vec_id").distinct()),
+      Seq("vec_id"), "left_anti")
+
+  /** Physically drop retracted code rows — affected cells derived from
+    * the index (one narrow (vec_id, cell) scan, ground truth by
+    * construction), each rewritten without the ids via dynamic
+    * partition overwrite, emptied cells deleted, tombstones cleared
+    * last. Identical mechanics to [[VectorIndex.reclaim]]; the code
+    * payload is never decoded. */
+  def reclaim(spark: SparkSession, dir: String): Unit =
+    VectorIndex.reclaim(spark, dir)
 
   /** Lifecycle: rewrite each cell partition's accumulated small CODE
     * files to ~target size; layout and probe plan unchanged. */
@@ -141,6 +183,7 @@ object PqVectorIndex {
            ivf: IvfIndex, pq: PqIndex): DataFrame = {
     val cents = readCentroids(spark, dir)
     val cb = readCodebook(spark, dir)
-    pq.searchAdcIvf(spark.read.parquet(cellsDir(dir)), queries, k, cb, ivf, cents)
+    pq.searchAdcIvf(notRetracted(spark, dir, spark.read.parquet(cellsDir(dir))),
+      queries, k, cb, ivf, cents)
   }
 }

@@ -23,11 +23,20 @@ object VectorIndex {
 
   private def cellsDir(dir: String) = s"$dir/cells"
   private def centroidsDir(dir: String) = s"$dir/centroids"
-  private def retractedDir(dir: String) = s"$dir/retracted"
+  private[sim] def retractedDir(dir: String) = s"$dir/retracted"
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
+  private[sim] def pathExists(spark: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** A rebuild clears standing takedowns — stale tombstones must not
+    * anti-join fresh data (the SignatureIndex.write(Overwrite)
+    * contract, shared by [[PqVectorIndex.write]]). */
+  private[sim] def clearRetracted(spark: SparkSession, dir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(retractedDir(dir))
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
   }
 
   /** Materialize (or replace) the index: assign every corpus vector to
@@ -37,6 +46,7 @@ object VectorIndex {
             cents: Array[(Int, Array[Float])],
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = corpus.sparkSession
+    if (mode == SaveMode.Overwrite) clearRetracted(spark, dir)
     index.assignWith(corpus, cents)
       .write.mode(mode).partitionBy("cell").parquet(cellsDir(dir))
     import spark.implicits._
@@ -65,7 +75,15 @@ object VectorIndex {
     * existing plan-pinned specs unchanged), and the dynamic partition
     * pruning on `cell` is untouched (the filter is on vec_id).
     * Crash-replay idempotent: duplicate tombstone rows distinct away;
-    * a re-run reclaim anti-joins ids that no longer match anything. */
+    * a re-run reclaim anti-joins ids that no longer match anything.
+    *
+    * The recorded cell is ADVISORY: [[reclaim]] re-derives the affected
+    * cells from the index itself (ADVICE r14 #2 — a caller whose
+    * vectors drifted from what was indexed, e.g. re-normalized
+    * embeddings, would record the WRONG cell, and a reclaim trusting it
+    * would rewrite the wrong partition and let the taken-down vector
+    * silently resurface after the tombstones clear — the worst failure
+    * mode for a takedown path). */
   def retract(vectors: DataFrame, dir: String, index: IvfIndex): Unit = {
     val cents = readCentroids(vectors.sparkSession, dir)
     index.assignWith(vectors, cents).select("vec_id", "cell")
@@ -80,16 +98,38 @@ object VectorIndex {
         spark.read.parquet(retractedDir(dir)).select("vec_id").distinct()),
       Seq("vec_id"), "left_anti")
 
-  /** Physically drop retracted rows — partition-pruned to the cells the
-    * tombstones name: each affected cell is rewritten without the ids
-    * (dynamic partition overwrite), cells emptied entirely are deleted,
-    * untouched cells are never read or written, and the tombstone dir
-    * is cleared last (a crash before that leaves a no-op re-run). */
+  /** Where the retracted ids ACTUALLY live, asked of the index itself —
+    * the ground truth [[reclaim]] rewrites from. One (vec_id, cell)
+    * scan of the cell table: vec_id is the only data column read, cell
+    * comes from the directory layout, so the pass reads a few bytes per
+    * row of an index whose bytes are dominated by the payload column —
+    * paid at RECLAIM (a rare maintenance step), never at probe. By
+    * construction every live row holding a retracted id is in an
+    * affected cell, so the resurface hazard cannot occur. */
+  private def affectedCells(spark: SparkSession, dir: String,
+                            cellsPath: String): Array[Int] =
+    spark.read.parquet(cellsPath)
+      .join(graft.ops.Hints.guardedBroadcast(
+        spark.read.parquet(retractedDir(dir)).select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nCells ints, driver-held by design
+
+  /** Physically drop retracted rows — partition-pruned to the affected
+    * cells (derived from the index, see [[affectedCells]]): each is
+    * rewritten without the ids (dynamic partition overwrite), cells
+    * emptied entirely are deleted, untouched cells are never read or
+    * written in the rewrite, and the tombstone dir is cleared last (a
+    * crash before that leaves a no-op re-run). */
   def reclaim(spark: SparkSession, dir: String): Unit = {
     if (!pathExists(spark, retractedDir(dir))) return
-    val t = spark.read.parquet(retractedDir(dir))
-    val affected = t.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)) // ≤ nCells ints, driver-held by design
+    val affected = affectedCells(spark, dir, cellsDir(dir))
+    if (affected.isEmpty) { // nothing lives under these ids — tombstones clear
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(retractedDir(dir)), true)
+      return
+    }
     val kept = notRetracted(spark, dir,
       spark.read.parquet(cellsDir(dir)).where(col("cell").isin(affected.map(Integer.valueOf): _*)))
       .persist()

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *     is a monoid, like the corpus stats.
   *   - `{name}_stats` (n_docs_delta, sum_len_delta) — corpus-size
   *     partials with the same merge-on-read contract.
+  *   - `{name}_retracted` (doc_id, dl) — the takedown side table
+  *     ([[retract]]); absent until the first retraction.
   *
   * Scoring reuses the EXACT q63 expression tree
   * ([[TextFunctions.bm25Part]]), over identical column types, so a
@@ -47,6 +49,7 @@ object TextIndex {
   private def postingsName(name: String) = s"${name}_postings"
   private def termstatsName(name: String) = s"${name}_termstats"
   private def statsName(name: String) = s"${name}_stats"
+  private def retractedName(name: String) = s"${name}_retracted"
 
   /** Same stale-location handling as SignatureIndex.dropStale (the
     * catalog is in-memory, managed dirs are not). */
@@ -77,7 +80,8 @@ object TextIndex {
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = docs.sparkSession
     if (mode == SaveMode.Overwrite)
-      Seq(postingsName(name), termstatsName(name), statsName(name))
+      Seq(postingsName(name), termstatsName(name), statsName(name),
+        retractedName(name)) // rebuild clears takedowns
         .foreach(dropStale(spark, _))
     val toks = TextFunctions.tokens(col("text"))
     val postings = docs
@@ -108,6 +112,62 @@ object TextIndex {
   def append(docs: DataFrame, name: String, spec: Spec = Spec()): Unit =
     write(docs, name, spec, SaveMode.Append)
 
+  // ------------------------------------------------------------------
+  // retraction (takedown without rebuild) — fourth standing-index family
+  // ------------------------------------------------------------------
+
+  /** REMOVE documents from the standing index without a rebuild — the
+    * takedown path, and (like [[graft.dedup.SignatureIndex.retract]])
+    * FULLY exact for every operation, because posting rows are
+    * per-(term, doc): [[probe]] anti-joins the retracted ids out of the
+    * pruned posting buckets AND corrects df / corpus stats (BM25
+    * scores change when df changes — a takedown that left df stale
+    * would mis-rank every surviving doc), [[phraseSearch]] anti-joins
+    * the positional postings, and [[compact]] physically drops the
+    * rows, recomputes the stat tables from what survives, and clears
+    * the side table — complete reclamation.
+    *
+    * Mechanics: one side table `{name}_retracted` (doc_id, dl) — the
+    * doc length is captured FROM the index (any posting row of the doc
+    * carries it; every indexed doc has ≥ 1 posting row, an empty text
+    * tokenizes to ['']), so corpus-stat corrections at probe time are
+    * exact without negated state. Because nothing negative is ever
+    * stored and every reader derives corrections from the DISTINCT
+    * retracted set, retraction is replay- and overlap-idempotent by
+    * construction: a crash-replayed retract, or the same doc named in
+    * two takedown batches, appends duplicate side rows that distinct
+    * away (the ADVICE r14 GramIndex double-negation hazard cannot
+    * occur here). Retracting a never-indexed id is a no-op (no posting
+    * rows → no side rows).
+    *
+    * Cost: one narrow (doc_id, dl) scan of the postings per retract
+    * call — the layout is term-bucketed, so doc-keyed selection cannot
+    * bucket-prune; honest economics, stated. Probes then pay one
+    * broadcast anti-join plus a bucket-pruned df correction until
+    * [[compact]] reclaims. A retracted doc_id stays retracted until
+    * then — re-ingesting the same id after retraction is out of
+    * contract (standard tombstone semantics, as in the other three
+    * index families). */
+  def retract(spark: SparkSession, name: String, docIds: DataFrame): Unit =
+    spark.table(postingsName(name))
+      .join(graft.ops.Hints.guardedBroadcast(
+        docIds.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
+      .write.mode(SaveMode.Append).saveAsTable(retractedName(name))
+
+  /** The distinct retracted (doc_id, dl) set; None until the first
+    * retraction (readers pass through untouched, plans unchanged). */
+  private def retractedDocs(spark: SparkSession, name: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(retractedName(name))) None
+    else Some(spark.table(retractedName(name)).distinct())
+
+  /** Anti-join index-side rows against the retracted ids (broadcast —
+    * a takedown list is small; guardedBroadcast degrades gracefully). */
+  private def notRetracted(df: DataFrame, ret: Option[DataFrame]): DataFrame =
+    ret.fold(df)(r => df.join(
+      graft.ops.Hints.guardedBroadcast(r.select("doc_id")),
+      Seq("doc_id"), "left_anti"))
+
   /** BM25 top-k for a fixed term list, served FROM the index: reads
     * |terms| buckets of postings + the two stat tables (each folded to
     * one broadcast row), aggregates per doc, TakeOrderedAndProject.
@@ -134,8 +194,10 @@ object TextIndex {
     if (spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "true") != "false")
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val posts = spark.table(postingsName(name))
+    val ret = retractedDocs(spark, name)
+    val posts0 = spark.table(postingsName(name))
       .where(col("term").isin(terms.map(x => x: Any): _*))
+    val posts = notRetracted(posts0, ret)
     val perDoc = posts.groupBy(col("doc_id"), col("dl"))
       .agg(
         sum(when(col("term") === terms.head, col("tf")).otherwise(0))
@@ -144,7 +206,7 @@ object TextIndex {
           sum(when(col("term") === t, col("tf")).otherwise(0))
             .cast("int").as(s"tf${i + 1}")
         }: _*)
-    val dfRow = spark.table(termstatsName(name))
+    val dfFull = spark.table(termstatsName(name))
       .agg(
         sum(when(col("term") === terms.head, col("df_delta")).otherwise(0L))
           .as("df0"),
@@ -152,9 +214,38 @@ object TextIndex {
           sum(when(col("term") === t, col("df_delta")).otherwise(0L))
             .as(s"df${i + 1}")
         }: _*)
-    val stats = spark.table(statsName(name))
+    // Retraction corrections, both exact and both cheap: the per-term
+    // df decrement counts the retracted docs' (term, doc) rows in the
+    // SAME pruned buckets the probe already reads (one posting row per
+    // doc containing the term), and the corpus-size decrement is a
+    // 1-row aggregate of the (small) retracted side table — BM25's df
+    // and N/avgdl therefore match a rebuild-without-docs bit-for-bit
+    // (TextIndexSpec pins it, scores included).
+    val dfRow = ret match {
+      case None => dfFull
+      case Some(r) =>
+        val retDf = posts0.join(graft.ops.Hints.guardedBroadcast(
+            r.select("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(
+            sum(when(col("term") === terms.head, 1L).otherwise(0L)).as("rdf0"),
+            terms.tail.zipWithIndex.map { case (t, i) =>
+              sum(when(col("term") === t, 1L).otherwise(0L)).as(s"rdf${i + 1}")
+            }: _*)
+        dfFull.crossJoin(retDf).select(
+          terms.indices.map(i =>
+            (col(s"df$i") - coalesce(col(s"rdf$i"), lit(0L))).as(s"df$i")): _*)
+    }
+    val statsFull = spark.table(statsName(name))
       .agg(sum(col("n_docs_delta")).as("n_docs"),
         sum(col("sum_len_delta")).as("sum_len"))
+    val stats = ret match {
+      case None => statsFull
+      case Some(r) =>
+        statsFull.crossJoin(
+            r.agg(count(lit(1)).as("rn"), sum(col("dl")).as("rl")))
+          .select((col("n_docs") - col("rn")).as("n_docs"),
+            (col("sum_len") - coalesce(col("rl"), lit(0L))).as("sum_len"))
+    }
     val score = terms.indices
       .map(i => TextFunctions.bm25Part(col(s"tf$i"), col(s"df$i"),
         col("dl"), col("n_docs"), col("sum_len")))
@@ -179,12 +270,19 @@ object TextIndex {
       spark.sql(s"DROP TABLE `$table`")
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     }
+    val ret = retractedDocs(spark, name)
     val pt = postingsName(name)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(pt))
     val tmpP = s"${pt}_compact"
     dropStale(spark, tmpP)
-    spark.read.schema(spark.table(pt).schema).parquet(meta.location.toString)
+    // retracted rows are physically dropped here — compaction is the
+    // full-reclamation point of the takedown path (SignatureIndex
+    // discipline); a crash before the side-table drop leaves a re-run
+    // anti-joining ids that no longer match anything — idempotent
+    notRetracted(
+        spark.read.schema(spark.table(pt).schema).parquet(meta.location.toString),
+        ret)
       .repartition(spec.buckets, col("term"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(spec.buckets, "term").sortBy("term")
@@ -192,17 +290,46 @@ object TextIndex {
     swapIn(tmpP, pt)
     val tmpT = s"${termstatsName(name)}_compact"
     dropStale(spark, tmpT)
-    spark.table(termstatsName(name))
-      .groupBy("term").agg(sum(col("df_delta")).as("df_delta"))
+    // after a retraction the folded partials would bake stale df in —
+    // recompute both stat tables from the kept postings instead (df per
+    // term = posting rows; (doc_id, dl) distinct covers every doc: an
+    // empty text still holds one [''] posting row)
+    val keptPosts = spark.table(pt)
+    (if (ret.isEmpty)
+       spark.table(termstatsName(name))
+         .groupBy("term").agg(sum(col("df_delta")).as("df_delta"))
+     else keptPosts.groupBy("term")
+       .agg(count(lit(1)).cast("long").as("df_delta")))
       .write.mode(SaveMode.Overwrite).saveAsTable(tmpT)
     swapIn(tmpT, termstatsName(name))
     val tmpS = s"${statsName(name)}_compact"
     dropStale(spark, tmpS)
-    spark.table(statsName(name))
-      .agg(sum(col("n_docs_delta")).as("n_docs_delta"),
-        sum(col("sum_len_delta")).as("sum_len_delta"))
+    (if (ret.isEmpty)
+       spark.table(statsName(name))
+         .agg(sum(col("n_docs_delta")).as("n_docs_delta"),
+           sum(col("sum_len_delta")).as("sum_len_delta"))
+     else keptPosts.select("doc_id", "dl").distinct()
+       .agg(count(lit(1)).cast("long").as("n_docs_delta"),
+         coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_len_delta")))
       .write.mode(SaveMode.Overwrite).saveAsTable(tmpS)
     swapIn(tmpS, statsName(name))
+    // positional postings (when kept) reclaim in the same pass
+    if (ret.nonEmpty && spark.catalog.tableExists(posName(name))) {
+      val pp = posName(name)
+      val pmeta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(pp))
+      val tmpPos = s"${pp}_compact"
+      dropStale(spark, tmpPos)
+      notRetracted(
+          spark.read.schema(spark.table(pp).schema).parquet(pmeta.location.toString),
+          ret)
+        .repartition(spec.buckets, col("term"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(spec.buckets, "term").sortBy("term")
+        .saveAsTable(tmpPos)
+      swapIn(tmpPos, pp)
+    }
+    if (ret.nonEmpty) dropStale(spark, retractedName(name))
   }
 
   /** Compaction POLICY hook, calibrated by the round-7 IndexBench run:
@@ -263,9 +390,13 @@ object TextIndex {
         "true") != "false")
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // pruned slice feeds one branch per phrase position — persist so
-    // the bucket read happens once (lazy-plan persist, q179 pattern)
-    val posts = spark.table(posName(name))
-      .where(col("term").isin(phrase.distinct.map(x => x: Any): _*))
+    // the bucket read happens once (lazy-plan persist, q179 pattern);
+    // retracted docs anti-join out of the pruned slice (exact ≡
+    // rebuild-without-docs: phrase hits are per-(doc, pos) rows)
+    val posts = notRetracted(
+        spark.table(posName(name))
+          .where(col("term").isin(phrase.distinct.map(x => x: Any): _*)),
+        retractedDocs(spark, name))
       .persistT
     phrase.zipWithIndex.map { case (t, i) =>
       posts.where(col("term") === t)

@@ -187,4 +187,110 @@ class RetractionSpec extends SparkSpec {
     VectorIndex.reclaim(spark, s"$tmp/a")
     rows(s"$tmp/a") shouldBe after
   }
+
+  test("vector index: reclaim is exact even when the retract-time vectors DRIFTED (ADVICE r14 #2)") {
+    import graft.sim.{IvfIndex, VectorIndex}
+    val ivf = new IvfIndex(nCells = 8, nProbe = 8) // probe all: any survivor WOULD surface
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vdrift").toString
+    VectorIndex.write(e, tmp, ivf, cents)
+    // the takedown arrives with the RIGHT ids but the WRONG vectors
+    // (e.g. re-normalized embeddings): borrow other rows' embeddings so
+    // the recomputed assignment lands in different cells than indexed
+    val goneIds = Seq(10L, 11L, 12L, 13L)
+    val drifted = e.where(col("vec_id").isin(400L, 401L, 402L, 403L))
+      .withColumn("vec_id", col("vec_id") - 390L) // 10..13, foreign embeddings
+    VectorIndex.retract(drifted, tmp, ivf)
+    // the scenario is real only if the recorded assignment actually
+    // disagrees with where the ids live in the index
+    val recorded = spark.read.parquet(s"$tmp/retracted")
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val indexed = spark.read.parquet(s"$tmp/cells")
+      .where(col("vec_id").isin(goneIds: _*))
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    recorded should not equal indexed
+    // pre-reclaim: anti-join is on vec_id over the whole scan — exact
+    val queries = e.where(col("vec_id") < 5)
+    def neighbors() = VectorIndex.topK(spark, tmp, queries, 5, ivf)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    neighbors().intersect(goneIds.toSet) shouldBe empty
+    // reclaim derives affected cells from the INDEX, not the recorded
+    // (drifted, wrong) assignment — the retracted rows must be
+    // physically gone and must NOT resurface after the tombstones clear
+    VectorIndex.reclaim(spark, tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/retracted")) shouldBe false
+    spark.read.parquet(s"$tmp/cells")
+      .where(col("vec_id").isin(goneIds: _*)).count() shouldBe 0L
+    neighbors().intersect(goneIds.toSet) shouldBe empty
+  }
+
+  // ---- PQ index: ids-only tombstones, affected cells from the index ----
+
+  test("pq index: retract ≡ rebuild-without for topK; reclaim rewrites only affected cells") {
+    import graft.sim.{IvfIndex, PqIndex, PqVectorIndex}
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val pq = new PqIndex(dim = 64, m = 8, ksub = 16)
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val cb = pq.codebookOf(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqret").toString
+    PqVectorIndex.write(e, s"$tmp/a", ivf, cents, pq, cb)
+
+    val queries = e.where(col("vec_id") < 5)
+    def rows(d: String) = PqVectorIndex.topK(spark, d, queries, 5, ivf, pq)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val before = rows(s"$tmp/a")
+    // take down ids that actually RANK, so the takedown provably bites
+    val goneIds = before.map(_._2).toSeq.sorted.take(4)
+    PqVectorIndex.write(e.where(!col("vec_id").isin(goneIds: _*)),
+      s"$tmp/ref", ivf, cents, pq, cb)
+    // the tombstone names IDS ONLY — the index stores codes, a takedown
+    // has no raw vectors to hand back
+    import spark.implicits._
+    PqVectorIndex.retract(spark, s"$tmp/a", goneIds.toDF("vec_id"))
+    val after = rows(s"$tmp/a")
+    after shouldBe rows(s"$tmp/ref")
+    after should not be before
+    after.map(_._2).intersect(goneIds.toSet) shouldBe empty
+    // double-retract of the same ids is a no-op (reader distincts)
+    PqVectorIndex.retract(spark, s"$tmp/a", goneIds.toDF("vec_id"))
+    rows(s"$tmp/a") shouldBe after
+
+    // reclaim: affected cells derived from the index; untouched cell
+    // dirs are never rewritten (mtime-pinned), retracted codes are
+    // physically gone, tombstones cleared
+    val affected = spark.read.parquet(s"$tmp/a/cells")
+      .where(col("vec_id").isin(goneIds: _*))
+      .select(col("cell").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    affected should not be empty
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val untouchedCell = (0 until 8).filterNot(affected.contains).head
+    val probePath = new org.apache.hadoop.fs.Path(s"$tmp/a/cells/cell=$untouchedCell")
+    val mtimeBefore = fs.listStatus(probePath).map(_.getModificationTime).max
+    PqVectorIndex.reclaim(spark, s"$tmp/a")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/retracted")) shouldBe false
+    fs.listStatus(probePath).map(_.getModificationTime).max shouldBe mtimeBefore
+    spark.read.parquet(s"$tmp/a/cells")
+      .where(col("vec_id").isin(goneIds: _*)).count() shouldBe 0L
+    rows(s"$tmp/a") shouldBe after
+    // retracting ids that never lived in the index: reclaim is a clean
+    // no-op that still clears the tombstones
+    PqVectorIndex.retract(spark, s"$tmp/a", Seq(999999L).toDF("vec_id"))
+    PqVectorIndex.reclaim(spark, s"$tmp/a")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/retracted")) shouldBe false
+    rows(s"$tmp/a") shouldBe after
+    // a rebuild clears standing takedowns (stale tombstones must not
+    // anti-join fresh data)
+    PqVectorIndex.retract(spark, s"$tmp/a", goneIds.toDF("vec_id"))
+    PqVectorIndex.write(e, s"$tmp/a", ivf, cents, pq, cb)
+    rows(s"$tmp/a") shouldBe before
+  }
 }

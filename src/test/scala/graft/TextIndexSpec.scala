@@ -79,6 +79,55 @@ class TextIndexSpec extends SparkSpec {
     before should not be empty
   }
 
+  test("retract ≡ rebuild-without-docs (df-shifted BM25 ranking), replay-idempotent; compact physically reclaims") {
+    val keep = docs.where(col("doc_id") % 5 =!= 2)
+    val gone = docs.where(col("doc_id") % 5 === 2)
+    TextIndex.write(docs, "tix_ret")
+    TextIndex.writePositional(docs, "tix_ret")
+    TextIndex.write(keep, "tix_ret_ref")
+    TextIndex.writePositional(keep, "tix_ret_ref")
+    TextIndex.retract(spark, "tix_ret", gone.select("doc_id"))
+    // the WHOLE ranking (k = 500 ≫ corpus), not just top-20: df and
+    // N/avgdl all shifted — every surviving score must equal the
+    // rebuild's bit-for-bit for the order to match at full depth
+    probeRows("tix_ret", k = 500) shouldBe probeRows("tix_ret_ref", k = 500)
+    // replay / overlapping second takedown of the same ids: the side
+    // table distincts on read — corrections never double-apply
+    TextIndex.retract(spark, "tix_ret", gone.select("doc_id"))
+    probeRows("tix_ret", k = 500) shouldBe probeRows("tix_ret_ref", k = 500)
+    // retracting a never-indexed id is a no-op (no posting rows)
+    TextIndex.retract(spark, "tix_ret",
+      spark.range(9000000, 9000003).select(col("id").as("doc_id")))
+    probeRows("tix_ret", k = 500) shouldBe probeRows("tix_ret_ref", k = 500)
+    // the probe stays bucket-pruned with tombstones standing
+    val plan = TextIndex.probe(spark, "tix_ret", terms)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    sel.isDefined shouldBe true
+    sel.get.group(1).toInt should be <= terms.length
+    // the positional twin drops retracted docs too
+    val phrase = Seq("big", "order", "scan")
+    def phraseRows(n: String) = TextIndex.phraseSearch(spark, n, phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    phraseRows("tix_ret") shouldBe phraseRows("tix_ret_ref")
+    // compact: physical reclamation — retracted posting/positional rows
+    // gone, stat tables recomputed from the survivors, side table
+    // dropped, results unchanged
+    TextIndex.compact(spark, "tix_ret")
+    spark.catalog.tableExists("tix_ret_retracted") shouldBe false
+    spark.table("tix_ret_postings")
+      .join(gone.select("doc_id"), Seq("doc_id"), "left_semi").count() shouldBe 0L
+    spark.table("tix_ret_pospostings")
+      .join(gone.select("doc_id"), Seq("doc_id"), "left_semi").count() shouldBe 0L
+    probeRows("tix_ret", k = 500) shouldBe probeRows("tix_ret_ref", k = 500)
+    phraseRows("tix_ret") shouldBe phraseRows("tix_ret_ref")
+    // recomputed stats equal the rebuild's folded stats exactly
+    TextIndex.compact(spark, "tix_ret_ref")
+    spark.table("tix_ret_stats").collect().map(_.toSeq) shouldBe
+      spark.table("tix_ret_ref_stats").collect().map(_.toSeq)
+    graft.ops.TrackedCache.release(spark)
+  }
+
   test("phraseSearch from the positional index == q179's full-scan join; appends merge; probe bucket-pruned") {
     import graft.text.TextFunctions
     val phrase = Seq("big", "order", "scan") // present in the sf0.001 fixture

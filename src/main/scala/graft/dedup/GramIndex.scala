@@ -63,10 +63,24 @@ object GramIndex {
 
   /** Window length + physical bucket count. The same `minLen` MUST be
     * used by writers and probes (a probe at a different L simply
-    * matches nothing — grams of different lengths never collide). */
-  case class Spec(minLen: Int = 8, buckets: Int = 64)
+    * matches nothing — grams of different lengths never collide).
+    *
+    * `ownerSidecar`: also maintain a `{base}_docs` sidecar at
+    * (gram, source, doc_id, n_occ) grain — the (gram, doc) rows whose
+    * absence makes owner-dependent operations unrepairable after
+    * [[retract]]. With it, [[probe]]/[[scrubProbe]]/[[ownerAttribution]]
+    * stay EXACT after takedowns (owners re-derived from surviving docs,
+    * cost ∝ the probe's matched grams — no repair step at all), and
+    * [[compact]] can fold tombstones away completely. Storage cost is
+    * the honest price: one row per distinct (gram, source, doc) versus
+    * the default's per-(gram, source) aggregate — opt in when the
+    * corpus takes regular takedowns, stay lean when it doesn't. */
+  case class Spec(minLen: Int = 8, buckets: Int = 64,
+                  ownerSidecar: Boolean = false)
 
   private def tableName(name: String) = s"${name}_grams".toLowerCase
+
+  private def docsTable(name: String) = s"${tableName(name)}_docs"
 
   private val CoversProp = "graft.coversDeltaTo"
 
@@ -107,6 +121,27 @@ object GramIndex {
     val live = allDeltas(spark, base).filter(_.b > covered)
     live.filterNot(d => live.exists(o =>
       o.table != d.table && o.a <= d.a && d.b <= o.b)).sortBy(_.a)
+  }
+
+  /** A rebuild's scorched-earth pass: dirs of this index's auxiliary
+    * tables (deltas, tombstones, id lists, sidecar, swap temps) left by
+    * a PREVIOUS session — the in-memory catalog forgets them, DROP
+    * TABLE can't reach them, and a deterministic-named rewrite
+    * (digest tombstones, `_d1_1`) would die on LOCATION_ALREADY_EXISTS.
+    * Catalog-known tables are dropped properly before this runs; the
+    * sweep only reaps the orphans. */
+  private def sweepOrphans(spark: SparkSession, base: String): Unit = {
+    val dbUri = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+    val dbPath = new org.apache.hadoop.fs.Path(dbUri)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbPath)) return
+    val re = (java.util.regex.Pattern.quote(base.toLowerCase) +
+      "_(t[0-9a-f]+|tids_[0-9a-f]+|docs(_compact|_old)?|d\\d+_\\d+|old|compact|dtmp)").r
+    fs.listStatus(dbPath).foreach { st =>
+      val n = st.getPath.getName
+      if (re.findFirstMatchIn(n).exists(m => m.start == 0 && m.end == n.length))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Self-heal the major compact's rename window (ADVICE r13 #5): no
@@ -155,17 +190,28 @@ object GramIndex {
 
   /** One segment's rows: (gram, source) grain with the min-doc owner
     * and the per-source doc/occurrence counts. */
-  private def segmentRows(corpus: DataFrame, L: Int): DataFrame =
-    gramsOf(corpus, L)
+  private def segmentRowsFromGrams(grams: DataFrame): DataFrame =
+    grams
       .groupBy(col("gram"), col("source"))
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .select("gram", "owner", "source", "n_docs", "n_occ")
 
-  private def writeSegment(rows: DataFrame, table: String, spec: Spec): Unit =
+  private def segmentRows(corpus: DataFrame, L: Int): DataFrame =
+    segmentRowsFromGrams(gramsOf(corpus, L))
+
+  /** Sidecar rows: (gram, source, doc_id) grain with the per-doc
+    * occurrence count — everything a post-takedown owner re-derivation
+    * needs (owner = min surviving doc; stats re-aggregate exactly). */
+  private def sidecarRowsFromGrams(grams: DataFrame): DataFrame =
+    grams.groupBy(col("gram"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+
+  private def writeSegment(rows: DataFrame, table: String, spec: Spec,
+                           mode: SaveMode = SaveMode.Overwrite): Unit =
     rows.repartition(spec.buckets, col("gram"))
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .bucketBy(spec.buckets, "gram").sortBy("gram")
       .saveAsTable(table)
 
@@ -180,91 +226,193 @@ object GramIndex {
       SignatureIndex.dropStale(spark, base)
       allDeltas(spark, base).foreach(d =>
         spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
-      tombstones(spark, base).foreach(t =>
+      (tombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`")) // rebuild clears takedowns
       Seq("_old", "_compact", "_dtmp").foreach(s =>
         SignatureIndex.dropStale(spark, s"$base$s"))
-      writeSegment(segmentRows(corpus, spec.minLen), base, spec)
+      SignatureIndex.dropStale(spark, docsTable(name))
+      Seq("_old", "_compact").foreach(s =>
+        SignatureIndex.dropStale(spark, s"${docsTable(name)}$s"))
+      sweepOrphans(spark, base)
+      if (spec.ownerSidecar) {
+        // one text pass feeds both grains
+        val grams = gramsOf(corpus, spec.minLen).persist()
+        try {
+          writeSegment(segmentRowsFromGrams(grams), base, spec)
+          writeSegment(sidecarRowsFromGrams(grams), docsTable(name), spec)
+        } finally { grams.unpersist(); () }
+      } else writeSegment(segmentRows(corpus, spec.minLen), base, spec)
     }
 
   /** Add newly-accepted documents' grams to the standing index — ONE
     * new delta segment (the standing tables are untouched, so an
     * append costs O(new docs) regardless of corpus size). A gram
     * already standing may reappear here, possibly with a smaller
-    * owner; readers min-merge, [[compactDelta]]/[[compact]] fold. */
+    * owner; readers min-merge, [[compactDelta]]/[[compact]] fold.
+    * When the owner sidecar stands, the batch's (gram, doc) rows
+    * append into it too — the sidecar's coverage invariant (every
+    * indexed doc) is what makes post-takedown owner ops exact. */
   def append(newDocs: DataFrame, name: String, spec: Spec = Spec()): Unit = {
     val spark = newDocs.sparkSession
     val base = tableName(name)
     heal(spark, base)
     val next = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max + 1
-    writeSegment(segmentRows(newDocs, spec.minLen),
-      s"${base}_d${next}_${next}", spec)
+    if (spark.catalog.tableExists(docsTable(name))) {
+      val grams = gramsOf(newDocs, spec.minLen).persist()
+      try {
+        writeSegment(segmentRowsFromGrams(grams), s"${base}_d${next}_${next}", spec)
+        writeSegment(sidecarRowsFromGrams(grams), docsTable(name), spec,
+          SaveMode.Append)
+      } finally { grams.unpersist(); () }
+    } else
+      writeSegment(segmentRows(newDocs, spec.minLen),
+        s"${base}_d${next}_${next}", spec)
   }
 
   // ------------------------------------------------------------------
   // retraction (takedown without rebuild)
   // ------------------------------------------------------------------
 
-  /** Tombstone segments `{base}_t<n>` written by [[retract]]. They are
-    * NOT deltas: [[liveDeltas]] never lists them, so compactions never
-    * fold them — they stand until the index is rebuilt. */
+  /** Tombstone segments `{base}_t<digest>` written by [[retract]] (hex
+    * digest of the retracted id set; legacy numeric names still match).
+    * They are NOT deltas: [[liveDeltas]] never lists them, so delta
+    * compactions never fold them. The `_tids_` id-list tables pair with
+    * them 1:1 by digest and never match this pattern ('i' is not hex). */
   private def tombstones(spark: SparkSession, base: String): Seq[String] = {
-    val re = (java.util.regex.Pattern.quote(base) + "_t(\\d+)").r
+    val re = (java.util.regex.Pattern.quote(base) + "_t([0-9a-f]+)").r
     spark.sessionState.catalog
       .listTables(spark.catalog.currentDatabase, s"${base}_t*")
       .map(_.table)
       .filter(t => re.findFirstMatchIn(t).exists(m => m.start == 0 && m.end == t.length))
   }
 
-  /** Owner-dependent operations are UNSUPPORTED after [[retract]]:
-    * stored owners may be retracted documents, and the index keeps no
-    * (gram, doc) rows to repair them from — silently serving a stale
-    * owner would mis-scrub. Fail loudly instead. */
-  private def requireNoTombstones(spark: SparkSession, name: String, op: String): Unit = {
-    val ts = tombstones(spark, tableName(name))
-    require(ts.isEmpty,
-      s"$op on gram index '$name' is owner-dependent and unsupported after retract(): " +
-        s"tombstone segment(s) ${ts.mkString(", ")} may invalidate stored owners and the " +
-        "index keeps no (gram, doc) rows to repair them from. Rebuild with write() " +
-        s"(or re-index the affected documents) before $op.")
+  /** Id-list tables `{base}_tids_<digest>`, one per applied [[retract]]:
+    * the doc ids behind each tombstone. They buy (a) overlap/replay
+    * dedup at retract time (ADVICE r14 #1 — a doc named twice must not
+    * double-negate) and (b) the anti-join set for sidecar-served owner
+    * operations. */
+  private def tidsTables(spark: SparkSession, base: String): Seq[String] =
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"${base}_tids_*")
+      .map(_.table)
+      .filter(_.startsWith(s"${base}_tids_"))
+
+  /** Every doc id retracted so far; None when none. */
+  private def retractedIds(spark: SparkSession, base: String): Option[DataFrame] = {
+    val ts = tidsTables(spark, base)
+    if (ts.isEmpty) None
+    else Some(ts.map(spark.table).reduce(_ unionByName _)
+      .select("doc_id").distinct())
+  }
+
+  /** An order-independent digest of a (small, takedown-sized) id set,
+    * computed distributively — count plus two INDEPENDENT 64-bit xor
+    * folds (xor is overflow-free under ANSI, unlike a hash sum),
+    * rendered as 48 hex chars: the deterministic tombstone name that
+    * makes a crash-replayed retract REWRITE the same segment instead
+    * of double-negating (ADVICE r14 #1). None for an empty set
+    * (nothing new to retract). */
+  private def idDigest(ids: DataFrame): Option[String] = {
+    val r = ids.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("x1"),
+      coalesce(expr("bit_xor(xxhash64('g', doc_id))"), lit(0L)).as("x2")).head()
+    if (r.getLong(0) == 0L) None
+    else Some(String.format("%016x%016x%016x",
+      Long.box(r.getLong(0)), Long.box(r.getLong(1)), Long.box(r.getLong(2))))
+  }
+
+  /** Owner-dependent operations after [[retract]]: EXACT when the
+    * owner sidecar stands (owners re-derived from surviving docs —
+    * returns the live sidecar rows to derive from), REFUSED loudly
+    * when it doesn't (stored owners may be retracted documents and
+    * there is nothing to repair them from). None when no retraction
+    * ever happened — callers keep their tombstone-free plans. */
+  private def ownerBasis(spark: SparkSession, name: String, op: String): Option[DataFrame] = {
+    val base = tableName(name)
+    val ts = tombstones(spark, base)
+    if (ts.isEmpty) None
+    else {
+      require(spark.catalog.tableExists(docsTable(name)),
+        s"$op on gram index '$name' is owner-dependent and unsupported after retract(): " +
+          s"tombstone segment(s) ${ts.mkString(", ")} may invalidate stored owners and this " +
+          "index keeps no (gram, doc) rows to repair them from. Rebuild with write() " +
+          s"(or build with Spec(ownerSidecar = true)) before $op.")
+      val tDigests = ts.map(_.stripPrefix(s"${base}_t")).toSet
+      val iDigests = tidsTables(spark, base).map(_.stripPrefix(s"${base}_tids_")).toSet
+      require(tDigests.subsetOf(iDigests),
+        s"$op on gram index '$name': tombstone(s) without a paired id list " +
+          s"(${(tDigests -- iDigests).mkString(", ")}) — the retracted ids are unknown, " +
+          "owners cannot be re-derived. Rebuild with write().")
+      val ids = retractedIds(spark, base).get
+      Some(spark.table(docsTable(name))
+        .join(graft.ops.Hints.guardedBroadcast(ids), Seq("doc_id"), "left_anti"))
+    }
   }
 
   /** REMOVE documents from the standing index without a rebuild — the
     * takedown path (DMCA, consent withdrawal, a poisoned source): one
     * tombstone segment carrying the retracted documents' grams with
     * NEGATED stats, so every stats-served analytic nets them out
-    * exactly. Cost ∝ retracted docs, never corpus.
+    * exactly, plus one id-list table naming what was retracted. Cost ∝
+    * retracted docs, never corpus.
     *
     * Contract:
-    *  - pass exactly the documents as indexed, each retracted ONCE —
-    *    the caller has them (a takedown names its targets); retracting
-    *    a never-indexed doc drives nets negative and silently hides
-    *    legitimate rows (net ≤ 0 is filtered).
+    *  - pass the documents as indexed — the caller has them (a takedown
+    *    names its targets). Ids already retracted are dropped BEFORE
+    *    the stats are negated, and the tombstone/id tables are named by
+    *    a deterministic digest of the remaining id set and written with
+    *    Overwrite — so a crash-REPLAYED retract rewrites the same two
+    *    tables, an OVERLAPPING second takedown negates only its new
+    *    ids, and a retract whose every id was already applied is a
+    *    no-op (ADVICE r14 #1: double-negation cannot occur). The
+    *    tombstone lands first; a crash before the id list commits
+    *    leaves a replay that recomputes the same set, digest and
+    *    tables. Retracting a never-indexed doc still negates grams it
+    *    shares with indexed text — pass indexed documents.
     *  - EXACT after retraction (spec-pinned ≡ rebuild-without-docs):
     *    [[sourceStats]], [[sourceAffinity]], [[attributeSources]] and
     *    everything built on them — they consume only the summable
     *    (n_docs, n_occ) columns, and a (gram, source) whose net doc
     *    count reaches 0 disappears.
-    *  - REFUSED after retraction (fail-loud, [[requireNoTombstones]]):
-    *    [[probe]], [[scrubProbe]], [[ownerAttribution]], [[compact]] —
-    *    all consume `owner`, which cannot be repaired without
-    *    (gram, doc) rows. [[compactDelta]] stays available (it folds
-    *    only `_d` segments; tombstones net the same against the folded
-    *    rows). [[append]] stays available (new docs, additive stats).
-    *  - tombstones stand until the next [[write]] rebuild; each probe
-    *    pays O(tombstone rows) to net them, so rebuild when takedowns
-    *    accumulate — honest economics, stated rather than hidden. */
+    *  - Owner-dependent paths ([[probe]], [[scrubProbe]],
+    *    [[ownerAttribution]], [[compact]]): EXACT too when the index
+    *    was built with `Spec(ownerSidecar = true)` — owners re-derive
+    *    from surviving docs at probe time, no repair step, cost ∝ the
+    *    probe's matched grams; REFUSED loudly otherwise
+    *    ([[ownerBasis]]). [[compactDelta]] stays available either way
+    *    (it folds only `_d` segments; tombstones net the same against
+    *    the folded rows). [[append]] stays available (new docs,
+    *    additive stats).
+    *  - without the sidecar, tombstones stand until the next [[write]]
+    *    rebuild; with it, [[compact]] folds them away completely. Each
+    *    stats probe pays O(tombstone rows) to net them until then —
+    *    honest economics, stated rather than hidden. */
   def retract(docs: DataFrame, name: String, spec: Spec = Spec()): Unit = {
     val spark = docs.sparkSession
     val base = tableName(name)
     heal(spark, base)
-    val next = (0L +: tombstones(spark, base)
-      .map(_.stripPrefix(s"${base}_t").toLong)).max + 1
-    writeSegment(
-      segmentRows(docs, spec.minLen)
-        .select(col("gram"), col("owner"), col("source"),
-          (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ")),
-      s"${base}_t$next", spec)
+    val newDocs0 = retractedIds(spark, base) match {
+      case None => docs
+      case Some(ids) => docs.join(
+        graft.ops.Hints.guardedBroadcast(ids), Seq("doc_id"), "left_anti")
+    }
+    val newDocs = newDocs0.persist() // digest agg + negated-stats gram pass
+    try idDigest(newDocs.select(col("doc_id")).distinct()) match {
+      case None => () // everything already retracted — replay/overlap no-op
+      case Some(dg) =>
+        // a replay in a FRESH session (in-memory catalog lost, dirs
+        // survive) must still rewrite, not die on the orphaned location
+        SignatureIndex.dropStale(spark, s"${base}_t$dg")
+        SignatureIndex.dropStale(spark, s"${base}_tids_$dg")
+        writeSegment(
+          segmentRows(newDocs, spec.minLen)
+            .select(col("gram"), col("owner"), col("source"),
+              (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ")),
+          s"${base}_t$dg", spec)
+        newDocs.select(col("doc_id")).distinct()
+          .write.mode(SaveMode.Overwrite).saveAsTable(s"${base}_tids_$dg")
+    } finally { newDocs.unpersist(); () }
   }
 
   // ------------------------------------------------------------------
@@ -342,22 +490,51 @@ object GramIndex {
     * crash after the swap but before the delta drops must not leave
     * the folded deltas double-counted. */
   def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
-    requireNoTombstones(spark, name, "compact")
     val base = tableName(name)
     heal(spark, base)
+    // with tombstones standing this is the full-reclamation point: the
+    // fresh base re-aggregates from the sidecar's SURVIVING docs (exact
+    // owners, exact stats — ≡ rebuild-without-docs), the sidecar drops
+    // its retracted rows, and the tombstone/id tables clear. Without a
+    // sidecar, ownerBasis refuses — stored owners can't be repaired.
+    val basis = ownerBasis(spark, name, "compact")
     val ds = liveDeltas(spark, base)
     val covers = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max
     val tmp = s"${base}_compact"
     val old = s"${base}_old"
     SignatureIndex.dropStale(spark, tmp)
     SignatureIndex.dropStale(spark, old)
-    writeSegment(mergeSegments(spark, base +: ds.map(_.table)), tmp, spec)
+    val liveSidecar = basis.map(_.persist()) // base rewrite + sidecar rewrite
+    writeSegment(liveSidecar match {
+      case Some(live) => live.groupBy(col("gram"), col("source"))
+        .agg(min(col("doc_id")).as("owner"),
+          count(lit(1)).cast("long").as("n_docs"), // sidecar grain: one row per doc
+          sum(col("n_occ")).cast("long").as("n_occ"))
+        .select("gram", "owner", "source", "n_docs", "n_occ")
+      case None => mergeSegments(spark, base +: ds.map(_.table))
+    }, tmp, spec)
     spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ('$CoversProp' = '$covers')")
     spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
     spark.sql(s"DROP TABLE `$old`")
     allDeltas(spark, base).foreach(d =>
       spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+    // sidecar: reclaim retracted rows (and append small-files) with the
+    // same old-aside crash discipline; then the takedown tables clear
+    if (spark.catalog.tableExists(docsTable(name))) {
+      val dt = docsTable(name)
+      val dTmp = s"${dt}_compact"
+      val dOld = s"${dt}_old"
+      SignatureIndex.dropStale(spark, dTmp)
+      SignatureIndex.dropStale(spark, dOld)
+      writeSegment(liveSidecar.getOrElse(readUnbucketed(spark, dt)), dTmp, spec)
+      spark.sql(s"ALTER TABLE `$dt` RENAME TO `$dOld`")
+      spark.sql(s"ALTER TABLE `$dTmp` RENAME TO `$dt`")
+      spark.sql(s"DROP TABLE `$dOld`")
+    }
+    (tombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    liveSidecar.foreach(_.unpersist())
   }
 
   // ------------------------------------------------------------------
@@ -372,22 +549,30 @@ object GramIndex {
     * different corpus documents. */
   def probe(spark: SparkSession, batch: DataFrame,
             name: String, spec: Spec = Spec()): DataFrame = {
-    requireNoTombstones(spark, name, "probe")
+    val basis = ownerBasis(spark, name, "probe")
     val L = spec.minLen
     val segs = segmentTables(spark, name)
     val bg0 = gramsOf(batch, L)
-    val bg = if (segs.size == 1) bg0 else bg0.persistT // one gram pass, N semi joins
-    val matched =
-      if (segs.size == 1) bg.join(spark.table(segs.head), Seq("gram"), "left_semi")
+    val bg = if (segs.size == 1 || basis.nonEmpty) bg0
+      else bg0.persistT // one gram pass, N semi joins
+    val matched = basis match {
+      // post-takedown: a window matches iff a SURVIVING doc holds it —
+      // the sidecar (retracted ids anti-joined) is exactly that set,
+      // consumed in its gram-bucket layout (≡ rebuild-without-docs)
+      case Some(live) =>
+        bg.join(live.select(col("gram")), Seq("gram"), "left_semi")
+      case None if segs.size == 1 =>
+        bg.join(spark.table(segs.head), Seq("gram"), "left_semi")
       // repartition by doc_id before the dedup: the union's children all
       // claim hash(gram) (see hazard note), and a distinct on top would
       // be planned exchange-free and keep cross-segment duplicates — a
       // DIFFERENT-key repartition is not elidable, forces the real
       // shuffle, and is the partitioning the island window wants next
-      else segs.map(t => bg.join(spark.table(t), Seq("gram"), "left_semi"))
+      case None => segs.map(t => bg.join(spark.table(t), Seq("gram"), "left_semi"))
         .reduce(_ unionByName _)
         .repartition(col("doc_id"))
         .distinct() // a gram standing in two segments matches twice
+    }
     matched
       .withColumn("grp", col("pos") - row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -418,9 +603,7 @@ object GramIndex {
     * docs. */
   def scrubProbe(spark: SparkSession, batch: DataFrame,
                  name: String, spec: Spec = Spec()): DataFrame = {
-    requireNoTombstones(spark, name, "scrubProbe")
     val L = spec.minLen
-    val segs = segmentTables(spark, name)
     val toked = batch
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
     val toks = toked.select(col("doc_id"), posexplode(col("ts")))
@@ -430,7 +613,7 @@ object GramIndex {
     val grams = gramsOf(batch, L).persistT
     val batchCensus = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd_b"), min(col("doc_id")).as("min_b"))
-    val owned = unionOwned(spark, segs, batchCensus)
+    val owned = unionOwned(spark, name, "scrubProbe", batchCensus)
     val removed = grams.join(owned, Seq("gram"))
       .where(col("doc_id") =!= col("owner"))
       .select(col("doc_id"),
@@ -451,17 +634,26 @@ object GramIndex {
     * the batch's grams (bucket layout kept — no corpus exchange); the
     * cross-segment min-merge is a FULL-OUTER join fold, not a union:
     * per-gram joins of co-partitioned segments zip partitions validly
-    * (see the union hazard note above); least() skips nulls. */
-  private def unionOwned(spark: SparkSession, segs: Seq[String],
+    * (see the union hazard note above); least() skips nulls. After a
+    * retraction (tombstones standing), owners come from the sidecar's
+    * SURVIVING docs instead — same semi-restriction to the batch's
+    * grams, same bucket layout, exact ≡ rebuild-without-docs. */
+  private def unionOwned(spark: SparkSession, name: String, op: String,
                          batchCensus: DataFrame): DataFrame = {
-    val idxOwners0 = segs.map(t =>
-        spark.table(t)
-          .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
-          .groupBy(col("gram")).agg(min(col("owner")).as("owner_c")))
-    val idxOwners = idxOwners0.reduce { (a, b) =>
-      a.withColumnRenamed("owner_c", "oa")
-        .join(b.withColumnRenamed("owner_c", "ob"), Seq("gram"), "full")
-        .select(col("gram"), least(col("oa"), col("ob")).as("owner_c"))
+    val idxOwners = ownerBasis(spark, name, op) match {
+      case Some(live) =>
+        live.join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
+          .groupBy(col("gram")).agg(min(col("doc_id")).as("owner_c"))
+      case None =>
+        segmentTables(spark, name).map(t =>
+            spark.table(t)
+              .join(batchCensus.select(col("gram")), Seq("gram"), "left_semi")
+              .groupBy(col("gram")).agg(min(col("owner")).as("owner_c")))
+          .reduce { (a, b) =>
+            a.withColumnRenamed("owner_c", "oa")
+              .join(b.withColumnRenamed("owner_c", "ob"), Seq("gram"), "full")
+              .select(col("gram"), least(col("oa"), col("ob")).as("owner_c"))
+          }
     }
     batchCensus.join(idxOwners, Seq("gram"), "left")
       .where(col("owner_c").isNotNull || col("nd_b") >= 2)
@@ -567,13 +759,12 @@ object GramIndex {
     * in [[unionOwned]]. */
   def ownerAttribution(spark: SparkSession, batch: DataFrame,
                        name: String, spec: Spec = Spec()): DataFrame = {
-    requireNoTombstones(spark, name, "ownerAttribution")
-    val segs = segmentTables(spark, name)
     val grams = gramsOf(batch, spec.minLen)
       .select("doc_id", "pos", "gram").persistT // census + foreign join
     val batchCensus = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd_b"), min(col("doc_id")).as("min_b"))
-    val foreign = grams.join(unionOwned(spark, segs, batchCensus), Seq("gram"))
+    val foreign = grams.join(
+        unionOwned(spark, name, "ownerAttribution", batchCensus), Seq("gram"))
       .where(col("doc_id") =!= col("owner"))
       .persistT // per-owner rollup + per-doc total
     val top = foreign.groupBy(col("doc_id"), col("owner"))

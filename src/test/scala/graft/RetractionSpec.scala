@@ -81,6 +81,122 @@ class RetractionSpec extends SparkSpec {
       .select("gram", "source", "n_docs", "n_occ")) shouldBe want
   }
 
+  test("retract is replay- and overlap-idempotent (digest-named tombstones, ADVICE r14 #1)") {
+    GramIndex.write(df(corpus), "ret_i", spec)
+    GramIndex.retract(df(gone), "ret_i", spec)
+    def stats() = statRows(GramIndex.sourceStats(spark, "ret_i")
+      .select("gram", "source", "n_docs", "n_occ"))
+    val want = stats()
+    // crash REPLAY of the same retract: the digest-named tombstone is
+    // rewritten in place — stats must not double-negate (+3-1-1 style)
+    GramIndex.retract(df(gone), "ret_i", spec)
+    stats() shouldBe want
+    def nTombstones = spark.sessionState.catalog
+      .listTables("default", "ret_i_grams_t*").map(_.table)
+      .count(_.matches("ret_i_grams_t[0-9a-f]+"))
+    nTombstones shouldBe 1 // the replay rewrote, not appended
+    // OVERLAPPING second takedown: {20, 30} already applied, only 40 is
+    // new — the result must equal retracting {20, 30, 40} exactly once
+    GramIndex.retract(df(gone ++ corpus.filter(_._1 == 40L)), "ret_i", spec)
+    GramIndex.write(df(corpus.filter(_._1 == 10L)), "ret_i_ref", spec)
+    stats() shouldBe statRows(GramIndex.sourceStats(spark, "ret_i_ref")
+      .select("gram", "source", "n_docs", "n_occ"))
+    nTombstones shouldBe 2
+    // a retract whose every id was already applied is a clean no-op
+    GramIndex.retract(df(gone), "ret_i", spec)
+    nTombstones shouldBe 2
+  }
+
+  test("owner sidecar: probe/scrub/attribution/compact stay EXACT after retract (VERDICT r14 #6)") {
+    val sspec = spec.copy(ownerSidecar = true)
+    // retract the OWNER itself (10 owns w) and u's only holder (30):
+    // owners must re-derive (w → 20), vanished templates must not probe
+    val sGone = corpus.filter(r => r._1 == 10L || r._1 == 30L)
+    val sKept = corpus.filterNot(r => r._1 == 10L || r._1 == 30L)
+    GramIndex.write(df(corpus), "ret_s", sspec)
+    GramIndex.retract(df(sGone), "ret_s", sspec)
+    GramIndex.write(df(sKept), "ret_s_ref", sspec)
+    val batch = df(Seq((900L, w.mkString(" "), "evals"),
+      (901L, u.mkString(" "), "evals")))
+    def spans(n: String) = GramIndex.probe(spark, batch, n, sspec)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    def scrub(n: String) = GramIndex.scrubProbe(spark, batch, n, sspec)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def attr(n: String) = GramIndex.ownerAttribution(spark, batch, n, sspec)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    spans("ret_s") shouldBe spans("ret_s_ref")
+    // u's sole holder is retracted: 901 must NOT match (a stale-owner
+    // index would still scrub it — the distinguishing case)
+    spans("ret_s").map(_.head) should contain only 900L
+    scrub("ret_s") shouldBe scrub("ret_s_ref")
+    val a = attr("ret_s")
+    a shouldBe attr("ret_s_ref")
+    // w's owner re-derived to the surviving minimum, not the retracted 10
+    a.collect { case Seq(900L, owner, _, _) => owner } shouldBe Seq(20L)
+    // stats-served paths stay exact too, same tombstones
+    statRows(GramIndex.sourceStats(spark, "ret_s")
+      .select("gram", "source", "n_docs", "n_occ")) shouldBe
+      statRows(GramIndex.sourceStats(spark, "ret_s_ref")
+        .select("gram", "source", "n_docs", "n_occ"))
+    // retract-then-APPEND: u re-enters via doc 50; sidecar coverage
+    // keeps every owner path exact (both sides appended)
+    val reborn = Seq((50L, u.mkString(" "), "d"))
+    GramIndex.append(df(reborn), "ret_s", sspec)
+    GramIndex.append(df(reborn), "ret_s_ref", sspec)
+    spans("ret_s") shouldBe spans("ret_s_ref")
+    spans("ret_s").map(_.head).distinct should contain allOf (900L, 901L)
+    attr("ret_s") shouldBe attr("ret_s_ref")
+    // compact folds the tombstones away COMPLETELY: fresh base from the
+    // surviving sidecar, retracted rows physically gone, takedown
+    // tables dropped, everything still exact — full reclamation
+    GramIndex.compact(spark, "ret_s", sspec)
+    spark.sessionState.catalog.listTables("default", "ret_s_grams_t*")
+      .map(_.table).filter(_.matches("ret_s_grams_t(ids_)?[0-9a-f]+")) shouldBe empty
+    spark.table("ret_s_grams_docs")
+      .where(col("doc_id").isin(10L, 30L)).count() shouldBe 0L
+    spans("ret_s") shouldBe spans("ret_s_ref")
+    scrub("ret_s") shouldBe scrub("ret_s_ref")
+    attr("ret_s") shouldBe attr("ret_s_ref")
+    statRows(GramIndex.sourceStats(spark, "ret_s")
+      .select("gram", "source", "n_docs", "n_occ")) shouldBe
+      statRows(GramIndex.sourceStats(spark, "ret_s_ref")
+        .select("gram", "source", "n_docs", "n_occ"))
+    graft.ops.TrackedCache.release(spark)
+  }
+
+  test("concurrency interleavings: append/retract/compactDelta in every order net exactly (VERDICT r14 #7)") {
+    val sspec = spec.copy(ownerSidecar = true)
+    // the single-writer contract serializes the steps; what must hold
+    // is that every SERIALIZATION of appends, retracts and delta folds
+    // nets to the same state — no order bakes a tombstone in twice or
+    // folds one away early
+    GramIndex.write(df(corpus.take(1)), "ret_x", sspec)   // base: 10
+    GramIndex.append(df(corpus.slice(1, 2)), "ret_x", sspec) // +20
+    GramIndex.retract(df(corpus.slice(1, 2)), "ret_x", sspec) // -20 (delta still unfolded)
+    GramIndex.append(df(corpus.slice(2, 3)), "ret_x", sspec) // +30
+    GramIndex.compactDelta(spark, "ret_x", sspec) // folds d-segments, not tombstones
+    GramIndex.retract(df(corpus.slice(2, 3)), "ret_x", sspec) // -30 after the fold
+    GramIndex.append(df(corpus.drop(3)), "ret_x", sspec)  // +40
+    GramIndex.write(df(corpus.take(1) ++ corpus.drop(3)), "ret_x_ref", sspec)
+    def stats(n: String) = statRows(GramIndex.sourceStats(spark, n)
+      .select("gram", "source", "n_docs", "n_occ"))
+    stats("ret_x") shouldBe stats("ret_x_ref")
+    val batch = df(Seq((900L, w.mkString(" "), "evals"),
+      (901L, u.mkString(" "), "evals")))
+    def scrub(n: String) = GramIndex.scrubProbe(spark, batch, n, sspec)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    scrub("ret_x") shouldBe scrub("ret_x_ref")
+    // a delta fold AFTER the second retract changes nothing either
+    GramIndex.compactDelta(spark, "ret_x", sspec)
+    stats("ret_x") shouldBe stats("ret_x_ref")
+    scrub("ret_x") shouldBe scrub("ret_x_ref")
+    // and the major fold reclaims with both tombstones standing
+    GramIndex.compact(spark, "ret_x", sspec)
+    stats("ret_x") shouldBe stats("ret_x_ref")
+    scrub("ret_x") shouldBe scrub("ret_x_ref")
+    graft.ops.TrackedCache.release(spark)
+  }
+
   test("owner-dependent paths refuse after retract; rebuild clears tombstones") {
     GramIndex.write(df(corpus), "ret_c", spec)
     GramIndex.retract(df(gone), "ret_c", spec)

@@ -18,7 +18,10 @@ QS="${1:-}"
 # break in a spec would otherwise pass the gate)
 sbt -batch Test/compile
 if [ -n "$QS" ]; then
-  rm -rf target/precommit_out
+  # stale managed-table dirs from a dead session break deterministic
+  # saveAsTable names (LOCATION_ALREADY_EXISTS) — start clean, as the
+  # verify skill mandates for full runs
+  rm -rf target/precommit_out spark-warehouse target/indexes
   SPARK_GRAFT_ONLY="$QS" SPARK_GRAFT_CPUS=8 \
     sbt -batch "runMain graft.Verify /root/testdata/sf0.01 target/precommit_out"
   python3 tools/check.py /root/testdata/sf0.01 target/precommit_out

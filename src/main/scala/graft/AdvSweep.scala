@@ -2644,7 +2644,12 @@ object AdvSweep {
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""
-    println("ADVSWEEP " + obj(Seq(
+    // a filtered run must be SELF-IDENTIFYING (ADVICE r14 #5): without
+    // the marker, a partial sweep's JSON line is indistinguishable from
+    // full-sweep evidence and could be committed as such by mistake
+    val filteredMark = onlySteps.toSeq.map(s =>
+      "filtered_to" -> str(s.toSeq.sorted.mkString(",")))
+    println("ADVSWEEP " + obj(filteredMark ++ Seq(
       "sec" -> obj(times.map { case (k, v) => k -> f"$v%.3f" }),
       "stats" -> obj(stats.map { case (k, v) => k -> str(v) }),
       "errors" -> obj(errors.map { case (k, v) => k -> str(v) }))))

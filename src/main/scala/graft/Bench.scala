@@ -105,6 +105,49 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val defs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Quiet-window spot check BEFORE a full battery (VERDICT r14 #3 —
+    // the protocol lived in session memory; now the battery itself is
+    // stamped): re-run the 6-query drift-amortizer subset against the
+    // last committed battery's mins and record the median ratio. This
+    // box's hypervisor drift is additive and invisible in-guest; a
+    // stamp ≥ 1.3 means the window was bad and the battery should not
+    // become the committed baseline (bench_diff reads the stamp and
+    // says so). Skipped for filtered A/B runs and via
+    // SPARK_GRAFT_SPOT=skip; absent stamp = no reference battery.
+    val spotNames = Seq("q01_agg_sum", "q57_incremental_dedup",
+      "q60_curation_pipeline", "q154_minhash_calibration",
+      "q164_dupgraph_transitivity", "q196_ppjoin_exact")
+    var spotStamp: Option[(Double, Seq[(String, Double)])] = None
+    if (only.isEmpty && !sys.env.get("SPARK_GRAFT_SPOT").contains("skip")) {
+      val refFile = new java.io.File("BENCH_FULL.json")
+      if (refFile.exists()) try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(refFile)
+        val refQ = root.get("queries")
+        val refMins = spotNames.flatMap(n =>
+          Option(if (refQ == null) null else refQ.get(n)).map(n -> _.asDouble())).toMap
+        val spotDefs = defs.filter { case (n, _) => refMins.contains(n) }
+        if (spotDefs.nonEmpty) {
+          spotDefs.foreach { case (_, fn) => clearCaches(); run(fn) } // warmup
+          val mins = spotDefs.flatMap { case (n, fn) =>
+            val ts = (1 to 3).flatMap { _ =>
+              clearCaches(); run(fn).toOption
+            }
+            if (ts.isEmpty) None else Some(n -> ts.min)
+          }
+          val ratios = mins.map { case (n, v) => v / refMins(n) }.sorted
+          if (ratios.nonEmpty) {
+            val med = ratios(ratios.size / 2)
+            spotStamp = Some((med, mins))
+            System.err.println(f"BENCH SPOT window ratio $med%.3f vs committed "
+              + (if (med >= 1.3) "— INFLATED window, do not commit this battery as baseline"
+                 else "— quiet"))
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH SPOT skipped: ${e.getClass.getSimpleName}") }
+    }
+
     // warmup (untimed): pays session init, parquet footers, Janino codegen
     defs.foreach { case (_, fn) => run(fn) }
 
@@ -196,7 +239,11 @@ object Bench {
     // Headline scalars LAST: the driver's 2000-char stdout tail keeps
     // the END of this line, so totals/n_failed must sit there — a
     // front-loaded "value" was truncated away in every prior round.
-    val line = s"""{"queries_runs":$runsJson,"queries_spill_mb":$spillJson,"queries_residual_mb":$residJson,"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
+    val spotJson = spotStamp.map { case (ratio, mins) =>
+      s""""spot_window_ratio":${r3(ratio)},"spot_mins":""" +
+        mins.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "},")
+    }.getOrElse("")
+    val line = s"""{$spotJson"queries_runs":$runsJson,"queries_spill_mb":$spillJson,"queries_residual_mb":$residJson,"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
     println(line)
     // Full untruncated copy for the judge (driver auto-commits stray
     // repo files at round end; 2000-char stdout tail can't hold ~240

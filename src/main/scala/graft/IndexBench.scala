@@ -47,12 +47,18 @@ object IndexBench {
     val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val checkpoints = (Seq(0, 1, 2, 4, 8) :+ nAppends).distinct.filter(_ <= nAppends)
 
-    def minOf3(body: => Long): Double =
+    // `cleanup` runs BETWEEN iterations, untimed (ADVICE r14 #4: the
+    // attribution probe's TrackedCache release used to sit inside the
+    // timed region, so its curve paid unpersist cost the scrub curve
+    // didn't — the two curves now measure the probe alone)
+    def minOf3(body: => Long, cleanup: () => Unit = () => ()): Double =
       (1 to 3).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         body
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        t
       }.min
 
     def countFiles(dir: String): Long = {
@@ -136,20 +142,18 @@ object IndexBench {
       // round-14: the attribution probe shares the index — its curve
       // must stay flat under appends for the same reason (stats rows
       // semi-restricted per segment, merged by join fold)
-      def attrProbe(): Long = {
-        val n = graft.dedup.GramIndex
-          .attributeSources(spark, shard, name, spec).count()
-        graft.ops.TrackedCache.release(spark); n
-      }
+      def attrProbe(): Long = graft.dedup.GramIndex
+        .attributeSources(spark, shard, name, spec).count()
+      val attrCleanup = () => { graft.ops.TrackedCache.release(spark); () }
       times("gram_a0") = minOf3(probe())
-      times("gram_attr_a0") = minOf3(attrProbe())
+      times("gram_attr_a0") = minOf3(attrProbe(), attrCleanup)
       for (b <- 1 to nAppends) {
         val batch = docs.where(col("doc_id") >= nd - 500)
           .withColumn("doc_id", col("doc_id") + lit(1000000L * b))
         graft.dedup.GramIndex.append(batch, name, spec)
         if (checkpoints.contains(b)) times(s"gram_a$b") = minOf3(probe())
       }
-      times(s"gram_attr_a$nAppends") = minOf3(attrProbe())
+      times(s"gram_attr_a$nAppends") = minOf3(attrProbe(), attrCleanup)
       // Tiered compaction costs (VERDICT r13 #3): the MINOR fold touches
       // only the appended delta segments — its time must track delta
       // size, not corpus size — while the MAJOR fold rewrites the base.
@@ -162,7 +166,7 @@ object IndexBench {
       times("gram_compact_major_sec") =
         timeOnce(graft.dedup.GramIndex.compact(spark, name, spec))
       times("gram_compacted") = minOf3(probe())
-      times("gram_attr_compacted") = minOf3(attrProbe())
+      times("gram_attr_compacted") = minOf3(attrProbe(), attrCleanup)
       // the cost-∝-delta claim needs a SMALL delta on the now-LARGER
       // base: two fresh appends onto the fully-compacted index, then a
       // minor fold — its cost must track the 2-append delta, not the

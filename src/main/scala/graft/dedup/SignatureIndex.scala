@@ -44,7 +44,7 @@ object SignatureIndex {
     * catalog doesn't know refuses to reuse the existing location
     * (LOCATION_ALREADY_EXISTS). Same single-writer contract as
     * [[graft.ref.Checkpoints]]: one writer per index name at a time. */
-  private[dedup] def dropStale(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropStale(spark: SparkSession, table: String): Unit = {
     // Resolve the REAL location from the catalog while the table still
     // exists — deriving `<warehouse>/<table>` by hand is wrong under a
     // non-default current database (`<warehouse>/<db>.db/<table>`) or

@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** INCREMENTAL ANALYZE — q198's column-statistics pass maintained as a
+  * standing index under appends AND retractions (VERDICT r14 #8), the
+  * statistics member of the standing-index family.
+  *
+  * The sufficient statistic is the MELTED PER-VALUE frame
+  * (stat_key, nv, sv, cnt): every q198 output — row/null counts, exact
+  * NDV, min/max, the in-plan-verified HLL contract, and the equi-depth
+  * histogram — folds from it, and it is a MONOID under row-batch
+  * arithmetic: an append contributes positive per-value deltas, a
+  * retraction negative ones, and merge-on-read sums them (a value whose
+  * net count reaches 0 disappears — exactly what a from-scratch ANALYZE
+  * of the final state would see). That is what makes min/max/NDV/HLL —
+  * none of which are invertible as scalars — exactly maintainable: the
+  * index keeps the value grain they re-derive from, the same trade the
+  * gram index makes for substring stats.
+  *
+  * Layout: a base table `{name}_vals` plus digest-named delta segments
+  * `{name}_vals_d<digest>` (appends) / `{name}_vals_r<digest>`
+  * (retractions) — the GramIndex naming discipline: segment names are a
+  * deterministic digest of their content, written with Overwrite, so a
+  * crash-replayed append/retract REWRITES its segment instead of
+  * double-counting. [[compact]] folds everything into a fresh base
+  * (old-aside rename, crash-safe) and drops net-zero rows.
+  *
+  * 100 TB shape: append/retract cost ∝ the batch (one melt + one
+  * pre-aggregated segment write — standing data never re-read); serving
+  * cost is one shuffle of the distinct (stat_key, value) pairs — the
+  * same exchange q198's one-shot melt pays, amortized across every
+  * probe between compactions. The histogram avoids the single-partition
+  * ntile cliff via the distributed prefix scan
+  * ([[RelationalOps.globalRunningSum]] over value-grain counts).
+  *
+  * Contract: retract each row-batch ONCE (the caller names what it
+  * removes — same as every takedown path here); replay of the same
+  * batch is idempotent by the digest naming. Single writer per index
+  * name, like all index maintenance.
+  */
+object StatsIndex {
+
+  private def base(name: String) = s"${name}_vals".toLowerCase
+
+  private def segTables(spark: SparkSession, name: String): Seq[String] = {
+    val b = base(name)
+    val re = (java.util.regex.Pattern.quote(b) + "_[dr][0-9a-f]+").r
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"${b}_*")
+      .map(_.table)
+      .filter(t => re.findFirstMatchIn(t).exists(m => m.start == 0 && m.end == t.length))
+  }
+
+  /** Per-value deltas of one melted batch (positive). */
+  private def deltasOf(melted: DataFrame): DataFrame =
+    melted.groupBy(col("stat_key"), col("nv"), col("sv"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Order-independent content digest of a delta frame — two
+    * independent 64-bit xor folds + count (overflow-free), 48 hex
+    * chars; the deterministic segment name (GramIndex.idDigest
+    * pattern). */
+  private def digestOf(deltas: DataFrame): String = {
+    val r = deltas.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(expr("bit_xor(xxhash64(stat_key, nv, sv, cnt))"), lit(0L)).as("x1"),
+      coalesce(expr("bit_xor(xxhash64('s', stat_key, nv, sv, cnt))"), lit(0L)).as("x2")).head()
+    String.format("%016x%016x%016x",
+      Long.box(r.getLong(0)), Long.box(r.getLong(1)), Long.box(r.getLong(2)))
+  }
+
+  /** Orphaned segment dirs from a dead session (in-memory catalog lost,
+    * warehouse dirs survive) would break the deterministic Overwrite
+    * names — sweep them on rebuild, as GramIndex does. */
+  private def sweepOrphans(spark: SparkSession, name: String): Unit = {
+    val dbUri = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+    val dbPath = new org.apache.hadoop.fs.Path(dbUri)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbPath)) return
+    val re = (java.util.regex.Pattern.quote(base(name)) +
+      "(_[dr][0-9a-f]+|_compact|_old)?").r
+    fs.listStatus(dbPath).foreach { st =>
+      val n = st.getPath.getName
+      if (re.findFirstMatchIn(n).exists(m => m.start == 0 && m.end == n.length))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Build (or replace) the index from a melted (stat_key, nv, sv)
+    * frame — callers own the melt (which columns, how dates export),
+    * exactly as q198 does. */
+  def write(melted: DataFrame, name: String): Unit = {
+    val spark = melted.sparkSession
+    val b = base(name)
+    segTables(spark, name).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(b, s"${b}_compact", s"${b}_old").foreach(t =>
+      graft.dedup.SignatureIndex.dropStale(spark, t))
+    sweepOrphans(spark, name)
+    deltasOf(melted).write.mode(SaveMode.Overwrite).saveAsTable(b)
+  }
+
+  private def writeSeg(deltas: DataFrame, name: String, kind: String): Unit = {
+    val spark = deltas.sparkSession
+    val d = deltas.persist() // digest agg + segment write
+    try {
+      if (d.isEmpty) return
+      val t = s"${base(name)}_$kind${digestOf(d)}"
+      graft.dedup.SignatureIndex.dropStale(spark, t) // cross-session replay
+      d.write.mode(SaveMode.Overwrite).saveAsTable(t)
+    } finally { d.unpersist(); () }
+  }
+
+  /** Add a melted batch — one positive delta segment, O(batch). */
+  def append(melted: DataFrame, name: String): Unit =
+    writeSeg(deltasOf(melted), name, "d")
+
+  /** Remove a melted batch — one NEGATED delta segment, O(batch);
+    * values the batch fully accounted for net to 0 and vanish from
+    * every serve. */
+  def retract(melted: DataFrame, name: String): Unit =
+    writeSeg(deltasOf(melted)
+      .select(col("stat_key"), col("nv"), col("sv"), (-col("cnt")).as("cnt")),
+      name, "r")
+
+  /** The live per-value frame: all segments sum-merged, net-zero rows
+    * gone — ≡ the melt of a from-scratch ANALYZE of the final state. */
+  def liveValues(spark: SparkSession, name: String): DataFrame = {
+    val ts = base(name) +: segTables(spark, name)
+    ts.map(spark.table).reduce(_ unionByName _)
+      .groupBy(col("stat_key"), col("nv"), col("sv"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .where(col("cnt") > 0)
+  }
+
+  /** q198's per-column scalar rows served from the index — same
+    * expressions over the same value grain, so every output (including
+    * the HLL-vs-exact-NDV contract boolean) matches the one-shot pass
+    * bit-for-bit. */
+  def columnStats(spark: SparkSession, name: String): DataFrame =
+    liveValues(spark, name)
+      .groupBy("stat_key")
+      .agg(
+        sum(col("cnt")).cast("long").as("n"),
+        coalesce(sum(when(col("nv").isNull && col("sv").isNull, col("cnt"))),
+          lit(0L)).cast("long").as("n_null"),
+        sum(when(col("nv").isNotNull || col("sv").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("ndv"),
+        approx_count_distinct(coalesce(col("nv").cast(StringType), col("sv")))
+          .as("hll"),
+        min(col("nv")).as("min_num"), max(col("nv")).as("max_num"),
+        min(col("sv")).as("min_str"), max(col("sv")).as("max_str"))
+      .select(col("stat_key"), col("n"), col("n_null"), col("ndv"),
+        (abs(col("hll") - col("ndv")) * 100 <= col("ndv") * 15).as("hll_ok"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+
+  /** q198's equi-depth histogram served from the index — WITHOUT
+    * re-ranking rows: the per-value counts give each value its global
+    * rank interval [lo, hi] via the distributed prefix scan, Spark's
+    * ntile bucket layout is closed-form arithmetic on (rank, n), and a
+    * value straddling a boundary contributes its exact row count to
+    * each bucket it intersects. Per-bucket (n, ndv, min, max) equal the
+    * row-grain ntile's exactly: equal values are contiguous under
+    * (value, tiebreak) order, so the tiebreak only permutes rows WITHIN
+    * a value — bucket counts and the set of values touching each bucket
+    * are tiebreak-invariant. (Null values, if present, rank first —
+    * Spark's asc default; ndv here counts a null value where COUNT
+    * (DISTINCT) would not, a documented divergence the q198 fixture
+    * never exercises.) */
+  def histogram(spark: SparkSession, name: String, histCol: String,
+                nBuckets: Int = 8): DataFrame = {
+    val hv = liveValues(spark, name)
+      .where(col("stat_key") === s"col:$histCol")
+      .select(col("nv"), col("cnt"))
+    val cum = RelationalOps.globalRunningSum(hv, Seq(col("nv").asc), "cnt",
+        "hi", inclusive = true)
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+    val nRow = hv.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    val withN = cum.crossJoin(broadcast(nRow))
+    val k = lit(nBuckets.toLong)
+    val qSize = floor(col("n_total") / k)
+    val rExtra = col("n_total") % k
+    val cutoff = rExtra * (qSize + 1)
+    // Spark's ntile: the first (n mod k) buckets take ceil(n/k) rows —
+    // the q198 closed form, inverted to bucket-of-rank and rank-range
+    def bucketOf(r: org.apache.spark.sql.Column) =
+      when(r <= cutoff, floor((r - 1) / (qSize + 1)) + 1)
+        .otherwise(rExtra + floor((r - cutoff - 1) / greatest(qSize, lit(1L))) + 1)
+    def startOf(b: org.apache.spark.sql.Column) =
+      when(b <= rExtra, (b - 1) * (qSize + 1) + 1)
+        .otherwise(cutoff + (b - 1 - rExtra) * qSize + 1)
+    def endOf(b: org.apache.spark.sql.Column) =
+      when(b <= rExtra, b * (qSize + 1))
+        .otherwise(cutoff + (b - rExtra) * qSize)
+    withN
+      .withColumn("bucket",
+        explode(sequence(bucketOf(col("lo")).cast("long"),
+          bucketOf(col("hi")).cast("long"))))
+      .withColumn("rows_in",
+        least(col("hi"), endOf(col("bucket"))) -
+          greatest(col("lo"), startOf(col("bucket"))) + 1)
+      .groupBy(col("bucket"))
+      .agg(sum(col("rows_in")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("ndv"),
+        min(col("nv")).as("min_num"), max(col("nv")).as("max_num"))
+      .select(
+        concat(lit(s"hist:$histCol:"), col("bucket").cast("string")).as("stat_key"),
+        col("n"), lit(null: java.lang.Long).as("n_null"), col("ndv"),
+        lit(null: java.lang.Boolean).as("hll_ok"), col("min_num"), col("max_num"),
+        lit(null: String).as("min_str"), lit(null: String).as("max_str"))
+  }
+
+  /** Fold base + segments into a fresh base (net-zero rows physically
+    * gone — the reclamation point) with the old-aside crash-safe swap;
+    * serving plans are unchanged, only segment fan-in shrinks. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val b = base(name)
+    val tmp = s"${b}_compact"
+    val old = s"${b}_old"
+    graft.dedup.SignatureIndex.dropStale(spark, tmp)
+    graft.dedup.SignatureIndex.dropStale(spark, old)
+    liveValues(spark, name).write.mode(SaveMode.Overwrite).saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE `$b` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$b`")
+    spark.sql(s"DROP TABLE `$old`")
+    segTables(spark, name).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+}

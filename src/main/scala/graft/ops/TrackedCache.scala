@@ -74,6 +74,38 @@ object TrackedCache {
     }
   }
 
+  /** Run `body` and release ONLY the frames it registered — the
+    * streaming-sink scope (ADVICE r14 #3): a long-running sink has no
+    * harness release() between micro-batches, so its per-batch probe
+    * persists would accumulate without bound; but a session-WIDE
+    * release from inside the sink could yank a concurrent query's
+    * tracked frames mid-plan. Snapshot the registry before the batch,
+    * release only what the batch added. Residual caveat, stated: a
+    * frame a CONCURRENT caller registers while `body` runs is
+    * indistinguishable from the batch's own and is released with them
+    * — scoped release narrows the race from "always" to "registered
+    * during this batch"; same-session concurrent persistT callers
+    * remain outside the contract (foreachBatch itself is serial). */
+  def scoped[A](spark: SparkSession)(body: => A): A = {
+    val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+    val q0 = registry.get(key(spark))
+    if (q0 != null) {
+      val it = q0.iterator()
+      while (it.hasNext) before.put(it.next(), java.lang.Boolean.TRUE)
+    }
+    try body
+    finally {
+      val q = registry.get(key(spark))
+      if (q != null) {
+        val it = q.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (!before.containsKey(f)) { f.unpersist(blocking = false); it.remove() }
+        }
+      }
+    }
+  }
+
   /** Tracked-but-unreleased frame count (CacheDisciplineSpec probe). */
   def pending(spark: SparkSession): Int = {
     val q = registry.get(key(spark))

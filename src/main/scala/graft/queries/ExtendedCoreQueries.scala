@@ -1148,6 +1148,30 @@ object ExtendedCoreQueries {
     * exact ntile form is the verification twin, the q41 precedent. NDV
     * per column is the exact arm; the production arm at scale is the
     * in-plan-verified HLL. */
+  /** q198's melt, shared with q303's standing stats index: one row per
+    * (column, value-as-double-or-string) — numeric columns through
+    * DOUBLE, o_orderdate as epoch millis (the NTZ-annotated parquet is
+    * cast under the pinned-UTC session), strings in their own slot. */
+  private def meltOrders(o: DataFrame): DataFrame = {
+    val nullD = lit(null: java.lang.Double)
+    val nullS = lit(null: String)
+    o.select(explode(array(
+        struct(lit("col:o_orderkey").as("stat_key"),
+          col("o_orderkey").cast(DoubleType).as("nv"), nullS.as("sv")),
+        struct(lit("col:o_custkey").as("stat_key"),
+          col("o_custkey").cast(DoubleType).as("nv"), nullS.as("sv")),
+        struct(lit("col:o_totalprice").as("stat_key"),
+          col("o_totalprice").as("nv"), nullS.as("sv")),
+        struct(lit("col:o_orderdate").as("stat_key"),
+          unix_millis(col("o_orderdate").cast(TimestampType)).cast(DoubleType).as("nv"),
+          nullS.as("sv")),
+        struct(lit("col:o_orderstatus").as("stat_key"),
+          nullD.as("nv"), col("o_orderstatus").as("sv")),
+        struct(lit("col:o_orderpriority").as("stat_key"),
+          nullD.as("nv"), col("o_orderpriority").as("sv")))).as("r"))
+      .select(col("r.stat_key"), col("r.nv"), col("r.sv"))
+  }
+
   private def q198(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
     // Melt shape, not one wide multi-DISTINCT aggregate: six exact
@@ -1159,25 +1183,7 @@ object ExtendedCoreQueries {
     // (column, value) pairs, and NDV/null/min/max/HLL all fold from
     // that pre-distinct frame (HLL is duplicate-insensitive, so the
     // sketch over distinct values estimates the same cardinality).
-    val nullD = lit(null: java.lang.Double)
-    val nullS = lit(null: String)
-    val melted = o.select(explode(array(
-        struct(lit("col:o_orderkey").as("stat_key"),
-          col("o_orderkey").cast(DoubleType).as("nv"), nullS.as("sv")),
-        struct(lit("col:o_custkey").as("stat_key"),
-          col("o_custkey").cast(DoubleType).as("nv"), nullS.as("sv")),
-        struct(lit("col:o_totalprice").as("stat_key"),
-          col("o_totalprice").as("nv"), nullS.as("sv")),
-        // orders' o_orderdate parquet is NTZ-annotated; session tz is
-        // pinned UTC, so casting to TIMESTAMP preserves the instant
-        struct(lit("col:o_orderdate").as("stat_key"),
-          unix_millis(col("o_orderdate").cast(TimestampType)).cast(DoubleType).as("nv"),
-          nullS.as("sv")),
-        struct(lit("col:o_orderstatus").as("stat_key"),
-          nullD.as("nv"), col("o_orderstatus").as("sv")),
-        struct(lit("col:o_orderpriority").as("stat_key"),
-          nullD.as("nv"), col("o_orderpriority").as("sv")))).as("r"))
-      .select(col("r.stat_key"), col("r.nv"), col("r.sv"))
+    val melted = meltOrders(o)
     val perValue = melted.groupBy("stat_key", "nv", "sv")
       .agg(count(lit(1)).as("cnt"))
     val scalars = perValue.groupBy("stat_key")
@@ -1272,6 +1278,37 @@ object ExtendedCoreQueries {
       |        FROM orders)
       |  GROUP BY 1)
       |SELECT * FROM cols UNION ALL SELECT * FROM hist ORDER BY stat_key""".stripMargin
+
+  // --------- incremental ANALYZE from the standing stats index (q303)
+  /** q198's whole output — per-column scalars, HLL contract, equi-depth
+    * histogram — served from [[graft.ops.StatsIndex]] after an
+    * append + RETRACT sequence (VERDICT r14 #8): build on two-thirds of
+    * orders, append the remaining third, retract every o_orderkey % 7
+    * == 3 row. The oracle is q198's SQL on the FINAL state (orders
+    * minus the retracted rows), recomputing everything from scratch —
+    * the proof that the monoid per-value maintenance is exact under
+    * retraction, including the non-invertible stats (min/max/NDV/HLL
+    * re-derive from the maintained value grain) and the histogram
+    * (rank intervals from a distributed prefix scan over per-value
+    * counts, Spark's ntile layout reproduced in closed form). Build
+    * once per (session, sf); the timed surface is the serve. */
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val name = "q303_statsidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val o = t(s, d, "orders")
+    val marker = name + "_built"
+    if (!s.catalog.tableExists(marker)) {
+      graft.ops.StatsIndex.write(meltOrders(o.where(col("o_orderkey") % 3 =!= 2)), name)
+      graft.ops.StatsIndex.append(meltOrders(o.where(col("o_orderkey") % 3 === 2)), name)
+      graft.ops.StatsIndex.retract(meltOrders(o.where(col("o_orderkey") % 7 === 3)), name)
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    graft.ops.StatsIndex.columnStats(s, name)
+      .unionByName(graft.ops.StatsIndex.histogram(s, name, "o_totalprice"))
+      .sortedOut("stat_key")
+  }
+
+  private val q303Sql =
+    q198Sql.replace("FROM orders)", "FROM orders WHERE o_orderkey % 7 <> 3)")
 
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
@@ -2165,6 +2202,7 @@ object ExtendedCoreQueries {
     ("q194_k_anonymity",     q194 _, Some(q194Sql)),
     ("q197_rendezvous_shards", q197 _, Some(q197Sql)),
     ("q198_column_stats",    q198 _, Some(q198Sql)),
+    ("q303_incremental_analyze", q303 _, Some(q303Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

@@ -186,7 +186,9 @@ object StreamSinks {
         df.foreach(_ => ()) // replay of a committed batch: drain only
       } else {
         val batch = df.persist()
-        try {
+        // scoped release, as in leakAttributionSink: the scrub probe's
+        // tracked persists must not outlive the micro-batch
+        try graft.ops.TrackedCache.scoped(batch.sparkSession) {
           graft.dedup.GramIndex.append(batch, indexName, spec)
           graft.dedup.GramIndex.scrubProbe(batch.sparkSession, batch, indexName, spec)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
@@ -230,14 +232,16 @@ object StreamSinks {
         df.foreach(_ => ()) // replay of a committed batch: drain only
       } else {
         val batch = df.persist()
-        try {
+        // the probe's tracked persists are released INSIDE the batch
+        // via the SCOPED release (ADVICE r14 #3): a production stream
+        // has no harness release() between micro-batches, and a
+        // session-wide release here could yank a concurrent query's
+        // frames — scoped releases only what this batch registered
+        try graft.ops.TrackedCache.scoped(batch.sparkSession) {
           graft.dedup.GramIndex
             .attributeSources(batch.sparkSession, batch, indexName, spec, maxDocs)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
-        } finally batch.unpersist() // tracked probe persists fall to the
-        // harness's TrackedCache.release, as in spanScrubSink — an
-        // in-sink session-wide release could yank a CONCURRENT query's
-        // tracked frames mid-plan
+        } finally batch.unpersist()
       }
     }
 

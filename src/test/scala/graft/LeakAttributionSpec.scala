@@ -110,6 +110,13 @@ class LeakAttributionSpec extends SparkSpec {
     val b1 = evalDocs.take(2) // 300, 310
     val b2 = evalDocs.drop(2) // 400 novel; 7 and 9 arrive with template P
     val mem = MemoryStream[(Long, String, String)]
+    // ADVICE r14 #3: the sink must release ITS OWN tracked persists
+    // inside each batch (a production stream has no harness release
+    // between micro-batches) WITHOUT touching a concurrent caller's
+    // frames — the sentinel below must survive the whole stream cached
+    graft.ops.TrackedCache.release(spark)
+    val sentinel = graft.ops.TrackedCache.persist(df(corpus))
+    sentinel.count()
     val q = mem.toDF().toDF("doc_id", "text", "source")
       .writeStream.foreachBatch(StreamSinks.leakAttributionSink("leak_stream", spec, dir))
       .option("checkpointLocation", s"$dir/_ckpt").start()
@@ -117,6 +124,9 @@ class LeakAttributionSpec extends SparkSpec {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
+    // no per-batch registry/storage accumulation; the sentinel survives
+    graft.ops.TrackedCache.pending(spark) shouldBe 1
+    assert(sentinel.storageLevel.useMemory)
 
     val out1 = srcRows(spark.read.parquet(s"$dir/batch=0"))
     out1 shouldBe srcRows(GramIndex.attributeSources(spark, df(b1), "leak_stream", spec))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.StatsIndex
+
+/** Incremental ANALYZE ([[StatsIndex]]) — the statistics member of the
+  * standing-index family: per-value monoid maintenance must equal a
+  * from-scratch pass of the FINAL state after any append/retract
+  * sequence (including the non-invertible stats — min/max/NDV/HLL — and
+  * the closed-form ntile histogram), with digest-named segments making
+  * replayed maintenance idempotent and compact physically reclaiming.
+  */
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a value grain with ties, nulls, and a string column: ids 1..40,
+  // v = id % 7 (ties straddle histogram buckets), s = parity label,
+  // and two NULL rows exercising the null slots
+  private def melt(rows: Seq[(Long, Option[Double], Option[String])]): DataFrame =
+    rows.toDF("id", "v", "s").select(explode(array(
+        struct(lit("col:id").as("stat_key"),
+          col("id").cast("double").as("nv"), lit(null: String).as("sv")),
+        struct(lit("col:v").as("stat_key"), col("v").as("nv"),
+          lit(null: String).as("sv")),
+        struct(lit("col:s").as("stat_key"),
+          lit(null: java.lang.Double).as("nv"), col("s").as("sv")))).as("r"))
+      .select(col("r.stat_key"), col("r.nv"), col("r.sv"))
+
+  private val all: Seq[(Long, Option[Double], Option[String])] =
+    (1L to 40L).map(i => (i, Some((i % 7).toDouble), Some(if (i % 2 == 0) "even" else "odd"))) :+
+      (41L, None, Some("odd")) :+ (42L, Some(3.0), None)
+  private val batchA = all.filter(_._1 % 3 != 2)
+  private val batchB = all.filter(_._1 % 3 == 2)
+  private val gone = all.filter(_._1 % 5 == 1)
+  private val kept = all.filterNot(_._1 % 5 == 1)
+
+  private def served(name: String) =
+    (StatsIndex.columnStats(spark, name) unionByName
+      StatsIndex.histogram(spark, name, "v", nBuckets = 4))
+      .orderBy("stat_key").collect().map(_.toSeq).toSeq
+
+  test("write+append+retract ≡ from-scratch ANALYZE of the final state (scalars + histogram)") {
+    StatsIndex.write(melt(batchA), "stx_a")
+    StatsIndex.append(melt(batchB), "stx_a")
+    StatsIndex.retract(melt(gone), "stx_a")
+    StatsIndex.write(melt(kept), "stx_ref")
+    val got = served("stx_a")
+    got shouldBe served("stx_ref")
+    // sanity against hand-derivable facts of the final state
+    val byKey = got.map(r => r.head.toString -> r).toMap
+    byKey("col:id")(1) shouldBe kept.size.toLong            // n
+    byKey("col:id")(3) shouldBe kept.size.toLong            // ndv (ids unique)
+    byKey("col:v")(2) shouldBe kept.count(_._2.isEmpty).toLong // n_null
+    // histogram buckets cover all rows exactly once
+    val histN = got.filter(_.head.toString.startsWith("hist:v:")).map(_(1).asInstanceOf[Long]).sum
+    histN shouldBe kept.count(_._2.nonEmpty).toLong + kept.count(_._2.isEmpty).toLong
+  }
+
+  test("replayed append/retract rewrite their digest segments — no double-count; compact reclaims") {
+    StatsIndex.write(melt(batchA), "stx_i")
+    StatsIndex.append(melt(batchB), "stx_i")
+    StatsIndex.retract(melt(gone), "stx_i")
+    val want = served("stx_i")
+    // crash replays: same content → same digest → Overwrite, not append
+    StatsIndex.append(melt(batchB), "stx_i")
+    StatsIndex.retract(melt(gone), "stx_i")
+    served("stx_i") shouldBe want
+    def nSegs = spark.sessionState.catalog
+      .listTables("default", "stx_i_vals_*").map(_.table)
+      .count(_.matches("stx_i_vals_[dr][0-9a-f]+"))
+    nSegs shouldBe 2
+    // compact: segments folded away, net-zero values physically gone,
+    // serve unchanged
+    StatsIndex.compact(spark, "stx_i")
+    nSegs shouldBe 0
+    served("stx_i") shouldBe want
+    // a fully-retracted value leaves no row in the base at all
+    val goneOnlyIds = gone.map(_._1.toDouble).toSet -- kept.map(_._1.toDouble)
+    spark.table("stx_i_vals")
+      .where(col("stat_key") === "col:id" &&
+        col("nv").isin(goneOnlyIds.toSeq: _*)).count() shouldBe 0L
+  }
+
+  test("histogram straddling: a value spanning bucket boundaries splits its row count exactly") {
+    // one value with 10 rows, another with 2, nBuckets = 4 → the heavy
+    // value must straddle several buckets with exact per-bucket counts
+    val rows = (1L to 10L).map(i => (i, Some(1.0), Some("x"))) ++
+      Seq((11L, Some(2.0), Some("x")), (12L, Some(2.0), Some("x"))).map(t => (t._1, t._2, t._3))
+    StatsIndex.write(melt(rows), "stx_h")
+    val hist = StatsIndex.histogram(spark, "stx_h", "v", nBuckets = 4)
+      .orderBy("stat_key").collect()
+    hist.map(_.getLong(1)).sum shouldBe 12L
+    hist.map(_.getLong(1)).toSeq shouldBe Seq(3L, 3L, 3L, 3L) // 12 rows / 4 buckets
+    // buckets 1-3 hold only value 1.0; bucket 4 holds 1.0 (1 row) + 2.0 (2 rows)
+    hist.map(_.getLong(3)).toSeq shouldBe Seq(1L, 1L, 1L, 2L) // ndv per bucket
+    hist.last.getDouble(5) shouldBe 1.0 // min_num of the straddled bucket
+    hist.last.getDouble(6) shouldBe 2.0
+  }
+}

@@ -82,4 +82,53 @@ class StreamScrubSpec extends SparkSpec {
     GramIndex.append(df(b1), "stream_scrub", spec) // crash-replay double append
     scrubRows(GramIndex.scrubProbe(spark, df(b2), "stream_scrub", spec)) shouldBe out2
   }
+
+  test("retract BETWEEN streamed shards (VERDICT r14 #7): later batches scrub against the post-takedown corpus") {
+    // the single-writer contract serializes the takedown with the
+    // sink's appends (retract runs while the stream is idle between
+    // micro-batches); what must hold is that every batch AFTER the
+    // retract scrubs exactly as if the corpus never held the retracted
+    // docs — owner re-derivation via the sidecar, mid-stream
+    val sspec = spec.copy(ownerSidecar = true)
+    val corpus = df(Seq(
+      100L -> w.mkString(" "),                                  // template w
+      101L -> (0 until 12).map(i => s"cc$i").mkString(" ")))    // template cc
+    GramIndex.write(corpus, "stream_ret", sspec)
+    GramIndex.write(df(Seq(101L -> (0 until 12).map(i => s"cc$i").mkString(" "))),
+      "stream_ret_twin", sspec) // the post-takedown corpus, built directly
+    val dir = java.nio.file.Files.createTempDirectory("stream-ret").toString
+
+    val b1 = Seq(300L -> w.take(12).mkString(" "))  // scrubbed by doc 100
+    val b2 = Seq(301L -> w.take(12).mkString(" "),  // after takedown of 100: KEPT
+      302L -> (0 until 12).map(i => s"cc$i").mkString(" ")) // still scrubbed by 101
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(StreamSinks.spanScrubSink("stream_ret", sspec, dir))
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // takedown lands between micro-batches — doc 100 (template w's
+      // only corpus holder AND its owner) leaves the index
+      GramIndex.retract(df(Seq(100L -> w.mkString(" "))), "stream_ret", sspec)
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    scrubRows(spark.read.parquet(s"$dir/batch=0")).map(_._1) shouldBe Seq(300L)
+    val out2 = scrubRows(spark.read.parquet(s"$dir/batch=1"))
+    // 301 must NOT be scrubbed by the retracted doc 100 — but IS
+    // scrubbed by batch 1's doc 300, which appended the same template
+    // before the takedown (the union corpus still holds it via 300).
+    // 302's template cc survives untouched. The twin proves it: the
+    // post-takedown corpus + b1's append, probed with b2.
+    GramIndex.append(df(b1), "stream_ret_twin", sspec)
+    out2 shouldBe scrubRows(GramIndex.scrubProbe(spark, df(b2), "stream_ret_twin", sspec))
+    out2.map(_._1).toSet shouldBe Set(301L, 302L) // 301 owned by 300 now, 302 by 101
+    // and a takedown that ALSO removes the mid-stream holder frees the
+    // template entirely: retract 300, then the same probe keeps 301
+    GramIndex.retract(df(b1), "stream_ret", sspec)
+    GramIndex.scrubProbe(spark, df(Seq(301L -> w.take(12).mkString(" "))),
+        "stream_ret", sspec).count() shouldBe 0L
+    graft.ops.TrackedCache.release(spark)
+  }
 }

@@ -109,6 +109,24 @@ def main() -> int:
     base = load_base(args.base)
     nq, bq = new["queries_median"], base["queries_median"]
 
+    # Quiet-window stamp (VERDICT r14 #3): graft.Bench re-runs a 6-query
+    # drift-amortizer subset against the committed mins BEFORE the full
+    # battery and stamps the result. An inflated stamp means the window
+    # was bad — the battery is measurement-polluted evidence and must
+    # not become the committed baseline (wait for a quiet window and
+    # re-run; see the host-drift protocol in the verify skill).
+    spot = new.get("spot_window_ratio")
+    if spot is None:
+        print("WARNING: battery carries no quiet-window stamp "
+              "(old graft.Bench, SPARK_GRAFT_SPOT=skip, or no reference "
+              "battery at run time)")
+    elif spot >= 1.3:
+        print(f"WARNING: quiet-window stamp {spot:.3f} >= 1.3 — this battery "
+              f"was measured in an INFLATED host window; do not commit it as "
+              f"the baseline, re-run in a quiet window")
+    else:
+        print(f"quiet-window stamp: {spot:.3f} (quiet)")
+
     added = sorted(set(nq) - set(bq))
     removed = sorted(set(bq) - set(nq))
     if added:

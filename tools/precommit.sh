@@ -37,5 +37,15 @@ fi
 if ! git diff --quiet -- BENCH_FULL.json 2>/dev/null; then
   python3 tools/bench_diff.py --new BENCH_FULL.json --base HEAD \
     --allow-file tools/bench_allow.txt
+  # Close-out checklist (VERDICT r14 #2 — stale round artifacts at HEAD
+  # recurred two rounds running): a modified battery must LAND with the
+  # commit it gates, not linger dirty. Stage it (plus LEAKCHECK.json if
+  # modified) before committing.
+  if git diff --quiet --cached -- BENCH_FULL.json 2>/dev/null; then
+    echo "PRECOMMIT FAIL: BENCH_FULL.json is modified but not staged —"
+    echo "  git add BENCH_FULL.json tools/bench_allow.txt LEAKCHECK.json"
+    echo "  so the battery lands with this commit (or stash the battery)."
+    exit 1
+  fi
 fi
 echo "PRECOMMIT OK"

@@ -65,7 +65,14 @@ object ScaleProbe {
     // round-14: index-served source attribution — probe leg only (build
     // untimed); shard and corpus both scale with sf, so ≤1.0 says the
     // semi-restricted stats join and capped fan-out hold at volume
-    "q296_index_leak_sources")
+    "q296_index_leak_sources",
+    // round-15 (VERDICT r14 #4/#5/#8): the three new retraction/ANALYZE
+    // serves — probe legs only (build+retract untimed). ≤1.0 says the
+    // post-takedown read paths (anti-join + bucket-pruned df correction;
+    // tombstone anti-join on the ADC scan; per-value merge + prefix-scan
+    // histogram) stay ∝ data under 10-30× volume
+    "q301_text_retract_probe", "q302_pq_retract_probe",
+    "q303_incremental_analyze")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
@@ -81,7 +88,8 @@ object ScaleProbe {
     * mask the probe leg the query exists to measure) — run once
     * untimed per scale, so the timed run serves from the index. */
   private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity",
-    "q296_index_leak_sources")
+    "q296_index_leak_sources", "q301_text_retract_probe",
+    "q302_pq_retract_probe", "q303_incremental_analyze")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")

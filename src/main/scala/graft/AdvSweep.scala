@@ -2641,6 +2641,125 @@ object AdvSweep {
       graft.ops.TrackedCache.release(spark)
     }
 
+    // ==== wave 19 (round-15: retraction across every index family) =====
+    // ---- total takedown of the TEXT index: every doc retracted. The
+    // probe must return an EMPTY ranking (not divide-by-zero on
+    // n_docs = 0, not a stale row), phrase search must go silent, and
+    // compact must reclaim to a consistent empty index that a fresh
+    // write fully revives.
+    step("text_retract_total_takedown") {
+      import graft.text.TextIndex
+      import spark.implicits._
+      val docs = (0 until 40).map(i =>
+          (i.toLong, s"join stream vector w$i join")).toDF("doc_id", "text")
+      TextIndex.write(docs, "adv_txtret")
+      TextIndex.writePositional(docs, "adv_txtret")
+      val terms = Seq("join", "stream", "vector")
+      TextIndex.retract(spark, "adv_txtret", docs.select("doc_id"))
+      stats("txtret_probe_empty") =
+        (TextIndex.probe(spark, "adv_txtret", terms).count() == 0L).toString
+      stats("txtret_phrase_empty") =
+        (TextIndex.phraseSearch(spark, "adv_txtret", Seq("join", "stream"))
+          .count() == 0L).toString
+      TextIndex.compact(spark, "adv_txtret")
+      stats("txtret_compact_reclaims_all") =
+        (spark.table("adv_txtret_postings").count() == 0L &&
+          TextIndex.probe(spark, "adv_txtret", terms).count() == 0L).toString
+      TextIndex.write(docs, "adv_txtret")
+      stats("txtret_rebuild_revives") =
+        (TextIndex.probe(spark, "adv_txtret", terms).count() == 20L).toString
+    }
+
+    // ---- total takedown of a SIDECAR gram index: the whole corpus
+    // retracted. Owner ops must stay LEGAL and degrade to pure
+    // batch-internal semantics: probe matches nothing, scrub cuts only
+    // intra-batch duplicates (owner = batch minimum), stats serve
+    // empty. A stale-owner index would keep scrubbing against ghosts.
+    step("gram_sidecar_total_takedown") {
+      import graft.dedup.GramIndex
+      import spark.implicits._
+      val spec = GramIndex.Spec(minLen = 8, buckets = 4, ownerSidecar = true)
+      val tpl = (0 until 10).map(i => s"gt$i").mkString(" ")
+      val corpus = Seq((1L, tpl, "a"), (2L, tpl, "b")).toDF("doc_id", "text", "source")
+      GramIndex.write(corpus, "adv_gramret", spec)
+      GramIndex.retract(corpus, "adv_gramret", spec)
+      val batch = Seq((900L, tpl, "e"), (901L, tpl, "e"))
+        .toDF("doc_id", "text", "source")
+      stats("gramret_probe_empty") =
+        (GramIndex.probe(spark, batch.where(col("doc_id") === 900L),
+          "adv_gramret", spec).count() == 0L).toString
+      // 901 is scrubbed by 900 (intra-batch), never by the retracted 1/2
+      val scrub = GramIndex.scrubProbe(spark, batch, "adv_gramret", spec)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      stats("gramret_scrub_intra_batch_only") =
+        (scrub.keySet == Set(901L) && scrub(901L) == 10L).toString
+      stats("gramret_stats_empty") =
+        (GramIndex.sourceStats(spark, "adv_gramret").count() == 0L).toString
+      graft.ops.TrackedCache.release(spark)
+    }
+
+    // ---- whole-cell takedown of the PQ index: every vector of one IVF
+    // cell retracted. Reclaim must DELETE that cell directory outright
+    // (dynamic overwrite writes nothing for it) while topK stays exact
+    // against a rebuilt-without index — the emptied-partition edge of
+    // the partition-pruned reclamation path.
+    step("pq_retract_whole_cell") {
+      import graft.sim.{IvfIndex, PqIndex, PqVectorIndex}
+      val ivf = new IvfIndex(nCells = 8, nProbe = 8)
+      val pq = new PqIndex(dim = 64, m = 8, ksub = 16)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001").persist()
+      val cents = ivf.centroidsOf(e)
+      val cb = pq.codebookOf(e)
+      val dir = java.nio.file.Files.createTempDirectory("adv-pqret").toString
+      PqVectorIndex.write(e, s"$dir/a", ivf, cents, pq, cb)
+      val cells = spark.read.parquet(s"$dir/a/cells")
+      val victim = cells.groupBy("cell").count().orderBy(col("count"), col("cell"))
+        .select(col("cell").cast("int")).head().getInt(0)
+      val goneIds = cells.where(col("cell") === victim).select("vec_id")
+      // materialize BEFORE reclaim: this frame's file listing predates
+      // the deletion, re-executing it afterwards reads dead files (the
+      // step's first run proved that the hard way)
+      val goneSet = goneIds.collect().map(_.getLong(0)).toSet
+      PqVectorIndex.retract(spark, s"$dir/a", goneIds)
+      PqVectorIndex.reclaim(spark, s"$dir/a")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stats("pqret_cell_dir_deleted") =
+        (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/cells/cell=$victim"))).toString
+      PqVectorIndex.write(e.where(!col("vec_id").isin(goneSet.toSeq: _*)),
+        s"$dir/ref", ivf, cents, pq, cb)
+      val queries = e.where(col("vec_id") < 5)
+      def rows(d: String) = PqVectorIndex.topK(spark, d, queries, 5, ivf, pq)
+        .collect().map(_.toSeq).toSet
+      stats("pqret_topk_equals_rebuilt") =
+        (rows(s"$dir/a") == rows(s"$dir/ref")).toString
+      e.unpersist()
+    }
+
+    // ---- stats index driven to zero and back: append a batch, retract
+    // the SAME batch (net 0 everywhere — the serve must be EMPTY, not a
+    // frame of zero rows), then append again and match a fresh build —
+    // values must resurrect cleanly after netting to zero.
+    step("stats_retract_to_zero_and_back") {
+      import graft.ops.StatsIndex
+      import spark.implicits._
+      val melted = (1L to 30L).map(i => (s"col:x", (i % 5).toDouble))
+        .toDF("stat_key", "nv").withColumn("sv", lit(null: String))
+        .select("stat_key", "nv", "sv")
+      StatsIndex.write(melted, "adv_stx")
+      StatsIndex.retract(melted, "adv_stx")
+      stats("stx_zero_serve_empty") =
+        (StatsIndex.columnStats(spark, "adv_stx").count() == 0L &&
+          StatsIndex.histogram(spark, "adv_stx", "x", 4).count() == 0L).toString
+      StatsIndex.append(melted, "adv_stx")
+      StatsIndex.write(melted, "adv_stx_ref")
+      def served(n: String) = (StatsIndex.columnStats(spark, n) unionByName
+        StatsIndex.histogram(spark, n, "x", 4))
+        .orderBy("stat_key").collect().map(_.toSeq).toSeq
+      stats("stx_resurrects_exactly") =
+        (served("adv_stx") == served("adv_stx_ref")).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -149,6 +149,13 @@ object VectorIndex {
     affected.filterNot(keptCells).foreach(c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${cellsDir(dir)}/cell=$c"), true))
     fs.delete(new org.apache.hadoop.fs.Path(retractedDir(dir)), true)
+    // the manual dir deletes above bypass the datasource writer, so the
+    // session's shared FileStatusCache still lists the dead files — the
+    // NEXT topK in the same session would throw FILE_NOT_EXIST (found
+    // by AdvSweep's whole-cell-takedown case, wave 19). Writers that go
+    // through the datasource invalidate this themselves; manual deletes
+    // must do it explicitly.
+    spark.catalog.refreshByPath(cellsDir(dir))
   }
 
   /** Lifecycle: after N appends each cell holds N small files; rewrite

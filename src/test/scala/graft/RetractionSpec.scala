@@ -408,5 +408,20 @@ class RetractionSpec extends SparkSpec {
     PqVectorIndex.retract(spark, s"$tmp/a", goneIds.toDF("vec_id"))
     PqVectorIndex.write(e, s"$tmp/a", ivf, cents, pq, cb)
     rows(s"$tmp/a") shouldBe before
+    // WHOLE-CELL takedown: reclaim deletes the emptied cell dir
+    // manually (dynamic overwrite writes nothing for it) and must also
+    // refresh the session's file-status cache — without that, the next
+    // read in the same session throws FILE_NOT_EXIST on the dead
+    // listings (found by AdvSweep's wave-19 case, fixed in reclaim)
+    val cellsNow = spark.read.parquet(s"$tmp/a/cells")
+    val victim = cellsNow.groupBy("cell").count().orderBy(col("count"), col("cell"))
+      .select(col("cell").cast("int")).head().getInt(0)
+    PqVectorIndex.retract(spark, s"$tmp/a",
+      cellsNow.where(col("cell") === victim).select("vec_id"))
+    PqVectorIndex.reclaim(spark, s"$tmp/a")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/cells/cell=$victim")) shouldBe false
+    spark.read.parquet(s"$tmp/a/cells")
+      .where(col("cell") === victim).count() shouldBe 0L // fresh listing, no throw
+    rows(s"$tmp/a") should not be empty
   }
 }

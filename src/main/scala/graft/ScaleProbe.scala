@@ -174,6 +174,15 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
+      // This box's hypervisor can stall the whole guest for tens of
+      // seconds (the documented bench-drift host); a stalled in-process
+      // heartbeater then kills the JVM with exit 56 (HEARTBEAT_FAILURE)
+      // mid-probe — measured once during q196's ~17-minute sf3 rung.
+      // Liveness detection buys nothing in a single-JVM builder tool:
+      // widen the budget so only a real hang dies.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeat.maxFailures", "120")
       .getOrCreate() // heap comes from SPARK_DRIVER_MEM (build.sbt -Xmx)
     spark.sparkContext.setLogLevel("ERROR")
 

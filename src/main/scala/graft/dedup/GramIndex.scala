@@ -56,8 +56,10 @@ import graft.text.TextFunctions
   * Stats columns assume each document is indexed ONCE; a crash-replay
   * double-append min-merges to the same scrub results (the exactly-
   * once proof in StreamScrubSpec) but double-counts n_docs/n_occ until
-  * the affected docs are re-indexed — scrub correctness never depends
-  * on the stats columns.
+  * the next [[compact]] — which, with the owner sidecar standing,
+  * dedupes the (gram, source, doc) grain and re-folds EXACT stats
+  * (ADVICE r15 #2); without a sidecar, re-index the affected docs.
+  * Scrub correctness never depends on the stats columns.
   */
 object GramIndex {
 
@@ -84,6 +86,13 @@ object GramIndex {
 
   private val CoversProp = "graft.coversDeltaTo"
 
+  /** Comma-joined digests of tombstones a compacted base has already
+    * FOLDED (ADVICE r15 #1): stamped on the rewrite in the same
+    * pre-rename step as [[CoversProp]], so the instant the swap commits
+    * the folded tombstones stop negating — a crash anywhere before the
+    * post-swap drops leaves covered garbage, never a double-negation. */
+  private val TombProp = "graft.coversTombstones"
+
   // ------------------------------------------------------------------
   // catalog plumbing
   // ------------------------------------------------------------------
@@ -93,10 +102,16 @@ object GramIndex {
 
   private case class Delta(table: String, a: Long, b: Long)
 
+  private def tableProps(spark: SparkSession, table: String): Map[String, String] =
+    if (!spark.catalog.tableExists(table)) Map.empty
+    else spark.sessionState.catalog.getTableMetadata(ident(spark, table)).properties
+
   private def coversTo(spark: SparkSession, base: String): Long =
-    if (!spark.catalog.tableExists(base)) 0L
-    else spark.sessionState.catalog.getTableMetadata(ident(spark, base))
-      .properties.get(CoversProp).map(_.toLong).getOrElse(0L)
+    tableProps(spark, base).get(CoversProp).map(_.toLong).getOrElse(0L)
+
+  private def coveredTombDigests(spark: SparkSession, base: String): Set[String] =
+    tableProps(spark, base).get(TombProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
 
   /** Every delta segment on disk, INCLUDING subsumed garbage. */
   private def allDeltas(spark: SparkSession, base: String): Seq[Delta] = {
@@ -136,7 +151,7 @@ object GramIndex {
     val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dbPath)) return
     val re = (java.util.regex.Pattern.quote(base.toLowerCase) +
-      "_(t[0-9a-f]+|tids_[0-9a-f]+|docs(_compact|_old)?|d\\d+_\\d+|old|compact|dtmp)").r
+      "_(t[0-9a-f]+|tids_[0-9a-f]+|docs(_compact|_old|_dtmp|_d\\d+_\\d+)?|d\\d+_\\d+|old|compact|dtmp)").r
     fs.listStatus(dbPath).foreach { st =>
       val n = st.getPath.getName
       if (re.findFirstMatchIn(n).exists(m => m.start == 0 && m.end == n.length))
@@ -167,6 +182,53 @@ object GramIndex {
     heal(spark, base)
     base +: liveDeltas(spark, base).map(_.table)
   }
+
+  // ------------------------------------------------------------------
+  // owner-sidecar segments (ADVICE r15 #2)
+  // ------------------------------------------------------------------
+
+  /** Live sidecar segments `{docs}_d<a>_<b>` — the per-append tables
+    * that make [[append]] crash-safe: the sidecar segment is written
+    * BEFORE its delta under the SAME id with Overwrite, so a crash
+    * between the two writes leaves a segment this filter keeps DEAD
+    * (its id exceeds everything the main index covers, so its phantom
+    * docs never probe as survivors) and the replay — or simply the next
+    * append, whose id derives from MAIN deltas — overwrites it. Folded
+    * (≤ the sidecar base's [[CoversProp]]) and range-subsumed segments
+    * are garbage, exactly as in [[liveDeltas]]. */
+  private def sidecarSegs(spark: SparkSession, name: String): Seq[Delta] = {
+    val dt = docsTable(name)
+    val base = tableName(name)
+    val mainMax = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max
+    val covered = coversTo(spark, dt)
+    val live = allDeltas(spark, dt).filter(d => d.b > covered && d.b <= mainMax)
+    live.filterNot(d => live.exists(o =>
+      o.table != d.table && o.a <= d.a && d.b <= o.b)).sortBy(_.a)
+  }
+
+  /** Every (gram, source, doc_id, n_occ) row of the sidecar — base plus
+    * live segments, healed. A single-segment read keeps the bucketed
+    * table (a lone table's layout claim is valid); multi-segment reads
+    * go by LOCATION (union hazard note below). Rows may duplicate after
+    * a crash-replayed append — min/semi consumers are insensitive, and
+    * stats-bearing folds go through [[dedupeSidecar]]. */
+  private def sidecarRows(spark: SparkSession, name: String): DataFrame = {
+    val dt = docsTable(name)
+    heal(spark, dt)
+    val segs = sidecarSegs(spark, name)
+    if (segs.isEmpty) spark.table(dt)
+    else (dt +: segs.map(_.table)).map(readUnbucketed(spark, _))
+      .reduce(_ unionByName _)
+  }
+
+  /** Collapse crash-replay duplicates to the exact (gram, source, doc)
+    * grain: a doc indexed twice carries the same text, so max(n_occ) is
+    * its exact count — the fold [[compact]] bakes into the fresh base
+    * (ADVICE r15 #2: a replayed append must not inflate n_docs/n_occ
+    * permanently). */
+  private def dedupeSidecar(rows: DataFrame): DataFrame =
+    rows.groupBy(col("gram"), col("source"), col("doc_id"))
+      .agg(max(col("n_occ")).as("n_occ"))
 
   // ------------------------------------------------------------------
   // building
@@ -226,12 +288,14 @@ object GramIndex {
       SignatureIndex.dropStale(spark, base)
       allDeltas(spark, base).foreach(d =>
         spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
-      (tombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
+      (allTombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`")) // rebuild clears takedowns
       Seq("_old", "_compact", "_dtmp").foreach(s =>
         SignatureIndex.dropStale(spark, s"$base$s"))
+      allDeltas(spark, docsTable(name)).foreach(d =>
+        spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
       SignatureIndex.dropStale(spark, docsTable(name))
-      Seq("_old", "_compact").foreach(s =>
+      Seq("_old", "_compact", "_dtmp").foreach(s =>
         SignatureIndex.dropStale(spark, s"${docsTable(name)}$s"))
       sweepOrphans(spark, base)
       if (spec.ownerSidecar) {
@@ -249,9 +313,13 @@ object GramIndex {
     * append costs O(new docs) regardless of corpus size). A gram
     * already standing may reappear here, possibly with a smaller
     * owner; readers min-merge, [[compactDelta]]/[[compact]] fold.
-    * When the owner sidecar stands, the batch's (gram, doc) rows
-    * append into it too — the sidecar's coverage invariant (every
-    * indexed doc) is what makes post-takedown owner ops exact. */
+    * When the owner sidecar stands, the batch's (gram, doc) rows land
+    * as a sidecar SEGMENT under the same id, written FIRST and with
+    * Overwrite (ADVICE r15 #2): a crash between the two writes leaves
+    * only a dead sidecar segment (the main index never covers its id —
+    * [[sidecarSegs]]) that the replay or the next append rewrites, so
+    * no window exists where an indexed doc is missing from the sidecar
+    * — the coverage invariant post-takedown owner ops depend on. */
   def append(newDocs: DataFrame, name: String, spec: Spec = Spec()): Unit = {
     val spark = newDocs.sparkSession
     val base = tableName(name)
@@ -260,9 +328,10 @@ object GramIndex {
     if (spark.catalog.tableExists(docsTable(name))) {
       val grams = gramsOf(newDocs, spec.minLen).persist()
       try {
+        val sideSeg = s"${docsTable(name)}_d${next}_${next}"
+        SignatureIndex.dropStale(spark, sideSeg) // cross-session replay
+        writeSegment(sidecarRowsFromGrams(grams), sideSeg, spec)
         writeSegment(segmentRowsFromGrams(grams), s"${base}_d${next}_${next}", spec)
-        writeSegment(sidecarRowsFromGrams(grams), docsTable(name), spec,
-          SaveMode.Append)
       } finally { grams.unpersist(); () }
     } else
       writeSegment(segmentRows(newDocs, spec.minLen),
@@ -277,13 +346,42 @@ object GramIndex {
     * digest of the retracted id set; legacy numeric names still match).
     * They are NOT deltas: [[liveDeltas]] never lists them, so delta
     * compactions never fold them. The `_tids_` id-list tables pair with
-    * them 1:1 by digest and never match this pattern ('i' is not hex). */
-  private def tombstones(spark: SparkSession, base: String): Seq[String] = {
+    * them 1:1 by digest and never match this pattern ('i' is not hex).
+    * This lists everything on disk INCLUDING covered garbage — cleanup
+    * paths use it; readers use [[tombstones]]. */
+  private def allTombstones(spark: SparkSession, base: String): Seq[String] = {
     val re = (java.util.regex.Pattern.quote(base) + "_t([0-9a-f]+)").r
     spark.sessionState.catalog
       .listTables(spark.catalog.currentDatabase, s"${base}_t*")
       .map(_.table)
       .filter(t => re.findFirstMatchIn(t).exists(m => m.start == 0 && m.end == t.length))
+  }
+
+  /** The LIVE tombstones: segments the base has already folded
+    * ([[TombProp]]) are post-swap garbage of a crashed [[compact]] and
+    * must not negate again (ADVICE r15 #1). */
+  private def tombstones(spark: SparkSession, base: String): Seq[String] = {
+    val covered = coveredTombDigests(spark, base)
+    allTombstones(spark, base)
+      .filterNot(t => covered.contains(t.stripPrefix(s"${base}_t")))
+  }
+
+  /** Reap covered takedown tables (a crashed [[compact]]'s post-swap
+    * garbage): drop the tables FIRST, clear the stamp LAST — the
+    * reverse order would make the garbage live again mid-crash. Run by
+    * the writers ([[retract]], [[compact]]) so a later takedown whose
+    * id set reproduces a folded digest gets a fresh, LIVE tombstone
+    * instead of being silently hidden by the stale stamp. */
+  private def sweepCoveredTakedowns(spark: SparkSession, base: String): Unit = {
+    val covered = coveredTombDigests(spark, base)
+    if (covered.nonEmpty) {
+      (allTombstones(spark, base)
+          .filter(t => covered.contains(t.stripPrefix(s"${base}_t"))) ++
+        tidsTables(spark, base)
+          .filter(t => covered.contains(t.stripPrefix(s"${base}_tids_"))))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      spark.sql(s"ALTER TABLE `$base` SET TBLPROPERTIES ('$TombProp' = '')")
+    }
   }
 
   /** Id-list tables `{base}_tids_<digest>`, one per applied [[retract]]:
@@ -345,7 +443,7 @@ object GramIndex {
           s"(${(tDigests -- iDigests).mkString(", ")}) — the retracted ids are unknown, " +
           "owners cannot be re-derived. Rebuild with write().")
       val ids = retractedIds(spark, base).get
-      Some(spark.table(docsTable(name))
+      Some(sidecarRows(spark, name)
         .join(graft.ops.Hints.guardedBroadcast(ids), Seq("doc_id"), "left_anti"))
     }
   }
@@ -392,6 +490,15 @@ object GramIndex {
     val spark = docs.sparkSession
     val base = tableName(name)
     heal(spark, base)
+    sweepCoveredTakedowns(spark, base)
+    // an UNPAIRED live tombstone (a previous retract crashed between
+    // its two writes) makes overlap arithmetic impossible — its ids are
+    // unknown, so any takedown other than the exact replay of the
+    // crashed one could double-negate (ADVICE r15 #3). The exact replay
+    // recomputes the same id set, hence the same digest, and is let
+    // through to heal by rewriting both tables.
+    val orphans = tombstones(spark, base).map(_.stripPrefix(s"${base}_t")).toSet --
+      tidsTables(spark, base).map(_.stripPrefix(s"${base}_tids_")).toSet
     val newDocs0 = retractedIds(spark, base) match {
       case None => docs
       case Some(ids) => docs.join(
@@ -399,8 +506,21 @@ object GramIndex {
     }
     val newDocs = newDocs0.persist() // digest agg + negated-stats gram pass
     try idDigest(newDocs.select(col("doc_id")).distinct()) match {
-      case None => () // everything already retracted — replay/overlap no-op
+      case None =>
+        require(orphans.isEmpty,
+          s"retract on gram index '$name': tombstone(s) without a paired id list " +
+            s"(${orphans.mkString(", ")}) — a previous retract() crashed between its " +
+            "two writes and this call does not replay it. Replay the exact original " +
+            "retract to heal, or rebuild with write(); proceeding could double-negate " +
+            "the unknown retracted set.")
+        () // everything already retracted — replay/overlap no-op
       case Some(dg) =>
+        require(orphans.subsetOf(Set(dg)),
+          s"retract on gram index '$name': tombstone(s) without a paired id list " +
+            s"(${(orphans - dg).mkString(", ")}) — a previous retract() crashed between " +
+            "its two writes and this call does not replay it. Replay the exact original " +
+            "retract to heal, or rebuild with write(); proceeding could double-negate " +
+            "the unknown retracted set.")
         // a replay in a FRESH session (in-memory catalog lost, dirs
         // survive) must still rewrite, not die on the orphaned location
         SignatureIndex.dropStale(spark, s"${base}_t$dg")
@@ -474,6 +594,28 @@ object GramIndex {
       ds.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
     }
     dropGarbageDeltas(spark, base)
+    // the sidecar's per-append segments fold by the same range-name
+    // protocol — a streaming sink's micro-batch appends must not fan
+    // the sidecar read in unboundedly
+    if (spark.catalog.tableExists(docsTable(name))) {
+      val dt = docsTable(name)
+      val segs = sidecarSegs(spark, name)
+      if (segs.size >= 2) {
+        val tmp = s"${dt}_dtmp"
+        SignatureIndex.dropStale(spark, tmp)
+        writeSegment(dedupeSidecar(
+          segs.map(s => readUnbucketed(spark, s.table)).reduce(_ unionByName _)),
+          tmp, spec)
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${dt}_d${segs.map(_.a).min}_${segs.map(_.b).max}`")
+        segs.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+      }
+      // non-live sidecar segments are garbage: folded into the sidecar
+      // base, range-subsumed, or orphans whose main delta never
+      // committed (their docs are not in the index — nothing is lost)
+      val live = sidecarSegs(spark, name).map(_.table).toSet
+      allDeltas(spark, dt).filterNot(d => live.contains(d.table))
+        .foreach(d => spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+    }
   }
 
   /** MAJOR compaction — rewrite base + deltas as one fresh base with
@@ -492,47 +634,71 @@ object GramIndex {
   def compact(spark: SparkSession, name: String, spec: Spec = Spec()): Unit = {
     val base = tableName(name)
     heal(spark, base)
+    heal(spark, docsTable(name))
+    sweepCoveredTakedowns(spark, base)
     // with tombstones standing this is the full-reclamation point: the
     // fresh base re-aggregates from the sidecar's SURVIVING docs (exact
     // owners, exact stats — ≡ rebuild-without-docs), the sidecar drops
     // its retracted rows, and the tombstone/id tables clear. Without a
     // sidecar, ownerBasis refuses — stored owners can't be repaired.
     val basis = ownerBasis(spark, name, "compact")
+    // digests being folded, stamped onto the rewrite NEXT TO CoversProp
+    // (ADVICE r15 #1): the instant the base swap commits, these
+    // tombstones stop negating — the post-swap drops are pure cleanup,
+    // and a crash between swap and drops cannot double-negate the
+    // stats-served paths.
+    val foldedTombs = tombstones(spark, base).map(_.stripPrefix(s"${base}_t"))
     val ds = liveDeltas(spark, base)
     val covers = (coversTo(spark, base) +: allDeltas(spark, base).map(_.b)).max
     val tmp = s"${base}_compact"
     val old = s"${base}_old"
     SignatureIndex.dropStale(spark, tmp)
     SignatureIndex.dropStale(spark, old)
-    val liveSidecar = basis.map(_.persist()) // base rewrite + sidecar rewrite
+    // when the sidecar stands, the fresh base folds from it even
+    // without tombstones: [[dedupeSidecar]] collapses crash-replay
+    // double-appends, so compaction RE-FOLDS exact stats instead of
+    // baking the inflated counts in (ADVICE r15 #2)
+    val liveSidecar =
+      (basis match {
+        case Some(b) => Some(dedupeSidecar(b))
+        case None if spark.catalog.tableExists(docsTable(name)) =>
+          Some(dedupeSidecar(sidecarRows(spark, name)))
+        case None => None
+      }).map(_.persist()) // base rewrite + sidecar rewrite
     writeSegment(liveSidecar match {
       case Some(live) => live.groupBy(col("gram"), col("source"))
         .agg(min(col("doc_id")).as("owner"),
-          count(lit(1)).cast("long").as("n_docs"), // sidecar grain: one row per doc
+          count(lit(1)).cast("long").as("n_docs"), // deduped grain: one row per doc
           sum(col("n_occ")).cast("long").as("n_occ"))
         .select("gram", "owner", "source", "n_docs", "n_occ")
       case None => mergeSegments(spark, base +: ds.map(_.table))
     }, tmp, spec)
-    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ('$CoversProp' = '$covers')")
-    spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
-    spark.sql(s"DROP TABLE `$old`")
-    allDeltas(spark, base).foreach(d =>
-      spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
-    // sidecar: reclaim retracted rows (and append small-files) with the
-    // same old-aside crash discipline; then the takedown tables clear
+    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
+      s"'$CoversProp' = '$covers', '$TombProp' = '${foldedTombs.mkString(",")}')")
+    // sidecar swap BEFORE the base swap: every window of this function
+    // then has a sidecar consistent with (or ahead of) the base — a
+    // stale sidecar behind a folded base would let covered-garbage
+    // sweeps orphan its retracted rows as phantom survivors
     if (spark.catalog.tableExists(docsTable(name))) {
       val dt = docsTable(name)
       val dTmp = s"${dt}_compact"
       val dOld = s"${dt}_old"
       SignatureIndex.dropStale(spark, dTmp)
       SignatureIndex.dropStale(spark, dOld)
-      writeSegment(liveSidecar.getOrElse(readUnbucketed(spark, dt)), dTmp, spec)
+      writeSegment(liveSidecar.get, dTmp, spec)
+      spark.sql(s"ALTER TABLE `$dTmp` SET TBLPROPERTIES ('$CoversProp' = '$covers')")
       spark.sql(s"ALTER TABLE `$dt` RENAME TO `$dOld`")
       spark.sql(s"ALTER TABLE `$dTmp` RENAME TO `$dt`")
       spark.sql(s"DROP TABLE `$dOld`")
+      allDeltas(spark, dt).foreach(d =>
+        spark.sql(s"DROP TABLE IF EXISTS `${d.table}`")) // folded (CoversProp)
     }
-    (tombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
+    spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
+    spark.sql(s"DROP TABLE `$old`")
+    allDeltas(spark, base).foreach(d =>
+      spark.sql(s"DROP TABLE IF EXISTS `${d.table}`"))
+    (allTombstones(spark, base) ++ tidsTables(spark, base)).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     liveSidecar.foreach(_.unpersist())
   }

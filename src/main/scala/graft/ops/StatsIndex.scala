@@ -38,13 +38,35 @@ import org.apache.spark.sql.types.StringType
   *
   * Contract: retract each row-batch ONCE (the caller names what it
   * removes — same as every takedown path here); replay of the same
-  * batch is idempotent by the digest naming. Single writer per index
-  * name, like all index maintenance.
+  * batch is idempotent by the digest naming. Two legitimately DISTINCT
+  * batches with identical melted content (realistic for low-cardinality
+  * columns under fixed batch sizes) are indistinguishable from a replay
+  * by content alone — callers in that regime MUST pass `batchId`
+  * (ADVICE r15 #4), which scopes the idempotency to the batch: same
+  * batchId replays overwrite, different batchIds count separately.
+  * Single writer per index name, like all index maintenance.
   */
 object StatsIndex {
 
   private def base(name: String) = s"${name}_vals".toLowerCase
 
+  /** Comma-joined segment suffixes a compacted base has already folded
+    * — stamped pre-rename, so the instant the swap commits the folded
+    * segments stop counting: a crash between the swap and the segment
+    * drops cannot double-count (the GramIndex TombProp discipline). */
+  private val CoversProp = "graft.coversSegs"
+
+  private def coveredSegs(spark: SparkSession, name: String): Set[String] = {
+    val b = base(name)
+    if (!spark.catalog.tableExists(b)) Set.empty
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(b))
+      .properties.get(CoversProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+  }
+
+  /** Every segment on disk, INCLUDING covered garbage — cleanup paths
+    * use it; readers use [[liveSegTables]]. */
   private def segTables(spark: SparkSession, name: String): Seq[String] = {
     val b = base(name)
     val re = (java.util.regex.Pattern.quote(b) + "_[dr][0-9a-f]+").r
@@ -52,6 +74,41 @@ object StatsIndex {
       .listTables(spark.catalog.currentDatabase, s"${b}_*")
       .map(_.table)
       .filter(t => re.findFirstMatchIn(t).exists(m => m.start == 0 && m.end == t.length))
+  }
+
+  private def liveSegTables(spark: SparkSession, name: String): Seq[String] = {
+    val covered = coveredSegs(spark, name)
+    segTables(spark, name)
+      .filterNot(t => covered.contains(t.stripPrefix(s"${base(name)}_")))
+  }
+
+  /** Reap covered segments (a crashed [[compact]]'s post-swap garbage):
+    * drops first, stamp cleared last — run by the writers so a later
+    * batch that reproduces a folded digest gets a fresh LIVE segment
+    * instead of being hidden by the stale stamp. */
+  private def sweepCovered(spark: SparkSession, name: String): Unit = {
+    val covered = coveredSegs(spark, name)
+    if (covered.nonEmpty) {
+      segTables(spark, name)
+        .filter(t => covered.contains(t.stripPrefix(s"${base(name)}_")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      spark.sql(s"ALTER TABLE `${base(name)}` SET TBLPROPERTIES ('$CoversProp' = '')")
+    }
+  }
+
+  /** Self-heal the [[compact]] rename window (ADVICE r15 #5): between
+    * its two renames there is no live base — recover by renaming a
+    * surviving copy back. `_old` is preferred (consistent with
+    * still-visible segments); `_compact` (whose covers stamp hides
+    * those segments) is equivalent when `_old` is already gone. */
+  private def heal(spark: SparkSession, name: String): Unit = {
+    val b = base(name)
+    if (!spark.catalog.tableExists(b)) {
+      if (spark.catalog.tableExists(s"${b}_old"))
+        spark.sql(s"ALTER TABLE `${b}_old` RENAME TO `$b`")
+      else if (spark.catalog.tableExists(s"${b}_compact"))
+        spark.sql(s"ALTER TABLE `${b}_compact` RENAME TO `$b`")
+    }
   }
 
   /** Per-value deltas of one melted batch (positive). */
@@ -62,14 +119,20 @@ object StatsIndex {
   /** Order-independent content digest of a delta frame — two
     * independent 64-bit xor folds + count (overflow-free), 48 hex
     * chars; the deterministic segment name (GramIndex.idDigest
-    * pattern). */
-  private def digestOf(deltas: DataFrame): String = {
+    * pattern). A non-empty `batchId` seeds both folds, scoping the
+    * idempotency to the batch rather than its content (ADVICE r15 #4:
+    * distinct same-content batches must not coalesce). */
+  private def digestOf(deltas: DataFrame, batchId: String): String = {
     val r = deltas.agg(
       count(lit(1)).cast("long").as("n"),
       coalesce(expr("bit_xor(xxhash64(stat_key, nv, sv, cnt))"), lit(0L)).as("x1"),
       coalesce(expr("bit_xor(xxhash64('s', stat_key, nv, sv, cnt))"), lit(0L)).as("x2")).head()
+    val (b1, b2) =
+      if (batchId.isEmpty) (0L, 0L)
+      else (scala.util.hashing.MurmurHash3.stringHash(batchId).toLong,
+        scala.util.hashing.MurmurHash3.stringHash(batchId + "s").toLong)
     String.format("%016x%016x%016x",
-      Long.box(r.getLong(0)), Long.box(r.getLong(1)), Long.box(r.getLong(2)))
+      Long.box(r.getLong(0)), Long.box(r.getLong(1) ^ b1), Long.box(r.getLong(2) ^ b2))
   }
 
   /** Orphaned segment dirs from a dead session (in-memory catalog lost,
@@ -102,37 +165,56 @@ object StatsIndex {
     deltasOf(melted).write.mode(SaveMode.Overwrite).saveAsTable(b)
   }
 
-  private def writeSeg(deltas: DataFrame, name: String, kind: String): Unit = {
+  private def writeSeg(deltas: DataFrame, name: String, kind: String,
+                       batchId: String): Unit = {
     val spark = deltas.sparkSession
+    heal(spark, name)
+    sweepCovered(spark, name)
     val d = deltas.persist() // digest agg + segment write
     try {
       if (d.isEmpty) return
-      val t = s"${base(name)}_$kind${digestOf(d)}"
+      val t = s"${base(name)}_$kind${digestOf(d, batchId)}"
       graft.dedup.SignatureIndex.dropStale(spark, t) // cross-session replay
       d.write.mode(SaveMode.Overwrite).saveAsTable(t)
     } finally { d.unpersist(); () }
   }
 
-  /** Add a melted batch — one positive delta segment, O(batch). */
-  def append(melted: DataFrame, name: String): Unit =
-    writeSeg(deltasOf(melted), name, "d")
+  /** Add a melted batch — one positive delta segment, O(batch). Pass a
+    * stable `batchId` when distinct batches can carry identical content
+    * (see the object contract). */
+  def append(melted: DataFrame, name: String, batchId: String = ""): Unit =
+    writeSeg(deltasOf(melted), name, "d", batchId)
 
   /** Remove a melted batch — one NEGATED delta segment, O(batch);
     * values the batch fully accounted for net to 0 and vanish from
-    * every serve. */
-  def retract(melted: DataFrame, name: String): Unit =
+    * every serve. Same `batchId` contract as [[append]]. */
+  def retract(melted: DataFrame, name: String, batchId: String = ""): Unit =
     writeSeg(deltasOf(melted)
       .select(col("stat_key"), col("nv"), col("sv"), (-col("cnt")).as("cnt")),
-      name, "r")
+      name, "r", batchId)
 
-  /** The live per-value frame: all segments sum-merged, net-zero rows
-    * gone — ≡ the melt of a from-scratch ANALYZE of the final state. */
+  /** The live per-value frame: all live segments sum-merged, net-zero
+    * rows gone — ≡ the melt of a from-scratch ANALYZE of the final
+    * state. Heals the compact rename window first; segments a compacted
+    * base already folded are excluded ([[CoversProp]]). */
   def liveValues(spark: SparkSession, name: String): DataFrame = {
-    val ts = base(name) +: segTables(spark, name)
+    heal(spark, name)
+    val ts = base(name) +: liveSegTables(spark, name)
     ts.map(spark.table).reduce(_ unionByName _)
       .groupBy(col("stat_key"), col("nv"), col("sv"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
       .where(col("cnt") > 0)
+  }
+
+  /** The staleness stamp consumers pair with a serve: how many delta
+    * segments stand beyond the last compaction. [[liveValues]] always
+    * folds them (serves are CURRENT); a consumer that reads the base
+    * alone is "fresh as of the last compact", and this count is its
+    * honest distance from now — the contract the advisor family
+    * reports next to index-served estimates (q304). */
+  def pendingSegments(spark: SparkSession, name: String): Int = {
+    heal(spark, name)
+    liveSegTables(spark, name).size
   }
 
   /** q198's per-column scalar rows served from the index — same
@@ -214,14 +296,23 @@ object StatsIndex {
 
   /** Fold base + segments into a fresh base (net-zero rows physically
     * gone — the reclamation point) with the old-aside crash-safe swap;
-    * serving plans are unchanged, only segment fan-in shrinks. */
+    * serving plans are unchanged, only segment fan-in shrinks. The
+    * folded segment names are stamped onto the rewrite BEFORE the swap
+    * ([[CoversProp]]), so a crash between the swap and the segment
+    * drops cannot double-count; [[heal]] recovers the no-live-base
+    * instant between the two renames (ADVICE r15 #5). */
   def compact(spark: SparkSession, name: String): Unit = {
+    heal(spark, name)
+    sweepCovered(spark, name)
     val b = base(name)
     val tmp = s"${b}_compact"
     val old = s"${b}_old"
     graft.dedup.SignatureIndex.dropStale(spark, tmp)
     graft.dedup.SignatureIndex.dropStale(spark, old)
+    val folded = liveSegTables(spark, name).map(_.stripPrefix(s"${b}_"))
     liveValues(spark, name).write.mode(SaveMode.Overwrite).saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
+      s"'$CoversProp' = '${folded.mkString(",")}')")
     spark.sql(s"ALTER TABLE `$b` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$b`")
     spark.sql(s"DROP TABLE `$old`")

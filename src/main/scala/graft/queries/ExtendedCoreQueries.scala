@@ -801,18 +801,55 @@ object ExtendedCoreQueries {
   /** q47's IVF search served from the STANDING [[graft.sim.VectorIndex]]
     * — the corpus is materialized cell-partitioned on disk, the probe
     * join prunes cells via dynamic partition pruning (VectorIndexSpec
-    * pins the dynamicpruning plan shape), and the top-k must equal the
-    * in-plan q47 result row for row, so it shares q47's oracle SQL.
-    * The write lands under target/ (driver-local scratch); each run
-    * rebuilds it, which is the honest cost of the serving shape. */
+    * pins the dynamicpruning plan shape) — AFTER an ids-only takedown
+    * (VERDICT r15 #4: a real takedown names ids, not vectors; the
+    * index derives the cells itself). The top-k must equal q47's
+    * in-plan result with the retracted neighbors excluded, so the
+    * oracle is q47's SQL with the id filter. The write lands under
+    * target/ (driver-local scratch); each run rebuilds it, which is
+    * the honest cost of the serving shape. */
   private def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
     val ivf = new IvfIndex(nCells = 16, nProbe = 4)
     val dir = s"target/indexes/vec_${new java.io.File(d).getName}"
     graft.sim.VectorIndex.write(e, dir, ivf, ivf.centroidsOf(e))
+    graft.sim.VectorIndex.retract(s, dir, Seq(20L, 21L, 22L, 23L).toDF("vec_id"))
     graft.sim.VectorIndex.topK(s, dir, e.where(col("vec_id") < 10), k = 5, ivf)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .sortedOut("query_id", "rank")
+  }
+
+  private val q85Sql = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 10) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id,
+       |         ${cos("q.q_emb", "a.embedding")} AS cos
+       |  FROM qprobe q JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> q.query_id
+       |    AND a.vec_id NOT IN (20, 21, 22, 23))
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // ------------------------------- data-profiling report (q91)
@@ -1292,7 +1329,11 @@ object ExtendedCoreQueries {
     * (rank intervals from a distributed prefix scan over per-value
     * counts, Spark's ntile layout reproduced in closed form). Build
     * once per (session, sf); the timed surface is the serve. */
-  private def q303(s: SparkSession, d: String): DataFrame = {
+  /** Build q303's standing index once per (session, sf): two-thirds of
+    * orders at write, the rest appended, every o_orderkey % 7 == 3 row
+    * retracted — shared by q303 (ANALYZE serve) and q304 (advisor
+    * serve). Returns the index name. */
+  private def q303Index(s: SparkSession, d: String): String = {
     val name = "q303_statsidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
     val o = t(s, d, "orders")
     val marker = name + "_built"
@@ -1302,6 +1343,11 @@ object ExtendedCoreQueries {
       graft.ops.StatsIndex.retract(meltOrders(o.where(col("o_orderkey") % 7 === 3)), name)
       s.range(1).createOrReplaceTempView(marker)
     }
+    name
+  }
+
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val name = q303Index(s, d)
     graft.ops.StatsIndex.columnStats(s, name)
       .unionByName(graft.ops.StatsIndex.histogram(s, name, "o_totalprice"))
       .sortedOut("stat_key")
@@ -1309,6 +1355,101 @@ object ExtendedCoreQueries {
 
   private val q303Sql =
     q198Sql.replace("FROM orders)", "FROM orders WHERE o_orderkey % 7 <> 3)")
+
+  // --------- advisor family served from the standing stats index (q304)
+  /** q269's join-cardinality advisor re-grounded on [[graft.ops.StatsIndex]]
+    * (VERDICT r15 #5): the equi-width key histograms AND the exact join
+    * cardinality both derive from the standing per-value frames — the
+    * orders side is q303's index (post-retraction state: the advisor
+    * prices the corpus as it IS), the lineitem side its own index —
+    * so the advisor runs as pure index arithmetic with NO base-table
+    * re-scan. The exact leg, which q269 paid a full orders ⨝ lineitem
+    * for, is here Σ cnt_o·cnt_l over the joined value grains: the
+    * per-value monoid is a sufficient statistic for equi-join
+    * cardinality itself, not just for its estimate. Each side carries
+    * its staleness stamp ([[graft.ops.StatsIndex.pendingSegments]]):
+    * liveValues folds pending deltas so the serve is CURRENT, and the
+    * stamp is the consumer's distance-from-last-compact contract.
+    * Oracle: the q269 arithmetic from scratch on the same final state
+    * (orders minus the retracted rows), stamps as literals pinned by
+    * the deterministic build (2 pending segments on orders: one
+    * append + one retract; 0 on lineitem).
+    *
+    * Scale shape: serving reads only the (value, cnt) frames — cost ∝
+    * NDV of the join keys, never table rows; the histogram rollup is
+    * ≤ B rows after a map-side-combinable bucket sum; the exact leg is
+    * one value-grain join (the same shuffle the estimate's bucket
+    * censuses share). In production the indexes are maintained by the
+    * ingest path and the advisor never touches the corpus. */
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    val oName = q303Index(s, d)
+    val lName = "q304_statsidx_li_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val lMarker = lName + "_built"
+    if (!s.catalog.tableExists(lMarker)) {
+      graft.ops.StatsIndex.write(
+        t(s, d, "lineitem").select(lit("col:l_orderkey").as("stat_key"),
+          col("l_orderkey").cast(DoubleType).as("nv"), lit(null: String).as("sv")),
+        lName)
+      s.range(1).createOrReplaceTempView(lMarker)
+    }
+    val ov = graft.ops.StatsIndex.liveValues(s, oName)
+      .where(col("stat_key") === "col:o_orderkey")
+      .select(col("nv").cast(LongType).as("k"), col("cnt").as("oc")).persistT
+    val lv = graft.ops.StatsIndex.liveValues(s, lName)
+      .select(col("nv").cast(LongType).as("k"), col("cnt").as("lc")).persistT
+    val actual = ov.join(lv, Seq("k"))
+      .agg(coalesce(sum(col("oc") * col("lc")), lit(0L)).cast(LongType).as("x"))
+      .collect()(0).getLong(0) // 1-row aggregate
+    val r = ov.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (stO, stL) = (graft.ops.StatsIndex.pendingSegments(s, oName).toLong,
+      graft.ops.StatsIndex.pendingSegments(s, lName).toLong)
+    def estimate(b: Long): DataFrame = {
+      val width = (hi - lo + b) / b
+      def hist(df: DataFrame, cnt: String, as: String) =
+        df.where(col("k").between(lo, hi))
+          .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+          .agg(sum(col(cnt)).cast(LongType).as(as))
+      hist(ov, "oc", "ob").join(hist(lv, "lc", "lb"), Seq("bucket"))
+        .agg(sum(expr(s"ob * lb div $width")).cast(LongType).as("est"))
+        .select(lit(b).as("n_buckets"), col("est"), lit(actual).as("actual"),
+          expr(s"(est - $actual) * 1000000 div $actual").as("err_ppm"),
+          lit(stO).as("pending_segs_orders"), lit(stL).as("pending_segs_lineitem"))
+    }
+    estimate(16).unionByName(estimate(256)).sortedOut("n_buckets")
+  }
+
+  private val q304Sql = {
+    def leg(b: Long): String =
+      s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+         |  CAST(sum(ob * lb // w.width) AS BIGINT) AS est,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM o JOIN lineitem l
+         |     ON o.k = l.l_orderkey) AS actual,
+         |  CAST((sum(ob * lb // w.width)
+         |    - (SELECT count(*) FROM o JOIN lineitem l ON o.k = l.l_orderkey)) * 1000000
+         |    // (SELECT count(*) FROM o JOIN lineitem l ON o.k = l.l_orderkey) AS BIGINT) AS err_ppm,
+         |  CAST(2 AS BIGINT) AS pending_segs_orders,
+         |  CAST(0 AS BIGINT) AS pending_segs_lineitem
+         |FROM (
+         |  SELECT oh.bucket, oh.ob, lh.lb FROM
+         |    (SELECT (k - r.lo) // ((r.hi - r.lo + $b) // $b) AS bucket,
+         |            CAST(count(*) AS BIGINT) AS ob
+         |     FROM o CROSS JOIN r GROUP BY 1) oh
+         |  JOIN
+         |    (SELECT (l_orderkey - r.lo) // ((r.hi - r.lo + $b) // $b) AS bucket,
+         |            CAST(count(*) AS BIGINT) AS lb
+         |     FROM lineitem CROSS JOIN r
+         |     WHERE l_orderkey BETWEEN r.lo AND r.hi GROUP BY 1) lh
+         |  USING (bucket)) j
+         |CROSS JOIN (SELECT (r.hi - r.lo + $b) // $b AS width FROM r) w
+         |GROUP BY w.width""".stripMargin
+    s"""WITH o AS MATERIALIZED (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 3),
+       |r AS MATERIALIZED (SELECT min(k) AS lo, max(k) AS hi FROM o)
+       |${leg(16)}
+       |UNION ALL
+       |${leg(256)}
+       |ORDER BY n_buckets""".stripMargin
+  }
 
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
@@ -2181,7 +2322,7 @@ object ExtendedCoreQueries {
     ("q80_full_outer_join",  q80 _, Some(q80Sql)),
     ("q82_skew_report",      q82 _, Some(q82Sql)),
     ("q83_approx_percentile", q83 _, Some(q83Sql)),
-    ("q85_vector_index_topk", q85 _, Some(q47Sql)),
+    ("q85_vector_index_topk", q85 _, Some(q85Sql)),
     ("q91_profile_report",   q91 _, Some(q91Sql)),
     ("q96_stream_left_join_twin", q96 _, Some(q96Sql)),
     ("q98_zorder_stats",     q98 _, Some(q98Sql)),
@@ -2203,6 +2344,7 @@ object ExtendedCoreQueries {
     ("q197_rendezvous_shards", q197 _, Some(q197Sql)),
     ("q198_column_stats",    q198 _, Some(q198Sql)),
     ("q303_incremental_analyze", q303 _, Some(q303Sql)),
+    ("q304_statsidx_advisor", q304 _, Some(q304Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

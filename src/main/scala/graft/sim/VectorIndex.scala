@@ -86,7 +86,31 @@ object VectorIndex {
     * mode for a takedown path). */
   def retract(vectors: DataFrame, dir: String, index: IvfIndex): Unit = {
     val cents = readCentroids(vectors.sparkSession, dir)
-    index.assignWith(vectors, cents).select("vec_id", "cell")
+    index.assignWith(vectors, cents).select(col("vec_id"), col("cell").cast("int"))
+      .write.mode(SaveMode.Append).parquet(retractedDir(dir))
+  }
+
+  /** Ids-ONLY takedown (VERDICT r15 #4) — the truth of takedowns is
+    * that the caller has ids, not vectors ([[PqVectorIndex.retract]]'s
+    * contract; "the index stores codes, not vectors, and a takedown
+    * typically has neither"). The recorded cells are derived from the
+    * INDEX itself — one narrow (vec_id, cell) scan, the
+    * [[affectedCells]] pass paid at retract instead of reclaim — so
+    * they can never drift from where the ids actually live, and the
+    * drifted-vector hazard is moot by construction. Ids that never
+    * lived in the index tombstone under cell -1 (diagnosable, matches
+    * nothing, reclaims as a no-op). The vectors-supplied overload
+    * above stays as the scan-free fast path. */
+  def retract(spark: SparkSession, dir: String, vecIds: DataFrame): Unit = {
+    val ids = vecIds.select(col("vec_id")).distinct()
+    val located = spark.read.parquet(cellsDir(dir))
+      .join(graft.ops.Hints.guardedBroadcast(ids), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val missing = ids.join(
+        graft.ops.Hints.guardedBroadcast(located.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1).as("cell"))
+    located.unionByName(missing)
       .write.mode(SaveMode.Append).parquet(retractedDir(dir))
   }
 

@@ -197,6 +197,100 @@ class RetractionSpec extends SparkSpec {
     graft.ops.TrackedCache.release(spark)
   }
 
+  test("covered tombstones are garbage, not negations; a reused digest retracts fresh (ADVICE r15 #1)") {
+    val sspec = spec.copy(ownerSidecar = true)
+    GramIndex.write(df(corpus), "ret_g", sspec)
+    GramIndex.retract(df(gone), "ret_g", sspec)
+    GramIndex.compact(spark, "ret_g", sspec) // folds the tombstone; stamps its digest
+    GramIndex.write(df(kept), "ret_g_ref", sspec)
+    def stats(n: String) = statRows(GramIndex.sourceStats(spark, n)
+      .select("gram", "source", "n_docs", "n_occ"))
+    stats("ret_g") shouldBe stats("ret_g_ref")
+    // simulate the post-swap crash ADVICE r15 #1 names: the folded
+    // tombstone table still stands while the base already excludes the
+    // retracted docs — recreate it from the stamp and assert it does
+    // NOT double-negate (it is covered garbage, filtered at read)
+    val dg = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("ret_g_grams"))
+      .properties("graft.coversTombstones").split(",").filter(_.nonEmpty).head
+    spark.table("ret_g_grams")
+      .select(col("gram"), col("owner"), col("source"),
+        (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ"))
+      .write.saveAsTable(s"ret_g_grams_t$dg")
+    stats("ret_g") shouldBe stats("ret_g_ref") // no double-negation
+    val batch = df(Seq((900L, w.mkString(" "), "evals")))
+    GramIndex.probe(spark, batch, "ret_g", sspec).count() should be > 0L
+    // digest REUSE: re-append the same docs and take them down again —
+    // the same id set reproduces the folded digest; the writer sweeps
+    // the covered garbage and the fresh tombstone must be LIVE
+    GramIndex.append(df(gone), "ret_g", sspec)
+    GramIndex.retract(df(gone), "ret_g", sspec)
+    stats("ret_g") shouldBe stats("ret_g_ref")
+    graft.ops.TrackedCache.release(spark)
+  }
+
+  test("append crash window: a sidecar segment without its delta fabricates no survivors (ADVICE r15 #2)") {
+    val sspec = spec.copy(ownerSidecar = true)
+    GramIndex.write(df(corpus), "ret_w", sspec)
+    GramIndex.retract(df(corpus.filter(_._1 == 30L)), "ret_w", sspec) // u's only holder
+    val batch = df(Seq((901L, u.mkString(" "), "evals")))
+    GramIndex.probe(spark, batch, "ret_w", sspec).count() shouldBe 0L
+    // simulate the crash between append's two writes: a sidecar segment
+    // exists whose delta never committed — its phantom doc 77 holds u,
+    // and a reader trusting it would resurrect the retracted template
+    spark.table("ret_w_grams_docs").where(col("doc_id") === 30L)
+      .withColumn("doc_id", lit(77L))
+      .write.saveAsTable("ret_w_grams_docs_d99_99")
+    GramIndex.probe(spark, batch, "ret_w", sspec).count() shouldBe 0L
+    GramIndex.scrubProbe(spark, batch, "ret_w", sspec)
+      .where(col("n_removed") > 0).count() shouldBe 0L
+    // the delta fold sweeps the orphan as garbage
+    GramIndex.compactDelta(spark, "ret_w", sspec)
+    spark.catalog.tableExists("ret_w_grams_docs_d99_99") shouldBe false
+    GramIndex.probe(spark, batch, "ret_w", sspec).count() shouldBe 0L
+    graft.ops.TrackedCache.release(spark)
+  }
+
+  test("an unpaired tombstone refuses new takedowns; the exact replay heals it (ADVICE r15 #3)") {
+    GramIndex.write(df(corpus), "ret_o", spec)
+    GramIndex.retract(df(gone), "ret_o", spec)
+    // simulate the crash between retract's two writes: the id list is
+    // missing, so the retracted set behind the tombstone is unknown
+    val tids = spark.sessionState.catalog
+      .listTables("default", "ret_o_grams_tids_*").map(_.table).head
+    spark.sql(s"DROP TABLE `$tids`")
+    val e = intercept[IllegalArgumentException](
+      GramIndex.retract(df(corpus.filter(_._1 == 40L)), "ret_o", spec))
+    e.getMessage should include("without a paired id list")
+    // the exact replay recomputes the same digest and rewrites both
+    GramIndex.retract(df(gone), "ret_o", spec)
+    // now healed: the overlapping takedown proceeds and nets exactly
+    GramIndex.retract(df(corpus.filter(_._1 == 40L)), "ret_o", spec)
+    GramIndex.write(df(corpus.filter(_._1 == 10L)), "ret_o_ref", spec)
+    statRows(GramIndex.sourceStats(spark, "ret_o")
+      .select("gram", "source", "n_docs", "n_occ")) shouldBe
+      statRows(GramIndex.sourceStats(spark, "ret_o_ref")
+        .select("gram", "source", "n_docs", "n_occ"))
+    graft.ops.TrackedCache.release(spark)
+  }
+
+  test("a crash-replayed append inflates stats only until compact re-folds them exactly (ADVICE r15 #2)") {
+    val sspec = spec.copy(ownerSidecar = true)
+    GramIndex.write(df(corpus.take(2)), "ret_d", sspec)
+    GramIndex.append(df(corpus.slice(2, 3)), "ret_d", sspec)
+    GramIndex.append(df(corpus.slice(2, 3)), "ret_d", sspec) // the replay
+    def stats(n: String) = statRows(GramIndex.sourceStats(spark, n)
+      .select("gram", "source", "n_docs", "n_occ"))
+    // the documented transient: doc 30's grams double-count pre-fold
+    stats("ret_d").filter(_._3 == 2L) should not be empty
+    GramIndex.write(df(corpus.take(3)), "ret_d_ref", sspec)
+    // compact dedupes the sidecar's (gram, source, doc) grain — the
+    // inflation is NOT baked into the fresh base
+    GramIndex.compact(spark, "ret_d", sspec)
+    stats("ret_d") shouldBe stats("ret_d_ref")
+    graft.ops.TrackedCache.release(spark)
+  }
+
   test("owner-dependent paths refuse after retract; rebuild clears tombstones") {
     GramIndex.write(df(corpus), "ret_c", spec)
     GramIndex.retract(df(gone), "ret_c", spec)
@@ -302,6 +396,43 @@ class RetractionSpec extends SparkSpec {
     // a second reclaim with no tombstones is a no-op
     VectorIndex.reclaim(spark, s"$tmp/a")
     rows(s"$tmp/a") shouldBe after
+  }
+
+  test("vector index: ids-ONLY retract ≡ rebuild-without; cells derived from the index (VERDICT r15 #4)") {
+    import graft.sim.{IvfIndex, VectorIndex}
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vids").toString
+    val goneIds = Seq(10L, 11L, 12L, 13L)
+    VectorIndex.write(e, s"$tmp/a", ivf, cents)
+    VectorIndex.write(e.where(!col("vec_id").isin(goneIds: _*)), s"$tmp/ref", ivf, cents)
+    // the takedown names IDS ONLY — no vectors to re-assign; the
+    // recorded cells come from the index, so they CANNOT drift
+    import spark.implicits._
+    VectorIndex.retract(spark, s"$tmp/a", (goneIds :+ 999999L).toDF("vec_id"))
+    val recorded = spark.read.parquet(s"$tmp/a/retracted")
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val indexed = spark.read.parquet(s"$tmp/a/cells")
+      .where(col("vec_id").isin(goneIds: _*))
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    goneIds.foreach(id => recorded(id) shouldBe indexed(id))
+    recorded(999999L) shouldBe -1 // never indexed: diagnosable no-op
+    val queries = e.where(col("vec_id") < 5)
+    def rows(d: String) = VectorIndex.topK(spark, d, queries, 5, ivf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    rows(s"$tmp/a") shouldBe rows(s"$tmp/ref")
+    // reclaim stays exact and clears the tombstones, -1 included
+    VectorIndex.reclaim(spark, s"$tmp/a")
+    rows(s"$tmp/a") shouldBe rows(s"$tmp/ref")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/retracted")) shouldBe false
+    spark.read.parquet(s"$tmp/a/cells")
+      .where(col("vec_id").isin(goneIds: _*)).count() shouldBe 0L
   }
 
   test("vector index: reclaim is exact even when the retract-time vectors DRIFTED (ADVICE r14 #2)") {

@@ -83,6 +83,50 @@ class StatsIndexSpec extends SparkSpec {
         col("nv").isin(goneOnlyIds.toSeq: _*)).count() shouldBe 0L
   }
 
+  test("compact crash windows: heal recovers the rename gap; covered segments never double-count (ADVICE r15 #1/#5)") {
+    StatsIndex.write(melt(batchA), "stx_w")
+    StatsIndex.append(melt(batchB), "stx_w")
+    val want = served("stx_w")
+    // the no-live-base instant between compact's two renames: a reader
+    // landing there must heal from the surviving copy, not throw
+    spark.sql("ALTER TABLE stx_w_vals RENAME TO stx_w_vals_old")
+    served("stx_w") shouldBe want
+    spark.catalog.tableExists("stx_w_vals") shouldBe true // healed back
+    // post-swap crash: the folded segment still stands while the base
+    // already contains it — recreate it from the covers stamp and
+    // assert it does NOT double-count (covered garbage, filtered)
+    StatsIndex.compact(spark, "stx_w")
+    val covered = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("stx_w_vals"))
+      .properties("graft.coversSegs").split(",").filter(_.nonEmpty).head
+    spark.table("stx_w_vals").limit(5)
+      .write.saveAsTable(s"stx_w_vals_$covered")
+    served("stx_w") shouldBe want
+    // the next maintenance write sweeps the garbage and clears the stamp
+    StatsIndex.append(melt(Seq((99L, Some(1.0), Some("odd")))), "stx_w")
+    spark.catalog.tableExists(s"stx_w_vals_$covered") shouldBe false
+    StatsIndex.write(melt(all :+ ((99L, Option(1.0), Option("odd")))), "stx_w_ref")
+    served("stx_w") shouldBe served("stx_w_ref")
+  }
+
+  test("distinct same-content batches need batchIds; same batchId replays overwrite (ADVICE r15 #4)") {
+    // two legitimately distinct batches with IDENTICAL melted content —
+    // per-content digests would silently coalesce them
+    StatsIndex.write(melt(batchA), "stx_b")
+    StatsIndex.append(melt(batchB), "stx_b", batchId = "b1")
+    StatsIndex.append(melt(batchB), "stx_b", batchId = "b2")
+    StatsIndex.write(melt(batchA ++ batchB ++ batchB), "stx_b_ref")
+    served("stx_b") shouldBe served("stx_b_ref")
+    // a crash-replay carries the same batchId: idempotent overwrite
+    StatsIndex.append(melt(batchB), "stx_b", batchId = "b2")
+    served("stx_b") shouldBe served("stx_b_ref")
+    // retraction takes the same scoping
+    StatsIndex.retract(melt(batchB), "stx_b", batchId = "b1")
+    StatsIndex.retract(melt(batchB), "stx_b", batchId = "b1") // replay
+    StatsIndex.write(melt(batchA ++ batchB), "stx_b_ref2")
+    served("stx_b") shouldBe served("stx_b_ref2")
+  }
+
   test("histogram straddling: a value spanning bucket boundaries splits its row count exactly") {
     // one value with 10 rows, another with 2, nBuckets = 4 → the heavy
     // value must straddle several buckets with exact per-bucket counts

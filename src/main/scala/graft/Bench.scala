@@ -106,47 +106,67 @@ object Bench {
     val defs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Quiet-window spot check BEFORE a full battery (VERDICT r14 #3 —
-    // the protocol lived in session memory; now the battery itself is
-    // stamped): re-run the 6-query drift-amortizer subset against the
-    // last committed battery's mins and record the median ratio. This
-    // box's hypervisor drift is additive and invisible in-guest; a
-    // stamp ≥ 1.3 means the window was bad and the battery should not
-    // become the committed baseline (bench_diff reads the stamp and
-    // says so). Skipped for filtered A/B runs and via
-    // SPARK_GRAFT_SPOT=skip; absent stamp = no reference battery.
-    val spotNames = Seq("q01_agg_sum", "q57_incremental_dedup",
-      "q60_curation_pipeline", "q154_minhash_calibration",
-      "q164_dupgraph_transitivity", "q196_ppjoin_exact")
-    var spotStamp: Option[(Double, Seq[(String, Double)])] = None
-    if (only.isEmpty && !sys.env.get("SPARK_GRAFT_SPOT").contains("skip")) {
-      val refFile = new java.io.File("BENCH_FULL.json")
-      if (refFile.exists()) try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(refFile)
-        val refQ = root.get("queries")
-        val refMins = spotNames.flatMap(n =>
-          Option(if (refQ == null) null else refQ.get(n)).map(n -> _.asDouble())).toMap
-        val spotDefs = defs.filter { case (n, _) => refMins.contains(n) }
-        if (spotDefs.nonEmpty) {
-          spotDefs.foreach { case (_, fn) => clearCaches(); run(fn) } // warmup
-          val mins = spotDefs.flatMap { case (n, fn) =>
-            val ts = (1 to 3).flatMap { _ =>
-              clearCaches(); run(fn).toOption
-            }
-            if (ts.isEmpty) None else Some(n -> ts.min)
-          }
-          val ratios = mins.map { case (n, v) => v / refMins(n) }.sorted
-          if (ratios.nonEmpty) {
-            val med = ratios(ratios.size / 2)
-            spotStamp = Some((med, mins))
-            System.err.println(f"BENCH SPOT window ratio $med%.3f vs committed "
-              + (if (med >= 1.3) "— INFLATED window, do not commit this battery as baseline"
-                 else "— quiet"))
-          }
+    // Quiet-window spot check, STRATIFIED and run BEFORE and AFTER the
+    // full battery (VERDICT r14 #3, r15 #1): the original 6-query
+    // subset was all drift-amortizers, and the r15 close-out proved a
+    // battery can stamp 1.04 "quiet" on the big queries while its
+    // sub-second members read 1.28x median vs the previous baseline —
+    // this box's hypervisor drift is ADDITIVE (+120-140 ms), exactly
+    // the signal large queries amortize away. The subset now carries a
+    // SUB-SECOND stratum (the drift canaries) next to the amortizers,
+    // each stratum's median ratio is stamped separately, and the whole
+    // pass repeats after the battery (a window can go bad mid-run; a
+    // start-only stamp certifies the first minute, not the battery).
+    // bench_diff refuses a baseline whose small stratum moved even
+    // when the big stratum is quiet. Skipped for filtered A/B runs and
+    // via SPARK_GRAFT_SPOT=skip; absent stamp = no reference battery.
+    val spotSmall = Seq("q01_agg_sum", "q15_window_rank",
+      "q71_mixture_sample", "q82_skew_report")
+    val spotBig = Seq("q57_incremental_dedup", "q60_curation_pipeline",
+      "q154_minhash_calibration", "q164_dupgraph_transitivity",
+      "q196_ppjoin_exact")
+    val spotNames = spotSmall ++ spotBig
+    val refMins: Map[String, Double] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SPOT").contains("skip")) Map.empty
+      else {
+        val refFile = new java.io.File("BENCH_FULL.json")
+        if (!refFile.exists()) Map.empty
+        else try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(refFile)
+          val refQ = root.get("queries")
+          spotNames.flatMap(n =>
+            Option(if (refQ == null) null else refQ.get(n)).map(n -> _.asDouble())).toMap
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH SPOT skipped: ${e.getClass.getSimpleName}")
+          Map.empty
         }
+      }
+    // (overall, small-stratum, big-stratum) median ratios + raw mins
+    def spotPass(label: String): Option[(Double, Double, Double, Seq[(String, Double)])] = {
+      val spotDefs = defs.filter { case (n, _) => refMins.contains(n) }
+      if (spotDefs.isEmpty) None
+      else try {
+        spotDefs.foreach { case (_, fn) => clearCaches(); run(fn) } // warmup
+        val mins = spotDefs.flatMap { case (n, fn) =>
+          val ts = (1 to 3).flatMap { _ => clearCaches(); run(fn).toOption }
+          if (ts.isEmpty) None else Some(n -> ts.min)
+        }
+        def medRatio(names: Seq[String]): Double = {
+          val rs = mins.collect { case (n, v) if names.contains(n) => v / refMins(n) }.sorted
+          if (rs.isEmpty) -1.0 else rs(rs.size / 2)
+        }
+        val (all, small, big) = (medRatio(spotNames), medRatio(spotSmall), medRatio(spotBig))
+        System.err.println(f"BENCH SPOT[$label] overall $all%.3f small $small%.3f big $big%.3f vs committed "
+          + (if (small >= 1.3 || all >= 1.3)
+               "— INFLATED window, do not commit this battery as baseline"
+             else "— quiet"))
+        Some((all, small, big, mins))
       } catch { case e: Throwable =>
-        System.err.println(s"BENCH SPOT skipped: ${e.getClass.getSimpleName}") }
+        System.err.println(s"BENCH SPOT[$label] skipped: ${e.getClass.getSimpleName}")
+        None
+      }
     }
+    val spotStamp = spotPass("pre")
 
     // warmup (untimed): pays session init, parquet footers, Janino codegen
     defs.foreach { case (_, fn) => run(fn) }
@@ -236,13 +256,21 @@ object Bench {
     val baselineComparable = results
       .filter { case (k, _) => r1Keys.contains(k) }
       .map(_._2._1).filter(_ >= 0).sum
+    // Post-battery spot pass: the same stratified subset again — the
+    // window's state at the END of the run, so a mid-battery host
+    // degradation is visible from the committed battery alone.
+    val spotPost = spotPass("post")
     // Headline scalars LAST: the driver's 2000-char stdout tail keeps
     // the END of this line, so totals/n_failed must sit there — a
     // front-loaded "value" was truncated away in every prior round.
-    val spotJson = spotStamp.map { case (ratio, mins) =>
-      s""""spot_window_ratio":${r3(ratio)},"spot_mins":""" +
-        mins.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "},")
-    }.getOrElse("")
+    def spotJsonOf(prefix: String,
+                   s: Option[(Double, Double, Double, Seq[(String, Double)])]): String =
+      s.map { case (all, small, big, mins) =>
+        s""""${prefix}_window_ratio":${r3(all)},"${prefix}_small_ratio":${r3(small)},""" +
+          s""""${prefix}_big_ratio":${r3(big)},"${prefix}_mins":""" +
+          mins.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "},")
+      }.getOrElse("")
+    val spotJson = spotJsonOf("spot", spotStamp) + spotJsonOf("spot_post", spotPost)
     val line = s"""{$spotJson"queries_runs":$runsJson,"queries_spill_mb":$spillJson,"queries_residual_mb":$residJson,"queries_median":$med,"queries":$qs,"errors":$errJson,"n":$iters,"n_failed":${errors.size},"baseline_comparable_r1_query_subtotal":${r3(baselineComparable)},"metric":"total","unit":"sec","sf":${jstr(sfDir)},"value":${r3(total)}}"""
     println(line)
     // Full untruncated copy for the judge (driver auto-commits stray

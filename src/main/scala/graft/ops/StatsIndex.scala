@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
 
 /** INCREMENTAL ANALYZE — q198's column-statistics pass maintained as a
   * standing index under appends AND retractions (VERDICT r14 #8), the
@@ -111,10 +111,82 @@ object StatsIndex {
     }
   }
 
+  /** Sketch-tier machinery (VERDICT r15 #6): the per-value grain is the
+    * exactness engine, but for a unique-ish column (doc ids, hashes)
+    * the `_vals` table is corpus-sized forever. A column placed in the
+    * SKETCH tier at [[write]] contributes O(1) rows per batch instead:
+    * summable n / n_null, min/max rows (merge-on-read), and a
+    * DataSketches HLL sketch (`hll_union_agg` on read) — so `_vals`
+    * growth tracks low-NDV columns only. The price, stated loudly:
+    * sketch-tier columns serve ESTIMATED ndv via [[sketchStats]] (never
+    * [[columnStats]]'s exact contract), and they CANNOT be retracted —
+    * HLL/min/max are not invertible and no value grain exists to
+    * re-derive from; [[retract]] refuses (the gram index's
+    * stats-exact/fail-loud discipline). */
+  private val SkPrefix = "sk:"
+  private val TierProp = "graft.sketchKeys"
+
+  /** Sketch-tier stat_keys recorded on the base at [[write]]. */
+  def sketchKeys(spark: SparkSession, name: String): Set[String] = {
+    val b = base(name)
+    if (!spark.catalog.tableExists(b)) Set.empty
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(b))
+      .properties.get(TierProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+  }
+
   /** Per-value deltas of one melted batch (positive). */
   private def deltasOf(melted: DataFrame): DataFrame =
     melted.groupBy(col("stat_key"), col("nv"), col("sv"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** One batch's segment rows under a tier split: exact keys keep the
+    * per-value grain; sketch keys fold to O(1) rows each — `sk:<kind>:
+    * <key>` rows in the SAME schema (plus a binary `sk` slot), so a
+    * segment stays ONE atomic write. n/null rows sum on read; min/max
+    * rows ride the value slots (the per-value merge keeps them, serving
+    * takes min/max over them); the HLL row carries the sketch bytes. */
+  private def segRowsOf(melted: DataFrame, sketch: Set[String]): DataFrame = {
+    val nullB = lit(null).cast(BinaryType)
+    val exact = deltasOf(
+        if (sketch.isEmpty) melted
+        else melted.where(!col("stat_key").isin(sketch.toSeq: _*)))
+      .withColumn("sk", nullB)
+    if (sketch.isEmpty) exact
+    else {
+      val nullD = lit(null).cast(DoubleType)
+      val nullS = lit(null).cast(StringType)
+      val one = lit(1L)
+      val sk = melted.where(col("stat_key").isin(sketch.toSeq: _*))
+        .groupBy(col("stat_key"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(when(col("nv").isNull && col("sv").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_null"),
+          min(col("nv")).as("mn"), max(col("nv")).as("mx"),
+          min(col("sv")).as("ms"), max(col("sv")).as("xs"),
+          hll_sketch_agg(coalesce(col("nv").cast(StringType), col("sv"))).as("h"))
+        .select(col("stat_key").as("k"), col("n"), col("n_null"),
+          col("mn"), col("mx"), col("ms"), col("xs"), col("h"))
+        .select(explode(array(
+          struct(concat(lit(s"${SkPrefix}n:"), col("k")).as("stat_key"),
+            nullD.as("nv"), nullS.as("sv"), col("n").as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}null:"), col("k")).as("stat_key"),
+            nullD.as("nv"), nullS.as("sv"), col("n_null").as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}minn:"), col("k")).as("stat_key"),
+            col("mn").as("nv"), nullS.as("sv"), one.as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}maxn:"), col("k")).as("stat_key"),
+            col("mx").as("nv"), nullS.as("sv"), one.as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}mins:"), col("k")).as("stat_key"),
+            nullD.as("nv"), col("ms").as("sv"), one.as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}maxs:"), col("k")).as("stat_key"),
+            nullD.as("nv"), col("xs").as("sv"), one.as("cnt"), nullB.as("sk")),
+          struct(concat(lit(s"${SkPrefix}hll:"), col("k")).as("stat_key"),
+            nullD.as("nv"), nullS.as("sv"), one.as("cnt"), col("h").as("sk")))).as("r"))
+        .select(col("r.stat_key"), col("r.nv"), col("r.sv"), col("r.cnt"), col("r.sk"))
+      exact.unionByName(sk)
+    }
+  }
 
   /** Order-independent content digest of a delta frame — two
     * independent 64-bit xor folds + count (overflow-free), 48 hex
@@ -154,15 +226,22 @@ object StatsIndex {
 
   /** Build (or replace) the index from a melted (stat_key, nv, sv)
     * frame — callers own the melt (which columns, how dates export),
-    * exactly as q198 does. */
-  def write(melted: DataFrame, name: String): Unit = {
+    * exactly as q198 does. `sketch` names the stat_keys kept in the
+    * SKETCH tier (high-NDV columns whose per-value grain would be
+    * corpus-sized); the choice is recorded on the base and enforced by
+    * [[append]]/[[retract]] from then on. */
+  def write(melted: DataFrame, name: String,
+            sketch: Set[String] = Set.empty): Unit = {
     val spark = melted.sparkSession
     val b = base(name)
     segTables(spark, name).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     Seq(b, s"${b}_compact", s"${b}_old").foreach(t =>
       graft.dedup.SignatureIndex.dropStale(spark, t))
     sweepOrphans(spark, name)
-    deltasOf(melted).write.mode(SaveMode.Overwrite).saveAsTable(b)
+    segRowsOf(melted, sketch).write.mode(SaveMode.Overwrite).saveAsTable(b)
+    if (sketch.nonEmpty)
+      spark.sql(s"ALTER TABLE `$b` SET TBLPROPERTIES " +
+        s"('$TierProp' = '${sketch.mkString(",")}')")
   }
 
   private def writeSeg(deltas: DataFrame, name: String, kind: String,
@@ -179,31 +258,84 @@ object StatsIndex {
     } finally { d.unpersist(); () }
   }
 
-  /** Add a melted batch — one positive delta segment, O(batch). Pass a
-    * stable `batchId` when distinct batches can carry identical content
-    * (see the object contract). */
-  def append(melted: DataFrame, name: String, batchId: String = ""): Unit =
-    writeSeg(deltasOf(melted), name, "d", batchId)
+  /** Add a melted batch — one positive delta segment, O(batch); sketch-
+    * tier keys (recorded at [[write]]) fold to O(1) rows. Pass a stable
+    * `batchId` when distinct batches can carry identical content (see
+    * the object contract). */
+  def append(melted: DataFrame, name: String, batchId: String = ""): Unit = {
+    val sk = sketchKeys(melted.sparkSession, name)
+    writeSeg(segRowsOf(melted, sk), name, "d", batchId)
+  }
 
   /** Remove a melted batch — one NEGATED delta segment, O(batch);
     * values the batch fully accounted for net to 0 and vanish from
-    * every serve. Same `batchId` contract as [[append]]. */
-  def retract(melted: DataFrame, name: String, batchId: String = ""): Unit =
+    * every serve. Same `batchId` contract as [[append]]. REFUSES a
+    * batch naming sketch-tier keys: HLL/min/max are not invertible and
+    * the sketch tier keeps no value grain to re-derive from — rebuild
+    * with [[write]] (fail-loud, never silently wrong). */
+  def retract(melted: DataFrame, name: String, batchId: String = ""): Unit = {
+    val sk = sketchKeys(melted.sparkSession, name)
+    if (sk.nonEmpty) {
+      val hit = melted.select(col("stat_key"))
+        .where(col("stat_key").isin(sk.toSeq: _*)).limit(1).count()
+      require(hit == 0L,
+        s"retract on stats index '$name': the batch names SKETCH-tier stat_key(s) " +
+          s"(tier members: ${sk.mkString(", ")}) — sketch stats (HLL/min/max) are " +
+          "not invertible and no value grain exists to re-derive them from. " +
+          "Rebuild with write(); exact-tier keys remain retractable.")
+    }
     writeSeg(deltasOf(melted)
-      .select(col("stat_key"), col("nv"), col("sv"), (-col("cnt")).as("cnt")),
+      .select(col("stat_key"), col("nv"), col("sv"), (-col("cnt")).as("cnt"))
+      .withColumn("sk", lit(null).cast(BinaryType)),
       name, "r", batchId)
+  }
+
+  /** Base + live segments, raw (sketch rows included, no merge). */
+  private def rawRows(spark: SparkSession, name: String): DataFrame = {
+    heal(spark, name)
+    val ts = base(name) +: liveSegTables(spark, name)
+    ts.map(spark.table).map(df =>
+        // pre-tiering tables have no sk column; align for the union
+        if (df.columns.contains("sk")) df
+        else df.withColumn("sk", lit(null).cast(BinaryType)))
+      .reduce(_ unionByName _)
+  }
 
   /** The live per-value frame: all live segments sum-merged, net-zero
     * rows gone — ≡ the melt of a from-scratch ANALYZE of the final
     * state. Heals the compact rename window first; segments a compacted
-    * base already folded are excluded ([[CoversProp]]). */
-  def liveValues(spark: SparkSession, name: String): DataFrame = {
-    heal(spark, name)
-    val ts = base(name) +: liveSegTables(spark, name)
-    ts.map(spark.table).reduce(_ unionByName _)
+    * base already folded are excluded ([[CoversProp]]); sketch-tier
+    * rows are NOT value grain and are excluded (serve them via
+    * [[sketchStats]]). */
+  def liveValues(spark: SparkSession, name: String): DataFrame =
+    rawRows(spark, name)
+      .where(!col("stat_key").startsWith(SkPrefix))
       .groupBy(col("stat_key"), col("nv"), col("sv"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
       .where(col("cnt") > 0)
+
+  /** Sketch-tier serve: per tier member — exact n / n_null / min / max
+    * (summable or merge-on-read) and the HLL ndv ESTIMATE (the honest
+    * signal of this tier; exact ndv lives only in the exact tier). */
+  def sketchStats(spark: SparkSession, name: String): DataFrame = {
+    val raw = rawRows(spark, name)
+      .where(col("stat_key").startsWith(SkPrefix))
+      .select(regexp_extract(col("stat_key"), "^sk:([a-z]+):(.*)$", 1).as("kind"),
+        regexp_extract(col("stat_key"), "^sk:([a-z]+):(.*)$", 2).as("stat_key"),
+        col("nv"), col("sv"), col("cnt"), col("sk"))
+    raw.groupBy(col("stat_key"))
+      .agg(
+        coalesce(sum(when(col("kind") === "n", col("cnt"))), lit(0L))
+          .cast("long").as("n"),
+        coalesce(sum(when(col("kind") === "null", col("cnt"))), lit(0L))
+          .cast("long").as("n_null"),
+        hll_sketch_estimate(
+          hll_union_agg(when(col("kind") === "hll", col("sk")), lit(true)))
+          .as("ndv_est"),
+        min(when(col("kind") === "minn", col("nv"))).as("min_num"),
+        max(when(col("kind") === "maxn", col("nv"))).as("max_num"),
+        min(when(col("kind") === "mins", col("sv"))).as("min_str"),
+        max(when(col("kind") === "maxs", col("sv"))).as("max_str"))
   }
 
   /** The staleness stamp consumers pair with a serve: how many delta
@@ -309,10 +441,32 @@ object StatsIndex {
     val old = s"${b}_old"
     graft.dedup.SignatureIndex.dropStale(spark, tmp)
     graft.dedup.SignatureIndex.dropStale(spark, old)
+    val sk = sketchKeys(spark, name)
     val folded = liveSegTables(spark, name).map(_.stripPrefix(s"${b}_"))
-    liveValues(spark, name).write.mode(SaveMode.Overwrite).saveAsTable(tmp)
+    // exact tier: the merged per-value frame; sketch tier: each
+    // sk:<kind>:<key> family folds to ONE stored row (counts sum,
+    // min/max collapse, HLL sketches union)
+    val kind = regexp_extract(col("stat_key"), "^sk:([a-z]+):", 1)
+    val foldedSketch = rawRows(spark, name)
+      .where(col("stat_key").startsWith(SkPrefix))
+      .groupBy(col("stat_key"))
+      .agg(sum(col("cnt")).cast("long").as("c"),
+        min(col("nv")).as("mnv"), max(col("nv")).as("mxv"),
+        min(col("sv")).as("msv"), max(col("sv")).as("mxs"),
+        hll_union_agg(col("sk"), lit(true)).as("hu"))
+      .select(col("stat_key"),
+        when(kind === "minn", col("mnv"))
+          .when(kind === "maxn", col("mxv")).as("nv"),
+        when(kind === "mins", col("msv"))
+          .when(kind === "maxs", col("mxs")).as("sv"),
+        when(kind.isin("n", "null"), col("c")).otherwise(lit(1L)).as("cnt"),
+        when(kind === "hll", col("hu")).as("sk"))
+    liveValues(spark, name).withColumn("sk", lit(null).cast(BinaryType))
+      .unionByName(foldedSketch)
+      .write.mode(SaveMode.Overwrite).saveAsTable(tmp)
     spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
-      s"'$CoversProp' = '${folded.mkString(",")}')")
+      s"'$CoversProp' = '${folded.mkString(",")}'" +
+      (if (sk.isEmpty) "" else s", '$TierProp' = '${sk.mkString(",")}'") + ")")
     spark.sql(s"ALTER TABLE `$b` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$b`")
     spark.sql(s"DROP TABLE `$old`")

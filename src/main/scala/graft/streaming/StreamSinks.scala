@@ -205,6 +205,62 @@ object StreamSinks {
       }
     }
 
+  /** Streaming TAKEDOWN — retraction requests consumed as a STREAM
+    * next to appends (VERDICT r15 #7), closing the loop that made
+    * retraction a batch-only verb: each micro-batch is a COMMAND batch
+    * whose optional `op` column routes rows ("append" →
+    * [[graft.dedup.GramIndex.append]], "retract" →
+    * [[graft.dedup.GramIndex.retract]]; no `op` column = all retracts),
+    * appends folded BEFORE retracts so a doc both added and named in
+    * one batch nets to removed — exactly the sequential batch fold. A
+    * one-row receipt (append/retract doc counts) lands in the
+    * `batch=<id>` layout for observability.
+    *
+    * Exactly-once under foreachBatch's at-least-once calls, layered:
+    *  - a replay of a COMMITTED batch drains and writes nothing
+    *    (`_SUCCESS` gate, as everywhere);
+    *  - a crash AFTER the index fold but before the receipt commit
+    *    replays into the index's own idempotency: retract's
+    *    digest-named tombstone/id tables drop already-retracted ids
+    *    first and rewrite in place, so even a PARTIAL overlap nets
+    *    exactly once; a replayed append min-merges scrub-identically,
+    *    with stats re-folded exactly at the next compact (the sidecar
+    *    dedupe);
+    *  - a crash INSIDE retract between its two writes leaves an
+    *    unpaired tombstone that any LATER takedown refuses loudly —
+    *    and the restarted query's replay of the crashed batch is
+    *    precisely the "exact replay" the pairing check lets through to
+    *    heal.
+    * Single writer per index name: while this sink is active it must be
+    * the index's only writer (it runs its own minor compaction every 8
+    * batches, like [[spanScrubSink]]). Build the index with
+    * `Spec(ownerSidecar = true)` if owner-dependent probes must stay
+    * exact after streamed takedowns. */
+  def takedownSink(indexName: String, spec: graft.dedup.GramIndex.Spec,
+                   dir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, dir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        val batch = df.persist()
+        try graft.ops.TrackedCache.scoped(batch.sparkSession) {
+          import org.apache.spark.sql.functions.{col, countDistinct}
+          val hasOp = batch.columns.contains("op")
+          val adds = if (hasOp) batch.where(col("op") === "append").drop("op")
+                     else batch.limit(0)
+          val rms = if (hasOp) batch.where(col("op") === "retract").drop("op")
+                    else batch
+          if (!adds.isEmpty) graft.dedup.GramIndex.append(adds, indexName, spec)
+          if (!rms.isEmpty) graft.dedup.GramIndex.retract(rms, indexName, spec)
+          adds.agg(countDistinct(col("doc_id")).as("n_append_docs"))
+            .crossJoin(rms.agg(countDistinct(col("doc_id")).as("n_retract_docs")))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+          if (batchId % 8 == 7)
+            graft.dedup.GramIndex.compactDelta(batch.sparkSession, indexName, spec)
+        } finally batch.unpersist()
+      }
+    }
+
   /** Streaming eval-leak attribution — the monitoring form of
     * [[graft.dedup.GramIndex.attributeSources]]: every arriving
     * micro-batch of EVAL documents is attributed against the standing

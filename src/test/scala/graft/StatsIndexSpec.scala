@@ -127,6 +127,53 @@ class StatsIndexSpec extends SparkSpec {
     served("stx_b") shouldBe served("stx_b_ref2")
   }
 
+  test("sketch tier: high-NDV columns store O(1) rows per batch, serve estimates, refuse retraction (VERDICT r15 #6)") {
+    StatsIndex.write(melt(batchA), "stx_t", sketch = Set("col:id"))
+    StatsIndex.append(melt(batchB), "stx_t")
+    // _vals growth ∝ low-NDV columns only: col:id contributes its 7
+    // fixed sketch rows per segment, never one row per distinct id
+    spark.table("stx_t_vals")
+      .where(col("stat_key") === "col:id").count() shouldBe 0L
+    spark.table("stx_t_vals")
+      .where(col("stat_key").endsWith(":col:id")).count() shouldBe 7L
+    // the exact tier is untouched by the split: col:v / col:s match the
+    // untiered reference bit-for-bit, and col:id never appears there
+    StatsIndex.write(melt(batchA ++ batchB), "stx_t_ref")
+    def exactRows(n: String) = StatsIndex.columnStats(spark, n)
+      .where(col("stat_key") =!= "col:id")
+      .orderBy("stat_key").collect().map(_.toSeq).toSeq
+    exactRows("stx_t") shouldBe exactRows("stx_t_ref")
+    StatsIndex.columnStats(spark, "stx_t")
+      .where(col("stat_key") === "col:id").count() shouldBe 0L
+    // sketch serve: exact n / n_null / min / max, HLL ndv estimate
+    def sk() = StatsIndex.sketchStats(spark, "stx_t").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val Seq(row) = sk()
+    row._1 shouldBe "col:id"
+    row._2 shouldBe all.size.toLong // n
+    row._3 shouldBe 0L              // ids are never null
+    row._4.toDouble shouldBe (all.size.toDouble +- all.size * 0.15) // ndv_est
+    row._5 shouldBe 1.0
+    row._6 shouldBe 42.0
+    // retraction refuses loudly when the batch names a sketch key...
+    val e = intercept[IllegalArgumentException](
+      StatsIndex.retract(melt(gone), "stx_t"))
+    e.getMessage should include("SKETCH-tier")
+    // ...but exact-tier keys remain retractable next to the tier
+    StatsIndex.retract(melt(gone).where(col("stat_key") =!= "col:id"), "stx_t")
+    StatsIndex.write(melt(kept), "stx_t_ref2")
+    exactRows("stx_t") shouldBe exactRows("stx_t_ref2")
+    // compact folds both tiers (sketch families collapse to single
+    // rows, sketches union) and keeps the tier stamp
+    val want = (exactRows("stx_t"), sk())
+    StatsIndex.compact(spark, "stx_t")
+    (exactRows("stx_t"), sk()) shouldBe want
+    spark.table("stx_t_vals")
+      .where(col("stat_key").endsWith(":col:id")).count() shouldBe 7L
+    StatsIndex.sketchKeys(spark, "stx_t") shouldBe Set("col:id")
+  }
+
   test("histogram straddling: a value spanning bucket boundaries splits its row count exactly") {
     // one value with 10 rows, another with 2, nBuckets = 4 → the heavy
     // value must straddle several buckets with exact per-bucket counts

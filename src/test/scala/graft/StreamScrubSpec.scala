@@ -83,6 +83,65 @@ class StreamScrubSpec extends SparkSpec {
     scrubRows(GramIndex.scrubProbe(spark, df(b2), "stream_scrub", spec)) shouldBe out2
   }
 
+  test("takedown SINK (VERDICT r15 #7): interleaved append/retract micro-batches ≡ sequential fold; replay idempotent") {
+    val sspec = spec.copy(ownerSidecar = true)
+    val cc = (0 until 12).map(i => s"cc$i")
+    GramIndex.write(df(Seq(100L -> w.mkString(" "), 101L -> cc.mkString(" "))),
+      "stream_td", sspec)
+    val dir = java.nio.file.Files.createTempDirectory("stream-td").toString
+
+    // the command stream: batch 0 appends doc 200 (same template as
+    // 100); batch 1 retracts 100 AND appends 210 in ONE batch; batch 2
+    // retracts 200 — after which template w has no holder left
+    val b0 = Seq(("append", 200L, w.mkString(" ")))
+    val b1 = Seq(("retract", 100L, w.mkString(" ")),
+      ("append", 210L, cc.mkString(" ")))
+    val b2 = Seq(("retract", 200L, w.mkString(" ")))
+    val mem = MemoryStream[(String, Long, String)]
+    val q = mem.toDF().toDF("op", "doc_id", "text")
+      .writeStream.foreachBatch(StreamSinks.takedownSink("stream_td", sspec, dir))
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // ≡ the final state rebuilt directly: {101, 210} (both hold cc)
+    GramIndex.write(df(Seq(101L -> cc.mkString(" "), 210L -> cc.mkString(" "))),
+      "stream_td_ref", sspec)
+    def stats(n: String) = GramIndex.sourceStats(spark, n)
+      .orderBy("gram", "source").collect().map(_.toSeq).toSeq
+    stats("stream_td") shouldBe stats("stream_td_ref")
+    // probes agree: template w matches nothing (every holder retracted),
+    // template cc still probes
+    val wBatch = df(Seq(900L -> w.mkString(" ")))
+    val ccBatch = df(Seq(901L -> cc.mkString(" ")))
+    GramIndex.probe(spark, wBatch, "stream_td", sspec).count() shouldBe 0L
+    GramIndex.probe(spark, ccBatch, "stream_td", sspec).count() shouldBe
+      GramIndex.probe(spark, ccBatch, "stream_td_ref", sspec).count()
+    // receipts observable per batch
+    spark.read.parquet(s"$dir/batch=1").collect().head.toSeq shouldBe Seq(1L, 1L)
+
+    // replay of a COMMITTED batch: drain only, marker untouched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/batch=2/_SUCCESS")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    StreamSinks.takedownSink("stream_td", sspec, dir)(
+      df(b2.map(t => (t._2, t._3))).toDF("doc_id", "text"), 2L)
+    fs.getFileStatus(marker).getModificationTime shouldBe mtime
+    // replay of an UNCOMMITTED batch (crash after the index fold,
+    // before the receipt): the fold is a no-op — already-retracted ids
+    // drop out — and the state still equals the rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=2"), true)
+    StreamSinks.takedownSink("stream_td", sspec, dir)(
+      Seq(("retract", 200L, w.mkString(" "))).toDF("op", "doc_id", "text"), 2L)
+    stats("stream_td") shouldBe stats("stream_td_ref")
+    GramIndex.probe(spark, wBatch, "stream_td", sspec).count() shouldBe 0L
+    graft.ops.TrackedCache.release(spark)
+  }
+
   test("retract BETWEEN streamed shards (VERDICT r14 #7): later batches scrub against the post-takedown corpus") {
     // the single-writer contract serializes the takedown with the
     // sink's appends (retract runs while the stream is idle between

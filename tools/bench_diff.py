@@ -66,6 +66,12 @@ def main() -> int:
                     help="accept a battery-median ratio above the "
                          f"{BATTERY_RATIO}x gate WITH a named battery-level "
                          "cause (quoted in the close-out note)")
+    ap.add_argument("--window-allow", default=None, metavar="REASON",
+                    help="accept an inflated SMALL-QUERY stratum (stamped or "
+                         "computed) WITH a named cause — without it the diff "
+                         "refuses the battery as baseline evidence "
+                         "(VERDICT r15 #1: sub-second queries are the drift "
+                         "canaries the big-query stamp cannot see)")
     args = ap.parse_args()
 
     if args.allow_file:
@@ -109,23 +115,42 @@ def main() -> int:
     base = load_base(args.base)
     nq, bq = new["queries_median"], base["queries_median"]
 
-    # Quiet-window stamp (VERDICT r14 #3): graft.Bench re-runs a 6-query
-    # drift-amortizer subset against the committed mins BEFORE the full
-    # battery and stamps the result. An inflated stamp means the window
-    # was bad — the battery is measurement-polluted evidence and must
-    # not become the committed baseline (wait for a quiet window and
-    # re-run; see the host-drift protocol in the verify skill).
-    spot = new.get("spot_window_ratio")
-    if spot is None:
+    # Quiet-window stamps (VERDICT r14 #3, r15 #1): graft.Bench runs a
+    # STRATIFIED spot subset (sub-second drift canaries + big
+    # amortizers) against the committed mins BEFORE and AFTER the full
+    # battery. The r15 lesson: a battery stamped 1.042 "quiet" on big
+    # queries carried a 1.28x median on its sub-second members — the
+    # additive host drift the amortizers cannot see. An inflated SMALL
+    # stratum (either pass) refuses the battery as baseline evidence
+    # unless --window-allow names the cause.
+    window_fail = False
+    any_stamp = False
+    for prefix, label in (("spot", "pre"), ("spot_post", "post")):
+        overall = new.get(f"{prefix}_window_ratio")
+        if overall is None:
+            continue
+        any_stamp = True
+        small = new.get(f"{prefix}_small_ratio")
+        big = new.get(f"{prefix}_big_ratio")
+        parts = f"overall {overall:.3f}"
+        if small is not None:
+            parts += f", small {small:.3f}"
+        if big is not None:
+            parts += f", big {big:.3f}"
+        bad_small = small is not None and small >= 1.3
+        bad_overall = overall >= 1.3
+        if bad_small or bad_overall:
+            which = "SMALL-query stratum" if bad_small else "window"
+            print(f"WINDOW: {label}-battery stamp {parts} — {which} inflated; "
+                  f"this battery was measured in a bad host window and must "
+                  f"not become the committed baseline")
+            window_fail = True
+        else:
+            print(f"quiet-window stamp ({label}): {parts} (quiet)")
+    if not any_stamp:
         print("WARNING: battery carries no quiet-window stamp "
               "(old graft.Bench, SPARK_GRAFT_SPOT=skip, or no reference "
               "battery at run time)")
-    elif spot >= 1.3:
-        print(f"WARNING: quiet-window stamp {spot:.3f} >= 1.3 — this battery "
-              f"was measured in an INFLATED host window; do not commit it as "
-              f"the baseline, re-run in a quiet window")
-    else:
-        print(f"quiet-window stamp: {spot:.3f} (quiet)")
 
     added = sorted(set(nq) - set(bq))
     removed = sorted(set(bq) - set(nq))
@@ -152,6 +177,28 @@ def main() -> int:
     if abs(med_ratio - 1.0) > 0.03:
         print(f"session drift: battery median ratio {med_ratio:.3f} — "
               f"per-query failures below are drift-corrected by it")
+
+    # Computed stratum check over the WHOLE battery (VERDICT r15 #1):
+    # the stamps above certify the spot subset; this recomputes the
+    # same signal from every shared query, so it also catches what a
+    # pre-r16 battery's single stamp missed (the r15 validation case:
+    # 70/222 sub-second queries >1.5x while the stamp read 1.042).
+    # Only queries above the ABS floor participate (a 30 ms query's
+    # ratio is pure noise).
+    small_rs = sorted(r for r, _, _, o, _ in rows if ABS_FLOOR < o < 1.0)
+    big_rs = sorted(r for r, _, _, o, _ in rows if o >= 1.0)
+    if small_rs and big_rs:
+        sm, bm = small_rs[len(small_rs) // 2], big_rs[len(big_rs) // 2]
+        n_hot = sum(1 for r in small_rs if r > 1.5)
+        print(f"computed strata over shared queries: sub-second median "
+              f"{sm:.3f} ({len(small_rs)} queries, {n_hot} over 1.5x), "
+              f"big-query median {bm:.3f} ({len(big_rs)})")
+        if sm >= 1.3 and bm < BATTERY_RATIO:
+            print(f"WINDOW: sub-second stratum moved {sm:.3f}x while the "
+                  f"big stratum is quiet ({bm:.3f}) — the additive-drift "
+                  f"signature; per-query medians in this battery are not "
+                  f"trustworthy for queries under ~2 s")
+            window_fail = True
     # Whole-battery gate (ADVICE r13 #1): a uniform regression moves the
     # median itself, which the per-query drift correction cannot see.
     battery_fail = med_ratio > BATTERY_RATIO and not args.battery_allow
@@ -188,14 +235,21 @@ def main() -> int:
         print(f"median per-query ratio over {len(med)} shared queries: "
               f"{med[len(med) // 2]:.3f}")
 
+    if window_fail and args.window_allow:
+        print(f"  ALLOW window: inflated small-query stratum — {args.window_allow}")
+        window_fail = False
     if battery_fail:
         print(f"bench_diff: BATTERY median ratio {med_ratio:.3f} > {BATTERY_RATIO} "
               f"— a whole-battery regression (or name the battery-level cause "
               f"with --battery-allow)")
+    if window_fail:
+        print("bench_diff: WINDOW — the sub-second stratum is inflated while "
+              "the big stratum is quiet; re-measure in a quiet window (or "
+              "name the cause with --window-allow)")
     if failures:
         print(f"bench_diff: {len(failures)} regression(s) >{RATIO}x "
               f"(+>{ABS_FLOOR}s) — justify with --allow or fix before committing")
-    if failures or battery_fail:
+    if failures or battery_fail or window_fail:
         return 1
     print("bench_diff: OK")
     return 0

@@ -72,7 +72,11 @@ object ScaleProbe {
     // tombstone anti-join on the ADC scan; per-value merge + prefix-scan
     // histogram) stay ∝ data under 10-30× volume
     "q301_text_retract_probe", "q302_pq_retract_probe",
-    "q303_incremental_analyze")
+    "q303_incremental_analyze",
+    // round-16 (VERDICT r15 #3/#5): the signature-index takedown probe —
+    // the one standing-index serve with no committed probe row — and the
+    // advisor served from the standing stats index
+    "q300_sig_retract_probe", "q304_statsidx_advisor")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
@@ -89,7 +93,8 @@ object ScaleProbe {
     * untimed per scale, so the timed run serves from the index. */
   private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity",
     "q296_index_leak_sources", "q301_text_retract_probe",
-    "q302_pq_retract_probe", "q303_incremental_analyze")
+    "q302_pq_retract_probe", "q303_incremental_analyze",
+    "q300_sig_retract_probe", "q304_statsidx_advisor")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")
@@ -257,12 +262,40 @@ object ScaleProbe {
         s""""$name":{"sf01":${r3(t01)},"sf1":${r3(t1)},"exponent":${r3(expn)}}"""
       }
     }
+    // Sketch-tier STORAGE evidence (VERDICT r15 #6): melt documents'
+    // doc_id (high-NDV — one value per row) and lang (low-NDV) into a
+    // stats index twice — doc_id exact vs doc_id in the sketch tier —
+    // at both scales, and record the _vals row counts. The claim under
+    // test: with the tier, _vals growth tracks LOW-NDV columns only
+    // (lang's domain + 7 fixed sketch rows), while the exact grain is
+    // corpus-sized and scales 10x.
+    val tierJson = if (only.nonEmpty) "" else try {
+      def meltDocs(dir: String) = Tables.documents(spark, dir)
+        .select(explode(array(
+          struct(lit("col:doc_id").as("stat_key"),
+            col("doc_id").cast("double").as("nv"), lit(null: String).as("sv")),
+          struct(lit("col:lang").as("stat_key"),
+            lit(null).cast("double").as("nv"), col("lang").as("sv")))).as("r"))
+        .select(col("r.stat_key"), col("r.nv"), col("r.sv"))
+      val counts = Seq("sf01" -> srcDir, "sf1" -> outDir).map { case (tag, dir) =>
+        graft.ops.StatsIndex.write(meltDocs(dir), "probe_tier",
+          sketch = Set("col:doc_id"))
+        graft.ops.StatsIndex.write(meltDocs(dir), "probe_exact")
+        val nT = spark.table("probe_tier_vals").count()
+        val nE = spark.table("probe_exact_vals").count()
+        s""""${tag}_vals_rows_sketch":$nT,"${tag}_vals_rows_exact":$nE"""
+      }
+      val j = counts.mkString("\"statsidx_sketch_tier\":{", ",", "},")
+      println(s"PROBE statsidx_sketch_tier $j")
+      j
+    } catch { case e: Throwable =>
+      println(s"PROBE statsidx_sketch_tier skipped: ${e.getClass.getSimpleName}"); "" }
     // per-rung replica counts (ADVICE r12 #5): sf1 rows are 10-replica
     // fixtures, sf3 rows 30-replica — the flat "replicas":10 misdescribed
     // the sf3 evidence
     val replicasJson =
       if (wantSf3) "{\"sf1\":10,\"sf3\":30}" else "{\"sf1\":10}"
-    val line = rows.mkString("{\"probe\":{", ",", "},\"replicas\":" + replicasJson + ",\"src\":\"" + srcDir + "\"}")
+    val line = rows.mkString("{\"probe\":{", ",", "}," + tierJson + "\"replicas\":" + replicasJson + ",\"src\":\"" + srcDir + "\"}")
     println(line)
     if (only.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), line + "\n")

@@ -183,6 +183,39 @@ object GramIndex {
     base +: liveDeltas(spark, base).map(_.table)
   }
 
+  /** Segments visible AS OF append id `asOf` — the point-in-time read
+    * (VERDICT r15 #10): the base plus every live delta whose range is
+    * ≤ asOf. The append history is exactly what the segment ids
+    * already encode, so time-travel is a segment FILTER, not a new
+    * storage format — and it lasts until a compaction folds the
+    * history away. Three states refuse loudly rather than serve an
+    * approximation: a base that folded deltas past the cut
+    * (coversDeltaTo > asOf), a merged delta straddling it
+    * (a ≤ asOf < b), and a standing takedown (retraction REWRITES
+    * history — there is deliberately no pre-retraction corpus to
+    * serve; that is what a takedown means). */
+  private def segmentTablesAsOf(spark: SparkSession, name: String,
+                                asOf: Long): Seq[String] = {
+    val base = tableName(name)
+    heal(spark, base)
+    require(tombstones(spark, base).isEmpty,
+      s"as-of read on gram index '$name': standing takedown(s) rewrite history — " +
+        "the pre-retraction corpus is not served (a retracted document must not " +
+        "resurface through time-travel). Compact or rebuild first.")
+    val covered = coversTo(spark, base)
+    require(covered <= asOf,
+      s"as-of read on gram index '$name': the base already folded appends up to " +
+        s"$covered > $asOf — major compaction trades history for files; as-of reads " +
+        "reach back to the last compact only.")
+    val ds = liveDeltas(spark, base)
+    ds.find(d => d.a <= asOf && asOf < d.b).foreach(d =>
+      throw new IllegalArgumentException(
+        s"as-of read on gram index '$name': merged delta ${d.table} straddles " +
+          s"append $asOf — minor compaction folded the cut point; as-of reads are " +
+          "available at fold boundaries only."))
+    base +: ds.filter(_.b <= asOf).map(_.table)
+  }
+
   // ------------------------------------------------------------------
   // owner-sidecar segments (ADVICE r15 #2)
   // ------------------------------------------------------------------
@@ -727,18 +760,29 @@ object GramIndex {
       // consumed in its gram-bucket layout (≡ rebuild-without-docs)
       case Some(live) =>
         bg.join(live.select(col("gram")), Seq("gram"), "left_semi")
-      case None if segs.size == 1 =>
-        bg.join(spark.table(segs.head), Seq("gram"), "left_semi")
-      // repartition by doc_id before the dedup: the union's children all
-      // claim hash(gram) (see hazard note), and a distinct on top would
-      // be planned exchange-free and keep cross-segment duplicates — a
-      // DIFFERENT-key repartition is not elidable, forces the real
-      // shuffle, and is the partitioning the island window wants next
-      case None => segs.map(t => bg.join(spark.table(t), Seq("gram"), "left_semi"))
-        .reduce(_ unionByName _)
-        .repartition(col("doc_id"))
-        .distinct() // a gram standing in two segments matches twice
+      case None => matchedWindows(spark, bg, segs)
     }
+    windowIslands(matched, L)
+  }
+
+  /** Batch windows standing in any of `segs`, cross-segment duplicates
+    * collapsed. Repartition by doc_id before the dedup: the union's
+    * children all claim hash(gram) (see hazard note), and a distinct
+    * on top would be planned exchange-free and keep cross-segment
+    * duplicates — a DIFFERENT-key repartition is not elidable, forces
+    * the real shuffle, and is the partitioning the island window wants
+    * next. */
+  private def matchedWindows(spark: SparkSession, bg: DataFrame,
+                             segs: Seq[String]): DataFrame =
+    if (segs.size == 1) bg.join(spark.table(segs.head), Seq("gram"), "left_semi")
+    else segs.map(t => bg.join(spark.table(t), Seq("gram"), "left_semi"))
+      .reduce(_ unionByName _)
+      .repartition(col("doc_id"))
+      .distinct() // a gram standing in two segments matches twice
+
+  /** Maximal-span islands over matched (doc_id, pos) windows — the
+    * probe output contract. */
+  private def windowIslands(matched: DataFrame, L: Int): DataFrame =
     matched
       .withColumn("grp", col("pos") - row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -748,6 +792,30 @@ object GramIndex {
         (max(col("pos")) - min(col("pos")) + L).cast("long").as("span_len"),
         count(lit(1)).as("n_windows"))
       .drop("grp")
+
+  /** [[probe]] against the corpus AS OF append `asOf` (VERDICT r15
+    * #10) — the same plan over the segment subset the cut selects;
+    * refusal conditions in [[segmentTablesAsOf]]. */
+  def probeAsOf(spark: SparkSession, batch: DataFrame, name: String,
+                asOf: Long, spec: Spec = Spec()): DataFrame = {
+    val segs = segmentTablesAsOf(spark, name, asOf)
+    val bg0 = gramsOf(batch, spec.minLen)
+    val bg = if (segs.size == 1) bg0 else bg0.persistT
+    windowIslands(matchedWindows(spark, bg, segs), spec.minLen)
+  }
+
+  /** [[sourceStats]] AS OF append `asOf` — the standing statistics as
+    * they stood after that append (same refusals). */
+  def sourceStatsAsOf(spark: SparkSession, name: String, asOf: Long): DataFrame = {
+    val segs = segmentTablesAsOf(spark, name, asOf)
+    if (segs.size == 1)
+      spark.table(segs.head).select("gram", "source", "n_docs", "n_occ")
+    else
+      segs.map(readUnbucketed(spark, _)).reduce(_ unionByName _)
+        .groupBy(col("gram"), col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_occ")).cast("long").as("n_occ"))
+        .where(col("n_docs") > 0)
   }
 
   /** Incremental span SCRUBBING against the standing corpus — EXACTLY

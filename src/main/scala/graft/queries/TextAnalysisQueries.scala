@@ -2210,6 +2210,38 @@ object TextAnalysisQueries {
       .sortedOut("doc_id", "span_start")
   }
 
+  // ------- point-in-time (as-of) gram-index probe (q305)
+  /** "Probe the corpus AS OF append N" — served from the history the
+    * segment ids already encode (VERDICT r15 #10): the corpus lands in
+    * three appends (doc_id % 3 == 0 at write, % 3 == 1 as append 1,
+    * % 3 == 2 as append 2) and the shard probes AS OF append 1 — the
+    * result must equal probing an index that never saw the third
+    * batch, so the oracle is q280's SQL with the corpus cut to
+    * % 3 <> 2. Time-travel is a segment FILTER, no extra storage, and
+    * lasts until compaction folds the cut away: a folded base, a
+    * straddling merged delta, or a standing takedown each refuse
+    * loudly rather than approximate (GramIndexSpec pins all three).
+    * Scale shape: identical to q283 — the as-of cut only selects which
+    * segment tables join; probe cost ∝ shard, never corpus. */
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    val docs = docs0(s, d)
+    val spec = graft.dedup.GramIndex.Spec(minLen = 8, buckets = 8)
+    val name = "q305_asofidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name + "_grams")) {
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      graft.dedup.GramIndex.write(corpus.where(col("doc_id") % 3 === 0), name, spec)
+      graft.dedup.GramIndex.append(corpus.where(col("doc_id") % 3 === 1), name, spec)
+      graft.dedup.GramIndex.append(corpus.where(col("doc_id") % 3 === 2), name, spec)
+    }
+    graft.dedup.GramIndex.probeAsOf(s, docs.where(col("doc_id") % 10 === 0),
+        name, asOf = 1L, spec)
+      .sortedOut("doc_id", "span_start")
+  }
+
+  private val q305Sql = q280Sql.replace(
+    "cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0)",
+    "cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0 AND doc_id % 3 <> 2)")
+
   // ------- incremental span scrubbing against the standing index (q286)
   /** q282's REWRITE served incrementally: an arriving shard (doc_id %
     * 10 == 0) is scrubbed against the standing corpus WITHOUT re-
@@ -2445,6 +2477,7 @@ object TextAnalysisQueries {
     ("q281_bpe_fertility", q281 _, Some(q281Sql)),
     ("q282_span_scrub", q282 _, Some(q282Sql)),
     ("q283_gram_index_probe", q283 _, Some(q280Sql)),
+    ("q305_asof_index_probe", q305 _, Some(q305Sql)),
     ("q286_incremental_scrub", q286 _, Some(q286Sql)),
     ("q287_bpe_merge_table", q287 _, Some(q287Sql)),
     ("q291_span_savings_curve", q291 _, Some(q291Sql)),

@@ -14,4 +14,16 @@ object GraftSparkShim {
   def drainListenerBus(sc: SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty(10000L)
     catch { case _: Exception => () }
+
+  /** Drop the session-shared FileStatusCache (file listings of every
+    * table/path read so far). Index-building queries flood it with
+    * their segment listings and LRU-evict earlier entries; clearing it
+    * between timed bench runs makes each query re-list its own inputs
+    * (sub-ms on local fixtures) instead of paying an unpredictable
+    * eviction pattern set by whichever queries ran before it —
+    * battery-order interference, measured on q29 after the q298/q299
+    * builds. */
+  def clearFileStatusCache(): Unit =
+    try org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    catch { case _: Exception => () }
 }

@@ -330,4 +330,52 @@ class GramIndexSpec extends SparkSpec {
       "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
     }
   }
+
+  test("as-of probe: segment history serves point-in-time reads; folded history refuses (VERDICT r15 #10)") {
+    val t1 = (0 until 10).map(i => s"pa$i").mkString(" ")
+    val t2 = (0 until 10).map(i => s"pb$i").mkString(" ")
+    val t3 = (0 until 10).map(i => s"pc$i").mkString(" ")
+    GramIndex.write(docsDF(100L -> t1), "gramidx_pit", spec)
+    GramIndex.append(docsDF(200L -> t2), "gramidx_pit", spec)
+    GramIndex.append(docsDF(300L -> t3), "gramidx_pit", spec)
+    // the reference: an index that never saw append 2
+    GramIndex.write(docsDF(100L -> t1), "gramidx_pit_ref", spec)
+    GramIndex.append(docsDF(200L -> t2), "gramidx_pit_ref", spec)
+    val probeB = docsDF(900L -> t2, 901L -> t3)
+    val asOf1 = rows(GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 1L, spec))
+    asOf1 shouldBe rows(GramIndex.probe(spark, probeB, "gramidx_pit_ref", spec))
+    asOf1.map(_._1) shouldBe Seq(900L) // t3 is the future: invisible at asOf 1
+    // stats time-travel agrees
+    GramIndex.sourceStatsAsOf(spark, "gramidx_pit", 1L)
+      .orderBy("gram", "source").collect().map(_.toSeq).toSeq shouldBe
+      GramIndex.sourceStats(spark, "gramidx_pit_ref")
+        .orderBy("gram", "source").collect().map(_.toSeq).toSeq
+    // asOf at the head serves the full corpus
+    rows(GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 2L, spec)) shouldBe
+      rows(GramIndex.probe(spark, probeB, "gramidx_pit", spec))
+    // a merged delta straddling the cut refuses loudly
+    GramIndex.compactDelta(spark, "gramidx_pit", spec) // d1_1 + d2_2 -> d1_2
+    val e1 = intercept[IllegalArgumentException](
+      GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 1L, spec))
+    e1.getMessage should include("straddles")
+    // ...but the fold boundary itself still serves
+    rows(GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 2L, spec)) shouldBe
+      rows(GramIndex.probe(spark, probeB, "gramidx_pit", spec))
+    // a major compact folds history up to its head: the head itself
+    // still serves (it IS the compacted corpus), anything earlier refuses
+    GramIndex.compact(spark, "gramidx_pit", spec)
+    rows(GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 2L, spec)) shouldBe
+      rows(GramIndex.probe(spark, probeB, "gramidx_pit", spec))
+    val e2 = intercept[IllegalArgumentException](
+      GramIndex.probeAsOf(spark, probeB, "gramidx_pit", 1L, spec))
+    e2.getMessage should include("folded")
+    // a standing takedown refuses time-travel (retraction rewrites
+    // history -- the retracted corpus must not resurface)
+    GramIndex.write(docsDF(100L -> t1, 200L -> t2), "gramidx_pit_rt", spec)
+    graft.dedup.GramIndex.retract(docsDF(200L -> t2), "gramidx_pit_rt", spec)
+    val e3 = intercept[IllegalArgumentException](
+      GramIndex.probeAsOf(spark, probeB, "gramidx_pit_rt", 0L, spec))
+    e3.getMessage should include("takedown")
+    graft.ops.TrackedCache.release(spark)
+  }
 }

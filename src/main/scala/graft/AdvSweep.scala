@@ -2760,6 +2760,122 @@ object AdvSweep {
         (served("adv_stx") == served("adv_stx_ref")).toString
     }
 
+    // ==== wave 20 (round-16: as-of reads, takedown sink, sketch tier,
+    // ids-only vector takedown) =========================================
+    // ---- as-of probe under compaction churn: every fold boundary must
+    // keep serving, every folded-away cut must refuse, and an asOf
+    // beyond the head serves the full corpus (the "now" read).
+    step("asof_probe_fold_boundaries") {
+      import graft.dedup.GramIndex
+      import spark.implicits._
+      val spec = GramIndex.Spec(minLen = 8, buckets = 4)
+      def tpl(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+      GramIndex.write(Seq((1L, tpl("aa"))).toDF("doc_id", "text"), "adv_pit", spec)
+      (2L to 5L).foreach(i => GramIndex.append(
+        Seq((i, tpl(s"b$i"))).toDF("doc_id", "text"), "adv_pit", spec))
+      val probeB = (2L to 5L).map(i => (900L + i, tpl(s"b$i"))).toDF("doc_id", "text")
+      def nAsOf(k: Long) =
+        GramIndex.probeAsOf(spark, probeB, "adv_pit", k, spec)
+          .select("doc_id").distinct().count()
+      stats("pit_monotone_history") =
+        (1L to 4L).map(nAsOf).toSeq.equals(Seq(1L, 2L, 3L, 4L)).toString
+      stats("pit_beyond_head_serves_now") = (nAsOf(99L) == 4L).toString
+      GramIndex.compactDelta(spark, "adv_pit", spec) // d1..d4 -> d1_4
+      val straddle = try { nAsOf(2L); "no-refusal" }
+        catch { case e: IllegalArgumentException =>
+          if (e.getMessage.contains("straddles")) "refused" else "wrong-msg" }
+      stats("pit_straddle_refuses") = (straddle == "refused").toString
+      stats("pit_boundary_still_serves") = (nAsOf(4L) == 4L).toString
+      graft.ops.TrackedCache.release(spark)
+    }
+
+    // ---- takedown sink torture: one command batch that appends AND
+    // retracts the same doc (must net to removed), an appends-only
+    // batch, and a partial-overlap replay — all against the sequential
+    // fold on a twin index.
+    step("takedown_sink_command_batches") {
+      import graft.dedup.GramIndex
+      import graft.streaming.StreamSinks
+      import spark.implicits._
+      val spec = GramIndex.Spec(minLen = 8, buckets = 4, ownerSidecar = true)
+      val tpl = (0 until 10).map(i => s"tk$i").mkString(" ")
+      val tpl2 = (0 until 10).map(i => s"tm$i").mkString(" ")
+      GramIndex.write(Seq((1L, tpl)).toDF("doc_id", "text"), "adv_tdsink", spec)
+      val dir = java.nio.file.Files.createTempDirectory("adv-tdsink").toString
+      val sink = StreamSinks.takedownSink("adv_tdsink", spec, dir)
+      // batch 0: append 2 AND retract 2 in one batch — nets to removed
+      sink(Seq(("append", 2L, tpl2), ("retract", 2L, tpl2))
+        .toDF("op", "doc_id", "text"), 0L)
+      // batch 1: appends only
+      sink(Seq(("append", 3L, tpl2)).toDF("op", "doc_id", "text"), 1L)
+      // batch 2: overlap replay shape — retracts {1} plus the already-
+      // retracted {2}: only 1 newly negates
+      sink(Seq(("retract", 1L, tpl), ("retract", 2L, tpl2))
+        .toDF("op", "doc_id", "text"), 2L)
+      GramIndex.write(Seq((3L, tpl2)).toDF("doc_id", "text"), "adv_tdsink_ref", spec)
+      def st(n: String) = GramIndex.sourceStats(spark, n)
+        .orderBy("gram", "source").collect().map(_.toSeq).toSeq
+      stats("tdsink_net_state_exact") = (st("adv_tdsink") == st("adv_tdsink_ref")).toString
+      // uncommitted replay of batch 2 (receipt deleted): a no-op fold
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=2"), true)
+      sink(Seq(("retract", 1L, tpl), ("retract", 2L, tpl2))
+        .toDF("op", "doc_id", "text"), 2L)
+      stats("tdsink_replay_idempotent") = (st("adv_tdsink") == st("adv_tdsink_ref")).toString
+      graft.ops.TrackedCache.release(spark)
+    }
+
+    // ---- sketch tier at its degenerate edges: an ALL-NULL sketch
+    // column (n_null = n, no sketch bytes at all -> ndv_est NULL, not a
+    // crash) and a sketch column resurrected across compact.
+    step("sketch_tier_all_null") {
+      import graft.ops.StatsIndex
+      import spark.implicits._
+      val melted = (1L to 20L).map(_ => ("col:dead", null: java.lang.Double))
+        .toDF("stat_key", "nv").withColumn("sv", lit(null: String))
+        .select(col("stat_key"), col("nv").cast("double").as("nv"), col("sv"))
+      StatsIndex.write(melted, "adv_sknull", sketch = Set("col:dead"))
+      val r = StatsIndex.sketchStats(spark, "adv_sknull").collect()
+      stats("sknull_n_and_null") =
+        (r.length == 1 && r.head.getLong(1) == 20L && r.head.getLong(2) == 20L).toString
+      stats("sknull_est_null_not_crash") =
+        (r.head.isNullAt(3) || r.head.getLong(3) == 0L).toString
+      StatsIndex.append(melted, "adv_sknull")
+      StatsIndex.compact(spark, "adv_sknull")
+      val r2 = StatsIndex.sketchStats(spark, "adv_sknull").collect()
+      stats("sknull_compact_folds") =
+        (r2.length == 1 && r2.head.getLong(1) == 40L && r2.head.getLong(2) == 40L).toString
+    }
+
+    // ---- ids-only TOTAL takedown of the vector index: every id
+    // retracted by id alone; topK must be empty pre- and post-reclaim,
+    // every cell directory deleted, and a rebuild revives.
+    step("vector_ids_only_total_takedown") {
+      import graft.sim.{IvfIndex, VectorIndex}
+      import spark.implicits._
+      val ivf = new IvfIndex(nCells = 4, nProbe = 4)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .where(col("vec_id") < 64).persist()
+      val cents = ivf.centroidsOf(e)
+      val dir = java.nio.file.Files.createTempDirectory("adv-vidret").toString
+      VectorIndex.write(e, dir, ivf, cents)
+      val q = e.where(col("vec_id") < 3)
+      VectorIndex.retract(spark, dir, e.select("vec_id"))
+      stats("vidret_topk_empty") =
+        (VectorIndex.topK(spark, dir, q, 5, ivf).count() == 0L).toString
+      VectorIndex.reclaim(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cells"))
+        .count(_.getPath.getName.startsWith("cell="))
+      stats("vidret_all_cells_deleted") = (cellDirs == 0).toString
+      VectorIndex.write(e, dir, ivf, cents)
+      stats("vidret_rebuild_revives") =
+        (VectorIndex.topK(spark, dir, q, 5, ivf).count() > 0L).toString
+      e.unpersist()
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

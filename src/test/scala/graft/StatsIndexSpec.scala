@@ -174,6 +174,53 @@ class StatsIndexSpec extends SparkSpec {
     StatsIndex.sketchKeys(spark, "stx_t") shouldBe Set("col:id")
   }
 
+  test("advisor serve: index-derived histograms AND exact join count ≡ from-scratch (VERDICT r15 #5)") {
+    // two keyed sides with skew and a retraction on side A — the q304
+    // shape in miniature. The index serves (a) the equi-width bucket
+    // histograms and (b) the EXACT equi-join cardinality, both from
+    // the per-value frames alone; the reference computes them from the
+    // raw rows of the final state.
+    val aRows = (1L to 60L).map(k => (k, Some(k.toDouble), None: Option[String])) ++
+      (1L to 20L).map(k => (k, Some(k.toDouble), None: Option[String]))
+    val gone2 = aRows.filter(_._1 % 4 == 0)
+    val bRows = (30L to 90L).map(k => (k, Some(k.toDouble), None: Option[String])) ++
+      (30L to 40L).map(k => (k, Some(k.toDouble), None: Option[String]))
+    def meltK(rows: Seq[(Long, Option[Double], Option[String])]) =
+      rows.toDF("id", "v", "s").select(lit("col:k").as("stat_key"),
+        col("v").as("nv"), lit(null: String).as("sv"))
+    StatsIndex.write(meltK(aRows.filter(_._1 % 2 == 0)), "stx_adv_a")
+    StatsIndex.append(meltK(aRows.filter(_._1 % 2 == 1)), "stx_adv_a")
+    StatsIndex.retract(meltK(gone2), "stx_adv_a")
+    StatsIndex.write(meltK(bRows), "stx_adv_b")
+    val av = StatsIndex.liveValues(spark, "stx_adv_a")
+      .select(col("nv").cast("long").as("k"), col("cnt").as("ac"))
+    val bv = StatsIndex.liveValues(spark, "stx_adv_b")
+      .select(col("nv").cast("long").as("k"), col("cnt").as("bc"))
+    // exact join cardinality from the per-value monoid alone
+    val served = av.join(bv, Seq("k"))
+      .agg(coalesce(sum(col("ac") * col("bc")), lit(0L))).collect()(0).getLong(0)
+    val aFinal = aRows.filterNot(gone2.contains).map(_._1)
+    val bFinal = bRows.map(_._1)
+    val exact = aFinal.map(k => bFinal.count(_ == k).toLong).sum
+    served shouldBe exact
+    // equi-width histogram (the q269/q304 arithmetic) from the index ≡
+    // from the raw rows
+    val lo = aFinal.min; val hi = aFinal.max; val b = 8L
+    val width = (hi - lo + b) / b
+    def histServed = av.where(col("k").between(lo, hi))
+      .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+      .agg(sum(col("ac")).cast("long").as("n"))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val histRaw = aFinal.groupBy(k => (k - lo) / width).view
+      .mapValues(_.size.toLong).toSeq.sorted
+    histServed shouldBe histRaw
+    // staleness stamp: two pending segments on A (append + retract), none on B
+    StatsIndex.pendingSegments(spark, "stx_adv_a") shouldBe 2
+    StatsIndex.pendingSegments(spark, "stx_adv_b") shouldBe 0
+    StatsIndex.compact(spark, "stx_adv_a")
+    StatsIndex.pendingSegments(spark, "stx_adv_a") shouldBe 0
+  }
+
   test("histogram straddling: a value spanning bucket boundaries splits its row count exactly") {
     // one value with 10 rows, another with 2, nBuckets = 4 → the heavy
     // value must straddle several buckets with exact per-bucket counts

@@ -1451,6 +1451,62 @@ object ExtendedCoreQueries {
        |ORDER BY n_buckets""".stripMargin
   }
 
+  // --------- stats-index-driven join strategy (q306)
+  /** The cost-model hookup seeded (VERDICT r15 #10): the join strategy
+    * for orders ⨝ customer is DECIDED from the standing stats indexes —
+    * [[graft.ops.StatsCbo]] reads each side's row count from its
+    * per-value frame (orders from q303's index, i.e. the
+    * post-retraction final state; customer from its own), prices both
+    * sides under the q264 width model, and applies the pick as a
+    * broadcast hint. The oracle recomputes the row counts AND the
+    * decision in SQL (counts via subqueries, the pick as the same
+    * integer arithmetic), so the advisor's choice is itself oracled
+    * next to the join's content. Neither fact table is scanned for the
+    * decision. The plan-shape half — the pick actually landing as
+    * BroadcastHashJoin and flipping with the threshold — is pinned in
+    * StatsIndexSpec under a disabled auto-broadcast threshold. */
+  private def q306(s: SparkSession, d: String): DataFrame = {
+    val oName = q303Index(s, d)
+    val cName = "q306_statsidx_c_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val cMarker = cName + "_built"
+    if (!s.catalog.tableExists(cMarker)) {
+      graft.ops.StatsIndex.write(
+        t(s, d, "customer").select(lit("col:c_custkey").as("stat_key"),
+          col("c_custkey").cast(DoubleType).as("nv"), lit(null: String).as("sv")),
+        cName)
+      s.range(1).createOrReplaceTempView(cMarker)
+    }
+    val a = graft.ops.StatsCbo.sideStats(s, oName, "col:o_custkey", 32L)
+    val b = graft.ops.StatsCbo.sideStats(s, cName, "col:c_custkey", 40L)
+    val dec = graft.ops.StatsCbo.Decision(a, b)
+    val joined = graft.ops.StatsCbo.join(
+      t(s, d, "orders").where(col("o_orderkey") % 7 =!= 3)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_custkey"), dec)
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .select(col("c_mktsegment"), col("n_orders"), col("revenue"),
+        lit(a.rows).as("orders_rows"), lit(b.rows).as("customer_rows"),
+        lit(dec.broadcastB).as("broadcast_customer"))
+      .sortedOut("c_mktsegment")
+  }
+
+  private val q306Sql =
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
+      |no AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+      |SELECT c.c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  no.n AS orders_rows, nc.n AS customer_rows,
+      |  (nc.n * 40 <= 10485760 AND nc.n * 40 <= no.n * 32) AS broadcast_customer
+      |FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |CROSS JOIN no CROSS JOIN nc
+      |GROUP BY c.c_mktsegment, no.n, nc.n
+      |ORDER BY c_mktsegment""".stripMargin
+
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
     * deterministic pseudo-random priority `w·2⁴⁰ div (u+1)` — weight
@@ -2345,6 +2401,7 @@ object ExtendedCoreQueries {
     ("q198_column_stats",    q198 _, Some(q198Sql)),
     ("q303_incremental_analyze", q303 _, Some(q303Sql)),
     ("q304_statsidx_advisor", q304 _, Some(q304Sql)),
+    ("q306_statsidx_join_strategy", q306 _, Some(q306Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

@@ -2071,7 +2071,79 @@ object ExtendedStatsQueries {
       |FROM ea, eb, xa, xb
       |ORDER BY join_order""".stripMargin
 
+  // ------- join-order advisor served from standing stats indexes (q307)
+  /** q285 re-grounded as PURE INDEX ARITHMETIC (the q304 discipline
+    * applied to the ORDER member of the advisor family): each join
+    * side's key distribution is a standing [[graft.ops.StatsIndex]] —
+    * customer(BUILDING).c_custkey, orders.o_custkey, orders.o_orderkey,
+    * lineitem(R).l_orderkey — and BOTH the 256-bucket equi-width
+    * estimates and the EXACT intermediate counts fold from the
+    * per-value frames (exact = Σ cnt_a·cnt_b over joined value grains),
+    * so the advisor's pick and its price check run without touching a
+    * fact table. The oracle is q285's SQL VERBATIM: index-served must
+    * reproduce the from-scratch advisor bit-for-bit, the q283/q280
+    * shared-oracle pattern.
+    *
+    * Scale shape: serving cost ∝ the keys' NDV (the value frames),
+    * never table rows; each estimate is a ≤256-row rollup; each exact
+    * leg one value-grain join. In production the indexes ride the
+    * ingest path and the CBO question "which first join is smaller"
+    * is answered from metadata alone. */
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    val B = 256L
+    val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    def idx(name: String, df: DataFrame, key: String): String = {
+      val n = s"q307_stx_${name}_$tag"
+      val marker = n + "_built"
+      if (!s.catalog.tableExists(marker)) {
+        graft.ops.StatsIndex.write(df.select(lit("col:k").as("stat_key"),
+          col(key).cast(DoubleType).as("nv"), lit(null: String).as("sv")), n)
+        s.range(1).createOrReplaceTempView(marker)
+      }
+      n
+    }
+    val cb = idx("cb", t(s, d, "customer").where(col("c_mktsegment") === "BUILDING"), "c_custkey")
+    val oc = idx("oc", t(s, d, "orders"), "o_custkey")
+    val oo = idx("oo", t(s, d, "orders"), "o_orderkey")
+    val lr = idx("lr", t(s, d, "lineitem").where(col("l_returnflag") === "R"), "l_orderkey")
+    def vals(n: String, c: String) = graft.ops.StatsIndex.liveValues(s, n)
+      .where(col("nv").isNotNull)
+      .select(col("nv").cast(LongType).as("k"), col("cnt").as(c))
+    def estExact(aN: String, bN: String): (Long, Long) = {
+      val av = vals(aN, "ac").persistT
+      val bv = vals(bN, "bc").persistT
+      val r = av.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect()(0)
+      if (r.isNullAt(0)) (0L, 0L)
+      else {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val width = (hi - lo + B) / B
+        def hist(df: DataFrame, cnt: String, as: String) =
+          df.where(col("k").between(lo, hi))
+            .groupBy(expr(s"(k - $lo) div $width").as("bucket"))
+            .agg(sum(col(cnt)).cast(LongType).as(as))
+        val est = hist(av, "ac", "ab").join(hist(bv, "bc", "bb"), Seq("bucket"))
+          .agg(coalesce(sum(expr(s"ab * bb div $width")), lit(0L)).cast(LongType))
+          .collect()(0).getLong(0)
+        val exact = av.join(bv, Seq("k"))
+          .agg(coalesce(sum(col("ac") * col("bc")), lit(0L)).cast(LongType))
+          .collect()(0).getLong(0)
+        (est, exact)
+      }
+    }
+    val (estA, exactA) = estExact(cb, oc)
+    val (estB, exactB) = estExact(oo, lr)
+    val pickA = estA <= estB
+    val correct = pickA == (exactA <= exactB)
+    import s.implicits._
+    Seq(
+      ("a_cust_orders_first", estA, exactA, pickA, correct),
+      ("b_orders_lineitem_first", estB, exactB, !pickA, correct))
+      .toDF("join_order", "est_rows", "exact_rows", "picked", "pick_correct")
+      .sortedOut("join_order")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q307_index_join_order_advisor", q307 _, Some(q285Sql)),
     ("q238_gini_spend",      q238 _, Some(q238Sql)),
     ("q239_time_weighted_value", q239 _, Some(q239Sql)),
     ("q240_dau_wau_mau",     q240 _, Some(q240Sql)),

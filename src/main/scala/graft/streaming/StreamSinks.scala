@@ -261,6 +261,133 @@ object StreamSinks {
       }
     }
 
+  /** Streaming takedown for the VECTOR index — [[takedownSink]]'s
+    * sibling on the embedding side: each micro-batch carries vec_ids to
+    * remove (ids-ONLY, the honest takedown shape — cells derive from
+    * the index via [[graft.sim.VectorIndex.retract]]), a one-row
+    * receipt lands `_SUCCESS`-gated, and every `reclaimEvery` batches
+    * the sink physically reclaims the affected cell partitions.
+    *
+    * Idempotency is reader-side by construction: the tombstone dir
+    * holds (vec_id, cell) rows that probes DISTINCT before anti-
+    * joining, so a crash-replayed batch appending duplicate rows
+    * changes nothing; a replayed COMMITTED batch drains and writes
+    * nothing; a reclaim replay anti-joins ids that no longer match
+    * anything. Single writer per index dir while active (the sink owns
+    * reclaim — same contract as the gram sink's compaction). */
+  def vectorTakedownSink(indexDir: String, receiptDir: String,
+                         reclaimEvery: Int = 8): (DataFrame, Long) => Unit =
+    idsTakedownSink(receiptDir, "vec_id", reclaimEvery)(
+      ids => graft.sim.VectorIndex.retract(ids.sparkSession, indexDir, ids))(
+      s => graft.sim.VectorIndex.reclaim(s, indexDir))
+
+  /** [[vectorTakedownSink]] for the PQ index — identical contract (the
+    * PQ tombstone is ids-only BY DESIGN: the index stores codes, not
+    * vectors, and reclaim derives cells from the index itself). */
+  def pqTakedownSink(indexDir: String, receiptDir: String,
+                     reclaimEvery: Int = 8): (DataFrame, Long) => Unit =
+    idsTakedownSink(receiptDir, "vec_id", reclaimEvery)(
+      ids => graft.sim.PqVectorIndex.retract(ids.sparkSession, indexDir, ids))(
+      s => graft.sim.PqVectorIndex.reclaim(s, indexDir))
+
+  /** Streaming takedown for the TEXT (BM25) index: micro-batches of
+    * doc_ids tombstone via [[graft.text.TextIndex.retract]] (probes
+    * anti-join the pruned buckets AND correct df/N/avgdl from the
+    * DISTINCT retracted set — duplicate tombstone rows from a crash
+    * replay are harmless by construction). NO periodic maintenance by
+    * default: unlike the vector families' reclaim (partition-pruned to
+    * affected cells), text/signature compaction rewrites the whole
+    * index — cost ∝ corpus, an operator decision, not a per-8-batches
+    * reflex. Opt in with `compactEvery` > 0. */
+  def textTakedownSink(indexName: String, receiptDir: String,
+                       compactEvery: Int = 0,
+                       spec: graft.text.TextIndex.Spec = graft.text.TextIndex.Spec())
+      : (DataFrame, Long) => Unit =
+    idsTakedownSink(receiptDir, "doc_id", compactEvery)(
+      ids => graft.text.TextIndex.retract(ids.sparkSession, indexName, ids))(
+      s => graft.text.TextIndex.compact(s, indexName, spec))
+
+  /** [[textTakedownSink]] for the SIGNATURE (MinHash/LSH) index — same
+    * ids-only tombstone + distinct-on-read idempotency, same
+    * whole-index-compaction economics (off by default). */
+  def signatureTakedownSink(indexName: String,
+                            spec: graft.dedup.SignatureIndex.Spec,
+                            receiptDir: String,
+                            compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    idsTakedownSink(receiptDir, "doc_id", compactEvery)(
+      ids => graft.dedup.SignatureIndex.retract(ids.sparkSession, indexName, ids))(
+      s => graft.dedup.SignatureIndex.compact(s, indexName, spec))
+
+  /** Shared ids-only takedown plumbing: `_SUCCESS`-gated one-row
+    * receipt per batch (committed replays drain and write nothing),
+    * family `retract` on the distinct ids, family `maintain` every
+    * `maintainEvery` batches (0 = never). Uncommitted replays are safe
+    * because every family's tombstone is distinct-on-read. Single
+    * writer per index while the sink is active (it may own
+    * maintenance — the gram sink's contract). */
+  private def idsTakedownSink(receiptDir: String, idCol: String,
+                              maintainEvery: Int)
+                             (retract: DataFrame => Unit)
+                             (maintain: org.apache.spark.sql.SparkSession => Unit)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, receiptDir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        val ids = df.select(idCol).persist()
+        try {
+          if (!ids.isEmpty) retract(ids)
+          ids.agg(org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.col(idCol)).as("n_retract_ids"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$receiptDir/batch=$batchId")
+          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+            maintain(df.sparkSession)
+        } finally { ids.unpersist(); () }
+      }
+    }
+
+  /** Streaming maintenance for the STATS index — incremental ANALYZE
+    * fed by a stream: each micro-batch carries MELTED per-value rows
+    * (stat_key, nv, sv — the caller owns the melt, as in the batch
+    * API) plus an `op` column (`append`/`retract`; absent ⇒ all
+    * appends), folded via [[graft.ops.StatsIndex.append]]/`retract`
+    * with the STREAMING batch id as the index's `batchId`. That is the
+    * exactly-once mechanism: segment names are digest(content, batchId)
+    * written with Overwrite, so a crash-replayed micro-batch REWRITES
+    * its own segments bit-identically instead of double-counting, and
+    * two distinct batches with identical melted content (the ADVICE
+    * r15 #4 hazard, realistic for low-cardinality columns) get
+    * distinct segments because their stream batch ids differ. The
+    * `_SUCCESS`-gated receipt only short-circuits the committed-replay
+    * recompute; correctness never depends on it. */
+  def statsMaintenanceSink(indexName: String,
+                           receiptDir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, receiptDir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        import org.apache.spark.sql.functions.{col, lit, sum, when}
+        val batch = df.persist()
+        try {
+          val hasOp = batch.columns.contains("op")
+          val adds = if (hasOp) batch.where(col("op") === "append").drop("op")
+                     else batch
+          val rms = if (hasOp) batch.where(col("op") === "retract").drop("op")
+                    else batch.limit(0)
+          if (!adds.isEmpty)
+            graft.ops.StatsIndex.append(adds, indexName, s"b$batchId")
+          if (!rms.isEmpty)
+            graft.ops.StatsIndex.retract(rms, indexName, s"b$batchId")
+          batch.agg(
+              sum(when(if (hasOp) col("op") === "append" else lit(true), 1L)
+                .otherwise(0L)).as("n_append_rows"),
+              sum(when(if (hasOp) col("op") === "retract" else lit(false), 1L)
+                .otherwise(0L)).as("n_retract_rows"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$receiptDir/batch=$batchId")
+        } finally { batch.unpersist(); () }
+      }
+    }
+
   /** Streaming eval-leak attribution — the monitoring form of
     * [[graft.dedup.GramIndex.attributeSources]]: every arriving
     * micro-batch of EVAL documents is attributed against the standing

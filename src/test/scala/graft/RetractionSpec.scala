@@ -435,6 +435,134 @@ class RetractionSpec extends SparkSpec {
       .where(col("vec_id").isin(goneIds: _*)).count() shouldBe 0L
   }
 
+  test("vector takedown SINK: streamed ids-only retractions ≡ rebuild-without; replay idempotent; periodic reclaim") {
+    import graft.sim.{IvfIndex, VectorIndex}
+    import graft.streaming.StreamSinks
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ivf = new IvfIndex(nCells = 8, nProbe = 8)
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vsink").toString
+    val gone1 = Seq(10L, 11L)
+    val gone2 = Seq(12L, 13L)
+    VectorIndex.write(e, s"$tmp/a", ivf, cents)
+    VectorIndex.write(e.where(!col("vec_id").isin((gone1 ++ gone2): _*)),
+      s"$tmp/ref", ivf, cents)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream
+      .foreachBatch(StreamSinks.vectorTakedownSink(s"$tmp/a", s"$tmp/rcpt",
+        reclaimEvery = 2))
+      .option("checkpointLocation", s"$tmp/_ckpt").start()
+    try {
+      mem.addData(gone1: _*); q.processAllAvailable()
+      mem.addData(gone2: _*); q.processAllAvailable() // batch 1: reclaim fires
+    } finally q.stop()
+    val queries = e.where(col("vec_id") < 5)
+    def rows(d: String) = VectorIndex.topK(spark, d, queries, 5, ivf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    rows(s"$tmp/a") shouldBe rows(s"$tmp/ref")
+    // the periodic reclaim physically removed the rows and cleared the
+    // tombstones
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/a/retracted")) shouldBe false
+    spark.read.parquet(s"$tmp/a/cells")
+      .where(col("vec_id").isin((gone1 ++ gone2): _*)).count() shouldBe 0L
+    // replay of a COMMITTED batch: drain only
+    import spark.implicits._
+    val marker = new org.apache.hadoop.fs.Path(s"$tmp/rcpt/batch=1/_SUCCESS")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    StreamSinks.vectorTakedownSink(s"$tmp/a", s"$tmp/rcpt", 2)(
+      gone2.toDF("vec_id"), 1L)
+    fs.getFileStatus(marker).getModificationTime shouldBe mtime
+    // uncommitted replay (crash after the fold, before the receipt):
+    // re-retracting physically-gone ids tombstones nothing that matches
+    // — results unchanged, receipts re-land
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/rcpt/batch=0"), true)
+    StreamSinks.vectorTakedownSink(s"$tmp/a", s"$tmp/rcpt", 2)(
+      gone1.toDF("vec_id"), 0L)
+    rows(s"$tmp/a") shouldBe rows(s"$tmp/ref")
+    spark.read.parquet(s"$tmp/rcpt/batch=0").collect().head.getLong(0) shouldBe 2L
+  }
+
+  test("pq/text/signature takedown SINKs: each family wired over the shared ids-only plumbing") {
+    import graft.sim.{IvfIndex, PqIndex, PqVectorIndex}
+    import graft.streaming.StreamSinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sibsink").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // PQ: ids-only batches, reclaimEvery=1 so the sink's maintenance
+    // leg (physical reclaim) fires on the very first batch
+    val ivf = new IvfIndex(nCells = 8, nProbe = 3)
+    val pq = new PqIndex(dim = 64, m = 8, ksub = 16)
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = ivf.centroidsOf(e)
+    val cb = pq.codebookOf(e)
+    val goneV = Seq(10L, 11L, 12L)
+    PqVectorIndex.write(e, s"$tmp/pq", ivf, cents, pq, cb)
+    PqVectorIndex.write(e.where(!col("vec_id").isin(goneV: _*)),
+      s"$tmp/pqref", ivf, cents, pq, cb)
+    def pqRows(d: String) = PqVectorIndex
+      .topK(spark, d, e.where(col("vec_id") < 5), 5, ivf, pq)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val pqSink = StreamSinks.pqTakedownSink(s"$tmp/pq", s"$tmp/pqrcpt",
+      reclaimEvery = 1)
+    pqSink(goneV.toDF("vec_id"), 0L)
+    pqRows(s"$tmp/pq") shouldBe pqRows(s"$tmp/pqref")
+    // reclaim fired inside the batch: tombstones cleared, rows gone
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/pq/retracted")) shouldBe false
+    spark.read.parquet(s"$tmp/pq/cells")
+      .where(col("vec_id").isin(goneV: _*)).count() shouldBe 0L
+    spark.read.parquet(s"$tmp/pqrcpt/batch=0")
+      .collect().head.getLong(0) shouldBe 3L
+    // committed replay: drain only
+    val marker = new org.apache.hadoop.fs.Path(s"$tmp/pqrcpt/batch=0/_SUCCESS")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    pqSink(goneV.toDF("vec_id"), 0L)
+    fs.getFileStatus(marker).getModificationTime shouldBe mtime
+
+    // TEXT: default compactEvery=0 — tombstone-only (whole-index
+    // compaction is an operator decision, not per-batch); the probe's
+    // df/N/avgdl corrections make streamed ≡ rebuild-without
+    import graft.text.TextIndex
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    TextIndex.write(docs, "sks_text")
+    TextIndex.write(docs.where(col("doc_id") % 5 =!= 2), "sks_text_ref")
+    StreamSinks.textTakedownSink("sks_text", s"$tmp/trcpt")(
+      docs.where(col("doc_id") % 5 === 2).select("doc_id"), 0L)
+    def bm25(n: String) = TextIndex
+      .probe(spark, n, Seq("join", "stream", "vector"), 500)
+      .collect().map(_.toSeq).toSeq
+    bm25("sks_text") shouldBe bm25("sks_text_ref")
+    spark.catalog.tableExists("sks_text_retracted") shouldBe true
+
+    // SIGNATURE: compactEvery=1 — the sink's maintenance leg compacts
+    // (physically reclaims, drops the side table) in the same batch
+    import graft.dedup.{Dedup, SignatureIndex}
+    val t1 = (0 until 30).map(i => s"ks$i")
+    val sdocs = df(Seq(
+      (1L, t1.mkString(" "), "x"),
+      (2L, t1.updated(0, "zz").mkString(" "), "x"),
+      (3L, t1.updated(1, "yy").mkString(" "), "x"),
+      (4L, (0 until 30).map(i => s"kt$i").mkString(" "), "x")))
+    val sigs = Dedup.minhashSignatures(sdocs, k = 32)
+    val sspec = SignatureIndex.Spec(bands = 4, rowsPerBand = 8, buckets = 4)
+    SignatureIndex.write(sigs, "sks_sig", sspec)
+    SignatureIndex.write(sigs.where(col("doc_id") =!= 2L), "sks_sig_ref", sspec)
+    StreamSinks.signatureTakedownSink("sks_sig", sspec, s"$tmp/srcpt",
+      compactEvery = 1)(Seq(2L).toDF("doc_id"), 0L)
+    val batch = Dedup.minhashSignatures(
+      df(Seq((100L, t1.mkString(" "), "x"))), k = 32)
+    pairRows(SignatureIndex.probe(spark, batch, "sks_sig", sspec, minEst = 0.8)) shouldBe
+      pairRows(SignatureIndex.probe(spark, batch, "sks_sig_ref", sspec, minEst = 0.8))
+    spark.catalog.tableExists("sks_sig_retracted") shouldBe false
+    spark.table("sks_sig_banded").where(col("doc_id") === 2L).count() shouldBe 0L
+    graft.ops.TrackedCache.release(spark)
+  }
+
   test("vector index: reclaim is exact even when the retract-time vectors DRIFTED (ADVICE r14 #2)") {
     import graft.sim.{IvfIndex, VectorIndex}
     val ivf = new IvfIndex(nCells = 8, nProbe = 8) // probe all: any survivor WOULD surface

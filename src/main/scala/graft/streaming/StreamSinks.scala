@@ -388,6 +388,46 @@ object StreamSinks {
       }
     }
 
+  /** Streaming maintenance for a standing materialized view
+    * ([[graft.ops.MvIndex]]) — the MV twin of [[statsMaintenanceSink]]:
+    * each micro-batch carries view rows, optionally op-tagged
+    * (`op` ∈ append|retract; no column = all appends), and folds into
+    * the index as one positive and one negated partial segment whose
+    * digests are scoped by the STREAM's batch id — so exactly-once
+    * holds even when two distinct micro-batches carry identical
+    * content, independent of the receipt. A replayed committed batch
+    * drains without writing; a replayed UNcommitted batch rewrites its
+    * digest-named segments (Overwrite) — idempotent either way. The
+    * per-batch receipt records the fold sizes. Single writer per index
+    * (foreachBatch's per-query serialization provides it). */
+  def mvMaintenanceSink(indexName: String,
+                        receiptDir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (batchCommitted(df, receiptDir, batchId)) {
+        df.foreach(_ => ()) // replay of a committed batch: drain only
+      } else {
+        import org.apache.spark.sql.functions.{col, lit, sum, when}
+        val batch = df.persist()
+        try {
+          val hasOp = batch.columns.contains("op")
+          val adds = if (hasOp) batch.where(col("op") === "append").drop("op")
+                     else batch
+          val rms = if (hasOp) batch.where(col("op") === "retract").drop("op")
+                    else batch.limit(0)
+          if (!adds.isEmpty)
+            graft.ops.MvIndex.append(adds, indexName, s"b$batchId")
+          if (!rms.isEmpty)
+            graft.ops.MvIndex.retract(rms, indexName, s"b$batchId")
+          batch.agg(
+              sum(when(if (hasOp) col("op") === "append" else lit(true), 1L)
+                .otherwise(0L)).as("n_append_rows"),
+              sum(when(if (hasOp) col("op") === "retract" else lit(false), 1L)
+                .otherwise(0L)).as("n_retract_rows"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$receiptDir/batch=$batchId")
+        } finally { batch.unpersist(); () }
+      }
+    }
+
   /** Streaming eval-leak attribution — the monitoring form of
     * [[graft.dedup.GramIndex.attributeSources]]: every arriving
     * micro-batch of EVAL documents is attributed against the standing

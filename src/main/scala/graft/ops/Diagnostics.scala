@@ -115,7 +115,25 @@ object Diagnostics {
           case _ => l.children.lastOption
         }
       }
-      val buildMax = buildLogical.flatMap(_.maxRows)
+      // The join node's logicalLink is DROPPED nondeterministically
+      // under AQE replanning (observed: a benign 1-row totals-attach
+      // flagged error in one full-registry sweep, clean on every
+      // re-run and in isolation). Fall back to the build-side PHYSICAL
+      // subtree: the topmost node there that still links to a REAL
+      // logical plan with a static maxRows proves the same bound.
+      // LogicalQueryStage links are excluded — their maxRows is the
+      // stage's RUNTIME row count, and the waiver is a static proof,
+      // not a heuristic (a data-sized side must still flag).
+      val buildPhysical = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      val buildMax = buildLogical.flatMap(_.maxRows).orElse(
+        helper.collect(buildPhysical) { case p =>
+          p.logicalLink
+            .filterNot(_.isInstanceOf[adaptive.LogicalQueryStage])
+            .flatMap(_.maxRows)
+        }.flatten.headOption)
       if (buildMax.exists(_ <= 1L)) {
         // totals-attach: constant lookup, fully benign
       } else if (buildMax.exists(_ <= 4096L)) {

@@ -21,8 +21,14 @@ class LibraryLintSpec extends SparkSpec {
     TrackedCache.release(spark)
     spark.sharedState.cacheManager.clearCache()
 
+    // SPARK_GRAFT_LINT_ONLY=q301_...,q308_... → lint only those
+    // (local iteration aid, same contract as Verify's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_LINT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val failures = Seq.newBuilder[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       df.collect() // finalize the adaptive plan
       val errs = Diagnostics.planLint(df).filter(_.severity == "error")

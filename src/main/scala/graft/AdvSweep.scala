@@ -2876,6 +2876,112 @@ object AdvSweep {
       e.unpersist()
     }
 
+    // ==== wave 21 (round-16 cont.: standing materialized view) =========
+    // ---- maintenance-order serializations: the MV fold is commutative,
+    // so append/retract/compact interleavings over the same batches must
+    // net the identical served view (the index-family concurrency
+    // matrix, on the MV algebra).
+    step("mv_order_serializations") {
+      import graft.ops.MvIndex
+      import spark.implicits._
+      val rows = (1 to 30).map(i => (s"g${i % 3}", i * 0.5))
+      val a = rows.filter(_._2 < 8).toDF("grp", "x")
+      val b = rows.filter(_._2 >= 8).toDF("grp", "x")
+      val r = rows.filter(t => t._2 % 2 == 0).toDF("grp", "x")
+      def served(n: String) = MvIndex.serve(spark, n)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      MvIndex.write(a, "adv_mv1", Seq("grp"), Seq("x"))
+      MvIndex.append(b, "adv_mv1"); MvIndex.retract(r, "adv_mv1")
+      MvIndex.write(a, "adv_mv2", Seq("grp"), Seq("x"))
+      MvIndex.retract(r, "adv_mv2"); MvIndex.append(b, "adv_mv2")
+      MvIndex.compact(spark, "adv_mv2")
+      MvIndex.write(a, "adv_mv3", Seq("grp"), Seq("x"))
+      MvIndex.append(b, "adv_mv3"); MvIndex.compact(spark, "adv_mv3")
+      MvIndex.retract(r, "adv_mv3")
+      stats("mv_ar_eq_ra_compacted") = (served("adv_mv1") == served("adv_mv2")).toString
+      stats("mv_compact_mid_sequence") = (served("adv_mv1") == served("adv_mv3")).toString
+    }
+
+    // ---- cancellation edges: a group retracted past zero must be
+    // ABSENT from the serve (never served negative), and appending the
+    // shortfall back must restore it exactly.
+    step("mv_negative_net_guard") {
+      import graft.ops.MvIndex
+      import spark.implicits._
+      val one = Seq(("g", 2.0)).toDF("grp", "x")
+      val two = Seq(("g", 2.0), ("g", 2.0)).toDF("grp", "x")
+      MvIndex.write(one, "adv_mvneg", Seq("grp"), Seq("x"))
+      MvIndex.retract(two, "adv_mvneg") // over-retraction: net n = -1
+      stats("mv_negative_group_absent") =
+        (MvIndex.serve(spark, "adv_mvneg").count() == 0L).toString
+      MvIndex.append(two, "adv_mvneg", batchId = "makeup")
+      val r = MvIndex.serve(spark, "adv_mvneg").collect()
+      stats("mv_makeup_restores") =
+        (r.length == 1 && r.head.getLong(1) == 1L &&
+          r.head.getDecimal(2).doubleValue() == 2.0).toString
+    }
+
+    // ---- the covered-segment double-count window, simulated: after a
+    // compact, resurrect a segment table under a COVERED digest name
+    // (what a crash between the swap and the segment drops leaves
+    // behind). Serves must exclude it via the covers stamp, and the
+    // next write verb must sweep it without disturbing the view.
+    step("mv_covered_segment_garbage") {
+      import graft.ops.MvIndex
+      import spark.implicits._
+      val rows = (1 to 20).map(i => (s"g${i % 2}", i * 1.0))
+      MvIndex.write(rows.toDF("grp", "x"), "adv_mvcov", Seq("grp"), Seq("x"))
+      MvIndex.append(rows.take(5).toDF("grp", "x"), "adv_mvcov")
+      def served() = MvIndex.serve(spark, "adv_mvcov")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      MvIndex.compact(spark, "adv_mvcov")
+      val want = served()
+      val covered = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("adv_mvcov_mv"))
+        .properties.getOrElse("graft.coversSegs", "").split(",").filter(_.nonEmpty)
+      stats("mv_covers_stamped") = covered.nonEmpty.toString
+      // resurrect post-swap garbage under the first covered name
+      Seq(("g0", 999L, new java.math.BigDecimal("999.00000000")))
+        .toDF("grp", "n", "sum_x")
+        .select(col("grp"), col("n"),
+          col("sum_x").cast(org.apache.spark.sql.types.DecimalType(38, 8)).as("sum_x"))
+        .write.mode("overwrite").saveAsTable(s"adv_mvcov_mv_${covered.head}")
+      stats("mv_covered_garbage_excluded") = (served() == want).toString
+      MvIndex.append(rows.take(3).toDF("grp", "x"), "adv_mvcov", batchId = "post")
+      MvIndex.retract(rows.take(3).toDF("grp", "x"), "adv_mvcov", batchId = "post")
+      stats("mv_sweep_then_exact") = (served() == want).toString
+    }
+
+    // ---- MV maintenance sink torture: a command batch that appends AND
+    // retracts the same rows nets to no change; an uncommitted replay
+    // rewrites its segments instead of double-counting; a committed
+    // replay drains.
+    step("mv_sink_command_batches") {
+      import graft.ops.MvIndex
+      import graft.streaming.StreamSinks
+      import spark.implicits._
+      val baseRows = (1 to 12).map(i => (s"g${i % 2}", i * 0.25))
+      MvIndex.write(baseRows.toDF("grp", "x"), "adv_mvsink", Seq("grp"), Seq("x"))
+      def served() = MvIndex.serve(spark, "adv_mvsink")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val want = served()
+      val dir = java.nio.file.Files.createTempDirectory("adv-mvsink").toString
+      val sink = StreamSinks.mvMaintenanceSink("adv_mvsink", dir)
+      val selfCancel = Seq(("append", "g9", 7.0), ("retract", "g9", 7.0))
+        .toDF("op", "grp", "x")
+      sink(selfCancel, 0L)
+      stats("mvsink_self_cancel_nets_zero") = (served() == want).toString
+      // committed replay: drain only
+      sink(selfCancel, 0L)
+      stats("mvsink_committed_replay_drains") = (served() == want).toString
+      // uncommitted replay: receipt deleted, fold rewrites (idempotent)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=0"), true)
+      sink(selfCancel, 0L)
+      stats("mvsink_uncommitted_replay_rewrites") = (served() == want).toString
+    }
+
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def str(v: String): String = "\"" + v.replace("\"", "'") + "\""

@@ -258,6 +258,34 @@ object MvIndex {
           .as(sumCol(m))): _*)
   }
 
+  /** Aggregate-navigator CHOICE: among `candidates` (standing view
+    * names), answer GROUP BY `keys` over `measures` from the cheapest
+    * view that can — coverage means `keys` ⊆ the view's keys and every
+    * requested measure is carried; cheapest means fewest group keys
+    * (the coarsest covering grain folds the fewest standing rows),
+    * name as the deterministic tiebreak. Returns (chosen name, the
+    * rolled-up frame restricted to the requested measures). Refuses
+    * loudly when no candidate covers — falling back to a silent fact
+    * scan is the caller's decision, never this function's.
+    *
+    * This is the MV counterpart of the q304/q306/q307 advisor family:
+    * the decision is pure catalog metadata ([[spec]] reads), and the
+    * answer itself never touches a fact table. */
+  def answerFrom(spark: SparkSession, candidates: Seq[String],
+                 keys: Seq[String], measures: Seq[String]): (String, DataFrame) = {
+    val covering = candidates.filter { c =>
+      val (ks, ms) = spec(spark, c)
+      keys.forall(ks.contains) && measures.forall(ms.contains)
+    }
+    require(covering.nonEmpty,
+      s"no standing view among ${candidates.mkString(", ")} covers GROUP BY " +
+        s"${keys.mkString(",")} over measures ${measures.mkString(",")}")
+    val choice = covering.minBy(c => (spec(spark, c)._1.size, c))
+    val rolled = serveRollup(spark, choice, keys)
+      .select((keys :+ "n").map(col) ++ measures.map(m => col(sumCol(m))): _*)
+    (choice, rolled)
+  }
+
   /** Delta segments standing beyond the last compaction — the staleness
     * stamp a base-only consumer pairs with its read ([[StatsIndex]]
     * contract); [[serve]] always folds them. */

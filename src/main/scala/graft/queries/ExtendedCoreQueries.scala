@@ -1633,6 +1633,46 @@ object ExtendedCoreQueries {
       |FROM lineitem WHERE l_orderkey % 7 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------- MV aggregate-navigator choice + answer (q311)
+  /** The navigator DECIDING, not just folding: two standing views
+    * cover GROUP BY l_returnflag — q308's fine (returnflag, linestatus)
+    * grain and a purpose-built coarse (returnflag) view maintained
+    * through the same append/retract lifecycle —
+    * [[graft.ops.MvIndex.answerFrom]] must pick the COARSE one (fewest
+    * keys = fewest standing rows to fold) and answer from it without
+    * touching lineitem. The output pins both the decision (a boolean
+    * the oracle asserts) and the answer (the from-scratch aggregate of
+    * the final state): a wrong choice that still answers correctly
+    * fails the boolean; a right choice that folds wrongly fails the
+    * rows. */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    val fine = q308Index(s, d)
+    val coarse = "q311_mvidx_rf_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = coarse + "_built"
+    if (!s.catalog.tableExists(marker)) {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), d184(col("l_quantity")).as("qty"))
+      graft.ops.MvIndex.write(li.where(col("l_orderkey") % 3 =!= 2), coarse,
+        keys = Seq("l_returnflag"), measures = Seq("qty"))
+      graft.ops.MvIndex.append(li.where(col("l_orderkey") % 3 === 2), coarse)
+      graft.ops.MvIndex.retract(li.where(col("l_orderkey") % 7 === 3), coarse)
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    val (chosen, rolled) = graft.ops.MvIndex.answerFrom(s, Seq(fine, coarse),
+      keys = Seq("l_returnflag"), measures = Seq("qty"))
+    rolled
+      .select(col("l_returnflag"), col("n"), dbl(col("sum_qty")).as("sum_qty"),
+        lit(chosen == coarse).as("served_from_coarse"))
+      .sortedOut("l_returnflag")
+  }
+
+  private val q311Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | TRUE AS served_from_coarse
+      |FROM lineitem WHERE l_orderkey % 7 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
     * deterministic pseudo-random priority `w·2⁴⁰ div (u+1)` — weight
@@ -2531,6 +2571,7 @@ object ExtendedCoreQueries {
     ("q308_mv_incremental_serve", q308 _, Some(q308Sql)),
     ("q309_mv_join_delta", q309 _, Some(q309Sql)),
     ("q310_mv_rollup_answer", q310 _, Some(q310Sql)),
+    ("q311_mv_navigator_choice", q311 _, Some(q311Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

@@ -132,4 +132,56 @@ class MvIndexSpec extends SparkSpec {
     MvIndex.serve(spark, "mvx_s").agg(sum(col("n")))
       .collect()(0).getLong(0) shouldBe (kept.size + batchB.size).toLong
   }
+
+  test("composition: group-wise min/max under retraction via a group-keyed StatsIndex") {
+    // The MvIndex scaladoc's claim, exercised: min/max are not
+    // invertible, so the MV deliberately omits them — a StatsIndex
+    // whose stat_key ENCODES the group serves them exactly under the
+    // same lifecycle, from the value grain its algebra needs.
+    import graft.ops.StatsIndex
+    def melt(rows: Seq[(Option[String], String, Double)]) =
+      df(rows).select(
+        concat(lit("g:"), coalesce(col("grp"), lit("~null~"))).as("stat_key"),
+        col("x").as("nv"), lit(null: String).as("sv"))
+    StatsIndex.write(melt(batchA), "mvx_mm")
+    StatsIndex.append(melt(batchB), "mvx_mm")
+    StatsIndex.retract(melt(gone), "mvx_mm")
+    StatsIndex.write(melt(kept), "mvx_mm_ref")
+    def mm(n: String) = StatsIndex.columnStats(spark, n)
+      .select(col("stat_key"), col("n"), col("min_num"), col("max_num"))
+      .orderBy("stat_key").collect().map(_.toSeq).toSeq
+    mm("mvx_mm") shouldBe mm("mvx_mm_ref")
+    // and the counts agree with the MV itself (grp grain)
+    MvIndex.write(df(kept), "mvx_mm_mv", keys = Seq("grp"), measures = Seq("x"))
+    val nByGrp = MvIndex.serve(spark, "mvx_mm_mv")
+      .select(concat(lit("g:"), coalesce(col("grp"), lit("~null~"))).as("stat_key"),
+        col("n"))
+      .orderBy("stat_key").collect().map(_.toSeq).toSeq
+    mm("mvx_mm").map(r => Seq(r(0), r(1))) shouldBe nByGrp
+  }
+
+  test("a REAL stream through writeStream.foreachBatch maintains the view ≡ batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val receipts = java.nio.file.Files.createTempDirectory("mv-stream").toString
+    MvIndex.write(df(batchA), "mvx_live", keys = Seq("grp", "sub"), measures = Seq("x"))
+    val mem = MemoryStream[(String, Option[String], String, Double)]
+    val q = mem.toDF().toDF("op", "grp", "sub", "x")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamSinks.mvMaintenanceSink("mvx_live", receipts))
+      .start()
+    try {
+      // micro-batch 0: the append leg; micro-batch 1: the retraction
+      mem.addData(batchB.map { case (g, s2, x) => ("append", g, s2, x) }: _*)
+      q.processAllAvailable()
+      mem.addData(gone.map { case (g, s2, x) => ("retract", g, s2, x) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    served("mvx_live") shouldBe served("mvx_ref")
+    // two receipts landed, one per micro-batch
+    (0L to 1L).foreach { b =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$receipts/batch=$b/_SUCCESS")))
+    }
+  }
 }

@@ -76,7 +76,14 @@ object ScaleProbe {
     // round-16 (VERDICT r15 #3/#5): the signature-index takedown probe —
     // the one standing-index serve with no committed probe row — and the
     // advisor served from the standing stats index
-    "q300_sig_retract_probe", "q304_statsidx_advisor")
+    "q300_sig_retract_probe", "q304_statsidx_advisor",
+    // round-16 cont.: the standing-MV serves — probe legs only (build+
+    // retract untimed). The MV base is O(live groups), so the serve
+    // should be near scale-FLAT: group count is fixed by the domain
+    // while the corpus grows; q309 additionally pins that the
+    // maintenance joins (already folded into segments) never leak into
+    // the serve
+    "q308_mv_incremental_serve", "q309_mv_join_delta")
 
   /** VERDICT r11 #1: the two heaviest quadratic-risk queries also get an
     * sf3 rung so their exponent is a least-squares fit across three
@@ -94,7 +101,8 @@ object ScaleProbe {
   private val indexQueries = Set("q283_gram_index_probe", "q292_index_span_affinity",
     "q296_index_leak_sources", "q301_text_retract_probe",
     "q302_pq_retract_probe", "q303_incremental_analyze",
-    "q300_sig_retract_probe", "q304_statsidx_advisor")
+    "q300_sig_retract_probe", "q304_statsidx_advisor",
+    "q308_mv_incremental_serve", "q309_mv_join_delta")
 
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val dimTables = Seq("customer", "supplier", "part", "nation", "region")

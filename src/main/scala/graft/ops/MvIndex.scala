@@ -258,6 +258,33 @@ object MvIndex {
           .as(sumCol(m))): _*)
   }
 
+  /** The MV CATALOG: every standing view in the current database,
+    * discovered from the base tables' recorded specs (name without the
+    * `_mv` suffix → (keys, measures)). What a navigator consults when
+    * the caller doesn't hand it candidates — [[answer]] = this +
+    * [[answerFrom]]. One catalog listTables + one metadata read per
+    * view: pure metadata, no data touched. */
+  def registered(spark: SparkSession): Seq[(String, (Seq[String], Seq[String]))] = {
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, "*_mv")
+      .map(_.table)
+      .filter(_.endsWith("_mv"))
+      .flatMap { t =>
+        val name = t.stripSuffix("_mv")
+        val p = tableProps(spark, t)
+        p.get(KeysProp).filter(_.nonEmpty).map { ks =>
+          name -> (ks.split(",").filter(_.nonEmpty).toSeq,
+            p.getOrElse(MeasuresProp, "").split(",").filter(_.nonEmpty).toSeq)
+        }
+      }.sortBy(_._1)
+  }
+
+  /** Catalog-backed navigator: answer GROUP BY `keys` over `measures`
+    * from the cheapest view standing ANYWHERE in the catalog. */
+  def answer(spark: SparkSession, keys: Seq[String],
+             measures: Seq[String]): (String, DataFrame) =
+    answerFrom(spark, registered(spark).map(_._1), keys, measures)
+
   /** Aggregate-navigator CHOICE: among `candidates` (standing view
     * names), answer GROUP BY `keys` over `measures` from the cheapest
     * view that can — coverage means `keys` ⊆ the view's keys and every

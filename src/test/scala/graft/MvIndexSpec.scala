@@ -133,6 +133,28 @@ class MvIndexSpec extends SparkSpec {
       .collect()(0).getLong(0) shouldBe (kept.size + batchB.size).toLong
   }
 
+  test("catalog navigator: registered() discovers standing views; answer() picks the coarsest covering grain") {
+    MvIndex.write(df(kept), "mvx_cat_fine", keys = Seq("grp", "sub"), measures = Seq("x"))
+    MvIndex.write(df(kept), "mvx_cat_coarse", keys = Seq("grp"), measures = Seq("x"))
+    val reg = MvIndex.registered(spark).toMap
+    reg("mvx_cat_fine") shouldBe ((Seq("grp", "sub"), Seq("x")))
+    reg("mvx_cat_coarse") shouldBe ((Seq("grp"), Seq("x")))
+    val (chosen, rolled) = MvIndex.answer(spark, Seq("grp"), Seq("x"))
+    // the shared-session catalog may hold other suites' views; the
+    // CONTRACT is that the pick is a 1-key covering view and the
+    // answer equals the from-scratch fold
+    MvIndex.spec(spark, chosen)._1 shouldBe Seq("grp")
+    rolled.orderBy(col("grp").asc_nulls_first).collect().map(_.toSeq).toSeq shouldBe
+      MvIndex.serve(spark, "mvx_cat_coarse")
+        .select(col("grp"), col("n"), col("sum_x"))
+        .orderBy(col("grp").asc_nulls_first).collect().map(_.toSeq).toSeq
+    // nothing covers a key no view carries — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      MvIndex.answer(spark, Seq("no_such_key"), Seq("x"))
+    }
+    e.getMessage should include("covers")
+  }
+
   test("composition: group-wise min/max under retraction via a group-keyed StatsIndex") {
     // The MvIndex scaladoc's claim, exercised: min/max are not
     // invertible, so the MV deliberately omits them — a StatsIndex

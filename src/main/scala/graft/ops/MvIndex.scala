@@ -258,6 +258,71 @@ object MvIndex {
           .as(sumCol(m))): _*)
   }
 
+  // Lockstep-view stamps: the SOURCE a view aggregates (the scan's
+  // qualified root paths) and the canonical SQL of each measure —
+  // what entitles the transparent rewrite (plans.RewriteMvAggregate)
+  // to substitute the view for a from-scratch aggregate of that
+  // source. The stamp is the WRITER'S assertion of lockstep (view
+  // state ≡ aggregate of current source content, maintained by
+  // mirroring every source mutation); the rule can check coverage and
+  // expression equality, never the maintenance discipline itself —
+  // exactly a warehouse MV's contract.
+  private val SourceProp = "graft.mvSource"
+  private def msqlProp(alias: String) = s"graft.mvMeasureSql.$alias"
+  private def sqlLit(s: String) = s.replace("'", "''")
+
+  /** Build a lockstep view straight from a parquet source: keys are
+    * source columns, measures are (alias → SQL expression over the
+    * source). Records the source's qualified root paths and each
+    * measure's SQL so [[plans.RewriteMvAggregate]] can match scans and
+    * aggregate expressions against them. Keep the view in lockstep
+    * with [[appendFromSource]] as source batches land. */
+  def writeFromSource(spark: SparkSession, path: String, name: String,
+                      keys: Seq[String], measures: Seq[(String, String)]): Unit = {
+    val src = spark.read.parquet(path)
+    val rootPaths = src.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    require(rootPaths.nonEmpty, s"source $path did not resolve to a file scan")
+    write(src.select(keys.map(col) ++
+        measures.map { case (a, s) => expr(s).as(a) }: _*),
+      name, keys, measures.map(_._1))
+    val props = (SourceProp -> rootPaths.sorted.mkString(",")) +:
+      measures.map { case (a, s) => msqlProp(a) -> s }
+    spark.sql(s"ALTER TABLE `${base(name)}` SET TBLPROPERTIES (" +
+      props.map { case (k, v) => s"'${sqlLit(k)}' = '${sqlLit(v)}'" }.mkString(", ") + ")")
+  }
+
+  /** Lockstep append: fold a batch of NEW source rows through the
+    * recorded measure expressions — call with exactly what landed in
+    * the source, and the rewrite entitlement stays truthful. */
+  def appendFromSource(batch: DataFrame, name: String, batchId: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val (keys, measures) = spec(spark, name)
+    val p = tableProps(spark, base(name))
+    append(batch.select(keys.map(col) ++ measures.map(a =>
+      expr(p.getOrElse(msqlProp(a),
+        throw new IllegalArgumentException(
+          s"'$name' is not a lockstep view: no recorded SQL for measure '$a'")))
+        .as(a)): _*), name, batchId)
+  }
+
+  /** Lockstep views over the given scan (qualified root paths, sorted,
+    * comma-joined): (name, keys, (measure alias → recorded SQL)). */
+  private[graft] def lockstepViews(spark: SparkSession, pathKey: String)
+      : Seq[(String, Seq[String], Seq[(String, String)])] =
+    registered(spark).flatMap { case (n, (ks, ms)) =>
+      val p = tableProps(spark, base(n))
+      p.get(SourceProp).filter(_ == pathKey).map { _ =>
+        (n, ks, ms.flatMap(a => p.get(msqlProp(a)).map(a -> _)))
+      }
+    }
+
   /** The MV CATALOG: every standing view in the current database,
     * discovered from the base tables' recorded specs (name without the
     * `_mv` suffix → (keys, measures)). What a navigator consults when
@@ -334,13 +399,16 @@ object MvIndex {
     val old = s"${b}_old"
     graft.dedup.SignatureIndex.dropStale(spark, tmp)
     graft.dedup.SignatureIndex.dropStale(spark, old)
-    val (keys, measures) = spec(spark, name)
+    // carry EVERY graft.mv* stamp (spec, lockstep source, measure SQL)
+    // — a compact that dropped the source stamp would silently revoke
+    // the rewrite entitlement
+    val carried = tableProps(spark, b)
+      .filter { case (k, _) => k.startsWith("graft.mv") }
     val folded = liveSegTables(spark, name).map(_.stripPrefix(s"${b}_"))
     serve(spark, name).write.mode(SaveMode.Overwrite).saveAsTable(tmp)
     spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
-      s"'$CoversProp' = '${folded.mkString(",")}', " +
-      s"'$KeysProp' = '${keys.mkString(",")}', " +
-      s"'$MeasuresProp' = '${measures.mkString(",")}')")
+      ((CoversProp -> folded.mkString(",")) +: carried.toSeq)
+        .map { case (k, v) => s"'${sqlLit(k)}' = '${sqlLit(v)}'" }.mkString(", ") + ")")
     spark.sql(s"ALTER TABLE `$b` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$b`")
     spark.sql(s"DROP TABLE `$old`")

@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: pure |a-b|<=tol theta joins → bucketized equi
     // joins (see RewriteRangeJoin; gate spark.graft.rewriteRangeJoin)
     ext.injectOptimizerRule(RewriteRangeJoin)
+    // optimizer rule: plain aggregates over a scan with a registered
+    // lockstep materialized view serve from the view (see
+    // RewriteMvAggregate; gate spark.graft.mvRewrite, default OFF)
+    ext.injectOptimizerRule(RewriteMvAggregate)
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[graft.sim.HyperplaneBuckets].getName,

@@ -1673,6 +1673,63 @@ object ExtendedCoreQueries {
       |FROM lineitem WHERE l_orderkey % 7 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------- transparent MV rewrite through the optimizer (q312)
+  /** The warehouse feature the MV family builds to: the query below is
+    * a PLAIN from-scratch aggregate over the lineitem scan — no MvIndex
+    * call in sight — and [[graft.plans.RewriteMvAggregate]] (injected
+    * via GraftExtensions, gated `spark.graft.mvRewrite`) substitutes
+    * the standing lockstep view registered for that scan. The query
+    * REQUIRES the substitution (a plan assertion fails loudly if the
+    * fact table is still scanned — silently reverting to a fact scan
+    * would pass the oracle while losing the feature), materializes
+    * under the gate, and restores the gate so no other query in the
+    * session can be silently retargeted. The oracle is the from-scratch
+    * SQL — the rewrite must be indistinguishable by results, coarser
+    * GROUP BY included (navigator roll-up law through the optimizer).
+    * MvRewriteSpec pins the negative space: filters, foreign measure
+    * expressions, DISTINCT, and gate-off all still scan the fact. */
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val name = "q312_mvidx_ls_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = name + "_built"
+    if (!s.catalog.tableExists(marker)) {
+      graft.ops.MvIndex.writeFromSource(s, s"$d/lineitem.parquet", name,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          "qty" -> "CAST(l_quantity AS DECIMAL(18,4))",
+          "price" -> "CAST(l_extendedprice AS DECIMAL(18,4))"))
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    s.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val agg = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sq"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sp"))
+      val factScan = agg.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains("lineitem.parquet")) => lr
+      }
+      require(factScan.isEmpty,
+        "transparent MV rewrite did not fire — the aggregate still scans lineitem")
+      val out = agg.select(col("l_returnflag"), col("n"),
+        dbl(col("sq")).as("sum_qty"), dbl(col("sp")).as("sum_price"))
+      // materialize UNDER the gate (the finally below restores it; a
+      // lazy return would otherwise re-plan gate-off in the harness)
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .sortedOut("l_returnflag")
+    } finally s.conf.set("spark.graft.mvRewrite", "false")
+  }
+
+  private val q312Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
     * deterministic pseudo-random priority `w·2⁴⁰ div (u+1)` — weight
@@ -2572,6 +2629,7 @@ object ExtendedCoreQueries {
     ("q309_mv_join_delta", q309 _, Some(q309Sql)),
     ("q310_mv_rollup_answer", q310 _, Some(q310Sql)),
     ("q311_mv_navigator_choice", q311 _, Some(q311Sql)),
+    ("q312_mv_transparent_rewrite", q312 _, Some(q312Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

@@ -12,11 +12,12 @@ import graft.ops.MvIndex
 
 /** Transparent materialized-view rewrite — the warehouse feature the
   * MV family exists for: a PLAIN aggregate over a fact scan
-  * (`GROUP BY k… / count(*) / sum(expr)`) is rewritten to a serve of a
-  * standing [[MvIndex]] view REGISTERED FOR THAT SCAN, so the query
-  * answers from O(groups × segments) partial rows instead of re-reading
-  * the fact table. The user writes the from-scratch aggregate; the
-  * optimizer substitutes the view.
+  * (`GROUP BY k… / count(*) / sum(expr)`, optionally under a filter
+  * that constrains only view-key columns) is rewritten to an aggregate
+  * of a standing [[MvIndex]] view REGISTERED FOR THAT SCAN, so the
+  * query answers from O(groups × segments) partial rows instead of
+  * re-reading the fact table. The user writes the from-scratch
+  * aggregate; the optimizer substitutes the view.
   *
   * Entitlement is the lockstep stamp ([[MvIndex.writeFromSource]]):
   * the view records the scan's qualified root paths and each measure's
@@ -29,24 +30,34 @@ import graft.ops.MvIndex
   *
   * Matched shape, deliberately conservative (anything else is left
   * untouched — fail closed, never rewrite-and-hope):
-  *   - `Aggregate` whose child is the source `LogicalRelation`
-  *     (optionally through a pure column-pruning `Project`) — any
-  *     Filter/expression in between bails (a filtered aggregate is NOT
-  *     the view's content);
+  *   - `Aggregate` over the source `LogicalRelation`, optionally
+  *     through a pure column-pruning `Project` and/or ONE `Filter`
+  *     whose deterministic condition references only view-KEY columns
+  *     — every row of a fine-grain group shares its key values, so
+  *     filtering partials ≡ filtering rows (a predicate touching any
+  *     non-key column bails: the view cannot see inside a group);
   *   - grouping expressions are bare source columns, a subset of the
   *     view's keys (a coarser GROUP BY rolls up from the partials —
   *     the aggregate-navigator law);
-  *   - aggregate list contains only the grouping columns, `count(*)`
-  *     (n is summable), and `sum(e)` where `e` is semantically equal
-  *     to a recorded measure expression, re-resolved against this
-  *     scan's attributes (never matched by rendered-string fragility);
-  *     no DISTINCT, no FILTER clauses.
+  *   - every embedded aggregate call is `count(*)` (n is summable) or
+  *     `sum(e)` with `e` semantically equal to a recorded measure
+  *     expression, re-resolved against this scan's attributes (never
+  *     matched by rendered-string fragility), of an exact (decimal /
+  *     integral) type; no DISTINCT, no FILTER clauses. The calls may
+  *     sit under scalar expressions — CollapseProject folds final
+  *     projections into the aggregate list, so `cast(sum(x) as
+  *     double)` and avg-shaped `sum(x) / count(*)` are the common
+  *     real shapes — and the rewrite substitutes the partial fold
+  *     inside them, typed back to each call's result type.
   *
-  * The replacement subtree is the view's roll-up plan with a final
-  * projection that restores the original output names, exprIds, and
-  * types (sum partials are DECIMAL(38,8) and cast back to each Sum's
-  * result type — exact decimal arithmetic, so the cast is
-  * value-preserving), so parent operators never see the substitution.
+  * The replacement is pure Catalyst: `Aggregate(keys, partial-sums,
+  * [Filter(pred′,)] serve-plan)` whose aggregate list carries the
+  * ORIGINAL output names, exprIds, and types (count(*) becomes
+  * `coalesce(sum(n), 0)` — a filter matching nothing must yield the
+  * global aggregate's 0-count row, not NULL; sum partials are
+  * DECIMAL(38,8) cast back to each Sum's result type — exact decimal
+  * arithmetic, value-preserving), so parent operators never see the
+  * substitution.
   *
   * Gate: `spark.graft.mvRewrite` (default FALSE — opt in per session
   * or per query). Unlike [[RewriteRangeJoin]] this rule changes WHICH
@@ -66,14 +77,19 @@ case class RewriteMvAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The scan under the aggregate: the relation itself, or through a
-    * pure column-pruning projection (what the main optimizer batches
-    * leave between them). */
-  private def scanOf(child: LogicalPlan): Option[LogicalRelation] = child match {
-    case lr: LogicalRelation => Some(lr)
-    case Project(ps, lr: LogicalRelation)
-        if ps.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
-    case _ => None
+  /** The scan under the aggregate — through a pure column-pruning
+    * Project and/or one Filter (what the main optimizer batches leave
+    * between them). Returns (relation, filter condition if any). */
+  private def scanOf(child: LogicalPlan): Option[(LogicalRelation, Option[Expression])] = {
+    def strip(p: LogicalPlan, cond: Option[Expression]): Option[(LogicalRelation, Option[Expression])] =
+      p match {
+        case lr: LogicalRelation => Some((lr, cond))
+        case Project(ps, q) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          strip(q, cond)
+        case Filter(c, q) if cond.isEmpty && c.deterministic => strip(q, Some(c))
+        case _ => None
+      }
+    strip(child, None)
   }
 
   /** Recorded measure SQL, re-resolved against THIS scan's attributes
@@ -91,25 +107,20 @@ case class RewriteMvAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
       if (ok && res.resolved) Some(res) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private sealed trait Out
-  private case class KeyOut(name: String) extends Out
-  private case object CountOut extends Out
-  private case class SumOut(child: Expression) extends Out
-
-  private def classify(e: NamedExpression,
-                       keyNames: Seq[String]): Option[Out] = e match {
-    case a: AttributeReference if keyNames.contains(a.name) => Some(KeyOut(a.name))
-    case Alias(a: AttributeReference, _) if keyNames.contains(a.name) =>
-      Some(KeyOut(a.name))
-    case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _) =>
-      Some(CountOut)
-    case Alias(AggregateExpression(s: Sum, _, false, None, _), _) =>
-      Some(SumOut(s.child))
-    case _ => None
+  /** Exact-under-decimal-refold measure types: the view sums measures
+    * as exact decimals, so only inputs whose from-scratch Sum is also
+    * exact may substitute — float/double sums are order-dependent and
+    * could differ in the last ulp. Fail closed. */
+  private def exactType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val lr = scanOf(agg.child).getOrElse(return None)
+    val (lr, filterCond) = scanOf(agg.child).getOrElse(return None)
     val fsr = lr.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -122,53 +133,103 @@ case class RewriteMvAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    val outs = agg.aggregateExpressions.map(e =>
-      classify(e, keyNames).getOrElse(return None))
+    val filterRefNames = filterCond.toSeq.flatMap(_.references.toSeq.map(_.name))
+    val scanIds = lr.output.map(_.exprId).toSet
 
-    // cheapest covering view: every grouping key among its keys, every
-    // sum child semantically equal to one of its recorded measures
+    // Aggregate calls embedded in the output expressions (possibly
+    // under casts/arithmetic — CollapseProject folds a final projection
+    // INTO the aggregate list, so `cast(sum(x) as double)` and even
+    // `sum(x) / count(1)` are the common shapes, not bare sums)
+    val embedded = agg.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae }).distinct
+    val sumChildren = embedded.map {
+      case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) => None
+      case AggregateExpression(s: Sum, _, false, None, _)
+          if exactType(s.child.dataType) => Some(s.child)
+      case _ => return None // any other aggregate: the view has no partial
+    }
+
+    // cheapest covering view: grouping keys AND filter references among
+    // its keys, every embedded sum semantically equal to a recorded measure
     def viewMatch(name: String, vKeys: Seq[String],
-                  vMeasures: Seq[(String, String)]): Option[(String, Int, Seq[String])] = {
-      if (!keyNames.forall(vKeys.contains)) return None
+                  vMeasures: Seq[(String, String)]): Option[(String, Int, Map[Int, String])] = {
+      if (!(keyNames ++ filterRefNames).forall(vKeys.contains)) return None
       val resolved = vMeasures.flatMap { case (a, sql) =>
         resolveSql(sql, lr.output).map(a -> _)
       }
-      val sumAliases = Seq.newBuilder[String]
-      outs.foreach {
-        case SumOut(c) => resolved.find(_._2.semanticEquals(c)) match {
-          case Some((a, _)) => sumAliases += a
+      val aliasByIdx = Map.newBuilder[Int, String]
+      sumChildren.zipWithIndex.foreach {
+        case (Some(c), i) => resolved.find(_._2.semanticEquals(c)) match {
+          case Some((a, _)) => aliasByIdx += (i -> a)
           case None => return None
         }
-        case _ => ()
+        case (None, _) => ()
       }
-      Some((name, vKeys.size, sumAliases.result()))
+      Some((name, vKeys.size, aliasByIdx.result()))
     }
     val candidates = views.flatMap { case (n, ks, ms) => viewMatch(n, ks, ms) }
-    val (view, _, sumAliases) =
+    val (view, _, aliasByIdx) =
       candidates.sortBy(c => (c._2, c._1)).headOption.getOrElse(return None)
 
-    val served = MvIndex.serveRollup(spark, view, keyNames)
-    val sPlan = served.queryExecution.optimizedPlan
+    // the view's fine-grain serve (keys*, n, sum_*), pre-optimized
+    val sPlan = MvIndex.serve(spark, view).queryExecution.optimizedPlan
     val sOut = sPlan.output
-    val needed = keyNames ++
-      (if (outs.contains(CountOut)) Seq("n") else Nil) ++
-      sumAliases.map("sum_" + _)
+    val needed = (keyNames ++ filterRefNames ++ Seq("n") ++
+      aliasByIdx.values.map("sum_" + _)).distinct
     if (needed.exists(n => !sOut.exists(_.name == n))) return None
     def servedAttr(n: String): Attribute = sOut.find(_.name == n).get
 
-    var sumIdx = -1
-    val projections: Seq[NamedExpression] =
-      agg.aggregateExpressions.zip(outs).map { case (orig, out) =>
-        val child: Expression = out match {
-          case KeyOut(n) => servedAttr(n)
-          case CountOut => servedAttr("n")
-          case SumOut(_) =>
-            sumIdx += 1
-            Cast(servedAttr(s"sum_${sumAliases(sumIdx)}"), orig.dataType)
+    // partial-fold replacement for each embedded aggregate call, typed
+    // back to the original call's result type so surrounding scalar
+    // expressions keep typechecking
+    val substFor: Map[AggregateExpression, Expression] =
+      embedded.zipWithIndex.map {
+        case (ae, i) =>
+          ae -> (aliasByIdx.get(i) match {
+            case Some(alias) =>
+              Cast(Sum(servedAttr(s"sum_$alias")).toAggregateExpression(),
+                ae.dataType)
+            case None =>
+              // count(*): a filter matching no partials must still read
+              // as 0 in the global (ungrouped) case — never NULL
+              Coalesce(Seq(Sum(servedAttr("n")).toAggregateExpression(),
+                Literal(0L)))
+          })
+      }.toMap
+
+    // transplant the key-only predicate onto the served partials
+    val child2 = filterCond match {
+      case Some(c) =>
+        var ok = true
+        val c2 = c.transformUp {
+          case a: AttributeReference =>
+            sOut.find(_.name == a.name) match {
+              case Some(s) if s.dataType == a.dataType => s
+              case _ => ok = false; a
+            }
         }
-        Alias(child, orig.name)(exprId = orig.exprId)
+        if (!ok) return None
+        Filter(c2, sPlan)
+      case None => sPlan
+    }
+
+    // rebuild every output expression: embedded aggregates → partial
+    // folds, grouping columns → served attrs; anything still referencing
+    // the scan afterwards is a shape this rule doesn't understand — bail
+    val aggExprs2: Seq[NamedExpression] = agg.aggregateExpressions.map { orig =>
+      val rebuilt = (orig: Expression).transformUp {
+        case ae: AggregateExpression => substFor(ae)
+        case a: AttributeReference if keyNames.contains(a.name) && scanIds(a.exprId) =>
+          servedAttr(a.name)
       }
-    logInfo(s"mvRewrite: aggregate over $pathKey served from standing view '$view'")
-    Some(Project(projections, sPlan))
+      if (rebuilt.references.exists(r => scanIds(r.exprId))) return None
+      rebuilt match {
+        case Alias(child, name) => Alias(child, name)(exprId = orig.exprId)
+        case other => Alias(other, orig.name)(exprId = orig.exprId)
+      }
+    }
+    logInfo(s"mvRewrite: aggregate over $pathKey served from standing view '$view'" +
+      filterCond.map(c => s" under key predicate ${c.sql}").getOrElse(""))
+    Some(Aggregate(keyNames.map(servedAttr), aggExprs2, child2))
   }
 }

@@ -1688,7 +1688,8 @@ object ExtendedCoreQueries {
     * GROUP BY included (navigator roll-up law through the optimizer).
     * MvRewriteSpec pins the negative space: filters, foreign measure
     * expressions, DISTINCT, and gate-off all still scan the fact. */
-  private def q312(s: SparkSession, d: String): DataFrame = {
+  /** q312/q313's shared lockstep view over the lineitem scan. */
+  private def q312View(s: SparkSession, d: String): Unit = {
     val name = "q312_mvidx_ls_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
     val marker = name + "_built"
     if (!s.catalog.tableExists(marker)) {
@@ -1699,29 +1700,40 @@ object ExtendedCoreQueries {
           "price" -> "CAST(l_extendedprice AS DECIMAL(18,4))"))
       s.range(1).createOrReplaceTempView(marker)
     }
+  }
+
+  /** Run `mk`'s aggregate UNDER the rewrite gate, require the fact scan
+    * was substituted away, and materialize before restoring the gate (a
+    * lazy return would re-plan gate-off in the harness). */
+  private def underMvRewrite(s: SparkSession, factFile: String)
+                            (mk: => DataFrame): DataFrame = {
     s.conf.set("spark.graft.mvRewrite", "true")
     try {
-      val agg = t(s, d, "lineitem")
+      val out = mk
+      val factScan = out.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(factFile)) => lr
+      }
+      require(factScan.isEmpty,
+        s"transparent MV rewrite did not fire — the aggregate still scans $factFile")
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally s.conf.set("spark.graft.mvRewrite", "false")
+  }
+
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    q312View(s, d)
+    underMvRewrite(s, "lineitem.parquet") {
+      t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sq"),
           sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sp"))
-      val factScan = agg.queryExecution.optimizedPlan.collectFirst {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-            if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-              lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                .location.rootPaths.exists(_.toString.contains("lineitem.parquet")) => lr
-      }
-      require(factScan.isEmpty,
-        "transparent MV rewrite did not fire — the aggregate still scans lineitem")
-      val out = agg.select(col("l_returnflag"), col("n"),
-        dbl(col("sq")).as("sum_qty"), dbl(col("sp")).as("sum_price"))
-      // materialize UNDER the gate (the finally below restores it; a
-      // lazy return would otherwise re-plan gate-off in the harness)
-      val rows = out.collect().toIndexedSeq
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-        .sortedOut("l_returnflag")
-    } finally s.conf.set("spark.graft.mvRewrite", "false")
+        .select(col("l_returnflag"), col("n"),
+          dbl(col("sq")).as("sum_qty"), dbl(col("sp")).as("sum_price"))
+    }.sortedOut("l_returnflag")
   }
 
   private val q312Sql =
@@ -1729,6 +1741,34 @@ object ExtendedCoreQueries {
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------- filtered aggregate through the MV rewrite (q313)
+  /** The dashboard shape: `WHERE l_linestatus = 'F' GROUP BY
+    * l_returnflag` — the predicate constrains a view KEY, so every row
+    * of a fine-grain group shares its truth value and filtering the
+    * standing partials is exactly filtering the rows.
+    * [[graft.plans.RewriteMvAggregate]] transplants the predicate onto
+    * the served partials and rolls up; the fact table is never read
+    * (plan-asserted), and the oracle runs the filtered aggregate from
+    * scratch. A predicate on any NON-key column refuses to rewrite
+    * (MvRewriteSpec pins it) — the view cannot see inside a group. */
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    q312View(s, d)
+    underMvRewrite(s, "lineitem.parquet") {
+      t(s, d, "lineitem")
+        .where(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sq"))
+        .select(col("l_returnflag"), col("n"), dbl(col("sq")).as("sum_qty"))
+    }.sortedOut("l_returnflag")
+  }
+
+  private val q313Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linestatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------- weighted sampling without replacement / PPSWOR (q199)
   /** Priority sampling (Duffield–Lund–Thorup): every document gets a
@@ -2630,6 +2670,7 @@ object ExtendedCoreQueries {
     ("q310_mv_rollup_answer", q310 _, Some(q310Sql)),
     ("q311_mv_navigator_choice", q311 _, Some(q311Sql)),
     ("q312_mv_transparent_rewrite", q312 _, Some(q312Sql)),
+    ("q313_mv_filtered_rewrite", q313 _, Some(q313Sql)),
     ("q199_priority_sample", q199 _, Some(q199Sql)),
     ("q200_windowed_outlier", q200 _, Some(q200Sql)),
     ("q202_benford_audit",   q202 _, Some(q202Sql)),

@@ -102,6 +102,68 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("collapsed projections and avg-shaped expressions rewrite through the calls") {
+    buildView()
+    // the shape that actually reaches the optimizer from
+    // `.agg(...).select(cast(...))`: CollapseProject folds the final
+    // projection INTO the aggregate list, so the sum sits under a cast
+    // (the q312 regression — bare-agg-only matching missed it)
+    def collapsed(): DataFrame = spark.read.parquet(srcDir)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v AS DECIMAL(18,4))")).as("sv"))
+      .select(col("k"), col("n"), col("sv").cast("double").as("sv_d"))
+    // avg written as sum/count — both partials exist in the view
+    def avgShaped(): DataFrame = spark.read.parquet(srcDir)
+      .groupBy("k")
+      .agg((sum(expr("CAST(v AS DECIMAL(18,4))")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_v"))
+    val wantC = gated(on = false)(rows(collapsed()))
+    val wantA = gated(on = false)(rows(avgShaped()))
+    gated(on = true) {
+      scansPath(collapsed(), "mvrw-src") shouldBe false
+      rows(collapsed()) shouldBe wantC
+      scansPath(avgShaped(), "mvrw-src") shouldBe false
+      rows(avgShaped()) shouldBe wantA
+      // avg() proper has no partial in the view — must still scan
+      scansPath(spark.read.parquet(srcDir)
+        .groupBy("k").agg(avg(col("v")).as("x")), "mvrw-src") shouldBe true
+      // sum over a DOUBLE measure is order-dependent — never substituted
+      // by the exact-decimal refold even if someone records it
+      scansPath(spark.read.parquet(srcDir)
+        .groupBy("k").agg(sum(col("v")).as("x")), "mvrw-src") shouldBe true
+    }
+  }
+
+  test("key-constrained filters transplant onto the partials; non-key filters refuse") {
+    buildView()
+    // filter on a view KEY: rewrites, results exact
+    def filtered(): DataFrame = spark.read.parquet(srcDir)
+      .where(col("s2") === "s1")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(v AS DECIMAL(18,4))")).as("sv"))
+    val want = gated(on = false)(rows(filtered()))
+    gated(on = true) {
+      scansPath(filtered(), "mvrw-src") shouldBe false
+      rows(filtered()) shouldBe want
+    }
+    // filtered GLOBAL aggregate matching nothing: count must be 0, not
+    // NULL — the coalesce in the rewritten count path
+    def nothing(): DataFrame = spark.read.parquet(srcDir)
+      .where(col("k") === "no_such_key")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(v AS DECIMAL(18,4))")).as("sv"))
+    val want0 = gated(on = false)(rows(nothing()))
+    gated(on = true) {
+      scansPath(nothing(), "mvrw-src") shouldBe false
+      rows(nothing()) shouldBe want0
+    }
+    // a predicate on a NON-key column sees inside groups — must scan
+    gated(on = true) {
+      scansPath(spark.read.parquet(srcDir).where(col("v") > 3)
+        .groupBy("k").agg(count(lit(1)).as("n")), "mvrw-src") shouldBe true
+    }
+  }
+
   test("lockstep: appendFromSource mirrors source growth; the rewrite stays exact") {
     buildView()
     val batch = (31 to 40).map(i => (s"k${i % 3}", s"s${i % 2}", i * 0.25))

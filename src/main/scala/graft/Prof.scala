@@ -52,47 +52,75 @@ object Prof {
         sg.where(col("doc_id") % 20 === 0),
         sg.where(col("doc_id") % 20 =!= 0))
     }
-    time("q57_sigs_only")(sigs())
-    time("q57_vs_corpus_pairs") {
-      val (_, ba, co) = split()
-      Dedup.minhashCandidatePairsBetween(ba, co, 4, 8, 0.9, 1000, persistInputs = false)
-    }
-    time("q57_within_batch_pairs") {
-      val (_, ba, _) = split()
-      Dedup.minhashCandidatePairs(ba, 4, 8, 0.9, 1000)
-    }
-    time("q57_registered")(SparkEntry.queries("q57_incremental_dedup")(spark, sfDir))
-    time("q58_registered")(SparkEntry.queries("q58_cosine_neardup")(spark, sfDir))
-    time("q58_pairs_only")(graft.sim.VectorFunctions.cosineNearDupPairs(
-      Tables.load(spark, sfDir, "embeddings"), dim = 64, minCos = 0.45))
+    // ---- round 16 slice: decompose the battery's top heavies ----
 
-    // q183 decomposition (round 8: 10.5 s in the battery — where?)
-    def q183Edges(): DataFrame = {
-      val docsT = Tables.documents(spark, sfDir)
-      val pairs = Dedup.minhashCandidatePairs(
-        Dedup.minhashSignatures(docsT, k = 32), bands = 4, rowsPerBand = 8, minEst = 0.5)
-      val src = docsT.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-        .where(col("sa") =!= col("sb"))
-        .groupBy(col("sa").as("src"), col("sb").as("dst"))
-        .agg(count(lit(1)).as("w"))
+    // q29 kernel anatomy (the minhash sig+pairs kernel feeds ~15 of
+    // the top-30 queries)
+    time("k_sigs_native")(sigs())
+    time("k_banded") {
+      val sg = sigs().persist()
+      Dedup.bandedOf(sg, 4, 8)
     }
-    time("q183_edges_only")(q183Edges())
-    time("q183_lpa_tiny_edges") {
+    time("k_pairs_full")(Dedup.minhashCandidatePairs(sigs(), 4, 8, 0.7, 1000))
+    time("q29_registered")(SparkEntry.queries("q29_minhash_lsh_pairs")(spark, sfDir))
+
+    // q136 HITS: edge build vs iteration cost
+    def q136Edges(): DataFrame = {
+      import org.apache.spark.sql.types.LongType
+      val li = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("price"))
+      val ord = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.load(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"), col("price"))
+        .groupBy("src", "dst")
+        .agg((sum(col("price")) * lit(10000)).cast(LongType).as("w"))
+    }
+    time("q136_edges_only")(q136Edges())
+    time("q136_hits_cached_edges") {
+      val e = q136Edges().persist()
+      e.count()
+      val nation = Tables.load(spark, sfDir, "nation")
+      graft.ops.Graph.hits(e, nation.select("n_nationkey"), iters = 2)
+    }
+    time("q136_registered")(SparkEntry.queries("q136_trade_hits")(spark, sfDir))
+
+    // q117 pagerank for comparison
+    time("q117_registered")(SparkEntry.queries("q117_trade_pagerank")(spark, sfDir))
+
+    // q59 audio: decode alone vs decode+features
+    time("q59_decode_only") {
       import spark.implicits._
-      val e = (for (a <- 0 until 20; b <- 0 until 20 if a != b)
-        yield (s"s$a", s"s$b", 5L)).toDF("src", "dst", "w")
-      val n = (0 until 20).map(i => s"s$i").toDF("node")
-      graft.ops.Graph.labelPropagation(e, n, iters = 4)
+      graft.multimodal.Multimodal.decodeAudio(
+        graft.multimodal.Multimodal.audioFromDocuments(spark, Tables.documents(spark, sfDir)))
+        .toDF()
     }
-    time("q183_lpa_real_edges") {
-      val e = q183Edges().persist()
-      val n = Tables.documents(spark, sfDir).select(col("source")).distinct()
-      graft.ops.Graph.labelPropagation(e, n, iters = 4)
+    time("q59_registered")(SparkEntry.queries("q59_audio_features")(spark, sfDir))
+
+    // q196 stage anatomy
+    def q196Toks(): DataFrame = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0).distinct()
+    time("q196_alltoks")(q196Toks())
+    time("q196_groups") {
+      q196Toks().groupBy("doc_id")
+        .agg(md5(concat_ws("", sort_array(collect_set(col("tok"))))).as("sig"))
+        .groupBy("sig").agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
     }
+    time("q196_registered")(SparkEntry.queries("q196_ppjoin_exact")(spark, sfDir))
+
+    // q154: pairs + exact-overlap verification split
+    time("q154_registered")(SparkEntry.queries("q154_minhash_calibration")(spark, sfDir))
+
+    // q164 / q183 / q250 / q257: graph stages on minhash pairs
+    time("q164_registered")(SparkEntry.queries("q164_dupgraph_transitivity")(spark, sfDir))
     time("q183_registered")(SparkEntry.queries("q183_syndication_communities")(spark, sfDir))
+    time("q250_registered")(SparkEntry.queries("q250_kcore_backbone")(spark, sfDir))
+    time("q257_registered")(SparkEntry.queries("q257_bfs_reach")(spark, sfDir))
+    time("q282_registered")(SparkEntry.queries("q282_span_scrub")(spark, sfDir))
     spark.stop()
   }
 }

@@ -1306,27 +1306,43 @@ object TextAnalysisQueries {
         toks.groupBy("tok").agg(count(lit(1)).as("df")),
         Seq(col("df").asc, col("tok").asc), outCol = "rk")
       .select(col("tok"), col("rk"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val withRank = toks.join(ranked, Seq("tok")).join(sizes, Seq("doc_id"))
+    // Rank-sorted token-ID SET per representative (r16 optimization):
+    // the global rank is a BIJECTION of the vocabulary (ties broken by
+    // token), so (a) sort_array(collect_list(rk)) ascending IS the
+    // rarest-first order the previous per-doc row_number window
+    // produced — the PPJoin prefix becomes a plain array slice, no
+    // window sort; and (b) |A ∩ B| = |ranks(A) ∩ ranks(B)| exactly, so
+    // the intersection count moves from an exploded per-token
+    // self-join + groupBy (measured 42M intermediate rows at sf0.1 —
+    // 2.07M candidate pairs × ~20 shared tokens each, two exchanges
+    // plus a 42M-row hash aggregate, the dominant cost of the whole
+    // query) to ONE array_intersect per candidate pair with the
+    // doc→ranks sets attached by join (guide §2.3/§2.4: shuffle the
+    // per-doc set once, not once per shared token). Sizes come free as
+    // size(tks), dropping the separate sizes aggregate and two joins.
+    val sets = toks.join(ranked, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("rk"))).as("tks"))
+      .select(col("doc_id"), col("tks"), size(col("tks")).cast("long").as("n"))
+      .persistT // feeds the prefix explode and both pair-attach joins
+    val sizes = sets.select(col("doc_id"), col("n"))
     // prefix length n - ceil(9n/10) + 1, integer arithmetic only
-    val prefix = withRank
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("rk").asc)))
-      .where(col("pos") <= col("n") - ((col("n") * 9 + 9) / 10).cast("long") + 1)
-      .select(col("doc_id"), col("tok"), col("n"))
-    val cands = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("tok"))
+    val prefix = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("tks"), lit(1),
+        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("rk"))
+    val cands = prefix.select(col("rk"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("rk"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("rk"))
       .where(col("doc_a") < col("doc_b") &&
         // length filter: Jaccard >= 9/10 is impossible across sizes
         // differing by more than 10/9 — kill before verification
         col("na") * 9 <= col("nb") * 10 && col("nb") * 9 <= col("na") * 10)
       .select("doc_a", "doc_b").distinct()
     val inter = cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"))
     // expansion algebra over document-level pairs, DECIMAL(38,0) so no
     // magnitude ever overflows; never enumerate the quadratic pair set
     val dec = (c: Column) => c.cast(DecimalType(38, 0))

@@ -38,6 +38,79 @@ object Graph {
     aggregate(array_sort(pairs), lit(0.0),
       (acc, x) => acc + x.getField("c"))
 
+  // ---- driver-gated exact twins (r16 optimization) -----------------
+  //
+  // On a small AGGREGATED edge list the distributed iteration loop's
+  // cost is pure exchange/job overhead: HITS(iters=2) on a PRE-CACHED
+  // 625-row nation edge list measured 4.1 s at local[32] — ~20 AQE
+  // query-stage materializations (per half-step: one groupBy exchange,
+  // one 1-row normalizer aggregate, two broadcast builds), each a
+  // driver round-trip, against microseconds of actual arithmetic.
+  // Mirroring the gated union-find precedent
+  // ([[graft.dedup.Dedup.nearDupClusters]]'s `driverMaxPairs`), the
+  // iteration runs single-threaded on the driver when the graph is
+  // provably tiny, with THE IDENTICAL fold orders (sort contributions
+  // by the same struct key, foldLeft from the same 0.0 init), so the
+  // doubles are bit-equal to the distributed loop's — GraphSpec pins
+  // driver ≡ distributed on both sides of the gate, and the DuckDB
+  // oracles (q117/q136/q183) hash the values end-to-end.
+  //
+  // Gate: nodes are counted anyway (the 1/N init); when |V| ≤
+  // `spark.graft.graph.driverMaxNodes` (default 1024) the edge list is
+  // also counted and the driver path taken iff |E| ≤
+  // `spark.graft.graph.driverMaxEdges` (default 500 000 — ≤ ~20 MB
+  // collected, far under the union-find's 5M-pair precedent). At
+  // cluster scale a billion-node graph never trips the gate; a
+  // dimension-keyed graph (nations, sources, tenants) always does,
+  // and those are exactly the graphs whose iteration is all overhead.
+  // Setting driverMaxNodes (or MaxEdges) to 0 disables the twin.
+  private def driverGate(df: DataFrame, nNodes: Long): Option[Long] = {
+    val conf = df.sparkSession.conf
+    val maxN = conf.getOption("spark.graft.graph.driverMaxNodes")
+      .map(_.toLong).getOrElse(1024L)
+    val maxE = conf.getOption("spark.graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(500000L)
+    if (nNodes <= maxN && maxE > 0L) {
+      val nE = df.count()
+      if (nE <= maxE) Some(nE) else None
+    } else None
+  }
+
+  /** Catalyst-identical ordering for collected node ids: numerics by
+    * value, strings by BINARY (UTF-8) order — `array_sort` over a
+    * struct whose first field is a string sorts UTF8String-binary,
+    * which differs from java.lang.String's UTF-16 order for
+    * supplementary characters. */
+  private val anyOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported node id type for driver graph twin: ${a.getClass}")
+    }
+  }
+
+  /** (node, double) result frame with the node column keeping the
+    * input frame's exact field type/nullability. */
+  private def smallResult(spark: org.apache.spark.sql.SparkSession,
+                          nodeField: org.apache.spark.sql.types.StructField,
+                          cols: Seq[(String, Array[Double])],
+                          nodesInOrder: Array[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = StructType(nodeField.copy(name = "node") +:
+      cols.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
+    val rows = nodesInOrder.indices.map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        nodesInOrder(i) +: cols.map(_._2(i)))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Weighted PageRank with uniform teleport and uniform dangling-mass
     * redistribution:
     *
@@ -73,6 +146,63 @@ object Graph {
       .persistT
     val nNodes = n.count().toDouble
     val teleport = (1.0 - damping) / nNodes
+    // driver-gated exact twin (see the header note above driverGate):
+    // identical fold orders, bit-equal ranks, ~20 query stages saved.
+    if (driverGate(edges0, nNodes.toLong).isDefined) {
+      val nodeField = n.schema.fields(0)
+      val nodeVals = n.collect().map(_.get(0))
+      // integral weights (the documented contract): collect the RAW
+      // aggregated edges and normalize locally — integer out-strength
+      // sums are order-free and w/wout is the identical double, so this
+      // skips the distributed wout aggregate + join stages entirely.
+      // A non-integral w falls back to collecting the normalized frame.
+      val wIntegral = edges0.schema("w").dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+      val eRows: Array[(Any, Any, Double)] = if (wIntegral) {
+        val raw = edges0.collect().map(r =>
+          (r.get(0), r.get(1), r.get(2).asInstanceOf[Number].longValue))
+        val wout = raw.groupBy(_._1).map { case (s, a) => s -> a.map(_._3).sum }
+        raw.map(t => (t._1, t._2, t._3.toDouble / wout(t._1).toDouble))
+      } else {
+        e.select(col("src"), col("dst"), col("frac")).collect()
+          .map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      }
+      edges0.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      n.unpersist(blocking = false)
+      val rankSet = nodeVals.toSet
+      // in-edges per dst, sorted by (src, frac): rank(src) > 0 always
+      // (teleport > 0), so (src, rank·frac) order ≡ (src, frac) order —
+      // the same total order array_sort(struct(src, c)) folds in
+      val inEdges: Map[Any, Array[(Any, Double)]] = eRows
+        .filter(t => rankSet.contains(t._1))
+        .groupBy(_._2)
+        .map { case (dst, arr) =>
+          dst -> arr.map(t => (t._1, t._3))
+            .sortBy(identity)(Ordering.Tuple2(anyOrd, Ordering.Double.TotalOrdering))
+        }
+      val hasOut = eRows.iterator.map(_._1).toSet
+      val dangling = nodeVals.filter(v => !hasOut.contains(v)).sorted(anyOrd)
+      var rank: Map[Any, Double] =
+        nodeVals.iterator.map(v => v -> 1.0 / nNodes).toMap
+      for (_ <- 0 until iters) {
+        val dang = dangling.foldLeft(0.0)((acc, v) => acc + rank(v))
+        val cur = rank
+        rank = nodeVals.iterator.map { v =>
+          val inflow = inEdges.get(v) match {
+            case Some(cs) => cs.foldLeft(0.0)((acc, sc) => acc + cur(sc._1) * sc._2)
+            case None => 0.0
+          }
+          v -> (teleport + damping * (inflow + dang / nNodes))
+        }.toMap
+      }
+      return smallResult(edges.sparkSession, nodeField,
+        Seq("rank" -> nodeVals.map(rank)), nodeVals)
+    }
     // the dangling SET is iteration-invariant (only its mass changes):
     // resolve it once instead of re-running the src-distinct shuffle
     // plus anti-join inside every iteration
@@ -173,6 +303,54 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .persistT
     val nNodes = n.count().toDouble
+    // driver-gated exact twin (see the header note above driverGate):
+    // identical fold orders, bit-equal hub/auth scores.
+    if (driverGate(e, nNodes.toLong).isDefined) {
+      val nodeField = n.schema.fields(0)
+      val nodeVals = n.collect().map(_.get(0))
+      val eRows = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      e.unpersist(blocking = false)
+      n.unpersist(blocking = false)
+      val nodeSet = nodeVals.toSet
+      val nodesAsc = nodeVals.sorted(anyOrd)
+      val tupOrd = Ordering.Tuple2(anyOrd, Ordering.Double.TotalOrdering)
+      // scores are ≥ 0 throughout (w > 0 contract, init 1/N > 0), so
+      // (key, score·w) sorts as (key, w) — equal keys with equal w give
+      // identical contributions and the fold is permutation-safe
+      val inBySrcKey: Map[Any, Array[(Any, Double)]] = eRows
+        .filter(t => nodeSet.contains(t._1))
+        .groupBy(_._2).map { case (dst, arr) =>
+          dst -> arr.map(t => (t._1, t._3)).sortBy(identity)(tupOrd) }
+      val outByDstKey: Map[Any, Array[(Any, Double)]] = eRows
+        .filter(t => nodeSet.contains(t._2))
+        .groupBy(_._1).map { case (src, arr) =>
+          src -> arr.map(t => (t._2, t._3)).sortBy(identity)(tupOrd) }
+      var hub: Map[Any, Double] = nodeVals.iterator.map(v => v -> 1.0 / nNodes).toMap
+      var auth: Map[Any, Double] = null
+      for (_ <- 0 until iters) {
+        val h = hub
+        val authRaw = nodeVals.iterator.map { v =>
+          v -> (inBySrcKey.get(v) match {
+            case Some(cs) => cs.foldLeft(0.0)((acc, sw) => acc + h(sw._1) * sw._2)
+            case None => 0.0
+          })
+        }.toMap
+        val aTot = nodesAsc.foldLeft(0.0)((acc, v) => acc + authRaw(v))
+        auth = nodeVals.iterator.map(v => v -> authRaw(v) / aTot).toMap
+        val a = auth
+        val hubRaw = nodeVals.iterator.map { v =>
+          v -> (outByDstKey.get(v) match {
+            case Some(cs) => cs.foldLeft(0.0)((acc, dw) => acc + a(dw._1) * dw._2)
+            case None => 0.0
+          })
+        }.toMap
+        val hTot = nodesAsc.foldLeft(0.0)((acc, v) => acc + hubRaw(v))
+        hub = nodeVals.iterator.map(v => v -> hubRaw(v) / hTot).toMap
+      }
+      val (hc, ac) = (hub, auth)
+      return smallResult(edges.sparkSession, nodeField,
+        Seq("hub" -> nodeVals.map(hc), "auth" -> nodeVals.map(ac)), nodeVals)
+    }
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var hub = n.select(col("node"), (lit(1.0) / lit(nNodes)).as("hub")).persistT
     levels += hub
@@ -314,6 +492,45 @@ object Graph {
     val nodeCol = nodes.columns.head
     val n = nodes.select(col(nodeCol).as("node")).persistT
     val e = symmetrized(edges).persistT
+    // driver-gated exact twin (see the header note above driverGate):
+    // all-integer weight sums + (weight desc, label asc) argmax —
+    // order-free arithmetic, so equality with the distributed loop is
+    // exact by construction.
+    if (driverGate(e, n.count()).isDefined) {
+      val nodeField = n.schema.fields(0)
+      val nodeVals = n.collect().map(_.get(0))
+      val eRows = e.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      e.unpersist(blocking = false)
+      n.unpersist(blocking = false)
+      val nodeSet = nodeVals.toSet
+      // incident (src, w) per dst, srcs restricted to labeled nodes the
+      // way the distributed join restricts to the labels frame
+      val inEdges: Map[Any, Array[(Any, Long)]] = eRows
+        .filter(t => nodeSet.contains(t._1))
+        .groupBy(_._2).map { case (dst, arr) => dst -> arr.map(t => (t._1, t._3)) }
+      var lbl: Map[Any, Any] = nodeVals.iterator.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        val cur = lbl
+        lbl = nodeVals.iterator.map { v =>
+          val s = scala.collection.mutable.HashMap.empty[Any, Long]
+          inEdges.getOrElse(v, Array.empty).foreach { case (src, w) =>
+            val l = cur(src); s.update(l, s.getOrElse(l, 0L) + w)
+          }
+          if (s.isEmpty) v -> v
+          else v -> s.iterator.reduceLeft { (a, b) =>
+            // min struct(-s, lbl): larger weight wins, ties to the
+            // Catalyst-smaller label
+            if (b._2 > a._2 || (b._2 == a._2 && anyOrd.lt(b._1, a._1))) b else a
+          }._1
+        }.toMap
+      }
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val schema = StructType(Seq(nodeField.copy(name = "node"),
+        nodeField.copy(name = "community")))
+      val rows = nodeVals.map(v => org.apache.spark.sql.Row(v, lbl(v)))
+      return edges.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    }
     val chain = Lineage.newChain("lpa")
     // try/finally (ADVICE r11): a mid-loop failure must still close the
     // chain's bookkeeping (a strong SparkSession ref) and drop the

@@ -302,6 +302,51 @@ class GraphSpec extends SparkSpec {
     distsFrom(Seq(8, 99), 1) shouldBe Map(8 -> 0, 99 -> 0, 9 -> 1)
   }
 
+  test("driver twin ≡ distributed loop, bit-exact, for pageRank/hits/LPA (r16 gate)") {
+    // pseudo-random-ish graph, deterministic: 40 int nodes, ~300 edges
+    // incl. parallel-free aggregated weights, dangling nodes (36..39
+    // have no out-edges), an isolated node (39)
+    val nodes = (0 until 40).toSeq
+    val edges = (for (i <- 0 until 36; j <- 0 until 40
+                      if i != j && (i * 7 + j * 13) % 5 == 0)
+      yield (i, j, ((i * 31 + j * 17) % 9 + 1).toLong)).toSeq
+    def withGate[T](on: Boolean)(body: => T): T = {
+      val key = "spark.graft.graph.driverMaxNodes"
+      spark.conf.set(key, if (on) "1024" else "0")
+      try body finally spark.conf.unset(key)
+    }
+    def prOf(on: Boolean) = withGate(on) {
+      Graph.pageRank(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters = 3)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    def hitsOf(on: Boolean) = withGate(on) {
+      Graph.hits(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters = 2)
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    def lpaOf(on: Boolean) = withGate(on) {
+      Graph.labelPropagation(edges.toDF("src", "dst", "w"), nodes.toDF("node"), 4)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    }
+    prOf(true) shouldBe prOf(false)     // EXACT double equality
+    hitsOf(true) shouldBe hitsOf(false)
+    lpaOf(true) shouldBe lpaOf(false)
+    // string node ids take the UTF8-binary fold order path
+    val sNodes = (0 until 12).map(i => s"s$i")
+    val sEdges = (for (i <- 0 until 12; j <- 0 until 12
+                       if i != j && (i + j) % 3 == 0)
+      yield (s"s$i", s"s$j", (i + j + 1).toLong)).toSeq
+    def sprOf(on: Boolean) = withGate(on) {
+      Graph.pageRank(sEdges.toDF("src", "dst", "w"), sNodes.toDF("node"), 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    def slpaOf(on: Boolean) = withGate(on) {
+      Graph.labelPropagation(sEdges.toDF("src", "dst", "w"), sNodes.toDF("node"), 3)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    sprOf(true) shouldBe sprOf(false)
+    slpaOf(true) shouldBe slpaOf(false)
+  }
+
   test("modularity: exact hand-checked value on the two-triangle dumbbell") {
     // two triangles {1,2,3}, {4,5,6} + bridge (3,4), unit weights.
     // 2m = 14; per community: in = 6, tot = 7 → Q = 2·(6·14 − 49)/196

@@ -62,13 +62,23 @@ object Dedup {
     * expression (distinct tokens, k/4 seeded digests × 4 lanes, k
     * running mins in one eval per document), then one deliberate
     * repartition of the finished k·8B signature rows (see above). */
-  def minhashSignaturesNative(docs: DataFrame, k: Int = 32): DataFrame =
-    docs.select(col("doc_id"),
+  def minhashSignaturesNative(docs: DataFrame, k: Int = 32): DataFrame = {
+    // Narrow-input guard (r16): on a single-split fixture scan the
+    // digest loop ran on ONE core (measured 0.76 s of the kernel);
+    // redistributing FIRST moves the deliberate doc_id exchange in
+    // front of the eval so the signatures compute core-wide — same
+    // exchange count, same downstream partitioning. On an
+    // already-wide scan (the 100 TB regime, where shuffling text
+    // instead of 256-byte signatures would be a regression) the guard
+    // is the identity and the exchange stays AFTER the projection.
+    val spread = graft.ops.RelationalOps.spreadNarrowInput(docs, Seq(col("doc_id")))
+    val sigs = spread.select(col("doc_id"),
       org.apache.spark.sql.GraftSqlShim.column(MinHashSignature(
         org.apache.spark.sql.GraftSqlShim.expression(
           TextFunctions.tokens(col("text"))), k)).as("sig"))
       .where(col("sig").isNotNull)
-      .repartition(col("doc_id"))
+    if (spread eq docs) sigs.repartition(col("doc_id")) else sigs
+  }
 
   /** The distributed-aggregation formulation of [[minhashSignatures]]:
     * one explode + one hash-aggregate of k `min` columns, map-side

@@ -276,28 +276,39 @@ object Multimodal {
     * the decode stage; pairs ride [[phashNearDupPairs]] unchanged. */
   def audioFingerprint64(clips: Dataset[AudioClip]): Dataset[PHash] = {
     import clips.sparkSession.implicits._
-    clips.mapPartitions(_.map { c =>
-      val frames = 65
-      val e = new Array[Double](frames)
-      val n = c.n_samples
-      var i = 0
-      while (i < n) {
-        // frame index by integer proportion — exact, no fp boundary
-        val f = (i.toLong * frames / n).toInt
-        // energy of the DC-REMOVED signal (the [0,1) contract carries
-        // PCM as v/2+0.5): gain g scales every frame energy by g², so
-        // the pairwise ORDER of energies — all the hash reads — is
-        // exactly invariant. Raw Σv² would mix in the offset and break
-        // that.
-        val v = c.samples(i).toDouble - 0.5
-        e(f) += v * v
-        i += 1
-      }
-      var h = 0L
-      var b = 0
-      while (b < 64) { if (e(b + 1) > e(b)) h |= 1L << b; b += 1 }
-      PHash(c.media_id, h)
-    })
+    clips.mapPartitions(_.map(fingerprintOneAudio))
+  }
+
+  private def fingerprintOneAudio(c: AudioClip): PHash = {
+    val frames = 65
+    val e = new Array[Double](frames)
+    val n = c.n_samples
+    var i = 0
+    while (i < n) {
+      // frame index by integer proportion — exact, no fp boundary
+      val f = (i.toLong * frames / n).toInt
+      // energy of the DC-REMOVED signal (the [0,1) contract carries
+      // PCM as v/2+0.5): gain g scales every frame energy by g², so
+      // the pairwise ORDER of energies — all the hash reads — is
+      // exactly invariant. Raw Σv² would mix in the offset and break
+      // that.
+      val v = c.samples(i).toDouble - 0.5
+      e(f) += v * v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) h |= 1L << b; b += 1 }
+    PHash(c.media_id, h)
+  }
+
+  /** Fused decode→fingerprint — the [[audioFeaturesFused]] argument
+    * applied to the energy-delta hash (q177's decode stage). */
+  def audioFingerprint64Fused(media: Dataset[MediaFile],
+                              sampleRate: Int = 1000): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    spreadClips(media).mapPartitions(_.flatMap(m =>
+      decodeOneAudio(m, sampleRate).map(fingerprintOneAudio)))
   }
 
   /** Perceptual near-dup pairs by Hamming distance over [[aHash64]]
@@ -359,39 +370,72 @@ object Multimodal {
     * Swapping in further codecs changes only this dispatch. */
   def decodeAudio(media: Dataset[MediaFile], sampleRate: Int = 1000): Dataset[AudioClip] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap { m =>
-      if (Codecs.audioFormats(m.format.toLowerCase))
-        Codecs.decodeWav(m.content).map { case (rate, s) =>
-          var i = 0
-          while (i < s.length) { s(i) = s(i) / 2f + 0.5f; i += 1 }
-          AudioClip(m.media_id, rate, s.length, s)
-        }
-      else {
-        val n = math.max(1, (m.duration_ms * sampleRate / 1000).toInt)
-        val px = FakeCodec.decodeImage(m.content, n, 1)
-        Some(AudioClip(m.media_id, sampleRate, n, px))
-      }
-    })
+    media.mapPartitions(_.flatMap(decodeOneAudio(_, sampleRate)))
   }
+
+  /** Per-row decode shared by [[decodeAudio]] and the fused
+    * [[audioFeaturesFused]] / [[audioFingerprint64Fused]] paths — one
+    * code path, so the fused variants are sample-identical by
+    * construction (MultimodalSpec pins the equality end to end). */
+  private def decodeOneAudio(m: MediaFile, sampleRate: Int): Option[AudioClip] =
+    if (Codecs.audioFormats(m.format.toLowerCase))
+      Codecs.decodeWav(m.content).map { case (rate, s) =>
+        var i = 0
+        while (i < s.length) { s(i) = s(i) / 2f + 0.5f; i += 1 }
+        AudioClip(m.media_id, rate, s.length, s)
+      }
+    else {
+      val n = math.max(1, (m.duration_ms * sampleRate / 1000).toInt)
+      val px = FakeCodec.decodeImage(m.content, n, 1)
+      Some(AudioClip(m.media_id, sampleRate, n, px))
+    }
 
   /** Real single-pass audio features over decoded samples: RMS,
     * zero-crossing rate of the mean-centered signal, peak. */
   def audioFeatures(clips: Dataset[AudioClip]): Dataset[AudioFeatures] = {
     import clips.sparkSession.implicits._
-    clips.mapPartitions(_.map { c =>
-      val n = c.samples.length
-      var s2 = 0.0; var peak = 0.0; var crossings = 0
-      var i = 0
-      while (i < n) {
-        val v = c.samples(i).toDouble
-        s2 += v * v
-        if (v > peak) peak = v
-        if (i > 0 && ((c.samples(i - 1) - 0.5f) * (c.samples(i) - 0.5f) < 0f)) crossings += 1
-        i += 1
-      }
-      AudioFeatures(c.media_id, n, math.sqrt(s2 / n),
-        if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
-    })
+    clips.mapPartitions(_.map(featuresOneAudio))
+  }
+
+  private def featuresOneAudio(c: AudioClip): AudioFeatures = {
+    val n = c.samples.length
+    var s2 = 0.0; var peak = 0.0; var crossings = 0
+    var i = 0
+    while (i < n) {
+      val v = c.samples(i).toDouble
+      s2 += v * v
+      if (v > peak) peak = v
+      if (i > 0 && ((c.samples(i - 1) - 0.5f) * (c.samples(i) - 0.5f) < 0f)) crossings += 1
+      i += 1
+    }
+    AudioFeatures(c.media_id, n, math.sqrt(s2 / n),
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
+  }
+
+  /** Fused decode→features (r16 optimization, guide §4): the staged
+    * `audioFeatures(decodeAudio(...))` crosses the Dataset encoder
+    * boundary with the full sample array — at sf0.1 that is ~150 M
+    * floats serialized into Catalyst rows and deserialized back for
+    * one streaming fold (decode-only measured 1.73 s of q59's 2.63 s).
+    * Fusing keeps the samples as a JVM array local to one iterator
+    * step; per-row results are the identical objects because both
+    * paths share [[decodeOneAudio]]/[[featuresOneAudio]]. */
+  def audioFeaturesFused(media: Dataset[MediaFile],
+                         sampleRate: Int = 1000): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    spreadClips(media).mapPartitions(_.flatMap(m =>
+      decodeOneAudio(m, sampleRate).map(featuresOneAudio)))
+  }
+
+  /** Narrow-input guard for the audio decode (r16; guide §2.5/§6):
+    * the fixture documents file is ONE scan split, so the ~150 M
+    * sample decode ran single-task. Redistribute when the scan is
+    * narrower than the session's cores; identity on wide inputs. */
+  private def spreadClips(media: Dataset[MediaFile]): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    val target = media.sparkSession.sparkContext.defaultParallelism
+    if (media.queryExecution.toRdd.getNumPartitions >= target) media
+    else media.repartition(target, col("media_id")).as[MediaFile]
   }
 
   /** Fixed-length window sampling over a clip — the audio twin of video

@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Input-parallelism guard for expensive per-row compute stages
+    * (r16 optimization; guide §2.5 "input skew" / §6 "small files"):
+    * a fixture-sized parquet file arrives as ONE scan split
+    * (`openCostInBytes` floors the split size, and a single row group
+    * cannot split at all), so a narrow stage that does real per-row
+    * work — audio sample decode, the minhash digest loop, gram
+    * hashing — runs on one core no matter how many the session has
+    * (measured: q59's 150 M-sample decode single-task). When the
+    * compiled scan's partition count is below the session's default
+    * parallelism, redistribute BEFORE the expensive projection
+    * (hash-partitioned when key columns are given so a downstream
+    * keyed exchange is already satisfied, round-robin otherwise);
+    * when the input is already at least core-wide — the 100 TB
+    * regime, where scans arrive in thousands of splits — this is the
+    * identity and adds NOTHING to the plan. Deciding from the plan's
+    * partition count keeps it scale-adaptive rather than a local-mode
+    * constant (ShufflePolicy discipline). */
+  def spreadNarrowInput(df: DataFrame, partitionCols: Seq[Column] = Nil): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.queryExecution.toRdd.getNumPartitions // plan-time; runs no job
+    if (cur >= target) df
+    else if (partitionCols.nonEmpty) df.repartition(target, partitionCols: _*)
+    else df.repartition(target)
+  }
+
   /** A2 (`drop_duplicates(subset=keys)` keep-first) with an explicit
     * total order. One shuffle on `keys`; window stays within the
     * shuffled partition, no second exchange.

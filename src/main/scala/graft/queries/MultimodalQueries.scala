@@ -82,9 +82,12 @@ object MultimodalQueries {
     * samples give corpus-average RMS ≈ sqrt(1/3) ≈ 0.577 and centered
     * zero-crossing rate ≈ 0.5. */
   private def q59(s: SparkSession, d: String): DataFrame = {
-    val feats = Multimodal.audioFeatures(
-      Multimodal.decodeAudio(
-        Multimodal.audioFromDocuments(s, Tables.documents(s, d))))
+    // fused decode→features (r16): same per-row helpers as the staged
+    // audioFeatures(decodeAudio(...)) — MultimodalSpec pins equality —
+    // without serializing the sample arrays through the Dataset
+    // encoder boundary between the two mapPartitions stages
+    val feats = Multimodal.audioFeaturesFused(
+      Multimodal.audioFromDocuments(s, Tables.documents(s, d)))
     feats.toDF()
       .agg(count(lit(1)).as("n_clips"),
            sum(col("n_samples")).as("sum_samples"),
@@ -181,7 +184,8 @@ object MultimodalQueries {
     val clips = Multimodal.audioFromDocuments(s, Tables.documents(s, d))
       .map(m => if (m.media_id % 25 == 1)
         m.copy(content = planted, duration_ms = 6400L) else m)
-    val fp = Multimodal.audioFingerprint64(Multimodal.decodeAudio(clips))
+    // fused decode→fingerprint (r16) — the q59 fusion argument
+    val fp = Multimodal.audioFingerprint64Fused(clips)
       .toDF().persistT
     val groups = fp.groupBy("phash")
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))

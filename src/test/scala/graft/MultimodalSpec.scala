@@ -89,6 +89,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fused audio paths ≡ staged decode→features / decode→fingerprint (r16)") {
+    val staged = Multimodal.audioFeatures(Multimodal.decodeAudio(audio))
+      .collect().map(f => f.media_id -> f).toMap
+    val fused = Multimodal.audioFeaturesFused(audio)
+      .collect().map(f => f.media_id -> f).toMap
+    fused.keySet shouldBe staged.keySet
+    fused.foreach { case (id, f) =>
+      val s = staged(id)
+      // EXACT doubles: both paths share the same per-row helpers
+      (f.n_samples, f.rms, f.zero_cross_rate, f.peak) shouldBe
+        ((s.n_samples, s.rms, s.zero_cross_rate, s.peak))
+    }
+    val stagedFp = Multimodal.audioFingerprint64(Multimodal.decodeAudio(audio))
+      .collect().map(p => p.media_id -> p.phash).toMap
+    val fusedFp = Multimodal.audioFingerprint64Fused(audio)
+      .collect().map(p => p.media_id -> p.phash).toMap
+    fusedFp shouldBe stagedFp
+  }
+
   test("sampleWindows: every 2nd fixed-size window, sizes preserved") {
     val clips = Multimodal.decodeAudio(audio).limit(1)
     val c = clips.head(1)(0)

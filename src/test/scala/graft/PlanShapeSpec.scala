@@ -60,20 +60,31 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("q117 PageRank: dimension joins broadcast; iteration frames never shuffle the fact table again") {
+    // r16: the nation-graph iteration takes the driver-gated twin, so
+    // the final frame is a gate-bounded LOCAL relation joined to the
+    // nation dim — no lineitem scan, no iteration exchanges at all
     val df = SparkEntry.queries("q117_trade_pagerank")(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    // the final rank frame rides the persisted iteration chain: its own
-    // tree holds NO lineitem file scan (the fact join ran once, inside
-    // the cached edge build) — only cache reads + the nation dim scan
-    planString(df) should include("InMemoryTableScan")
     val fileScans = collect(plan) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     fileScans.map(_.toString).filter(_.contains("lineitem")) shouldBe empty
-    // customer/supplier dims broadcast into the edge build (visible in
-    // the cached edge plan, which the full string rendering includes)
-    planString(df) should include("BroadcastHashJoin")
+    planString(df) should include("LocalTableScan")
+    // the DISTRIBUTED loop (gate disabled) keeps the r13 contract:
+    // final frame rides the persisted iteration chain (cache reads,
+    // no lineitem re-scan), dims broadcast into the edge build
+    spark.conf.set("spark.graft.graph.driverMaxNodes", "0")
+    try {
+      val dd = SparkEntry.queries("q117_trade_pagerank")(spark, sf0001)
+      dd.collect()
+      val dplan = dd.queryExecution.executedPlan
+      planString(dd) should include("InMemoryTableScan")
+      collect(dplan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.toString).filter(_.contains("lineitem")) shouldBe empty
+      planString(dd) should include("BroadcastHashJoin")
+    } finally spark.conf.unset("spark.graft.graph.driverMaxNodes")
   }
 
   test("q120 session co-occurrence: ONE user-keyed window shuffle; pair expansion is a narrow transform") {

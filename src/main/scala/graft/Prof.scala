@@ -61,6 +61,28 @@ object Prof {
       val sg = sigs().persist()
       Dedup.bandedOf(sg, 4, 8)
     }
+    def bandedP(): DataFrame = {
+      val sg = sigs().persist()
+      Dedup.bandedOf(sg, 4, 8).persist()
+    }
+    time("k_census") {
+      bandedP().groupBy("band", "bh")
+        .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
+    }
+    time("k_selfjoin_raw") {
+      val b = bandedP()
+      b.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(b.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    time("k_selfjoin_distinct") {
+      val b = bandedP()
+      b.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(b.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
     time("k_pairs_full")(Dedup.minhashCandidatePairs(sigs(), 4, 8, 0.7, 1000))
     time("q29_registered")(SparkEntry.queries("q29_minhash_lsh_pairs")(spark, sfDir))
 

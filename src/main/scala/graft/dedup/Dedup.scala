@@ -234,8 +234,12 @@ object Dedup {
     * ~6× slower at sf0.1). */
   def ngramHashes(docs: DataFrame, n: Int = 13): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))
-    val toks = docs.where(size(tk) >= n)
-      .select(col("doc_id"), tk.as("tk"))
+    // narrow-input guard (r16): the per-position md5 loop is the
+    // expensive projection — on a single-split fixture scan it ran on
+    // one core; identity on wide inputs (see spreadNarrowInput)
+    val toks = graft.ops.RelationalOps.spreadNarrowInput(
+      docs.where(size(tk) >= n).select(col("doc_id"), tk.as("tk")),
+      Seq(col("doc_id")))
     val gramArr = transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
       i => graft.text.Hashing.h60(array_join(slice(col("tk"), i, lit(n)), " ")))
     toks.select(col("doc_id"), explode(gramArr).as("gh"))
@@ -318,9 +322,11 @@ object Dedup {
         concat(acc.getField("done"),
           array(h60(array_join(acc.getField("cur"), " ")))))
         .otherwise(acc.getField("done")))
-    docs
-      .where(size(TextFunctions.tokens(col("text"))) >= 1)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    graft.ops.RelationalOps.spreadNarrowInput(
+        docs
+          .where(size(TextFunctions.tokens(col("text"))) >= 1)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk")),
+        Seq(col("doc_id"))) // r16 narrow-input guard — see spanScrub
       .select(col("doc_id"), folded.as("chs"))
   }
 
@@ -347,8 +353,9 @@ object Dedup {
     val chunkStr = (i: Column) => array_join(slice(col("tk"), i * w + 1, lit(w)), " ")
     // token array materialized BEFORE the per-chunk lambda (no CSE
     // inside higher-order functions — the ngramHashes lesson)
-    val withChunks = docs.select(col("doc_id"), tk.as("tk"))
-      .where(size(col("tk")) >= 1)
+    val withChunks = graft.ops.RelationalOps.spreadNarrowInput(
+        docs.select(col("doc_id"), tk.as("tk")).where(size(col("tk")) >= 1),
+        Seq(col("doc_id"))) // r16 narrow-input guard — see spanScrub
       .select(col("doc_id"), col("tk"),
         transform(sequence(lit(0), nChunks - 1),
           i => graft.text.Hashing.h60(chunkStr(i))).as("ch"))
@@ -713,8 +720,11 @@ object Dedup {
   def spanScrub(docs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val L = minLen
-    val toked = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    // narrow-input guard (r16): the L-window md5 transform below is
+    // the expensive projection — spread a single-split scan core-wide
+    val toked = graft.ops.RelationalOps.spreadNarrowInput(
+      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts")),
+      Seq(col("doc_id")))
     val toks = toked.select(col("doc_id"), posexplode(col("ts")))
       .toDF("doc_id", "pos", "tok")
     val grams = toked.where(size(col("ts")) >= L)
@@ -778,9 +788,11 @@ object Dedup {
   def dupSpansAgainst(batch: DataFrame, corpus: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val L = minLen
-    def gramsOf(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= L)
+    def gramsOf(docs: DataFrame): DataFrame = graft.ops.RelationalOps
+      .spreadNarrowInput( // r16 narrow-input guard — see spanScrub
+        docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+          .where(size(col("ts")) >= L),
+        Seq(col("doc_id")))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - L),
         i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))
@@ -828,9 +840,11 @@ object Dedup {
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val L = minLen
-    val grams = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= L)
+    val grams = graft.ops.RelationalOps
+      .spreadNarrowInput( // r16 narrow-input guard — see spanScrub
+        docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+          .where(size(col("ts")) >= L),
+        Seq(col("doc_id")))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - L),
         i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))

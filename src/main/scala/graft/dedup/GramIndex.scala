@@ -274,9 +274,11 @@ object GramIndex {
     * stats. */
   private[dedup] def gramsOf(docs: DataFrame, L: Int): DataFrame = {
     val src = if (docs.columns.contains("source")) col("source") else lit("")
-    docs.select(col("doc_id"), src.as("source"),
-        TextFunctions.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= L)
+    graft.ops.RelationalOps.spreadNarrowInput( // r16 narrow-input guard
+        docs.select(col("doc_id"), src.as("source"),
+            TextFunctions.tokens(col("text")).as("ts"))
+          .where(size(col("ts")) >= L),
+        Seq(col("doc_id")))
       .select(col("doc_id"), col("source"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - L),
         i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))

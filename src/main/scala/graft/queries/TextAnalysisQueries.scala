@@ -99,23 +99,29 @@ object TextAnalysisQueries {
     val pairs = Dedup.minhashCandidatePairs(Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
       .persistT // token-overlap join + two size joins + the fold
-    val tk = docs0(s, d)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .distinct()
-      .persistT // sizes + both overlap arms
-    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs.select(col("doc_a"), col("doc_b"))
-      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    // Per-doc DISTINCT token sets as per-row arrays (r16, the q196
+    // argument): the exploded overlap join carried |pairs|×|shared
+    // tokens| rows through two exchanges and a pair-keyed aggregate;
+    // attaching the ≤|doc| arrays to each pair and counting
+    // size(array_intersect(...)) per row computes the identical i/na/nb
+    // in ONE narrow stage. array_distinct is a per-row transform — the
+    // (doc_id, tok) distinct exchange and the sizes aggregate are gone.
+    // The i >= 1 filter reproduces the old inner join to the overlap
+    // aggregate (a candidate with zero shared tokens dropped there).
+    val tkSets = docs0(s, d).select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("tks"))
     // m = 32·est is EXACT (est is an agreement count over 32, a small
     // dyadic rational, so the double round-trips); u = |a ∪ b|. All
     // three e9 fixed-point columns are integer div/abs over longs —
     // m·u ≤ 32·|vocab|² and i·1e9 ≤ |doc|·1e9 both fit comfortably.
     val scored = pairs
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(tkSets.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
+      .join(tkSets.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        size(array_intersect(col("ta"), col("tb"))).cast(LongType).as("i"),
+        size(col("ta")).cast(LongType).as("na"),
+        size(col("tb")).cast(LongType).as("nb"))
+      .where(col("i") >= 1)
       .select(col("doc_a"), col("doc_b"), col("i"),
         (col("est_jaccard") * 32).cast(LongType).as("m"),
         (col("na") + col("nb") - col("i")).as("u"),

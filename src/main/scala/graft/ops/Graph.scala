@@ -414,11 +414,91 @@ object Graph {
     *         clustering = 3T/W; nodes = endpoints of ≥1 edge)
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges
+    val und0 = edges
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+    // driver-gated exact twin (see driverGate's header note): the
+    // census is all integers (exact regardless of execution order);
+    // the distributed path costs 3 persists + a wedge join — ~10
+    // query stages for a dimension-sized graph. Same degree-ordered
+    // orientation, so the driver does the identical O(Σ C(outdeg,2))
+    // wedge work, just single-threaded.
+    val maxE = edges.sparkSession.conf
+      .getOption("spark.graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(500000L)
+    if (maxE > 0L) {
+      val undC = und0.persistT
+      val nE = undC.count()
+      if (nE <= maxE) {
+        val arr = undC.collect().map(r => (r.get(0), r.get(1)))
+        undC.unpersist(blocking = false)
+        // dense int ids so the hot loops are primitive-array work
+        // (the first HashSet-of-tuples formulation was SLOWER than the
+        // distributed join on clique-heavy near-dup graphs)
+        val id = scala.collection.mutable.HashMap.empty[Any, Int]
+        def idOf(v: Any): Int = id.getOrElseUpdate(v, id.size)
+        val ea = new Array[Int](arr.length); val eb = new Array[Int](arr.length)
+        var x = 0
+        while (x < arr.length) { ea(x) = idOf(arr(x)._1); eb(x) = idOf(arr(x)._2); x += 1 }
+        val nN = id.size
+        val nodeVal = new Array[Any](nN)
+        id.foreach { case (v, i) => nodeVal(i) = v }
+        val deg = new Array[Long](nN)
+        x = 0; while (x < arr.length) { deg(ea(x)) += 1; deg(eb(x)) += 1; x += 1 }
+        // orient (deg, id)-smaller → larger; triangle count = Σ over
+        // oriented edges (a,b) of |out(a) ∩ out(b)| — each triangle
+        // counted once at its lowest-rank vertex (the same orientation
+        // the distributed wedge join uses), all integer arithmetic
+        def fwd(a: Int, b: Int): Boolean =
+          deg(a) < deg(b) || (deg(a) == deg(b) && anyOrd.lt(nodeVal(a), nodeVal(b)))
+        val outDeg = new Array[Int](nN)
+        x = 0
+        while (x < arr.length) {
+          if (fwd(ea(x), eb(x))) outDeg(ea(x)) += 1 else outDeg(eb(x)) += 1
+          x += 1
+        }
+        val outAdj = Array.tabulate(nN)(i => new Array[Int](outDeg(i)))
+        val fill = new Array[Int](nN)
+        x = 0
+        while (x < arr.length) {
+          val (a, b) = if (fwd(ea(x), eb(x))) (ea(x), eb(x)) else (eb(x), ea(x))
+          outAdj(a)(fill(a)) = b; fill(a) += 1
+          x += 1
+        }
+        var i0 = 0
+        while (i0 < nN) { java.util.Arrays.sort(outAdj(i0)); i0 += 1 }
+        var tri = 0L
+        x = 0
+        while (x < arr.length) {
+          val (a, b) = if (fwd(ea(x), eb(x))) (ea(x), eb(x)) else (eb(x), ea(x))
+          val (oa, ob) = (outAdj(a), outAdj(b))
+          var i = 0; var j = 0
+          while (i < oa.length && j < ob.length) {
+            if (oa(i) == ob(j)) { tri += 1; i += 1; j += 1 }
+            else if (oa(i) < ob(j)) i += 1
+            else j += 1
+          }
+          x += 1
+        }
+        val nNodes = nN.toLong
+        val nWedges = deg.iterator.map(d => d * (d - 1) / 2).sum
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("n_nodes", LongType, nullable = false),
+          StructField("n_edges", LongType, nullable = false),
+          StructField("n_wedges", LongType, nullable = true),
+          StructField("n_triangles", LongType, nullable = false),
+          StructField("clustering", DoubleType, nullable = true)))
+        val row = org.apache.spark.sql.Row(nNodes, nE, nWedges, tri,
+          tri.toDouble * 3.0 / nWedges.toDouble)
+        return edges.sparkSession.createDataFrame(
+          java.util.Arrays.asList(row), schema)
+      }
+      undC.unpersist(blocking = false)
+    }
+    val und = und0
       .persistT // feeds the degree pass AND the orientation join
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -635,6 +715,36 @@ object Graph {
     try {
       var e = Lineage.cut(edges.select(col("a"), col("b")), chain)
       var prev = e.count()
+      // driver-gated exact twin (see driverGate's header note): the
+      // peeling fixpoint is monotone integer set shrinkage — execution
+      // order cannot change it — and the edge count needed for the
+      // gate is the count the loop takes anyway. R distributed rounds
+      // = ~4R query stages; the twin is one collect.
+      val maxE = edges.sparkSession.conf
+        .getOption("spark.graft.graph.driverMaxEdges")
+        .map(_.toLong).getOrElse(500000L)
+      if (prev <= maxE && maxE > 0L) {
+        val schema = e.schema
+        var arr = e.collect().map(r => (r.get(0), r.get(1)))
+        var rounds = 0
+        var converged = arr.length == 0
+        while (!converged) {
+          require(rounds < maxRounds,
+            s"kCore did not converge within $maxRounds rounds (edges=${arr.length})")
+          val deg = scala.collection.mutable.HashMap.empty[Any, Long]
+          arr.foreach { t =>
+            deg.update(t._1, deg.getOrElse(t._1, 0L) + 1L)
+            deg.update(t._2, deg.getOrElse(t._2, 0L) + 1L)
+          }
+          val next = arr.filter(t => deg(t._1) >= k && deg(t._2) >= k)
+          converged = next.length == arr.length
+          arr = next
+          rounds += 1
+        }
+        val rows = arr.map(t => org.apache.spark.sql.Row(t._1, t._2))
+        return edges.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      }
       var rounds = 0
       var converged = prev == 0L
       while (!converged) {
@@ -691,8 +801,41 @@ object Graph {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b"))
         .where(col("a") =!= col("b")))
       .distinct().persist()
-    adj.count() // materialize once; every round probes it
+    val nAdj = adj.count() // materialize once; every round probes it
     val seed0 = seeds.toDF("node").distinct()
+    // driver-gated exact twin (see driverGate's header note): BFS
+    // distances are integers from a deterministic frontier fixpoint —
+    // order-free. Gated on the adjacency count the loop materializes
+    // anyway; type-guarded so a seed/edge type mismatch falls through
+    // to the distributed union (which coerces).
+    val maxE = edges.sparkSession.conf
+      .getOption("spark.graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(500000L)
+    if (nAdj <= maxE && maxE > 0L &&
+        adj.schema.fields(0).dataType == seed0.schema.fields(0).dataType) {
+      val adjMap = adj.collect().map(r => (r.get(0), r.get(1)))
+        .groupBy(_._1).map { case (a, arr) => a -> arr.map(_._2) }
+      val seedVals = seed0.collect().map(_.get(0))
+      adj.unpersist(blocking = false)
+      val visited = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+      seedVals.foreach(v => visited.update(v, 0))
+      var frontier: Iterable[Any] = seedVals.toSeq
+      var r = 1
+      while (r <= maxHops && frontier.nonEmpty) {
+        val next = frontier.iterator
+          .flatMap(v => adjMap.getOrElse(v, Array.empty[Any]))
+          .filter(!visited.contains(_)).toSet
+        next.foreach(v => visited.update(v, r))
+        frontier = next
+        r += 1
+      }
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val schema = StructType(Seq(seed0.schema.fields(0).copy(name = "node"),
+        StructField("dist", IntegerType, nullable = false)))
+      val rows = visited.toSeq.map { case (v, d) => org.apache.spark.sql.Row(v, d) }
+      return edges.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    }
     // TWO live frames per round (frontier + visited) → two distinct
     // cut-chains, unique per invocation, so reliable-mode pruning only
     // ever deletes a checkpoint this loop has finished reading

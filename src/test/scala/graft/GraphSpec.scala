@@ -327,9 +327,31 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(edges.toDF("src", "dst", "w"), nodes.toDF("node"), 4)
         .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     }
+    def withEdgeGate[T](on: Boolean)(body: => T): T = {
+      val key = "spark.graft.graph.driverMaxEdges"
+      spark.conf.set(key, if (on) "500000" else "0")
+      try body finally spark.conf.unset(key)
+    }
+    val und = edges.map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter(t => t._1 != t._2)
+    def kcoreOf(on: Boolean) = withEdgeGate(on) {
+      Graph.kCore(und.toDF("a", "b"), k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    }
+    def bfsOf(on: Boolean) = withEdgeGate(on) {
+      Graph.bfs(und.toDF("a", "b"), Seq(0, 39).toDF("node"), maxHops = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    }
     prOf(true) shouldBe prOf(false)     // EXACT double equality
     hitsOf(true) shouldBe hitsOf(false)
     lpaOf(true) shouldBe lpaOf(false)
+    kcoreOf(true) shouldBe kcoreOf(false)
+    bfsOf(true) shouldBe bfsOf(false)
+    def triOf(on: Boolean) = withEdgeGate(on) {
+      Graph.triangleStats(edges.toDF("src", "dst", "w").drop("w"))
+        .collect()(0).toSeq
+    }
+    triOf(true) shouldBe triOf(false)
     // string node ids take the UTF8-binary fold order path
     val sNodes = (0 until 12).map(i => s"s$i")
     val sEdges = (for (i <- 0 until 12; j <- 0 until 12

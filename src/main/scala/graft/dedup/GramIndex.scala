@@ -274,11 +274,19 @@ object GramIndex {
     * stats. */
   private[dedup] def gramsOf(docs: DataFrame, L: Int): DataFrame = {
     val src = if (docs.columns.contains("source")) col("source") else lit("")
-    graft.ops.RelationalOps.spreadNarrowInput( // r16 narrow-input guard
+    // r16 narrow-input guard — ROUND-ROBIN on purpose, never a hash
+    // claim: a doc_id-hash spread here flows through the broadcast
+    // semi joins of multi-segment probes, every union child then
+    // claims the same HashPartitioning, Spark 4.1's UnionExec
+    // propagates it, and AQE elides the different-key repartition
+    // matchedWindows depends on for cross-segment dedup (the
+    // unionOutputPartitioning hazard — caught by LibraryLintSpec on
+    // q305). RoundRobinPartitioning satisfies no ClusteredDistribution,
+    // so no downstream barrier can ever be elided by this spread.
+    graft.ops.RelationalOps.spreadNarrowInput(
         docs.select(col("doc_id"), src.as("source"),
             TextFunctions.tokens(col("text")).as("ts"))
-          .where(size(col("ts")) >= L),
-        Seq(col("doc_id")))
+          .where(size(col("ts")) >= L))
       .select(col("doc_id"), col("source"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - L),
         i => md5(array_join(slice(col("ts"), i + 1, lit(L)), " ")))))

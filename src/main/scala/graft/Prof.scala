@@ -84,6 +84,38 @@ object Prof {
         .select("doc_a", "doc_b").distinct()
     }
     time("k_pairs_full")(Dedup.minhashCandidatePairs(sigs(), 4, 8, 0.7, 1000))
+    // verify-phase decomposition: where do the ~1.4 s between
+    // selfjoin_distinct (0.60) and pairs_full (2.07) go?
+    def distinctPairs(): (DataFrame, DataFrame) = {
+      val sg = sigs().persist()
+      val b = Dedup.bandedOf(sg, 4, 8)
+      val p = b.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(b.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").persist()
+      (p, sg)
+    }
+    time("k_verify_attach_only") { // pairs + two sig joins, no est
+      val (p, sg) = distinctPairs()
+      p.join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    time("k_verify_est") { // + the unrolled 32-way agreement and filter
+      val (p, sg) = distinctPairs()
+      p.join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), Dedup.sigAgreement(32).as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.7)
+    }
+    time("k_verify_est_dedup") { // + the trailing dropDuplicates
+      val (p, sg) = distinctPairs()
+      p.join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), Dedup.sigAgreement(32).as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.7)
+        .dropDuplicates("doc_a", "doc_b")
+    }
     time("q29_registered")(SparkEntry.queries("q29_minhash_lsh_pairs")(spark, sfDir))
 
     // q136 HITS: edge build vs iteration cost

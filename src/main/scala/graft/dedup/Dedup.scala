@@ -71,13 +71,23 @@ object Dedup {
     // already-wide scan (the 100 TB regime, where shuffling text
     // instead of 256-byte signatures would be a regression) the guard
     // is the identity and the exchange stays AFTER the projection.
-    val spread = graft.ops.RelationalOps.spreadNarrowInput(docs, Seq(col("doc_id")))
+    // Null filter on the INPUT, not the signature (r16): `sig` is null
+    // exactly when `text` is null — tokens() is split(lower(trim(..)))
+    // which yields at least [""] for any non-null text, and
+    // MinHashSignature hashes that one empty token (DedupSpec pins the
+    // equivalence). Filtering `sig.isNotNull` instead let Catalyst
+    // substitute the alias and push `isnotnull(graft_minhash(...))`
+    // below the spread exchange into the single-split scan stage — the
+    // whole digest loop ran TWICE per doc, once on ONE core, defeating
+    // the spread. `text IS NOT NULL` pushes to the parquet scan for
+    // free.
+    val alive = docs.where(col("text").isNotNull)
+    val spread = graft.ops.RelationalOps.spreadNarrowInput(alive, Seq(col("doc_id")))
     val sigs = spread.select(col("doc_id"),
       org.apache.spark.sql.GraftSqlShim.column(MinHashSignature(
         org.apache.spark.sql.GraftSqlShim.expression(
           TextFunctions.tokens(col("text"))), k)).as("sig"))
-      .where(col("sig").isNotNull)
-    if (spread eq docs) sigs.repartition(col("doc_id")) else sigs
+    if (spread eq alive) sigs.repartition(col("doc_id")) else sigs
   }
 
   /** The distributed-aggregation formulation of [[minhashSignatures]]:
@@ -445,15 +455,18 @@ object Dedup {
 
   /** Estimated Jaccard of a candidate pair = fraction of agreeing
     * signature positions, over attached `sig_a`/`sig_b` columns.
-    * Unrolled element_at/when terms instead of zip_with+aggregate: the
-    * higher-order functions evaluate interpreted per row while the
-    * unrolled form stays inside whole-stage codegen — this is the hot
-    * expression of every verification join (self-join, between-tables
-    * probe, and the standing-index probe all share it). */
+    * The native fused-loop [[SigAgreement]] expression (r16): the
+    * previous unrolled element_at/when tree — itself a round-1 upgrade
+    * over interpreted zip_with+aggregate — was SUBSTITUTED by Catalyst
+    * through the projection into the verification join's non-equi
+    * condition, so its ~100 nodes evaluated twice per raw candidate
+    * pair (~5M per kernel run at sf0.1). One codegen'd loop per eval
+    * instead; value-identical by construction (exact small-int count,
+    * same double divide — DedupSpec pins it against the tree). */
   private[graft] def sigAgreement(k: Int): org.apache.spark.sql.Column =
-    (0 until k)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _) / lit(k)
+    org.apache.spark.sql.GraftSqlShim.column(SigAgreement(
+      org.apache.spark.sql.GraftSqlShim.expression(col("sig_a")),
+      org.apache.spark.sql.GraftSqlShim.expression(col("sig_b")), k))
 
   /** Banding projection shared by the self-join and between-table
     * candidate generators: one (doc_id, band, bh) row per band. */

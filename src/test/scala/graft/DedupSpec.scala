@@ -263,6 +263,45 @@ class DedupSpec extends SparkSpec {
     native shouldBe viaAgg
   }
 
+  test("native SigAgreement equals the unrolled element_at/when tree; null array -> 0.0") {
+    val k = 16
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      val a = Array.fill(k)(rnd.nextInt(4).toLong) // small domain -> frequent agreement
+      val b = Array.fill(k)(rnd.nextInt(4).toLong)
+      (i.toLong, a.toSeq, b.toSeq)
+    } :+ ((99L, Seq.fill(k)(5L), Seq.fill(k)(5L))) // full agreement
+    val df = rows.toDF("id", "sig_a", "sig_b")
+    val tree = (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _) / lit(k)
+    val got = df.select(col("id"), Dedup.sigAgreement(k).as("e"), tree.as("t")).collect()
+    got.foreach(r => r.getDouble(1) shouldBe r.getDouble(2))
+    // a null array behaves like the tree did: every CASE falls to 0
+    val withNull = Seq((1L, null.asInstanceOf[Seq[Long]], Seq.fill(k)(5L)))
+      .toDF("id", "sig_a", "sig_b")
+      .select(Dedup.sigAgreement(k).as("e")).collect()
+    withNull.head.getDouble(0) shouldBe 0.0
+  }
+
+  test("minhashSignaturesNative: drops exactly the null-text docs; empty/blank text keeps a signature") {
+    // the r16 text-IS-NOT-NULL filter must be equivalent to the old
+    // sig-IS-NOT-NULL: sig is null iff text is null (split of any
+    // non-null text yields at least [""], which hashes)
+    val df = Seq((1L, "regular tokens here"), (2L, ""), (3L, "   "),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val native = Dedup.minhashSignaturesNative(df, k = 16).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    native.map(_._1) shouldBe Array(1L, 2L, 3L)
+    native.foreach { case (_, sig) => sig should have size 16 }
+    // and the blank docs agree with the aggregate twin (which drops
+    // null-text docs the same way: explode of a null array emits none)
+    val viaAgg = Dedup.minhashSignaturesViaAggregate(df, k = 16).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    native shouldBe viaAgg
+  }
+
   test("dedupIncremental: batch deduped against corpus index, then within itself") {
     val corpusText = (1 to 30).map(i => s"ctext$i").mkString(" ")
     val uniqueText = (1 to 30).map(i => s"fresh$i").mkString(" ")

@@ -2427,17 +2427,29 @@ object TextAnalysisQueries {
       .persistT
     val nTok = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
-    Seq(50, 70, 90).map { pct =>
-      val p = pairs.where(col("est_jaccard") >= lit(pct / 100.0))
-      val removedStats = p.select(col("doc_b").as("doc_id")).distinct()
-        .join(nTok, Seq("doc_id"))
-        .agg(count(lit(1)).as("n_docs_removed"),
-          coalesce(sum(col("n_tok")), lit(0L)).as("tokens_removed"))
-      p.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(removedStats)
-        .select(lit(pct.toLong).as("threshold_pct"), col("n_pairs"),
-          col("n_docs_removed"), col("tokens_removed"))
-    }.reduce(_ unionByName _).sortedOut("threshold_pct")
+    // r16: TWO aggregate passes over the persisted pair set instead of
+    // three per-threshold (filter + distinct + join + 2 aggs) rounds —
+    // a doc_b is removed at threshold t iff max(est over its pairs) >= t,
+    // so one per-doc rollup answers all three thresholds at once.
+    // Identical comparisons (t = pct/100.0 on the same doubles),
+    // identical zero semantics (coalesce where the empty frame gave
+    // count()=0). Oracle SQL unchanged.
+    val ths = Seq(50, 70, 90)
+    val pairCounts = pairs.agg(
+      coalesce(sum(when(col("est_jaccard") >= lit(ths.head / 100.0), 1L).otherwise(0L)), lit(0L)).as(s"np${ths.head}"),
+      ths.tail.map(p => coalesce(sum(when(col("est_jaccard") >= lit(p / 100.0), 1L).otherwise(0L)), lit(0L)).as(s"np$p")): _*)
+    val perB = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(max(col("est_jaccard")).as("m"))
+      .join(nTok, Seq("doc_id"))
+    val removed = perB.agg(
+      coalesce(sum(when(col("m") >= lit(ths.head / 100.0), 1L).otherwise(0L)), lit(0L)).as(s"nd${ths.head}"),
+      (ths.tail.map(p => coalesce(sum(when(col("m") >= lit(p / 100.0), 1L).otherwise(0L)), lit(0L)).as(s"nd$p")) ++
+        ths.map(p => coalesce(sum(when(col("m") >= lit(p / 100.0), col("n_tok")).otherwise(0L)), lit(0L)).as(s"tk$p"))): _*)
+    pairCounts.crossJoin(removed)
+      .select(expr(ths.map(p => s"${p}L, np$p, nd$p, tk$p").mkString(
+        s"stack(${ths.size}, ", ", ",
+        ") as (threshold_pct, n_pairs, n_docs_removed, tokens_removed)")))
+      .sortedOut("threshold_pct")
   }
 
   private lazy val q242Sql =

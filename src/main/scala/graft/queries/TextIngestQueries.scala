@@ -484,9 +484,13 @@ object TextIngestQueries {
     * rank is a doc-partitioned window. */
   private def q289(s: SparkSession, d: String): DataFrame = {
     val L = 8; val C = 100
-    def gramsOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= L)
+    // narrow-input spread (r16): the L-window md5 transform otherwise
+    // runs in the single-split scan stage on ONE core (round-robin on
+    // purpose — the GramIndex.gramsOf hash-claim hazard)
+    def gramsOf(df: DataFrame): DataFrame =
+      graft.ops.RelationalOps.spreadNarrowInput(df
+          .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+          .where(size(col("ts")) >= L))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ts) - $L), i -> md5(array_join(slice(ts, i + 1, $L), ' ')))")))
       .toDF("doc_id", "pos", "gram")
@@ -576,9 +580,9 @@ object TextIngestQueries {
     * binds; the many-sources fixture in AdvSweep exercises it. */
   private def q290(s: SparkSession, d: String): DataFrame = {
     val L = 8; val C = 16
-    val gs = docs0(s, d)
-      .select(col("source"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= L)
+    val gs = graft.ops.RelationalOps.spreadNarrowInput(docs0(s, d)
+        .select(col("source"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= L)) // r16 spread: see q289 gramsOf
       .select(col("source"), explode(expr(
         s"transform(sequence(0, size(ts) - $L), i -> md5(array_join(slice(ts, i + 1, $L), ' ')))"))
         .as("gram"))

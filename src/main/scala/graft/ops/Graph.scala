@@ -655,6 +655,59 @@ object Graph {
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = symmetrized(edges).persistT
+    // driver-gated exact twin (see driverGate's header note): all the
+    // arithmetic is order-free — Long sums, DECIMAL(38,0) products of
+    // exact integers, one final double division — so the twin is exact
+    // by construction. The distributed path on a dimension-keyed graph
+    // is ~6 query stages (two persists, two rollup exchanges, two 1-row
+    // collects) for microseconds of math.
+    val conf = e.sparkSession.conf
+    val maxN = conf.getOption("spark.graft.graph.driverMaxNodes")
+      .map(_.toLong).getOrElse(1024L)
+    val maxE = conf.getOption("spark.graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(500000L)
+    if (maxE > 0L && labels.count() <= maxN && e.count() <= maxE) {
+        val eRows = e.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+        e.unpersist(blocking = false)
+        val lab: Map[Any, Any] =
+          labels.collect().map(r => (r.get(0), r.get(1))).toMap
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("two_m", LongType), StructField("modularity", DoubleType)))
+        val out: org.apache.spark.sql.Row = if (eRows.isEmpty) {
+          // distributed: sum over an empty frame is NULL for both
+          org.apache.spark.sql.Row(null, null)
+        } else {
+          var twoM = 0L
+          eRows.foreach(t => twoM += t._3) // Long wrap semantics = sum(long)
+          // joined = e INNER JOIN labels on both endpoints
+          val totC = scala.collection.mutable.HashMap.empty[Any, Long]
+          val inC = scala.collection.mutable.HashMap.empty[Any, Long]
+          eRows.foreach { case (s0, d0, w) =>
+            (lab.get(s0), lab.get(d0)) match {
+              case (Some(ca), Some(cb)) =>
+                totC.update(ca, totC.getOrElse(ca, 0L) + w)
+                if (ca == cb) inC.update(ca, inC.getOrElse(ca, 0L) + w)
+              case _ => // unlabeled endpoint: inner join drops the edge
+            }
+          }
+          if (totC.isEmpty) org.apache.spark.sql.Row(twoM, null)
+          else {
+            val twoMB = BigInt(twoM)
+            var numer = BigInt(0)
+            totC.foreach { case (c, tot) =>
+              numer += BigInt(inC.getOrElse(c, 0L)) * twoMB - BigInt(tot) * BigInt(tot)
+            }
+            // Decimal(38,0) -> double is BigDecimal.doubleValue; the
+            // divide chain mirrors cast(numer)/(cast(2m)*cast(2m))
+            val q = new java.math.BigDecimal(numer.bigInteger).doubleValue() /
+              (twoM.toDouble * twoM.toDouble)
+            org.apache.spark.sql.Row(twoM, q)
+          }
+        }
+        return e.sparkSession.createDataFrame(
+          java.util.Arrays.asList(out), schema)
+    }
     val la = labels.select(col("node").as("src"), col("community").as("ca"))
     val lb = labels.select(col("node").as("dst"), col("community").as("cb"))
     val twoM = e.agg(sum(col("w")).as("two_m"))

@@ -367,6 +367,19 @@ class GraphSpec extends SparkSpec {
     }
     sprOf(true) shouldBe sprOf(false)
     slpaOf(true) shouldBe slpaOf(false)
+    // modularity twin (r16): exact doubles, incl. unlabeled-endpoint
+    // edges (dropped by the inner join on both paths) and an empty graph
+    def modTwin(on: Boolean, lbls: Seq[(Int, Int)], es: Seq[(Int, Int, Long)]) =
+      withEdgeGate(on) {
+        Graph.modularity(es.toDF("src", "dst", "w"),
+          lbls.toDF("node", "community")).collect()(0).toSeq
+      }
+    val full = nodes.map(n => (n, n % 3))
+    val partial = nodes.filter(_ % 4 != 0).map(n => (n, n % 3))
+    modTwin(on = true, full, edges) shouldBe modTwin(on = false, full, edges)
+    modTwin(on = true, partial, edges) shouldBe modTwin(on = false, partial, edges)
+    modTwin(on = true, full, Seq.empty[(Int, Int, Long)]) shouldBe
+      modTwin(on = false, full, Seq.empty[(Int, Int, Long)])
   }
 
   test("modularity: exact hand-checked value on the two-triangle dumbbell") {

@@ -137,23 +137,34 @@ object ExtendedAnalyticsQueries {
     * matches; the fan-out is one map-side-combinable count. Mean
     * fan-out is a single integer-over-integer division. */
   private def q181(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").persistT // four probes below
+    val li = t(s, d, "lineitem").persistT // orphan probe + fanout agg
     val orders = t(s, d, "orders").persistT
-    def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String) =
-      fact.select(col(key)).join(
-        broadcast(dim.select(col(dimKey).as(key)).distinct()),
-        Seq(key), "left_anti").count()
-    val oOrd = orphans(li, "l_orderkey", orders, "o_orderkey")
-    val oPart = orphans(li, "l_partkey", t(s, d, "part"), "p_partkey")
-    val oSupp = orphans(li, "l_suppkey", t(s, d, "supplier"), "s_suppkey")
-    val oCust = orphans(orders, "o_custkey", t(s, d, "customer"), "c_custkey")
+    // r16: ONE action instead of four sequential blocking .count()
+    // jobs — the three lineitem orphan probes ride a single pass as
+    // left joins against broadcast distinct key sets (a left anti-join
+    // count == count of left-join misses when the build keys are
+    // distinct), and the scalar frames attach by broadcast crossJoin
+    // so the driver never round-trips between probes.
+    def keys(df: DataFrame, from: String, as: String, flag: String) =
+      broadcast(df.select(col(from).as(as)).distinct().withColumn(flag, lit(1)))
+    val orphLi = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(keys(orders, "o_orderkey", "l_orderkey", "__o"), Seq("l_orderkey"), "left")
+      .join(keys(t(s, d, "part"), "p_partkey", "l_partkey", "__p"), Seq("l_partkey"), "left")
+      .join(keys(t(s, d, "supplier"), "s_suppkey", "l_suppkey", "__s"), Seq("l_suppkey"), "left")
+      .agg(count(when(col("__o").isNull, 1)).as("orphan_order_refs"),
+        count(when(col("__p").isNull, 1)).as("orphan_part_refs"),
+        count(when(col("__s").isNull, 1)).as("orphan_supp_refs"))
+    val orphCust = orders.select(col("o_custkey"))
+      .join(keys(t(s, d, "customer"), "c_custkey", "o_custkey", "__c"), Seq("o_custkey"), "left")
+      .agg(count(when(col("__c").isNull, 1)).as("orphan_cust_refs"))
     val fan = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_orders_ref"), max(col("n")).as("max_fanout"),
         sum(col("n")).as("n_lines"))
-    fan.select(col("n_lines"), col("n_orders_ref"), col("max_fanout"),
-      (col("n_lines").cast("double") / col("n_orders_ref").cast("double")).as("mean_fanout"),
-      lit(oOrd).as("orphan_order_refs"), lit(oCust).as("orphan_cust_refs"),
-      lit(oPart).as("orphan_part_refs"), lit(oSupp).as("orphan_supp_refs"))
+    fan.crossJoin(broadcast(orphLi)).crossJoin(broadcast(orphCust))
+      .select(col("n_lines"), col("n_orders_ref"), col("max_fanout"),
+        (col("n_lines").cast("double") / col("n_orders_ref").cast("double")).as("mean_fanout"),
+        col("orphan_order_refs"), col("orphan_cust_refs"),
+        col("orphan_part_refs"), col("orphan_supp_refs"))
   }
 
   private val q181Sql =

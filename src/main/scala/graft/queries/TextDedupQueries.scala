@@ -1127,18 +1127,17 @@ object TextDedupQueries {
     * aggregations (per-doc degree, then per-degree count); the
     * degree-0 row is a two-scalar broadcast subtraction. */
   private def q95(s: SparkSession, d: String): DataFrame = {
-    // both branch points fan out (pairs → two union arms; deg → the
-    // histogram AND the node count), so without persists the whole
-    // LSH pipeline executes up to 4x (measured 5.8 s vs 2.6 s at
-    // sf0.1). Unpersist falls to the ContextCleaner; the frames are
-    // (id, id) and (id, int) respectively.
-    val pairs = Dedup.minhashCandidatePairs(
+    // deg fans out (the histogram AND the node count), so it persists.
+    // The pair set itself no longer does (r16): exploding both
+    // endpoints reads the pair stream ONCE straight out of the kernel —
+    // the previous two-scan unionAll needed a persisted pair cache
+    // (without one the LSH pipeline executed up to 4x, measured 5.8 s
+    // vs 2.6 s at sf0.1), and the cache materialization barrier itself
+    // cost more than the rollup. Unpersist falls to the ContextCleaner.
+    val deg = Dedup.minhashCandidatePairs(
         Dedup.minhashSignatures(docs0(s, d), k = 32),
         bands = 4, rowsPerBand = 8, minEst = 0.7)
-      .select(col("doc_a"), col("doc_b"))
-      .persistT
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
       .persistT
     val histo = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))

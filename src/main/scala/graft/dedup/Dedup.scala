@@ -126,26 +126,26 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                             minEst: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // The signature table feeds four plan branches (two bucket-join
-    // sides, two verification joins); persist so the minhash
-    // aggregation runs once. The ContextCleaner unpersists when the
-    // plan is garbage-collected.
+    // The signature table feeds the banding and the star-verification
+    // joins; persist so the minhash aggregation runs once. The
+    // ContextCleaner unpersists when the plan is garbage-collected.
     val sigsC = sigs.persistT
-    // Candidate generation stays NARROW: the bucket self-join carries
-    // only (band, bh, doc_id) — never the k-long signature arrays. At
-    // fixture scale the candidate set is quadratic-ish (every doc pair
-    // shares vocabulary) and carrying signatures through this join
-    // multiplies the shuffle by ~20×. Band hash = md5-60 of
-    // "band:sig[a],sig[b],..." — a canonical string both engines render
-    // identically (sig values are non-negative longs).
-    val banded = bandedOf(sigsC, bands, rowsPerBand)
-    // Skew guard: only self-join buckets below the cap. The gate rides
-    // the OVER-cap list, which is tiny BY CONSTRUCTION (≤ |banded|/cap
-    // buckets can exceed the cap), so it broadcasts: the banded frame
-    // reaches both the safe self-join and the star branch WITHOUT an
-    // extra exchange — the under-cap-list formulation shuffled every
-    // banded row through a join against an O(|buckets|) frame
-    // (measured ~15% of the whole operator at sf0.1).
+    // Banding carries the signature ALONGSIDE (band, bh, doc_id) since
+    // r16: under-cap buckets verify IN-BUCKET (below), so the sig rides
+    // the one (band, bh) exchange — bands × 256 B per doc — instead of
+    // riding two doc-keyed attach joins (2 × 256 B per doc) PLUS the
+    // whole raw candidate set riding the verification joins. Column
+    // pruning keeps the census and star branches narrow. Band hash =
+    // md5-60 of "band:sig[a],sig[b],..." — a canonical string both
+    // engines render identically (sig values are non-negative longs).
+    val banded = bandedWideOf(sigsC, bands, rowsPerBand)
+    // Skew guard census. The gate rides the OVER-cap list, which is
+    // tiny BY CONSTRUCTION (≤ |banded|/cap buckets can exceed the cap),
+    // so it broadcasts: the banded frame reaches both the bucket
+    // aggregate and the star branch WITHOUT an extra exchange — the
+    // under-cap-list formulation shuffled every banded row through a
+    // join against an O(|buckets|) frame (measured ~15% of the whole
+    // operator at sf0.1).
     val sized = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
     val overCap = sized.where(col("count") > bucketCap)
@@ -156,22 +156,26 @@ object Dedup {
     val overCapB = graft.ops.Hints.guardedBroadcast(overCap)
     val safe = banded.join(overCapB.select("band", "bh"),
       Seq("band", "bh"), "left_anti")
-    // Pair-dedup placement (same pair arrives via up to `bands` bands)
-    // is ADAPTIVE on the threshold, both variants value-identical:
-    //  - loose minEst: most candidates are genuinely dissimilar and
-    //    collide in ONE band; deduping after the est filter (fewer
-    //    rows, same shuffle count) measured ~10% faster (round 1).
-    //  - tight minEst (≥ 0.8): surviving candidates are true near-dups
-    //    that collide in MOST bands, and near-cap buckets fan each hot
-    //    pair out ~bands times — deduping BEFORE the verification
-    //    joins cuts the k-compare volume by that factor (measured
-    //    1.5× end-to-end at sf0.1 on a capped-bucket-heavy slice; the
-    //    same reasoning the Between probe variant applies always).
-    val dedupFirst = minEst >= 0.8
-    val rawPairs = safe.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(safe.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // In-bucket verification (r16): collect each under-cap bucket —
+    // the buffer is ≤ cap member structs by construction, ~264 KB at
+    // cap 1000 — and emit ONLY the id-ordered pairs whose signature
+    // agreement reaches minEst, straight from one native eval. The
+    // previous self-join materialized every raw candidate as a join
+    // row (5.2M at sf0.1 for 5k docs — near-cap buckets are quadratic
+    // by design), attached both signatures by two more joins and
+    // evaluated the agreement per row, only for the minEst filter to
+    // discard ~99.9%; the same compares are a tight in-memory loop
+    // here (cap²/2 worst case per bucket, the skew cap's bound), and
+    // only survivors ever become rows. est is bit-identical to the
+    // join-attached SigAgreement (same integer count, same divide) —
+    // DedupSpec pins the whole operator against the r15 formulation.
+    val bucketPairs = safe
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .select(explode(org.apache.spark.sql.GraftSqlShim.column(BucketPairs(
+        org.apache.spark.sql.GraftSqlShim.expression(col("members")), k, minEst))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.est_jaccard").as("est_jaccard"))
     // Over-cap buckets: STAR pairs to the bucket-min anchor, not a drop.
     // An over-cap bucket is exactly the most-duplicated content in the
     // corpus (boilerplate families — the adversarial sweep's 10k-doc
@@ -180,30 +184,27 @@ object Dedup {
     // under-cap buckets, leaving most of the family as "unique"
     // survivors). One (anchor, member) row per member is O(|bucket|),
     // keeps the bucket connected for the downstream union-find, and
-    // still passes through the k-signature verification below — a
-    // single-band fluke collision is filtered there, same as any
-    // candidate. anchor = min(doc_id) keeps the doc_a < doc_b invariant.
+    // still passes the k-signature verification — a single-band fluke
+    // collision is filtered there, same as any candidate. These stay on
+    // the attach-join path: star members are never collected, so the
+    // over-cap family can be any size without a quadratic or a buffer.
+    // anchor = min(doc_id) keeps the doc_a < doc_b invariant.
     val stars = banded.join(overCapB, Seq("band", "bh"))
       .where(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
-    val rawCands = rawPairs.unionByName(stars)
-    val pairs = if (dedupFirst) rawCands.distinct() else rawCands
-    // Verification: attach both signatures by key — the signature table
-    // is tiny relative to the pair set (one row per doc vs ~pairs), so
-    // Catalyst broadcasts it at fixture scale; at cluster scale this
-    // becomes two shuffle joins on doc id, still linear in |pairs|.
-    val withSigs = pairs
+    val starPairs = stars
       .join(sigsC.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigsC.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-    // Unrolled position compares instead of zip_with+aggregate: the
-    // higher-order functions evaluate interpreted per row, while k
-    // element_at/when terms stay inside whole-stage codegen — this is
-    // the hot expression of the whole operator (once per distinct pair).
-    val est = sigAgreement(k)
-    val verified = withSigs
-      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), sigAgreement(k).as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
-    if (dedupFirst) verified else verified.dropDuplicates("doc_a", "doc_b")
+    // A pair that survives via several bands (or as both bucket and
+    // star pair) carries the IDENTICAL est, so the final key-dedup is
+    // order-free. Survivors are a tiny fraction of the raw candidate
+    // volume at every threshold, so deduping after verification is
+    // strictly cheaper than the old adaptive dedup-before-verify
+    // variant (whose point was cutting attach-join volume that no
+    // longer exists).
+    bucketPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
   }
 
   /** Exact substring (word n-gram) duplication stats — the "train-set
@@ -475,6 +476,17 @@ object Dedup {
       b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
         array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
     sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+  }
+
+  /** [[bandedOf]] carrying the signature column through the explode —
+    * the in-bucket verification's input (r16). Column pruning keeps
+    * consumers that only read (band, bh, doc_id) as narrow as the
+    * plain projection. */
+  private[graft] def bandedWideOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => graft.text.Hashing.h60(concat_ws(":", b.cast("string"),
+        array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
+    sigs.select(col("doc_id"), col("sig"), posexplode(bandArr).as(Seq("band", "bh")))
   }
 
   /** Candidate pairs BETWEEN two signature tables — the probe shape of

@@ -111,6 +111,46 @@ class DedupSpec extends SparkSpec {
     pairs.where(col("est_jaccard") === 1.0).count() shouldBe 4
   }
 
+  test("LSH in-bucket verification (r16) equals the join formulation, mixed corpus incl. over-cap") {
+    // a messy corpus: one boilerplate family (over-cap at cap 3),
+    // two near-dup pairs, singletons — every branch of the operator
+    val fam = (1L to 5L).map(i => i -> "common boilerplate family text body here")
+    val near = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog today",
+      11L -> "the quick brown fox jumps over the lazy dog tonight",
+      20L -> "pack my box with five dozen liquor jugs again",
+      21L -> "pack my box with five dozen liquor jugs against",
+      30L -> "completely unrelated text about joins and shuffles",
+      31L -> "another singleton with its own vocabulary entirely")
+    val df = docsDF(fam ++ near: _*)
+    for (minEst <- Seq(0.25, 0.5, 0.9)) {
+      val sigs = Dedup.minhashSignatures(df, k = 16).persist()
+      val got = Dedup.minhashCandidatePairs(sigs, bands = 4, rowsPerBand = 4,
+          minEst = minEst, bucketCap = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      // reference: the r15 join formulation, inline
+      val banded = Dedup.bandedOf(sigs, 4, 4)
+      val sized = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("count"), min("doc_id").as("anchor"))
+      val overCap = sized.where(col("count") > 3).select("band", "bh", "anchor")
+      val safe = banded.join(overCap.select("band", "bh"), Seq("band", "bh"), "left_anti")
+      val rawPairs = safe.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(safe.select(col("band"), col("bh"), col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .where(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+      val stars = banded.join(overCap, Seq("band", "bh"))
+        .where(col("doc_id") =!= col("anchor"))
+        .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+      val want = rawPairs.unionByName(stars).distinct()
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), Dedup.sigAgreement(16).as("e"))
+        .where(col("e") >= minEst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      got shouldBe want
+      sigs.unpersist()
+    }
+  }
+
   test("containmentPairs: asymmetric — fragment⊂superset found, reverse direction filtered") {
     val frag = (1 to 12).map(i => s"w$i").mkString(" ")          // 12 tokens → 8 5-grams
     val superset = s"$frag extra tokens beyond the fragment body here now"
